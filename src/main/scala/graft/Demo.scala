@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable end-to-end example of the ingest surface (SURVEY.md §7.3's
+  * minimum slice): messy delimited files → preview → column selection with
+  * declared types → atomic save → read back and aggregate. Doubles as the
+  * runtime-verification entry point for the library surface.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("graft_demo")
+    val wh = dir.resolve("warehouse").toString
+
+    // A1-style CSV: quoted cells (naive split!), missing trailing cell.
+    val csv = dir.resolve("orders.csv")
+    Files.writeString(csv,
+      """id,customer,amount,order_ts
+        |1,"Acme",150.25,2026-01-05 10:00:00
+        |2,Globex,99.00,2026-01-06 11:30:00
+        |3,"Initech",12.50,
+        |""".stripMargin)
+
+    // A3-style Markdown pipe table with separator + blank rows.
+    val md = dir.resolve("inventory.md")
+    Files.writeString(md,
+      """|| sku | warehouse | qty |
+        || --- | --- | --- |
+        || A-1 | east | 40 |
+        || B-2 | west | 17 |
+        |
+        || C-3 | east | 5 |
+        |""".stripMargin)
+
+    println("== preview orders.csv")
+    val p = ingest.Preview.preview(spark, csv.toString)
+    println(s"headers: ${p.headers.mkString(", ")}")
+    p.rows.foreach(println)
+
+    println("== save orders.csv (id INTEGER, amount NUMERIC(18,2), order_ts TIMESTAMP)")
+    val path = sink.Save.ingest(spark, csv.toString, wh, "My Orders!",
+      Seq("id", "customer", "amount", "order_ts"),
+      Map("id" -> "INTEGER", "amount" -> "NUMERIC(18,2)", "order_ts" -> "TIMESTAMP"))
+    println(s"published: $path")
+    val back = spark.read.parquet(path)
+    back.printSchema()
+    back.orderBy("id").show(false)
+
+    println("== aggregate readback")
+    import org.apache.spark.sql.functions._
+    back.agg(sum(col("amount")).as("total"), count(lit(1)).as("n")).show(false)
+
+    println("== duplicate save guard (expect failure)")
+    try {
+      sink.Save.ingest(spark, csv.toString, wh, "My Orders!", Seq("id"))
+      println("ERROR: duplicate save was allowed!")
+    } catch {
+      case e: IllegalStateException => println(s"guarded: ${e.getMessage}")
+    }
+
+    println("== preview inventory.md (pipe + markdown separator)")
+    val m = ingest.Preview.preview(spark, md.toString)
+    println(s"headers: ${m.headers.mkString(", ")}")
+    m.rows.foreach(println)
+
+    println("== smart-id: save inventory.md without an id column")
+    val invPath = sink.Save.ingest(spark, md.toString, wh, "inventory",
+      Seq("sku", "warehouse", "qty"), Map("qty" -> "INTEGER"))
+    spark.read.parquet(invPath).orderBy("sku").show(false)
+
+    println("== empty file (expect clean error)")
+    val empty = dir.resolve("empty.csv")
+    Files.writeString(empty, "")
+    try {
+      ingest.Preview.preview(spark, empty.toString)
+      println("ERROR: empty file did not raise!")
+    } catch {
+      case e: IllegalArgumentException => println(s"guarded: ${e.getMessage}")
+    }
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,211 @@
+package graft.ingest
+
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Excel (.xlsx) scan — first sheet only, like the reference
+  * (reference backend/index.js:93-96: `workbook.SheetNames[0]`), empty
+  * cells default to ""/null (`defval: ""`, index.js:96), all cells read as
+  * strings (sheet_to_json semantics for a type-less load).
+  *
+  * No POI or spark-excel artifact exists in the offline environment, so
+  * this is a minimal OOXML reader over JDK built-ins only (java.util.zip +
+  * StAX): sharedStrings.xml + first worksheet's sheetData. Like the
+  * reference, the workbook is fully materialized on the driver
+  * (index.js:200-204) and then parallelized — Excel inputs are bounded by
+  * the reference's own 50 MB upload limit, so driver materialization is the
+  * honest scale story here; huge tabular data arrives as CSV/parquet, not
+  * .xlsx. Legacy BIFF `.xls` is not supported (needs POI; documented
+  * out-of-scope, SURVEY.md §7.5(3)).
+  */
+object ExcelReader {
+
+  def read(spark: SparkSession, path: String, sheetRows: Int = Int.MaxValue): DataFrame = {
+    if (path.toLowerCase.endsWith(".xls"))
+      throw new UnsupportedOperationException(
+        "Legacy .xls (BIFF) needs POI, unavailable offline; convert to .xlsx or CSV")
+    val rows = readRows(path, sheetRows)
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(s"File appears empty: $path")
+    val headers = rows.head
+    val width = headers.length
+    val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
+    val data = rows.tail.map { r =>
+      Row.fromSeq(headers.indices.map(i => if (i < r.length && r(i).nonEmpty) r(i) else null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq), schema)
+  }
+
+  /** Raw grid: row-major cells as strings, padded to the header width. */
+  private[graft] def readRows(path: String, maxRows: Int): Seq[Array[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(newReader(zip, e)))
+        .getOrElse(IndexedSeq.empty)
+      val sheetName = firstSheetPath(zip)
+      val entry = Option(zip.getEntry(sheetName)).getOrElse(
+        throw new IllegalArgumentException(s"No worksheet in $path"))
+      parseSheet(newReader(zip, entry), shared, maxRows)
+    } finally zip.close()
+  }
+
+  private def newReader(zip: ZipFile, e: java.util.zip.ZipEntry): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(zip.getInputStream(e))
+  }
+
+  /** First sheet in workbook order via workbook.xml.rels; falls back to the
+    * conventional xl/worksheets/sheet1.xml.
+    */
+  private def firstSheetPath(zip: ZipFile): String = {
+    val fallback = "xl/worksheets/sheet1.xml"
+    val wb = Option(zip.getEntry("xl/workbook.xml")).getOrElse(return fallback)
+    val rels = Option(zip.getEntry("xl/_rels/workbook.xml.rels")).getOrElse(return fallback)
+    var firstRid: String = null
+    val r1 = newReader(zip, wb)
+    try {
+      while (firstRid == null && r1.hasNext) {
+        if (r1.next() == XMLStreamConstants.START_ELEMENT && r1.getLocalName == "sheet")
+          firstRid = attr(r1, "id")
+      }
+    } finally r1.close()
+    if (firstRid == null) return fallback
+    var target: String = null
+    val r2 = newReader(zip, rels)
+    try {
+      while (target == null && r2.hasNext) {
+        if (r2.next() == XMLStreamConstants.START_ELEMENT &&
+          r2.getLocalName == "Relationship" && attr(r2, "Id") == firstRid)
+          target = attr(r2, "Target")
+      }
+    } finally r2.close()
+    if (target == null) fallback
+    else if (target.startsWith("/")) target.drop(1)
+    else "xl/" + target.stripPrefix("./")
+  }
+
+  private def attr(r: XMLStreamReader, local: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  private def parseSharedStrings(r: XMLStreamReader): IndexedSeq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t" if inSi => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
+            cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => inSi = false; out += cur.toString
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.toIndexedSeq
+  }
+
+  /** Column index from an A1-style cell ref ("BC23" → 54). */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def parseSheet(
+      r: XMLStreamReader, shared: IndexedSeq[String], maxRows: Int): Seq[Array[String]] = {
+    val rows = ArrayBuffer.empty[ArrayBuffer[String]]
+    var row: ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIs = false
+    val text = new StringBuilder
+    def setCell(raw: String): Unit = {
+      val v = cellType match {
+        case "s" =>
+          val idx = raw.trim.toInt
+          if (idx >= 0 && idx < shared.length) shared(idx) else ""
+        case "b" => if (raw.trim == "1") "true" else "false"
+        case _ => trimNumeric(raw)
+      }
+      val at = if (cellCol >= 0) cellCol else row.length
+      while (row.length <= at) row += ""
+      row(at) = v
+    }
+    try {
+      while (r.hasNext && rows.length <= maxRows) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row = ArrayBuffer.empty[String]
+              case "c" if row != null =>
+                cellCol = Option(attr(r, "r")).map(colIndex).getOrElse(-1)
+                cellType = Option(attr(r, "t")).getOrElse("")
+                text.clear()
+              case "v" => inV = true; text.clear()
+              case "is" => inIs = true
+              case "t" if inIs => inV = true; text.clear()
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV =>
+            text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false; setCell(text.toString)
+              case "t" if inIs => inV = false; setCell(text.toString)
+              case "is" => inIs = false
+              case "row" if row != null => rows += row; row = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    val width = rows.headOption.map(_.length).getOrElse(0)
+    rows.take(maxRows + 1).map { rr =>
+      val a = new Array[String](math.max(width, rr.length))
+      var i = 0
+      while (i < a.length) { a(i) = if (i < rr.length) rr(i) else ""; i += 1 }
+      a.take(math.max(width, 1))
+    }.toIndexedSeq
+  }
+
+  /** "3.0" → "3" like sheet_to_json's raw:false-ish rendering of integer
+    * floats; other numerics kept as written.
+    */
+  private def trimNumeric(s: String): String = {
+    val t = s.trim
+    if (t.matches("-?\\d+\\.0+")) t.takeWhile(_ != '.') else t
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.ops.Cleanse
+
+/** Distributed delimited-text scan with the reference's exact parse
+  * semantics (reference backend/index.js:98-119 preview, 206-232 full):
+  *
+  *   - delimiter sniffed from the first line only (tab > pipe > comma)
+  *   - NAIVE split: quotes do NOT protect embedded delimiters — a cell
+  *     `"Acme, Inc."` under comma splits into two cells, each then
+  *     quote-stripped. (FIXTURES.md A1 mandates matching this.)
+  *   - per-cell trim + edge-quote + edge-pipe strip; empty → null
+  *   - blank lines and `---` (Markdown separator) lines dropped
+  *   - short rows padded with null; extra cells beyond the header dropped
+  *   - all columns land as strings (the reference inserts strings and lets
+  *     the database cast; our casts happen later in Save)
+  *
+  * Spark-first design: the scan is `spark.read.csv` with quote-handling
+  * DISABLED (quote = NUL) so Spark's splitter degenerates to the naive
+  * split, plus codegen'd column expressions for the cell cleanup. The only
+  * driver-side work is reading ONE line for the sniff — scan, cleanse,
+  * projection, and cast all distribute, so the path is identical at 100 TB
+  * (each executor parses its own file splits).
+  */
+object Readers {
+
+  /** Header names parsed + cleansed from the sniffed first line.
+    * Empty-named positions (e.g. the edge cells of a `| a | b |` Markdown
+    * header) get internal placeholder names and are dropped from the
+    * result; duplicate names get a positional suffix (the reference's JS
+    * row-object silently collapses duplicates — index.js:117 — which a
+    * DataFrame cannot; documented deviation).
+    */
+  private[graft] def headerSchema(firstLine: String, delimiter: String): (Seq[String], StructType) = {
+    val raw = firstLine.split(java.util.regex.Pattern.quote(delimiter), -1)
+      .map(Cleanse.headerCell)
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = raw.zipWithIndex.map { case (h, i) =>
+      if (h.isEmpty) s"_graft_skip_$i"
+      else {
+        val n = seen.getOrElse(h, 0)
+        seen(h) = n + 1
+        if (n == 0) h else s"${h}_$n"
+      }
+    }
+    val keep = names.filterNot(_.startsWith("_graft_skip_"))
+    (keep.toIndexedSeq, StructType(names.map(StructField(_, StringType, nullable = true))))
+  }
+
+  /** Delimited scan (S1): csv/tsv/pipe/markdown → all-string DataFrame. */
+  def delimited(spark: SparkSession, path: String): DataFrame = {
+    val first = Sniffer.firstLine(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"File appears empty: $path"))
+    val delimiter = Sniffer.sniffDelimiter(first)
+    val (keep, schema) = headerSchema(first, delimiter)
+    val raw = spark.read
+      .option("header", "true") // skips the first line of every file split
+      .option("sep", delimiter)
+      .option("quote", "\u0000") // DISABLE quote handling → naive split
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("mode", "PERMISSIVE") // short rows → null-padded
+      .option("enforceSchema", "true")
+      .schema(schema)
+      .csv(path)
+    val cleansed = Cleanse.cells(raw)
+    val noSep = Cleanse.dropSeparatorRows(cleansed)
+    val noBlank = Cleanse.dropBlankRows(noSep)
+    noBlank.select(keep.map(col).toIndexedSeq: _*)
+  }
+
+  /** Format-dispatched read, mirroring the reference's extension dispatch
+    * (index.js:88-97): Access/Excel by extension, delimited otherwise.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    Sniffer.formatOf(path) match {
+      case Sniffer.Delimited => delimited(spark, path)
+      case Sniffer.Excel => ExcelReader.read(spark, path)
+      case Sniffer.Access =>
+        throw new UnsupportedOperationException(
+          "Access (.accdb/.mdb) requires the ACE OLEDB provider, which the " +
+            "reference itself only supports on Windows (index.js:63,78). " +
+            "No JDBC driver for Access is available offline; export to CSV " +
+            "and use the delimited reader. (SURVEY.md §7.2(6))")
+    }
+}

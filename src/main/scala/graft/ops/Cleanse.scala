@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cell/row normalization exactly as the reference applies it
+  * (reference backend/index.js:111,115,216,221 for cells; 212, 219 for
+  * rows): per cell `trim` → strip one leading/trailing `"` → strip one
+  * leading/trailing `|`; rows that are entirely blank are dropped; rows
+  * whose raw line contains `---` (Markdown separator) are dropped.
+  *
+  * Everything here is `org.apache.spark.sql.functions` column expressions —
+  * codegen'd, no UDFs — so cleansing rides inside WholeStageCodegen on the
+  * scan and costs one pass regardless of scale.
+  */
+object Cleanse {
+
+  /** trim → strip edge quotes → strip edge pipes (reference order,
+    * index.js:115: `.trim().replace(/^"|"$/g,'').replace(/^\||\|$/g,'')`),
+    * then empty-string → null (save-path semantics, `cells[idx] || null`,
+    * index.js:223).
+    */
+  def cell(c: Column): Column = {
+    val stripped =
+      regexp_replace(regexp_replace(trim(c), "^\"|\"$", ""), "^\\||\\|$", "")
+    when(stripped === "", lit(null)).otherwise(stripped)
+  }
+
+  /** Same normalization for a header string, driver-side (headers are
+    * parsed on the driver from the sniffed first line).
+    */
+  def headerCell(h: String): String =
+    h.trim
+      .replaceAll("^\"|\"$", "")
+      .replaceAll("^\\||\\|$", "")
+
+  /** Apply [[cell]] to every column of an all-string DataFrame. */
+  def cells(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => cell(col(c)).as(c)).toIndexedSeq: _*)
+
+  /** Drop Markdown separator rows: the reference skips any raw line
+    * containing `---` (index.js:114, 219). Post-split, a line contains
+    * `---` iff some cell does, so the distributed equivalent is a
+    * disjunction over columns.
+    */
+  def dropSeparatorRows(df: DataFrame): DataFrame = {
+    val anySep = df.columns
+      .map(c => coalesce(col(c).contains("---"), lit(false)))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    df.filter(!anySep)
+  }
+
+  /** Drop rows where every cell is null/empty (reference skips blank lines,
+    * index.js:212).
+    */
+  def dropBlankRows(df: DataFrame): DataFrame = {
+    val allBlank = df.columns
+      .map(c => col(c).isNull || trim(col(c)) === "")
+      .reduceOption(_ && _)
+      .getOrElse(lit(false))
+    df.filter(!allBlank)
+  }
+}

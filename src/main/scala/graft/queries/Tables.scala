@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table access for the driver-generated TPC-H-ish test schema
+  * (`/root/repo/TESTDATA.md`). One parquet directory per table per scale
+  * dir; reads are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown (PushedFilters / ReadSchema pruning) into the scan.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+    * (legacy conf) and convert to a microsecond timestamp in-plan — the
+    * generator's timestamps are whole microseconds, so truncation is
+    * lossless and matches DuckDB's TIMESTAMP_NS values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

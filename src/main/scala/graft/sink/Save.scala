@@ -1,0 +1,123 @@
+package graft.sink
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cleanse, SmartId}
+import graft.types.TypeMapper
+
+/** EP2 — the reference's `POST /save` load pipeline
+  * (reference backend/index.js:136-247): sanitize the table name, guard
+  * against an existing table (409 via `to_regclass`, index.js:154-160),
+  * project to the user-selected columns (index.js:223), declare types
+  * (index.js:167-171 via mapToPostgresType), inject a synthetic id when
+  * none selected (index.js:174-184), and load atomically (BEGIN/COMMIT,
+  * index.js:164,234).
+  *
+  * Scale design:
+  *   - projection + casts are plan-level (`select`/`cast`) → distributed,
+  *     codegen'd, column-pruned at the source.
+  *   - atomicity: the reference's single-connection transaction does not
+  *     distribute; we write to a staging directory then atomically rename
+  *     into place (SURVEY.md §2.9 K4 option b) — all-or-nothing with a
+  *     distributed write. A JDBC target gets the staging-TABLE + rename
+  *     analogue.
+  *   - the existence guard is a metadata probe, not a scan.
+  */
+object Save {
+
+  /** Identifier sanitization, same regex as the reference (index.js:146). */
+  def sanitizeTableName(name: String): String =
+    name.replaceAll("[^a-zA-Z0-9_]", "").toLowerCase
+
+  /** Projection + declared-type cast + Smart-ID: the logical load plan.
+    *
+    * The reference inserts strings and lets PostgreSQL cast server-side
+    * (index.js:249-273); our `cast` runs in-plan. Non-coercible strings
+    * become null (Spark non-ANSI cast) where PG would abort the
+    * transaction — documented deviation (SURVEY.md §7.5(4)); empty cells
+    * are already null from the cleanse (Cleanse.cell), matching PG's
+    * `'' :: numeric` rejection turned into null-tolerance.
+    */
+  def prepare(
+      df: DataFrame,
+      selectedColumns: Seq[String],
+      columnTypes: Map[String, String]): DataFrame = {
+    val available = df.columns.toSet
+    val cols = selectedColumns.filter(available) // reference skips unknown headers (index.js:223)
+    require(cols.nonEmpty, "no selected column exists in the input")
+    val typed = cols.map { c =>
+      val dt = TypeMapper.toDataType(columnTypes.getOrElse(c, "TEXT"))
+      col(c).cast(dt).as(c)
+    }
+    SmartId.withSmartId(df.select(typed: _*))
+  }
+
+  /** Full save to a parquet directory under `warehouseDir`, atomic via
+    * staging + rename; fails if the table already exists (the reference's
+    * 409 conflict, index.js:158-160).
+    */
+  def save(
+      spark: SparkSession,
+      df: DataFrame,
+      warehouseDir: String,
+      tableName: String,
+      selectedColumns: Seq[String],
+      columnTypes: Map[String, String] = Map.empty): String = {
+    val safe = sanitizeTableName(tableName)
+    require(safe.nonEmpty, "table name sanitizes to empty")
+    val fs = FileSystem.get(new URI(warehouseDir), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(warehouseDir, safe)
+    if (fs.exists(target))
+      throw new IllegalStateException(s"Table '$safe' already exists") // 409 parity
+    val staging = new Path(warehouseDir, s"_staging_$safe")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val out = prepare(df, selectedColumns, columnTypes)
+    out.write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(s"Atomic publish of '$safe' failed")
+    }
+    target.toString
+  }
+
+  /** End-to-end ingest: path → read → cleanse (already inside the reader)
+    * → project/cast/smart-id → atomic parquet publish. The Spark analogue
+    * of the whole `POST /save` handler.
+    */
+  def ingest(
+      spark: SparkSession,
+      inputPath: String,
+      warehouseDir: String,
+      tableName: String,
+      selectedColumns: Seq[String],
+      columnTypes: Map[String, String] = Map.empty,
+      deleteStaged: Boolean = false): String = {
+    val df = graft.ingest.Readers.read(spark, inputPath)
+    val out = save(spark, df, warehouseDir, tableName, selectedColumns, columnTypes)
+    if (deleteStaged) { // K5 parity: unlink staged upload on success (index.js:236)
+      val fs = FileSystem.get(new URI(inputPath), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(inputPath), false)
+    }
+    out
+  }
+
+  /** JDBC sink with the reference's physical choices: 1000-row batches
+    * (index.js:188,226) through PreparedStatement batching. Atomicity via
+    * staging table name + caller-side rename is left to the caller's DDL
+    * (SURVEY.md §2.9 K4) since no JDBC database is reachable offline.
+    */
+  def saveJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      batchSize: Int = 1000): Unit =
+    df.write
+      .mode("error") // ErrorIfExists — K1 guard at the writer
+      .option("batchsize", batchSize)
+      .jdbc(url, sanitizeTableName(table), props)
+}
