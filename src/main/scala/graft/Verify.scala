@@ -15,10 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Deterministic order; name-sorted. A query that kills the JVM's
+    // SparkContext (OOM) must not void the rest: recreate the session.
+    var active = spark
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        if (active.sparkContext.isStopped) {
+          active = SparkSession.builder().getOrCreate()
+          active.sparkContext.setLogLevel("WARN")
+        }
+        fn(active, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, token counting, language identification (stopword
+  * heuristic), quality scoring, and document fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` (including
+  * higher-order array functions) — codegen'd column expressions, no UDFs —
+  * so the whole module rides inside WholeStageCodegen over the scan: one
+  * pass over 100 TB of text, no shuffles, trivially parallel. Each
+  * function has a DuckDB-equivalent formulation used by the oracle
+  * (graft.queries.Extensions).
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens: split on non-alphanumeric runs, empties
+    * dropped. The whitespace-token analogue (`\s+`) is kept for counting
+    * parity with simple pipelines.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9']+"), t => length(t) > 0)
+
+  /** Whitespace token count (the classic pre-BPE proxy). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** A BPE-ish subword count: word-piece regex splits on case/digit
+    * boundaries too, approximating subword inflation of a real tokenizer.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(split(lower(c), "[^a-z0-9]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+      t => length(t) > 0))
+
+  /** Stopword sets per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and public-knowledge (the most frequent
+    * function words of each language).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
+
+  /** Count of tokens belonging to `set` (higher-order filter — codegen'd,
+    * no UDF).
+    */
+  def tokensIn(c: Column, set: Seq[String]): Column = {
+    val arr = array(set.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(arr, t)))
+  }
+
+  /** Stopword ratio against the English set (quality signal). */
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(tokensIn(c, stopwords("en")).cast("double") / n)
+  }
+
+  /** Language-ID heuristic: argmax over per-language stopword hits,
+    * 'und' (undetermined) when no stopword of any language appears.
+    * Deterministic tie-break: language-code order (en < es < fr < de < zh
+    * by score DESC then insertion order below).
+    */
+  def langId(c: Column): Column = {
+    val langs = Seq("en", "es", "fr", "de", "zh")
+    val scores = langs.map(l => tokensIn(c, stopwords(l)))
+    val best = greatest((scores.head +: scores.tail).toIndexedSeq: _*)
+    langs.zip(scores).foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, sc)) => acc.when(sc === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
+    * presence, and type-token ratio — the standard cheap heuristics for
+    * pretraining-data filtering, expressed as one codegen'd expression.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore =
+      when(nTok < 5, nTok / 5.0)
+        .when(nTok > 1000, lit(1000.0) / nTok)
+        .otherwise(lit(1.0))
+    val alphaRatio =
+      when(length(c) === 0, lit(0.0))
+        .otherwise(
+          length(regexp_replace(c, "[^A-Za-z ]", "")).cast("double") /
+            length(c))
+    val stopScore = least(stopwordRatio(c) * lit(2.5), lit(1.0))
+    val distinctRatio =
+      when(nTok === 0, lit(0.0))
+        .otherwise(size(array_distinct(tokens(c))).cast("double") /
+          greatest(size(tokens(c)).cast("double"), lit(1.0)))
+    lenScore * 0.25 + alphaRatio * 0.25 + stopScore * 0.25 + distinctRatio * 0.25
+  }
+
+  /** Content fingerprint: md5 of the canonicalized token stream. Two
+    * documents differing only in whitespace/punctuation/case collide —
+    * the "document fingerprinting" normalization used before exact dedup.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(tokens(c), " "))
+
+  /** Character n-gram shingles of the canonicalized text (for MinHash /
+    * Jaccard dedup). sequence+transform+substring — codegen'd, no UDF.
+    * Guarded: text shorter than n yields an empty array (sequence() would
+    * otherwise produce a DESCENDING range).
+    */
+  def shingles(c: Column, n: Int = 5): Column = {
+    val canon = array_join(tokens(c), " ")
+    val count = length(canon) - (n - 1)
+    when(count < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count), i =>
+          call_function("substring", canon, i, lit(n)))))
+  }
+
+  /** Word n-grams (for n-gram Jaccard dedup). Same empty-guard. */
+  def wordNgrams(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count), i =>
+          array_join(slice(toks, i, lit(n)), " "))))
+  }
+}

@@ -193,7 +193,8 @@ object ExcelReader {
       }
     } finally r.close()
     val width = rows.headOption.map(_.length).getOrElse(0)
-    rows.take(maxRows + 1).map { rr =>
+    val keep = if (maxRows >= Int.MaxValue - 1) rows else rows.take(maxRows + 1)
+    keep.map { rr =>
       val a = new Array[String](math.max(width, rr.length))
       var i = 0
       while (i < a.length) { a(i) = if (i < rr.length) rr(i) else ""; i += 1 }

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.plans.HashExpressions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * shuffle-aware for the 100 TB design point:
+  *
+  *   - exact: one hash-shuffle on the content hash (not the content!) —
+  *     the row with the minimum id per hash survives.
+  *   - MinHash+LSH near-dup: shingle → one-pass signature (custom
+  *     Catalyst expression) → band → explode(bands) → bucket-join.
+  *     Only same-bucket pairs are compared, so the candidate join is
+  *     |bucket|²-bounded instead of n²; buckets over `maxBucket` are
+  *     dropped (logged via the `oversized` accumulator-free count
+  *     column) — the published LSH recipe (MMDS ch.3).
+  *   - SimHash near-dup: 64-bit fingerprint, pigeonhole banding on
+  *     16-bit chunks, hamming verify ≤ k.
+  *   - n-gram Jaccard: word-ngram overlap verified exactly on LSH
+  *     candidates (or all pairs within a blocking key for small inputs).
+  *   - embedding near-dup: cosine ≥ τ via Similarity.
+  *
+  * All candidate generation is EXPLODE + hash-shuffle + self-join on
+  * bucket keys: no cross join, no driver-side loops, no collect.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the min-id row per exact content. Shuffles the
+    * (hash, id) projection only — at 100 TB the heavy text column rides
+    * the second, semi-join shuffle, or none at all when ids are unique
+    * per partition file.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-dup groups: content hash → surviving id + duplicate count
+    * (the audit view of [[exact]]).
+    */
+  def exactGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature column (array<long> of numPerms). */
+  def minhashSignature(text: Column, numPerms: Int = 64, shingleLen: Int = 5): Column =
+    HashExpressions.minhashSignature(shingles(text, shingleLen), numPerms)
+
+  /** Candidate pairs from MinHash-LSH banding.
+    *
+    * @param bands   number of LSH bands (numPerms % bands == 0); with 64
+    *                perms and 16 bands (r=4), the S-curve threshold is
+    *                (1/16)^(1/4) ≈ 0.5 Jaccard.
+    * @param maxBucket safety valve against degenerate buckets (boilerplate
+    *                shingles): buckets larger than this are dropped — at
+    *                scale a hot bucket would otherwise quadratically blow
+    *                up the join. Dropped buckets are observable via
+    *                [[lshBucketStats]].
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), numPerms).as("sig"))
+    // band_i hash = hash over the i-th signature slice
+    val banded = sig.select(
+      col("id"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(
+            b.as("band"),
+            xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b).as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sized = banded
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsize") <= maxBucket)
+    val l = sized.select(col("band"), col("bh"), col("id").as("id_a"))
+    val rj = sized.select(col("band"), col("bh"), col("id").as("id_b"))
+    l.join(rj, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Bucket-size distribution for LSH tuning/observability (how much was
+    * dropped by maxBucket, where the skew is).
+    */
+  def lshBucketStats(
+      df: DataFrame, textCol: String, idCol: String,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val r = numPerms / bands
+    df.select(minhashSignature(col(textCol), numPerms).as("sig"))
+      .select(explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b).as("bh")))).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_size"))
+  }
+
+  /** Exact Jaccard between the shingle sets of candidate pairs; keeps
+    * pairs with similarity ≥ threshold. The join re-attaches shingle
+    * arrays only for candidates (tiny vs corpus).
+    */
+  def verifyJaccard(
+      candidates: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleLen: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    val withA = candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+    val withB = withA
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+    withB
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(1.0))
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact verify. */
+  def minhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 64,
+      bands: Int = 16): DataFrame =
+    verifyJaccard(
+      minhashCandidates(df, textCol, idCol, numPerms, bands),
+      df, textCol, idCol, threshold)
+
+  /** SimHash fingerprints. */
+  def simhashFingerprint(text: Column): Column =
+    HashExpressions.simHash64(tokens(text))
+
+  /** SimHash near-dups with hamming distance ≤ maxHamming, via pigeonhole
+    * banding: fingerprints within hamming k must share at least one of
+    * k+1 equal chunks. 4 chunks of 16 bits → exact for k ≤ 3.
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val fp = df.select(
+      col(idCol).as("id"),
+      simhashFingerprint(col(textCol)).as("fp"))
+    val banded = fp.select(
+      col("id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftrightunsigned", col("fp"), c * lit(bitsPer))
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("ch")))).as("cc"))
+      .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    val l = banded.select(col("chunk"), col("ch"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val rj = banded.select(col("chunk"), col("ch"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(rj, Seq("chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard near-dups: word-ngram sets compared exactly over
+    * MinHash candidates (LSH does the blocking; word-grams do the
+    * verification — the catch-crawl-dup recipe).
+    */
+  def ngramJaccardNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      n: Int = 3): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol)
+    val ng = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("ng"))
+    cand
+      .join(ng.select(col("id").as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
+      .join(ng.select(col("id").as("id_b"), col("ng").as("ng_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))))
+      .withColumn("uni", size(col("ng_a")) + size(col("ng_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(1.0))
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), per the large-pipeline extension plan:
+  *
+  *   - brute-force cosine top-k: the exact baseline. One pass, no
+  *     shuffle for a single query (the query vector is a literal in the
+  *     plan); per-partition top-k via TakeOrderedAndProject.
+  *   - LSH (random hyperplane / sign-random-projection): n-bit signature,
+  *     bucket join, exact re-rank inside buckets — the scale path:
+  *     candidate generation touches only same-bucket rows.
+  *   - IVF (inverted-file): k-means centroids (sampled train), assign
+  *     each vector to its nearest centroid at write time, probe the
+  *     `nprobe` nearest centroids at query time → scan only
+  *     nprobe/k of the corpus.
+  *
+  * The dot product is a sequential higher-order fold (`aggregate` over
+  * `zip_with`) in double precision — codegen'd, deterministic order, and
+  * bit-identical to the DuckDB oracle's list_sum/list_transform
+  * evaluation (verified empirically; both are left-to-right double
+  * accumulation).
+  */
+object Similarity {
+
+  /** Deterministic sequential-double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors of one query vector (as a plan literal —
+    * broadcast-free, shuffle-free scan + TakeOrderedAndProject).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k per query row against the corpus: broadcast the (small)
+    * query set, cosine per pair, rank window per query. For a large query
+    * set, swap broadcast direction or use [[lshTopK]].
+    */
+  def crossTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("cvec"), col("qvec")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("corpus_id"), col("sim"))
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits packed into a long.
+    * Hyperplane h_i is a deterministic pseudo-random ±1 vector derived
+    * from splitmix64(i, dim-index) — reproducible across sessions with
+    * no stored model. (±1 projections are the standard cheap SRP
+    * variant.)
+    */
+  def srpSignature(vec: Column, dim: Int, bits: Int = 16): Column = {
+    require(bits <= 64)
+    val bitCols = (0 until bits).map { i =>
+      val signs = planes(i, dim)
+      val proj = aggregate(
+        zip_with(vec, array(signs.map(lit): _*), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  private def planes(i: Int, dim: Int): Seq[Double] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    (0 until dim).map(j => if (splitmix(i.toLong * 131071 + j) >= 0) 1.0 else -1.0)
+  }
+
+  /** ANN top-k via SRP-LSH: bucket by signature, exact cosine re-rank
+    * within the query's bucket (+ optional 1-bit multiprobe neighbors).
+    * Recall < 1 by construction; raise `bits` ↓bucket size, raise
+    * `probes` ↑recall.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      dim: Int,
+      bits: Int = 12,
+      probes: Int = 4): DataFrame = {
+    val sigged = corpus.select(
+      col(idCol), col(vecCol),
+      srpSignature(col(vecCol), dim, bits).as("bucket"))
+    // query signature computed driver-side with the same planes
+    val qsig = (0 until bits).map { i =>
+      val p = planes(i, dim)
+      val proj = query.zip(p).map { case (x, s) => x.toDouble * s }.sum
+      if (proj >= 0) 1L << i else 0L
+    }.sum
+    // multiprobe: flip each of the `probes` lowest-impact bits
+    val probeSigs = qsig +: (0 until math.min(probes, bits)).map(i => qsig ^ (1L << i))
+    val q = array(query.map(lit): _*)
+    sigged
+      .filter(col("bucket").isin(probeSigs: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF index: sample-trained k-means centroids (Lloyd's, driver-side on
+    * a bounded sample — the standard IVF train recipe), then a cluster
+    * assignment column. Returns (assignedCorpus, centroids).
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      nClusters: Int,
+      dim: Int,
+      sampleSize: Int = 10000,
+      iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
+    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val k = math.min(nClusters, sample.length)
+    var centroids = sample.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = sums.zipWithIndex.map { case (s, i) =>
+        if (counts(i) == 0) centroids(i)
+        else s.map(_ / counts(i))
+      }
+      it += 1
+    }
+    val cents = centroids
+    val assigned = corpus.withColumn("ivf_cluster", nearestCentroidCol(col(vecCol), cents))
+    (assigned, cents)
+  }
+
+  private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - cents(i)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Nearest-centroid assignment as ONE shared expression: centroids as
+    * an array<array<double>> literal, per-centroid distances via
+    * transform, argmin via array_position(array_min). (A naive unrolled
+    * per-centroid formulation duplicates every distance subtree into
+    * every comparison — exponential codegen blowup; this shape is linear.)
+    */
+  private def nearestCentroidCol(vec: Column, cents: Array[Array[Double]]): Column = {
+    val centsArr = array(cents.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val dists = transform(centsArr, c =>
+      aggregate(
+        zip_with(vec, c, (x, cc) => {
+          val t = x.cast("double") - cc
+          t * t
+        }),
+        lit(0.0), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF query: probe the nprobe nearest clusters only. */
+  def ivfTopK(
+      assigned: DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    val probeClusters = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < qd.length) { val t = qd(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val q = array(query.map(lit): _*)
+    assigned
+      .filter(col("ivf_cluster").isin(probeClusters.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicates: all pairs with cosine ≥ threshold, via
+    * SRP-LSH blocking + exact verify (the embedding-cosine dedup path).
+    */
+  def embeddingNearDups(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8): DataFrame = {
+    val sigged = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      srpSignature(col(vecCol), dim, bits).as("bucket"))
+    val l = sigged.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = sigged.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,406 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.Streams
+import Tables._
+
+/** Queries for the ingest surface (oracle-checked via table-derived
+  * fixture files) and the large-pipeline extensions: text analysis,
+  * dedup, similarity search, sessionization, multimodal plumbing.
+  *
+  * Oracle-checkable queries share the determinism rules documented on
+  * [[Relational]]; queries whose operators are not SQL-expressible
+  * (MinHash/SimHash/LSH internals, mapPartitions codec stages) are
+  * rows-only checked by the driver and additionally covered by ScalaTest
+  * specs with planted ground truth.
+  */
+object Extensions {
+
+  // ---------------------------------------------------------------- ingest
+
+  /** S1/P2/P3 end-to-end with a REAL oracle: render `nation` as a messy
+    * pipe-delimited Markdown table (separator row, blank lines, quoted
+    * cells), ingest it through the full reader stack, cast back, and
+    * compare against the source table. Fixture content derives only from
+    * the sf tables, so the oracle is plain SQL over `nation`.
+    */
+  def qS1DelimitedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rows = nation(s, d)
+      .orderBy(col("n_nationkey"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val sb = new StringBuilder
+    sb.append("| n_nationkey | n_name | n_regionkey |\n")
+    sb.append("| --- | --- | --- |\n")
+    rows.zipWithIndex.foreach { case ((k, n, rk), i) =>
+      if (i % 7 == 3) sb.append("\n") // blank line noise
+      sb.append(s"""| $k | "$n" | $rk |\n""") // quoted cell noise
+    }
+    val f = Files.createTempFile("graft_nation", ".md")
+    Files.writeString(f, sb.toString)
+    val parsed = graft.ingest.Readers.delimited(s, f.toString)
+    parsed.select(
+      col("n_nationkey").cast("int"),
+      col("n_name"),
+      col("n_regionkey").cast("int"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** S2 end-to-end: `region` rendered as a 2-sheet .xlsx (sheet 2 is
+    * junk and must be ignored), read back via the OOXML reader.
+    */
+  def qS2ExcelRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rows = region(s, d)
+      .orderBy(col("r_regionkey"))
+      .collect()
+      .map(r => Seq(r.getInt(0).toString, r.getString(1)))
+    val f = Files.createTempFile("graft_region", ".xlsx")
+    graft.ingest.ExcelFixture.writeXlsx(
+      f.toString, Seq("r_regionkey", "r_name") +: rows.toIndexedSeq)
+    graft.ingest.ExcelReader.read(s, f.toString)
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** K1–K3 + F1 + Smart-ID end-to-end: ingest a supplier-derived CSV
+    * through Save (projection, declared-type casts, smart-id, atomic
+    * staging-rename publish), read the published parquet back. The
+    * synthetic id column is excluded from the comparison (its values are
+    * partition-dependent); its presence is asserted in SaveSpec.
+    */
+  def qK2SaveRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rows = supplier(s, d)
+      .orderBy(col("s_suppkey"))
+      .collect()
+      .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getInt(2)},${r.getDouble(3)}")
+    val f = Files.createTempFile("graft_supplier", ".csv")
+    Files.writeString(f,
+      ("s_suppkey,s_name,s_nationkey,s_acctbal" +: rows.toIndexedSeq).mkString("\n"))
+    val wh = Files.createTempDirectory("graft_wh")
+    val path = graft.sink.Save.ingest(
+      s, f.toString, wh.toString, "suppliers_roundtrip",
+      Seq("s_suppkey", "s_name", "s_acctbal"),
+      Map("s_suppkey" -> "BIGINT", "s_acctbal" -> "DOUBLE"))
+    s.read.parquet(path)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Token statistics per document (whitespace tokens + distinct word
+    * tokens + char count check).
+    */
+  def qT1TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("n_distinct"),
+        length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic distribution vs the labeled lang column. */
+  def qT2LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Quality scores (the pretraining-filter heuristic blend). */
+  def qT3Quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Normalized-content fingerprint groups (whitespace/case-insensitive
+    * exact dedup).
+    */
+  def qT4Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Exact dedup audit: content-hash groups with surviving id. */
+  def qD1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(documents(s, d), "text", "doc_id")
+      .orderBy(col("content_hash"))
+
+  /** MinHash signatures (rows-only: custom expression, not SQL-
+    * expressible). First 4 signature components surfaced for eyeballing.
+    */
+  def qD2MinhashSignatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        Dedup.minhashSignature(col("text")).as("sig"))
+      .select(
+        col("doc_id"),
+        element_at(col("sig"), 1).as("mh0"),
+        element_at(col("sig"), 2).as("mh1"),
+        element_at(col("sig"), 3).as("mh2"),
+        element_at(col("sig"), 4).as("mh3"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only). */
+  def qD3MinhashNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(documents(s, d), "text", "doc_id", threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash fingerprints + hamming near-dups (rows-only). */
+  def qD4SimhashNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(documents(s, d), "text", "doc_id", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Word-3-gram Jaccard over LSH candidates (rows-only). */
+  def qD5NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardNearDups(documents(s, d), "text", "doc_id", threshold = 0.1)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // -------------------------------------------------------------- similarity
+
+  /** Exact brute-force cosine top-20 for the vec_id=0 query vector.
+    * Oracle-checked: the sequential-double fold matches DuckDB's
+    * list_sum/list_transform bit-for-bit.
+    */
+  def qV1KnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Exact top-3 neighbors for each of the first 5 vectors (windowed
+    * cross top-k) — oracle-checked.
+    */
+  def qV2CrossTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    Similarity.crossTopK(
+      e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** SRP-LSH ANN for the same query (rows-only: recall depends on
+    * bucketing).
+    */
+  def qV3KnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0)
+    Similarity.lshTopK(
+      e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      query, k = 10, dim = 64, bits = 8, probes = 4)
+  }
+
+  /** IVF ANN (rows-only): centroid index probe path. */
+  def qV4KnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0)
+    val (assigned, cents) = Similarity.ivfIndex(
+      e.filter(col("vec_id") =!= 0), "embedding", nClusters = 16, dim = 64)
+    Similarity.ivfTopK(assigned, cents, "embedding", "vec_id", query, k = 10, nprobe = 4)
+  }
+
+  // ------------------------------------------------------------- sessionize
+
+  /** Gaps-and-islands sessionization (batch twin of the streaming
+    * flatMapGroupsWithState path) — oracle-checked.
+    */
+  def qE1Sessionize(s: SparkSession, d: String): DataFrame =
+    Streams.sessionizeBatch(events(s, d), gapMinutes = 30)
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing (rows-only): synthetic media from doc ids →
+    * stub decode → luma/width stats. Exercises the binary-column schema,
+    * mapPartitions batching, and the decode signature.
+    */
+  def qM1DecodeStats(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, documents(s, d), "doc_id")
+    Multimodal.decodeImages(media)
+      .groupBy(col("width"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("mean_luma").cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+          .cast("double").as("sum_luma"))
+      .orderBy(col("width"))
+  }
+
+  /** Multimodal featurize → similarity handoff (rows-only): embeddings
+    * from stub features, top-10 neighbors of media 0.
+    */
+  def qM2MediaKnn(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, documents(s, d), "doc_id")
+    val feats = Multimodal.featurize(media, dim = 16)
+    val query = feats.filter(col("media_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    Similarity.bruteForceTopK(
+      feats.filter(col("media_id") =!= 0), "embedding", "media_id", query, k = 10)
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_s1_delimited_roundtrip" -> qS1DelimitedRoundtrip _,
+    "q22_s2_excel_roundtrip" -> qS2ExcelRoundtrip _,
+    "q23_k2_save_roundtrip" -> qK2SaveRoundtrip _,
+    "q24_token_stats" -> qT1TokenStats _,
+    "q25_lang_id" -> qT2LangId _,
+    "q26_quality_score" -> qT3Quality _,
+    "q27_fingerprint" -> qT4Fingerprint _,
+    "q28_exact_dedup" -> qD1ExactDedup _,
+    "q29_minhash_signatures" -> qD2MinhashSignatures _,
+    "q30_minhash_near_dups" -> qD3MinhashNearDups _,
+    "q31_simhash_near_dups" -> qD4SimhashNearDups _,
+    "q32_ngram_jaccard" -> qD5NgramJaccard _,
+    "q33_knn_brute" -> qV1KnnBrute _,
+    "q34_knn_cross_topk" -> qV2CrossTopK _,
+    "q35_knn_lsh" -> qV3KnnLsh _,
+    "q36_knn_ivf" -> qV4KnnIvf _,
+    "q37_sessionize" -> qE1Sessionize _,
+    "q38_media_decode_stats" -> qM1DecodeStats _,
+    "q39_media_knn" -> qM2MediaKnn _)
+
+  /** DuckDB token-list expression shared by the text oracles (same regex
+    * + empty filter as TextFunctions.tokens).
+    */
+  private val toks =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0)"""
+
+  private def hits(words: Seq[String]): String =
+    s"""len(list_filter($toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"""
+
+  private val dotExpr =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normExpr(t: String) =
+    s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracle: Map[String, String] = Map(
+    "q21_s1_delimited_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q22_s2_excel_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "q23_k2_save_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey""",
+    "q24_token_stats" ->
+      s"""SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(list_distinct($toks)) AS n_distinct,
+         len(text) AS n_chars_computed
+         FROM documents ORDER BY doc_id""",
+    "q25_lang_id" ->
+      s"""WITH scored AS (
+           SELECT lang,
+             ${hits(TextFunctions.stopwords("en"))} AS s_en,
+             ${hits(TextFunctions.stopwords("es"))} AS s_es,
+             ${hits(TextFunctions.stopwords("fr"))} AS s_fr,
+             ${hits(TextFunctions.stopwords("de"))} AS s_de,
+             ${hits(TextFunctions.stopwords("zh"))} AS s_zh
+           FROM documents),
+         pred AS (
+           SELECT lang,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                  ELSE 'zh' END AS lang_pred
+           FROM scored)
+         SELECT lang, lang_pred, count(*) AS n FROM pred
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "q26_quality_score" ->
+      s"""WITH c AS (
+           SELECT doc_id, text,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+             ${hits(TextFunctions.stopwords("en"))} AS hits_en,
+             len(list_distinct($toks)) AS n_dist,
+             len(list_filter($toks, t -> len(t) > 0)) AS n_word
+           FROM documents),
+         m AS (
+           SELECT doc_id, text,
+             CAST(n_tok AS DOUBLE) AS nt,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE CAST(hits_en AS DOUBLE) / n_tok END AS stop_ratio,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                       / len(text) END AS alpha_ratio,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE CAST(n_dist AS DOUBLE) / greatest(CAST(n_word AS DOUBLE), 1.0)
+                  END AS dist_ratio
+           FROM c)
+         SELECT doc_id,
+           (CASE WHEN nt < 5 THEN nt / 5.0
+                 WHEN nt > 1000 THEN 1000.0 / nt
+                 ELSE 1.0 END) * 0.25
+           + alpha_ratio * 0.25
+           + least(stop_ratio * 2.5, 1.0) * 0.25
+           + dist_ratio * 0.25 AS quality,
+           stop_ratio AS stopword_ratio
+         FROM m ORDER BY doc_id""",
+    "q27_fingerprint" ->
+      s"""SELECT md5(array_to_string($toks, ' ')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q28_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q33_knn_brute" ->
+      s"""SELECT b.vec_id,
+         $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id = 0 AND b.vec_id <> 0
+         ORDER BY sim DESC, b.vec_id
+         LIMIT 20""",
+    "q34_knn_cross_topk" ->
+      s"""SELECT query_id, rk, corpus_id, sim FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS sim,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               $dotExpr / (${normExpr("a")} * ${normExpr("b")}) DESC, b.vec_id) AS rk
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "q37_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
+}

@@ -28,7 +28,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // integer div: a double `/` would round (epoch-nanos exceed a
+    // double's 53-bit mantissa → ±1µs errors)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table: windowed
+  * aggregation with watermarks, and custom sessionization state via
+  * flatMapGroupsWithState — the streaming extension plan (SURVEY.md
+  * §7.2(7)).
+  *
+  * Scale design: the file source streams one input split per trigger
+  * batch; state (windows, sessions) is keyed and partitioned by Spark's
+  * state store — per-key memory, RocksDB-backed when configured. The
+  * watermark bounds state: windows/sessions older than (max event time −
+  * watermark) are evicted.
+  */
+object Streams {
+
+  /** The events schema as produced by Tables.events (post nano→micro). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of event rows (parquet dir with the batch
+    * schema). For tests, a memory/rate source with the same schema works
+    * identically downstream.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+
+  /** Tumbling-window aggregation with a watermark: per (window, type)
+    * counts and value sums. Append-mode compatible (closed windows only).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window per-user activity rate. */
+  def slidingUserActivity(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n_events"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionState(
+      start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Custom stateful sessionization: a session closes after `gapMs` of
+    * user inactivity (processing-time timeout closes idle sessions).
+    * flatMapGroupsWithState = the arbitrary-state path the built-in
+    * session_window can't always express (e.g., value-dependent gaps).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(
+              userId, new Timestamp(s.start), new Timestamp(s.lastTs),
+              s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(
+                    lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(
+                    userId, new Timestamp(s.start), new Timestamp(s.lastTs),
+                    s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch analogue of sessionization (gaps-and-islands) — the
+    * SQL-checkable twin of [[sessionize]] used by the oracle gate: a new
+    * session starts where the gap from the previous event exceeds
+    * `gapMinutes`; session id = running count of session starts.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}
