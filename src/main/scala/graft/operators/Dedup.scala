@@ -54,9 +54,14 @@ object Dedup {
 
   /** Candidate pairs from MinHash-LSH banding.
     *
-    * @param bands   number of LSH bands (numPerms % bands == 0); with 64
-    *                perms and 16 bands (r=4), the S-curve threshold is
-    *                (1/16)^(1/4) ≈ 0.5 Jaccard.
+    * @param bands   number of LSH bands (numPerms % bands == 0). Default
+    *                8 bands of r=8 rows: S-curve threshold (1/8)^(1/8) ≈
+    *                0.77 Jaccard — the near-dup DEDUP operating point.
+    *                (More bands/lower r raises recall at low similarity
+    *                but candidate volume explodes quadratically when the
+    *                corpus has a high baseline similarity — 16×4 banding
+    *                over this synthetic corpus produced ~2.7M candidates
+    *                and a 178s verify at sf0.1; 8×8 produces ~20k.)
     * @param maxBucket safety valve against degenerate buckets (boilerplate
     *                shingles): buckets larger than this are dropped — at
     *                scale a hot bucket would otherwise quadratically blow
@@ -68,22 +73,22 @@ object Dedup {
       textCol: String,
       idCol: String,
       numPerms: Int = 64,
-      bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
+      bands: Int = 8,
+      maxBucket: Int = 500): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
-    val r = numPerms / bands
-    val sig = df.select(
+    // One fused expression per row (shingle→minhash→band hashes), then
+    // posexplode: the generator evaluates the expression exactly once —
+    // a transform-lambda formulation re-evaluates the signature per band
+    // after CollapseProject (measured 8× cost at sf0.1).
+    val banded = df.select(
       col(idCol).as("id"),
-      minhashSignature(col(textCol), numPerms).as("sig"))
-    // band_i hash = hash over the i-th signature slice
-    val banded = sig.select(
-      col("id"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(
-            b.as("band"),
-            xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b).as("bh")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      posexplode(HashExpressions.minhashBandHashes(
+        canonical(col(textCol)), shingleLen = 5, numPerms = numPerms,
+        bands = bands)).as(Seq("band", "bh")))
+      // tiny (rows × bands) relation reused by bucket sizing AND both
+      // self-join sides — cache instead of recomputing the corpus scan
+      // three times
+      .cache()
     val sized = banded
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("bsize") <= maxBucket)
@@ -95,22 +100,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Canonical text form shared by shingling and the fused band hasher:
+    * lowercase word tokens joined by single spaces.
+    */
+  private def canonical(text: Column): Column = array_join(tokens(text), " ")
+
   /** Bucket-size distribution for LSH tuning/observability (how much was
     * dropped by maxBucket, where the skew is).
     */
   def lshBucketStats(
       df: DataFrame, textCol: String, idCol: String,
-      numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    val r = numPerms / bands
-    df.select(minhashSignature(col(textCol), numPerms).as("sig"))
-      .select(explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b).as("bh")))).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      numPerms: Int = 64, bands: Int = 8): DataFrame =
+    df.select(
+      posexplode(HashExpressions.minhashBandHashes(
+        canonical(col(textCol)), 5, numPerms, bands)).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("bucket_size"))
       .agg(count(lit(1)).as("n_buckets"))
       .orderBy(col("bucket_size"))
-  }
 
   /** Exact Jaccard between the shingle sets of candidate pairs; keeps
     * pairs with similarity ≥ threshold. The join re-attaches shingle
@@ -123,17 +131,27 @@ object Dedup {
       idCol: String,
       threshold: Double,
       shingleLen: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
-    val withA = candidates
+    // Shingle ONLY docs that appear in a candidate pair (semi-join
+    // restriction): candidates are a vanishing fraction of the corpus,
+    // so the expensive array materialization never touches the rest.
+    val cached = candidates.cache()
+    val ids = cached
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    // hashed shingle sets (sorted long arrays, fused expression): exact
+    // Jaccard modulo 2^-32 hash collisions, linear-merge comparison —
+    // the string-array formulation (substring×N + array_distinct +
+    // array_intersect) measured ~100ms/doc at sf0.1.
+    val sh = df.select(
+      col(idCol).as("id"),
+      HashExpressions.shingleHashSet(canonical(col(textCol)), shingleLen).as("sh"))
+      .join(ids, Seq("id"), "left_semi")
+    val withA = cached
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
     val withB = withA
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
     withB
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, lit(1.0))
-          .otherwise(col("inter").cast("double") / col("uni")))
+      .withColumn("jaccard", HashExpressions.sortedLongJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -145,7 +163,7 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.5,
       numPerms: Int = 64,
-      bands: Int = 16): DataFrame =
+      bands: Int = 8): DataFrame =
     verifyJaccard(
       minhashCandidates(df, textCol, idCol, numPerms, bands),
       df, textCol, idCol, threshold)
@@ -195,16 +213,18 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.5,
       n: Int = 3): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol)
-    val ng = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("ng"))
+    val cand = minhashCandidates(df, textCol, idCol).cache()
+    val ids = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val ng = df.select(
+      col(idCol).as("id"),
+      HashExpressions.ngramHashSet(tokens(col(textCol)), n).as("ng"))
+      .join(ids, Seq("id"), "left_semi")
     cand
       .join(ng.select(col("id").as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
       .join(ng.select(col("id").as("id_b"), col("ng").as("ng_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))))
-      .withColumn("uni", size(col("ng_a")) + size(col("ng_b")) - col("inter"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, lit(1.0))
-          .otherwise(col("inter").cast("double") / col("uni")))
+      .withColumn("jaccard", HashExpressions.sortedLongJaccard(col("ng_a"), col("ng_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -28,29 +28,21 @@ object SmartId {
     else if (!dense) df.select((monotonically_increasing_id() + 1).as("id") +: df.columns.map(col).toIndexedSeq: _*)
     else denseIds(df)
 
-  /** Contiguous ids without a global shuffle: spark_partition_id +
-    * partition-local row_number, shifted by the cumulative row count of
-    * preceding partitions (a tiny driver-side prefix sum over partition
-    * counts — the data itself never moves).
+  /** Contiguous ids without a global sort: RDD zipWithIndex — one count
+    * pass over partition sizes, then partition-local offsets. No shuffle,
+    * no single-partition bottleneck; the one legitimate RDD drop-down in
+    * the codebase (a plan-level formulation can't keep partition identity
+    * stable across stages: spark_partition_id() re-evaluates after any
+    * exchange).
     */
   private def denseIds(df: DataFrame): DataFrame = {
-    val cached = df.cache()
-    val counts = cached
-      .groupBy(spark_partition_id().as("_pid"))
-      .count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
-    val offsets = (0 until nParts).scanLeft(0L) { (acc, p) =>
-      acc + counts.getOrElse(p, 0L)
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "id", org.apache.spark.sql.types.LongType, nullable = false) +: df.schema.fields)
+    val rows = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + 1L) +: r.toSeq)
     }
-    val offsetCol = (0 until nParts).foldLeft(lit(0L)) { (acc, p) =>
-      when(spark_partition_id() === p, lit(offsets(p))).otherwise(acc)
-    }
-    val localRank = row_number()
-      .over(Window.partitionBy(spark_partition_id()).orderBy(monotonically_increasing_id()))
-    cached.select(
-      (offsetCol + localRank).as("id") +: cached.columns.map(col).toIndexedSeq: _*)
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -117,8 +117,149 @@ object HashExpressions {
     fp
   }
 
+  /** One fused pass for LSH banding: slide a `shingleLen`-byte window
+    * over the canonicalized string, murmur-hash each window, maintain all
+    * `numPerms` permutation minima, then fold each r-minima band into one
+    * band hash. No shingle array is ever materialized, and duplicates
+    * need no dedup (min over a multiset == min over its set).
+    */
+  private[plans] def minhashBands(
+      s: UTF8String, shingleLen: Int, a: Array[Long], b: Array[Long],
+      bands: Int): ArrayData = {
+    val n = a.length
+    val sig = Array.fill[Long](n)(Long.MaxValue)
+    val bytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var p = 0
+    while (p + shingleLen <= bytes) {
+      val h = Murmur3_x86_32.hashUnsafeBytes(base, off + p, shingleLen, 42) & 0xffffffffL
+      var i = 0
+      while (i < n) {
+        val v = mulMod(a(i), h, b(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      p += 1
+    }
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var bb = 0
+    while (bb < bands) {
+      var h = 0x9e3779b97f4a7c15L + bb
+      var i = 0
+      while (i < r) {
+        h ^= sig(bb * r + i)
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        i += 1
+      }
+      out(bb) = h ^ (h >>> 31)
+      bb += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct murmur hashes of all `n`-byte windows of a string —
+    * the hashed shingle set (exact-Jaccard verification works on hash
+    * sets; a 2^-32 collision rate is noise next to the similarity
+    * threshold). One pass, one long[] sort, no string materialization.
+    */
+  private[plans] def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.numBytes
+    val count = math.max(bytes - n + 1, 0)
+    val hs = new Array[Long](count)
+    var p = 0
+    while (p < count) {
+      hs(p) = Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset + p, n, 42) & 0xffffffffL
+      p += 1
+    }
+    new GenericArrayData(sortedDistinct(hs))
+  }
+
+  /** Sorted distinct hashes of word n-grams (rolling fold over per-token
+    * hashes).
+    */
+  private[plans] def ngramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) =
+        if (tokens.isNullAt(i)) 0L
+        else {
+          val t = tokens.getUTF8String(i)
+          Murmur3_x86_32.hashUnsafeBytes(
+            t.getBaseObject, t.getBaseOffset, t.numBytes, 42) & 0xffffffffL
+        }
+      i += 1
+    }
+    val count = math.max(m - n + 1, 0)
+    val out = new Array[Long](count)
+    var p = 0
+    while (p < count) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) {
+        h ^= th(p + j)
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        j += 1
+      }
+      out(p) = h ^ (h >>> 31)
+      p += 1
+    }
+    new GenericArrayData(sortedDistinct(out))
+  }
+
+  private def sortedDistinct(xs: Array[Long]): Array[Long] = {
+    if (xs.isEmpty) return xs
+    java.util.Arrays.sort(xs)
+    var w = 1
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i) != xs(w - 1)) { xs(w) = xs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(xs, w)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays via linear merge.
+    * Both empty → 1.0 (two empty sets are identical).
+    */
+  private[plans] def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   def minhashSignature(shingles: Column, numPerms: Int = 64): Column =
     ExprColumn(MinHashSignature(ExprColumn.exprOf(shingles), numPerms))
+
+  def shingleHashSet(canonical: Column, shingleLen: Int = 5): Column =
+    ExprColumn(ShingleHashes(ExprColumn.exprOf(canonical), shingleLen))
+
+  def ngramHashSet(tokens: Column, n: Int = 3): Column =
+    ExprColumn(NgramHashes(ExprColumn.exprOf(tokens), n))
+
+  def sortedLongJaccard(a: Column, b: Column): Column =
+    ExprColumn(SortedLongJaccard(ExprColumn.exprOf(a), ExprColumn.exprOf(b)))
+
+  def minhashBandHashes(
+      canonical: Column, shingleLen: Int = 5, numPerms: Int = 64,
+      bands: Int = 8): Column =
+    ExprColumn(MinHashBands(ExprColumn.exprOf(canonical), shingleLen, numPerms, bands))
 
   def simHash64(tokens: Column): Column =
     ExprColumn(SimHash64(ExprColumn.exprOf(tokens)))
@@ -150,6 +291,99 @@ case class MinHashSignature(child: Expression, numPerms: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** Fused shingle→minhash→band expression: string → array<long> of
+  * `bands` band hashes. The whole LSH key computation is one tight JVM
+  * loop per row — no intermediate shingle arrays, no per-band
+  * re-evaluation under CollapseProject (callers posexplode the result, so
+  * this expression is evaluated exactly once per row).
+  */
+case class MinHashBands(
+    child: Expression, shingleLen: Int, numPerms: Int, bands: Int)
+  extends UnaryExpression {
+
+  require(numPerms % bands == 0, "numPerms must divide into bands")
+
+  @transient private lazy val (a, b) = HashExpressions.coeffs(numPerms)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.minhashBands(
+      input.asInstanceOf[UTF8String], shingleLen, a, b, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val coeffsA = ctx.addReferenceObj("mhbA", a, "long[]")
+    val coeffsB = ctx.addReferenceObj("mhbB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.minhashBands($c, $shingleLen, $coeffsA, $coeffsB, $bands);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Hashed shingle set: string → sorted distinct array<long>. */
+case class ShingleHashes(child: Expression, shingleLen: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.shingleHashes(input.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.shingleHashes($c, $shingleLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Hashed word-ngram set: array<string> tokens → sorted distinct
+  * array<long>.
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.ngramHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $clz.ngramHashes($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard of two sorted long arrays (linear merge). */
+case class SortedLongJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashExpressions.sortedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $clz.sortedJaccard($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongJaccard =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SimHash-64 fingerprint: array<string> tokens → long. */

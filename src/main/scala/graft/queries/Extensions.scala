@@ -157,7 +157,7 @@ object Extensions {
 
   /** MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only). */
   def qD3MinhashNearDups(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashNearDups(documents(s, d), "text", "doc_id", threshold = 0.2)
+    Dedup.minhashNearDups(documents(s, d), "text", "doc_id", threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash fingerprints + hamming near-dups (rows-only). */
@@ -167,7 +167,7 @@ object Extensions {
 
   /** Word-3-gram Jaccard over LSH candidates (rows-only). */
   def qD5NgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardNearDups(documents(s, d), "text", "doc_id", threshold = 0.1)
+    Dedup.ngramJaccardNearDups(documents(s, d), "text", "doc_id", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   // -------------------------------------------------------------- similarity

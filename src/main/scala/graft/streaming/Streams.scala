@@ -76,12 +76,13 @@ object Streams {
     */
   def sessionize(
       events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -112,7 +113,8 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
             }
             closed.reverseIterator
           }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared per-suite SparkSession (one JVM-wide session; suites reuse it
+  * via getOrCreate — Spark local sessions are cheap to share, expensive
+  * to churn).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def sf(path: String = "sf0.001"): String = s"/root/testdata/$path"
+
+  override protected def afterAll(): Unit = {
+    // deliberately NOT stopping: other suites share the session
+    super.afterAll()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).get(0)
+
+  test("tokenCount: whitespace tokens, zero for blank") {
+    assert(one(TF.tokenCount(col("t")), "the quick  brown\tfox") == 4)
+    assert(one(TF.tokenCount(col("t")), "   ") == 0)
+    assert(one(TF.tokenCount(col("t")), "") == 0)
+    assert(one(TF.tokenCount(col("t")), "one") == 1)
+  }
+
+  test("tokens: lowercased, punctuation-split, empties dropped") {
+    val got = one(TF.tokens(col("t")), "Hello, World! it's 42")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(got == Seq("hello", "world", "it's", "42"))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one(TF.langId(col("t")), "the cat sat on the mat and it is fine") == "en")
+    assert(one(TF.langId(col("t")), "el gato y la casa que los perros") == "es")
+    assert(one(TF.langId(col("t")), "der hund und die katze ist nicht da") == "de")
+    assert(one(TF.langId(col("t")), "xyzzy qwerty") == "und")
+  }
+
+  test("qualityScore in [0,1]; higher for natural text than repeated junk") {
+    val natural = one(TF.qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog and it is a fine day for running")
+      .asInstanceOf[Double]
+    val junk = one(TF.qualityScore(col("t")), "zz zz zz zz zz zz zz zz @@@@ ####")
+      .asInstanceOf[Double]
+    assert(natural >= 0.0 && natural <= 1.0)
+    assert(junk >= 0.0 && junk <= 1.0)
+    assert(natural > junk)
+  }
+
+  test("fingerprint: whitespace/case/punct-insensitive") {
+    val a = one(TF.fingerprint(col("t")), "Hello,   WORLD!")
+    val b = one(TF.fingerprint(col("t")), "hello world")
+    val c = one(TF.fingerprint(col("t")), "goodbye world")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("shingles: distinct char n-grams; short text -> empty") {
+    val got = one(TF.shingles(col("t"), 3), "abcd")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(got == Seq("abc", "bcd"))
+    assert(one(TF.shingles(col("t"), 5), "ab").asInstanceOf[scala.collection.Seq[String]].toSeq.isEmpty)
+  }
+
+  test("wordNgrams: sliding word windows; short -> empty") {
+    val got = one(TF.wordNgrams(col("t"), 2), "a b c")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(got == Seq("a b", "b c"))
+    assert(one(TF.wordNgrams(col("t"), 3), "a b").asInstanceOf[scala.collection.Seq[String]].toSeq.isEmpty)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Fixtures A1–A4, A6 (FIXTURES.md): reference parse semantics. */
+class IngestSpec extends SparkSpec {
+
+  private def tmp(name: String, content: String): String = {
+    val f = Files.createTempFile("graft_spec", name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("sniffer priority: tab > pipe > comma, first line only") {
+    assert(Sniffer.sniffDelimiter("a\tb|c,d") == "\t")
+    assert(Sniffer.sniffDelimiter("a|b,c") == "|")
+    assert(Sniffer.sniffDelimiter("a,b") == ",")
+    assert(Sniffer.sniffDelimiter("plain") == ",")
+  }
+
+  test("A1 csv: naive split, quote strip, missing cell -> null") {
+    val p = tmp(".csv",
+      "id,customer,amount,order_ts\n" +
+        "1,\"Acme, Inc.\",150.25,2026-01-05 10:00:00\n" +
+        "2,Globex,99.00,2026-01-06 11:30:00\n" +
+        "3,\"Initech\",\n")
+    val df = Readers.delimited(spark, p)
+    assert(df.columns.toSeq == Seq("id", "customer", "amount", "order_ts"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    // NAIVE split: "Acme, Inc." splits; cell 2 becomes `Acme`, rest shifts
+    assert(rows(0).getString(1) == "Acme")
+    assert(rows(0).getString(2) == "Inc.\"".replace("\"", "")) // quote-stripped
+    assert(rows(1).getString(1) == "Globex")
+    assert(rows(1).getString(2) == "99.00")
+    assert(rows(2).getString(1) == "Initech")
+    assert(rows(2).isNullAt(2)) // empty -> null
+    assert(rows(2).isNullAt(3)) // missing -> null
+  }
+
+  test("A2 tsv: tab wins even when cells contain commas") {
+    val p = tmp(".tsv", "metric\tvalue\nlat,ency\t12.5\n")
+    val df = Readers.delimited(spark, p)
+    assert(df.columns.toSeq == Seq("metric", "value"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "lat,ency" && r.getString(1) == "12.5")
+  }
+
+  test("A3 markdown pipe table: separator + blank rows dropped, pipes stripped") {
+    val p = tmp(".md",
+      "| sku | warehouse | qty |\n" +
+        "| --- | --- | --- |\n" +
+        "| A-1 | east | 40 |\n" +
+        "\n" +
+        "| C-3 | east | 5 |\n")
+    val df = Readers.delimited(spark, p)
+    assert(df.columns.toSeq == Seq("sku", "warehouse", "qty"))
+    val rows = df.orderBy("sku").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A-1", "C-3"))
+    assert(rows(0).getString(2) == "40")
+  }
+
+  test("rows containing --- anywhere are dropped (reference line-level check)") {
+    val p = tmp(".csv", "a,b\nx,keep\ny,drop---this\n")
+    val df = Readers.delimited(spark, p)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("duplicate headers get positional suffixes") {
+    val p = tmp(".csv", "a,a,b\n1,2,3\n")
+    val df = Readers.delimited(spark, p)
+    assert(df.columns.toSeq == Seq("a", "a_1", "b"))
+  }
+
+  test("preview limits to n rows and early-exits") {
+    val body = (1 to 1000).map(i => s"$i,x$i").mkString("\n")
+    val p = tmp(".csv", "id,v\n" + body)
+    val r = Preview.preview(spark, p, n = 10)
+    assert(r.headers == Seq("id", "v"))
+    assert(r.rows.length == 10)
+  }
+
+  test("A4 xlsx: first sheet only, empty cells null, types as strings") {
+    val f = Files.createTempFile("graft_spec", ".xlsx").toString
+    ExcelFixture.writeXlsx(f, Seq(
+      Seq("Name", "Age", "Email"),
+      Seq("Ann", "34", "ann@x.io"),
+      Seq("Bob", "41", ""),
+      Seq("Cyd", "28", "cyd@x.io")), junkSecondSheet = true)
+    val df = ExcelReader.read(spark, f)
+    assert(df.columns.toSeq == Seq("Name", "Age", "Email"))
+    val rows = df.orderBy("Name").collect()
+    assert(rows.length == 3)
+    assert(rows(1).getString(0) == "Bob")
+    assert(rows(1).isNullAt(2)) // empty cell
+  }
+
+  test("xlsx preview caps rows like sheetRows") {
+    val f = Files.createTempFile("graft_spec", ".xlsx").toString
+    ExcelFixture.writeXlsx(f,
+      Seq(Seq("h")) ++ (1 to 50).map(i => Seq(i.toString)))
+    val df = ExcelReader.read(spark, f, sheetRows = 10)
+    assert(df.count() == 10)
+  }
+
+  test("A1-style column index math") {
+    assert(ExcelReader.colIndex("A1") == 0)
+    assert(ExcelReader.colIndex("Z9") == 25)
+    assert(ExcelReader.colIndex("AA3") == 26)
+    assert(ExcelReader.colIndex("BC23") == 54)
+  }
+
+  test("access files rejected with guidance") {
+    val e = intercept[UnsupportedOperationException] {
+      Readers.read(spark, "/tmp/nope.accdb")
+    }
+    assert(e.getMessage.contains("CSV"))
+  }
+}

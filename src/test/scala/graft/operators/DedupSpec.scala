@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+  private val nearDup = base.replace("lazy", "sleepy") // high jaccard
+  private val unrelated =
+    "completely different content about distributed query engines shuffling partitioned columnar data"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), // exact dups
+    (3L, nearDup),
+    (4L, unrelated),
+    (5L, "tiny")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id per content") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactGroups reports duplicate counts") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+    assert(g(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("minhash signature similarity approximates jaccard for identical docs") {
+    val sigs = docs.filter(col("doc_id").isin(1, 2))
+      .select(Dedup.minhashSignature(col("text")).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1)) // identical text -> identical signature
+  }
+
+  test("simhash: identical fingerprints for dups; near for near-dups") {
+    val fps = docs.select(col("doc_id"),
+      Dedup.simhashFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    val hammingFar = java.lang.Long.bitCount(fps(1L) ^ fps(4L))
+    assert(hammingNear < hammingFar)
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard verifies on LSH candidates") {
+    val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", threshold = 0.5, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("oversized LSH buckets are dropped (skew guard)") {
+    // 60 identical docs -> one bucket of 60 per band; cap at 10 kills it
+    val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(many, "text", "doc_id", maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashCandidates(many, "text", "doc_id", maxBucket = 1000)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+}

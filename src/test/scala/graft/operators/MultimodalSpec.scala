@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(
+    spark, spark.range(20).toDF("doc_id"), "doc_id")
+
+  test("synthetic media carries the canonical schema") {
+    assert(media.columns.toSeq == Seq("media_id", "content", "meta"))
+    val r = media.filter(col("media_id") === 3).collect()(0)
+    assert(r.getAs[Array[Byte]]("content").nonEmpty)
+    assert(r.getStruct(2).getString(0) == "image")
+  }
+
+  test("decode produces per-row stats deterministically") {
+    val a = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    val b = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq) // deterministic stub
+    assert(a.forall(r => r.getInt(1) > 0 && r.getInt(2) > 0))
+    assert(a.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+  }
+
+  test("featurize emits fixed-dim float embeddings consumable by Similarity") {
+    val feats = Multimodal.featurize(media, dim = 8)
+    assert(feats.schema("embedding").dataType.simpleString == "array<float>")
+    assert(feats.select(size(col("embedding"))).distinct().collect()(0).getInt(0) == 8)
+    val top = Similarity.bruteForceTopK(
+      feats.filter(col("media_id") =!= 0), "embedding", "media_id",
+      feats.filter(col("media_id") === 0).collect()(0).getSeq[Float](1), k = 3)
+    assert(top.count() == 3)
+  }
+
+  test("resize rewrites content and metadata") {
+    val out = Multimodal.resizeImages(media, 32, 16).collect()
+    assert(out.forall(_.getAs[Array[Byte]]("content").length == 32 * 16 / 8))
+    assert(out.forall(_.getStruct(2).getInt(2) == 32))
+  }
+
+  test("sampleFrames explodes k frames per media") {
+    val frames = Multimodal.sampleFrames(media, k = 4)
+    assert(frames.count() == 20 * 4)
+    assert(frames.groupBy("media_id").count()
+      .filter(col("count") =!= 4).count() == 0)
+  }
+}

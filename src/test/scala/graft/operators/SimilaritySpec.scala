@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private lazy val corpus = Seq(
+    (1L, vec(1, 0, 0, 0)),
+    (2L, vec(0.9, 0.1, 0, 0)), // close to 1
+    (3L, vec(0, 1, 0, 0)), // orthogonal
+    (4L, vec(-1, 0, 0, 0)), // opposite
+    (5L, vec(1, 0.01, 0, 0))) // closest
+    .toDF("vec_id", "embedding")
+
+  test("cosine: exact values for hand-computable vectors") {
+    val sims = corpus
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), array(lit(1f), lit(0f), lit(0f), lit(0f))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-12)
+    assert(math.abs(sims(3L)) < 1e-12)
+    assert(math.abs(sims(4L) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val top = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") =!= 1), "embedding", "vec_id",
+      vec(1, 0, 0, 0), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(5L, 2L))
+  }
+
+  test("crossTopK: each query gets its own ranked neighbors") {
+    val out = Similarity.crossTopK(
+      corpus, corpus.filter(col("vec_id").isin(1, 3)), "embedding", "vec_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(q1 == Seq(5L, 2L))
+    assert(out.count(_._1 == 3L) == 2)
+  }
+
+  test("LSH: identical vector is always recalled (same bucket)") {
+    val out = Similarity.lshTopK(
+      corpus, "embedding", "vec_id", vec(1, 0, 0, 0), k = 3, dim = 4, bits = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.contains(1L)) // the identical vector shares the signature
+  }
+
+  test("IVF: probe path returns the nearest vector") {
+    val (assigned, cents) = Similarity.ivfIndex(corpus, "embedding", nClusters = 2, dim = 4)
+    assert(assigned.columns.contains("ivf_cluster"))
+    val top = Similarity.ivfTopK(
+      assigned, cents, "embedding", "vec_id", vec(1, 0, 0, 0), k = 1, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L))
+  }
+
+  test("embeddingNearDups finds the high-cosine pair") {
+    val pairs = Similarity.embeddingNearDups(
+      corpus, "embedding", "vec_id", threshold = 0.99, dim = 4, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}

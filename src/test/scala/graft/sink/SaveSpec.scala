@@ -1,0 +1,77 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.SparkSpec
+
+class SaveSpec extends SparkSpec {
+
+  private def csv(content: String): String = {
+    val f = Files.createTempFile("graft_save", ".csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("table name sanitization matches the reference regex (index.js:146)") {
+    assert(Save.sanitizeTableName("My Orders!") == "myorders")
+    assert(Save.sanitizeTableName("a_b-c 9") == "a_bc9")
+  }
+
+  test("A6 smart-id: synthetic id added iff no case-insensitive id selected") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val noId = csv("name,score\nann,10\nbob,20\n")
+    val p1 = Save.ingest(spark, noId, wh, "t_no_id", Seq("name", "score"),
+      Map("score" -> "INTEGER"))
+    val df1 = spark.read.parquet(p1)
+    assert(df1.columns.head == "id")
+    assert(df1.select("id").distinct().count() == 2) // unique ids
+
+    val hasId = csv("ID,name\n7,ann\n8,bob\n")
+    val p2 = Save.ingest(spark, hasId, wh, "t_has_id", Seq("ID", "name"),
+      Map("ID" -> "INTEGER"))
+    val df2 = spark.read.parquet(p2)
+    assert(!df2.columns.map(_.toLowerCase).count(_ == "id").equals(2))
+    assert(df2.columns.toSeq == Seq("ID", "name")) // no synthetic column
+  }
+
+  test("declared types are applied via TypeMapper") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val p = csv("id,amount,n\n1,12.50,9\n")
+    val out = Save.ingest(spark, p, wh, "typed", Seq("id", "amount", "n"),
+      Map("id" -> "BIGINT", "amount" -> "NUMERIC(18,2)", "n" -> "INTEGER"))
+    val df = spark.read.parquet(out)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("amount").dataType == DecimalType(18, 2))
+  }
+
+  test("K1 guard: duplicate save rejected; staging dir cleaned") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val p = csv("a,b\n1,2\n")
+    Save.ingest(spark, p, wh, "dup", Seq("a"))
+    val e = intercept[IllegalStateException] {
+      Save.ingest(spark, p, wh, "dup", Seq("a"))
+    }
+    assert(e.getMessage.contains("already exists"))
+    val ls = new java.io.File(wh).list().toSeq
+    assert(!ls.exists(_.startsWith("_staging_")))
+  }
+
+  test("unknown selected columns are skipped like the reference (index.js:223)") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val p = csv("a,b\n1,2\n")
+    val out = Save.ingest(spark, p, wh, "skipcols", Seq("a", "ghost"))
+    assert(spark.read.parquet(out).columns.toSeq == Seq("id", "a"))
+  }
+
+  test("dense smart-id yields contiguous 1..N") {
+    import graft.ops.SmartId
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).toDF("v").repartition(7)
+      .select(col("v").cast("string"))
+    val out = SmartId.withSmartId(df, dense = true)
+    val ids = out.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 100L))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Streams.{Event, Session}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String = "click", v: Double = 1.0) =
+    Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
+
+  test("hourlyCounts over a memory stream matches the batch aggregation") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:45:00", 2),
+      ev(3, "2024-01-01 11:10:00", 1, "view"), ev(4, "2024-01-01 12:30:00", 3),
+      // late watermark-advancing event
+      ev(5, "2024-01-01 15:00:00", 1))
+    val agg = Streams.hourlyCounts(input.toDF(), watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(ev(6, "2024-01-01 23:00:00", 9)) // push watermark far ahead
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select("hour", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(got.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+      assert(got.contains(("2024-01-01 12:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize closes sessions on gap within a batch") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    // NoTimeout in-test: ProcessingTimeTimeout makes the runner schedule
+    // continuous empty micro-batches (busy loop) and processAllAvailable
+    // never quiesces; the in-batch gap-closing path is what's asserted.
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      // and another event -> first session must close
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, v = 2.0),
+        ev(2, "2024-01-01 10:10:00", 1, v = 3.0),
+        ev(3, "2024-01-01 13:00:00", 1, v = 5.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").as[Session].collect()
+      assert(got.length == 1) // the closed first session
+      assert(got(0).n_events == 2)
+      assert(got(0).total_value == 5.0)
+      assert(got(0).session_start == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(got(0).session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
+  test("batch sessionize twin agrees with hand-computed sessions") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 3.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "click", 5.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Streams.sessionizeBatch(df, gapMinutes = 30).collect()
+    assert(out.length == 3)
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(4)).toSeq == Seq(2L, 1L)) // n_events per session
+    assert(u1(0).getDouble(5) == 5.0)
+  }
+
+  test("sliding windows emit overlapping buckets") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Streams.slidingUserActivity(input.toDF(), watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:15:00", 1))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 20:00:00", 2))
+      q.processAllAvailable()
+      // a 30-min window sliding by 10 min covers each event 3 times
+      val got = spark.table("sliding_out").filter(col("user_id") === 1)
+      assert(got.count() == 3)
+    } finally q.stop()
+  }
+}
