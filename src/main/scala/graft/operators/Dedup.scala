@@ -183,9 +183,13 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // cache: the fingerprint expression would otherwise be inlined into
+    // every chunk lambda (CollapseProject) and recomputed on both
+    // self-join sides — same trap as the MinHash banding path
     val fp = df.select(
       col(idCol).as("id"),
       simhashFingerprint(col(textCol)).as("fp"))
+      .cache()
     val banded = fp.select(
       col("id"), col("fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)), c =>

@@ -31,10 +31,20 @@ object Streams {
 
   /** File-source stream of event rows (parquet dir with the batch
     * schema). For tests, a memory/rate source with the same schema works
-    * identically downstream.
+    * identically downstream. Handles the driver testdata's
+    * TIMESTAMP(NANOS) encoding the same way Tables.events does: read
+    * nanos as long, convert in-plan with integer division.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(path)
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** Tumbling-window aggregation with a watermark: per (window, type)
     * counts and value sums. Append-mode compatible (closed windows only).

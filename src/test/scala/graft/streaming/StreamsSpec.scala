@@ -81,6 +81,27 @@ class StreamsSpec extends SparkSpec {
     assert(u1(0).getDouble(5) == 5.0)
   }
 
+  test("file-source stream over the driver's events parquet (nanos handled)") {
+    // file-stream source needs a DIRECTORY; stage the single parquet
+    // file into one (read-only testdata stays untouched)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf() + "/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Streams.readEvents(spark, dir.toString)
+    assert(stream.isStreaming)
+    val agg = Streams.hourlyCounts(stream, watermark = "0 seconds")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("file_hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly")
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      val batch = graft.queries.Tables.events(spark, sf()).count()
+      assert(streamed == batch) // every event lands in exactly one window
+    } finally q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
