@@ -11,6 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep INT96 timestamps (default): pandas reads them tz-NAIVE like
+      // DuckDB's — TIMESTAMP_MICROS would come back tz-aware and diverge
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -260,6 +260,61 @@ object Extensions {
       feats.filter(col("media_id") =!= 0), "embedding", "media_id", query, k = 10)
   }
 
+  // ------------------------------------------------------- asof / olap extras
+
+  /** As-of join: attribute each error event to the user's most recent
+    * click at-or-before it (marketing-attribution shape). Oracle-checked
+    * against DuckDB's native ASOF LEFT JOIN.
+    */
+  def qA1AsOfAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    graft.operators.AsOf.join(
+      errors, clicks, key = "user_id", leftTs = "ts", rightTs = "ts",
+      rightCols = Seq("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CUBE over order status × priority (all four grouping sets). */
+  def qA2OrderCube(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Pivot: daily event counts by type as columns (explicit value list →
+    * stable schema; nulls zero-filled to match conditional-agg SQL).
+    */
+  def qA3EventPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(s, d)
+      .groupBy(dayofmonth(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(
+      (col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+      .orderBy(col("day"))
+  }
+
+  /** HLL sketch distinct counts (rows-only: approx values are
+    * sketch-implementation-specific; exactness is covered by q18's
+    * countDistinct oracle).
+    */
+  def qA4ApproxUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,7 +336,11 @@ object Extensions {
     "q36_knn_ivf" -> qV4KnnIvf _,
     "q37_sessionize" -> qE1Sessionize _,
     "q38_media_decode_stats" -> qM1DecodeStats _,
-    "q39_media_knn" -> qM2MediaKnn _)
+    "q39_media_knn" -> qM2MediaKnn _,
+    "q40_asof_attribution" -> qA1AsOfAttribution _,
+    "q41_order_cube" -> qA2OrderCube _,
+    "q42_event_pivot" -> qA3EventPivot _,
+    "q43_approx_users" -> qA4ApproxUsers _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -385,6 +444,29 @@ object Extensions {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
          WHERE rk <= 3 ORDER BY query_id, rk""",
+    "q40_asof_attribution" ->
+      """SELECT e.event_id, e.ts, e.user_id, c.ts AS asof_ts,
+         c.click_value
+         FROM (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT user_id, ts, value AS click_value
+                         FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
+    "q41_order_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q42_event_pivot" ->
+      """SELECT dayofmonth(ts) AS day,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'error') AS error,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY day""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,
