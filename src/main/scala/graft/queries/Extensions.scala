@@ -315,6 +315,37 @@ object Extensions {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Window-function breadth: lag/lead/ntile over customer order
+    * history.
+    */
+  def qA5OrderHistory(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** String-function breadth over part names. */
+  def qA6PartStrings(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") < 100)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        reverse(col("p_name")).as("rname"),
+        lpad(col("p_brand"), 12, ".").as("padded"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -340,7 +371,9 @@ object Extensions {
     "q40_asof_attribution" -> qA1AsOfAttribution _,
     "q41_order_cube" -> qA2OrderCube _,
     "q42_event_pivot" -> qA3EventPivot _,
-    "q43_approx_users" -> qA4ApproxUsers _)
+    "q43_approx_users" -> qA4ApproxUsers _,
+    "q44_order_history_window" -> qA5OrderHistory _,
+    "q45_part_strings" -> qA6PartStrings _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -467,6 +500,25 @@ object Extensions {
          count(*) FILTER (event_type = 'signup') AS signup,
          count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY day""",
+    "q44_order_history_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         ntile(4) OVER w AS quartile
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q45_part_strings" ->
+      """SELECT p_partkey,
+         upper(p_name) AS uname,
+         substring(p_name, 1, 5) AS prefix,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+         concat_ws('/', p_brand, p_type) AS brand_type,
+         length(p_name) AS name_len,
+         reverse(p_name) AS rname,
+         lpad(p_brand, 12, '.') AS padded
+         FROM part WHERE p_partkey < 100
+         ORDER BY p_partkey""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,

@@ -105,6 +105,38 @@ object Save {
     out
   }
 
+  /** Partitioned lakehouse write — the 100 TB layout knobs: directory
+    * partitioning for partition pruning, `maxRecordsPerFile` to bound
+    * task/file sizes (multimodal rows with fat binary columns need small
+    * record counts per file).
+    */
+  def savePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("error")
+    val w2 = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Bucketed managed table — pre-shuffled layout so repeated joins/aggs
+    * on the bucket key skip their Exchange entirely (both sides bucketed
+    * on the same key/count → shuffle-free sort-merge join).
+    */
+  def saveBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("error")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(sanitizeTableName(tableName))
+  }
+
   /** JDBC sink with the reference's physical choices: 1000-row batches
     * (index.js:188,226) through PreparedStatement batching. Atomicity via
     * staging table name + caller-side rename is left to the caller's DDL

@@ -14,6 +14,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

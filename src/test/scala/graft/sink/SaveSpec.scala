@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.SparkSpec
 
 class SaveSpec extends SparkSpec {
+  import spark.implicits._
 
   private def csv(content: String): String = {
     val f = Files.createTempFile("graft_save", ".csv")
@@ -63,6 +64,35 @@ class SaveSpec extends SparkSpec {
     val p = csv("a,b\n1,2\n")
     val out = Save.ingest(spark, p, wh, "skipcols", Seq("a", "ghost"))
     assert(spark.read.parquet(out).columns.toSeq == Seq("id", "a"))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("v", "par")
+    Save.savePartitioned(df, dir, Seq("par"), maxRecordsPerFile = 10)
+    val read = spark.read.parquet(dir).filter(col("par") === "even")
+    assert(read.count() == 50)
+    // partition pruning: only the even directory is listed in the scan
+    val scan = read.queryExecution.executedPlan.toString
+    assert(!scan.contains("par=odd"))
+  }
+
+  test("bucketed tables join without an exchange") {
+    import org.apache.spark.sql.functions._
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
+    Save.saveBucketed(a, "bkt_a", "k", 4, sortCol = Some("k"))
+    Save.saveBucketed(b, "bkt_b", "k", 4, sortCol = Some("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dense smart-id yields contiguous 1..N") {
