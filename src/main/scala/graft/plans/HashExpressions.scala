@@ -263,6 +263,61 @@ object HashExpressions {
 
   def simHash64(tokens: Column): Column =
     ExprColumn(SimHash64(ExprColumn.exprOf(tokens)))
+
+  def stopwordHits(tokens: Column, sets: Seq[Seq[String]]): Column =
+    ExprColumn(StopwordHits(ExprColumn.exprOf(tokens), sets))
+
+  /** Per-language membership counts in one pass (hash-set lookups). */
+  private[plans] def stopwordHitsEval(
+      tokens: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < tokens.numElements()) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(t)) hits(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(hits.map(_.toLong))
+  }
+}
+
+/** Stopword-hit counts for N word sets in ONE pass over the token array
+  * with hash-set membership — the `size(filter(tokens, array_contains))`
+  * formulation rescans the token array per language with a LINEAR probe
+  * per token (measured 10× the tokenizer's own cost for 5 languages × 10
+  * words).
+  */
+case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
+  extends UnaryExpression {
+
+  @transient private lazy val compiled: Array[java.util.HashSet[UTF8String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.length * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.stopwordHitsEval(input.asInstanceOf[ArrayData], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val setsRef = ctx.addReferenceObj("stopwordSets", compiled,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.stopwordHitsEval($c, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
 }
 
 /** MinHash signature: array<string> shingles → array<long> of length

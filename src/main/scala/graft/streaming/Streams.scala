@@ -68,6 +68,20 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("w_start"), col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (broadcastable) dimension — the standard streaming-lookup shape; the
+    * static side re-plans per micro-batch, no state store involved.
+    */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey),
+      "left")
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)

@@ -102,6 +102,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val enriched = Streams.enrich(input.toDF(), dim, "user_id", "uid")
+      .select(col("event_id"), col("user_id"), col("tier"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 9))
+      q.processAllAvailable()
+      val got = spark.table("enriched_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(got(1L).contains("gold"))
+      assert(got(2L).isEmpty) // left join keeps unmatched events
+    } finally q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
