@@ -88,6 +88,40 @@ object Demo {
       case e: IllegalArgumentException => println(s"guarded: ${e.getMessage}")
     }
 
+    // ------------------------------------------------ pipeline operators
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+
+    println("== dedup: exact + minhash near-dups on documents")
+    val docs = queries.Tables.documents(spark, sf)
+    println(s"exact-dedup survivors: ${operators.Dedup.exact(docs, "text", "doc_id").count()}")
+    operators.Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .orderBy(col("jaccard").desc).show(5, truncate = false)
+
+    println("== similarity: top-5 neighbors of vec 0")
+    val emb = queries.Tables.embeddings(spark, sf)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv, 5).show(false)
+
+    println("== text analysis: language distribution + quality")
+    docs.select(
+      functions.TextFunctions.langId(col("text")).as("lang_pred"),
+      functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n"), avg(col("q")).as("avg_quality"))
+      .orderBy(col("lang_pred")).show(false)
+
+    println("== SQL surface")
+    plans.GraftFunctions.register(spark)
+    docs.limit(100).createOrReplaceTempView("docs_demo")
+    spark.sql(
+      """SELECT count(DISTINCT graft_simhash(
+           filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)))
+           AS distinct_fingerprints
+         FROM docs_demo""").show(false)
+
     spark.stop()
   }
 }

@@ -76,8 +76,17 @@ object Readers {
   /** Format-dispatched read, mirroring the reference's extension dispatch
     * (index.js:88-97): Access/Excel by extension, delimited otherwise.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
-    Sniffer.formatOf(path) match {
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // U3 parity: the reference 404s "File not found or expired" when the
+    // staged upload is gone (index.js:143-144) — surface the same typed
+    // condition instead of a deep scan error. Local-path check only;
+    // remote URIs defer to the source's own existence handling.
+    val local = !path.contains("://") || path.startsWith("file:")
+    val fmt = Sniffer.formatOf(path)
+    if (fmt != Sniffer.Access && local &&
+      !new java.io.File(path.stripPrefix("file:")).exists())
+      throw new IllegalArgumentException(s"File not found or expired: $path")
+    fmt match {
       case Sniffer.Delimited => delimited(spark, path)
       case Sniffer.Excel => ExcelReader.read(spark, path)
       case Sniffer.Access =>
@@ -87,4 +96,5 @@ object Readers {
             "No JDBC driver for Access is available offline; export to CSV " +
             "and use the delimited reader. (SURVEY.md §7.2(6))")
     }
+  }
 }

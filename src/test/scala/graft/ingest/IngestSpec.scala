@@ -112,6 +112,39 @@ class IngestSpec extends SparkSpec {
     assert(ExcelReader.colIndex("BC23") == 54)
   }
 
+  test("property: random tables round-trip through render->ingest (SURVEY §5.2)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_ "
+    def randCell(): String = {
+      val s = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString.trim
+      if (s.isEmpty) "x" else s
+    }
+    (1 to 10).foreach { trial =>
+      val nCols = 1 + rnd.nextInt(5)
+      val nRows = 1 + rnd.nextInt(30)
+      val headers = (1 to nCols).map(i => s"col_$i")
+      val delim = Seq(",", "\t", "|")(rnd.nextInt(3))
+      val rows = (1 to nRows).map(_ => (1 to nCols).map(_ => randCell()))
+      val body = (headers +: rows).map(_.mkString(delim)).mkString("\n")
+      val p = tmp(s".csv", body + "\n")
+      val df = Readers.delimited(spark, p)
+      assert(df.columns.toSeq == headers, s"trial $trial headers")
+      val got = df.collect().map(_.toSeq.map(v => Option(v).getOrElse("")))
+        .map(_.mkString("")).sorted
+      val want = rows.map(_.map(c => if (c.isEmpty) "" else c)
+        .mkString("")).sorted
+      assert(got.toSeq == want.toSeq, s"trial $trial rows (delim=${delim.hashCode})")
+    }
+  }
+
+  test("missing staged file yields the reference's expired-file error (U3)") {
+    val e = intercept[IllegalArgumentException] {
+      Readers.read(spark, "/tmp/graft_definitely_missing_12345.csv")
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("access files rejected with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Readers.read(spark, "/tmp/nope.accdb")
