@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered gate query against
   * SPARK_GRAFT_SF_DIR (default sf0.1) on local[N] and prints ONE JSON
-  * line with per-query wall seconds. `count()` is the action — it
-  * executes the full plan while letting Catalyst drop oracle-only
-  * trailing sorts (EliminateSorts under Aggregate), so timings reflect
-  * the real operator work, not the determinism scaffolding.
+  * line with per-query wall seconds. The action is a `noop`-format write:
+  * unlike `count()` (which lets ColumnPruning drop projection-only work —
+  * a signature/scoring query would time as a bare row-count scan), the
+  * noop sink consumes every output column, so timings cover the real
+  * operator work end to end.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +28,7 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1L

@@ -23,7 +23,13 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (active.sparkContext.isStopped) {
-          active = SparkSession.builder().getOrCreate()
+          // full config again — a bare builder would have no master/UTC
+          active = SparkSession.builder()
+            .master(s"local[$cpus]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
           active.sparkContext.setLogLevel("WARN")
         }
         fn(active, sfDir).coalesce(1).write.mode("overwrite")

@@ -102,18 +102,24 @@ object ExcelReader {
     null
   }
 
+  /** Concatenates all text runs of an <si> (rich-text formatting splits
+    * one value across <r><t> runs) but SKIPS phonetic <rPh> runs — they
+    * hold furigana annotations, not cell content.
+    */
   private def parseSharedStrings(r: XMLStreamReader): IndexedSeq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inSi = false
     var inT = false
+    var inRph = false
     try {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "si" => inSi = true; cur.clear()
-              case "t" if inSi => inT = true
+              case "rPh" => inRph = true
+              case "t" if inSi && !inRph => inT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
@@ -121,6 +127,7 @@ object ExcelReader {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = false
+              case "rPh" => inRph = false
               case "si" => inSi = false; out += cur.toString
               case _ =>
             }
@@ -150,6 +157,7 @@ object ExcelReader {
     var cellType = ""
     var inV = false
     var inIs = false
+    var inRph = false
     val text = new StringBuilder
     def setCell(raw: String): Unit = {
       val v = cellType match {
@@ -174,17 +182,21 @@ object ExcelReader {
                 cellType = Option(attr(r, "t")).getOrElse("")
                 text.clear()
               case "v" => inV = true; text.clear()
-              case "is" => inIs = true
-              case "t" if inIs => inV = true; text.clear()
+              case "is" => inIs = true; text.clear()
+              case "rPh" => inRph = true
+              // rich text splits one value over several <r><t> runs:
+              // accumulate, emit once at </is>
+              case "t" if inIs && !inRph => inV = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV =>
             text.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
-              case "v" => inV = false; setCell(text.toString)
-              case "t" if inIs => inV = false; setCell(text.toString)
-              case "is" => inIs = false
+              case "v" if !inIs => inV = false; setCell(text.toString)
+              case "t" if inIs => inV = false
+              case "rPh" => inRph = false
+              case "is" => inIs = false; setCell(text.toString)
               case "row" if row != null => rows += row; row = null
               case _ =>
             }

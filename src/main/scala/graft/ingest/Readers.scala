@@ -38,13 +38,21 @@ object Readers {
   private[graft] def headerSchema(firstLine: String, delimiter: String): (Seq[String], StructType) = {
     val raw = firstLine.split(java.util.regex.Pattern.quote(delimiter), -1)
       .map(Cleanse.headerCell)
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
     val names = raw.zipWithIndex.map { case (h, i) =>
       if (h.isEmpty) s"_graft_skip_$i"
       else {
-        val n = seen.getOrElse(h, 0)
-        seen(h) = n + 1
-        if (n == 0) h else s"${h}_$n"
+        // probe for a free suffix: plain `name_n` can collide with a
+        // LATER literal header of that name (e.g. "a,a,a_1")
+        var candidate = h
+        var n = 1
+        while (used(candidate) ||
+          (candidate != h && raw.drop(i + 1).contains(candidate))) {
+          candidate = s"${h}_$n"
+          n += 1
+        }
+        used += candidate
+        candidate
       }
     }
     val keep = names.filterNot(_.startsWith("_graft_skip_"))
@@ -81,10 +89,13 @@ object Readers {
     // staged upload is gone (index.js:143-144) — surface the same typed
     // condition instead of a deep scan error. Local-path check only;
     // remote URIs defer to the source's own existence handling.
-    val local = !path.contains("://") || path.startsWith("file:")
+    // Plain local paths only: globs and scheme'd URIs defer to the
+    // source's own resolution (a glob like /data/*.csv must not be
+    // File.exists-checked).
+    val plainLocal = !path.contains("://") &&
+      !path.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
     val fmt = Sniffer.formatOf(path)
-    if (fmt != Sniffer.Access && local &&
-      !new java.io.File(path.stripPrefix("file:")).exists())
+    if (fmt != Sniffer.Access && plainLocal && !new java.io.File(path).exists())
       throw new IllegalArgumentException(s"File not found or expired: $path")
     fmt match {
       case Sniffer.Delimited => delimited(spark, path)

@@ -35,7 +35,9 @@ object Sniffer {
   def sniff(spark: SparkSession, path: String): String =
     firstLine(spark, path).map(sniffDelimiter).getOrElse(",")
 
-  private val TextExts = Set("csv", "txt", "md", "tsv", "json")
+  // note: anything that is not Excel/Access is treated as delimited text,
+  // matching the reference's dispatch (index.js:88-97) — there is
+  // deliberately NO text accept-list gate here
   private val ExcelExts = Set("xlsx", "xls")
   private val AccessExts = Set("accdb", "mdb")
 

@@ -61,7 +61,10 @@ object AsOf {
         (Seq(col(key).as("_key"), col(leftTs).as("_ts"), lit(1).as("_side"),
           nullPayload.as("_p")) ++
           leftCols.map(c => col(c).as(s"_l_$c"))): _*)
+    // null keys never match in SQL join semantics; unfiltered, the window
+    // partition would pair null-keyed left and right rows with each other
     val taggedRight = right
+      .filter(col(key).isNotNull)
       .select(
         (Seq(col(key).as("_key"), col(rightTs).as("_ts"), lit(0).as("_side"),
           payload.as("_p")) ++

@@ -26,6 +26,13 @@ import graft.plans.HashExpressions
   *
   * All candidate generation is EXPLODE + hash-shuffle + self-join on
   * bucket keys: no cross join, no driver-side loops, no collect.
+  *
+  * Cache ownership: the pipelines persist small intermediates (banded
+  * keys, candidate pairs, fingerprints) that both self-join sides and the
+  * verify stage reuse; blocks remain in the session's CacheManager until
+  * the caller releases them. Batch jobs over many corpora should call
+  * `spark.catalog.clearCache()` (or unpersist via the cached plans)
+  * between runs.
   */
 object Dedup {
 
@@ -48,9 +55,12 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature column (array<long> of numPerms). */
+  /** MinHash signature column (array<long> of numPerms), via the fused
+    * string-pass expression (identical values to hashing a materialized
+    * shingle array — min ignores duplicates — at ~50× less cost).
+    */
   def minhashSignature(text: Column, numPerms: Int = 64, shingleLen: Int = 5): Column =
-    HashExpressions.minhashSignature(shingles(text, shingleLen), numPerms)
+    HashExpressions.minhashSignatureOfText(canonical(text), shingleLen, numPerms)
 
   /** Candidate pairs from MinHash-LSH banding.
     *

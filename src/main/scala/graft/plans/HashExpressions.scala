@@ -244,8 +244,37 @@ object HashExpressions {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Full signature from the canonical string in one fused pass (same
+    * values as MinHashSignature over materialized shingles: min over a
+    * multiset equals min over its set, and both hash the same bytes with
+    * the same seed).
+    */
+  private[plans] def minhashFromString(
+      s: UTF8String, shingleLen: Int, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = a.length
+    val sig = Array.fill[Long](n)(Long.MaxValue)
+    val bytes = s.numBytes
+    var p = 0
+    while (p + shingleLen <= bytes) {
+      val h = Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset + p, shingleLen, 42) & 0xffffffffL
+      var i = 0
+      while (i < n) {
+        val v = mulMod(a(i), h, b(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   def minhashSignature(shingles: Column, numPerms: Int = 64): Column =
     ExprColumn(MinHashSignature(ExprColumn.exprOf(shingles), numPerms))
+
+  def minhashSignatureOfText(
+      canonical: Column, shingleLen: Int = 5, numPerms: Int = 64): Column =
+    ExprColumn(MinHashSignatureStr(ExprColumn.exprOf(canonical), shingleLen, numPerms))
 
   def shingleHashSet(canonical: Column, shingleLen: Int = 5): Column =
     ExprColumn(ShingleHashes(ExprColumn.exprOf(canonical), shingleLen))
@@ -255,6 +284,60 @@ object HashExpressions {
 
   def sortedLongJaccard(a: Column, b: Column): Column =
     ExprColumn(SortedLongJaccard(ExprColumn.exprOf(a), ExprColumn.exprOf(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExprColumn(DotProduct(ExprColumn.exprOf(a), ExprColumn.exprOf(b)))
+
+  def srpSignature64(vec: Column, bits: Int): Column =
+    ExprColumn(SrpSig(ExprColumn.exprOf(vec), bits))
+
+  /** Sequential left-to-right double accumulation — the SAME fold order
+    * as `aggregate(zip_with(...))` and DuckDB's list_sum(list_transform),
+    * so results stay bit-identical to the oracle.
+    */
+  private[plans] def dotEval(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** All SRP sign bits in one pass: bit i's hyperplane component j is
+    * sign(splitmix64(i*131071 + j)) — the same planes the driver-side
+    * query-signature computation uses (Similarity.planes).
+    */
+  private[plans] def srpEval(vec: ArrayData, bits: Int): Long = {
+    val dim = vec.numElements()
+    val acc = new Array[Double](bits)
+    var j = 0
+    while (j < dim) {
+      val x = vec.getFloat(j).toDouble
+      var i = 0
+      while (i < bits) {
+        if (splitmixSign(i.toLong * 131071 + j)) acc(i) += x else acc(i) -= x
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (acc(i) >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  private def splitmixSign(x0: Long): Boolean = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    (x ^ (x >>> 31)) >= 0
+  }
 
   def minhashBandHashes(
       canonical: Column, shingleLen: Int = 5, numPerms: Int = 64,
@@ -345,6 +428,33 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Fused shingle→minhash signature: string → array<long> of numPerms —
+  * same values as MinHashSignature over a materialized shingle array,
+  * ~50× cheaper (no substring/array materialization).
+  */
+case class MinHashSignatureStr(child: Expression, shingleLen: Int, numPerms: Int)
+  extends UnaryExpression {
+
+  @transient private lazy val (a, b) = HashExpressions.coeffs(numPerms)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.minhashFromString(
+      input.asInstanceOf[UTF8String], shingleLen, a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val coeffsA = ctx.addReferenceObj("mhsA", a, "long[]")
+    val coeffsB = ctx.addReferenceObj("mhsB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.minhashFromString($c, $shingleLen, $coeffsA, $coeffsB);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureStr =
     copy(child = newChild)
 }
 
@@ -439,6 +549,49 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sequential-double dot product of two float arrays (oracle-identical
+  * fold order, fused JVM loop).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashExpressions.dotEval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $clz.dotEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass sign-random-projection signature: array<float> → long. */
+case class SrpSig(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits > 0 && bits <= 64)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.srpEval(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $clz.srpEval($c, $bits);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
 }
 
 /** SimHash-64 fingerprint: array<string> tokens → long. */

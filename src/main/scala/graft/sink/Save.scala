@@ -73,7 +73,11 @@ object Save {
     val target = new Path(warehouseDir, safe)
     if (fs.exists(target))
       throw new IllegalStateException(s"Table '$safe' already exists") // 409 parity
-    val staging = new Path(warehouseDir, s"_staging_$safe")
+    // "." prefix: sanitizeTableName can never produce a dotted name, so
+    // staging dirs live in a namespace no published table can occupy
+    // (an "_"-prefixed staging name could collide with a legal table
+    // literally named _staging_x and silently delete it)
+    val staging = new Path(warehouseDir, s".graft_staging_$safe")
     if (fs.exists(staging)) fs.delete(staging, true)
     val out = prepare(df, selectedColumns, columnTypes)
     out.write.mode("overwrite").parquet(staging.toString)

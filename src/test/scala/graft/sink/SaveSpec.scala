@@ -56,7 +56,7 @@ class SaveSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already exists"))
     val ls = new java.io.File(wh).list().toSeq
-    assert(!ls.exists(_.startsWith("_staging_")))
+    assert(!ls.exists(_.contains("graft_staging_")))
   }
 
   test("unknown selected columns are skipped like the reference (index.js:223)") {
