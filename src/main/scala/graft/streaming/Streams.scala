@@ -68,6 +68,20 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("w_start"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop events whose key was already seen,
+    * with state bounded by the watermark (the streaming twin of
+    * Dedup.exact — `dropDuplicatesWithinWatermark` evicts key state once
+    * the watermark passes, so it holds at unbounded stream length where
+    * a plain dropDuplicates would accumulate state forever).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-static enrichment: join the event stream against a static
     * (broadcastable) dimension — the standard streaming-lookup shape; the
     * static side re-plans per micro-batch, no state store involved.

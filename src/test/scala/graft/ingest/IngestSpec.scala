@@ -145,6 +145,37 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("directory of same-format csv files ingests as one distributed scan") {
+    val dir = Files.createTempDirectory("graft_multi")
+    Files.writeString(dir.resolve("part-0.csv"), "k,v\n1,a\n2,b\n")
+    Files.writeString(dir.resolve("part-1.csv"), "k,v\n3,c\n4,d\n")
+    val df = Readers.delimited(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("k", "v"))
+    // header=true skips the first line of EVERY file
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3", "4"))
+  }
+
+  test("rich-text inline strings concatenate runs; phonetic runs excluded") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val f = Files.createTempFile("graft_rich", ".xlsx").toString
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+<row r="2"><c r="A2" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r><rPh sb="0" eb="2"><t>IGNORED</t></rPh></is></c></row>
+</sheetData></worksheet>"""
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(n: String, c: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/worksheets/sheet1.xml", sheet) // no workbook.xml: fallback path
+    zos.close()
+    val rows = ExcelReader.readRows(f, Int.MaxValue)
+    assert(rows.length == 2)
+    assert(rows(1)(0) == "Hello World")
+  }
+
   test("access files rejected with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Readers.read(spark, "/tmp/nope.accdb")

@@ -102,6 +102,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate keys") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = Streams.dedupStream(input.toDF(), Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(1, "2024-01-01 10:00:30", 1), // duplicate id inside watermark
+        ev(2, "2024-01-01 10:01:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00", 1)) // still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins each micro-batch") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
