@@ -81,6 +81,33 @@ object Readers {
     noBlank.select(keep.map(col).toIndexedSeq: _*)
   }
 
+  /** JSON-lines scan (extension beyond the reference, which pushes .json
+    * through the delimited-text path — index.js:97; that faithful route
+    * still works via [[delimited]]). Schema inferred (one extra pass) or
+    * supplied for the single-pass scale path.
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("mode", "PERMISSIVE")
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** Binary-file scan for multimodal ingestion: each file becomes a row
+    * (path, modificationTime, length, content) — the standard way media
+    * blobs enter the pipeline; feeds graft.operators.Multimodal directly.
+    * Partition sizing: one task per file; tune
+    * spark.sql.files.maxPartitionBytes for many-small-file dirs.
+    */
+  def binaryFiles(
+      spark: SparkSession,
+      path: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Format-dispatched read, mirroring the reference's extension dispatch
     * (index.js:88-97): Access/Excel by extension, delimited otherwise.
     */

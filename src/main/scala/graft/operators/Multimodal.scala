@@ -90,6 +90,25 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of media files as the canonical schema: each
+    * file row (from the binaryFile source) becomes (media_id from a
+    * path hash, content, metadata shell). The decode/featurize stages
+    * fill in the typed metadata.
+    */
+  def fromBinaryFiles(spark: SparkSession, path: String, mediaType: String = "image",
+      globFilter: Option[String] = None): DataFrame =
+    graft.ingest.Readers.binaryFiles(spark, path, globFilter)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content"),
+        struct(
+          lit(mediaType).as("media_type"),
+          regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("format"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"),
+          lit(null).cast("int").as("sample_rate")).as("meta"))
+
   /** Build a synthetic media table from any id-bearing table —
     * deterministic bytes from the id — so the plumbing is testable at
     * every scale factor without real media files.

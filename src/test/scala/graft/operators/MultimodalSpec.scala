@@ -40,6 +40,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getStruct(2).getInt(2) == 32))
   }
 
+  test("binaryFile ingestion: files become canonical media rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array[Byte](9, 8, 7))
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "skip me")
+    val media = Multimodal.fromBinaryFiles(
+      spark, dir.toString, globFilter = Some("*.jpg"))
+    val rows = media.collect()
+    assert(rows.length == 2) // txt filtered by glob
+    assert(rows.forall(_.getStruct(2).getString(0) == "image"))
+    assert(rows.forall(_.getStruct(2).getString(1) == "jpg"))
+    val decoded = Multimodal.decodeImages(media)
+    assert(decoded.count() == 2)
+  }
+
+  test("jsonl reader parses structured lines") {
+    import org.apache.spark.sql.functions.col
+    val f = java.nio.file.Files.createTempFile("graft", ".jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "tag": "a"}
+        |{"id": 2, "tag": "b"}
+        |""".stripMargin)
+    val df = graft.ingest.Readers.jsonl(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.filter(col("tag") === "b").collect()(0).getLong(df.columns.indexOf("id")) == 2L)
+  }
+
   test("sampleFrames explodes k frames per media") {
     val frames = Multimodal.sampleFrames(media, k = 4)
     assert(frames.count() == 20 * 4)
