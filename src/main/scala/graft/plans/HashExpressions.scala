@@ -285,11 +285,17 @@ object HashExpressions {
   def sortedLongJaccard(a: Column, b: Column): Column =
     ExprColumn(SortedLongJaccard(ExprColumn.exprOf(a), ExprColumn.exprOf(b)))
 
+  /** Inputs are cast to array<double> (exact for float arrays — the same
+    * per-element widening the zip_with formulation performed) so the
+    * fused loops read the right physical type for ANY numeric array.
+    */
   def dotProduct(a: Column, b: Column): Column =
-    ExprColumn(DotProduct(ExprColumn.exprOf(a), ExprColumn.exprOf(b)))
+    ExprColumn(DotProduct(
+      ExprColumn.exprOf(a.cast("array<double>")),
+      ExprColumn.exprOf(b.cast("array<double>"))))
 
   def srpSignature64(vec: Column, bits: Int): Column =
-    ExprColumn(SrpSig(ExprColumn.exprOf(vec), bits))
+    ExprColumn(SrpSig(ExprColumn.exprOf(vec.cast("array<double>")), bits))
 
   /** Sequential left-to-right double accumulation — the SAME fold order
     * as `aggregate(zip_with(...))` and DuckDB's list_sum(list_transform),
@@ -300,7 +306,7 @@ object HashExpressions {
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc
@@ -315,7 +321,7 @@ object HashExpressions {
     val acc = new Array[Double](bits)
     var j = 0
     while (j < dim) {
-      val x = vec.getFloat(j).toDouble
+      val x = vec.getDouble(j)
       var i = 0
       while (i < bits) {
         if (splitmixSign(i.toLong * 131071 + j)) acc(i) += x else acc(i) -= x
