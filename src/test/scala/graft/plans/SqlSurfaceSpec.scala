@@ -36,6 +36,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("Engine.attach registers the SQL surface on an existing session") {
+    graft.Engine.attach(spark)
+    val n = spark.sql("SELECT size(graft_minhash_bands('abcdefgh hij')) AS n")
+      .collect()(0).getInt(0)
+    assert(n == 8)
+  }
+
   test("GraftExtensions injects the same builders") {
     // The injection plumbing: apply() must register every builder
     // without throwing (full end-to-end config injection needs a fresh
