@@ -54,11 +54,20 @@ object TextFunctions {
     size(filter(tokens(c), t => array_contains(arr, t)))
   }
 
+  /** All quality-scoring counts in one fused pass (struct column):
+    * n_tok, n_word, n_dist, hits_en, n_alpha, n_chars. See
+    * graft.plans.TextStatsExpr; identical values to the composed
+    * builtins (oracle-verified).
+    */
+  def textStats(c: Column): Column =
+    graft.plans.TextStatsExpr(c, stopwords("en"))
+
   /** Stopword ratio against the English set (quality signal). */
   def stopwordRatio(c: Column): Column = {
-    val n = tokenCount(c)
+    val st = textStats(c)
+    val n = st.getField("n_tok")
     when(n === 0, lit(0.0))
-      .otherwise(tokensIn(c, stopwords("en")).cast("double") / n)
+      .otherwise(st.getField("hits_en").cast("double") / n)
   }
 
   /** Language-ID heuristic: argmax over per-language stopword hits,
@@ -85,21 +94,20 @@ object TextFunctions {
     * pretraining-data filtering, expressed as one codegen'd expression.
     */
   def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast("double")
+    val st = textStats(c)
+    val nTok = st.getField("n_tok").cast("double")
     val lenScore =
       when(nTok < 5, nTok / 5.0)
         .when(nTok > 1000, lit(1000.0) / nTok)
         .otherwise(lit(1.0))
     val alphaRatio =
-      when(length(c) === 0, lit(0.0))
-        .otherwise(
-          length(regexp_replace(c, "[^A-Za-z ]", "")).cast("double") /
-            length(c))
+      when(st.getField("n_chars") === 0, lit(0.0))
+        .otherwise(st.getField("n_alpha").cast("double") / st.getField("n_chars"))
     val stopScore = least(stopwordRatio(c) * lit(2.5), lit(1.0))
     val distinctRatio =
-      when(nTok === 0, lit(0.0))
-        .otherwise(size(array_distinct(tokens(c))).cast("double") /
-          greatest(size(tokens(c)).cast("double"), lit(1.0)))
+      when(st.getField("n_tok") === 0, lit(0.0))
+        .otherwise(st.getField("n_dist").cast("double") /
+          greatest(st.getField("n_word").cast("double"), lit(1.0)))
     lenScore * 0.25 + alphaRatio * 0.25 + stopScore * 0.25 + distinctRatio * 0.25
   }
 
