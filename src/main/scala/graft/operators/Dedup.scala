@@ -178,9 +178,11 @@ object Dedup {
       minhashCandidates(df, textCol, idCol, numPerms, bands),
       df, textCol, idCol, threshold)
 
-  /** SimHash fingerprints. */
+  /** SimHash fingerprints (fused tokenize+hash single pass; identical
+    * values to SimHash64 over a materialized token array).
+    */
   def simhashFingerprint(text: Column): Column =
-    HashExpressions.simHash64(tokens(text))
+    HashExpressions.simHash64OfText(text)
 
   /** SimHash near-dups with hamming distance ≤ maxHamming, via pigeonhole
     * banding: fingerprints within hamming k must share at least one of
@@ -213,8 +215,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: failing pairs die pre-shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** n-gram Jaccard near-dups: word-ngram sets compared exactly over

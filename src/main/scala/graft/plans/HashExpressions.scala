@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -353,6 +354,51 @@ object HashExpressions {
   def simHash64(tokens: Column): Column =
     ExprColumn(SimHash64(ExprColumn.exprOf(tokens)))
 
+  def simHash64OfText(text: Column): Column =
+    ExprColumn(SimHash64Str(ExprColumn.exprOf(text)))
+
+  /** SimHash directly from raw text: lowercase once, scan bytes for
+    * [a-z0-9'] word runs (UTF-8 multibyte units have the high bit set,
+    * so they delimit exactly like the regex's non-word chars), hash each
+    * run's bytes — identical votes to SimHash64 over materialized
+    * tokens, with no array in between.
+    */
+  private[plans] def simhashText(s: UTF8String): Long = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes // materialized once; tight byte scan
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      var j = i
+      while (j < n && isWordByte(bytes(j))) j += 1
+      if (j > i) {
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + i, j - i, 42).toLong
+        val h2 = Murmur3_x86_32.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + i, j - i, 1042).toLong
+        val h = (h1 << 32) | (h2 & 0xffffffffL)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+        i = j
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == '\''
+
   def stopwordHits(tokens: Column, sets: Seq[Seq[String]]): Column =
     ExprColumn(StopwordHits(ExprColumn.exprOf(tokens), sets))
 
@@ -597,6 +643,23 @@ case class SrpSig(child: Expression, bits: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
+}
+
+/** SimHash-64 straight from text (fused tokenize+hash). */
+case class SimHash64Str(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.simhashText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $clz.simhashText($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Str =
     copy(child = newChild)
 }
 
