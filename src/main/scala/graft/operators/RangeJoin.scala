@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: match fact rows whose point value falls into
+  * `[lo, hi)` intervals of a ranges table — the other classic operator
+  * Spark plans poorly by default (a raw `BETWEEN` join becomes
+  * BroadcastNestedLoopJoin: every fact row probes every interval).
+  *
+  * Scale technique (the published bin-bucketing approach): pick a bin
+  * width, explode each interval into the bins it overlaps, bin each
+  * point, then EQUI-join on the bin id and re-check the exact predicate.
+  * The nested-loop O(|facts|·|ranges|) becomes a hash join of
+  * O(|facts| + Σ interval-width/bin) — and at 100 TB the equi-join
+  * shuffles/broadcasts like any other join, with AQE handling skewed
+  * bins.
+  *
+  * For a SMALL ranges table the plain broadcast nested-loop is already
+  * fine ([[naive]]); [[binned]] is the path for large interval sets.
+  */
+object RangeJoin {
+
+  /** Broadcast nested-loop formulation (small ranges side). */
+  def naive(
+      facts: DataFrame,
+      ranges: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String): DataFrame =
+    facts.join(
+      broadcast(ranges),
+      col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+
+  /** Bin-bucketed equi-join formulation.
+    *
+    * @param binWidth bin size in the point column's units; intervals
+    *                 spanning many bins replicate once per bin (choose
+    *                 binWidth ≈ median interval width).
+    */
+  def binned(
+      facts: DataFrame,
+      ranges: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    val rBinned = ranges.withColumn(
+      "_bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
+    val fBinned = facts.withColumn(
+      "_bin", floor(col(pointCol) / binWidth).cast("long"))
+    fBinned
+      .join(rBinned, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+}

@@ -346,6 +346,26 @@ object Extensions {
         lpad(col("p_brand"), 12, ".").as("padded"))
       .orderBy(col("p_partkey"))
 
+  /** Range join: classify line items into literal quantity intervals via
+    * the bin-bucketed equi-join (oracle: DuckDB inequality join over the
+    * same VALUES intervals).
+    */
+  def qA7RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val buckets = Seq(
+      ("small", 0.0, 15.0), ("mid", 15.0, 35.0), ("large", 35.0, 100.0))
+      .toDF("bucket", "lo", "hi")
+    graft.operators.RangeJoin.binned(
+      lineitem(s, d).select(col("l_quantity")),
+      buckets, "l_quantity", "lo", "hi", binWidth = 10.0)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("total_qty"))
+      .orderBy(col("bucket"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -373,7 +393,8 @@ object Extensions {
     "q42_event_pivot" -> qA3EventPivot _,
     "q43_approx_users" -> qA4ApproxUsers _,
     "q44_order_history_window" -> qA5OrderHistory _,
-    "q45_part_strings" -> qA6PartStrings _)
+    "q45_part_strings" -> qA6PartStrings _,
+    "q46_range_join_buckets" -> qA7RangeJoin _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -519,6 +540,14 @@ object Extensions {
          lpad(p_brand, 12, '.') AS padded
          FROM part WHERE p_partkey < 100
          ORDER BY p_partkey""",
+    "q46_range_join_buckets" ->
+      """SELECT bucket, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+         FROM lineitem
+         JOIN (VALUES ('small', 0.0, 15.0), ('mid', 15.0, 35.0),
+                      ('large', 35.0, 100.0)) AS b(bucket, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY bucket ORDER BY bucket""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,
