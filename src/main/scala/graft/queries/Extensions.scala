@@ -366,6 +366,20 @@ object Extensions {
       .orderBy(col("bucket"))
   }
 
+  /** Exact percentiles/median per group (interpolated) — Spark's
+    * `percentile` and DuckDB's `quantile_cont` interpolate identically
+    * (verified bit-exact), so this is oracle-checkable.
+    */
+  def qA8Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        median(col("l_extendedprice")).as("med_price"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"),
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -394,7 +408,8 @@ object Extensions {
     "q43_approx_users" -> qA4ApproxUsers _,
     "q44_order_history_window" -> qA5OrderHistory _,
     "q45_part_strings" -> qA6PartStrings _,
-    "q46_range_join_buckets" -> qA7RangeJoin _)
+    "q46_range_join_buckets" -> qA7RangeJoin _,
+    "q47_percentiles" -> qA8Percentiles _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -548,6 +563,13 @@ object Extensions {
                       ('large', 35.0, 100.0)) AS b(bucket, lo, hi)
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY bucket ORDER BY bucket""",
+    "q47_percentiles" ->
+      """SELECT l_returnflag,
+         median(l_extendedprice) AS med_price,
+         quantile_cont(l_extendedprice, 0.25) AS p25_price,
+         quantile_cont(l_extendedprice, 0.95) AS p95_price,
+         quantile_cont(l_quantity, 0.5) AS med_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,
