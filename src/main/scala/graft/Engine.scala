@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *     fixes shuffle-partition sizing and splits skewed sort-merge
   *     partitions — the first line of defense before manual salting
   *     (graft.operators.Skew is the second).
-  *   - shuffle.partitions defaults to 2× cores locally; on a real
+  *   - shuffle.partitions: local() sizes it to the core count; on a real
   *     cluster callers pass total executor cores (AQE coalesces down).
   *   - files.maxPartitionBytes 128m: one task ≈ one HDFS/S3 block;
   *     media tables with fat binary rows should pair this with
@@ -35,7 +35,13 @@ object Engine {
       withMaster.config("spark.sql.shuffle.partitions", n.toString))
   }
 
-  /** Local session sized to the host (tests/benchmarks/CLI). */
+  /** Local session sized to the host (tests/benchmarks/CLI).
+    * getOrCreate semantics: if a SparkSession already exists in this JVM
+    * it is returned as-is (master/core settings are NOT re-applied) —
+    * only runtime confs transfer. Attach-to-existing is intentional for
+    * notebooks; for a guaranteed-fresh local session stop the old one
+    * first.
+    */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = builder(master = Some(s"local[$cores]"),
       shufflePartitions = Some(cores))

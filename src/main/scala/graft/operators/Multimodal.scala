@@ -103,7 +103,7 @@ object Multimodal {
         col("content"),
         struct(
           lit(mediaType).as("media_type"),
-          regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("format"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
           lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height"),
           lit(null).cast("long").as("duration_ms"),

@@ -46,16 +46,27 @@ object RangeJoin {
       hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0)
-    val rBinned = ranges.withColumn(
-      "_bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
+    val bin = "_graft_range_bin"
+    require(!facts.columns.contains(bin) && !ranges.columns.contains(bin),
+      s"column $bin already exists")
+    // hi's own bin is included even though the interval is half-open —
+    // the exact re-check below removes boundary-bin false pairs, and any
+    // epsilon subtraction would silently DROP matches when a bin edge
+    // falls within the epsilon (or round away entirely for large hi).
+    // Degenerate intervals (lo >= hi) are filtered — sequence() would
+    // otherwise produce a descending range.
+    val rBinned = ranges
+      .filter(col(loCol) < col(hiCol))
+      .withColumn(
+        bin,
+        explode(sequence(
+          floor(col(loCol) / binWidth).cast("long"),
+          floor(col(hiCol) / binWidth).cast("long"))))
     val fBinned = facts.withColumn(
-      "_bin", floor(col(pointCol) / binWidth).cast("long"))
+      bin, floor(col(pointCol) / binWidth).cast("long"))
     fBinned
-      .join(rBinned, Seq("_bin"))
+      .join(rBinned, Seq(bin))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("_bin")
+      .drop(bin)
   }
 }

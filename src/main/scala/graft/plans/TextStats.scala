@@ -44,10 +44,23 @@ object TextStatsExpr {
     var e = str.length
     while (b < e && str.charAt(b) == ' ') b += 1
     while (e > b && str.charAt(e - 1) == ' ') e -= 1
-    val trimmed = str.substring(b, e)
+    // split("\\s+", -1).length == (number of \s+ runs) + 1 — counted by
+    // char scan (a per-row String.split would recompile the pattern and
+    // allocate the token array; \s is Java's ASCII class)
     val nTok =
-      if (trimmed.isEmpty) 0
-      else trimmed.split("\\s+", -1).length
+      if (b == e) 0
+      else {
+        var runs = 0
+        var p = b
+        var inWs = false
+        while (p < e) {
+          val ws = isJavaWs(str.charAt(p))
+          if (ws && !inWs) runs += 1
+          inWs = ws
+          p += 1
+        }
+        runs + 1
+      }
 
     // word tokens: lowercase, split on non [a-z0-9'], drop empties
     val lower = s.toLowerCase.toString // UTF8String casing == Spark lower()
@@ -82,6 +95,10 @@ object TextStatsExpr {
 
   private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
+
+  /** Java regex \s (no UNICODE flag): [ \t\n\x0B\f\r]. */
+  private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 }
 
 case class TextStats(child: Expression, stopwordsEn: Seq[String])

@@ -77,9 +77,10 @@ object Streams {
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static enrichment: join the event stream against a static
