@@ -380,6 +380,22 @@ object Extensions {
         percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube): per-status totals,
+    * per-priority totals, and the grand total in one pass — Spark 4's
+    * Dataset.groupingSets API.
+    */
+  def qA9GroupingSets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -409,7 +425,8 @@ object Extensions {
     "q44_order_history_window" -> qA5OrderHistory _,
     "q45_part_strings" -> qA6PartStrings _,
     "q46_range_join_buckets" -> qA7RangeJoin _,
-    "q47_percentiles" -> qA8Percentiles _)
+    "q47_percentiles" -> qA8Percentiles _,
+    "q48_grouping_sets" -> qA9GroupingSets _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -570,6 +587,12 @@ object Extensions {
          quantile_cont(l_extendedprice, 0.95) AS p95_price,
          quantile_cont(l_quantity, 0.5) AS med_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q48_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,
