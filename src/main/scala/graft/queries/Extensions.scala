@@ -396,6 +396,37 @@ object Extensions {
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
   }
 
+  /** Array-function surface over the embeddings table (size, indexing,
+    * min/max, slicing) — raw float values pass through bit-identically.
+    */
+  def qB1ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_component"),
+        array_max(col("embedding")).as("max_component"),
+        array_min(col("embedding")).as("min_component"),
+        size(slice(col("embedding"), 1, 8)).as("head_len"))
+      .orderBy(col("vec_id"))
+
+  /** Date-part extraction + day arithmetic over orders. Weekday is
+    * surfaced as ISO dow (Spark weekday()+1 == DuckDB isodow).
+    */
+  def qB2DateParts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch95"))
+      .orderBy(col("o_orderkey"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -426,7 +457,9 @@ object Extensions {
     "q45_part_strings" -> qA6PartStrings _,
     "q46_range_join_buckets" -> qA7RangeJoin _,
     "q47_percentiles" -> qA8Percentiles _,
-    "q48_grouping_sets" -> qA9GroupingSets _)
+    "q48_grouping_sets" -> qA9GroupingSets _,
+    "q49_array_funcs" -> qB1ArrayFuncs _,
+    "q50_date_parts" -> qB2DateParts _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -593,6 +626,26 @@ object Extensions {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q49_array_funcs" ->
+      """SELECT vec_id,
+         len(embedding) AS dim,
+         embedding[1] AS first_component,
+         list_max(embedding) AS max_component,
+         list_min(embedding) AS min_component,
+         len(embedding[1:8]) AS head_len
+         FROM embeddings WHERE vec_id < 50
+         ORDER BY vec_id""",
+    "q50_date_parts" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS y,
+         quarter(o_orderdate) AS q,
+         month(o_orderdate) AS m,
+         dayofmonth(o_orderdate) AS dom,
+         isodow(o_orderdate) AS isodow,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS days_since_epoch95
+         FROM orders WHERE o_orderkey < 500
+         ORDER BY o_orderkey""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts, event_id, value,
