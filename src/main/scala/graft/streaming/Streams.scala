@@ -83,6 +83,34 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: match each event of `left` to events
+    * of `right` from the same user within `[t - window, t]` — both
+    * sides watermarked so join state is evicted (unbounded otherwise).
+    * The canonical funnel/attribution join shape on two live streams.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      window: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - INTERVAL $window AND l.ts"))
+  }
+
+  /** foreachBatch sink: per-micro-batch handler with the batch id —
+    * the production pattern for sinks Spark has no connector for
+    * (idempotent upserts, JDBC merges, multi-table writes). The handler
+    * gets a BATCH DataFrame, so every batch can use full batch APIs
+    * (e.g. graft.sink.Save).
+    */
+  def foreachBatchSink(
+      df: DataFrame,
+      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch(handler)
+
   /** Stream-static enrichment: join the event stream against a static
     * (broadcastable) dimension — the standard streaming-lookup shape; the
     * static side re-plans per micro-batch, no state store involved.

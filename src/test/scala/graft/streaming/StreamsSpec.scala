@@ -140,6 +140,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = Streams.intervalJoin(
+      buys.toDF().select(col("event_id").as("buy_id"), col("ts"), col("user_id")),
+      clicks.toDF().select(col("event_id").as("click_id"), col("ts"), col("user_id")),
+      key = "user_id", window = "30 MINUTES")
+      .select(col("buy_id"), col("click_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 10:00:00", 1),
+        ev(11, "2024-01-01 08:00:00", 1), // too old for the buy below
+        ev(12, "2024-01-01 10:05:00", 2))
+      buys.addData(ev(20, "2024-01-01 10:20:00", 1))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 10L))) // same user, within 30 min
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink hands batches to batch-API handlers") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Streams.foreachBatchSink(
+      input.toDF(), (batch, id) => { batch.count(); seen.add(id) })
+      .start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 10:01:00", 1))
+      q.processAllAvailable()
+      assert(seen.size() >= 2)
+    } finally q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
