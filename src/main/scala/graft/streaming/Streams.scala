@@ -93,11 +93,12 @@ object Streams {
       right: DataFrame,
       key: String,
       window: String,
-      watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).as("l")
-    val r = right.withWatermark("ts", watermark).as("r")
+      watermark: String = "1 hour",
+      tsCol: String = "ts"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).as("l")
+    val r = right.withWatermark(tsCol, watermark).as("r")
     l.join(r,
-      expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - INTERVAL $window AND l.ts"))
+      expr(s"l.$key = r.$key AND r.$tsCol BETWEEN l.$tsCol - INTERVAL $window AND l.$tsCol"))
   }
 
   /** foreachBatch sink: per-micro-batch handler with the batch id —
