@@ -59,6 +59,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
+        # dtype KIND must agree: DuckDB HUGEINT surfaces as float64 while
+        # Spark emits int64 — values compare equal but a hash-sensitive
+        # driver compare fails (bit r1: q37 session_id). Catch it here.
+        bad_kinds = [c for c in g.columns
+                     if g[c].dtype.kind != w[c].dtype.kind]
+        if bad_kinds:
+            print(f"FAIL {name}: dtype kind mismatch "
+                  f"{[(c, str(g[c].dtype), str(w[c].dtype)) for c in bad_kinds]}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)

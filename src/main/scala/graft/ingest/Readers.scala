@@ -78,7 +78,7 @@ object Readers {
     val cleansed = Cleanse.cells(raw)
     val noSep = Cleanse.dropSeparatorRows(cleansed)
     val noBlank = Cleanse.dropBlankRows(noSep)
-    noBlank.select(keep.map(col).toIndexedSeq: _*)
+    noBlank.select(keep.map(Cleanse.colRef).toIndexedSeq: _*)
   }
 
   /** JSON-lines scan (extension beyond the reference, which pushes .json

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Cleanse {
 
+  /** Column reference that tolerates arbitrary header strings: `col(name)`
+    * parses dots as struct access (a CSV header "price.usd" would fail
+    * analysis), so every reference to an ingested header goes through a
+    * backtick-quoted attribute (inner backticks doubled per SQL escaping).
+    */
+  def colRef(name: String): Column = col(s"`${name.replace("`", "``")}`")
+
   /** trim → strip edge quotes → strip edge pipes (reference order,
     * index.js:115: `.trim().replace(/^"|"$/g,'').replace(/^\||\|$/g,'')`),
     * then empty-string → null (save-path semantics, `cells[idx] || null`,
@@ -36,7 +43,7 @@ object Cleanse {
 
   /** Apply [[cell]] to every column of an all-string DataFrame. */
   def cells(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => cell(col(c)).as(c)).toIndexedSeq: _*)
+    df.select(df.columns.map(c => cell(colRef(c)).as(c)).toIndexedSeq: _*)
 
   /** Drop Markdown separator rows: the reference skips any raw line
     * containing `---` (index.js:114, 219). Post-split, a line contains
@@ -45,7 +52,7 @@ object Cleanse {
     */
   def dropSeparatorRows(df: DataFrame): DataFrame = {
     val anySep = df.columns
-      .map(c => coalesce(col(c).contains("---"), lit(false)))
+      .map(c => coalesce(colRef(c).contains("---"), lit(false)))
       .reduceOption(_ || _)
       .getOrElse(lit(false))
     df.filter(!anySep)
@@ -56,7 +63,7 @@ object Cleanse {
     */
   def dropBlankRows(df: DataFrame): DataFrame = {
     val allBlank = df.columns
-      .map(c => col(c).isNull || trim(col(c)) === "")
+      .map(c => colRef(c).isNull || trim(colRef(c)) === "")
       .reduceOption(_ && _)
       .getOrElse(lit(false))
     df.filter(!allBlank)

@@ -25,7 +25,7 @@ object SmartId {
 
   def withSmartId(df: DataFrame, dense: Boolean = false): DataFrame =
     if (hasId(df.columns.toIndexedSeq)) df
-    else if (!dense) df.select((monotonically_increasing_id() + 1).as("id") +: df.columns.map(col).toIndexedSeq: _*)
+    else if (!dense) df.select((monotonically_increasing_id() + 1).as("id") +: df.columns.map(Cleanse.colRef).toIndexedSeq: _*)
     else denseIds(df)
 
   /** Contiguous ids without a global sort: RDD zipWithIndex — one count

@@ -655,8 +655,11 @@ object Extensions {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (
-           SELECT *, sum(new_session) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           -- CAST: DuckDB's window sum yields HUGEINT (pandas float64);
+           -- Spark emits BIGINT — int64 on both sides for the hash gate.
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
            FROM g)
          SELECT user_id, session_id,
            min(ts) AS session_start, max(ts) AS session_end,

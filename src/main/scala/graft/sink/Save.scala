@@ -36,11 +36,12 @@ object Save {
   /** Projection + declared-type cast + Smart-ID: the logical load plan.
     *
     * The reference inserts strings and lets PostgreSQL cast server-side
-    * (index.js:249-273); our `cast` runs in-plan. Non-coercible strings
-    * become null (Spark non-ANSI cast) where PG would abort the
-    * transaction — documented deviation (SURVEY.md §7.5(4)); empty cells
-    * are already null from the cleanse (Cleanse.cell), matching PG's
-    * `'' :: numeric` rejection turned into null-tolerance.
+    * (index.js:249-273); our cast runs in-plan as `try_cast`, so a
+    * non-coercible cell becomes null instead of aborting the whole load
+    * mid-write (Spark 4 runs ANSI-on, where a plain `cast` throws) —
+    * documented deviation from PG's transaction-abort (SURVEY.md §7.5(4)).
+    * Empty cells are already null from the cleanse (Cleanse.cell),
+    * matching PG's `'' :: numeric` rejection turned into null-tolerance.
     */
   def prepare(
       df: DataFrame,
@@ -51,7 +52,7 @@ object Save {
     require(cols.nonEmpty, "no selected column exists in the input")
     val typed = cols.map { c =>
       val dt = TypeMapper.toDataType(columnTypes.getOrElse(c, "TEXT"))
-      col(c).cast(dt).as(c)
+      Cleanse.colRef(c).try_cast(dt).as(c)
     }
     SmartId.withSmartId(df.select(typed: _*))
   }

@@ -138,7 +138,10 @@ object Streams {
       n_events: Long, total_value: Double)
 
   /** Custom stateful sessionization: a session closes after `gapMs` of
-    * user inactivity (processing-time timeout closes idle sessions).
+    * user inactivity. Idle sessions are closed by the chosen timeout:
+    * ProcessingTimeTimeout arms a wall-clock timer per batch;
+    * EventTimeTimeout arms a timestamp at lastTs + gap (requires a
+    * watermark on `events` upstream — Spark enforces this at analysis).
     * flatMapGroupsWithState = the arbitrary-state path the built-in
     * session_window can't always express (e.g., value-dependent gaps).
     */
@@ -183,6 +186,8 @@ object Streams {
               state.update(s)
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
                 state.setTimeoutDuration(gapMs)
+              else if (timeout == GroupStateTimeout.EventTimeTimeout)
+                state.setTimeoutTimestamp(s.lastTs + gapMs)
             }
             closed.reverseIterator
           }

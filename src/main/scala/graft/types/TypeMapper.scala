@@ -15,9 +15,15 @@ import org.apache.spark.sql.types._
   *   - the reference maps BYTEA via the TEXT fallback (index.js:58);
   *     we map it to BinaryType (a multimodal pipeline needs real binary).
   *
-  * Matching is case-insensitive substring/keyword matching, same shape as
-  * the reference, with the same total fallback: any unrecognized string →
-  * StringType (index.js:58).
+  * Matching mirrors the reference exactly: substring (`includes`) tests
+  * only for the keywords the reference substring-matches
+  * (NVARCHAR/VARCHAR/CHAR, FLOAT/DOUBLE/REAL, DECIMAL/NUMERIC/MONEY,
+  * DATETIME — index.js:41,45,46,49) and **exact equality** for the rest
+  * (TEXT, INT/INTEGER/SMALLINT/BIGINT, TIMESTAMP, DATE, TIME, BIT,
+  * BOOLEAN, UUID, JSONB — index.js:41,44,49-56), so inputs like INTERVAL
+  * or POINT fall through to the TEXT fallback instead of being
+  * mis-captured by an "INT" substring. Same total fallback: any
+  * unrecognized string → StringType (index.js:58).
   */
 object TypeMapper {
 
@@ -27,25 +33,30 @@ object TypeMapper {
   def toDataType(raw: String): DataType = {
     val t = Option(raw).getOrElse("").trim.toUpperCase
     if (t.isEmpty) StringType
-    // Precision-bearing decimal first so NUMERIC(18,2) keeps its scale.
+    // Text types first, same order as the reference (index.js:41):
+    // substring for the VARCHAR/CHAR family, exact for TEXT.
+    else if (has(t, "NVARCHAR", "VARCHAR", "CHAR") || is(t, "TEXT", "STRING")) StringType
+    // INT family: exact equality only (index.js:44) — substring would
+    // swallow INTERVAL/POINT/etc. BIGSERIAL/SERIAL/SMALLSERIAL are the
+    // Smart-ID DDL names, accepted exactly as extensions.
+    else if (is(t, "BIGINT", "BIGSERIAL")) LongType // deviation: kept 64-bit
+    else if (is(t, "SMALLINT", "SMALLSERIAL")) ShortType // deviation: kept 16-bit
+    else if (is(t, "TINYINT")) ByteType // extension (reference → TEXT)
+    else if (is(t, "INT", "INTEGER", "SERIAL")) IntegerType
+    else if (has(t, "DOUBLE", "REAL")) DoubleType // substring (index.js:45)
+    else if (has(t, "FLOAT")) FloatType // substring (index.js:45)
+    // Precision-bearing decimal keeps NUMERIC(18,2) scale (substring, index.js:46).
     else if (has(t, "DECIMAL", "NUMERIC", "MONEY")) parseDecimal(t)
-    else if (has(t, "BIGINT")) LongType // before INT substring match
-    else if (has(t, "SMALLINT")) ShortType // before INT substring match
-    else if (has(t, "TINYINT")) ByteType
-    else if (has(t, "INTEGER", "INT", "SERIAL")) IntegerType
-    else if (has(t, "DOUBLE", "REAL")) DoubleType
-    else if (has(t, "FLOAT")) FloatType
-    // TIMESTAMP/DATETIME before DATE/TIME (substring overlap).
-    else if (has(t, "TIMESTAMP", "DATETIME")) TimestampType
-    else if (has(t, "DATE")) DateType
+    // DATETIME substring, TIMESTAMP exact (index.js:49).
+    else if (has(t, "DATETIME") || is(t, "TIMESTAMP")) TimestampType
+    else if (is(t, "DATE")) DateType
     // Reference maps TIME → PG TIME; Spark has no time-of-day type.
     // Documented choice (SURVEY.md §1.3): StringType preserving "HH:mm:ss".
-    else if (has(t, "TIME")) StringType
-    else if (has(t, "BIT", "BOOL")) BooleanType
-    else if (has(t, "BYTEA", "BINARY", "BLOB")) BinaryType
-    else if (has(t, "UUID")) StringType // validated format, stored as text
-    else if (has(t, "JSON")) StringType // JSONB → text + from_json downstream
-    else if (has(t, "VARCHAR", "NVARCHAR", "CHAR", "TEXT", "STRING")) StringType
+    else if (is(t, "TIME")) StringType
+    else if (is(t, "BIT", "BOOLEAN", "BOOL")) BooleanType
+    else if (is(t, "BYTEA", "BINARY", "BLOB")) BinaryType // deviation: real binary
+    else if (is(t, "UUID")) StringType // validated format, stored as text
+    else if (is(t, "JSONB", "JSON")) StringType // JSONB → text + from_json downstream
     else StringType // total fallback, same behavior as index.js:58
   }
 
@@ -69,6 +80,8 @@ object TypeMapper {
   }
 
   private def has(t: String, kws: String*): Boolean = kws.exists(t.contains)
+
+  private def is(t: String, kws: String*): Boolean = kws.contains(t)
 
   private val DecimalArgs = """.*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\).*""".r
 

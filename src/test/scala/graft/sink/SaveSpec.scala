@@ -47,6 +47,29 @@ class SaveSpec extends SparkSpec {
     assert(df.schema("amount").dataType == DecimalType(18, 2))
   }
 
+  test("non-coercible cells become null (try_cast), not a mid-write abort") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val p = csv("id,amount\n1,12.50\n2,not-a-number\n3,7\n")
+    val out = Save.ingest(spark, p, wh, "badcell", Seq("id", "amount"),
+      Map("id" -> "BIGINT", "amount" -> "NUMERIC(18,2)"))
+    val rows = spark.read.parquet(out).orderBy("id")
+      .select("amount").collect().map(r => Option(r.get(0)))
+    assert(rows.toSeq == Seq(
+      Some(new java.math.BigDecimal("12.50")), None,
+      Some(new java.math.BigDecimal("7.00"))))
+  }
+
+  test("headers with dots/backticks survive ingestion (quoted col refs)") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val p = csv("price.usd,qty`x\n1.5,2\n3.0,4\n")
+    val out = Save.ingest(spark, p, wh, "dotted",
+      Seq("price.usd", "qty`x"), Map("price.usd" -> "DOUBLE"))
+    val df = spark.read.parquet(out)
+    assert(df.columns.toSeq == Seq("id", "price.usd", "qty`x"))
+    assert(df.agg(org.apache.spark.sql.functions
+      .sum(graft.ops.Cleanse.colRef("price.usd"))).head.getDouble(0) == 4.5)
+  }
+
   test("K1 guard: duplicate save rejected; staging dir cleaned") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val p = csv("a,b\n1,2\n")

@@ -67,6 +67,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout closes idle sessions once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      gapMs = 30 * 60 * 1000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_et").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, v = 2.0),
+        ev(2, "2024-01-01 10:10:00", 1, v = 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_et").isEmpty) // session still open
+      // another user's late-day event advances the watermark past
+      // 10:10 + 30min -> user 1's idle session must time out and emit
+      input.addData(ev(3, "2024-01-01 13:00:00", 2, v = 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_et").as[Session].collect()
+      assert(got.length == 1)
+      assert(got(0).user_id == 1L && got(0).n_events == 2)
+      assert(got(0).session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
   test("batch sessionize twin agrees with hand-computed sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
