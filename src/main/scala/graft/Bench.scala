@@ -22,11 +22,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest sf so per-query numbers measure
-    // the query, not first-use class loading.
+    // JVM/codegen warmup: run EVERY query once at the smallest sf before
+    // timing — the first execution of each query shape pays whole-stage
+    // codegen compilation + classloading (measured 3.4s vs 0.5s
+    // steady-state for the minhash pipeline); warming on sf0.001 data
+    // compiles the same generated classes without touching the measured
+    // dataset. Cached intermediates from warmup are dropped so the timed
+    // runs do their own work.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
+    // Optional comma-separated name filter for targeted profiling runs;
+    // unset (the driver's invocation) benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
         case e: Throwable =>

@@ -62,7 +62,27 @@ object Dedup {
   def minhashSignature(text: Column, numPerms: Int = 64, shingleLen: Int = 5): Column =
     HashExpressions.minhashSignatureOfText(canonical(text), shingleLen, numPerms)
 
+  /** All unordered member pairs of a (sorted) bucket array, generated
+    * locally: for member i, pair it with every later member. One
+    * expression tree — no self-join, so a candidate bucket costs zero
+    * shuffles beyond the groupBy that built it. Bucket sizes are bounded
+    * by the caller (maxBucket), which bounds the quadratic locally.
+    */
+  private def localPairs(ms: Column): Column =
+    flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(x.as("a"), y.as("b")))))
+
   /** Candidate pairs from MinHash-LSH banding.
+    *
+    * Shape: ONE hash-shuffle (groupBy band+bucket → collect member ids)
+    * followed by local pair generation inside each bucket, then a
+    * distinct across bands. The previous window-count + bucket self-join
+    * formulation paid three extra shuffle stages (window, join build,
+    * join probe) for the same pair set — at the 100 TB design point the
+    * groupBy form also moves strictly less data: ids ride the shuffle
+    * once instead of once per join side, and oversized buckets are
+    * dropped by a local size() filter instead of a windowed count.
     *
     * @param bands   number of LSH bands (numPerms % bands == 0). Default
     *                8 bands of r=8 rows: S-curve threshold (1/8)^(1/8) ≈
@@ -75,8 +95,8 @@ object Dedup {
     * @param maxBucket safety valve against degenerate buckets (boilerplate
     *                shingles): buckets larger than this are dropped — at
     *                scale a hot bucket would otherwise quadratically blow
-    *                up the join. Dropped buckets are observable via
-    *                [[lshBucketStats]].
+    *                up the pair volume (and the collect_list buffer).
+    *                Dropped buckets are observable via [[lshBucketStats]].
     */
   def minhashCandidates(
       df: DataFrame,
@@ -95,18 +115,14 @@ object Dedup {
       posexplode(HashExpressions.minhashBandHashes(
         canonical(col(textCol)), shingleLen = 5, numPerms = numPerms,
         bands = bands)).as(Seq("band", "bh")))
-      // tiny (rows × bands) relation reused by bucket sizing AND both
-      // self-join sides — cache instead of recomputing the corpus scan
-      // three times
-      .cache()
-    val sized = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bsize") <= maxBucket)
-    val l = sized.select(col("band"), col("bh"), col("id").as("id_a"))
-    val rj = sized.select(col("band"), col("bh"), col("id").as("id_b"))
-    l.join(rj, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(localPairs(col("members"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      // a pair can fire in several bands — distinct is the only
+      // cross-bucket coordination left in the pipeline
       .distinct()
   }
 
@@ -156,6 +172,9 @@ object Dedup {
       col(idCol).as("id"),
       HashExpressions.shingleHashSet(canonical(col(textCol)), shingleLen).as("sh"))
       .join(ids, Seq("id"), "left_semi")
+      // referenced by BOTH pair-side joins below: uncached, the whole
+      // shingle pass (and its semi-join) would run twice
+      .cache()
     val withA = cached
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
     val withB = withA
@@ -195,9 +214,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
     // cache: the fingerprint expression would otherwise be inlined into
-    // every chunk lambda (CollapseProject) and recomputed on both
-    // self-join sides — same trap as the MinHash banding path
+    // every chunk lambda (CollapseProject) and recomputed per chunk row
     val fp = df.select(
       col(idCol).as("id"),
       simhashFingerprint(col(textCol)).as("fp"))
@@ -207,17 +226,36 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         struct(c.as("chunk"),
           call_function("shiftrightunsigned", col("fp"), c * lit(bitsPer))
-            .bitwiseAND(lit((1L << bitsPer) - 1)).as("ch")))).as("cc"))
-      .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+            .bitwiseAND(lit(mask)).as("ch")))).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"), col("id"), col("fp"))
+    // Pair generation stays a bucket self-join (NOT collect_list +
+    // local pair-gen like minhashCandidates): simhash chunk buckets are
+    // hot by construction — k+1 chunks of 64/(k+1) bits each give few
+    // distinct bucket values, and a clustered corpus concentrates
+    // thousands of rows in one bucket (measured 3184/5000 docs at
+    // sf0.1, 17.5M raw pairs). A join spreads that quadratic work
+    // across tasks; a per-bucket local generator serializes it into one
+    // task (measured 23s vs 5s).
+    //
+    // Dedup across chunks costs NO shuffle: chunk membership is
+    // derivable from the two fingerprints, so each qualifying pair is
+    // kept only where it first agrees — the chunk-c bucket with
+    // c == min{c' : chunks agree at c'} — replacing the previous
+    // full-output distinct() with a codegen'd filter.
+    val xor = col("fp_a").bitwiseXOR(col("fp_b"))
+    val firstEqualChunk = (0 until chunks).foldRight(lit(-1): Column) { (c, els) =>
+      when(call_function("shiftrightunsigned", xor, lit(c * bitsPer))
+        .bitwiseAND(lit(mask)) === 0L, lit(c)).otherwise(els)
+    }
     val l = banded.select(col("chunk"), col("ch"), col("id").as("id_a"), col("fp").as("fp_a"))
     val rj = banded.select(col("chunk"), col("ch"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(rj, Seq("chunk", "ch"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      // filter BEFORE the distinct: failing pairs die pre-shuffle
+      .withColumn("hamming", bit_count(xor))
+      // hamming first (cheap kill), then exactly-once emission
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .filter(firstEqualChunk === col("chunk"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** n-gram Jaccard near-dups: word-ngram sets compared exactly over
@@ -238,6 +276,8 @@ object Dedup {
       col(idCol).as("id"),
       HashExpressions.ngramHashSet(tokens(col(textCol)), n).as("ng"))
       .join(ids, Seq("id"), "left_semi")
+      // both pair-side joins read it — cache to run the n-gram pass once
+      .cache()
     cand
       .join(ng.select(col("id").as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
       .join(ng.select(col("id").as("id_b"), col("ng").as("ng_b")), Seq("id_b"))

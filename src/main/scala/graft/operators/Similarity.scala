@@ -187,23 +187,14 @@ object Similarity {
     best
   }
 
-  /** Nearest-centroid assignment as ONE shared expression: centroids as
-    * an array<array<double>> literal, per-centroid distances via
-    * transform, argmin via array_position(array_min). (A naive unrolled
-    * per-centroid formulation duplicates every distance subtree into
-    * every comparison — exponential codegen blowup; this shape is linear.)
+  /** Nearest-centroid assignment as ONE fused expression (argmin of
+    * squared L2 over the centroid table in a single JVM loop per row).
+    * Same distances and first-minimum tie-breaking as the earlier
+    * transform/aggregate + array_position(array_min) formulation, without
+    * its per-centroid interpreted lambda evaluation.
     */
-  private def nearestCentroidCol(vec: Column, cents: Array[Array[Double]]): Column = {
-    val centsArr = array(cents.map(cv => array(cv.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val dists = transform(centsArr, c =>
-      aggregate(
-        zip_with(vec, c, (x, cc) => {
-          val t = x.cast("double") - cc
-          t * t
-        }),
-        lit(0.0), (acc, v) => acc + v))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private def nearestCentroidCol(vec: Column, cents: Array[Array[Double]]): Column =
+    graft.plans.HashExpressions.nearestCentroid(vec, cents)
 
   /** IVF query: probe the nprobe nearest clusters only. */
   def ivfTopK(

@@ -402,6 +402,31 @@ object HashExpressions {
   def stopwordHits(tokens: Column, sets: Seq[Seq[String]]): Column =
     ExprColumn(StopwordHits(ExprColumn.exprOf(tokens), sets))
 
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    ExprColumn(NearestCentroid(ExprColumn.exprOf(vec.cast("array<double>")), cents))
+
+  /** Argmin over squared L2 distances to a literal centroid table — one
+    * fused loop per row. Left-to-right double accumulation and strict-<
+    * first-minimum, matching the aggregate(zip_with)/array_position(
+    * array_min) formulation it replaces bit-for-bit.
+    */
+  private[plans] def nearestCentroidEval(
+      vec: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(vec.numElements(), c.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { val t = vec.getDouble(j) - c(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** Per-language membership counts in one pass (hash-set lookups). */
   private[plans] def stopwordHitsEval(
       tokens: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
@@ -452,6 +477,30 @@ case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment: array<double> → int cluster index over a
+  * literal centroid table (the IVF assignment hot path — a higher-order
+  * transform/aggregate formulation evaluates interpreted lambdas per
+  * centroid per row, measured ~4× slower at sf0.1).
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.nearestCentroidEval(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val centsRef = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.nearestCentroidEval($c, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
 

@@ -369,15 +369,28 @@ object Extensions {
   /** Exact percentiles/median per group (interpolated) — Spark's
     * `percentile` and DuckDB's `quantile_cont` interpolate identically
     * (verified bit-exact), so this is oracle-checkable.
+    *
+    * All three l_extendedprice quantiles come from ONE array-argument
+    * percentile aggregate: one value buffer per group instead of three
+    * (median is percentile 0.5 — same implementation, same result), ~2×
+    * at sf0.1 and linearly better with group cardinality. Exact
+    * percentile fundamentally buffers each group's values; the 100 TB
+    * path is `approx_percentile` (KLL/GK-style bounded sketch) — the
+    * oracle pins exact semantics here.
     */
   def qA8Percentiles(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        median(col("l_extendedprice")).as("med_price"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.95))).as("pp"),
         percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("pp"), 2).as("med_price"),
+        element_at(col("pp"), 1).as("p25_price"),
+        element_at(col("pp"), 3).as("p95_price"),
+        col("med_qty"))
       .orderBy(col("l_returnflag"))
 
   /** Arbitrary GROUPING SETS (beyond rollup/cube): per-status totals,

@@ -33,6 +33,16 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** documents/embeddings ship as ONE small parquet file each (single
+    * row-group → a single input split), so expensive per-row expressions
+    * (minhash banding, simhash, SRP signatures) would serialize on one
+    * core. Repartitioning to the session's parallelism costs a shuffle of
+    * a few MB and buys 32× on the CPU-bound operators. At 100 TB the
+    * source arrives in thousands of splits and this becomes a no-op
+    * choice — a production reader would drop it.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }
