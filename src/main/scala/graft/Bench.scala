@@ -29,18 +29,20 @@ object Bench {
     // compiles the same generated classes without touching the measured
     // dataset. Cached intermediates from warmup are dropped so the timed
     // runs do their own work.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => }
-    }
-    spark.catalog.clearCache()
     // Optional comma-separated name filter for targeted profiling runs;
     // unset (the driver's invocation) benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => }
+      }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

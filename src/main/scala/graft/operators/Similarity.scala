@@ -222,8 +222,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs similarity: every (id_a < id_b) pair with cosine ≥
+    * threshold. O(n²) by definition — the correctness baseline (and the
+    * oracle-checkable face of embedding dedup); [[embeddingNearDups]] is
+    * the scale path, approximating this with LSH-bounded candidate
+    * volume. The inequality self-join broadcasts the smaller side
+    * (BroadcastNestedLoopJoin), so pair generation distributes over the
+    * big side's partitions.
+    */
+  def allPairsSimilar(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    // Norms once per VECTOR (not per pair), and the threshold predicate
+    // INSIDE the join condition: the nested-loop join then emits only
+    // qualifying pairs instead of materializing all n²/2 joined rows
+    // (with both vectors copied into each) for a post-filter — measured
+    // 29s → ~1s at sf0.1.
+    val a = corpus.select(
+      col(idCol).as("id_a"), col(vecCol).as("v_a"), norm(col(vecCol)).as("n_a"))
+    val b = corpus.select(
+      col(idCol).as("id_b"), col(vecCol).as("v_b"), norm(col(vecCol)).as("n_b"))
+    val denom = col("n_a") * col("n_b")
+    val cos = when(denom === 0.0, lit(0.0)).otherwise(dot(col("v_a"), col("v_b")) / denom)
+    a.join(broadcast(b), col("id_a") < col("id_b") && cos >= threshold)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
+  }
+
   /** Embedding near-duplicates: all pairs with cosine ≥ threshold, via
-    * SRP-LSH blocking + exact verify (the embedding-cosine dedup path).
+    * multi-table SRP-LSH blocking + exact verify (the embedding-cosine
+    * dedup path). Recall for a pair at angle θ is
+    * 1 − (1 − (1 − θ/π)^bits)^tables — single-table 8-bit SRP catches
+    * ~30% of cosine-0.9 pairs, 16 tables catch ~99.7%. All `tables`
+    * signatures come from one fused pass over the vector; candidates are
+    * a bucket join per table, deduped across tables by the final
+    * distinct (pair volume, not corpus volume).
     */
   def embeddingNearDups(
       corpus: DataFrame,
@@ -231,13 +265,15 @@ object Similarity {
       idCol: String,
       threshold: Double,
       dim: Int,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      tables: Int = 8): DataFrame = {
     val sigged = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      srpSignature(col(vecCol), dim, bits).as("bucket"))
-    val l = sigged.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sigged.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+      posexplode(graft.plans.HashExpressions.srpSignatures(col(vecCol), bits, tables))
+        .as(Seq("tbl", "sig")))
+    val l = sigged.select(col("tbl"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = sigged.select(col("tbl"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

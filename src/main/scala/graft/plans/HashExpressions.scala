@@ -346,6 +346,42 @@ object HashExpressions {
     (x ^ (x >>> 31)) >= 0
   }
 
+  def srpSignatures(vec: Column, bits: Int, tables: Int): Column =
+    ExprColumn(SrpSigMulti(ExprColumn.exprOf(vec.cast("array<double>")), bits, tables))
+
+  /** All `tables` SRP signatures in ONE pass over the vector: table t's
+    * bit i uses hyperplane index (t*bits + i), so table 0 equals the
+    * single-table [[srpEval]] signature with the same `bits`.
+    */
+  private[plans] def srpMultiEval(vec: ArrayData, bits: Int, tables: Int): ArrayData = {
+    val total = bits * tables
+    val acc = new Array[Double](total)
+    val dim = vec.numElements()
+    var j = 0
+    while (j < dim) {
+      val x = vec.getDouble(j)
+      var i = 0
+      while (i < total) {
+        if (splitmixSign(i.toLong * 131071 + j)) acc(i) += x else acc(i) -= x
+        i += 1
+      }
+      j += 1
+    }
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        if (acc(t * bits + i) >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
   def minhashBandHashes(
       canonical: Column, shingleLen: Int = 5, numPerms: Int = 64,
       bands: Int = 8): Column =
@@ -673,6 +709,29 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Multi-table SRP signatures: array<double> → array<long> of `tables`
+  * packed sign-bit signatures, one fused pass.
+  */
+case class SrpSigMulti(child: Expression, bits: Int, tables: Int)
+  extends UnaryExpression {
+
+  require(bits > 0 && bits <= 64 && tables > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.srpMultiEval(input.asInstanceOf[ArrayData], bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.srpMultiEval($c, $bits, $tables);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSigMulti =
+    copy(child = newChild)
 }
 
 /** One-pass sign-random-projection signature: array<float> → long. */

@@ -440,6 +440,90 @@ object Extensions {
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch95"))
       .orderBy(col("o_orderkey"))
 
+  /** Exact embedding near-dup pairs (cosine ≥ 0.4, all pairs) —
+    * oracle-checked: the sequential-double cosine matches DuckDB
+    * bit-for-bit, so the O(n²) baseline is hash-comparable.
+    */
+  def qV5EmbeddingPairsExact(s: SparkSession, d: String): DataFrame =
+    Similarity.allPairsSimilar(embeddings(s, d), "embedding", "vec_id", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SRP-LSH-blocked embedding near-dups (rows-only: recall depends on
+    * bucketing) — the scale path whose exact twin is q51.
+    */
+  def qV6EmbeddingPairsLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDups(
+      embeddings(s, d), "embedding", "vec_id", threshold = 0.4, dim = 64,
+      bits = 8, tables = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Set-operation surface: customers ordering in both 1995 and 1996
+    * (INTERSECT) and in 1995 only (EXCEPT), tagged and unioned.
+    */
+  def qA10SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def custsIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val both = custsIn(1995).intersect(custsIn(1996))
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val only95 = custsIn(1995).except(custsIn(1996))
+      .select(lit("only_1995").as("tag"), col("o_custkey"))
+    both.unionByName(only95).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Per-language top-5 terms by frequency (explode → count → windowed
+    * top-k; ties broken by term) — the corpus-vocabulary shape.
+    */
+  def qT5TopTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("term"))
+    documents(s, d)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Skew-mitigated equi-join (salted): lineitem × supplier through
+    * Skew.saltedJoin — result provably equal to the plain join, which is
+    * exactly what the oracle checks.
+    */
+  def qA11SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    graft.operators.Skew.saltedJoin(li, sup, "suppkey", salt = 8)
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("total_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  /** Window-function breadth #2: percent_rank / cume_dist / first_value /
+    * nth_value over per-nation customer balances (unique ordering key →
+    * deterministic frames on both engines).
+    */
+  def qA12WindowBreadth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value(col("c_custkey")).over(w).as("poorest"),
+        nth_value(col("c_acctbal"), 2).over(w).as("second_bal"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -472,7 +556,13 @@ object Extensions {
     "q47_percentiles" -> qA8Percentiles _,
     "q48_grouping_sets" -> qA9GroupingSets _,
     "q49_array_funcs" -> qB1ArrayFuncs _,
-    "q50_date_parts" -> qB2DateParts _)
+    "q50_date_parts" -> qB2DateParts _,
+    "q51_embedding_pairs_exact" -> qV5EmbeddingPairsExact _,
+    "q52_embedding_pairs_lsh" -> qV6EmbeddingPairsLsh _,
+    "q53_set_ops" -> qA10SetOps _,
+    "q54_top_terms" -> qT5TopTerms _,
+    "q55_salted_join" -> qA11SaltedJoin _,
+    "q56_window_breadth" -> qA12WindowBreadth _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -679,5 +769,45 @@ object Extensions {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""")
+         ORDER BY user_id, session_id""",
+    "q51_embedding_pairs_exact" ->
+      s"""SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id)
+         WHERE cos >= 0.4
+         ORDER BY id_a, id_b""",
+    "q53_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         UNION ALL
+         SELECT 'only_1995' AS tag, o_custkey FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         ORDER BY tag, o_custkey""",
+    "q54_top_terms" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS term FROM documents),
+         c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term),
+         r AS (SELECT *, row_number() OVER (
+           PARTITION BY lang ORDER BY n DESC, term) AS rk FROM c)
+         SELECT lang, term, n, rk FROM r WHERE rk <= 5
+         ORDER BY lang, rk""",
+    "q55_salted_join" ->
+      """SELECT s_name, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
+    "q56_window_breadth" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         first_value(c_custkey) OVER w AS poorest,
+         nth_value(c_acctbal, 2) OVER w AS second_bal
+         FROM customer WHERE c_custkey <= 300
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_nationkey, c_custkey""")
 }

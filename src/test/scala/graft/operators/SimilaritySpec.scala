@@ -61,6 +61,15 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(1L))
   }
 
+  test("multi-table SRP: table 0 equals the single-table signature") {
+    import graft.plans.HashExpressions
+    val got = corpus.select(
+      HashExpressions.srpSignature64(col("embedding"), 4).as("single"),
+      element_at(HashExpressions.srpSignatures(col("embedding"), 4, 8), 1).as("t0"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("embeddingNearDups finds the high-cosine pair") {
     val pairs = Similarity.embeddingNearDups(
       corpus, "embedding", "vec_id", threshold = 0.99, dim = 4, bits = 4)
