@@ -235,15 +235,18 @@ object Similarity {
       vecCol: String,
       idCol: String,
       threshold: Double): DataFrame = {
-    // Norms once per VECTOR (not per pair), and the threshold predicate
-    // INSIDE the join condition: the nested-loop join then emits only
-    // qualifying pairs instead of materializing all n²/2 joined rows
-    // (with both vectors copied into each) for a post-filter — measured
-    // 29s → ~1s at sf0.1.
+    // Three per-pair cost levers, all applied: (1) norms once per VECTOR
+    // (not per pair); (2) vectors pre-cast to array<double> in the side
+    // projections, so the fused dot's internal cast is a no-op instead
+    // of allocating two fresh double arrays per evaluated pair; (3) the
+    // threshold predicate INSIDE the join condition, so the nested-loop
+    // join emits only qualifying pairs instead of materializing all
+    // n²/2 joined rows for a post-filter. (29s → ~1.5s at sf0.1.)
+    val vd = col(vecCol).cast("array<double>")
     val a = corpus.select(
-      col(idCol).as("id_a"), col(vecCol).as("v_a"), norm(col(vecCol)).as("n_a"))
+      col(idCol).as("id_a"), vd.as("v_a"), norm(vd).as("n_a"))
     val b = corpus.select(
-      col(idCol).as("id_b"), col(vecCol).as("v_b"), norm(col(vecCol)).as("n_b"))
+      col(idCol).as("id_b"), vd.as("v_b"), norm(vd).as("n_b"))
     val denom = col("n_a") * col("n_b")
     val cos = when(denom === 0.0, lit(0.0)).otherwise(dot(col("v_a"), col("v_b")) / denom)
     a.join(broadcast(b), col("id_a") < col("id_b") && cos >= threshold)

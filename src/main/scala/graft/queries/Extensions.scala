@@ -524,6 +524,48 @@ object Extensions {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** Batch upsert (SCD-1 merge): a corrected re-ingest (doubled prices
+    * for keys 1000..2999) replaces matching base rows (keys < 2000) and
+    * appends the rest — oracle-checked against the equivalent windowed
+    * latest-wins SQL.
+    */
+  def qA13Upsert(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") < 2000).withColumn("ver", lit(1L))
+    val updates = o
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("ver", lit(2L))
+    graft.operators.Upsert.merge(base, updates, Seq("o_orderkey"), "ver")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Multi-join aggregate (TPC-H Q5 shape): revenue by nation for one
+    * region-year — customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    * region with the local-supplier constraint. The dimension chain
+    * broadcasts; the orders⋈lineitem fact join shuffles on the key.
+    */
+  def qA14RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // same exact-decimal product shape as Relational.dsumProd (proven
+    // bit-identical to the DuckDB oracle's CAST(...)*CAST(...) sum)
+    val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount")).cast(DecimalType(12, 2))
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1995)
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,7 +604,9 @@ object Extensions {
     "q53_set_ops" -> qA10SetOps _,
     "q54_top_terms" -> qT5TopTerms _,
     "q55_salted_join" -> qA11SaltedJoin _,
-    "q56_window_breadth" -> qA12WindowBreadth _)
+    "q56_window_breadth" -> qA12WindowBreadth _,
+    "q57_upsert" -> qA13Upsert _,
+    "q58_region_revenue" -> qA14RegionRevenue _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -809,5 +853,30 @@ object Extensions {
          nth_value(c_acctbal, 2) OVER w AS second_bal
          FROM customer WHERE c_custkey <= 300
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-         ORDER BY c_nationkey, c_custkey""")
+         ORDER BY c_nationkey, c_custkey""",
+    "q57_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice, 1 AS ver, 0 AS src
+           FROM orders WHERE o_orderkey < 2000),
+         upd AS (
+           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS ver, 1 AS src
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         r AS (SELECT *, row_number() OVER (
+           PARTITION BY o_orderkey ORDER BY ver DESC, src DESC) AS rn FROM u)
+         SELECT o_orderkey, o_totalprice FROM r WHERE rn = 1
+         ORDER BY o_orderkey""",
+    "q58_region_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+         GROUP BY n_name ORDER BY n_name""")
 }
