@@ -231,6 +231,13 @@ object Extensions {
   def qE1Sessionize(s: SparkSession, d: String): DataFrame =
     Streams.sessionizeBatch(events(s, d), gapMinutes = 30)
 
+  /** Built-in session_window sessionization — same sessions as q37's
+    * gaps-and-islands (oracle expresses the window-merge semantics:
+    * a gap ≥ 30 min starts a new session; end = last event + gap).
+    */
+  def qE2SessionWindow(s: SparkSession, d: String): DataFrame =
+    Streams.sessionWindowAgg(events(s, d), gap = "30 minutes")
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing (rows-only): synthetic media from doc ids →
@@ -606,7 +613,8 @@ object Extensions {
     "q55_salted_join" -> qA11SaltedJoin _,
     "q56_window_breadth" -> qA12WindowBreadth _,
     "q57_upsert" -> qA13Upsert _,
-    "q58_region_revenue" -> qA14RegionRevenue _)
+    "q58_region_revenue" -> qA14RegionRevenue _,
+    "q59_session_window" -> qE2SessionWindow _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -878,5 +886,25 @@ object Extensions {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
-         GROUP BY n_name ORDER BY n_name""")
+         GROUP BY n_name ORDER BY n_name""",
+    "q59_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+           FROM g)
+         SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""")
 }

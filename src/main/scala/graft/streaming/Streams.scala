@@ -194,6 +194,27 @@ object Streams {
       }
   }
 
+  /** Built-in session windows (`session_window`): merges events closer
+    * than `gap` into one window per key — the compose-built-ins
+    * alternative to [[sessionize]] when the gap is static. Works
+    * identically over a batch frame or a watermarked stream (Spark's
+    * native session-window state store handles merging in streaming).
+    * Window end = last event + gap (exclusive), per session-window
+    * semantics.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Batch analogue of sessionization (gaps-and-islands) — the
     * SQL-checkable twin of [[sessionize]] used by the oracle gate: a new
     * session starts where the gap from the previous event exceeds

@@ -93,6 +93,21 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window yields the same sessions (end = last + gap)") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 3.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "click", 5.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Streams.sessionWindowAgg(df, "30 minutes").collect()
+    assert(out.length == 3)
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1(0).getLong(3) == 2L) // first session: 2 events
+    assert(u1(0).getTimestamp(2) == Timestamp.valueOf("2024-01-01 10:40:00"))
+    assert(u1(1).getTimestamp(1) == Timestamp.valueOf("2024-01-01 13:00:00"))
+  }
+
   test("batch sessionize twin agrees with hand-computed sessions") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
