@@ -270,16 +270,27 @@ object Similarity {
       dim: Int,
       bits: Int = 8,
       tables: Int = 8): DataFrame = {
+    // Same per-pair levers as allPairsSimilar: vectors pre-cast to
+    // array<double> and norms computed once per (row, table) BEFORE the
+    // bucket join, with the cosine threshold inside the join condition —
+    // same-bucket pairs that fail it are rejected during the join
+    // instead of materializing for a post-filter, so the final distinct
+    // deduplicates only QUALIFYING pairs across tables.
+    val vd = col(vecCol).cast("array<double>")
     val sigged = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(graft.plans.HashExpressions.srpSignatures(col(vecCol), bits, tables))
+      col(idCol).as("id"), vd.as("v"), norm(vd).as("nrm"),
+      posexplode(graft.plans.HashExpressions.srpSignatures(vd, bits, tables))
         .as(Seq("tbl", "sig")))
-    val l = sigged.select(col("tbl"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sigged.select(col("tbl"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("tbl", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= threshold)
+    val l = sigged.select(col("tbl").as("tbl_a"), col("sig").as("sig_a"),
+      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val r = sigged.select(col("tbl").as("tbl_b"), col("sig").as("sig_b"),
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val denom = col("n_a") * col("n_b")
+    val cos = when(denom === 0.0, lit(0.0)).otherwise(dot(col("v_a"), col("v_b")) / denom)
+    l.join(r,
+      col("tbl_a") === col("tbl_b") && col("sig_a") === col("sig_b") &&
+        col("id_a") < col("id_b") && cos >= threshold)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
       .distinct()
   }
 }
