@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * [[hashSplit]] assigns each row to a split by hashing a stable id —
+  * NOT by `df.sample`/`rand()`: hash assignment is (a) reproducible
+  * across runs, engines, and partitionings, (b) stable under re-ingest
+  * (a document keeps its split when the corpus grows — the property that
+  * prevents train/eval contamination across dataset versions), and
+  * (c) embarrassingly parallel (a codegen'd projection, no shuffle).
+  *
+  * The bucket is the first two hex chars of md5(id) — 256 buckets, so
+  * fractions quantize to 1/256. md5 is bit-identical across engines,
+  * which makes the assignment itself oracle-checkable (unlike any
+  * rand()-seeded sampler, whose stream is engine-specific).
+  */
+object Split {
+
+  /** 256-bucket assignment column: 'train' iff the two-hex-char prefix
+    * of md5(id) sorts below the quantized threshold.
+    */
+  def assignment(id: Column, trainFrac: Double = 0.8): Column = {
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac in (0,1)")
+    val buckets = math.round(trainFrac * 256).toInt
+    val threshold = f"$buckets%02x"
+    when(substring(md5(id.cast("string")), 1, 2) < threshold, lit("train"))
+      .otherwise(lit("eval"))
+  }
+
+  /** df plus a `split` column. */
+  def hashSplit(df: DataFrame, idCol: String, trainFrac: Double = 0.8): DataFrame =
+    df.withColumn("split", assignment(col(idCol), trainFrac))
+
+  /** Seeded stratified sample: per-stratum fractions via `sampleBy` —
+    * reproducible for a fixed seed within Spark (the Bernoulli stream is
+    * engine-specific, so this surface is spec/rows-checked, not
+    * oracle-hashed). Use [[hashSplit]] when cross-engine/cross-version
+    * stability matters.
+    */
+  def stratified(
+      df: DataFrame,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+}

@@ -238,6 +238,17 @@ object Extensions {
   def qE2SessionWindow(s: SparkSession, d: String): DataFrame =
     Streams.sessionWindowAgg(events(s, d), gap = "30 minutes")
 
+  /** Deterministic hash-based train/eval split (md5 bucket assignment —
+    * stable across engines, runs, partitionings, and corpus growth):
+    * per-(lang, split) document counts, oracle-checked because md5 is
+    * bit-identical in DuckDB.
+    */
+  def qT6TrainTestSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.hashSplit(documents(s, d), "doc_id", trainFrac = 0.8)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing (rows-only): synthetic media from doc ids →
@@ -614,7 +625,8 @@ object Extensions {
     "q56_window_breadth" -> qA12WindowBreadth _,
     "q57_upsert" -> qA13Upsert _,
     "q58_region_revenue" -> qA14RegionRevenue _,
-    "q59_session_window" -> qE2SessionWindow _)
+    "q59_session_window" -> qE2SessionWindow _,
+    "q60_train_test_split" -> qT6TrainTestSplit _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -906,5 +918,14 @@ object Extensions {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_start""")
+         ORDER BY user_id, session_start""",
+    // 'cd' = round(0.8 * 256) = 205 = 0xcd, Split.assignment's quantized
+    // two-hex-char threshold
+    "q60_train_test_split" ->
+      """SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train' ELSE 'eval' END AS split,
+         count(*) AS n
+         FROM documents GROUP BY lang, split
+         ORDER BY lang, split""")
 }
