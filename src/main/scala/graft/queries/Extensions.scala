@@ -249,6 +249,20 @@ object Extensions {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
 
+  /** Edit-distance fuzzy matching over the part-name vocabulary
+    * (levenshtein is bit-identical in DuckDB → oracle-checked).
+    */
+  def qT7FuzzyNames(s: SparkSession, d: String): DataFrame =
+    graft.operators.Fuzzy.nearMatches(part(s, d), "p_name", maxDist = 2)
+      .orderBy(col("value_a"), col("value_b"))
+
+  /** Column profiling of orders (nulls + exact distinct per column in one
+    * pass) — the engine-side "inspect before you commit types" feature.
+    */
+  def qT8ProfileOrders(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.profile(orders(s, d))
+      .orderBy(col("col_name"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing (rows-only): synthetic media from doc ids →
@@ -626,7 +640,9 @@ object Extensions {
     "q57_upsert" -> qA13Upsert _,
     "q58_region_revenue" -> qA14RegionRevenue _,
     "q59_session_window" -> qE2SessionWindow _,
-    "q60_train_test_split" -> qT6TrainTestSplit _)
+    "q60_train_test_split" -> qT6TrainTestSplit _,
+    "q61_fuzzy_names" -> qT7FuzzyNames _,
+    "q62_profile_orders" -> qT8ProfileOrders _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -927,5 +943,33 @@ object Extensions {
               THEN 'train' ELSE 'eval' END AS split,
          count(*) AS n
          FROM documents GROUP BY lang, split
-         ORDER BY lang, split""")
+         ORDER BY lang, split""",
+    "q61_fuzzy_names" ->
+      """WITH d AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)
+         SELECT a.v AS value_a, b.v AS value_b,
+           levenshtein(a.v, b.v) AS dist
+         FROM d a, d b
+         WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 2
+         ORDER BY value_a, value_b""",
+    "q62_profile_orders" ->
+      """SELECT col_name, n_nulls, n_distinct FROM (
+           SELECT 'o_orderkey' AS col_name,
+             count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+           UNION ALL SELECT 'o_custkey',
+             count(*) FILTER (o_custkey IS NULL),
+             count(DISTINCT o_custkey) FROM orders
+           UNION ALL SELECT 'o_orderstatus',
+             count(*) FILTER (o_orderstatus IS NULL),
+             count(DISTINCT o_orderstatus) FROM orders
+           UNION ALL SELECT 'o_totalprice',
+             count(*) FILTER (o_totalprice IS NULL),
+             count(DISTINCT o_totalprice) FROM orders
+           UNION ALL SELECT 'o_orderdate',
+             count(*) FILTER (o_orderdate IS NULL),
+             count(DISTINCT o_orderdate) FROM orders
+           UNION ALL SELECT 'o_orderpriority',
+             count(*) FILTER (o_orderpriority IS NULL),
+             count(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY col_name""")
 }
