@@ -263,6 +263,28 @@ object Extensions {
     graft.ops.Profile.profile(orders(s, d))
       .orderBy(col("col_name"))
 
+  /** SQL surface: correlated EXISTS / NOT EXISTS (decorrelated by
+    * Catalyst into semi/anti joins) plus an uncorrelated scalar subquery,
+    * through `spark.sql` — the engine accepts full ANSI SQL alongside
+    * the DataFrame API.
+    */
+  def qA15ExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name,
+           (SELECT max(o_totalprice) FROM orders_v) AS max_order_price
+         FROM customer_v c
+         WHERE EXISTS (SELECT 1 FROM orders_v o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders_v o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F'
+                             AND o.o_totalprice < 50000)
+         ORDER BY c_custkey""")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing (rows-only): synthetic media from doc ids →
@@ -642,7 +664,8 @@ object Extensions {
     "q59_session_window" -> qE2SessionWindow _,
     "q60_train_test_split" -> qT6TrainTestSplit _,
     "q61_fuzzy_names" -> qT7FuzzyNames _,
-    "q62_profile_orders" -> qT8ProfileOrders _)
+    "q62_profile_orders" -> qT8ProfileOrders _,
+    "q63_exists_subquery" -> qA15ExistsSubquery _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -971,5 +994,17 @@ object Extensions {
            UNION ALL SELECT 'o_orderpriority',
              count(*) FILTER (o_orderpriority IS NULL),
              count(DISTINCT o_orderpriority) FROM orders)
-         ORDER BY col_name""")
+         ORDER BY col_name""",
+    "q63_exists_subquery" ->
+      """SELECT c_custkey, c_name,
+           (SELECT max(o_totalprice) FROM orders) AS max_order_price
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F'
+                             AND o.o_totalprice < 50000)
+         ORDER BY c_custkey""")
 }
