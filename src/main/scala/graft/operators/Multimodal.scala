@@ -73,6 +73,21 @@ object Multimodal {
       out
     }
 
+    /** "Decode" audio: derive (duration_ms, sample_rate, rms) from
+      * bytes.
+      */
+    def decodeAudio(bytes: Array[Byte]): (Long, Int, Double) = {
+      if (bytes == null || bytes.isEmpty) (0L, 0, 0.0)
+      else {
+        val rate = 8000 + (bytes.head & 0xff) * 160 // 8k..48.8k
+        val durationMs = bytes.length * 1000L / math.max(rate / 8, 1)
+        val meanSq = bytes.foldLeft(0.0) { (a, b) =>
+          val x = (b & 0xff) / 255.0; a + x * x
+        } / bytes.length
+        (durationMs, rate, math.sqrt(meanSq))
+      }
+    }
+
     /** "Resize": truncate/pad the byte budget for a target (w,h). */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val n = math.max(1, w * h / 8)
@@ -145,6 +160,27 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val (w, h, luma) = FakeCodec.decodeImage(bytes) // STUB codec
           Row(id, w, h, luma)
+        }
+      }(enc)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** Audio decode pass: binary → (duration_ms, sample_rate, rms) —
+    * the waveform-stats stage of an audio pipeline (language/quality
+    * filters key off duration and loudness before any transcription).
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val (d, sr, rms) = FakeCodec.decodeAudio(r.getAs[Array[Byte]](1)) // STUB codec
+          Row(r.getLong(0), d, sr, rms)
         }
       }(enc)
   }

@@ -314,6 +314,21 @@ object Extensions {
       feats.filter(col("media_id") =!= 0), "embedding", "media_id", query, k = 10)
   }
 
+  /** Audio-modality plumbing (rows-only): synthetic media → stub audio
+    * decode → duration/loudness stats bucketed by sample rate.
+    */
+  def qM3AudioStats(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, documents(s, d), "doc_id")
+    Multimodal.decodeAudio(media)
+      .groupBy((col("sample_rate") / 8000).cast("int").as("rate_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("duration_ms")).as("total_ms"),
+        sum(col("rms").cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+          .cast("double").as("sum_rms"))
+      .orderBy(col("rate_bucket"))
+  }
+
   // ------------------------------------------------------- asof / olap extras
 
   /** As-of join: attribute each error event to the user's most recent
@@ -665,7 +680,8 @@ object Extensions {
     "q60_train_test_split" -> qT6TrainTestSplit _,
     "q61_fuzzy_names" -> qT7FuzzyNames _,
     "q62_profile_orders" -> qT8ProfileOrders _,
-    "q63_exists_subquery" -> qA15ExistsSubquery _)
+    "q63_exists_subquery" -> qA15ExistsSubquery _,
+    "q64_audio_stats" -> qM3AudioStats _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).

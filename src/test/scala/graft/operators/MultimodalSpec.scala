@@ -73,4 +73,13 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= 4).count() == 0)
   }
+
+  test("audio decode yields deterministic duration/rate/rms per row") {
+    val a = Multimodal.decodeAudio(media).collect()
+    assert(a.length == 20)
+    assert(a.forall(r => r.getInt(2) >= 8000 && r.getLong(1) > 0))
+    assert(a.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    val b = Multimodal.decodeAudio(media).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+  }
 }
