@@ -92,6 +92,22 @@ object Extensions {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Snapshot versioning end-to-end: publish supplier as v1, a mutated
+    * copy as v2, then read the PINNED v1 back — the oracle checks that
+    * pinned versions stay bit-identical to their source while the head
+    * moves (the reproducible-training-set guarantee).
+    */
+  def qK3SnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_snapwh").toString
+    val sup = supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    graft.sink.Snapshots.publish(s, wh, "suppliers_snap", sup)
+    graft.sink.Snapshots.publish(s, wh, "suppliers_snap",
+      sup.withColumn("s_acctbal", col("s_acctbal") * 2))
+    graft.sink.Snapshots.version(s, wh, "suppliers_snap", 1)
+      .orderBy(col("s_suppkey"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   /** Token statistics per document (whitespace tokens + distinct word
@@ -681,7 +697,8 @@ object Extensions {
     "q61_fuzzy_names" -> qT7FuzzyNames _,
     "q62_profile_orders" -> qT8ProfileOrders _,
     "q63_exists_subquery" -> qA15ExistsSubquery _,
-    "q64_audio_stats" -> qM3AudioStats _)
+    "q64_audio_stats" -> qM3AudioStats _,
+    "q65_snapshot_roundtrip" -> qK3SnapshotRoundtrip _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1022,5 +1039,8 @@ object Extensions {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderstatus = 'F'
                              AND o.o_totalprice < 50000)
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    "q65_snapshot_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""")
 }

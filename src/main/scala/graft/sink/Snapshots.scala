@@ -1,0 +1,120 @@
+package graft.sink
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned dataset snapshots — reproducibility for training data
+  * ("which exact corpus snapshot did this model train on?"): every
+  * publish writes an immutable `v=N` directory plus a manifest (rows,
+  * schema, order-independent content hash) and atomically flips a
+  * `_CURRENT` pointer. Readers pin either the moving head or a fixed
+  * version. Time-travel-lite without a table format dependency: the
+  * pointer flip is the only mutation, and it's a single rename.
+  *
+  * Layout: `<warehouse>/<table>/v=N/` (parquet files + _MANIFEST.json)
+  *         `<warehouse>/<table>/_CURRENT` (contains "N")
+  *
+  * Scale: the data write is a plain distributed parquet write; manifest
+  * stats ride one extra aggregation over the snapshot (bit_xor of row
+  * hashes — order- and partitioning-independent).
+  */
+object Snapshots {
+
+  /** Order-independent 64-bit content hash of a frame (bit_xor over
+    * per-row xxhash64 of all columns) — equal frames hash equal under
+    * any partitioning/row order; null for an empty frame.
+    */
+  def contentHash(df: DataFrame): Option[Long] = {
+    val cols = df.columns.map(col).toIndexedSeq
+    df.agg(bit_xor(xxhash64(cols: _*)).as("h"))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+  }
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(warehouse: String, table: String): Path =
+    new Path(warehouse, Save.sanitizeTableName(table))
+
+  /** Publish `df` as the next version; returns the version number. */
+  def publish(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      df: DataFrame): Int = {
+    val fs = fsOf(spark, warehouse)
+    val dir = tableDir(warehouse, table)
+    val next = versions(spark, warehouse, table).lastOption.getOrElse(0) + 1
+    val vdir = new Path(dir, s"v=$next")
+    val staging = new Path(dir, s".staging_v$next")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.parquet(staging.toString)
+    // manifest from the staged copy (what readers will actually see)
+    val staged = spark.read.parquet(staging.toString)
+    val manifest =
+      s"""{"version":$next,"rows":${staged.count()},""" +
+        s""""content_hash":${contentHash(staged).map(_.toString).getOrElse("null")},""" +
+        s""""schema":${ujsonSafe(staged.schema.json)}}"""
+    val mf = fs.create(new Path(staging, "_MANIFEST.json"), true)
+    try mf.write(manifest.getBytes(StandardCharsets.UTF_8)) finally mf.close()
+    if (!fs.rename(staging, vdir))
+      throw new IllegalStateException(s"snapshot publish of $table v$next failed")
+    // atomic pointer flip: write tmp, rename over _CURRENT
+    val tmp = new Path(dir, s"._CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val cur = new Path(dir, "_CURRENT")
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new IllegalStateException(s"snapshot pointer flip of $table failed")
+    next
+  }
+
+  /** Published version numbers, ascending. */
+  def versions(spark: SparkSession, warehouse: String, table: String): Seq[Int] = {
+    val fs = fsOf(spark, warehouse)
+    val dir = tableDir(warehouse, table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, warehouse: String, table: String): Int = {
+    val fs = fsOf(spark, warehouse)
+    val cur = new Path(tableDir(warehouse, table), "_CURRENT")
+    require(fs.exists(cur), s"no published snapshot for $table")
+    val in = fs.open(cur)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8).trim.toInt
+    finally in.close()
+  }
+
+  /** Read a pinned version. */
+  def version(spark: SparkSession, warehouse: String, table: String, v: Int): DataFrame =
+    spark.read.parquet(new Path(tableDir(warehouse, table), s"v=$v").toString)
+
+  /** Read the current head. */
+  def current(spark: SparkSession, warehouse: String, table: String): DataFrame =
+    version(spark, warehouse, table, currentVersion(spark, warehouse, table))
+
+  /** The stored manifest JSON of a version. */
+  def manifest(spark: SparkSession, warehouse: String, table: String, v: Int): String = {
+    val fs = fsOf(spark, warehouse)
+    val in = fs.open(new Path(tableDir(warehouse, table), s"v=$v/_MANIFEST.json"))
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Minimal JSON-string escaping for embedding the schema json (itself
+    * already JSON) as a value: it is valid JSON, so embed verbatim.
+    */
+  private def ujsonSafe(schemaJson: String): String = schemaJson
+}

@@ -1,0 +1,44 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("publish/read: pinned versions are immutable, _CURRENT follows the head") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    val v1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val v2 = Seq((1, "a"), (2, "B2"), (3, "c")).toDF("k", "v")
+    assert(Snapshots.publish(spark, wh, "t", v1) == 1)
+    assert(Snapshots.publish(spark, wh, "t", v2) == 2)
+    assert(Snapshots.versions(spark, wh, "t") == Seq(1, 2))
+    assert(Snapshots.currentVersion(spark, wh, "t") == 2)
+    assert(Snapshots.current(spark, wh, "t").count() == 3)
+    val pinned = Snapshots.version(spark, wh, "t", 1)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(pinned.toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("manifest records rows and a content hash; hash ignores partitioning") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    val df = spark.range(1000).toDF("v")
+    Snapshots.publish(spark, wh, "m", df)
+    val mf = Snapshots.manifest(spark, wh, "m", 1)
+    assert(mf.contains("\"rows\":1000"))
+    assert(mf.contains("\"content_hash\":"))
+    val h1 = Snapshots.contentHash(df)
+    val h2 = Snapshots.contentHash(df.repartition(17).sort(col("v").desc))
+    assert(h1.isDefined && h1 == h2)
+    assert(Snapshots.contentHash(spark.range(0).toDF("v")).isEmpty)
+  }
+
+  test("content hash distinguishes different frames") {
+    val a = Snapshots.contentHash(spark.range(100).toDF("v"))
+    val b = Snapshots.contentHash(spark.range(101).toDF("v"))
+    assert(a != b)
+  }
+}
