@@ -221,6 +221,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC: foreachBatch upserts each micro-batch into a base table") {
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val baseDir = Files.createTempDirectory("graft_cdc").toString + "/base"
+    Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "ver")
+      .write.parquet(baseDir)
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streams.foreachBatchSink(
+      input.toDS().toDF("k", "v", "ver"),
+      (batch, _) => {
+        val base = batch.sparkSession.read.parquet(baseDir)
+        val merged = graft.operators.Upsert.merge(base, batch, Seq("k"), "ver")
+        // stage+swap so the read path never sees a half-written base
+        val tmp = baseDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(baseDir),
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(baseDir))
+      }).start()
+    try {
+      input.addData((2L, "B2", 1L), (3L, "c", 1L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(baseDir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
