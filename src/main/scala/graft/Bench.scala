@@ -46,13 +46,18 @@ object Bench {
     // Best-of-2 per query: the host shows heavy run-to-run contention
     // noise (the same query measured 0.5s and 4.8s in adjacent suite
     // runs); the min of two timed executions is the standard
-    // least-noise estimate of steady-state cost. Both runs do full work
-    // (noop write action, caches cleared after warmup only).
+    // least-noise estimate of steady-state cost. clearCache BETWEEN
+    // reps: operators that persist intermediates (the dedup pipelines)
+    // build identical plans on rep 2, and CacheManager would otherwise
+    // substitute rep 1's materialized cache — the min would time a
+    // cache-hit run, not full work. Clearing also stops cached
+    // intermediates accumulating across the suite.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
           case e: Throwable =>

@@ -24,7 +24,9 @@ object Split {
     */
   def assignment(id: Column, trainFrac: Double = 0.8): Column = {
     require(trainFrac > 0 && trainFrac < 1, "trainFrac in (0,1)")
-    val buckets = math.round(trainFrac * 256).toInt
+    // clamp to [1, 255]: 256 would format as the 3-char "100" (breaking
+    // the 2-char lexicographic compare) and 0 would empty the train side
+    val buckets = math.min(math.max(math.round(trainFrac * 256).toInt, 1), 255)
     val threshold = f"$buckets%02x"
     when(substring(md5(id.cast("string")), 1, 2) < threshold, lit("train"))
       .otherwise(lit("eval"))

@@ -23,12 +23,19 @@ object Upsert {
     * must share the schema (unionByName; missing columns are an error —
     * schema drift should be resolved explicitly upstream).
     */
+  private def checkReserved(df: DataFrame): Unit =
+    Seq("_graft_src", "_graft_rn").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before merging " +
+          "(it would be silently clobbered and dropped)"))
+
   def merge(
       base: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
       versionCol: String): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
+    checkReserved(base); checkReserved(updates)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("_graft_src").desc)
     base.withColumn("_graft_src", lit(0))
@@ -47,6 +54,7 @@ object Upsert {
       keys: Seq[String],
       versionCol: String): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
+    checkReserved(base); checkReserved(updates)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("_graft_src").desc)
     base.withColumn("_graft_src", lit(0))

@@ -20,14 +20,22 @@ object Profile {
   def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
     val cs = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cs.nonEmpty, "nothing to profile")
-    val aggs = cs.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct")))
+    // colRef for the inputs and POSITIONAL internal aliases: a profiled
+    // header may itself contain dots/backticks (exactly the ingested-CSV
+    // case this feeds), which would break both col(name) and a re-parse
+    // of a "<name>__nulls" alias
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(graft.ops.Cleanse.colRef(c).isNull, 1L).otherwise(0L)).as(s"_p${i}_nulls"),
+        countDistinct(graft.ops.Cleanse.colRef(c)).as(s"_p${i}_distinct"))
+    }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = array(cs.map(c => struct(
-      lit(c).as("col_name"),
-      col(s"${c}__nulls").as("n_nulls"),
-      col(s"${c}__distinct").as("n_distinct"))): _*)
+    val entries = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"_p${i}_nulls").as("n_nulls"),
+        col(s"_p${i}_distinct").as("n_distinct"))
+    }: _*)
     one.select(explode(entries).as("p")).select(col("p.*"))
   }
 }

@@ -98,7 +98,10 @@ object Extensions {
     * moves (the reproducible-training-set guarantee).
     */
   def qK3SnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft_snapwh").toString
+    // process-stable dir, wiped per invocation: a fresh temp dir per
+    // call would leak two supplier copies on every bench/verify rep
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q65_snapwh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     val sup = supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
     graft.sink.Snapshots.publish(s, wh, "suppliers_snap", sup)

@@ -143,14 +143,19 @@ object Save {
   }
 
   /** Small-file compaction: rewrite a parquet directory into
-    * ceil(bytes / targetFileBytes) files via an atomic staging+rename
+    * ~ceil(bytes / targetFileBytes) files via a staged double-rename
     * swap. The many-small-files problem is THE steady-state failure mode
     * of incremental loads at scale (every micro-batch/upsert appends a
     * few files; a year later the table has millions and listing + task
-    * scheduling dominate every scan). Returns the new file count.
+    * scheduling dominate every scan). Returns the actual new file count
+    * (coalesce can only shrink, so a grow request caps at the scan's
+    * partition count).
     *
-    * Uses coalesce (narrow — no shuffle) when shrinking; repartition
-    * only when growing the file count (rare; explicit `shuffle = true`).
+    * NOT reader-atomic: between the two renames the path briefly does
+    * not exist, so a concurrent scan can fail-and-retry. A table that
+    * needs fully atomic swaps under live readers should publish through
+    * [[Snapshots]] (immutable versions + pointer flip) and compact by
+    * publishing a compacted next version.
     */
   def compact(
       spark: SparkSession,
@@ -174,7 +179,7 @@ object Save {
       throw new IllegalStateException(s"compact: swap failed for $path")
     }
     fs.delete(backup, true)
-    nFiles
+    fs.listStatus(target).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** JDBC sink with the reference's physical choices: 1000-row batches

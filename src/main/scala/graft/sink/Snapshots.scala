@@ -24,14 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  /** Order-independent 64-bit content hash of a frame (bit_xor over
-    * per-row xxhash64 of all columns) — equal frames hash equal under
-    * any partitioning/row order; null for an empty frame.
+  /** Order-independent multiset content hash of a frame: exact decimal
+    * SUM over per-row xxhash64 of all columns — equal frames hash equal
+    * under any partitioning/row order, and (unlike a bit_xor fold, where
+    * any even-multiplicity row cancels itself out) duplicated-row
+    * corruptions change the value. Decimal(38,0) accumulation cannot
+    * overflow below ~1e19 rows and never throws under ANSI. None for an
+    * empty frame.
     */
-  def contentHash(df: DataFrame): Option[Long] = {
+  def contentHash(df: DataFrame): Option[java.math.BigDecimal] = {
+    df.agg(rowHashSum(df).as("h"))
+      .collect().headOption.flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getDecimal(0)))
+  }
+
+  private def rowHashSum(df: DataFrame) = {
     val cols = df.columns.map(col).toIndexedSeq
-    df.agg(bit_xor(xxhash64(cols: _*)).as("h"))
-      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    sum(xxhash64(cols: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
   }
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -53,11 +62,15 @@ object Snapshots {
     val staging = new Path(dir, s".staging_v$next")
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.parquet(staging.toString)
-    // manifest from the staged copy (what readers will actually see)
+    // manifest from the staged copy (what readers will actually see);
+    // rows + content hash in ONE aggregation pass over the snapshot
     val staged = spark.read.parquet(staging.toString)
+    val stats = staged.agg(count(lit(1)).as("n"), rowHashSum(staged).as("h"))
+      .collect()(0)
+    val hashJson = if (stats.isNullAt(1)) "null" else stats.getDecimal(1).toString
     val manifest =
-      s"""{"version":$next,"rows":${staged.count()},""" +
-        s""""content_hash":${contentHash(staged).map(_.toString).getOrElse("null")},""" +
+      s"""{"version":$next,"rows":${stats.getLong(0)},""" +
+        s""""content_hash":$hashJson,""" +
         s""""schema":${ujsonSafe(staged.schema.json)}}"""
     val mf = fs.create(new Path(staging, "_MANIFEST.json"), true)
     try mf.write(manifest.getBytes(StandardCharsets.UTF_8)) finally mf.close()

@@ -187,7 +187,11 @@ object Streams {
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
                 state.setTimeoutDuration(gapMs)
               else if (timeout == GroupStateTimeout.EventTimeTimeout)
-                state.setTimeoutTimestamp(s.lastTs + gapMs)
+                // clamp past the watermark: late rows are NOT dropped by
+                // flatMapGroupsWithState, and a timeout timestamp at or
+                // before the current watermark throws and kills the query
+                state.setTimeoutTimestamp(
+                  math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.reverseIterator
           }
