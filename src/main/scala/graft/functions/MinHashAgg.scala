@@ -24,9 +24,14 @@ object MinHashAgg {
     override def zero: Array[Long] = Array.fill(numPerms)(Long.MaxValue)
 
     override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
-      val n = math.min(buf.length, sig.length)
+      if (sig == null) return buf // null signature (null text) → skip row
+      // a length mismatch means a wrong numPerms, not dirty data: the
+      // silent alternative leaves Long.MaxValue sentinels that spuriously
+      // "agree" between clusters and inflate estimated similarity
+      require(sig.length == buf.length,
+        s"signature length ${sig.length} != numPerms ${buf.length}")
       var i = 0
-      while (i < n) {
+      while (i < buf.length) {
         if (sig(i) < buf(i)) buf(i) = sig(i)
         i += 1
       }

@@ -46,14 +46,6 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
 
-  /** Count of tokens belonging to `set` (higher-order filter — codegen'd,
-    * no UDF).
-    */
-  def tokensIn(c: Column, set: Seq[String]): Column = {
-    val arr = array(set.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(arr, t)))
-  }
-
   /** All quality-scoring counts in one fused pass (struct column):
     * n_tok, n_word, n_dist, hits_en, n_alpha, n_chars. See
     * graft.plans.TextStatsExpr; identical values to the composed

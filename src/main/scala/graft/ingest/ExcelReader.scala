@@ -32,14 +32,16 @@ object ExcelReader {
     val rows = readRows(path, sheetRows)
     if (rows.isEmpty)
       throw new IllegalArgumentException(s"File appears empty: $path")
-    val headers = rows.head
-    val width = headers.length
-    val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
+    // shared header normalization (duplicate/empty header cells) with the
+    // delimited path — a raw header row like [id, id, name] would build
+    // an ambiguous schema that breaks every later col("id")
+    val (keep, schema) = Readers.dedupeNames(rows.head.toIndexedSeq)
     val data = rows.tail.map { r =>
-      Row.fromSeq(headers.indices.map(i => if (i < r.length && r(i).nonEmpty) r(i) else null))
+      Row.fromSeq(schema.indices.map(i => if (i < r.length && r(i).nonEmpty) r(i) else null))
     }
-    spark.createDataFrame(
+    val df = spark.createDataFrame(
       spark.sparkContext.parallelize(data.toIndexedSeq), schema)
+    df.select(keep.map(graft.ops.Cleanse.colRef).toIndexedSeq: _*)
   }
 
   /** Raw grid: row-major cells as strings, padded to the header width. */
@@ -162,9 +164,15 @@ object ExcelReader {
     def setCell(raw: String): Unit = {
       val v = cellType match {
         case "s" =>
-          val idx = raw.trim.toInt
-          if (idx >= 0 && idx < shared.length) shared(idx) else ""
+          // malformed/empty <v/> under a lenient writer → empty cell,
+          // not a NumberFormatException aborting the whole read
+          raw.trim.toIntOption
+            .filter(idx => idx >= 0 && idx < shared.length)
+            .map(shared).getOrElse("")
         case "b" => if (raw.trim == "1") "true" else "false"
+        // inline and formula-cached strings are STRINGS — "3.00" as a
+        // product code must not be rewritten by the numeric trim
+        case "inlineStr" | "str" => raw
         case _ => trimNumeric(raw)
       }
       val at = if (cellCol >= 0) cellCol else row.length
@@ -205,12 +213,15 @@ object ExcelReader {
       }
     } finally r.close()
     val width = rows.headOption.map(_.length).getOrElse(0)
+    // an empty first row can't define a grid — surface as empty (read()
+    // raises the empty-file error) instead of collapsing rows to 1 cell
+    if (width == 0) return IndexedSeq.empty
     val keep = if (maxRows >= Int.MaxValue - 1) rows else rows.take(maxRows + 1)
     keep.map { rr =>
-      val a = new Array[String](math.max(width, rr.length))
+      val a = new Array[String](width)
       var i = 0
-      while (i < a.length) { a(i) = if (i < rr.length) rr(i) else ""; i += 1 }
-      a.take(math.max(width, 1))
+      while (i < width) { a(i) = if (i < rr.length) rr(i) else ""; i += 1 }
+      a
     }.toIndexedSeq
   }
 

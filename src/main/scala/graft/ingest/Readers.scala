@@ -38,6 +38,17 @@ object Readers {
   private[graft] def headerSchema(firstLine: String, delimiter: String): (Seq[String], StructType) = {
     val raw = firstLine.split(java.util.regex.Pattern.quote(delimiter), -1)
       .map(Cleanse.headerCell)
+    dedupeNames(raw.toIndexedSeq)
+  }
+
+  /** Shared header normalization for ALL tabular sources (delimited,
+    * Excel): empty-named positions get internal placeholder names and
+    * are dropped from the kept list; duplicates get a positional suffix
+    * (a DataFrame cannot hold ambiguous/empty names — the reference's JS
+    * row-object silently collapses duplicates, index.js:117; documented
+    * deviation). Returns (kept visible names, full positional schema).
+    */
+  private[graft] def dedupeNames(raw: Seq[String]): (Seq[String], StructType) = {
     val used = scala.collection.mutable.Set.empty[String]
     val names = raw.zipWithIndex.map { case (h, i) =>
       if (h.isEmpty) s"_graft_skip_$i"
@@ -56,13 +67,20 @@ object Readers {
       }
     }
     val keep = names.filterNot(_.startsWith("_graft_skip_"))
-    (keep.toIndexedSeq, StructType(names.map(StructField(_, StringType, nullable = true))))
+    (keep.toIndexedSeq, StructType(names.map(StructField(_, StringType, nullable = true)).toIndexedSeq))
   }
 
   /** Delimited scan (S1): csv/tsv/pipe/markdown → all-string DataFrame. */
   def delimited(spark: SparkSession, path: String): DataFrame = {
     val first = Sniffer.firstLine(spark, path).getOrElse(
       throw new IllegalArgumentException(s"File appears empty: $path"))
+    // does the file START with blank line(s)? The csv parser's
+    // header=true consumes the literal first physical line, while the
+    // sniffed header skips blanks — the real header then surfaces as a
+    // data row (dropped below by the header-echo filter).
+    val literalFirst = spark.read.text(path).limit(1)
+      .collect().headOption.map(_.getString(0))
+    val startsBlank = literalFirst.exists(_.trim.isEmpty)
     val delimiter = Sniffer.sniffDelimiter(first)
     val (keep, schema) = headerSchema(first, delimiter)
     val raw = spark.read
@@ -78,7 +96,16 @@ object Readers {
     val cleansed = Cleanse.cells(raw)
     val noSep = Cleanse.dropSeparatorRows(cleansed)
     val noBlank = Cleanse.dropBlankRows(noSep)
-    noBlank.select(keep.map(Cleanse.colRef).toIndexedSeq: _*)
+    val noEcho =
+      if (!startsBlank) noBlank
+      else {
+        // header=true consumed a BLANK first line; the real header line
+        // is now a data row whose cells equal the header names — drop it
+        val echo = keep.map(n => Cleanse.colRef(n) <=> lit(n))
+          .reduceOption(_ && _).getOrElse(lit(false))
+        noBlank.filter(!echo)
+      }
+    noEcho.select(keep.map(Cleanse.colRef).toIndexedSeq: _*)
   }
 
   /** JSON-lines scan (extension beyond the reference, which pushes .json

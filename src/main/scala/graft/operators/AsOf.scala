@@ -43,6 +43,7 @@ object AsOf {
       rightTs: String,
       rightCols: Seq[String],
       tolerance: Option[Column] = None): DataFrame = {
+    val cr = graft.ops.Cleanse.colRef _ // dotted/backticked names survive
     val leftCols = left.columns.toSeq
     // schema-align: left rows carry null right-payload, right rows carry
     // null left-payload; `side` breaks ts ties so a right row at exactly
@@ -51,22 +52,22 @@ object AsOf {
     // comes atomically from the same right row (per-column carry would
     // mix rows when a right field is legitimately null).
     val payload = struct(
-      (col(rightTs).as("_asof_ts") +: rightCols.map(c => col(c))): _*)
+      (cr(rightTs).as("_asof_ts") +: rightCols.map(c => cr(c))): _*)
     val nullPayload = lit(null).cast(
       org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("_asof_ts", right.schema(rightTs).dataType) +:
           rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))))
     val taggedLeft = left
       .select(
-        (Seq(col(key).as("_key"), col(leftTs).as("_ts"), lit(1).as("_side"),
+        (Seq(cr(key).as("_key"), cr(leftTs).as("_ts"), lit(1).as("_side"),
           nullPayload.as("_p")) ++
-          leftCols.map(c => col(c).as(s"_l_$c"))): _*)
+          leftCols.map(c => cr(c).as(s"_l_$c"))): _*)
     // null keys never match in SQL join semantics; unfiltered, the window
     // partition would pair null-keyed left and right rows with each other
     val taggedRight = right
-      .filter(col(key).isNotNull)
+      .filter(cr(key).isNotNull)
       .select(
-        (Seq(col(key).as("_key"), col(rightTs).as("_ts"), lit(0).as("_side"),
+        (Seq(cr(key).as("_key"), cr(rightTs).as("_ts"), lit(0).as("_side"),
           payload.as("_p")) ++
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c"))): _*)
     val unioned = taggedLeft.unionByName(taggedRight)
@@ -82,7 +83,7 @@ object AsOf {
     carried
       .filter(col("_side") === 1)
       .select(
-        (leftCols.map(c => col(s"_l_$c").as(c)) :+
+        (leftCols.map(c => cr(s"_l_$c").as(c)) :+
           when(fresh, asofTs).as("asof_ts")) ++
           rightCols.map(c => when(fresh, col("_c").getField(c)).as(c)): _*)
   }

@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private val cr = graft.ops.Cleanse.colRef _ // dotted names survive
+
+
   /** Broadcast nested-loop formulation (small ranges side). */
   def naive(
       facts: DataFrame,
@@ -30,7 +33,7 @@ object RangeJoin {
       hiCol: String): DataFrame =
     facts.join(
       broadcast(ranges),
-      col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      cr(pointCol) >= cr(loCol) && cr(pointCol) < cr(hiCol))
 
   /** Bin-bucketed equi-join formulation.
     *
@@ -56,17 +59,17 @@ object RangeJoin {
     // Degenerate intervals (lo >= hi) are filtered — sequence() would
     // otherwise produce a descending range.
     val rBinned = ranges
-      .filter(col(loCol) < col(hiCol))
+      .filter(cr(loCol) < cr(hiCol))
       .withColumn(
         bin,
         explode(sequence(
-          floor(col(loCol) / binWidth).cast("long"),
-          floor(col(hiCol) / binWidth).cast("long"))))
+          floor(cr(loCol) / binWidth).cast("long"),
+          floor(cr(hiCol) / binWidth).cast("long"))))
     val fBinned = facts.withColumn(
-      bin, floor(col(pointCol) / binWidth).cast("long"))
+      bin, floor(cr(pointCol) / binWidth).cast("long"))
     fBinned
       .join(rBinned, Seq(bin))
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .filter(cr(pointCol) >= cr(loCol) && cr(pointCol) < cr(hiCol))
       .drop(bin)
   }
 }

@@ -13,6 +13,35 @@ class IngestSpec extends SparkSpec {
     f.toString
   }
 
+  test("leading blank line: header still detected, no header-echo data row") {
+    val p = tmp(".csv", "   \na,b\n1,2\n3,4\n")
+    val df = Readers.delimited(spark, p)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val rows = df.orderBy("a").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("1", "2"), ("3", "4"))) // no ("a","b") echo
+  }
+
+  test("xlsx duplicate and empty headers deduped like the delimited path") {
+    val f = Files.createTempFile("graft_dup", ".xlsx")
+    ExcelFixture.writeXlsx(f.toString, Seq(
+      Seq("id", "id", "", "name"),
+      Seq("1", "x", "junk", "ann"),
+      Seq("2", "y", "junk", "bob")))
+    val df = ExcelReader.read(spark, f.toString)
+    assert(df.columns.toSeq == Seq("id", "id_1", "name")) // empty col dropped
+    assert(df.count() == 2)
+  }
+
+  test("xlsx inline strings keep numeric-looking text verbatim") {
+    val f = Files.createTempFile("graft_inline", ".xlsx")
+    ExcelFixture.writeXlsx(f.toString, Seq(
+      Seq("code", "qty"),
+      Seq("3.00", "2.0")))
+    val r = ExcelReader.read(spark, f.toString).collect()(0)
+    // both cells are inlineStr in the fixture: neither is numeric-trimmed
+    assert(r.getString(0) == "3.00" && r.getString(1) == "2.0")
+  }
+
   test("sniffer priority: tab > pipe > comma, first line only") {
     assert(Sniffer.sniffDelimiter("a\tb|c,d") == "\t")
     assert(Sniffer.sniffDelimiter("a|b,c") == "|")
