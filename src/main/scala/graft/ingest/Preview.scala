@@ -13,11 +13,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object Preview {
 
+  /** @param headers inferred column names
+    * @param rows    the first n parsed rows (already collected)
+    * @param df      the FULL parsed frame (not limited) — continue the
+    *                ingest pipeline from here; the preview rows are in
+    *                `rows`
+    */
   final case class Result(headers: Seq[String], rows: Seq[Row], df: DataFrame)
 
   def preview(spark: SparkSession, path: String, n: Int = 10): Result = {
     val df = Readers.read(spark, path)
-    val limited = df.limit(n)
-    Result(df.columns.toIndexedSeq, limited.collect().toIndexedSeq, limited)
+    Result(df.columns.toIndexedSeq, df.limit(n).collect().toIndexedSeq, df)
   }
 }

@@ -19,12 +19,12 @@ import graft.ops.Cleanse
   *   - all columns land as strings (the reference inserts strings and lets
   *     the database cast; our casts happen later in Save)
   *
-  * Spark-first design: the scan is `spark.read.csv` with quote-handling
-  * DISABLED (quote = NUL) so Spark's splitter degenerates to the naive
-  * split, plus codegen'd column expressions for the cell cleanup. The only
-  * driver-side work is reading ONE line for the sniff — scan, cleanse,
-  * projection, and cast all distribute, so the path is identical at 100 TB
-  * (each executor parses its own file splits).
+  * Spark-first design: the scan is the TEXT source with an in-plan naive
+  * `split` + per-cell cleanup, all codegen'd column expressions (see the
+  * [[delimited]] scaladoc for why line-level semantics rule out the csv
+  * parser). The only driver-side work is reading ONE line for the sniff —
+  * scan, cleanse, projection, and cast all distribute, so the path is
+  * identical at 100 TB (each executor parses its own file splits).
   */
 object Readers {
 
@@ -70,42 +70,43 @@ object Readers {
     (keep.toIndexedSeq, StructType(names.map(StructField(_, StringType, nullable = true)).toIndexedSeq))
   }
 
-  /** Delimited scan (S1): csv/tsv/pipe/markdown → all-string DataFrame. */
+  /** Delimited scan (S1): csv/tsv/pipe/markdown -> all-string DataFrame.
+    *
+    * Implemented over the TEXT source with an in-plan naive split rather
+    * than the csv reader, because the reference's semantics are
+    * LINE-level and the csv parser only exposes post-split cells:
+    *
+    *   - blank-line skip tests the RAW line (index.js:212) -- a
+    *     delimiter-only line like ",," is NOT blank and must yield an
+    *     all-null row, which a post-split all-cells-empty test cannot
+    *     distinguish from a genuinely blank line;
+    *   - the `---` separator skip tests the RAW line (index.js:114,219)
+    *     -- a `---` in an overflow token beyond the header width would
+    *     be invisible after a csv parser truncates to the schema;
+    *   - the header is the sniffed first non-blank line; any raw line
+    *     equal to it is dropped (per-file header skip for uniform
+    *     multi-file dirs; a DATA row byte-identical to the header line
+    *     is also dropped -- documented deviation, vanishingly rare).
+    *
+    * Everything stays distributed + codegen'd: `split` + `get` are plan
+    * expressions; only the one-line sniff runs on the driver.
+    */
   def delimited(spark: SparkSession, path: String): DataFrame = {
     val first = Sniffer.firstLine(spark, path).getOrElse(
       throw new IllegalArgumentException(s"File appears empty: $path"))
-    // does the file START with blank line(s)? The csv parser's
-    // header=true consumes the literal first physical line, while the
-    // sniffed header skips blanks — the real header then surfaces as a
-    // data row (dropped below by the header-echo filter).
-    val literalFirst = spark.read.text(path).limit(1)
-      .collect().headOption.map(_.getString(0))
-    val startsBlank = literalFirst.exists(_.trim.isEmpty)
     val delimiter = Sniffer.sniffDelimiter(first)
     val (keep, schema) = headerSchema(first, delimiter)
-    val raw = spark.read
-      .option("header", "true") // skips the first line of every file split
-      .option("sep", delimiter)
-      .option("quote", "\u0000") // DISABLE quote handling → naive split
-      .option("ignoreLeadingWhiteSpace", "false")
-      .option("ignoreTrailingWhiteSpace", "false")
-      .option("mode", "PERMISSIVE") // short rows → null-padded
-      .option("enforceSchema", "true")
-      .schema(schema)
-      .csv(path)
-    val cleansed = Cleanse.cells(raw)
-    val noSep = Cleanse.dropSeparatorRows(cleansed)
-    val noBlank = Cleanse.dropBlankRows(noSep)
-    val noEcho =
-      if (!startsBlank) noBlank
-      else {
-        // header=true consumed a BLANK first line; the real header line
-        // is now a data row whose cells equal the header names — drop it
-        val echo = keep.map(n => Cleanse.colRef(n) <=> lit(n))
-          .reduceOption(_ && _).getOrElse(lit(false))
-        noBlank.filter(!echo)
-      }
-    noEcho.select(keep.map(Cleanse.colRef).toIndexedSeq: _*)
+    val line = col("value")
+    val rows = spark.read.text(path)
+      .filter(Cleanse.trimAll(line) =!= "") // raw blank-line skip
+      .filter(!line.contains("---")) // raw separator-line skip
+      .filter(line =!= lit(first)) // header line (every file)
+    val cells = split(line, java.util.regex.Pattern.quote(delimiter), -1)
+    val columns = schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      get(cells, lit(i)).as(n) // null when the row is short -- pad parity
+    }
+    val cleansed = Cleanse.cells(rows.select(columns.toIndexedSeq: _*))
+    cleansed.select(keep.map(Cleanse.colRef).toIndexedSeq: _*)
   }
 
   /** JSON-lines scan (extension beyond the reference, which pushes .json

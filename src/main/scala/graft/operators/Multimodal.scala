@@ -109,6 +109,11 @@ object Multimodal {
     * file row (from the binaryFile source) becomes (media_id from a
     * path hash, content, metadata shell). The decode/featurize stages
     * fill in the typed metadata.
+    *
+    * media_id is xxhash64(path): at ~1e9 files the 64-bit birthday
+    * collision odds reach the low percents — corpora at that scale
+    * should key joins on `path` itself (carry it through) or widen the
+    * id to a 128-bit digest pair.
     */
   def fromBinaryFiles(spark: SparkSession, path: String, mediaType: String = "image",
       globFilter: Option[String] = None): DataFrame =
@@ -211,9 +216,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val resized = FakeCodec.resize(r.getAs[Array[Byte]](1), w, h) // STUB
+          // meta is nullable in mediaSchema — build a fresh shell then
           val meta = r.getStruct(2)
-          Row(r.getLong(0), resized,
-            Row(meta.get(0), meta.get(1), w, h, meta.get(4), meta.get(5)))
+          val newMeta =
+            if (meta == null) Row(null, null, w, h, null, null)
+            else Row(meta.get(0), meta.get(1), w, h, meta.get(4), meta.get(5))
+          Row(r.getLong(0), resized, newMeta)
         }
       }(enc)
   }

@@ -22,6 +22,13 @@ object Cleanse {
     */
   def colRef(name: String): Column = col(s"`${name.replace("`", "``")}`")
 
+  /** Full-whitespace trim: JS `.trim()` (the reference's, index.js:115)
+    * and Java's `String.trim` strip tabs/newlines too, while Spark's
+    * `trim` strips only the space character — a `"\tfoo"` cell must
+    * become `"foo"` on both paths.
+    */
+  def trimAll(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** trim → strip edge quotes → strip edge pipes (reference order,
     * index.js:115: `.trim().replace(/^"|"$/g,'').replace(/^\||\|$/g,'')`),
     * then empty-string → null (save-path semantics, `cells[idx] || null`,
@@ -29,7 +36,7 @@ object Cleanse {
     */
   def cell(c: Column): Column = {
     val stripped =
-      regexp_replace(regexp_replace(trim(c), "^\"|\"$", ""), "^\\||\\|$", "")
+      regexp_replace(regexp_replace(trimAll(c), "^\"|\"$", ""), "^\\||\\|$", "")
     when(stripped === "", lit(null)).otherwise(stripped)
   }
 
@@ -58,12 +65,17 @@ object Cleanse {
     df.filter(!anySep)
   }
 
-  /** Drop rows where every cell is null/empty (reference skips blank lines,
-    * index.js:212).
+  /** Drop rows where every cell is null/empty. NOTE: this is a
+    * POST-SPLIT approximation — the reference skips raw-BLANK lines only
+    * (index.js:212), and a delimiter-only line like ",," legitimately
+    * yields an all-null row there. The line-level reader
+    * (Readers.delimited) therefore filters raw lines BEFORE splitting
+    * and does not use this; it remains for cleanse-pipeline callers that
+    * operate on already-tabular data.
     */
   def dropBlankRows(df: DataFrame): DataFrame = {
     val allBlank = df.columns
-      .map(c => colRef(c).isNull || trim(colRef(c)) === "")
+      .map(c => colRef(c).isNull || trimAll(colRef(c)) === "")
       .reduceOption(_ && _)
       .getOrElse(lit(false))
     df.filter(!allBlank)

@@ -25,6 +25,12 @@ object Tables {
     * lossless and matches DuckDB's TIMESTAMP_NS values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // session-wide side effect, intentionally left set: the conf must be
+    // active when the relation is ANALYZED, and resetting after read()
+    // would race concurrent planning in the same session. Consequence: a
+    // later scan of some OTHER nanos-timestamp parquet in this session
+    // yields LongType instead of PARQUET_TYPE_ILLEGAL — callers of such
+    // tables should convert explicitly as done here.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions._

@@ -109,6 +109,29 @@ class IngestSpec extends SparkSpec {
     val r = Preview.preview(spark, p, n = 10)
     assert(r.headers == Seq("id", "v"))
     assert(r.rows.length == 10)
+    assert(r.df.count() == 1000) // df is the FULL frame, not the preview
+  }
+
+  test("delimiter-only lines yield all-null rows (raw-line blank skip only)") {
+    // reference skips BLANK lines; ',,' is not blank → row of nulls
+    val p = tmp(".csv", "a,b,c\n1,2,3\n,,\n4,5,6\n")
+    val rows = Readers.delimited(spark, p).collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => (0 to 2).forall(r.isNullAt)) == 1)
+  }
+
+  test("--- in an overflow token still drops the whole raw line") {
+    val p = tmp(".csv", "a,b\n1,2\n3,4,---\n5,6\n")
+    val rows = Readers.delimited(spark, p)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("1", "2"), ("5", "6")))
+  }
+
+  test("tab-padded cells are fully trimmed like JS .trim()") {
+    val p = tmp(".csv", "a,b\n\tx ,\t\n")
+    val r = Readers.delimited(spark, p).collect()(0)
+    assert(r.getString(0) == "x")
+    assert(r.isNullAt(1)) // whitespace-only cell → null
   }
 
   test("A4 xlsx: first sheet only, empty cells null, types as strings") {
