@@ -304,6 +304,22 @@ object Extensions {
          ORDER BY c_custkey""")
   }
 
+  /** Wide→long reshape via the native unpivot/melt API (Spark ≥3.4):
+    * per-lineitem measures as (metric, value) rows — the standard
+    * feature-table melt. Oracle: the equivalent UNION ALL.
+    */
+  def qA16Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing (rows-only): synthetic media from doc ids →
@@ -701,7 +717,8 @@ object Extensions {
     "q62_profile_orders" -> qT8ProfileOrders _,
     "q63_exists_subquery" -> qA15ExistsSubquery _,
     "q64_audio_stats" -> qM3AudioStats _,
-    "q65_snapshot_roundtrip" -> qK3SnapshotRoundtrip _)
+    "q65_snapshot_roundtrip" -> qK3SnapshotRoundtrip _,
+    "q66_unpivot" -> qA16Unpivot _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1045,5 +1062,18 @@ object Extensions {
          ORDER BY c_custkey""",
     "q65_snapshot_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-         FROM supplier ORDER BY s_suppkey""")
+         FROM supplier ORDER BY s_suppkey""",
+    "q66_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS metric, l_quantity AS value
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', l_extendedprice
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem WHERE l_orderkey < 100)
+         ORDER BY l_orderkey, l_linenumber, metric""")
 }
