@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -40,12 +39,19 @@ object Dedup {
     * (hash, id) projection only — at 100 TB the heavy text column rides
     * the second, semi-join shuffle, or none at all when ids are unique
     * per partition file.
+    *
+    * Rows with NULL content all survive: md5(NULL) is NULL, so grouping
+    * them would silently collapse every missing-content record (failed
+    * scrapes, redacted docs) into one arbitrary survivor — they are
+    * distinct records that merely lack text.
     */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val keep = df
+      .filter(col(contentCol).isNotNull)
       .groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    df.filter(col(contentCol).isNull)
+      .unionByName(df.join(keep, Seq(idCol), "left_semi"))
   }
 
   /** Exact-dup groups: content hash → surviving id + duplicate count

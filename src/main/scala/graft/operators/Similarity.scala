@@ -118,12 +118,18 @@ object Similarity {
       dim: Int,
       bits: Int = 12,
       probes: Int = 4): DataFrame = {
+    // planes are indexed by the REAL vector dimension: srpSignature64
+    // projects over each corpus vector's full length, so the driver-side
+    // query signature must use query.length — a mismatched `dim` would
+    // silently project different components and collapse recall to ~0
+    require(dim == query.length,
+      s"dim ($dim) must equal the query vector length (${query.length})")
     val sigged = corpus.select(
       col(idCol), col(vecCol),
       srpSignature(col(vecCol), dim, bits).as("bucket"))
     // query signature computed driver-side with the same planes
     val qsig = (0 until bits).map { i =>
-      val p = planes(i, dim)
+      val p = planes(i, query.length)
       val proj = query.zip(p).map { case (x, s) => x.toDouble * s }.sum
       if (proj >= 0) 1L << i else 0L
     }.sum
@@ -242,6 +248,11 @@ object Similarity {
     // threshold predicate INSIDE the join condition, so the nested-loop
     // join emits only qualifying pairs instead of materializing all
     // n²/2 joined rows for a post-filter. (29s → ~1.5s at sf0.1.)
+    // No broadcast hint: both sides are the SAME corpus, so the hint
+    // buys nothing and would force-broadcast past safe limits for a
+    // large corpus; Catalyst broadcasts small inputs on its own and
+    // falls back to a distributed cartesian otherwise (at which point
+    // embeddingNearDups is the right operator anyway).
     val vd = col(vecCol).cast("array<double>")
     val a = corpus.select(
       col(idCol).as("id_a"), vd.as("v_a"), norm(vd).as("n_a"))
@@ -249,7 +260,7 @@ object Similarity {
       col(idCol).as("id_b"), vd.as("v_b"), norm(vd).as("n_b"))
     val denom = col("n_a") * col("n_b")
     val cos = when(denom === 0.0, lit(0.0)).otherwise(dot(col("v_a"), col("v_b")) / denom)
-    a.join(broadcast(b), col("id_a") < col("id_b") && cos >= threshold)
+    a.join(b, col("id_a") < col("id_b") && cos >= threshold)
       .select(col("id_a"), col("id_b"), cos.as("cos"))
   }
 

@@ -132,9 +132,14 @@ object HashExpressions {
     val bytes = s.numBytes
     val base = s.getBaseObject
     val off = s.getBaseOffset
+    // sub-shingle-length docs hash as ONE whole-string shingle: left as
+    // all-MaxValue sentinels, every short doc would share one signature
+    // (= one LSH bucket in every band) and verify at jaccard 1.0 against
+    // totally unrelated short docs
+    val step = math.min(shingleLen, math.max(bytes, 1))
     var p = 0
-    while (p + shingleLen <= bytes) {
-      val h = Murmur3_x86_32.hashUnsafeBytes(base, off + p, shingleLen, 42) & 0xffffffffL
+    while (p + step <= bytes) {
+      val h = Murmur3_x86_32.hashUnsafeBytes(base, off + p, step, 42) & 0xffffffffL
       var i = 0
       while (i < n) {
         val v = mulMod(a(i), h, b(i))
@@ -168,12 +173,17 @@ object HashExpressions {
     */
   private[plans] def shingleHashes(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.numBytes
-    val count = math.max(bytes - n + 1, 0)
+    // whole-string shingle for sub-length docs (same rule as
+    // minhashBands/minhashFromString): the set is empty ONLY for a truly
+    // empty string, so unrelated short docs no longer share the
+    // empty-set jaccard of 1.0
+    val step = math.min(n, math.max(bytes, 1))
+    val count = math.max(bytes - step + 1, 0)
     val hs = new Array[Long](count)
     var p = 0
     while (p < count) {
       hs(p) = Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset + p, n, 42) & 0xffffffffL
+        s.getBaseObject, s.getBaseOffset + p, step, 42) & 0xffffffffL
       p += 1
     }
     new GenericArrayData(sortedDistinct(hs))
@@ -196,13 +206,16 @@ object HashExpressions {
         }
       i += 1
     }
-    val count = math.max(m - n + 1, 0)
+    // same sub-length rule as the byte shinglers: fewer than n tokens →
+    // one n-gram over all of them (empty set only for zero tokens)
+    val step = math.min(n, math.max(m, 1))
+    val count = math.max(m - step + 1, 0)
     val out = new Array[Long](count)
     var p = 0
     while (p < count) {
       var h = 0x9e3779b97f4a7c15L
       var j = 0
-      while (j < n) {
+      while (j < step) {
         h ^= th(p + j)
         h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
         j += 1
@@ -255,10 +268,12 @@ object HashExpressions {
     val n = a.length
     val sig = Array.fill[Long](n)(Long.MaxValue)
     val bytes = s.numBytes
+    // whole-string shingle for sub-length docs (see minhashBands)
+    val step = math.min(shingleLen, math.max(bytes, 1))
     var p = 0
-    while (p + shingleLen <= bytes) {
+    while (p + step <= bytes) {
       val h = Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset + p, shingleLen, 42) & 0xffffffffL
+        s.getBaseObject, s.getBaseOffset + p, step, 42) & 0xffffffffL
       var i = 0
       while (i < n) {
         val v = mulMod(a(i), h, b(i))
@@ -303,7 +318,12 @@ object HashExpressions {
     * so results stay bit-identical to the oracle.
     */
   private[plans] def dotEval(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast on dimension mismatch: silent min-length truncation
+    // yields wrong similarities (dot over k components, norms over all)
+    // with no diagnostic
+    require(n == b.numElements(),
+      s"dot product dimension mismatch: $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -256,6 +256,7 @@ object Extensions {
     */
   def qE2SessionWindow(s: SparkSession, d: String): DataFrame =
     Streams.sessionWindowAgg(events(s, d), gap = "30 minutes")
+      .orderBy(col("user_id"), col("session_start"))
 
   /** Deterministic hash-based train/eval split (md5 bucket assignment —
     * stable across engines, runs, partitionings, and corpus growth):

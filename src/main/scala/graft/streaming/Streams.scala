@@ -95,10 +95,16 @@ object Streams {
       window: String,
       watermark: String = "1 hour",
       tsCol: String = "ts"): DataFrame = {
-    val l = left.withWatermark(tsCol, watermark).as("l")
-    val r = right.withWatermark(tsCol, watermark).as("r")
-    l.join(r,
-      expr(s"l.$key = r.$key AND r.$tsCol BETWEEN l.$tsCol - INTERVAL $window AND l.$tsCol"))
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.withWatermark(tsCol, watermark)
+    // side-bound, quoted column refs (dataset.col) instead of a raw SQL
+    // string: names with spaces/dots survive, and same-named columns on
+    // both sides resolve unambiguously
+    def q(n: String) = s"`${n.replace("`", "``")}`"
+    val cond = l.col(q(key)) === r.col(q(key)) &&
+      r.col(q(tsCol)).between(
+        l.col(q(tsCol)) - expr(s"INTERVAL $window"), l.col(q(tsCol)))
+    l.join(r, cond)
   }
 
   /** foreachBatch sink: per-micro-batch handler with the batch id —
@@ -120,11 +126,15 @@ object Streams {
       events: DataFrame,
       dim: DataFrame,
       eventKey: String,
-      dimKey: String): DataFrame =
+      dimKey: String): DataFrame = {
+    // side-bound refs: bare col(name) is AMBIGUOUS when both sides carry
+    // the key under the same name (the standard lookup-join shape)
+    def q(n: String) = s"`${n.replace("`", "``")}`"
     events.join(
       org.apache.spark.sql.functions.broadcast(dim),
-      col(eventKey) === col(dimKey),
+      events.col(q(eventKey)) === dim.col(q(dimKey)),
       "left")
+  }
 
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
@@ -168,16 +178,26 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
+                // within gap of the session's SPAN (cross-batch late rows
+                // can precede it — an unsigned `t - lastTs <= gap` would
+                // merge arbitrarily old events and never extend start)
+                case Some(s) if t >= s.start - gapMs && t - s.lastTs <= gapMs =>
                   cur = Some(s.copy(
+                    start = math.min(s.start, t),
                     lastTs = math.max(s.lastTs, t),
                     nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
-                case Some(s) =>
+                case Some(s) if t > s.lastTs + gapMs =>
                   closed ::= Session(
                     userId, new Timestamp(s.start), new Timestamp(s.lastTs),
                     s.nEvents, s.totalValue)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // stale late event, > gap BEFORE the open session: its
+                  // session is already closed — emit as its own
+                  // immediately-closed single-event session
+                  closed ::= Session(
+                    userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
@@ -217,7 +237,9 @@ object Streams {
         col("sw.start").as("session_start"),
         col("sw.end").as("session_end"),
         col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("session_start"))
+  // no trailing sort: streaming append mode rejects orderBy — batch
+  // callers that need a total order (the oracle gate) sort at the call
+  // site
 
   /** Batch analogue of sessionization (gaps-and-islands) — the
     * SQL-checkable twin of [[sessionize]] used by the oracle gate: a new

@@ -25,6 +25,24 @@ class DedupSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("null-content rows all survive exact dedup (not collapsed together)") {
+    val withNulls = Seq(
+      (1L, "same"), (2L, "same"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ids = Dedup.exact(withNulls, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L)) // dup 2 dropped; BOTH null rows kept
+  }
+
+  test("unrelated sub-shingle-length docs are NOT near-dups; identical ones are") {
+    val shorts = Seq(
+      (1L, "abc"), (2L, "xyz"), (3L, "abc")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(shorts, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L))) // 'abc' vs 'abc' only — never 'abc' vs 'xyz'
+  }
+
   test("exactGroups reports duplicate counts") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()

@@ -67,6 +67,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stale late event becomes its own closed session, not a bogus merge") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late").start()
+    try {
+      input.addData(ev(1, "2024-01-01 12:00:00", 1, v = 1.0))
+      q.processAllAvailable()
+      // hours-late event: must NOT merge into the 12:00 session
+      input.addData(ev(2, "2024-01-01 09:00:00", 1, v = 2.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_late").as[Session].collect()
+      assert(got.length == 1)
+      assert(got(0).session_start == Timestamp.valueOf("2024-01-01 09:00:00"))
+      assert(got(0).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("enrich resolves same-named keys on both sides") {
+    val ev = Seq((1L, "click"), (2L, "view")).toDF("user_id", "event_type")
+    val dim = Seq((1L, "pro")).toDF("user_id", "tier")
+    val out = Streams.enrich(ev, dim, "user_id", "user_id")
+    assert(out.count() == 2)
+    assert(out.filter(col("tier") === "pro").count() == 1)
+  }
+
   test("event-time timeout closes idle sessions once the watermark passes") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
