@@ -264,6 +264,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs: label propagation to a
+    * fixed point (each node takes the min id reachable so far; iterate
+    * until no label changes). The standard Spark pattern for transitive
+    * dup closure without GraphX — near-dup pairs (A,B),(B,C) must
+    * collapse to ONE surviving doc, which pairwise dedup alone misses.
+    *
+    * Iterations are bounded by the cluster DIAMETER (≤ log2(n) rounds
+    * with min-propagation doubling in practice); each round is one
+    * join + aggregate on the (tiny relative to corpus) pair set. The
+    * label frame is cached per round and the loop exits on a converged
+    * count — driver-side orchestration, executor-side data.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache() // reused every round
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // candidate label per node: min of own and neighbors' labels
+      val next = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("label", "nbr_label"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster-aware survivors: every doc keeps its row unless it belongs
+    * to a near-dup cluster and is not the cluster's min-id member.
+    */
+  def nearDupSurvivors(
+      df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = clusters(pairs)
+      .filter(col("id") =!= col("label")) // min-id member IS the label
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dups: word-ngram sets compared exactly over
     * MinHash candidates (LSH does the blocking; word-grams do the
     * verification — the catch-crawl-dup recipe).

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IQR outlier flagging — the numeric data-quality filter (Tukey
+  * fences): a value is an outlier in its group when it falls outside
+  * [q1 - k·IQR, q3 + k·IQR].
+  *
+  * Shape: one grouped exact-percentile aggregation over the data (group
+  * count assumed dimension-small → the bounds table broadcasts), then a
+  * codegen'd per-row comparison. At the 100 TB design point swap the
+  * exact percentile for `approx_percentile` — fence positions tolerate
+  * sketch error; exact is kept here because the gate hashes the output.
+  */
+object Outliers {
+
+  /** df + (lo, hi, is_outlier) columns, fences computed per group. */
+  def iqr(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val v = Cleanse.colRef(valueCol)
+    val bounds = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+      .agg(
+        percentile(v, lit(0.25)).as("_q1"),
+        percentile(v, lit(0.75)).as("_q3"))
+      .select(
+        groupCols.map(Cleanse.colRef) ++ Seq(
+          (col("_q1") - lit(k) * (col("_q3") - col("_q1"))).as("lo"),
+          (col("_q3") + lit(k) * (col("_q3") - col("_q1"))).as("hi")): _*)
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("is_outlier", v < col("lo") || v > col("hi"))
+  }
+}

@@ -321,6 +321,32 @@ object Extensions {
         valueColumnName = "value")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
 
+  /** IQR outlier flagging per group (Tukey fences over exact quantiles)
+    * — oracle-checked: quantile_cont matches percentile bit-for-bit and
+    * the fence arithmetic is written identically on both sides.
+    */
+  def qA17Outliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.Outliers.iqr(
+      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+      "l_extendedprice", Seq("l_returnflag"), k = 1.5)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        count(lit(1)).as("n"),
+        min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+      .orderBy(col("l_returnflag"))
+
+  /** Transitive near-dup closure: connected components over the exact
+    * embedding-similarity pairs (q51's edge set, so the clustering
+    * itself is oracle-checkable via a recursive CTE) — (A,B),(B,C)
+    * collapse into one cluster labeled by the min member id.
+    */
+  def qD6DedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(
+      Similarity.allPairsSimilar(embeddings(s, d), "embedding", "vec_id", threshold = 0.4))
+      .orderBy(col("id"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing (rows-only): synthetic media from doc ids →
@@ -719,7 +745,9 @@ object Extensions {
     "q63_exists_subquery" -> qA15ExistsSubquery _,
     "q64_audio_stats" -> qM3AudioStats _,
     "q65_snapshot_roundtrip" -> qK3SnapshotRoundtrip _,
-    "q66_unpivot" -> qA16Unpivot _)
+    "q66_unpivot" -> qA16Unpivot _,
+    "q67_outliers" -> qA17Outliers _,
+    "q68_dedup_clusters" -> qD6DedupClusters _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1076,5 +1104,37 @@ object Extensions {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
            FROM lineitem WHERE l_orderkey < 100)
-         ORDER BY l_orderkey, l_linenumber, metric""")
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q67_outliers" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag,
+           count(*) FILTER (
+             l_extendedprice < q1 - 1.5 * (q3 - q1)
+             OR l_extendedprice > q3 + 1.5 * (q3 - q1)) AS n_outliers,
+           count(*) AS n,
+           min(q1 - 1.5 * (q3 - q1)) AS lo,
+           min(q3 + 1.5 * (q3 - q1)) AS hi
+         FROM lineitem l JOIN b USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+    "q68_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < b.vec_id)
+           WHERE cos >= 0.4),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+         SELECT id, min(r) AS label FROM reach GROUP BY id
+         ORDER BY id""")
 }

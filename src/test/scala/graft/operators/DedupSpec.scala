@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L))) // 'abc' vs 'abc' only — never 'abc' vs 'xyz'
   }
 
+  test("clusters: transitive closure labels chains by their min id") {
+    // chain 1-2-3, pair 5-6, singleton edges none for 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("nearDupSurvivors keeps one doc per cluster plus all unpaired docs") {
+    val corpus = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = Dedup.nearDupSurvivors(corpus, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 4L, 5L, 7L))
+  }
+
   test("exactGroups reports duplicate counts") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
