@@ -286,6 +286,10 @@ object Dedup {
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -305,10 +309,13 @@ object Dedup {
         .select(merged("id"),
           least(merged("label"), coalesce(col("m_label"), merged("label"))).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      // labels are min-monotone per node, so Σlabel strictly decreases
+      // until the fixed point — convergence is one tiny aggregation over
+      // the just-checkpointed frame, not a join against the prior round
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     labels
