@@ -121,6 +121,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window runs in append-mode STREAMING with a watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = Streams.sessionWindowAgg(
+      input.toDS().toDF().withWatermark("ts", "0 seconds"), "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sw_stream").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, v = 2.0),
+        ev(2, "2024-01-01 10:10:00", 1, v = 3.0))
+      q.processAllAvailable()
+      // advance the watermark past the session's close
+      input.addData(ev(3, "2024-01-01 13:00:00", 2, v = 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_stream")
+        .orderBy("user_id", "session_start").collect()
+      assert(rows.length == 1) // user 1's closed session emitted
+      assert(rows(0).getLong(0) == 1L && rows(0).getLong(3) == 2L)
+      assert(rows(0).getTimestamp(2) == Timestamp.valueOf("2024-01-01 10:40:00"))
+    } finally q.stop()
+  }
+
   test("built-in session_window yields the same sessions (end = last + gap)") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
