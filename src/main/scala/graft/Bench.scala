@@ -53,24 +53,47 @@ object Bench {
     // cache-hit run, not full work. Clearing also stops cached
     // intermediates accumulating across the suite.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // session accessor with post-failure recovery (same pattern as
+    // Verify): a context-killing query must not silently void the rest
+    // of the suite with near-zero "timings" of instant failures
+    var active = spark
+    def session(): org.apache.spark.sql.SparkSession = {
+      if (active.sparkContext.isStopped) {
+        active = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        active.sparkContext.setLogLevel("WARN")
+      }
+      active
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
+      // a failed rep reports NO timing: recording time-to-failure would
+      // let times.min publish a fast "success" for a query that threw
+      val times = (1 to reps).flatMap { _ =>
+        val s = session()
+        s.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
+        try {
+          fn(s, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0) // -1 marks an all-reps failure
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    active.stop()
   }
 }

@@ -19,6 +19,11 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // guard failures flip this and the process exits non-zero — an
+    // exit-code-checking driver must see a broken guard, not a 0
+    var failed = false
+    def guardError(msg: String): Unit = { failed = true; println(s"ERROR: $msg") }
+
     val dir = Files.createTempDirectory("graft_demo")
     val wh = dir.resolve("warehouse").toString
 
@@ -63,7 +68,7 @@ object Demo {
     println("== duplicate save guard (expect failure)")
     try {
       sink.Save.ingest(spark, csv.toString, wh, "My Orders!", Seq("id"))
-      println("ERROR: duplicate save was allowed!")
+      guardError("duplicate save was allowed!")
     } catch {
       case e: IllegalStateException => println(s"guarded: ${e.getMessage}")
     }
@@ -83,13 +88,12 @@ object Demo {
     Files.writeString(empty, "")
     try {
       ingest.Preview.preview(spark, empty.toString)
-      println("ERROR: empty file did not raise!")
+      guardError("empty file did not raise!")
     } catch {
       case e: IllegalArgumentException => println(s"guarded: ${e.getMessage}")
     }
 
     // ------------------------------------------------ pipeline operators
-    import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
 
     println("== dedup: exact + minhash near-dups on documents")
@@ -123,5 +127,6 @@ object Demo {
          FROM docs_demo""").show(false)
 
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

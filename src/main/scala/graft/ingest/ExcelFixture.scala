@@ -14,6 +14,10 @@ object ExcelFixture {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+      // XML 1.0 forbids most control chars even escaped — strip them so
+      // a fixture carrying dirty data still produces a parseable workbook
+      // (real Excel writers do the same)
+      .filter(c => c == '\t' || c == '\n' || c == '\r' || c >= ' ')
 
   private def colName(i: Int): String = {
     var n = i + 1

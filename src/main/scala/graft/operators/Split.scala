@@ -34,7 +34,7 @@ object Split {
 
   /** df plus a `split` column. */
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double = 0.8): DataFrame =
-    df.withColumn("split", assignment(col(idCol), trainFrac))
+    df.withColumn("split", assignment(graft.ops.Cleanse.colRef(idCol), trainFrac))
 
   /** Seeded stratified sample: per-stratum fractions via `sampleBy` —
     * reproducible for a fixed seed within Spark (the Bernoulli stream is

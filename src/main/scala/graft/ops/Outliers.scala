@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** df + (lo, hi, is_outlier) columns, fences computed per group. */
+  /** df + (lo, hi, is_outlier) columns, fences computed per group.
+    * Row-preserving: the bounds join is NULL-SAFE on the group keys, so
+    * null-group rows keep their (null-group) fences instead of being
+    * dropped by inner-equi-join semantics.
+    */
   def iqr(
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String],
       k: Double = 1.5): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    Seq("lo", "hi", "is_outlier").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before iqr()"))
     val v = Cleanse.colRef(valueCol)
     val bounds = df.groupBy(groupCols.map(Cleanse.colRef): _*)
       .agg(
@@ -31,7 +38,13 @@ object Outliers {
         groupCols.map(Cleanse.colRef) ++ Seq(
           (col("_q1") - lit(k) * (col("_q3") - col("_q1"))).as("lo"),
           (col("_q3") + lit(k) * (col("_q3") - col("_q1"))).as("hi")): _*)
-    df.join(broadcast(bounds), groupCols)
+    val d = df.alias("d")
+    val b = broadcast(bounds.alias("b"))
+    def q(n: String) = n.replace("`", "``")
+    val cond = groupCols.map(n =>
+      col(s"d.`${q(n)}`") <=> col(s"b.`${q(n)}`")).reduce(_ && _)
+    d.join(b, cond)
+      .select(col("d.*"), col("b.lo"), col("b.hi"))
       .withColumn("is_outlier", v < col("lo") || v > col("hi"))
   }
 }
