@@ -278,14 +278,23 @@ object Dedup {
     *   - each round's label frame is localCheckpoint'd, truncating the
     *     logical-plan lineage that otherwise grows by one join tree per
     *     round (measured: driver heap exhaustion by round ~15 at sf0.1).
+    *
+    * `reliable = true` swaps localCheckpoint for reliable `checkpoint()`
+    * (requires `sparkContext.setCheckpointDir`): localCheckpoint blocks
+    * live on executors, so on a real cluster one lost executor
+    * invalidates a round mid-iteration; reliable checkpoints persist to
+    * the checkpoint dir (HDFS/object store) and survive executor loss —
+    * the right mode for long multi-round runs at 100 TB.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint() // reused every round; lineage cut at the source
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+  def clusters(pairs: DataFrame, maxIters: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = cp(pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+      // reused every round; lineage cut at the source
+    var labels = cp(edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")))
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
@@ -304,11 +313,10 @@ object Dedup {
       // 2) path halving: label := label(label) — collapses chains
       //    exponentially instead of one hop per round
       val mapping = merged.select(col("id").as("m_id"), col("label").as("m_label"))
-      val next = merged
+      val next = cp(merged
         .join(mapping, merged("label") === mapping("m_id"), "left")
         .select(merged("id"),
-          least(merged("label"), coalesce(col("m_label"), merged("label"))).as("label"))
-        .localCheckpoint()
+          least(merged("label"), coalesce(col("m_label"), merged("label"))).as("label")))
       // labels are min-monotone per node, so Σlabel strictly decreases
       // until the fixed point — convergence is one tiny aggregation over
       // the just-checkpointed frame, not a join against the prior round

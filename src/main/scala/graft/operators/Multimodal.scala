@@ -1,6 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,13 +12,12 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs, processed by
   * partition-batched transforms.
   *
-  * The Spark-side plumbing — schema contract, partition batching,
-  * transform signature, output shape — is real and tested. The actual
-  * codec calls (JPEG decode, resample, frame extraction) are STUBBED
-  * behind [[FakeCodec]] with deterministic synthetic implementations,
-  * clearly marked: no image/audio library exists in this offline
-  * container. Swapping in a real codec changes only the function body,
-  * not the distributed shape.
+  * Image and audio decode are REAL, JDK-only codecs: PNG/JPEG/BMP via
+  * `javax.imageio.ImageIO`, WAV (RIFF/PCM) via
+  * `javax.sound.sampled.AudioSystem`. No third-party media library is
+  * needed. Only video-frame extraction remains a stand-in
+  * ([[FakeCodec.sampleFrames]]) — the JDK ships no container demuxer —
+  * and is clearly marked as such.
   *
   * Scale design: `mapPartitions` over an iterator (the Scala analogue of
   * mapInPandas batches) keeps memory bounded to one row's media buffer at
@@ -40,60 +43,175 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", mediaMetaSchema)))
 
-  /** ======= STUB: deterministic fake codec =======
-    * Stands in for libjpeg/ffmpeg/soundfile, which are unavailable
-    * offline. Every function is a pure deterministic function of the
-    * input bytes so tests are reproducible. A production build replaces
-    * ONLY this object.
+  /** Real JDK-only codecs. Every function is total: undecodable or empty
+    * bytes yield zeroed stats rather than a task failure, so one corrupt
+    * file can't kill a 100 TB scan (filter `width = 0` downstream to
+    * quarantine).
     */
-  object FakeCodec {
-    /** "Decode" an image: derive (width, height, mean_luma) from bytes. */
-    def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
-      if (bytes == null || bytes.isEmpty) (0, 0, 0.0)
+  object JdkCodec {
+    // ImageIO defaults to a disk-backed stream cache; per-call temp files
+    // would dominate decode cost for KB-sized images.
+    ImageIO.setUseCache(false)
+
+    /** Decode an image with ImageIO (PNG/JPEG/BMP/GIF): returns
+      * (width, height, px_sum, mean_luma) where px_sum is the EXACT
+      * integer sum over pixels of (r+g+b)/3 — an oracle-friendly
+      * lossless-roundtrip witness — and mean_luma = px_sum/(w*h*255).
+      */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Long, Double) = {
+      val img =
+        if (bytes == null || bytes.isEmpty) null
+        else
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+      if (img == null) (0, 0, 0L, 0.0)
       else {
-        val w = 1 + (math.abs(bytes.head.toInt) % 64)
-        val h = 1 + (math.abs(bytes.last.toInt) % 64)
-        val luma = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length / 255.0
-        (w, h, luma)
+        val w = img.getWidth
+        val h = img.getHeight
+        var pxSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            pxSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, pxSum, pxSum.toDouble / (w.toLong * h * 255))
       }
     }
 
-    /** "Extract" an embedding: d deterministic moments of the bytes. */
+    /** Decode a WAV (RIFF/PCM16 mono LE) with javax.sound: returns
+      * (duration_ms, sample_rate, abs_sum, rms). abs_sum is the EXACT
+      * integer sum of |sample| (oracle witness); rms is normalized to
+      * [0,1] by full scale (32768).
+      */
+    def decodeAudio(bytes: Array[Byte]): (Long, Int, Long, Double) = {
+      if (bytes == null || bytes.length < 44) (0L, 0, 0L, 0.0)
+      else
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val rate = fmt.getSampleRate.toInt
+            val durationMs =
+              if (rate > 0) in.getFrameLength * 1000L / rate else 0L
+            val data = in.readAllBytes()
+            var i = 0
+            var absSum = 0L
+            var sq = 0.0
+            var n = 0
+            while (i + 1 < data.length) {
+              val s = (((data(i) & 0xff) | (data(i + 1) << 8)).toShort).toInt
+              absSum += math.abs(s)
+              sq += s.toDouble * s
+              n += 1
+              i += 2
+            }
+            val rms = if (n == 0) 0.0 else math.sqrt(sq / n) / 32768.0
+            (durationMs, rate, absSum, rms)
+          } finally in.close()
+        } catch { case _: Exception => (0L, 0, 0L, 0.0) }
+    }
+
+    /** Real feature extraction: a d-bin luma histogram of the decoded
+      * image, L1-normalized — the classic pre-neural image descriptor.
+      * Undecodable bytes yield the zero vector.
+      */
     def featurize(bytes: Array[Byte], d: Int): Array[Float] = {
       val out = new Array[Float](d)
-      if (bytes != null && bytes.nonEmpty) {
-        var i = 0
-        while (i < bytes.length) {
-          out(i % d) += (bytes(i) & 0xff) / 255.0f
-          i += 1
+      val img =
+        if (bytes == null || bytes.isEmpty) null
+        else
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+      if (img != null) {
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            out(luma * d / 256) += 1f
+            x += 1
+          }
+          y += 1
         }
+        val n = (w.toLong * h).toFloat
         var j = 0
-        while (j < d) { out(j) /= math.max(1, bytes.length / d); j += 1 }
+        while (j < d) { out(j) /= n; j += 1 }
       }
       out
     }
 
-    /** "Decode" audio: derive (duration_ms, sample_rate, rms) from
-      * bytes.
+    /** Real resize: Graphics2D bilinear scale, re-encoded as PNG.
+      * Undecodable input yields an empty buffer (quarantine downstream).
       */
-    def decodeAudio(bytes: Array[Byte]): (Long, Int, Double) = {
-      if (bytes == null || bytes.isEmpty) (0L, 0, 0.0)
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img =
+        if (bytes == null || bytes.isEmpty) null
+        else
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+      if (img == null) Array.emptyByteArray
       else {
-        val rate = 8000 + (bytes.head & 0xff) * 160 // 8k..48.8k
-        val durationMs = bytes.length * 1000L / math.max(rate / 8, 1)
-        val meanSq = bytes.foldLeft(0.0) { (a, b) =>
-          val x = (b & 0xff) / 255.0; a + x * x
-        } / bytes.length
-        (durationMs, rate, math.sqrt(meanSq))
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodePng(dst)
       }
     }
 
-    /** "Resize": truncate/pad the byte budget for a target (w,h). */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val n = math.max(1, w * h / 8)
-      java.util.Arrays.copyOf(if (bytes == null) Array.emptyByteArray else bytes, n)
+    /** Encode a BufferedImage as PNG bytes (lossless). */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
+    /** Build a real PCM16 mono LE WAV file byte-for-byte (RIFF header +
+      * fmt + data chunks) — AudioSystem reads it back.
+      */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits/sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
+    }
+  }
+
+  /** ======= STUB: video-frame stand-in =======
+    * The JDK ships no video container demuxer, so frame sampling alone
+    * remains a deterministic fake (byte-range slices standing in for
+    * decoded frames). A production build swaps ONLY this object for an
+    * ffmpeg-backed one; the distributed shape (flatMap, one row per
+    * frame) is real.
+    */
+  object FakeCodec {
     /** "Sample frames": k deterministic offsets into a video buffer. */
     def sampleFrames(bytes: Array[Byte], k: Int): Seq[Array[Byte]] = {
       if (bytes == null || bytes.isEmpty) Seq.fill(k)(Array.emptyByteArray)
@@ -129,9 +247,10 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms"),
           lit(null).cast("int").as("sample_rate")).as("meta"))
 
-  /** Build a synthetic media table from any id-bearing table —
-    * deterministic bytes from the id — so the plumbing is testable at
-    * every scale factor without real media files.
+  /** Build an opaque synthetic media table from any id-bearing table —
+    * deterministic pseudo-bytes from the id. Used as the VIDEO stand-in
+    * (frame sampling slices raw bytes); for image/audio use
+    * [[syntheticImages]]/[[syntheticAudio]], which emit real encodings.
     */
   def syntheticMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame =
     ids.select(
@@ -139,22 +258,84 @@ object Multimodal {
       // deterministic pseudo-bytes: sha2 of the id, repeated
       to_binary(repeat(sha2(col(idCol).cast("string"), 256), 4), lit("hex")).as("content"),
       struct(
-        lit("image").as("media_type"),
+        lit("video").as("media_type"),
         lit("fake").as("format"),
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
 
+  /** Deterministic REAL-PNG media table: per id, a (4 + id%13) ×
+    * (3 + id%11) image filled with constant gray (id%256), encoded by
+    * ImageIO. The closed-form dims/pixel-sum make decode gates
+    * integer-exact and DuckDB-expressible:
+    * px_sum = (4 + id%13) * (3 + id%11) * (id%256).
+    */
+  def syntheticImages(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 11).toInt
+          val g = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          Row(id, JdkCodec.encodePng(img),
+            Row("image", "png", w, h, null, null))
+        }
+      }(enc)
+  }
+
+  /** Deterministic REAL-WAV media table: per id, a PCM16 mono square
+    * wave — rate ∈ {8000,16000,44100} by id%3, 100 + id%2000 samples,
+    * amplitude 1000 + id%5000. Closed-form witnesses for the oracle:
+    * duration_ms = n*1000 // rate, abs_sum = n * amplitude.
+    */
+  def syntheticAudio(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val rate = (id % 3) match {
+            case 0 => 8000
+            case 1 => 16000
+            case _ => 44100
+          }
+          val n = 100 + (id % 2000).toInt
+          val amp = (1000 + (id % 5000)).toShort
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = if (i % 2 == 0) amp else (-amp).toShort
+            i += 1
+          }
+          Row(id, JdkCodec.encodeWav(rate, samples),
+            Row("audio", "wav", null, null, n * 1000L / rate, rate))
+        }
+      }(enc)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
     StructField("mean_luma", DoubleType, nullable = false)))
 
-  /** Decode pass: binary → (width, height, mean_luma), partition-batched.
-    * The mapPartitions body sees an iterator — constant memory per task
-    * regardless of partition row count.
+  /** Decode pass: binary → (width, height, px_sum, mean_luma), real
+    * ImageIO decode, partition-batched. The mapPartitions body sees an
+    * iterator — constant memory per task regardless of partition row
+    * count. Undecodable rows come back zeroed (width = 0), never failed.
     */
   def decodeImages(media: DataFrame): DataFrame = {
     val enc = Encoders.row(decodedSchema)
@@ -163,8 +344,8 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, luma) = FakeCodec.decodeImage(bytes) // STUB codec
-          Row(id, w, h, luma)
+          val (w, h, pxSum, luma) = JdkCodec.decodeImage(bytes)
+          Row(id, w, h, pxSum, luma)
         }
       }(enc)
   }
@@ -173,19 +354,21 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("duration_ms", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
+    StructField("abs_sum", LongType, nullable = false),
     StructField("rms", DoubleType, nullable = false)))
 
-  /** Audio decode pass: binary → (duration_ms, sample_rate, rms) —
-    * the waveform-stats stage of an audio pipeline (language/quality
-    * filters key off duration and loudness before any transcription).
+  /** Audio decode pass: binary → (duration_ms, sample_rate, abs_sum,
+    * rms) via javax.sound WAV parsing — the waveform-stats stage of an
+    * audio pipeline (language/quality filters key off duration and
+    * loudness before any transcription).
     */
   def decodeAudio(media: DataFrame): DataFrame = {
     val enc = Encoders.row(audioSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { it =>
         it.map { r =>
-          val (d, sr, rms) = FakeCodec.decodeAudio(r.getAs[Array[Byte]](1)) // STUB codec
-          Row(r.getLong(0), d, sr, rms)
+          val (d, sr, absSum, rms) = JdkCodec.decodeAudio(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), d, sr, absSum, rms)
         }
       }(enc)
   }
@@ -194,33 +377,34 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** Feature-extraction pass: binary → embedding array<float>. The output
-    * feeds graft.operators.Similarity directly.
+  /** Feature-extraction pass: binary → embedding array<float> (real
+    * luma-histogram descriptor). The output feeds
+    * graft.operators.Similarity directly.
     */
   def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = Encoders.row(featureSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { it =>
         it.map { r =>
-          Row(r.getLong(0), FakeCodec.featurize(r.getAs[Array[Byte]](1), dim).toIndexedSeq) // STUB
+          Row(r.getLong(0), JdkCodec.featurize(r.getAs[Array[Byte]](1), dim).toIndexedSeq)
         }
       }(enc)
   }
 
-  /** Resize pass: content replaced by the resized buffer, metadata
-    * updated — shows a binary-in/binary-out stage.
+  /** Resize pass: content replaced by the re-encoded PNG at (w,h),
+    * metadata updated — a real binary-in/binary-out stage.
     */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
     val enc = Encoders.row(mediaSchema)
     media.select(col("media_id"), col("content"), col("meta"))
       .mapPartitions { it =>
         it.map { r =>
-          val resized = FakeCodec.resize(r.getAs[Array[Byte]](1), w, h) // STUB
+          val resized = JdkCodec.resize(r.getAs[Array[Byte]](1), w, h)
           // meta is nullable in mediaSchema — build a fresh shell then
           val meta = r.getStruct(2)
           val newMeta =
-            if (meta == null) Row(null, null, w, h, null, null)
-            else Row(meta.get(0), meta.get(1), w, h, meta.get(4), meta.get(5))
+            if (meta == null) Row(null, "png", w, h, null, null)
+            else Row(meta.get(0), "png", w, h, meta.get(4), meta.get(5))
           Row(r.getLong(0), resized, newMeta)
         }
       }(enc)
@@ -231,14 +415,16 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
-  /** Frame-sampling pass: one row per sampled frame (flatMap shape). */
+  /** Frame-sampling pass: one row per sampled frame (flatMap shape).
+    * Uses the [[FakeCodec]] video stand-in (no JDK demuxer exists).
+    */
   def sampleFrames(media: DataFrame, k: Int): DataFrame = {
     val enc = Encoders.row(frameSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getLong(0)
-          FakeCodec.sampleFrames(r.getAs[Array[Byte]](1), k) // STUB
+          FakeCodec.sampleFrames(r.getAs[Array[Byte]](1), k) // STUB: video only
             .zipWithIndex.map { case (f, i) => Row(id, i, f) }
         }
       }(enc)

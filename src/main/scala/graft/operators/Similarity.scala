@@ -235,12 +235,25 @@ object Similarity {
     * volume. The inequality self-join broadcasts the smaller side
     * (BroadcastNestedLoopJoin), so pair generation distributes over the
     * big side's partitions.
+    *
+    * GUARDED against accidental large-corpus use: a row-count probe
+    * refuses corpora above `maxRows` (default 100k ⇒ ≤5e9 pair evals,
+    * the edge of single-cluster sanity) with a pointer to
+    * [[embeddingNearDups]] — the same philosophy as Dedup's `maxBucket`
+    * cap. The probe is one metadata-cheap count, paid once, eagerly, so
+    * the O(n²) plan can never silently reach an executor.
     */
   def allPairsSimilar(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"allPairsSimilar is O(n²): corpus has $n rows > maxRows=$maxRows. " +
+        "Use embeddingNearDups (LSH-blocked) for large corpora, or raise " +
+        "maxRows explicitly if the quadratic cost is intended.")
     // Three per-pair cost levers, all applied: (1) norms once per VECTOR
     // (not per pair); (2) vectors pre-cast to array<double> in the side
     // projections, so the fused dot's internal cast is a no-op instead

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * fences): a value is an outlier in its group when it falls outside
   * [q1 - k·IQR, q3 + k·IQR].
   *
-  * Shape: one grouped exact-percentile aggregation over the data (group
+  * Shape: one grouped percentile aggregation over the data (group
   * count assumed dimension-small → the bounds table broadcasts), then a
-  * codegen'd per-row comparison. At the 100 TB design point swap the
-  * exact percentile for `approx_percentile` — fence positions tolerate
-  * sketch error; exact is kept here because the gate hashes the output.
+  * codegen'd per-row comparison. `approx = true` is the 100 TB path:
+  * `approx_percentile` keeps a bounded KLL-style sketch per group
+  * instead of buffering every value — fence positions tolerate sketch
+  * error. Exact is the default because the primary gate hashes the
+  * output; the approx path has its own tolerance-band gate (q70).
   */
 object Outliers {
 
@@ -24,16 +26,21 @@ object Outliers {
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String],
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     Seq("lo", "hi", "is_outlier").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before iqr()"))
     val v = Cleanse.colRef(valueCol)
+    def pct(p: Double) =
+      if (approx) approx_percentile(v, lit(p), lit(accuracy))
+      else percentile(v, lit(p))
     val bounds = df.groupBy(groupCols.map(Cleanse.colRef): _*)
       .agg(
-        percentile(v, lit(0.25)).as("_q1"),
-        percentile(v, lit(0.75)).as("_q3"))
+        pct(0.25).as("_q1"),
+        pct(0.75).as("_q3"))
       .select(
         groupCols.map(Cleanse.colRef) ++ Seq(
           (col("_q1") - lit(k) * (col("_q3") - col("_q1"))).as("lo"),

@@ -337,6 +337,46 @@ object Extensions {
         min(col("hi")).as("hi"))
       .orderBy(col("l_returnflag"))
 
+  /** 100 TB twin of q47/q67, ORACLE-checked via tolerance bands: exact
+    * percentile buffers whole groups in one aggregation buffer (OOM at
+    * scale), so the scale path is `approx_percentile` (bounded
+    * KLL/GK-style sketch per group). The gate runs BOTH — sketch
+    * quantiles and sketch-fenced Tukey outliers (Outliers.iqr
+    * approx=true) — and emits booleans asserting each approx result
+    * lands within band of the exact one; DuckDB pins `true` plus the
+    * exact group counts. accuracy=10000 bounds rank error at n/10000,
+    * far inside a 1% value band on this data (verified at all sf).
+    */
+  def qA18ApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    val qs = array(lit(0.25), lit(0.5), lit(0.95))
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), qs).as("e"),
+        approx_percentile(col("l_extendedprice"), qs, lit(10000)).as("a"),
+        count(lit(1)).as("n"))
+    def ok(i: Int) =
+      (abs(element_at(col("a"), i) - element_at(col("e"), i)) <=
+        abs(element_at(col("e"), i)) * 0.01)
+    val quantiles = both.select(
+      col("l_returnflag"), col("n"),
+      ok(1).as("p25_ok"), ok(2).as("med_ok"), ok(3).as("p95_ok"))
+    def outlierCounts(approx: Boolean, name: String) =
+      graft.ops.Outliers.iqr(li, "l_extendedprice", Seq("l_returnflag"),
+        k = 1.5, approx = approx)
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("is_outlier"), 1)).as(name))
+    quantiles
+      .join(outlierCounts(approx = false, "out_e"), Seq("l_returnflag"))
+      .join(outlierCounts(approx = true, "out_a"), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n"),
+        col("p25_ok"), col("med_ok"), col("p95_ok"),
+        (abs(col("out_a") - col("out_e")) <=
+          greatest(col("n") * 0.005, lit(10.0))).as("outliers_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Transitive near-dup closure: connected components over the exact
     * embedding-similarity pairs (q51's edge set, so the clustering
     * itself is oracle-checkable via a recursive CTE) — (A,B),(B,C)
@@ -347,28 +387,46 @@ object Extensions {
       Similarity.allPairsSimilar(embeddings(s, d), "embedding", "vec_id", threshold = 0.4))
       .orderBy(col("id"))
 
+  /** Scale-safe twin of q68: the SAME clustering over the LSH-blocked
+    * edge set (embeddingNearDups) instead of the O(n²) exact pairs —
+    * checked against the SAME exact recursive-CTE oracle, proving the
+    * 100 TB edge-generation path reproduces the exact clusters here.
+    * bits=4/tables=64 puts worst-case (cos=0.4) per-pair recall at
+    * 1−(1−0.631⁴)⁶⁴ ≈ 99.998%; everything (planes, data) is
+    * deterministic, so the equivalence is a stable gate, not a flake.
+    */
+  def qD7DedupClustersLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(
+      Similarity.embeddingNearDups(embeddings(s, d), "embedding", "vec_id",
+        threshold = 0.4, dim = 64, bits = 4, tables = 64))
+      .orderBy(col("id"))
+
   // ------------------------------------------------------------- multimodal
 
-  /** Multimodal plumbing (rows-only): synthetic media from doc ids →
-    * stub decode → luma/width stats. Exercises the binary-column schema,
-    * mapPartitions batching, and the decode signature.
+  /** Multimodal decode (ORACLE-checked): real PNG bytes encoded per
+    * doc_id → real ImageIO decode → width/pixel-sum stats. The fixture's
+    * closed-form dims/fill (Multimodal.syntheticImages scaladoc) make the
+    * lossless PNG round-trip integer-exact, so DuckDB can predict the
+    * decode output from doc_id alone.
     */
   def qM1DecodeStats(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, documents(s, d), "doc_id")
+    val media = Multimodal.syntheticImages(s, documents(s, d), "doc_id")
     Multimodal.decodeImages(media)
       .groupBy(col("width"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("mean_luma").cast(org.apache.spark.sql.types.DecimalType(12, 6)))
-          .cast("double").as("sum_luma"))
+        sum(col("px_sum")).as("px_sum"))
       .orderBy(col("width"))
   }
 
-  /** Multimodal featurize → similarity handoff (rows-only): embeddings
-    * from stub features, top-10 neighbors of media 0.
+  /** Multimodal featurize → similarity handoff (rows-only): real
+    * luma-histogram embeddings from real PNGs, top-10 neighbors of
+    * media 0. Rows-only because the histogram-of-decoded-pixels step is
+    * not SQL-expressible; constant-gray fixtures make many exact cosine
+    * ties, so row membership (not order) is the stable property.
     */
   def qM2MediaKnn(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, documents(s, d), "doc_id")
+    val media = Multimodal.syntheticImages(s, documents(s, d), "doc_id")
     val feats = Multimodal.featurize(media, dim = 16)
     val query = feats.filter(col("media_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
@@ -376,19 +434,20 @@ object Extensions {
       feats.filter(col("media_id") =!= 0), "embedding", "media_id", query, k = 10)
   }
 
-  /** Audio-modality plumbing (rows-only): synthetic media → stub audio
-    * decode → duration/loudness stats bucketed by sample rate.
+  /** Audio decode (ORACLE-checked): real WAV bytes per doc_id → real
+    * javax.sound decode → duration/|sample|-sum stats by rate. Closed-
+    * form witnesses (Multimodal.syntheticAudio scaladoc) are integer-
+    * exact in DuckDB.
     */
   def qM3AudioStats(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, documents(s, d), "doc_id")
+    val media = Multimodal.syntheticAudio(s, documents(s, d), "doc_id")
     Multimodal.decodeAudio(media)
-      .groupBy((col("sample_rate") / 8000).cast("int").as("rate_bucket"))
+      .groupBy(col("sample_rate"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("duration_ms")).as("total_ms"),
-        sum(col("rms").cast(org.apache.spark.sql.types.DecimalType(12, 6)))
-          .cast("double").as("sum_rms"))
-      .orderBy(col("rate_bucket"))
+        sum(col("abs_sum")).as("abs_sum"))
+      .orderBy(col("sample_rate"))
   }
 
   // ------------------------------------------------------- asof / olap extras
@@ -434,16 +493,24 @@ object Extensions {
       .orderBy(col("day"))
   }
 
-  /** HLL sketch distinct counts (rows-only: approx values are
-    * sketch-implementation-specific; exactness is covered by q18's
-    * countDistinct oracle).
+  /** HLL sketch distinct counts, ORACLE-checked via a tolerance band:
+    * the sketch estimate itself is implementation-specific, so the gate
+    * emits the exact distinct count plus a boolean asserting the HLL
+    * estimate lands within ±2% of it (default HLL++ rsd is 5%, but
+    * measured error at these cardinalities is well under 2%) — DuckDB
+    * pins the exact count and `true`.
     */
   def qA4ApproxUsers(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.02).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** Window-function breadth: lag/lead/ntile over customer order
@@ -747,7 +814,9 @@ object Extensions {
     "q65_snapshot_roundtrip" -> qK3SnapshotRoundtrip _,
     "q66_unpivot" -> qA16Unpivot _,
     "q67_outliers" -> qA17Outliers _,
-    "q68_dedup_clusters" -> qD6DedupClusters _)
+    "q68_dedup_clusters" -> qD6DedupClusters _,
+    "q69_dedup_clusters_lsh" -> qD7DedupClustersLsh _,
+    "q70_approx_percentiles" -> qA18ApproxPercentiles _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -860,6 +929,26 @@ object Extensions {
                          FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY e.event_id""",
+    // q38/q64: the fixture generators emit REAL PNG/WAV bytes whose
+    // decode output is a closed form of doc_id (see Multimodal
+    // syntheticImages/syntheticAudio scaladoc) — the oracle predicts the
+    // real codec round-trip with integer-exact arithmetic.
+    "q38_media_decode_stats" ->
+      """SELECT CAST(4 + doc_id % 13 AS INT) AS width, count(*) AS n,
+         CAST(sum((4 + doc_id % 13) * (3 + doc_id % 11) * (doc_id % 256))
+              AS BIGINT) AS px_sum
+         FROM documents GROUP BY 1 ORDER BY width""",
+    "q64_audio_stats" ->
+      """WITH a AS (
+           SELECT CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       ELSE 44100 END AS INT) AS sample_rate,
+             (100 + doc_id % 2000) AS n_samples,
+             (1000 + doc_id % 5000) AS amp
+           FROM documents)
+         SELECT sample_rate, count(*) AS n,
+           CAST(sum(n_samples * 1000 // sample_rate) AS BIGINT) AS total_ms,
+           CAST(sum(n_samples * amp) AS BIGINT) AS abs_sum
+         FROM a GROUP BY 1 ORDER BY sample_rate""",
     "q41_order_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
@@ -874,6 +963,16 @@ object Extensions {
          count(*) FILTER (event_type = 'signup') AS signup,
          count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY day""",
+    // q43/q70: sketch outputs are implementation-specific, so the gates
+    // emit exact values + in-band booleans; the oracle pins exact + true.
+    "q43_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         count(*) AS n, true AS approx_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q70_approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+         true AS p25_ok, true AS med_ok, true AS p95_ok, true AS outliers_ok
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q44_order_history_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
          lag(o_totalprice, 1) OVER w AS prev_price,
@@ -1120,21 +1219,30 @@ object Extensions {
            min(q3 + 1.5 * (q3 - q1)) AS hi
          FROM lineitem l JOIN b USING (l_returnflag)
          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
-    "q68_dedup_clusters" ->
-      s"""WITH RECURSIVE p AS (
-           SELECT id_a, id_b FROM (
-             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
-             FROM embeddings a, embeddings b
-             WHERE a.vec_id < b.vec_id)
-           WHERE cos >= 0.4),
-         edges AS (
-           SELECT id_a AS a, id_b AS b FROM p
-           UNION SELECT id_b, id_a FROM p),
-         reach(id, r) AS (
-           SELECT DISTINCT a, a FROM edges
-           UNION
-           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-         SELECT id, min(r) AS label FROM reach GROUP BY id
-         ORDER BY id""")
+    "q68_dedup_clusters" -> exactClustersSql,
+    // q69 runs the LSH-blocked edge path but must reproduce the EXACT
+    // clusters — same oracle as q68 by construction.
+    "q69_dedup_clusters_lsh" -> exactClustersSql)
+
+  /** Exact connected-components-over-similar-pairs oracle (recursive
+    * CTE); shared by q68 (exact edges) and q69 (LSH edges, asserted
+    * equivalent).
+    */
+  private lazy val exactClustersSql: String =
+    s"""WITH RECURSIVE p AS (
+         SELECT id_a, id_b FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id)
+         WHERE cos >= 0.4),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM p
+         UNION SELECT id_b, id_a FROM p),
+       reach(id, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+       SELECT id, min(r) AS label FROM reach GROUP BY id
+       ORDER BY id"""
 }

@@ -6,38 +6,67 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  private lazy val media = Multimodal.syntheticMedia(
-    spark, spark.range(20).toDF("doc_id"), "doc_id")
+  private lazy val ids = spark.range(20).toDF("doc_id")
+  private lazy val images = Multimodal.syntheticImages(spark, ids, "doc_id")
+  private lazy val audio = Multimodal.syntheticAudio(spark, ids, "doc_id")
+  private lazy val video = Multimodal.syntheticMedia(spark, ids, "doc_id")
 
-  test("synthetic media carries the canonical schema") {
-    assert(media.columns.toSeq == Seq("media_id", "content", "meta"))
-    val r = media.filter(col("media_id") === 3).collect()(0)
-    assert(r.getAs[Array[Byte]]("content").nonEmpty)
+  test("synthetic images carry the canonical schema with real PNG bytes") {
+    assert(images.columns.toSeq == Seq("media_id", "content", "meta"))
+    val r = images.filter(col("media_id") === 3).collect()(0)
+    val bytes = r.getAs[Array[Byte]]("content")
+    // PNG magic: 89 50 4E 47
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
     assert(r.getStruct(2).getString(0) == "image")
+    assert(r.getStruct(2).getString(1) == "png")
   }
 
-  test("decode produces per-row stats deterministically") {
-    val a = Multimodal.decodeImages(media).orderBy("media_id").collect()
-    val b = Multimodal.decodeImages(media).orderBy("media_id").collect()
-    assert(a.toSeq == b.toSeq) // deterministic stub
-    assert(a.forall(r => r.getInt(1) > 0 && r.getInt(2) > 0))
-    assert(a.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+  test("real ImageIO decode recovers planted dimensions and exact pixel sum") {
+    // id=3: w=4+3%13=7, h=3+3%11=6, gray=3 → px_sum = 7*6*3 = 126
+    val r = Multimodal.decodeImages(images).filter(col("media_id") === 3).collect()(0)
+    assert(r.getInt(1) == 7)
+    assert(r.getInt(2) == 6)
+    assert(r.getLong(3) == 126L)
+    assert(math.abs(r.getDouble(4) - 126.0 / (7 * 6 * 255)) < 1e-12)
   }
 
-  test("featurize emits fixed-dim float embeddings consumable by Similarity") {
-    val feats = Multimodal.featurize(media, dim = 8)
+  test("decode is a real codec: planted 7x5 gray-128 PNG round-trips") {
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7) img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val (w, h, pxSum, luma) = Multimodal.JdkCodec.decodeImage(Multimodal.JdkCodec.encodePng(img))
+    assert((w, h) == (7, 5))
+    assert(pxSum == 128L * 35)
+    assert(math.abs(luma - 128.0 / 255) < 1e-12)
+  }
+
+  test("undecodable bytes yield zeroed stats, not task failure") {
+    val (w, h, s, l) = Multimodal.JdkCodec.decodeImage(Array[Byte](1, 2, 3, 4))
+    assert((w, h, s, l) == (0, 0, 0L, 0.0))
+    assert(Multimodal.JdkCodec.decodeAudio(Array[Byte](9, 9, 9)) == ((0L, 0, 0L, 0.0)))
+  }
+
+  test("featurize emits real histogram embeddings consumable by Similarity") {
+    val feats = Multimodal.featurize(images, dim = 8)
     assert(feats.schema("embedding").dataType.simpleString == "array<float>")
     assert(feats.select(size(col("embedding"))).distinct().collect()(0).getInt(0) == 8)
+    // constant-gray image → one-hot histogram at bin gray*8/256, mass 1.0
+    val e3 = feats.filter(col("media_id") === 3).collect()(0).getSeq[Float](1)
+    assert(e3.sum == 1.0f && e3(3 * 8 / 256) == 1.0f)
     val top = Similarity.bruteForceTopK(
       feats.filter(col("media_id") =!= 0), "embedding", "media_id",
       feats.filter(col("media_id") === 0).collect()(0).getSeq[Float](1), k = 3)
     assert(top.count() == 3)
   }
 
-  test("resize rewrites content and metadata") {
-    val out = Multimodal.resizeImages(media, 32, 16).collect()
-    assert(out.forall(_.getAs[Array[Byte]]("content").length == 32 * 16 / 8))
-    assert(out.forall(_.getStruct(2).getInt(2) == 32))
+  test("resize is a real scale: output PNG decodes at the target dims") {
+    val out = Multimodal.resizeImages(images, 32, 16)
+    val decoded = Multimodal.decodeImages(out).collect()
+    assert(decoded.forall(r => r.getInt(1) == 32 && r.getInt(2) == 16))
+    // bilinear scale of a constant-gray image stays that gray
+    val r3 = decoded.find(_.getLong(0) == 3L).get
+    assert(r3.getLong(3) == 3L * 32 * 16)
+    val meta = Multimodal.resizeImages(images, 32, 16).collect()
+    assert(meta.forall(_.getStruct(2).getInt(2) == 32))
   }
 
   test("binaryFile ingestion: files become canonical media rows") {
@@ -51,8 +80,9 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 2) // txt filtered by glob
     assert(rows.forall(_.getStruct(2).getString(0) == "image"))
     assert(rows.forall(_.getStruct(2).getString(1) == "jpg"))
-    val decoded = Multimodal.decodeImages(media)
-    assert(decoded.count() == 2)
+    // not real JPEGs — decode quarantines them as zero-dim rows
+    val decoded = Multimodal.decodeImages(media).collect()
+    assert(decoded.length == 2 && decoded.forall(_.getInt(1) == 0))
   }
 
   test("jsonl reader parses structured lines") {
@@ -67,19 +97,27 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("tag") === "b").collect()(0).getLong(df.columns.indexOf("id")) == 2L)
   }
 
-  test("sampleFrames explodes k frames per media") {
-    val frames = Multimodal.sampleFrames(media, k = 4)
+  test("sampleFrames explodes k frames per media (video stub)") {
+    val frames = Multimodal.sampleFrames(video, k = 4)
     assert(frames.count() == 20 * 4)
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= 4).count() == 0)
   }
 
-  test("audio decode yields deterministic duration/rate/rms per row") {
-    val a = Multimodal.decodeAudio(media).collect()
-    assert(a.length == 20)
-    assert(a.forall(r => r.getInt(2) >= 8000 && r.getLong(1) > 0))
-    assert(a.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
-    val b = Multimodal.decodeAudio(media).collect()
+  test("real javax.sound decode recovers planted WAV rate/duration/abs-sum") {
+    // id=4: rate=16000 (4%3=1), n=104 samples, amp=1004
+    val r = Multimodal.decodeAudio(audio).filter(col("media_id") === 4).collect()(0)
+    assert(r.getInt(2) == 16000)
+    assert(r.getLong(1) == 104L * 1000 / 16000)
+    assert(r.getLong(3) == 104L * 1004)
+    // square wave rms = amp/32768
+    assert(math.abs(r.getDouble(4) - 1004.0 / 32768) < 1e-9)
+  }
+
+  test("audio decode is deterministic across runs") {
+    val a = Multimodal.decodeAudio(audio).collect()
+    val b = Multimodal.decodeAudio(audio).collect()
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    assert(a.length == 20)
   }
 }

@@ -77,4 +77,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 5L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("allPairsSimilar size guard trips above maxRows, passes below") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.allPairsSimilar(corpus, "embedding", "vec_id",
+        threshold = 0.5, maxRows = 3)
+    }
+    assert(e.getMessage.contains("embeddingNearDups"))
+    // within bounds: runs and returns qualifying pairs
+    assert(Similarity.allPairsSimilar(corpus, "embedding", "vec_id",
+      threshold = 0.99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 5L)))
+  }
+
+  test("clusters over LSH edges equal clusters over exact edges") {
+    // the q69 gate's equivalence property at spec scale: deterministic
+    // planes + enough tables make the LSH edge set connectivity-complete
+    val exact = graft.operators.Dedup.clusters(
+      Similarity.allPairsSimilar(corpus, "embedding", "vec_id", threshold = 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = graft.operators.Dedup.clusters(
+      Similarity.embeddingNearDups(corpus, "embedding", "vec_id",
+        threshold = 0.9, dim = 4, bits = 4, tables = 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh == exact)
+  }
 }
