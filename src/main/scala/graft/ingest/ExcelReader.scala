@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object ExcelReader {
 
   def read(spark: SparkSession, path: String, sheetRows: Int = Int.MaxValue): DataFrame = {
-    if (path.toLowerCase.endsWith(".xls"))
+    if (path.toLowerCase.endsWith(".xls") || isBiff(path))
       throw new UnsupportedOperationException(
         "Legacy .xls (BIFF) needs POI, unavailable offline; convert to .xlsx or CSV")
     val rows = readRows(path, sheetRows)
@@ -42,6 +42,25 @@ object ExcelReader {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(data.toIndexedSeq), schema)
     df.select(keep.map(graft.ops.Cleanse.colRef).toIndexedSeq: _*)
+  }
+
+  /** True when the file starts with the OLE2/CFB magic (D0 CF 11 E0 A1
+    * B1 1A E1) — a BIFF .xls renamed to .xlsx would otherwise surface as
+    * an opaque "not a zip" error instead of the typed convert guidance.
+    * The reference accepts .xls via xlsx.readFile (index.js:94, accept
+    * list App.jsx:172); this reader is OOXML-only, so the failure must
+    * be legible.
+    */
+  private[graft] def isBiff(path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length < 8) return false
+    val in = new java.io.FileInputStream(f)
+    try {
+      val b = new Array[Byte](8)
+      if (in.read(b) < 8) false
+      else java.util.Arrays.equals(b,
+        Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    } finally in.close()
   }
 
   /** Raw grid: row-major cells as strings, padded to the header width. */

@@ -217,16 +217,31 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(
+      // cache: the fingerprint expression would otherwise be inlined
+      // into every chunk lambda (CollapseProject) and recomputed per
+      // chunk row
+      df.select(
+        col(idCol).as("id"),
+        simhashFingerprint(col(textCol)).as("fp"))
+        .cache(),
+      maxHamming)
+
+  /** Pigeonhole-banded hamming join over a PRECOMPUTED fingerprint frame
+    * (`id`, `fp: long`) — the pair-generation machinery of
+    * [[simhashNearDups]], exposed so any 64-bit fingerprint source
+    * (simhash, planted fixtures, external models) can reuse it. This is
+    * also the oracle surface: with fingerprints DuckDB can derive, the
+    * whole banding/xor/bit_count/exactly-once path hash-checks against a
+    * brute-force SQL hamming join (gate q31).
+    */
+  def simhashPairs(
+      fp: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    // cache: the fingerprint expression would otherwise be inlined into
-    // every chunk lambda (CollapseProject) and recomputed per chunk row
-    val fp = df.select(
-      col(idCol).as("id"),
-      simhashFingerprint(col(textCol)).as("fp"))
-      .cache()
     val banded = fp.select(
       col("id"), col("fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)), c =>

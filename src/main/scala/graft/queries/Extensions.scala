@@ -52,6 +52,26 @@ object Extensions {
       .orderBy(col("n_nationkey"))
   }
 
+  /** K3/K4 end-to-end against a REAL JDBC database: supplier rows loaded
+    * into embedded Derby (in-memory, on the Spark classpath) through the
+    * batched writer + staging-table/RENAME publish, then read back via
+    * spark.read.jdbc. Oracle = plain SQL over supplier — the round trip
+    * must be lossless. Idempotent across invocations in one JVM (the
+    * warmup+measure bench pattern): target/staging dropped first.
+    */
+  def qK4JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val url = "jdbc:derby:memory:graftgate;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val src = supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .filter(col("s_suppkey") <= 100)
+    graft.sink.Save.dropJdbcTableIfExists(url, props, "gate_suppliers")
+    graft.sink.Save.saveJdbcTransactional(src, url, "gate_suppliers", props)
+    s.read.jdbc(url, "gate_suppliers", props).orderBy(col("s_suppkey"))
+  }
+
   /** S2 end-to-end: `region` rendered as a 2-sheet .xlsx (sheet 2 is
     * junk and must be ignored), read back via the OOXML reader.
     */
@@ -179,8 +199,34 @@ object Extensions {
     Dedup.minhashNearDups(documents(s, d), "text", "doc_id", threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash fingerprints + hamming near-dups (rows-only). */
-  def qD4SimhashNearDups(s: SparkSession, d: String): DataFrame =
+  /** SimHash-style hamming near-dups, ORACLE-checked end-to-end: the
+    * pigeonhole banding + xor + bit_count + exactly-once emission
+    * machinery (Dedup.simhashPairs) runs over PLANTED 56-bit
+    * fingerprints that DuckDB derives from doc_id in closed form —
+    * docs in the same family (doc_id div 10) share the 48 high bits and
+    * differ only in the low byte (hamming ≤ 8 guaranteed), cross-family
+    * fps diverge. The oracle is the brute-force SQL hamming join; the
+    * text→fingerprint step itself is Murmur3-based (not SQL-
+    * expressible) and is covered by DedupSpec planted-truth cases.
+    */
+  def qD4SimhashNearDups(s: SparkSession, d: String): DataFrame = {
+    val famByte = Seq(31, 131, 181, 211, 239, 251)
+    val fam = expr("doc_id div 10")
+    val fp = famByte.zipWithIndex
+      .map { case (m, i) => pmod(fam * m, lit(256)) * lit(1L << (8 * (i + 1))) }
+      .foldLeft(pmod(col("doc_id") * 37, lit(256)).cast("long"))(_ + _)
+    Dedup.simhashPairs(
+      documents(s, d).select(col("doc_id").as("id"), fp.as("fp")),
+      maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dups over the real document TEXT (rows-only: the
+    * text→fingerprint step is Spark-Murmur3-based, not SQL-expressible;
+    * the pair machinery is oracle-checked by q31 and the fingerprint
+    * function by DedupSpec planted truths).
+    */
+  def qD8SimhashText(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDups(documents(s, d), "text", "doc_id", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -816,7 +862,9 @@ object Extensions {
     "q67_outliers" -> qA17Outliers _,
     "q68_dedup_clusters" -> qD6DedupClusters _,
     "q69_dedup_clusters_lsh" -> qD7DedupClustersLsh _,
-    "q70_approx_percentiles" -> qA18ApproxPercentiles _)
+    "q70_approx_percentiles" -> qA18ApproxPercentiles _,
+    "q71_simhash_text" -> qD8SimhashText _,
+    "q72_jdbc_roundtrip" -> qK4JdbcRoundtrip _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -839,6 +887,9 @@ object Extensions {
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
     "q23_k2_save_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey""",
+    "q72_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey <= 100 ORDER BY s_suppkey""",
     "q24_token_stats" ->
       s"""SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0
@@ -904,6 +955,25 @@ object Extensions {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+    // q31: planted 56-bit fingerprints (closed form of doc_id, same
+    // arithmetic both engines); oracle = brute-force hamming join —
+    // checks the banding/xor/bit_count/exactly-once machinery exactly.
+    "q31_simhash_near_dups" ->
+      """WITH fp AS (
+           SELECT doc_id AS id,
+             (doc_id * 37) % 256
+             + (((doc_id // 10) * 31) % 256) * 256
+             + (((doc_id // 10) * 131) % 256) * 65536
+             + (((doc_id // 10) * 181) % 256) * 16777216
+             + (((doc_id // 10) * 211) % 256) * 4294967296
+             + (((doc_id // 10) * 239) % 256) * 1099511627776
+             + (((doc_id // 10) * 251) % 256) * 281474976710656 AS fp
+           FROM documents)
+         SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+         FROM fp a JOIN fp b ON a.id < b.id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY id_a, id_b""",
     "q33_knn_brute" ->
       s"""SELECT b.vec_id,
          $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS sim

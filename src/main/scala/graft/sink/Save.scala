@@ -183,9 +183,9 @@ object Save {
   }
 
   /** JDBC sink with the reference's physical choices: 1000-row batches
-    * (index.js:188,226) through PreparedStatement batching. Atomicity via
-    * staging table name + caller-side rename is left to the caller's DDL
-    * (SURVEY.md §2.9 K4) since no JDBC database is reachable offline.
+    * (index.js:188,226) through PreparedStatement batching. Verified
+    * against embedded Derby (on the Spark classpath) — see
+    * [[saveJdbcTransactional]] for the K4 staging-table analogue.
     */
   def saveJdbc(
       df: DataFrame,
@@ -197,4 +197,59 @@ object Save {
       .mode("error") // ErrorIfExists — K1 guard at the writer
       .option("batchsize", batchSize)
       .jdbc(url, sanitizeTableName(table), props)
+
+  /** K4 for a JDBC target: the staging-TABLE + single-DDL-rename
+    * analogue of the reference's BEGIN/COMMIT load (index.js:164-241).
+    * The distributed write lands in `graft_stg_<t>` (multi-task, not
+    * atomic); the publish is one `RENAME TABLE` statement — readers see
+    * the target appear complete or not at all, matching [[save]]'s
+    * staging-directory rename. K1 guard: target existence checked up
+    * front (409 parity) and again by the rename itself.
+    */
+  def saveJdbcTransactional(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      batchSize: Int = 1000): Unit = {
+    val safe = sanitizeTableName(table)
+    require(safe.nonEmpty, "table name sanitizes to empty")
+    val staging = s"graft_stg_$safe"
+    if (jdbcTableExists(url, props, safe))
+      throw new IllegalStateException(s"Table '$safe' already exists") // 409 parity
+    dropJdbcTableIfExists(url, props, staging) // crashed prior load
+    df.write
+      .mode("overwrite")
+      .option("batchsize", batchSize)
+      .jdbc(url, staging, props)
+    withJdbc(url, props) { conn =>
+      conn.createStatement().execute(s"RENAME TABLE $staging TO $safe")
+    }
+  }
+
+  private def withJdbc[T](url: String, props: java.util.Properties)(
+      f: java.sql.Connection => T): T = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  /** Metadata probe (no scan), case-insensitive like the reference's
+    * to_regclass check.
+    */
+  def jdbcTableExists(
+      url: String, props: java.util.Properties, table: String): Boolean =
+    withJdbc(url, props) { conn =>
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    }
+
+  def dropJdbcTableIfExists(
+      url: String, props: java.util.Properties, table: String): Unit =
+    if (jdbcTableExists(url, props, table))
+      withJdbc(url, props)(_.createStatement().execute(s"DROP TABLE $table"))
 }

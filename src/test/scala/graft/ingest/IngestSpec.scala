@@ -32,6 +32,23 @@ class IngestSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("legacy .xls surfaces the typed convert-guidance error, not a zip error") {
+    // by extension (even through the dispatching reader)
+    val byExt = Files.createTempFile("graft_legacy", ".xls")
+    val e1 = intercept[UnsupportedOperationException] {
+      Readers.read(spark, byExt.toString)
+    }
+    assert(e1.getMessage.contains("convert to .xlsx or CSV"))
+    // by OLE2 magic bytes: a BIFF workbook renamed to .xlsx
+    val renamed = Files.createTempFile("graft_renamed", ".xlsx")
+    Files.write(renamed, Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1,
+      0, 0, 0, 0).map(_.toByte))
+    val e2 = intercept[UnsupportedOperationException] {
+      ExcelReader.read(spark, renamed.toString)
+    }
+    assert(e2.getMessage.contains("convert to .xlsx or CSV"))
+  }
+
   test("xlsx inline strings keep numeric-looking text verbatim") {
     val f = Files.createTempFile("graft_inline", ".xlsx")
     ExcelFixture.writeXlsx(f.toString, Seq(

@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs over planted fingerprints: exact hamming pairs, once each") {
+    // 1^5 = hamming 1; 1^255 = 7; 5^255 = 6; 0x0F0F… ≥30 from all
+    val fps = Seq((1L, 1L), (2L, 5L), (3L, 255L), (4L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("id", "fp")
+    val got = Dedup.simhashPairs(fps, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 6)))
+    // no duplicate emission across chunks: exactly-once by construction
+    val all = Dedup.simhashPairs(fps, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length)
+  }
+
   test("ngram jaccard verifies on LSH candidates") {
     val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", threshold = 0.5, n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -132,6 +132,42 @@ class SaveSpec extends SparkSpec {
     assert(df.agg(sum(col("v"))).head.getLong(0) == 10000L * 9999 / 2)
   }
 
+  private def derbyProps = {
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby_spec.log")
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("K3 saveJdbc round-trips rows through embedded Derby") {
+    val url = "jdbc:derby:memory:graftspec;create=true"
+    val df = Seq((1L, "ann", 10.5), (2L, "bob", -3.25)).toDF("id", "name", "bal")
+    Save.dropJdbcTableIfExists(url, derbyProps, "people")
+    Save.saveJdbc(df, url, "people", derbyProps)
+    val back = spark.read.jdbc(url, "people", derbyProps)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "ann", 10.5), (2L, "bob", -3.25)))
+    // K1 guard at the writer: second save into the same table errors
+    intercept[Exception] { Save.saveJdbc(df, url, "people", derbyProps) }
+  }
+
+  test("K4 saveJdbcTransactional: staging + rename publish, 409 on existing") {
+    val url = "jdbc:derby:memory:graftspec;create=true"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    Save.dropJdbcTableIfExists(url, derbyProps, "txn_target")
+    Save.dropJdbcTableIfExists(url, derbyProps, "graft_stg_txn_target")
+    Save.saveJdbcTransactional(df, url, "txn_target", derbyProps)
+    assert(spark.read.jdbc(url, "txn_target", derbyProps).count() == 2)
+    // staging no longer exists after the rename publish
+    assert(!Save.jdbcTableExists(url, derbyProps, "graft_stg_txn_target"))
+    // 409 parity on re-save
+    val e = intercept[IllegalStateException] {
+      Save.saveJdbcTransactional(df, url, "txn_target", derbyProps)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("dense smart-id yields contiguous 1..N") {
     import graft.ops.SmartId
     import org.apache.spark.sql.functions._
