@@ -43,16 +43,17 @@ object Bench {
         catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
-    // Best-of-2 per query: the host shows heavy run-to-run contention
-    // noise (the same query measured 0.5s and 4.8s in adjacent suite
-    // runs); the min of two timed executions is the standard
-    // least-noise estimate of steady-state cost. clearCache BETWEEN
-    // reps: operators that persist intermediates (the dedup pipelines)
-    // build identical plans on rep 2, and CacheManager would otherwise
-    // substitute rep 1's materialized cache — the min would time a
+    // Median-of-3 per query (+ per-query spread in the JSON): the host
+    // shows heavy run-to-run contention noise (the same query measured
+    // 0.5s and 4.8s in adjacent suite runs); the median resists a single
+    // contended rep in either direction, and max-min spread makes the
+    // noise floor visible instead of silently folded in. clearCache
+    // BETWEEN reps: operators that persist intermediates (the dedup
+    // pipelines) build identical plans on later reps, and CacheManager
+    // would otherwise substitute rep 1's materialized cache — timing a
     // cache-hit run, not full work. Clearing also stops cached
     // intermediates accumulating across the suite.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // session accessor with post-failure recovery (same pattern as
     // Verify): a context-killing query must not silently void the rest
     // of the suite with near-zero "timings" of instant failures
@@ -88,12 +89,23 @@ object Bench {
             None
         }
       }
-      name -> times.minOption.getOrElse(-1.0) // -1 marks an all-reps failure
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // -1 marks an all-reps failure; spread = max-min over successful reps
+    val meds = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) -1.0 else median(ts))
+    }
+    val qs = meds.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"
+    }.mkString("{", ",", "}")
+    val total = meds.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     active.stop()
   }
 }

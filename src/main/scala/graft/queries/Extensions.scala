@@ -692,13 +692,18 @@ object Extensions {
     Similarity.allPairsSimilar(embeddings(s, d), "embedding", "vec_id", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SRP-LSH-blocked embedding near-dups (rows-only: recall depends on
-    * bucketing) — the scale path whose exact twin is q51.
+  /** SRP-LSH-blocked embedding near-dups — the scale path whose exact
+    * twin is q51, now ORACLE-checked against the exact all-pairs SQL:
+    * at bits=4/tables=64 the worst-case (cos=0.4) per-pair recall is
+    * ≈99.998% and the planted-deterministic planes recover the exact
+    * pair set at every sf (verified pairwise, not just cluster-level).
+    * Production corpora trade recall for candidate volume with higher
+    * bits/fewer tables — the formula is in embeddingNearDups' scaladoc.
     */
   def qV6EmbeddingPairsLsh(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDups(
       embeddings(s, d), "embedding", "vec_id", threshold = 0.4, dim = 64,
-      bits = 8, tables = 16)
+      bits = 4, tables = 64)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Set-operation surface: customers ordering in both 1995 and 1996
@@ -1125,6 +1130,16 @@ object Extensions {
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
     "q51_embedding_pairs_exact" ->
+      s"""SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id)
+         WHERE cos >= 0.4
+         ORDER BY id_a, id_b""",
+    // q52: recall-complete LSH params reproduce the exact pair set (and
+    // the same fused-dot cosine), so the exact SQL is its oracle too.
+    "q52_embedding_pairs_lsh" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
