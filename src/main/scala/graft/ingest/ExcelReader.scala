@@ -20,15 +20,17 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * (index.js:200-204) and then parallelized — Excel inputs are bounded by
   * the reference's own 50 MB upload limit, so driver materialization is the
   * honest scale story here; huge tabular data arrives as CSV/parquet, not
-  * .xlsx. Legacy BIFF `.xls` is not supported (needs POI; documented
-  * out-of-scope, SURVEY.md §7.5(3)).
+  * .xlsx. Legacy BIFF8 `.xls` (detected by extension or OLE2 magic)
+  * routes to [[XlsReader]]; only pre-97 BIFF5/7 remains a typed
+  * convert-guidance error.
   */
 object ExcelReader {
 
   def read(spark: SparkSession, path: String, sheetRows: Int = Int.MaxValue): DataFrame = {
+    // legacy BIFF workbooks (by extension or OLE2 magic — a .xls renamed
+    // to .xlsx must not surface as a zip error) take the BIFF8 path
     if (path.toLowerCase.endsWith(".xls") || isBiff(path))
-      throw new UnsupportedOperationException(
-        "Legacy .xls (BIFF) needs POI, unavailable offline; convert to .xlsx or CSV")
+      return XlsReader.read(spark, path, sheetRows)
     val rows = readRows(path, sheetRows)
     if (rows.isEmpty)
       throw new IllegalArgumentException(s"File appears empty: $path")

@@ -52,6 +52,28 @@ object Extensions {
       .orderBy(col("n_nationkey"))
   }
 
+  /** S2-legacy end-to-end: `nation` rendered as a real BIFF8 .xls
+    * (OLE2 compound file, SST with a forced CONTINUE split, RK/NUMBER
+    * numerics), read back through the full dispatching reader stack.
+    * Fixture content derives only from the sf tables → plain SQL oracle.
+    */
+  def qS3XlsRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rows = nation(s, d)
+      .orderBy(col("n_nationkey"))
+      .collect()
+      .map(r => Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString))
+    val f = Files.createTempFile("graft_nation", ".xls")
+    graft.ingest.BiffFixture.writeXls(f.toString,
+      Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++ rows,
+      splitSst = true)
+    graft.ingest.Readers.read(s, f.toString)
+      .select(
+        col("n_nationkey").cast("int"),
+        col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** K3/K4 end-to-end against a REAL JDBC database: supplier rows loaded
     * into embedded Derby (in-memory, on the Spark classpath) through the
     * batched writer + staging-table/RENAME publish, then read back via
@@ -869,7 +891,8 @@ object Extensions {
     "q69_dedup_clusters_lsh" -> qD7DedupClustersLsh _,
     "q70_approx_percentiles" -> qA18ApproxPercentiles _,
     "q71_simhash_text" -> qD8SimhashText _,
-    "q72_jdbc_roundtrip" -> qK4JdbcRoundtrip _)
+    "q72_jdbc_roundtrip" -> qK4JdbcRoundtrip _,
+    "q73_xls_roundtrip" -> qS3XlsRoundtrip _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -895,6 +918,9 @@ object Extensions {
     "q72_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey <= 100 ORDER BY s_suppkey""",
+    "q73_xls_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey""",
     "q24_token_stats" ->
       s"""SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0

@@ -32,21 +32,67 @@ class IngestSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
-  test("legacy .xls surfaces the typed convert-guidance error, not a zip error") {
-    // by extension (even through the dispatching reader)
-    val byExt = Files.createTempFile("graft_legacy", ".xls")
-    val e1 = intercept[UnsupportedOperationException] {
-      Readers.read(spark, byExt.toString)
-    }
-    assert(e1.getMessage.contains("convert to .xlsx or CSV"))
-    // by OLE2 magic bytes: a BIFF workbook renamed to .xlsx
+  test("legacy .xls reads through the BIFF8 path via the dispatching reader") {
+    val f = Files.createTempFile("graft_legacy", ".xls")
+    BiffFixture.writeXls(f.toString, Seq(
+      Seq("id", "name"), Seq("1", "ann"), Seq("2", "bob")))
+    val df = Readers.read(spark, f.toString)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "ann"), ("2", "bob")))
+  }
+
+  test("BIFF workbook renamed to .xlsx still reads (OLE2 magic routing)") {
     val renamed = Files.createTempFile("graft_renamed", ".xlsx")
-    Files.write(renamed, Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1,
+    BiffFixture.writeXls(renamed.toString, Seq(Seq("a"), Seq("x")))
+    val df = ExcelReader.read(spark, renamed.toString)
+    assert(df.columns.toSeq == Seq("a") && df.collect()(0).getString(0) == "x")
+  }
+
+  test("corrupt/unreadable .xls surfaces the typed convert-guidance error") {
+    val bad = Files.createTempFile("graft_bad", ".xls")
+    Files.write(bad, Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1,
       0, 0, 0, 0).map(_.toByte))
-    val e2 = intercept[UnsupportedOperationException] {
-      ExcelReader.read(spark, renamed.toString)
+    val e = intercept[UnsupportedOperationException] {
+      Readers.read(spark, bad.toString)
     }
-    assert(e2.getMessage.contains("convert to .xlsx or CSV"))
+    assert(e.getMessage.contains("convert to .xlsx or CSV"))
+  }
+
+  test("BIFF8 numerics: RK ints, RK x100, doubles, MULRK render as strings") {
+    // decodeRk unit truth: int, int/100, float, float/100
+    assert(XlsReader.decodeRk((25 << 2) | 2) == 25.0)
+    assert(XlsReader.decodeRk((2550 << 2) | 3) == 25.5)
+    val fbits = java.lang.Double.doubleToLongBits(2.5)
+    assert(XlsReader.decodeRk(((fbits >>> 32) & 0xFFFFFFFCL).toInt) == 2.5)
+    val f = Files.createTempFile("graft_nums", ".xls")
+    BiffFixture.writeXls(f.toString, Seq(
+      Seq("n", "d", "neg", "big"),
+      Seq("42", "2.5", "-7", "123456789012")))
+    val r = ExcelReader.read(spark, f.toString).collect()(0)
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ==
+      ("42", "2.5", "-7", "123456789012"))
+  }
+
+  test("BIFF8 SST CONTINUE split mid-string reads back whole (incl. unicode)") {
+    val f = Files.createTempFile("graft_cont", ".xls")
+    BiffFixture.writeXls(f.toString, Seq(
+      Seq("héader_with_a_long_name", "b"),
+      Seq("ünïcode välue", "plain")), splitSst = true)
+    val df = ExcelReader.read(spark, f.toString)
+    assert(df.columns.toSeq == Seq("héader_with_a_long_name", "b"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "ünïcode välue" && r.getString(1) == "plain")
+  }
+
+  test("BIFF8 large workbook uses the regular FAT path (>=4096-byte stream)") {
+    val f = Files.createTempFile("graft_big", ".xls")
+    val rows = Seq(Seq("k", "v")) ++ (1 to 400).map(i => Seq(i.toString, s"value_$i"))
+    BiffFixture.writeXls(f.toString, rows)
+    val df = ExcelReader.read(spark, f.toString)
+    assert(df.count() == 400)
+    assert(df.filter(org.apache.spark.sql.functions.col("k") === "400")
+      .collect()(0).getString(1) == "value_400")
   }
 
   test("xlsx inline strings keep numeric-looking text verbatim") {
