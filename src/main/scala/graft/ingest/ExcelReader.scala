@@ -58,9 +58,10 @@ object ExcelReader {
     if (!f.isFile || f.length < 8) return false
     val in = new java.io.FileInputStream(f)
     try {
-      val b = new Array[Byte](8)
-      if (in.read(b) < 8) false
-      else java.util.Arrays.equals(b,
+      // readNBytes loops internally — a bare read() may legally return
+      // short and misroute a real BIFF file to the zip path
+      val b = in.readNBytes(8)
+      b.length == 8 && java.util.Arrays.equals(b,
         Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
     } finally in.close()
   }

@@ -244,12 +244,15 @@ object XlsReader {
     if (div100) v / 100 else v
   }
 
-  /** Integer-valued floats render without the trailing ".0" (same
-    * surface as ExcelReader's trimNumeric over sheet_to_json text).
+  /** Integer-valued floats render without the trailing ".0"; everything
+    * else renders as PLAIN decimal (never scientific notation — a
+    * 0.0001 cell must read "0.0001", not Double.toString's "1.0E-4") so
+    * the surface matches ExcelReader's trimNumeric over sheet_to_json
+    * text.
     */
   private def renderNumber(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
+    else java.math.BigDecimal.valueOf(d).stripTrailingZeros.toPlainString
 
   private def parseWorkbook(wb: Array[Byte], maxRows: Int): IndexedSeq[Array[String]] = {
     require(wb.length >= 4 && u16(wb, 0) == 0x0809, "no BIFF BOF")
@@ -362,7 +365,11 @@ object XlsReader {
       }
     }
     if (maxRow < 0) return IndexedSeq.empty
-    (0 to maxRow).map { r =>
+    // one output row per PRESENT sheet row (ExcelReader parity: the
+    // OOXML path emits one row per <row> element, so a blank top row or
+    // mid-sheet gap doesn't fabricate an all-empty header/data row)
+    val presentRows = cells.keys.map(k => (k >> 16).toInt).toIndexedSeq.distinct.sorted
+    presentRows.map { r =>
       val a = new Array[String](maxCol + 1)
       var c = 0
       while (c <= maxCol) { a(c) = cells.getOrElse((r.toLong << 16) | c, ""); c += 1 }

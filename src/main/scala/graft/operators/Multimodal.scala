@@ -68,16 +68,15 @@ object Multimodal {
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // one bulk getRGB: the per-pixel accessor pays a ColorModel
+        // conversion per call — ~10× slower on real-sized photos
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var pxSum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            pxSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          pxSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          i += 1
         }
         (w, h, pxSum, pxSum.toDouble / (w.toLong * h * 255))
       }
@@ -96,6 +95,13 @@ object Multimodal {
             new ByteArrayInputStream(bytes))
           try {
             val fmt = in.getFormat
+            // the sample loop below reinterprets raw bytes as 16-bit
+            // signed LE; any other valid WAV flavor (8/24-bit, float,
+            // big-endian) must quarantine as zeroed, not emit
+            // plausible-looking garbage stats
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+              return (0L, 0, 0L, 0.0)
             val rate = fmt.getSampleRate.toInt
             val durationMs =
               if (rate > 0) in.getFrameLength * 1000L / rate else 0L
@@ -131,16 +137,13 @@ object Multimodal {
       if (img != null) {
         val w = img.getWidth
         val h = img.getHeight
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            out(luma * d / 256) += 1f
-            x += 1
-          }
-          y += 1
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk: see decodeImage
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          out(luma * d / 256) += 1f
+          i += 1
         }
         val n = (w.toLong * h).toFloat
         var j = 0
@@ -277,9 +280,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val w = 4 + (id % 13).toInt
-          val h = 3 + (id % 11).toInt
-          val g = (id % 256).toInt
+          // floorMod: Scala % preserves sign — a negative id would ask
+          // BufferedImage for negative dims and kill the task
+          val w = 4 + java.lang.Math.floorMod(id, 13L).toInt
+          val h = 3 + java.lang.Math.floorMod(id, 11L).toInt
+          val g = java.lang.Math.floorMod(id, 256L).toInt
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val rgb = (g << 16) | (g << 8) | g
@@ -306,13 +311,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val rate = (id % 3) match {
+          val rate = java.lang.Math.floorMod(id, 3L) match { // floorMod: sign-safe
             case 0 => 8000
             case 1 => 16000
             case _ => 44100
           }
-          val n = 100 + (id % 2000).toInt
-          val amp = (1000 + (id % 5000)).toShort
+          val n = 100 + java.lang.Math.floorMod(id, 2000L).toInt
+          val amp = (1000 + java.lang.Math.floorMod(id, 5000L)).toShort
           val samples = new Array[Short](n)
           var i = 0
           while (i < n) {

@@ -240,8 +240,10 @@ object Similarity {
     * refuses corpora above `maxRows` (default 100k ⇒ ≤5e9 pair evals,
     * the edge of single-cluster sanity) with a pointer to
     * [[embeddingNearDups]] — the same philosophy as Dedup's `maxBucket`
-    * cap. The probe is one metadata-cheap count, paid once, eagerly, so
-    * the O(n²) plan can never silently reach an executor.
+    * cap. The probe is eager but BOUNDED: `limit(maxRows+1).count()`
+    * stops scanning once the cap is disproven, so an expensive derived
+    * corpus (e.g. a featurize pipeline) pays at most maxRows+1 rows of
+    * recompute for the check, never a second full pass.
     */
   def allPairsSimilar(
       corpus: DataFrame,
@@ -249,9 +251,10 @@ object Similarity {
       idCol: String,
       threshold: Double,
       maxRows: Long = 100000L): DataFrame = {
-    val n = corpus.count()
+    val probeCap = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
+    val n = corpus.limit(probeCap).count()
     require(n <= maxRows,
-      s"allPairsSimilar is O(n²): corpus has $n rows > maxRows=$maxRows. " +
+      s"allPairsSimilar is O(n²): corpus has >$maxRows rows (maxRows=$maxRows). " +
         "Use embeddingNearDups (LSH-blocked) for large corpora, or raise " +
         "maxRows explicitly if the quadratic cost is intended.")
     // Three per-pair cost levers, all applied: (1) norms once per VECTOR

@@ -1155,24 +1155,10 @@ object Extensions {
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
-    "q51_embedding_pairs_exact" ->
-      s"""SELECT id_a, id_b, cos FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
-           FROM embeddings a, embeddings b
-           WHERE a.vec_id < b.vec_id)
-         WHERE cos >= 0.4
-         ORDER BY id_a, id_b""",
+    "q51_embedding_pairs_exact" -> exactPairsSql,
     // q52: recall-complete LSH params reproduce the exact pair set (and
     // the same fused-dot cosine), so the exact SQL is its oracle too.
-    "q52_embedding_pairs_lsh" ->
-      s"""SELECT id_a, id_b, cos FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
-           FROM embeddings a, embeddings b
-           WHERE a.vec_id < b.vec_id)
-         WHERE cos >= 0.4
-         ORDER BY id_a, id_b""",
+    "q52_embedding_pairs_lsh" -> exactPairsSql,
     "q53_set_ops" ->
       """SELECT 'both' AS tag, o_custkey FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -1334,6 +1320,18 @@ object Extensions {
     // q69 runs the LSH-blocked edge path but must reproduce the EXACT
     // clusters — same oracle as q68 by construction.
     "q69_dedup_clusters_lsh" -> exactClustersSql)
+
+  /** Exact all-pairs-cosine oracle; shared by q51 (exact pairs) and q52
+    * (LSH pairs, recall-complete so asserted equivalent).
+    */
+  private lazy val exactPairsSql: String =
+    s"""SELECT id_a, id_b, cos FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id)
+       WHERE cos >= 0.4
+       ORDER BY id_a, id_b"""
 
   /** Exact connected-components-over-similar-pairs oracle (recursive
     * CTE); shared by q68 (exact edges) and q69 (LSH edges, asserted

@@ -222,9 +222,14 @@ object Save {
       .mode("overwrite")
       .option("batchsize", batchSize)
       .jdbc(url, staging, props)
-    withJdbc(url, props) { conn =>
-      conn.createStatement().execute(s"RENAME TABLE $staging TO $safe")
-    }
+    // dialect-aware publish: RENAME TABLE is Derby/MySQL syntax; the
+    // PostgreSQL family (and SQLite/H2) spells it ALTER TABLE RENAME TO
+    val renameSql =
+      if (url.startsWith("jdbc:derby") || url.startsWith("jdbc:mysql") ||
+        url.startsWith("jdbc:mariadb"))
+        s"RENAME TABLE $staging TO $safe"
+      else s"ALTER TABLE $staging RENAME TO $safe"
+    withJdbc(url, props)(_.createStatement().execute(renameSql))
   }
 
   private def withJdbc[T](url: String, props: java.util.Properties)(

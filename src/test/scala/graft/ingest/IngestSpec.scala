@@ -67,11 +67,13 @@ class IngestSpec extends SparkSpec {
     assert(XlsReader.decodeRk(((fbits >>> 32) & 0xFFFFFFFCL).toInt) == 2.5)
     val f = Files.createTempFile("graft_nums", ".xls")
     BiffFixture.writeXls(f.toString, Seq(
-      Seq("n", "d", "neg", "big"),
-      Seq("42", "2.5", "-7", "123456789012")))
+      Seq("n", "d", "neg", "big", "tiny", "wide"),
+      // tiny/wide: plain-decimal rendering, never scientific notation
+      Seq("42", "2.5", "-7", "123456789012", "0.0001", "12345678.5")))
     val r = ExcelReader.read(spark, f.toString).collect()(0)
-    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ==
-      ("42", "2.5", "-7", "123456789012"))
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getString(4), r.getString(5)) ==
+      ("42", "2.5", "-7", "123456789012", "0.0001", "12345678.5"))
   }
 
   test("BIFF8 SST CONTINUE split mid-string reads back whole (incl. unicode)") {
