@@ -298,15 +298,24 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 8): DataFrame = {
     // Same per-pair levers as allPairsSimilar: vectors pre-cast to
-    // array<double> and norms computed once per (row, table) BEFORE the
+    // array<double> and norms computed once per VECTOR before the
     // bucket join, with the cosine threshold inside the join condition —
     // same-bucket pairs that fail it are rejected during the join
     // instead of materializing for a post-filter, so the final distinct
     // deduplicates only QUALIFYING pairs across tables.
+    //
+    // The cast/norm projection sits in its OWN select below the
+    // posexplode: a single combined select analyzes into
+    // Project(above) ← Generate ← scan, which evaluates norm once per
+    // EXPLODED row — `tables`× redundant work (the CollapseProject trap;
+    // verified in the physical plan). A Generate between the two
+    // projections pins the norm below the explosion.
     val vd = col(vecCol).cast("array<double>")
-    val sigged = corpus.select(
-      col(idCol).as("id"), vd.as("v"), norm(vd).as("nrm"),
-      posexplode(graft.plans.HashExpressions.srpSignatures(vd, bits, tables))
+    val prepped = corpus.select(
+      col(idCol).as("id"), vd.as("v"), norm(vd).as("nrm"))
+    val sigged = prepped.select(
+      col("id"), col("v"), col("nrm"),
+      posexplode(graft.plans.HashExpressions.srpSignatures(col("v"), bits, tables))
         .as(Seq("tbl", "sig")))
     val l = sigged.select(col("tbl").as("tbl_a"), col("sig").as("sig_a"),
       col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
