@@ -155,6 +155,8 @@ object Readers {
     fmt match {
       case Sniffer.Delimited => delimited(spark, path)
       case Sniffer.Excel => ExcelReader.read(spark, path)
+      case Sniffer.Jsonl => jsonl(spark, path)
+      case Sniffer.Parquet => spark.read.parquet(path)
       case Sniffer.Access =>
         throw new UnsupportedOperationException(
           "Access (.accdb/.mdb) requires the ACE OLEDB provider, which the " +

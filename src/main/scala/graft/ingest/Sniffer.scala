@@ -40,20 +40,30 @@ object Sniffer {
   // deliberately NO text accept-list gate here
   private val ExcelExts = Set("xlsx", "xls")
   private val AccessExts = Set("accdb", "mdb")
+  private val JsonlExts = Set("jsonl", "ndjson")
+  private val ParquetExts = Set("parquet")
 
   sealed trait Format
   case object Delimited extends Format
   case object Excel extends Format
   case object Access extends Format
+  case object Jsonl extends Format
+  case object Parquet extends Format
 
   /** Extension dispatch, same accept list as the reference UI
     * (App.jsx:172) and backend dispatch (index.js:88-97): Access and Excel
-    * by extension, everything else treated as delimited text.
+    * by extension, everything else treated as delimited text — except
+    * the two unambiguous extension additions (.jsonl/.ndjson, .parquet),
+    * which the delimited parser would otherwise shred into garbage
+    * columns (documented deviation; the reference predates both in its
+    * accept list).
     */
   def formatOf(path: String): Format = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
     if (AccessExts(ext)) Access
     else if (ExcelExts(ext)) Excel
+    else if (JsonlExts(ext)) Jsonl
+    else if (ParquetExts(ext)) Parquet
     else Delimited
   }
 }

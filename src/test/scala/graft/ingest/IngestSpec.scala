@@ -293,6 +293,16 @@ class IngestSpec extends SparkSpec {
     assert(rows(1)(0) == "Hello World")
   }
 
+  test("dispatching reader routes .jsonl and .parquet by extension") {
+    val j = Files.createTempFile("graft_disp", ".jsonl")
+    Files.writeString(j, "{\"id\": 7, \"tag\": \"x\"}\n")
+    val dj = Readers.read(spark, j.toString)
+    assert(dj.collect()(0).getLong(dj.columns.indexOf("id")) == 7L)
+    val pdir = Files.createTempDirectory("graft_disp_pq").toString + "/t.parquet"
+    spark.range(5).toDF("v").write.parquet(pdir)
+    assert(Readers.read(spark, pdir).count() == 5)
+  }
+
   test("access files rejected with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Readers.read(spark, "/tmp/nope.accdb")
