@@ -23,6 +23,33 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9']+"), t => length(t) > 0)
 
+  /** Token-windowed document chunks — the training-pipeline splitter:
+    * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
+    * stride = chunkTokens − overlap, the last chunk is length-capped,
+    * and a doc with n tokens yields ⌈n/stride⌉ chunks (empty docs yield
+    * none — filter `size(tokens) > 0` before exploding). Returns an
+    * array of chunk strings; pair with posexplode for one row per
+    * chunk. All built-ins (split/slice/transform) → codegen'd, no UDF,
+    * and exactly mirrorable in SQL (list_slice + generate_series), so
+    * the chunking gate is oracle-checkable.
+    */
+  def chunks(c: Column, chunkTokens: Int, overlap: Int): Column =
+    chunksOfTokens(tokens(c), chunkTokens, overlap)
+
+  /** Same, over an already-tokenized array column — callers that also
+    * need the token array (counts, filters) tokenize once and pass it
+    * here instead of paying a second split.
+    */
+  def chunksOfTokens(toks: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val nChunks = (size(toks) + (stride - 1)).divide(stride).cast("int")
+    transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
+  }
+
   /** Whitespace token count (the classic pre-BPE proxy). */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))

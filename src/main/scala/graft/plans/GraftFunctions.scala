@@ -92,6 +92,12 @@ object GraftFunctions {
       case Seq(c, b, t) => SrpSigMulti(asDoubles(c), intArg(b, "bits"), intArg(t, "tables"))
       case _ => throw new IllegalArgumentException("graft_srp_multi(vec, bits, tables)")
     }, "graft_srp_multi(vec, bits, tables) - multi-table SRP signatures"))
+  // Note: TextFunctions.chunks is NOT registered here — it is a pure
+  // built-in composition (split/slice/transform) that SQL callers can
+  // write directly; the registry is reserved for the custom Catalyst
+  // expressions SQL cannot otherwise reach. (A Column-layer round-trip
+  // through the registry leaves unresolved ColumnNode expressions in
+  // the plan — tried and rejected.)
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -193,6 +193,25 @@ object Extensions {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
+  /** Token-windowed chunking (ORACLE-checked): every document split
+    * into 64-token chunks with 16-token overlap (stride 48) — the
+    * context-window splitter of a training pipeline. Chunk text and the
+    * closed-form chunk token count both hash-match DuckDB's
+    * list_slice/generate_series formulation.
+    */
+  def qT9Chunking(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"), size(col("toks")).as("n"),
+        posexplode(TextFunctions.chunksOfTokens(col("toks"), 64, 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("chunk"),
+        least(lit(64), col("n") - col("chunk_idx") * 48).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // ------------------------------------------------------------------ dedup
 
   /** Exact dedup audit: content-hash groups with surviving id. */
@@ -895,7 +914,8 @@ object Extensions {
     "q70_approx_percentiles" -> qA18ApproxPercentiles _,
     "q71_simhash_text" -> qD8SimhashText _,
     "q72_jdbc_roundtrip" -> qK4JdbcRoundtrip _,
-    "q73_xls_roundtrip" -> qS3XlsRoundtrip _)
+    "q73_xls_roundtrip" -> qS3XlsRoundtrip _,
+    "q74_chunking" -> qT9Chunking _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -924,6 +944,21 @@ object Extensions {
     "q73_xls_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    "q74_chunking" ->
+      s"""WITH f AS (
+           SELECT doc_id, $toks AS toks, len($toks) AS n
+           FROM documents WHERE len($toks) > 0),
+         e AS (
+           SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CAST(ceil(CAST(n AS DOUBLE) / 48) AS BIGINT) - 1)) AS chunk_idx
+           FROM f)
+         SELECT doc_id, chunk_idx,
+           array_to_string(
+             list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+             ' ') AS chunk,
+           least(64, n - chunk_idx * 48) AS chunk_tokens
+         FROM e ORDER BY doc_id, chunk_idx""",
     "q24_token_stats" ->
       s"""SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0

@@ -42,6 +42,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(natural > junk)
   }
 
+  test("chunks: stride windows with overlap, length-capped tail, empty-doc none") {
+    import org.apache.spark.sql.functions.col
+    // 10 tokens, chunk=4, overlap=1 → stride 3 → ceil(10/3)=4 chunks
+    val text = "a b c d e f g h i j"
+    val got = one(TextFunctions.chunks(col("t"), 4, 1), text)
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got == Seq("a b c d", "d e f g", "g h i j", "j"))
+    // exact multiple: 9 tokens, stride 3 → 3 chunks, no stub
+    val got2 = one(TextFunctions.chunks(col("t"), 4, 1), "a b c d e f g h i")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got2 == Seq("a b c d", "d e f g", "g h i"))
+    // invalid params refused
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunks(col("t"), 4, 4)
+    }
+  }
+
   test("fingerprint: whitespace/case/punct-insensitive") {
     val a = one(TF.fingerprint(col("t")), "Hello,   WORLD!")
     val b = one(TF.fingerprint(col("t")), "hello world")
