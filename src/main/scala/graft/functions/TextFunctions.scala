@@ -50,6 +50,26 @@ object TextFunctions {
       i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
   }
 
+  /** PII redaction — the pre-training scrub stage: emails, SSN-shaped
+    * ids, IPv4 addresses, and long phone-like digit runs replaced by
+    * typed placeholders, in a FIXED order (email first so its digits
+    * can't be half-eaten by the phone rule; ids before phones for the
+    * same reason). Patterns deliberately use only syntax with identical
+    * semantics in Java regex and RE2 (char classes, bounded repeats,
+    * `\b`, non-backreferencing groups), so the DuckDB oracle replays the
+    * exact chain (q75).
+    */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b\d{3}-\d{2}-\d{4}\b""", "<ID>"),
+    ("""\b(\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+    ("""\+?\d[\d -]{7,}\d""", "<PHONE>"))
+
+  def redact(c: Column): Column =
+    redactionPatterns.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
   /** Whitespace token count (the classic pre-BPE proxy). */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))

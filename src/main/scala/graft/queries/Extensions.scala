@@ -212,6 +212,52 @@ object Extensions {
         least(lit(64), col("n") - col("chunk_idx") * 48).as("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** PII redaction (ORACLE-checked): every document gets a planted
+    * email/IP/phone/SSN tail derived from doc_id, then the full
+    * redaction chain runs; the redacted TEXT hash-matches DuckDB
+    * replaying the identical concat + regexp_replace chain (patterns
+    * restricted to Java-regex∩RE2-identical syntax).
+    */
+  def qT10Redaction(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.redact(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)),
+          lit(".7 call +1 555 010 4477 ssn "),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-12-3456 end"))).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Repetition scoring (ORACLE-checked): per-document top-bigram
+    * frequency ratio — the Gopher-style repetition quality signal
+    * (high ratio ⇒ boilerplate/spam). Two-level aggregation: per
+    * (doc, bigram) counts partial-aggregate map-side, then per-doc
+    * max/sum; the single ratio division is written identically in both
+    * engines.
+    */
+  def qT11Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_count"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("top_count"),
+        (col("top_count").cast("double") / col("n_bigrams")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   /** Exact dedup audit: content-hash groups with surviving id. */
@@ -915,7 +961,9 @@ object Extensions {
     "q71_simhash_text" -> qD8SimhashText _,
     "q72_jdbc_roundtrip" -> qK4JdbcRoundtrip _,
     "q73_xls_roundtrip" -> qS3XlsRoundtrip _,
-    "q74_chunking" -> qT9Chunking _)
+    "q74_chunking" -> qT9Chunking _,
+    "q75_redaction" -> qT10Redaction _,
+    "q76_repetition" -> qT11Repetition _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -959,6 +1007,34 @@ object Extensions {
              ' ') AS chunk,
            least(64, n - chunk_idx * 48) AS chunk_tokens
          FROM e ORDER BY doc_id, chunk_idx""",
+    "q75_redaction" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || doc_id || '@example.com from 10.0.'
+                     || (doc_id % 256) || '.7 call +1 555 010 4477 ssn '
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-12-3456 end',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+    "q76_repetition" ->
+      s"""WITH t AS (
+           SELECT doc_id, $toks AS toks FROM documents
+           WHERE len($toks) >= 2),
+         b AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+           FROM t),
+         g AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(max(cnt) AS BIGINT) AS top_count,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS rep_ratio
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
     "q24_token_stats" ->
       s"""SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0

@@ -59,6 +59,17 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redact replaces email/ssn/ip/phone with typed placeholders, in order") {
+    import org.apache.spark.sql.functions.col
+    val got = one(TextFunctions.redact(col("t")),
+      "mail a.b+c@x.co.uk, ssn 123-45-6789, ip 10.0.42.7, tel +1 555 010 4477.")
+      .asInstanceOf[String]
+    assert(got == "mail <EMAIL>, ssn <ID>, ip <IP>, tel <PHONE>.")
+    // clean text untouched
+    assert(one(TextFunctions.redact(col("t")), "no pii here 2024")
+      .asInstanceOf[String] == "no pii here 2024")
+  }
+
   test("fingerprint: whitespace/case/punct-insensitive") {
     val a = one(TF.fingerprint(col("t")), "Hello,   WORLD!")
     val b = one(TF.fingerprint(col("t")), "hello world")
