@@ -99,13 +99,34 @@ object Bench {
     val meds = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) -1.0 else median(ts))
     }
-    val qs = meds.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // The harness that collects this output keeps only the TAIL of stdout
+    // (observed: last 2000 chars), so the stdout line must stay well under
+    // that even with sbt's trailing "[success]" line after it. Compact
+    // form: short "qNN" keys (the prefix before the first underscore is
+    // unique across the suite) and no per-query spread. The full long-name
+    // + spread detail still exists — on stderr, which the harness does not
+    // need to parse.
+    def shortKey(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    val qs = meds.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
       "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"
     }.mkString("{", ",", "}")
+    val longQs = meds.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val total = meds.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    // numeric sf parsed from the dir name ("sf0.1" -> 0.1); -1 if unparseable
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption).getOrElse(-1.0)
+    System.err.println(
+      f"""[bench-detail] {"queries":$longQs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":$sfNum%.3f}"""
+    require(line.length < 1800, s"bench JSON line too long: ${line.length}")
+    println(line)
     active.stop()
   }
 }
