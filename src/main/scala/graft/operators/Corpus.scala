@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for a large-scale training-data pipeline:
+  * exact n-gram near-dup pairs, benchmark decontamination, per-domain
+  * quota caps, deterministic hash sampling, incremental (batch-vs-corpus)
+  * dedup, and document-frequency-weighted term relevance.
+  *
+  * Every operator here is a declarative DataFrame plan (no UDFs, no
+  * collect of data) whose semantics are exactly expressible in ANSI SQL —
+  * each has a DuckDB oracle gate (graft.queries.Extensions q77–q82).
+  * Determinism rules: ordering keys are md5 hex strings (bit-identical
+  * across engines, stable under growth and repartitioning — the same
+  * argument as [[Split.assignment]]); relevance scores are single IEEE
+  * divisions of integer counts (correctly rounded in every engine),
+  * never sums of floats or `ln` (whose last-ulp behavior is
+  * implementation-defined).
+  */
+object Corpus {
+
+  private val cr = graft.ops.Cleanse.colRef _
+
+  /** Distinct word-`n`-gram rows `(id, gram)` for each document — the
+    * inverted-index building block shared by [[exactNgramPairs]] and
+    * [[contaminationCounts]]. One projection + one explode over the
+    * scan: no shuffle until the caller aggregates.
+    */
+  def gramIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(
+      cr(idCol).as("id"),
+      explode(TextFunctions.wordNgrams(cr(textCol), n)).as("gram"))
+
+  /** EXACT n-gram Jaccard pairs at or above `threshold`, by
+    * inverted-index blocking: any pair with Jaccard > 0 shares at least
+    * one gram, so the gram-equi-join candidate set is lossless — unlike
+    * the MinHash-blocked [[Dedup.ngramJaccardNearDups]], whose recall is
+    * probabilistic. This is the oracle-checkable exact twin (q77), the
+    * same role q51 plays for q52 on embeddings.
+    *
+    * Scale shape: the self-join shuffles on `gram`, so cost is
+    * Σ df(gram)² over distinct grams — quadratic only in per-gram
+    * document frequency, not corpus size. `maxDf > 0` drops grams whose
+    * df exceeds the cap before pairing (the standard common-gram
+    * pruning for crawl-scale corpora; pairs whose ONLY shared grams are
+    * ultra-common are then missed, which is the documented tradeoff —
+    * leave 0 for exactness).
+    */
+  def exactNgramPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      n: Int = 3,
+      maxDf: Long = 0L): DataFrame = {
+    require(threshold > 0, "threshold must be > 0: at 0 the blocking is no longer lossless")
+    val grams0 = gramIndex(df, textCol, idCol, n)
+    val grams =
+      if (maxDf <= 0) grams0
+      else {
+        val dfc = grams0.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf).select(col("gram"))
+        grams0.join(dfc, Seq("gram"), "left_semi")
+      }
+    // wordNgrams is array_distinct, so count(*) per id IS the set size
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = grams.select(col("id").as("id_a"), col("gram"))
+      .join(grams.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-document count of distinct word-`n`-grams shared with ANY
+    * benchmark document — the decontamination signal. Every `train` id
+    * appears exactly once (`n_shared = 0` when clean).
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites are thousands of docs, the corpus billions), so the
+    * semi-join broadcasts it; the train side stays a single scan +
+    * explode + partial-aggregated count, no corpus-sized shuffle.
+    */
+  def contaminationCounts(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = gramIndex(bench, textCol, idCol, n)
+      .select(col("gram")).distinct()
+    val shared = gramIndex(train, textCol, idCol, n)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    train.select(cr(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  /** `train` minus every document sharing at least one word-`n`-gram
+    * with the benchmark set (the Brown/GPT-3-style n-gram overlap
+    * filter).
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = gramIndex(bench, textCol, idCol, n)
+      .select(col("gram")).distinct()
+    val dirty = gramIndex(train, textCol, idCol, n)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+    train.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** At most `cap` rows per group, chosen deterministically: rows rank
+    * by md5 of their id within each group, so the kept subset is stable
+    * under corpus growth, re-partitioning, and engine choice — a
+    * shuffled-but-reproducible "random" cap (the per-domain quota stage
+    * of crawl pipelines).
+    *
+    * Scale shape: one hash-partition shuffle on `groupCol` + a
+    * window-sort within each group. A pathologically hot group sorts on
+    * one task; AQE's skew handling does not split window partitions, so
+    * for crawl-scale domain skew pre-filter hot groups with
+    * [[hashSample]] first (cap/|group| as the fraction) — that is the
+    * two-stage quota recipe.
+    */
+  def quotaPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val rn = "_graft_quota_rn"
+    require(!df.columns.contains(rn), s"column $rn already exists")
+    val w = Window.partitionBy(cr(groupCol))
+      .orderBy(md5(cr(idCol).cast("string")), cr(idCol))
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= cap)
+      .drop(rn)
+  }
+
+  /** Keep-decision column for a deterministic Bernoulli(frac) sample:
+    * true iff the first 8 hex chars of md5(id) sort below the quantized
+    * threshold (fractions quantize to 1/2³²). Same engine-portable
+    * hash-threshold argument as [[Split.assignment]]; a codegen'd
+    * projection, no shuffle, no seed state.
+    */
+  def sampleKeep(id: Column, frac: Double): Column = {
+    require(frac > 0 && frac < 1, "frac in (0,1)")
+    val buckets = math.min(math.max(math.round(frac * 4294967296.0), 1L), 4294967295L)
+    val threshold = f"$buckets%08x"
+    substring(md5(id.cast("string")), 1, 8) < threshold
+  }
+
+  /** Deterministic fraction-`frac` sample of `df` by id hash. */
+  def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame =
+    df.filter(sampleKeep(cr(idCol), frac))
+
+  /** Per-stratum deterministic sampling: each stratum keeps its own
+    * hash-threshold fraction; strata absent from `fractions` are
+    * dropped. The declarative CASE chain keeps the whole operator a
+    * single codegen'd scan — contrast `DataFrame.stat.sampleBy`, whose
+    * seeded Bernoulli stream is engine-private and so never
+    * oracle-checkable ([[Split.stratified]] wraps it; this is the
+    * reproducible path).
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    val keep = fractions.foldLeft(lit(false)) { case (els, (stratum, frac)) =>
+      when(cr(stratumCol) === stratum, sampleKeep(cr(idCol), frac)).otherwise(els)
+    }
+    df.filter(keep)
+  }
+
+  /** Rows of `batch` whose `textCol` content (by md5) does not already
+    * appear in `corpus` — the incremental-ingest dedup stage: each new
+    * crawl increment lands against the accumulated corpus without
+    * re-deduplicating history.
+    *
+    * Scale shape: an anti-join shuffling ONLY 32-char digests (not
+    * document bodies) on both sides; Spark's runtime row-group filtering
+    * (a bloom built from the smaller side under AQE) prunes most batch
+    * rows before the shuffle — the explicit-bloom pre-filter pattern,
+    * without hand-maintaining a sketch.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val h = "_graft_content_h"
+    require(!batch.columns.contains(h), s"column $h already exists")
+    val seen = corpus.select(md5(cr(textCol)).as(h)).distinct()
+    batch.withColumn(h, md5(cr(textCol)))
+      .join(seen, Seq(h), "left_anti")
+      .drop(h)
+  }
+
+  /** Top-`k` terms per group ranked by relevance = tf / (docFreq + 1):
+    * term frequency within the group, damped by corpus-wide document
+    * frequency — the tf-idf family with a LINEAR idf. Chosen over
+    * log-idf deliberately: the score is then one IEEE division of two
+    * integers (bit-identical in every engine, so oracle-hashable),
+    * whereas `ln`'s last ulp is libm-specific; the ordering it induces
+    * matches log-idf's whenever df separates terms, which is the regime
+    * the ranking exists for. Ties break on term asc.
+    *
+    * Scale shape: explode → two partial-aggregated counts (group-term
+    * tf, term df) + one broadcast of the per-term df — no corpus-sized
+    * shuffle beyond the tf aggregation itself.
+    */
+  def topTermsByRelevance(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(
+      cr(groupCol).as("grp"),
+      cr(idCol).as("id"),
+      explode(TextFunctions.tokens(cr(textCol))).as("term"))
+    val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("relevance").desc, col("term").asc)
+    tf.join(docFreq, Seq("term"))
+      .withColumn("relevance", col("tf").cast("double") / (col("doc_freq") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("term"), col("tf"),
+        col("doc_freq"), col("relevance"))
+  }
+}

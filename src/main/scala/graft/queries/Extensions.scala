@@ -905,6 +905,65 @@ object Extensions {
       .orderBy(col("n_name"))
   }
 
+  // ------------------------------------------------------------ corpus ops
+
+  /** Exact n-gram Jaccard pairs (inverted-index blocked, lossless) —
+    * the oracle-checkable exact twin of the MinHash-blocked q32,
+    * mirroring the q51/q52 exact-vs-LSH pairing on embeddings.
+    */
+  def qC1NgramPairsExact(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.exactNgramPairs(
+      documents(s, d), "text", "doc_id", threshold = 0.5, n = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Benchmark decontamination counts: docs with doc_id ≡ 0 (mod 10)
+    * stand in for the eval suite; every other doc reports how many
+    * distinct word-8-grams it shares with ANY eval doc (0 = clean).
+    */
+  def qC2Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.Corpus.contaminationCounts(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 8)
+      .orderBy(col("id"))
+  }
+
+  /** Per-source quota cap: at most 10 docs per source, chosen by md5
+    * order — deterministic and stable under corpus growth.
+    */
+  def qC3QuotaSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.quotaPerGroup(documents(s, d), "source", "doc_id", cap = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified hash sampling: per-lang keep fractions rebalancing the
+    * en-heavy corpus via the engine-portable md5 threshold.
+    */
+  def qC4StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.stratifiedHashSample(documents(s, d), "lang", "doc_id",
+      Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.75))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Incremental dedup: even doc_ids are the accumulated corpus, the
+    * full table is the new batch; survivors have unseen content hashes.
+    */
+  def qC5IncrementalDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.incrementalDedup(
+      documents(s, d), documents(s, d).filter(col("doc_id") % 2 === 0),
+      "text", "doc_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** Top-5 terms per source by document-frequency-damped relevance
+    * (tf / (df+1) — see Corpus.topTermsByRelevance for why linear idf).
+    */
+  def qC6TopTermsRelevance(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.topTermsByRelevance(
+      documents(s, d), "text", "doc_id", "source", k = 5)
+      .orderBy(col("grp"), col("rank"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -963,13 +1022,27 @@ object Extensions {
     "q73_xls_roundtrip" -> qS3XlsRoundtrip _,
     "q74_chunking" -> qT9Chunking _,
     "q75_redaction" -> qT10Redaction _,
-    "q76_repetition" -> qT11Repetition _)
+    "q76_repetition" -> qT11Repetition _,
+    "q77_ngram_pairs_exact" -> qC1NgramPairsExact _,
+    "q78_decontaminate" -> qC2Decontaminate _,
+    "q79_quota_sample" -> qC3QuotaSample _,
+    "q80_stratified_sample" -> qC4StratifiedSample _,
+    "q81_incremental_dedup" -> qC5IncrementalDedup _,
+    "q82_top_terms_relevance" -> qC6TopTermsRelevance _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
     */
   private val toks =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0)"""
+
+  /** DuckDB distinct word-n-gram list over `toks` (same slice semantics
+    * as TextFunctions.wordNgrams; generate_series with a negative end is
+    * empty, so short docs yield no grams in both engines).
+    */
+  private def ngramList(n: Int): String =
+    s"""list_distinct(list_transform(generate_series(1, len(toks) - ${n - 1}),
+        i -> array_to_string(toks[i:i+${n - 1}], ' ')))"""
 
   private def hits(words: Seq[String]): String =
     s"""len(list_filter($toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"""
@@ -1433,7 +1506,65 @@ object Extensions {
     "q68_dedup_clusters" -> exactClustersSql,
     // q69 runs the LSH-blocked edge path but must reproduce the EXACT
     // clusters — same oracle as q68 by construction.
-    "q69_dedup_clusters_lsh" -> exactClustersSql)
+    "q69_dedup_clusters_lsh" -> exactClustersSql,
+    "q77_ngram_pairs_exact" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         g AS (SELECT doc_id AS id, unnest(${ngramList(3)}) AS gram
+               FROM d WHERE len(toks) >= 3),
+         sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+         p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+               FROM g a JOIN g b USING (gram)
+               WHERE a.id < b.id GROUP BY 1, 2)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           FROM p JOIN sz sa ON sa.id = p.id_a
+                  JOIN sz sb ON sb.id = p.id_b)
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q78_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         tg AS (SELECT doc_id AS id, unnest(${ngramList(8)}) AS gram
+                FROM d WHERE doc_id % 10 <> 0 AND len(toks) >= 8),
+         bg AS (SELECT DISTINCT gram FROM (
+                  SELECT unnest(${ngramList(8)}) AS gram
+                  FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 8)),
+         sh AS (SELECT id, count(*) AS n_shared FROM tg
+                WHERE gram IN (SELECT gram FROM bg) GROUP BY id)
+         SELECT doc_id AS id, coalesce(n_shared, 0) AS n_shared
+         FROM documents LEFT JOIN sh ON sh.id = doc_id
+         WHERE doc_id % 10 <> 0 ORDER BY id""",
+    "q79_quota_sample" ->
+      """SELECT doc_id, source FROM documents
+         QUALIFY row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+         ORDER BY doc_id""",
+    "q80_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE lang WHEN 'en' THEN '40000000' WHEN 'de' THEN '80000000'
+             WHEN 'fr' THEN '80000000' WHEN 'es' THEN '80000000'
+             WHEN 'zh' THEN 'c0000000' ELSE '00000000' END
+         ORDER BY doc_id""",
+    "q81_incremental_dedup" ->
+      """SELECT doc_id FROM documents
+         WHERE md5(text) NOT IN (
+           SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+         ORDER BY doc_id""",
+    "q82_top_terms_relevance" ->
+      s"""WITH t AS (SELECT source AS grp, doc_id AS id,
+                unnest($toks) AS term FROM documents),
+         tf AS (SELECT grp, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS doc_freq
+                 FROM (SELECT DISTINCT id, term FROM t) GROUP BY term)
+         SELECT grp, rank, term, tf, doc_freq, relevance FROM (
+           SELECT grp, term, tf, doc_freq,
+             CAST(tf AS DOUBLE) / (doc_freq + 1) AS relevance,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY CAST(tf AS DOUBLE) / (doc_freq + 1) DESC,
+                        term ASC) AS rank
+           FROM tf JOIN dfq USING (term))
+         WHERE rank <= 5 ORDER BY grp, rank""")
 
   /** Exact all-pairs-cosine oracle; shared by q51 (exact pairs) and q52
     * (LSH pairs, recall-complete so asserted equivalent).

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "src0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "src0"), // near-dup of 0
+    (2L, "completely different words here about spark engines", "src1"),
+    (3L, "the quick brown fox jumps over the lazy dog", "src1"), // exact dup of 0
+    (4L, "short doc", "src1"),
+    (5L, "", "src2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactNgramPairs finds planted near-dups and nothing else") {
+    val pairs = Corpus.exactNgramPairs(docs, "text", "doc_id", threshold = 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // 0-1 share 6 of their 7+7 distinct trigrams; 0-3 and 1-3 exact/near
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 3L)).get
+    assert(exact._3 == 1.0) // identical text → Jaccard exactly 1
+  }
+
+  test("exactNgramPairs is lossless vs brute-force jaccard at threshold") {
+    // brute-force oracle over all pairs
+    val ng = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.wordNgrams(col("text"), 3).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expect = (for {
+      a <- ng.keys; b <- ng.keys if a < b
+      u = ng(a) union ng(b) if u.nonEmpty
+      j = (ng(a) intersect ng(b)).size.toDouble / u.size if j >= 0.5
+    } yield (a, b)).toSet
+    val got = Corpus.exactNgramPairs(docs, "text", "doc_id", 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("maxDf pruning drops pairs that only share ultra-common grams") {
+    // every doc shares gram "x y z"; with maxDf below the doc count the
+    // hot gram is pruned and the all-pairs blowup never materializes
+    val hot = (0L to 9L).map(i => (i, s"x y z unique$i filler$i")).toDF("doc_id", "text")
+    val unpruned = Corpus.exactNgramPairs(hot, "text", "doc_id", threshold = 0.1, n = 3)
+    val pruned = Corpus.exactNgramPairs(hot, "text", "doc_id", threshold = 0.1, n = 3, maxDf = 5)
+    assert(unpruned.count() == 45) // all pairs share "x y z"
+    assert(pruned.count() == 0)
+  }
+
+  test("contaminationCounts reports every train doc exactly once, 0 when clean") {
+    val bench = docs.filter(col("doc_id") === 0)
+    val train = docs.filter(col("doc_id") > 0)
+    val rows = Corpus.contaminationCounts(train, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rows(3L) == 7)      // exact dup: all 7 trigrams shared
+    assert(rows(1L) == 6)      // near-dup: all but the last trigram
+    assert(rows(2L) == 0 && rows(4L) == 0 && rows(5L) == 0)
+  }
+
+  test("decontaminate removes exactly the docs sharing a gram with bench") {
+    val bench = docs.filter(col("doc_id") === 0)
+    val train = docs.filter(col("doc_id") > 0)
+    val kept = Corpus.decontaminate(train, bench, "text", "doc_id", n = 3)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
+
+  test("quotaPerGroup caps each group deterministically and growth-stably") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+    val capped = Corpus.quotaPerGroup(df, "grp", "id", cap = 10)
+    val byGrp = capped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.forall(_ == 10))
+    // stability: the kept set for a group is unchanged when OTHER rows
+    // grow the corpus — md5 rank only reorders within new candidates
+    val grown = spark.range(2000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+    val keptSmall = capped.filter(col("grp") === "0").collect().map(_.getLong(0)).toSet
+    val keptGrown = Corpus.quotaPerGroup(grown, "grp", "id", 10)
+      .filter(col("grp") === "0").collect().map(_.getLong(0)).toSet
+    // grown corpus may displace some, but the selection is still by the
+    // same global md5 order: recompute expected from first principles
+    def expected(n: Long): Set[Long] = (0L until n).filter(_ % 4 == 0)
+      .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
+      .take(10).toSet
+    assert(keptSmall == expected(1000))
+    assert(keptGrown == expected(2000))
+  }
+
+  test("hashSample matches fraction and is partition-independent") {
+    val df = spark.range(20000).toDF("id")
+    val a = Corpus.hashSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Corpus.hashSample(df.repartition(17), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.02)
+  }
+
+  test("stratifiedHashSample keeps per-stratum fractions, drops unlisted strata") {
+    val df = (0 until 9000).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "s")
+    val out = Corpus.stratifiedHashSample(df, "s", "id", Map("a" -> 0.5, "b" -> 0.1))
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("c"))
+    assert(math.abs(counts("a") / 3000.0 - 0.5) < 0.05)
+    assert(math.abs(counts.getOrElse("b", 0L) / 3000.0 - 0.1) < 0.05)
+    // consistent with the unstratified sampler on the same ids
+    val aOnly = Corpus.hashSample(df.filter(col("s") === "a"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(col("s") === "a").collect().map(_.getLong(0)).toSet == aOnly)
+  }
+
+  test("incrementalDedup drops batch rows whose content is already in the corpus") {
+    val corpus = docs.filter(col("doc_id") < 2)
+    val batch = docs
+    val survivors = Corpus.incrementalDedup(batch, corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // 0,1 are in the corpus; 3 duplicates 0's text; 2,4,5 are new
+    assert(survivors.toSeq == Seq(2L, 4L, 5L))
+    // schema untouched (helper column dropped)
+    assert(Corpus.incrementalDedup(batch, corpus, "text", "doc_id").columns.toSeq
+      == batch.columns.toSeq)
+  }
+
+  test("topTermsByRelevance ranks by tf/(df+1) with term tiebreak") {
+    val d = Seq(
+      (0L, "alpha alpha alpha beta", "g1"),
+      (1L, "alpha beta gamma", "g1"),
+      (2L, "beta delta", "g2")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.topTermsByRelevance(d, "text", "doc_id", "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val g1 = out.filter(_._1 == "g1").sortBy(_._2)
+    // g1: alpha tf=4 df=2 → 4/3; beta tf=2 df=3 → 0.5; gamma 1/2
+    assert(g1.map(t => (t._3, t._4, t._5)).toSeq == Seq(("alpha", 4L, 2L), ("beta", 2L, 3L)))
+    val g2 = out.filter(_._1 == "g2").sortBy(_._2)
+    // g2: delta tf=1 df=1 → 0.5 beats beta tf=1 df=3 → 0.25
+    assert(g2.map(_._3).toSeq == Seq("delta", "beta"))
+  }
+}
