@@ -303,12 +303,26 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIters: Int = 50,
       reliable: Boolean = false): DataFrame = {
-    def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = cp(pairs.select(col("id_a"), col("id_b"))
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint pins its materialized blocks in the block manager
+    // until the RDD is GC'd — over many rounds (and repeated calls in
+    // one session) stale label frames accumulate and evict useful
+    // blocks, so each round explicitly unpersists the previous round's
+    // blocks once the new frame is materialized. Tracked by diffing
+    // persistent-RDD ids around the checkpoint call (the only public
+    // handle: Dataset.localCheckpoint doesn't expose its backing RDD).
+    def cpTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def unpersist(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val (edges, _) = cpTracked(pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
       // reused every round; lineage cut at the source
-    var labels = cp(edges.select(col("id_a").as("id")).distinct()
+    var (labels, labelIds) = cpTracked(edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")))
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
@@ -328,7 +342,7 @@ object Dedup {
       // 2) path halving: label := label(label) — collapses chains
       //    exponentially instead of one hop per round
       val mapping = merged.select(col("id").as("m_id"), col("label").as("m_label"))
-      val next = cp(merged
+      val (next, nextIds) = cpTracked(merged
         .join(mapping, merged("label") === mapping("m_id"), "left")
         .select(merged("id"),
           least(merged("label"), coalesce(col("m_label"), merged("label"))).as("label")))
@@ -336,7 +350,9 @@ object Dedup {
       // until the fixed point — convergence is one tiny aggregation over
       // the just-checkpointed frame, not a join against the prior round
       val nextSum = labelSum(next)
+      unpersist(labelIds) // previous round's blocks: no longer reachable
       labels = next
+      labelIds = nextIds
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1

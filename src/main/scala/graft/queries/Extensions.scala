@@ -630,19 +630,35 @@ object Extensions {
     * the sketch estimate itself is implementation-specific, so the gate
     * emits the exact distinct count plus a boolean asserting the HLL
     * estimate lands within ±2% of it — DuckDB pins the exact count and
-    * `true`. rsd = 0.005 (σ ≈ 0.5%): the DEFAULT 5% rsd actually misses
-    * the band once cardinality leaves HLL++'s exact sparse regime
-    * (measured: all five event types off by >2% at sf0.1's 1500
-    * users/type), so the gate pins an explicit precision the way a
-    * production pipeline with an accuracy contract would.
+    * `true`. rsd = 0.01 (σ ≈ 0.8%, verified in-band at sf0.01 AND
+    * sf0.1): the DEFAULT 5% rsd misses the band once cardinality leaves
+    * HLL++'s exact sparse regime (measured: all five event types off by
+    * >2% at sf0.1's 1500 users/type), so the gate pins an explicit
+    * precision the way a production pipeline with an accuracy contract
+    * would. Not tighter than 0.01: the 2^p register buffer flattens
+    * into one plan attribute per long — rsd 0.005 put ~6.5k buffer
+    * columns through HashAggregate codegen and janino paid ~5 s
+    * compiling the generated function (a fixed, per-plan cost).
     */
   def qA4ApproxUsers(s: SparkSession, d: String): DataFrame =
+    // Pre-aggregate to distinct (event_type, user_id) BEFORE the sketch:
+    // mixing approx_count_distinct with countDistinct in ONE aggregate
+    // makes Spark's distinct-rewrite key the partial aggregation by
+    // (group, user_id), so every one of those pairs carries its own
+    // 48 KB HLL(rsd=0.005) buffer — ~360 MB of sketches through the
+    // shuffle at sf0.1 (measured 17.7 s). Two-stage form: first agg
+    // shuffles tiny (pair, count) rows, second runs HLL over one row
+    // per distinct pair with one buffer per group (measured 0.5 s).
+    // Results are identical — duplicates never change HLL registers,
+    // exact_users = row count of the pre-aggregate, n = Σcnt.
     events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.005).as("approx"),
-        countDistinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("n"))
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        count(lit(1)).as("exact_users"),
+        sum(col("cnt")).as("n"))
       .select(
         col("event_type"), col("exact_users"), col("n"),
         (abs(col("approx") - col("exact_users")) <=

@@ -38,6 +38,8 @@ object Inspect {
       case Array("time", q) =>
         val n = timed(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
         println(s"[inspect] $q rows: $n")
+      case Array("show", q) =>
+        graft.SparkEntry.queries(q)(spark, sfDir).show(100, truncate = false)
       case Array("dedup-debug") =>
         import org.apache.spark.sql.functions._
         import graft.operators.Dedup
