@@ -170,6 +170,28 @@ object Corpus {
   def hashSample(df: DataFrame, idCol: String, frac: Double): DataFrame =
     df.filter(sampleKeep(cr(idCol), frac))
 
+  /** Per-row weighted Bernoulli sample: keep a row iff its 8-hex-char
+    * md5 prefix sorts below the row's weight quantized to 2³² buckets —
+    * the data-mixture primitive: upweight high-quality sources,
+    * downsample boilerplate, temperature-flatten domains, each as a
+    * plain weight expression. Reduces to [[hashSample]] when the weight
+    * is constant; stays a single codegen'd scan, no shuffle, no seed.
+    *
+    * The comparison stays in hex-string space (weight → `%08x` via
+    * format_string) rather than parsing the hash to a number: every
+    * engine formats a long to hex identically, while hex→int parsing
+    * has no portable SQL spelling — this keeps the operator
+    * oracle-checkable. Weights clamp to [0, (2³²−1)/2³²]; a weight of
+    * exactly 1 thus drops the one-in-4-billion rows whose prefix is
+    * "ffffffff" (the same quantization [[sampleKeep]] already accepts).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val buckets = least(greatest(floor(weight * 4294967296.0), lit(0.0)),
+      lit(4294967295.0)).cast("long")
+    df.filter(substring(md5(cr(idCol).cast("string")), 1, 8) <
+      format_string("%08x", buckets))
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * hash-threshold fraction; strata absent from `fractions` are
     * dropped. The declarative CASE chain keeps the whole operator a

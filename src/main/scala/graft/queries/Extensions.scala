@@ -980,6 +980,53 @@ object Extensions {
       documents(s, d), "text", "doc_id", "source", k = 5)
       .orderBy(col("grp"), col("rank"))
 
+  /** Per-row weighted sampling: keep probability ∝ document length
+    * (n_chars/300, clamped) — the data-mixture primitive, hash-
+    * deterministic so DuckDB replays the exact keep decision.
+    */
+  def qC7WeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.weightedSample(
+      documents(s, d), "doc_id", col("n_chars") / 300.0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Z-order curve values over (o_custkey, o_totalprice): the layout
+    * key that keeps parquet min/max stats tight on BOTH dimensions.
+    * The gate pins the interleaved-bit arithmetic; the layout operator
+    * itself (ZOrder.cluster) is spec-checked for range-disjointness.
+    */
+  def qZ1ZOrderValue(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ZOrder
+    orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        ZOrder.zValue(Seq(
+          ZOrder.quantize(col("o_custkey"), 0.0, 200000.0, 8),
+          ZOrder.quantize(col("o_totalprice"), 0.0, 600000.0, 8)), 8).as("zval"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Schema evolution on the lake: two parquet batches with different
+    * column subsets land in one table directory; a mergeSchema read
+    * presents the union schema with nulls for absent columns — the
+    * additive-evolution contract a long-lived 100 TB table relies on.
+    * Fixture derives from `supplier`, so the oracle is plain SQL.
+    */
+  def qK5SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+    val dir = Files.createTempDirectory("graft_schema_evo").toString
+    sup.filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_name"))
+      .write.mode("append").parquet(dir)
+    sup.filter(col("s_suppkey") % 2 === 1)
+      .select(col("s_suppkey"), col("s_acctbal"))
+      .write.mode("append").parquet(dir)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1044,7 +1091,10 @@ object Extensions {
     "q79_quota_sample" -> qC3QuotaSample _,
     "q80_stratified_sample" -> qC4StratifiedSample _,
     "q81_incremental_dedup" -> qC5IncrementalDedup _,
-    "q82_top_terms_relevance" -> qC6TopTermsRelevance _)
+    "q82_top_terms_relevance" -> qC6TopTermsRelevance _,
+    "q83_weighted_sample" -> qC7WeightedSample _,
+    "q84_zorder_value" -> qZ1ZOrderValue _,
+    "q85_schema_evolution" -> qK5SchemaEvolution _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
