@@ -171,13 +171,29 @@ object TextFunctions {
           call_function("substring", canon, i, lit(n)))))
   }
 
-  /** Word n-grams (for n-gram Jaccard dedup). Same empty-guard. */
-  def wordNgrams(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
+  /** Word n-grams over an already-tokenized array column. Pass a bound
+    * attribute (a pre-projected `tokens(...)` alias), NOT the tokens
+    * expression itself: the transform lambda references `toks` once per
+    * n-gram, and Catalyst re-evaluates a non-attribute subtree at every
+    * reference — wordNgrams-over-expression measured 17× slower than
+    * this two-step form on the gram-index scan (10.3 s → 0.6 s for 260k
+    * grams at sf0.1) because each of the ~n slices re-ran the regex
+    * tokenization. A separate `.select` is enough: CollapseProject never
+    * inlines a non-cheap alias referenced more than once.
+    */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     when(count < 1, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(sequence(lit(1), count), i =>
           array_join(slice(toks, i, lit(n)), " "))))
   }
+
+  /** Word n-grams (for n-gram Jaccard dedup). Same empty-guard.
+    * Convenience form for one-off use; hot paths should pre-project
+    * `tokens(c)` and call [[wordNgramsOfTokens]] — see its scaladoc for
+    * the per-reference re-evaluation trap.
+    */
+  def wordNgrams(c: Column, n: Int = 3): Column =
+    wordNgramsOfTokens(tokens(c), n)
 }

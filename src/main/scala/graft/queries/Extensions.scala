@@ -1630,7 +1630,48 @@ object Extensions {
                ORDER BY CAST(tf AS DOUBLE) / (doc_freq + 1) DESC,
                         term ASC) AS rank
            FROM tf JOIN dfq USING (term))
-         WHERE rank <= 5 ORDER BY grp, rank""")
+         WHERE rank <= 5 ORDER BY grp, rank""",
+    // Mirrors Corpus.weightedSample exactly: weight = n_chars/300.0,
+    // clamped to [0, 2^32-1] buckets, hex-formatted, compared against the
+    // md5 prefix — every step has a bit-identical DuckDB spelling
+    // (printf('%08x') == Spark format_string("%08x")).
+    "q83_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           printf('%08x', CAST(least(greatest(
+             floor(n_chars / 300.0 * 4294967296.0), 0.0), 4294967295.0) AS BIGINT))
+         ORDER BY doc_id""",
+    "q84_zorder_value" -> zorderSql,
+    // The mergeSchema union read is re-derived from supplier directly:
+    // even keys landed with (s_suppkey, s_name), odd keys with
+    // (s_suppkey, s_acctbal); the union schema nulls the absent column.
+    "q85_schema_evolution" ->
+      """SELECT s_suppkey,
+           CASE WHEN s_suppkey % 2 = 0 THEN s_name END AS s_name,
+           CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
+         FROM supplier ORDER BY s_suppkey""")
+
+  /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
+    * arithmetic — quantize is the same IEEE double chain (subtract,
+    * divide, multiply, floor, clamp, cast), and the Morton interleave is
+    * the identical shift/mask OR over 8 bits × 2 dims (bit b of dim i →
+    * output bit b*2+i, matching ZOrder.zValue's placement).
+    */
+  private lazy val zorderSql: String = {
+    val interleave = (for {
+      b <- 0 until 8
+      (c, i) <- Seq("qa", "qb").zipWithIndex
+    } yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+    s"""WITH q AS (SELECT o_orderkey,
+         CAST(least(greatest(
+           floor((o_custkey - 0.0) / (200000.0 - 0.0) * 256.0), 0.0), 255.0)
+           AS BIGINT) AS qa,
+         CAST(least(greatest(
+           floor((o_totalprice - 0.0) / (600000.0 - 0.0) * 256.0), 0.0), 255.0)
+           AS BIGINT) AS qb
+         FROM orders WHERE o_orderkey < 2000)
+       SELECT o_orderkey, $interleave AS zval FROM q ORDER BY o_orderkey"""
+  }
 
   /** Exact all-pairs-cosine oracle; shared by q51 (exact pairs) and q52
     * (LSH pairs, recall-complete so asserted equivalent).
