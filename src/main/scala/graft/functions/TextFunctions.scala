@@ -150,6 +150,24 @@ object TextFunctions {
     lenScore * 0.25 + alphaRatio * 0.25 + stopScore * 0.25 + distinctRatio * 0.25
   }
 
+  /** URL decomposition into (scheme, host, path, query) — the
+    * crawl-metadata primitive (domain quotas, path filters, tracker
+    * stripping) as four `regexp_extract`s over one codegen'd projection.
+    * Patterns stay inside the Java-regex ∩ RE2 common subset (character
+    * classes and `*` only — no backrefs, no lookaround), and a
+    * non-matching extract yields '' in Spark and DuckDB alike, so the
+    * operator is oracle-hashable (same argument as [[redact]]).
+    * Non-URL input decomposes to four empty strings, never an error.
+    */
+  def urlParts(c: Column): Column = {
+    val scheme = "^([a-z][a-z0-9+.-]*)://"
+    struct(
+      regexp_extract(c, scheme, 1).as("scheme"),
+      regexp_extract(c, scheme + "([^/?#]*)", 2).as("host"),
+      regexp_extract(c, scheme + "[^/?#]*([^?#]*)", 2).as("path"),
+      regexp_extract(c, "\\?([^#]*)", 1).as("query"))
+  }
+
   /** Content fingerprint: md5 of the canonicalized token stream. Two
     * documents differing only in whitespace/punctuation/case collide —
     * the "document fingerprinting" normalization used before exact dedup.

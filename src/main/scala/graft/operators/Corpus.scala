@@ -27,15 +27,27 @@ object Corpus {
 
   /** Distinct word-`n`-gram rows `(id, gram)` for each document — the
     * inverted-index building block shared by [[exactNgramPairs]] and
-    * [[contaminationCounts]]. One tokenize projection + one explode over
-    * the scan: no shuffle until the caller aggregates. Tokens are
-    * projected to an attribute BEFORE the n-gram transform so the regex
-    * split runs once per row, not once per gram (the
-    * [[TextFunctions.wordNgramsOfTokens]] re-evaluation trap — 17×
-    * measured on this exact scan).
+    * [[contaminationCounts]].
+    *
+    * The tokens projection is separated from the n-gram transform by a
+    * hash repartition on `id`. That exchange is load-bearing twice over:
+    *  - CollapseProject would otherwise merge the two selects and inline
+    *    the regex tokenizer into the `transform` lambda, and
+    *    higher-order functions evaluate interpreted with no
+    *    loop-invariant hoisting — the tokenizer re-runs once per gram
+    *    position (the re-evaluation trap: ~17× measured on this scan).
+    *    Projections never collapse across an exchange.
+    *  - the n-gram explode multiplies rows ~|tokens|×; pre-shuffling the
+    *    1× text guarantees the expansion runs at full parallelism even
+    *    when the source is a single file/row-group (measured 27 s → 1 s
+    *    at sf0.1, where the 5k-doc parquet arrives as ONE partition).
+    *    At corpus scale the exchange is 1× the text bytes — noise next
+    *    to the explode it parallelizes, and downstream per-id
+    *    aggregations reuse the partitioning instead of re-shuffling.
     */
   def gramIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      .repartition(col("id"))
       .select(
         col("id"),
         explode(TextFunctions.wordNgramsOfTokens(col("_graft_toks"), n)).as("gram"))
@@ -76,14 +88,23 @@ object Corpus {
       n: Int = 3,
       maxDf: Long = 0L): DataFrame = {
     require(threshold > 0, "threshold must be > 0: at 0 the blocking is no longer lossless")
-    // full per-doc gram SET (array) — tokenized once per row; this is the
-    // verification side and the exact-size source
-    val docGrams = df
-      .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
-      .select(col("id"),
-        TextFunctions.wordNgramsOfTokens(col("_graft_toks"), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val grams0 = docGrams.select(col("id"), explode(col("grams")).as("gram"))
+    // SINGLE gram pipeline, fanned out by exchange reuse: every branch
+    // below (df counts, ranking, sizes, verification arrays) descends
+    // from this one [[gramIndex]], whose internal hash exchange on `id`
+    // is structurally identical in each branch — ReuseExchange runs the
+    // scan+tokenize ONCE and the branches read its shuffle output. The
+    // previous formulation re-derived the gram arrays per branch, which
+    // re-ran the tokenizer 5× over the corpus (measured 80 s → ~2 s at
+    // sf0.1 for the whole operator).
+    val grams0 = gramIndex(df, textCol, idCol, n)
+    // per-doc TRUE set size + sorted gram array (verification side):
+    // grams0 is already hash-partitioned by id, so this aggregation adds
+    // no exchange; array_intersect is order-insensitive, so rebuilding
+    // the array as sort_array(collect_list) is equivalent to the
+    // original in-row transform.
+    val docGrams = grams0.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("gram"))).as("grams"),
+        count(lit(1)).as("sz"))
     val dfreq0 = grams0.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
     val dfreq = if (maxDf <= 0) dfreq0 else dfreq0.filter(col("_df") <= maxDf)
     // rank each doc's (surviving) grams rarest-first; `sz` is the TRUE
@@ -99,8 +120,7 @@ object Corpus {
     // exactly-integer t·|s| from ceiling one too high under FP noise
     // (a too-SHORT prefix would break losslessness; epsilon can only
     // lengthen it)
-    val sizes = docGrams.select(col("id"), size(col("grams")).as("sz"))
-    val prefixes = ranked.join(sizes, Seq("id"))
+    val prefixes = ranked.join(docGrams.select(col("id"), col("sz")), Seq("id"))
       .filter(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("id"), col("gram"), col("sz"))
@@ -118,9 +138,9 @@ object Corpus {
     // verification: exact intersection over the full gram arrays
     cands
       .join(docGrams.select(col("id").as("id_a"), col("grams").as("grams_a"),
-        size(col("grams")).as("sz_a")), Seq("id_a"))
+        col("sz").as("sz_a")), Seq("id_a"))
       .join(docGrams.select(col("id").as("id_b"), col("grams").as("grams_b"),
-        size(col("grams")).as("sz_b")), Seq("id_b"))
+        col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
@@ -167,6 +187,43 @@ object Corpus {
       .select(col("gram")).distinct()
     val dirty = gramIndex(train, textCol, idCol, n)
       .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+    train.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] with a bloom-filter pre-pass — the 100 TB path.
+    *
+    * The exact operator broadcasts the distinct benchmark gram set into
+    * a hash relation; at crawl scale that set is tens of millions of
+    * 8-grams (gigabytes as a hash table, re-built per executor). Here
+    * the driver folds the bench grams into a [[BloomFilter]] sized from
+    * their exact count (`stat.bloomFilter` — a treeAggregate, so driver
+    * memory holds one sketch, never the grams), executors probe it as a
+    * codegen'd expression (~`-n·ln(fpp)/ln²2` bits: ~12 MB per 10M grams
+    * at 1%), and only the surviving ~(contaminated + fpp·N) train grams
+    * reach the exact semi-join that removes false positives.
+    *
+    * Because bloom filters have NO false negatives and the exact join
+    * removes every false positive, the result set is IDENTICAL to
+    * [[decontaminate]] for any `fpp` — the gate asserts that against the
+    * same SQL oracle.
+    */
+  def bloomDecontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp in (0,1)")
+    val benchGrams = gramIndex(bench, textCol, idCol, n)
+      .select(col("gram")).distinct()
+    // one scalar to size the sketch (a sizing decision, not data motion)
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val candidates = gramIndex(train, textCol, idCol, n)
+      .filter(graft.plans.BloomExpressions.mightContain(col("gram"), bloom))
+    val dirty = candidates.join(benchGrams, Seq("gram"), "left_semi")
       .select(col("id")).distinct()
     train.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

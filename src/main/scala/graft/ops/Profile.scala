@@ -38,4 +38,42 @@ object Profile {
     }: _*)
     one.select(explode(entries).as("p")).select(col("p.*"))
   }
+
+  /** Equi-width histogram of a numeric column over [lo, hi): `nBins`
+    * bins of width (hi−lo)/nBins, values below `lo` clamp into bin 0,
+    * values at or above `hi` into bin nBins−1 (so the histogram is
+    * total over non-null rows — no silent drops; nulls are excluded).
+    * Returns (bin, lo_edge, hi_edge, n) with EVERY bin present, zeros
+    * included — chart-ready without a driver-side fill.
+    *
+    * Scale shape: one codegen'd projection + one partial-aggregated
+    * shuffle of at most nBins rows; the empty-bin fill joins against a
+    * broadcast `sequence()` frame of nBins rows. Bin arithmetic is the
+    * same IEEE subtract/divide/multiply/floor chain in every engine —
+    * oracle-hashable (the [[graft.operators.ZOrder]] quantize argument).
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val v = graft.ops.Cleanse.colRef(valueCol).cast("double")
+    val bin = least(greatest(
+      floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBins)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val counts = df.filter(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val allBins = spark.range(0, nBins).toDF("bin")
+    allBins.join(counts, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        (lit(lo) + col("bin") * (lit(hi) - lit(lo)) / lit(nBins)).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * (lit(hi) - lit(lo)) / lit(nBins)).as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

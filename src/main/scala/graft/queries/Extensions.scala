@@ -1027,6 +1027,87 @@ object Extensions {
       .orderBy(col("s_suppkey"))
   }
 
+  /** SCD-2 historization: orders as a per-customer status log — key =
+    * o_custkey % 100, change sequence = o_orderkey, tracked attribute =
+    * o_orderstatus. Consecutive same-status orders collapse into one
+    * validity interval; the oracle re-derives the intervals with
+    * lag/lead windows in plain SQL.
+    */
+  def qH1Scd2Historize(s: SparkSession, d: String): DataFrame = {
+    val log = orders(s, d).select(
+      (col("o_custkey") % 100).as("k"),
+      col("o_orderkey").as("seq"),
+      col("o_orderstatus").as("status"))
+    graft.operators.Upsert.historize(log, Seq("k"), "seq", Seq("status"))
+      .select(col("k"), col("status"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  /** CDC apply: orders as a keyed changelog (op derived from the order
+    * key: every 7th a delete, every 3rd an update, the rest inserts;
+    * seq = o_orderkey). Final state = highest-seq row per key unless it
+    * is a delete.
+    */
+  def qH2CdcApply(s: SparkSession, d: String): DataFrame = {
+    val changes = orders(s, d).select(
+      (col("o_orderkey") % 1000).as("k"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 7 === 0, "D")
+        .when(col("o_orderkey") % 3 === 0, "U")
+        .otherwise("I").as("op"),
+      col("o_totalprice").as("price"))
+    graft.operators.Upsert.applyChanges(changes, Seq("k"), "seq", "op")
+      .orderBy(col("k"))
+  }
+
+  /** Bloom-prefiltered decontamination — must return EXACTLY the
+    * exact-join result (no false negatives in the bloom, false
+    * positives removed by the verify join), so it shares q78's fixture
+    * split and faces the same plain-SQL oracle.
+    */
+  def qC8BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.Corpus.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 8, fpp = 0.01)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Equi-width histogram of order totals: 20 bins over [0, 600000),
+    * zero-filled — bin arithmetic is the engine-portable IEEE chain, so
+    * the gate hash-checks edges and counts.
+    */
+  def qP1Histogram(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.histogram(orders(s, d), "o_totalprice", 0.0, 600000.0, 20)
+      .orderBy(col("bin"))
+
+  /** URL decomposition over synthesized part-catalog URLs (every 11th
+    * row is non-URL noise, every 3rd URL has no query string) — scheme/
+    * host/path/query via the shared-regex-subset extracts.
+    */
+  def qT12UrlParts(s: SparkSession, d: String): DataFrame = {
+    val urls = part(s, d).select(
+      col("p_partkey"),
+      when(col("p_partkey") % 11 === 0, col("p_type"))
+        .otherwise(concat(
+          lit("https://w"), (col("p_partkey") % 5).cast("string"),
+          lit(".example.org/"),
+          lower(regexp_replace(col("p_type"), " ", "-")),
+          when(col("p_partkey") % 3 === 0, lit(""))
+            .otherwise(concat(
+              lit("?id="), col("p_partkey").cast("string"),
+              lit("&size="), col("p_size").cast("string"))))).as("url"))
+    urls
+      .select(col("p_partkey"), TextFunctions.urlParts(col("url")).as("u"))
+      .select(col("p_partkey"),
+        col("u.scheme").as("scheme"), col("u.host").as("host"),
+        col("u.path").as("path"), col("u.query").as("query"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1094,7 +1175,12 @@ object Extensions {
     "q82_top_terms_relevance" -> qC6TopTermsRelevance _,
     "q83_weighted_sample" -> qC7WeightedSample _,
     "q84_zorder_value" -> qZ1ZOrderValue _,
-    "q85_schema_evolution" -> qK5SchemaEvolution _)
+    "q85_schema_evolution" -> qK5SchemaEvolution _,
+    "q86_scd2_historize" -> qH1Scd2Historize _,
+    "q87_cdc_apply" -> qH2CdcApply _,
+    "q88_bloom_decontaminate" -> qC8BloomDecontaminate _,
+    "q89_histogram" -> qP1Histogram _,
+    "q90_url_parts" -> qT12UrlParts _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1649,7 +1735,77 @@ object Extensions {
       """SELECT s_suppkey,
            CASE WHEN s_suppkey % 2 = 0 THEN s_name END AS s_name,
            CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
-         FROM supplier ORDER BY s_suppkey""")
+         FROM supplier ORDER BY s_suppkey""",
+    // lag/lead re-derivation of Upsert.historize: first row per key or a
+    // status change (IS DISTINCT FROM = Spark's negated <=>) opens an
+    // interval; valid_to = next change's seq.
+    "q86_scd2_historize" ->
+      """WITH log AS (SELECT o_custkey % 100 AS k, o_orderkey AS seq,
+                             o_orderstatus AS status FROM orders),
+         l AS (SELECT *, lag(status) OVER w AS prev, lag(seq) OVER w AS prev_seq
+               FROM log WINDOW w AS (PARTITION BY k ORDER BY seq)),
+         chg AS (SELECT k, seq, status FROM l
+                 WHERE prev_seq IS NULL OR status IS DISTINCT FROM prev),
+         iv AS (SELECT k, status, seq AS valid_from,
+                       lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+                FROM chg)
+         SELECT k, status, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM iv ORDER BY k, valid_from""",
+    "q87_cdc_apply" ->
+      """WITH c AS (SELECT o_orderkey % 1000 AS k, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+                  WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+             o_totalprice AS price FROM orders),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY k ORDER BY seq DESC) AS rn FROM c)
+         SELECT k, seq, op, price FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY k""",
+    // identical to the EXACT decontamination semantics: the bloom path
+    // must lose nothing (no false negatives) and add nothing (exact
+    // verify join) — the oracle never mentions the sketch.
+    "q88_bloom_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         tg AS (SELECT doc_id AS id, unnest(${ngramList(8)}) AS gram
+                FROM d WHERE doc_id % 10 <> 0 AND len(toks) >= 8),
+         bg AS (SELECT DISTINCT gram FROM (
+                  SELECT unnest(${ngramList(8)}) AS gram
+                  FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 8)),
+         dirty AS (SELECT DISTINCT id FROM tg
+                   WHERE gram IN (SELECT gram FROM bg))
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT id FROM dirty)
+         ORDER BY doc_id""",
+    // same IEEE bin chain as Profile.histogram: subtract, divide,
+    // multiply, floor, clamp, cast; edges = lo + bin*(hi-lo)/nBins.
+    "q89_histogram" ->
+      """WITH b AS (SELECT CAST(least(greatest(
+             floor((CAST(o_totalprice AS DOUBLE) - 0.0) / (600000.0 - 0.0) * 20),
+             0.0), 19.0) AS BIGINT) AS bin
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+         g AS (SELECT unnest(generate_series(0, 19)) AS bin)
+         SELECT bin,
+           0.0 + bin * (600000.0 - 0.0) / 20 AS lo_edge,
+           0.0 + (bin + 1) * (600000.0 - 0.0) / 20 AS hi_edge,
+           coalesce(n, 0) AS n
+         FROM g LEFT JOIN c USING (bin) ORDER BY bin""",
+    "q90_url_parts" ->
+      """WITH u AS (SELECT p_partkey,
+           CASE WHEN p_partkey % 11 = 0 THEN p_type
+                ELSE 'https://w' || CAST(p_partkey % 5 AS VARCHAR) ||
+                     '.example.org/' ||
+                     lower(regexp_replace(p_type, ' ', '-', 'g')) ||
+                     CASE WHEN p_partkey % 3 = 0 THEN ''
+                          ELSE '?id=' || CAST(p_partkey AS VARCHAR) ||
+                               '&size=' || CAST(p_size AS VARCHAR) END
+           END AS url FROM part)
+         SELECT p_partkey,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]*)', 2) AS host,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query
+         FROM u ORDER BY p_partkey""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

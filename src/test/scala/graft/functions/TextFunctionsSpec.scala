@@ -91,4 +91,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Seq("a b", "b c"))
     assert(one(TF.wordNgrams(col("t"), 3), "a b").asInstanceOf[scala.collection.Seq[String]].toSeq.isEmpty)
   }
+
+  test("urlParts: scheme/host/path/query; non-URL -> all empty") {
+    def parts(s: String): (String, String, String, String) = {
+      val r = one(TF.urlParts(col("t")), s).asInstanceOf[org.apache.spark.sql.Row]
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    assert(parts("https://w1.example.org/a/b?id=7&x=1#frag") ==
+      (("https", "w1.example.org", "/a/b", "id=7&x=1")))
+    assert(parts("http://host.com") == (("http", "host.com", "", "")))
+    assert(parts("ftp://h:21/p") == (("ftp", "h:21", "/p", "")))
+    assert(parts("not a url at all") == (("", "", "", "")))
+  }
 }

@@ -69,6 +69,19 @@ class CorpusSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
 
+  test("bloomDecontaminate returns exactly the exact decontaminate result") {
+    // n=2 so the short docs participate too; any fpp must give the
+    // exact result (false positives die in the verify join)
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bench = docs.filter(col("doc_id") === 0L)
+      val exact = Corpus.decontaminate(docs, bench, "text", "doc_id", n = 2)
+        .collect().map(_.getLong(0)).sorted
+      val bloom = Corpus.bloomDecontaminate(docs, bench, "text", "doc_id",
+        n = 2, fpp = fpp).collect().map(_.getLong(0)).sorted
+      assert(bloom.toSeq == exact.toSeq, s"fpp=$fpp")
+    }
+  }
+
   test("quotaPerGroup caps each group deterministically and growth-stably") {
     val df = spark.range(1000).toDF("id")
       .withColumn("grp", (col("id") % 4).cast("string"))
