@@ -300,9 +300,27 @@ object Dedup {
     * invalidates a round mid-iteration; reliable checkpoints persist to
     * the checkpoint dir (HDFS/object store) and survive executor loss —
     * the right mode for long multi-round runs at 100 TB.
+    *
+    * SMALL-GRAPH FINISH: when the (deduplicated) edge set fits a
+    * bounded driver budget (`driverFinishEdges`, default 2M edges ≈
+    * tens of MB), the component labels come from a single-pass driver
+    * union-find instead of the iterative loop. This is the standard
+    * "contract, then finish centrally" ending of production CC
+    * pipelines: the iterative tail is LATENCY-bound, not data-bound —
+    * each round is a fixed ~0.5 s of job/shuffle overhead regardless of
+    * edge count (measured 11 rounds = 9 s for a 920-edge graph), while
+    * the driver finish is O(E α(E)) on data that provably fits in one
+    * task's worth of memory. At 100 TB the near-dup edge set usually
+    * does NOT fit (billions of edges) and the distributed loop runs —
+    * but even there, real runs contract quickly and a future round can
+    * hand off mid-iteration once the frontier shrinks under the budget.
+    * The bound is an explicit argument (0 disables the driver path);
+    * the distributed loop stays the default scale path and both paths
+    * are gate-checked against the same recursive-CTE oracle.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 50,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      driverFinishEdges: Long = 2000000L): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // localCheckpoint pins its materialized blocks in the block manager
     // until the RDD is GC'd — over many rounds (and repeated calls in
@@ -322,6 +340,15 @@ object Dedup {
     val (edges, _) = cpTracked(pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
       // reused every round; lineage cut at the source
+
+    // bounded-size probe on the checkpointed frame (one cheap job):
+    // limit(n+1).count() never scans past the budget, so a huge edge
+    // set costs one truncated pass, not a full count
+    if (driverFinishEdges > 0) {
+      val probeCap = math.min(driverFinishEdges, Int.MaxValue - 1L).toInt
+      val nEdges = edges.limit(probeCap + 1).count()
+      if (nEdges <= driverFinishEdges) return driverUnionFind(pairs, edges)
+    }
     var (labels, labelIds) = cpTracked(edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")))
     def labelSum(l: DataFrame): java.math.BigDecimal =
@@ -358,6 +385,56 @@ object Dedup {
       it += 1
     }
     labels
+  }
+
+  /** Single-pass driver union-find over a bounded edge set (the
+    * small-graph finish of [[clusters]]): path-halving find + union by
+    * rank, then one remap pass assigning every node the MIN member id
+    * of its component — identical semantics to the distributed loop.
+    * `edges` is the symmetrized frame (both orientations), so its
+    * `id_a` column alone covers every node that appears in `pairs`.
+    */
+  private def driverUnionFind(pairs: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+    val rows = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    val rank = new java.util.HashMap[Long, Int]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        val p = parent.get(r)
+        parent.put(r, parent.get(p)) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0) }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (hi, lo) =
+          if (rank.get(ra) >= rank.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(lo, hi)
+        if (rank.get(hi) == rank.get(lo)) rank.put(hi, rank.get(hi) + 1)
+      }
+    }
+    // min member per component root, then node -> component min
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
+      if (n < cur) minOfRoot.put(r, n.longValue())
+    }
+    val out = nodes.map(n => (n.longValue(), minOfRoot.get(find(n))))
+    import spark.implicits._
+    out.toSeq.toDF("id", "label")
+      .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
   }
 
   /** Cluster-aware survivors: every doc keeps its row unless it belongs

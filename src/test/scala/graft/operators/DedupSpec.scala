@@ -63,6 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(durable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters: driver union-find finish matches the distributed loop") {
+    // long chain (worst case for round counts) + star + pair + crossing
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val star = (1000L until 1020L).map(i => (2000L, i))
+    val extra = Seq((500L, 700L), (700L, 600L), (600L, 500L))
+    val pairs = (chain ++ star ++ extra).toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.clusters(pairs, driverFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(200L) == 0L)    // chain end reaches min
+    assert(viaDriver(2000L) == 1000L) // star center labeled by min leaf
+    assert(viaDriver(700L) == 500L)
+  }
+
   test("nearDupSurvivors keeps one doc per cluster plus all unpaired docs") {
     val corpus = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
