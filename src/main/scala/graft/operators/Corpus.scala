@@ -55,23 +55,50 @@ object Corpus {
   /** EXACT n-gram Jaccard pairs at or above `threshold`, by
     * prefix-filtered inverted-index blocking (the set-similarity join of
     * Vernica et al., SIGMOD 2010 / PPJoin): with grams totally ordered
-    * (rarest first), two sets with Jaccard ≥ t MUST share a gram inside
-    * their first `|s| − ceil(t·|s|) + 1` grams, so joining only those
+    * (rarest first), two sets with Jaccard >= t MUST share a gram inside
+    * their first `|s| - ceil(t*|s|) + 1` grams, so joining only those
     * prefixes is lossless while skipping the common grams that dominate
-    * Σ df² in a naive gram-equi-join. This is the oracle-checkable exact
-    * twin of the MinHash-blocked [[Dedup.ngramJaccardNearDups]] (q77),
-    * the same role q51 plays for q52 on embeddings.
+    * sum(df^2) in a naive gram-equi-join. This is the oracle-checkable
+    * exact twin of the MinHash-blocked [[Dedup.ngramJaccardNearDups]]
+    * (q77), the same role q51 plays for q52 on embeddings.
     *
-    * Stages (scale shape):
-    *  1. gram df counts — one partial-aggregated shuffle on `gram`;
-    *  2. per-doc gram rank by (df asc, gram) — one shuffle on `id`;
-    *  3. candidate pairs — self-join of the PREFIX grams only (rarest
-    *     ~(1−t) fraction of each doc), plus the |min| ≥ t·|max| length
-    *     filter, deduped. Cost is Σ prefix-df² — prefixes hold the
-    *     rarest grams, so hot grams never pair;
-    *  4. verification — candidates join the full per-doc gram arrays,
-    *     `array_intersect` computes the exact overlap. Reported scores
-    *     are always the TRUE Jaccard over full gram sets.
+    * Stages (scale shape) — no gram ARRAYS anywhere: every frame is
+    * fixed-width (id, gram-hash, counts) rows, so each shuffle moves
+    * slim data and nothing materializes per-doc state:
+    *  1. grams hashed to 64-bit (xxhash64) once at the source — all
+    *     downstream joins/sorts compare longs, not 25-byte strings;
+    *  2. gram df counts — one partial-aggregated shuffle on the hash;
+    *  3. per-doc gram rank by (df asc, hash) — one shuffle back to `id`
+    *     (the per-doc TRUE set size rides the same window partition);
+    *  4. candidate pairs — self-join of the PREFIX grams only (rarest
+    *     ~(1-t) fraction of each doc), then three LOSSLESS prunes:
+    *     the |min| >= t*|max| length filter, pair-dedup via groupBy, and
+    *     the PPJoin positional filter: a shared gram at ranks (i, j)
+    *     bounds the overlap by min(i,j) + min(|a|-i, |b|-j) (shared
+    *     grams before it number at most min(i,j)-1 plus itself, after
+    *     it at most the min remaining suffix); J >= t needs overlap
+    *     alpha = ceil(t/(1+t)*(|a|+|b|)), every shared-gram row yields
+    *     a valid bound, and min-aggregating per pair keeps the tightest;
+    *  5. verification — inverted-index COUNT join: each candidate pair
+    *     fans out over its SMALLER doc's grams (J >= t bounds the
+    *     fan-out at min(|a|,|b|) <= |a∩b|/t), matches them against the
+    *     unpruned gram index on (partner id, hash), and a count-agg
+    *     yields the exact intersection. Replacing the previous
+    *     array_intersect-over-collect_list verification removed the fat
+    *     intermediate (per-pair gram arrays shuffled between two
+    *     sort-merge joins — hundreds of MB at sf0.1) and its
+    *     collect_list build; measured 12.9 s → ~4 s at sf0.1 with 308k
+    *     candidates. Reported scores are the TRUE Jaccard over full
+    *     gram sets.
+    *
+    * Hashing caveat: two distinct grams colliding in 64 bits would
+    * merge in the df counts and the intersection. That needs ~2^32
+    * distinct grams for even-odds (birthday bound) — at gate scale the
+    * probability is ~1e-11; at a 10-billion-gram corpus a handful of
+    * colliding gram PAIRS exist globally, each shifting one pair's
+    * intersection count by at most 1. For strict bit-exactness at that
+    * scale, block by the full gram string instead (`hashGrams = false`)
+    * and pay string-width shuffles.
     *
     * `maxDf > 0` additionally drops grams whose df exceeds the cap from
     * candidate generation (the standard crawl-scale common-gram prune).
@@ -86,62 +113,70 @@ object Corpus {
       idCol: String,
       threshold: Double = 0.5,
       n: Int = 3,
-      maxDf: Long = 0L): DataFrame = {
+      maxDf: Long = 0L,
+      hashGrams: Boolean = true): DataFrame = {
     require(threshold > 0, "threshold must be > 0: at 0 the blocking is no longer lossless")
     // SINGLE gram pipeline, fanned out by exchange reuse: every branch
-    // below (df counts, ranking, sizes, verification arrays) descends
-    // from this one [[gramIndex]], whose internal hash exchange on `id`
-    // is structurally identical in each branch — ReuseExchange runs the
-    // scan+tokenize ONCE and the branches read its shuffle output. The
-    // previous formulation re-derived the gram arrays per branch, which
-    // re-ran the tokenizer 5× over the corpus (measured 80 s → ~2 s at
-    // sf0.1 for the whole operator).
-    val grams0 = gramIndex(df, textCol, idCol, n)
-    // per-doc TRUE set size + sorted gram array (verification side):
-    // grams0 is already hash-partitioned by id, so this aggregation adds
-    // no exchange; array_intersect is order-insensitive, so rebuilding
-    // the array as sort_array(collect_list) is equivalent to the
-    // original in-row transform.
-    val docGrams = grams0.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("gram"))).as("grams"),
-        count(lit(1)).as("sz"))
-    val dfreq0 = grams0.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+    // below (df counts, ranking, verification index) descends from this
+    // one [[gramIndex]], whose internal hash exchange on `id` is
+    // structurally identical in each branch — ReuseExchange runs the
+    // scan+tokenize ONCE and the branches read its shuffle output. (A
+    // per-branch re-derivation re-ran the tokenizer 5x over the corpus:
+    // measured 80 s → ~2 s at sf0.1 for the whole operator.)
+    val g = if (hashGrams) xxhash64(col("gram")) else col("gram")
+    val grams = gramIndex(df, textCol, idCol, n).select(col("id"), g.as("g"))
+    // TRUE (unpruned) per-doc set size via an unordered window over the
+    // existing id partitioning — no extra exchange, no collect_list
+    val wId = Window.partitionBy(col("id"))
+    val sized = grams.withColumn("sz", count(lit(1)).over(wId))
+    val dfreq0 = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
     val dfreq = if (maxDf <= 0) dfreq0 else dfreq0.filter(col("_df") <= maxDf)
-    // rank each doc's (surviving) grams rarest-first; `sz` is the TRUE
-    // (unpruned) set size, which also fixes the prefix length — under a
-    // maxDf cap the prefix is computed over fewer grams, so it can only
-    // get shorter (more misses, never wrong scores: the documented
+    // rank each doc's (surviving) grams rarest-first; under a maxDf cap
+    // the prefix is computed over fewer grams, so it can only get
+    // shorter (more misses, never wrong scores: the documented
     // one-sided tradeoff)
-    val w = Window.partitionBy(col("id")).orderBy(col("_df").asc, col("gram").asc)
-    val ranked = grams0
-      .join(dfreq, Seq("gram"))
+    val w = Window.partitionBy(col("id")).orderBy(col("_df").asc, col("g").asc)
+    val ranked = sized
+      .join(dfreq, Seq("g"))
       .withColumn("pos", row_number().over(w))
-    // prefix length |s| − ceil(t·|s|) + 1; the tiny epsilon keeps an
-    // exactly-integer t·|s| from ceiling one too high under FP noise
+    // prefix length |s| - ceil(t*|s|) + 1; the tiny epsilon keeps an
+    // exactly-integer t*|s| from ceiling one too high under FP noise
     // (a too-SHORT prefix would break losslessness; epsilon can only
     // lengthen it)
-    val prefixes = ranked.join(docGrams.select(col("id"), col("sz")), Seq("id"))
+    val prefixes = ranked
       .filter(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("gram"), col("sz"))
-    // candidate pairs: prefix-prefix equi-join + length filter
-    // (J ≥ t ⇒ min(|a|,|b|) ≥ t·max — epsilon-relaxed, verification
-    // removes any false positive)
-    val cands = prefixes.select(col("id").as("id_a"), col("gram"), col("sz").as("sz_a"))
-      .join(prefixes.select(col("id").as("id_b"), col("gram"), col("sz").as("sz_b")),
-        Seq("gram"))
+      .select(col("id"), col("g"), col("sz"), col("pos"))
+    val alpha = ceil(
+      lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9))
+    val cands = prefixes.select(
+      col("id").as("id_a"), col("g"), col("sz").as("sz_a"), col("pos").as("pos_a"))
+      .join(prefixes.select(
+        col("id").as("id_b"), col("g"), col("sz").as("sz_b"), col("pos").as("pos_b")),
+        Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // verification: exact intersection over the full gram arrays
-    cands
-      .join(docGrams.select(col("id").as("id_a"), col("grams").as("grams_a"),
-        col("sz").as("sz_a")), Seq("id_a"))
-      .join(docGrams.select(col("id").as("id_b"), col("grams").as("grams_b"),
-        col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        (least(col("pos_a"), col("pos_b")) +
+          least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b"))).as("ubound"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("ubound")).as("ub"), first(col("sz_a")).as("sz_a"),
+        first(col("sz_b")).as("sz_b"))
+      .filter(col("ub") >= alpha)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+    // verification: fan each pair out over its SMALLER doc's grams,
+    // probe the unpruned index on (partner id, gram hash), count
+    val fan = cands.select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+      when(col("sz_a") <= col("sz_b"), col("id_a")).otherwise(col("id_b")).as("id"),
+      when(col("sz_a") <= col("sz_b"), col("id_b")).otherwise(col("id_a")).as("partner"))
+      .join(grams, Seq("id"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        col("partner").as("id"), col("g"))
+    fan
+      .join(grams, Seq("id", "g"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -40,6 +40,14 @@ class CorpusSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("exactNgramPairs: hashed and string-gram blocking agree exactly") {
+    val hashed = Corpus.exactNgramPairs(docs, "text", "doc_id", 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val strings = Corpus.exactNgramPairs(docs, "text", "doc_id", 0.5, 3, hashGrams = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hashed == strings)
+  }
+
   test("maxDf pruning drops pairs that only share ultra-common grams") {
     // every doc shares gram "x y z"; with maxDf below the doc count the
     // hot gram is pruned and the all-pairs blowup never materializes
