@@ -33,6 +33,7 @@ object Bench {
     // unset (the driver's invocation) benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // "" means no filter, not "match nothing"
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }

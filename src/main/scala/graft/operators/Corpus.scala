@@ -410,4 +410,35 @@ object Corpus {
       .select(col("grp"), col("rank"), col("term"), col("tf"),
         col("doc_freq"), col("relevance"))
   }
+
+  /** Sequence packing for training batches: documents concatenate in
+    * `orderCol` order within a shard and cut at `budget`-token
+    * boundaries; each document reports the bin its first token lands in
+    * and its offset inside that bin (next-fit with straddling — the
+    * "concatenate then chunk" scheme LM pretraining uses, which wastes
+    * zero tokens). Pure integer window arithmetic: one shuffle on the
+    * shard key, a running sum within each shard, no data movement
+    * beyond it — the shard count, not the corpus size, bounds
+    * parallelism, so the caller picks shards ≈ cluster cores.
+    *
+    * Output: (idCol, shard, n_tokens, bin, off) where
+    * bin = floor(prefix_sum / budget), off = prefix_sum % budget.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      shard: Column,
+      order: Column,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(cr(idCol).as(idCol), shard.as("shard"), order.as("_ord"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        floor(col("prev") / budget).as("bin"),
+        (col("prev") % budget).as("off"))
+  }
 }

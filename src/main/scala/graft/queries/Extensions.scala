@@ -1108,6 +1108,77 @@ object Extensions {
       .orderBy(col("p_partkey"))
   }
 
+  /** Sequence packing (concatenate-then-chunk, the zero-waste LM
+    * pretraining scheme): documents pack into 2048-token bins within 8
+    * shards, ordered by doc_id; pure integer window arithmetic, so the
+    * oracle is the same prefix-sum in SQL.
+    */
+  def qC9PackSequences(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.packSequences(
+      documents(s, d), "doc_id",
+      shard = col("doc_id") % 8, order = col("doc_id"),
+      tokens = col("n_chars"), budget = 2048L)
+      .orderBy(col("doc_id"))
+
+  /** Gap-filled hourly resample of the event stream per type: every
+    * bucket in each key's observed span materializes, zero-count when
+    * empty. Emitted stats (count/min/max) are order-independent, so the
+    * generate_series oracle hash-matches.
+    */
+  def qE2GapFill(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries
+      .gapFill(events(s, d), "event_type", "ts", "value", "hour")
+      .orderBy(col("k"), col("bkt"))
+
+  /** Int8 symmetric quantization of the embedding table. The gate
+    * projects the quantized vector through array_join so the compare is
+    * string-exact; scale stays a raw double — it is one IEEE division of
+    * a float-cast max, bit-identical in any engine. Truncation (not
+    * round-half) keeps tie behavior engine-portable.
+    */
+  def qV5QuantizeInt8(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantize.int8(embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(col("qvec"), ",").as("q_str"))
+      .orderBy(col("vec_id"))
+
+  /** Fused text normalization (accent strip + lower + whitespace
+    * collapse + trim) over a deliberately messy fixture derived from
+    * part names: accents injected via translate, whitespace runs and
+    * edge padding added — the oracle spells the identical chain with
+    * strip_accents/lower/regexp_replace/trim.
+    */
+  def qT13NormalizeText(s: SparkSession, d: String): DataFrame = {
+    val messy = part(s, d).select(
+      col("p_partkey"),
+      concat(lit("  "),
+        translate(regexp_replace(col("p_name"), " ", "   "),
+          "aeiou", "áéíóú"),
+        lit(" \t")).as("messy"))
+    messy
+      .select(col("p_partkey"),
+        graft.plans.NormalizeTextExpr(col("messy")).as("norm"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ordered three-step funnel over the event log (view → click →
+    * purchase, each matched at its earliest occurrence after the prior
+    * step). Integer user counts per step.
+    */
+  def qE3Funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Paths.funnel(
+      events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
+  /** First-order event-type transition matrix per user, ordered by
+    * (ts, event_id) for a total order the oracle reproduces.
+    */
+  def qE4Transitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Paths.transitions(
+      events(s, d), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("prev_type"), col("next_type"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1180,7 +1251,13 @@ object Extensions {
     "q87_cdc_apply" -> qH2CdcApply _,
     "q88_bloom_decontaminate" -> qC8BloomDecontaminate _,
     "q89_histogram" -> qP1Histogram _,
-    "q90_url_parts" -> qT12UrlParts _)
+    "q90_url_parts" -> qT12UrlParts _,
+    "q91_sequence_packing" -> qC9PackSequences _,
+    "q92_gap_fill" -> qE2GapFill _,
+    "q93_quantize_int8" -> qV5QuantizeInt8 _,
+    "q94_normalize_text" -> qT13NormalizeText _,
+    "q95_funnel" -> qE3Funnel _,
+    "q96_event_transitions" -> qE4Transitions _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1805,7 +1882,75 @@ object Extensions {
            regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]*)', 2) AS host,
            regexp_extract(url, '^([a-z][a-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path,
            regexp_extract(url, '\?([^#]*)', 1) AS query
-         FROM u ORDER BY p_partkey""")
+         FROM u ORDER BY p_partkey""",
+    // same integer prefix-sum chain as Corpus.packSequences; the window
+    // sum is CAST back from DuckDB's HUGEINT to keep dtype kinds aligned.
+    "q91_sequence_packing" ->
+      """WITH x AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(n_chars AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev FROM x)
+         SELECT doc_id, shard, n_tokens,
+           CAST(floor(prev / 2048) AS BIGINT) AS bin,
+           prev % 2048 AS off
+         FROM c ORDER BY doc_id""",
+    "q92_gap_fill" ->
+      """WITH b AS (SELECT event_type AS k, date_trunc('hour', ts) AS bkt,
+             count(*) AS n, min(value) AS lo, max(value) AS hi
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type AS k,
+             unnest(generate_series(date_trunc('hour', min(ts)),
+               date_trunc('hour', max(ts)), INTERVAL 1 HOUR)) AS bkt
+           FROM events GROUP BY event_type)
+         SELECT k, bkt, coalesce(n, 0) AS n, lo, hi
+         FROM g LEFT JOIN b USING (k, bkt) ORDER BY k, bkt""",
+    // float elements cast to DOUBLE before any arithmetic; scale is one
+    // IEEE divide; quantized values TRUNCATE toward zero (both engines'
+    // explicit trunc) — round-half is where engines disagree.
+    "q93_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+           FROM embeddings),
+         m AS (SELECT vec_id, vd,
+             127.0 / nullif(list_max(list_transform(vd, x -> abs(x))), 0.0)
+               AS scale FROM v)
+         SELECT vec_id, scale,
+           CASE WHEN scale IS NOT NULL THEN array_to_string(
+             list_transform(vd, x -> CAST(trunc(x * scale) AS INTEGER)), ',')
+           END AS q_str
+         FROM m ORDER BY vec_id""",
+    "q94_normalize_text" ->
+      """WITH u AS (SELECT p_partkey,
+           '  ' || translate(regexp_replace(p_name, ' ', '   ', 'g'),
+                             'aeiou', 'áéíóú') || chr(9) AS messy
+           FROM part)
+         SELECT p_partkey,
+           trim(regexp_replace(lower(strip_accents(messy)), '\s+', ' ', 'g'))
+             AS norm
+         FROM u ORDER BY p_partkey""",
+    "q95_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s0 ON e.user_id = s0.u
+             WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+         SELECT 0 AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s0) AS users
+         UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+         UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+         ORDER BY step_idx""",
+    "q96_event_transitions" ->
+      """WITH o AS (SELECT event_type, lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type AS next_type, count(*) AS n
+         FROM o WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_type, next_type""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

@@ -165,4 +165,31 @@ class CorpusSpec extends SparkSpec {
     // g2: delta tf=1 df=1 → 0.5 beats beta tf=1 df=3 → 0.25
     assert(g2.map(_._3).toSeq == Seq("delta", "beta"))
   }
+
+  test("packSequences assigns next-fit bins with straddling") {
+    // one shard, budget 10, tokens 4,5,3,12,2 in id order:
+    // prefix sums 0,4,9,12,24 → bins 0,0,1,2,2 (doc 3 straddles into 2)
+    val d = Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 12L), (4L, 2L))
+      .toDF("doc_id", "n")
+    val got = Corpus.packSequences(d, "doc_id",
+      shard = lit(0), order = col("doc_id"), tokens = col("n"), budget = 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 4L), (2L, 0L, 9L),
+      (3L, 1L, 2L), (4L, 2L, 4L)))
+  }
+
+  test("packSequences shards pack independently and deterministically") {
+    val d = (0L until 1000L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "n")
+    val pack = Corpus.packSequences(d, "doc_id", shard = col("doc_id") % 4,
+      order = col("doc_id"), tokens = col("n"), budget = 64L)
+    val a = pack.collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val b = Corpus.packSequences(d.repartition(7), "doc_id",
+      shard = col("doc_id") % 4, order = col("doc_id"),
+      tokens = col("n"), budget = 64L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(a == b)
+    // offsets stay inside the budget
+    assert(a.values.forall(_._2 < 64L))
+  }
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("gapFill materializes empty buckets with zero counts") {
+    val ev = Seq(
+      ("a", ts(0, 10), 1.0), ("a", ts(0, 50), 3.0), ("a", ts(3, 5), 2.0),
+      ("b", ts(1, 0), 5.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.gapFill(ev, "k", "t", "v", "hour")
+      .orderBy("k", "bkt").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01 00:00:00.0", 2L, 1.0),
+      ("a", "2024-01-01 01:00:00.0", 0L, null), // gap
+      ("a", "2024-01-01 02:00:00.0", 0L, null), // gap
+      ("a", "2024-01-01 03:00:00.0", 1L, 2.0),
+      ("b", "2024-01-01 01:00:00.0", 1L, 5.0)))
+  }
+
+  test("gapFill spans are per key, not global") {
+    val ev = Seq(("a", ts(0), 1.0), ("a", ts(9), 1.0), ("b", ts(5), 1.0))
+      .toDF("k", "t", "v")
+    val counts = TimeSeries.gapFill(ev, "k", "t", "v", "hour")
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 1L))
+  }
+}
