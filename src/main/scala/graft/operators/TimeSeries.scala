@@ -46,4 +46,32 @@ object TimeSeries {
       .select(col("k"), col("bkt"),
         coalesce(col("n"), lit(0L)).as("n"), col("lo"), col("hi"))
   }
+
+  /** Trailing-window rolling stats per key over a total (ts, tie)
+    * order: count / min / max over the last `window` rows, plus an
+    * EXACT rolling sum in integer cents (`floor(value·100)` — floor is
+    * tie-free in every engine, and a bigint sum is order-independent,
+    * where a rolling double sum would disagree across engines in the
+    * last ulp). One shuffle on the key; the frame never leaves the
+    * partition.
+    */
+  def rolling(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(window - 1L), 0L)
+    val cents = floor(col(valueCol) * 100).cast("long")
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+      .withColumn("roll_sum_cents", sum(cents).over(w))
+  }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group feature scaling for ML preprocessing. Both scalers are one
+  * grouped aggregation (dimension-small → the stats table broadcasts)
+  * plus a codegen'd per-row transform — no second shuffle of the data.
+  *
+  * Determinism: medians/quartiles come from exact `percentile`
+  * (bit-identical to DuckDB quantile_cont), min/max are order-
+  * independent, and the per-row scale is a subtract + divide — single
+  * IEEE ops any engine computes identically, so both scalers are
+  * hash-oracle-checkable.
+  */
+object Scale {
+
+  /** Robust scaler: (v − median) / (q3 − q1) per group — insensitive to
+    * the outliers a 100 TB raw corpus always carries. Degenerate groups
+    * (IQR = 0) yield null rather than ±Inf.
+    */
+  def robust(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      as: String = "scaled"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val v = Cleanse.colRef(valueCol)
+    val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+      .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("_q"))
+      .select(groupCols.map(Cleanse.colRef) ++ Seq(
+        element_at(col("_q"), 2).as("_med"),
+        nullif(element_at(col("_q"), 3) - element_at(col("_q"), 1),
+          lit(0.0)).as("_iqr")): _*)
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(as, (v - col("_med")) / col("_iqr"))
+      .drop("_med", "_iqr")
+  }
+
+  /** Min-max scaler: (v − min) / (max − min) per group, into [0, 1].
+    * Constant groups yield null.
+    */
+  def minMax(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      as: String = "scaled"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val v = Cleanse.colRef(valueCol)
+    val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+      .agg(min(v).as("_lo"), nullif(max(v) - min(v), lit(0.0)).as("_rng"))
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(as, (v - col("_lo")) / col("_rng"))
+      .drop("_lo", "_rng")
+  }
+}

