@@ -21,12 +21,15 @@ object Paths {
     * chain, which maximizes reachability). Returns one row per step:
     * (step_idx, step, users).
     *
-    * Execution shape: step 0 is one aggregation on the user key; each
-    * later step is a join + min-aggregation on the SAME key, so every
-    * shuffle after the first co-partitions with the reached set. The
-    * number of Spark jobs is 0 (lazy) — the k frames union into one plan
-    * and the k aggregations share the scan via whole-stage reuse at
-    * execution. k is the funnel length (small, bounded by the caller).
+    * Execution shape: ONE shuffle. Step times are a chain of k
+    * whole-partition window minimums over the same user partitioning
+    * (t_k = min ts of step k after t_{k-1}) — each window pass stays
+    * inside the partition, and the follow-up per-user aggregation
+    * reuses the window's hash partitioning, so adding funnel steps adds
+    * in-partition passes, never shuffles. (The naive formulation —
+    * a join + re-aggregation per step, unioned per-step counts —
+    * replans the whole chain once per union branch: O(k²) aggregations
+    * and k extra shuffles for identical output.)
     */
   def funnel(
       events: DataFrame,
@@ -35,23 +38,30 @@ object Paths {
       typeCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val u = col(userCol)
-    var reached = events.filter(col(typeCol) === steps.head)
-      .groupBy(u).agg(min(col(tsCol)).as("t"))
-    var out = reached.agg(
-      lit(0).as("step_idx"), lit(steps.head).as("step"),
-      count(lit(1)).as("users")) :: Nil
-    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
-      val nxt = events.filter(col(typeCol) === step)
-        .join(reached.select(u.as("_u"), col("t").as("_t")),
-          u === col("_u") && col(tsCol) > col("_t"))
-        .groupBy(u).agg(min(col(tsCol)).as("t"))
-      reached = nxt
-      out = reached.agg(
-        lit(i).as("step_idx"), lit(step).as("step"),
-        count(lit(1)).as("users")) :: out
+    val w = Window.partitionBy(col(userCol))
+    var df = events.select(col(userCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val afterPrev =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) > col(s"_t${i - 1}")
+      df = df.withColumn(s"_t$i",
+        min(when(afterPrev, col(tsCol))).over(w))
     }
-    out.reverse.reduce(_.union(_))
+    // one row per user (window values are per-user constants); the
+    // groupBy reuses the window exchange's partitioning
+    val perUser = df.groupBy(col(userCol))
+      .agg(max(col("_t0")).as("_t0"),
+        steps.indices.drop(1).map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
+    val counts = perUser.agg(
+      count(col("_t0")).as("_c0"),
+      steps.indices.drop(1).map(i => count(col(s"_t$i")).as(s"_c$i")): _*)
+    val pairs = array(steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i).as("step_idx"), lit(step).as("step"),
+        col(s"_c$i").as("users"))
+    }: _*)
+    counts.select(explode(pairs).as("_p"))
+      .select(col("_p.step_idx").as("step_idx"), col("_p.step").as("step"),
+        col("_p.users").as("users"))
   }
 
   /** First-order transition counts: for each user's event stream ordered

@@ -76,17 +76,22 @@ object Quality {
     }
     val frames = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {
-      // one scan for every row-local rule; unpivot the count columns
+      // ONE scan for every row-local rule: a single aggregation carries
+      // one count slot per rule, and the 1-row result explodes into
+      // per-rule rows. (Selecting each slot from the agg in separate
+      // union branches would replan — and re-scan — the aggregation
+      // once per rule: measured 4 full scans for 4 rules.)
       val slots = rowLocal.zipWithIndex.map { case (r, i) =>
         sum(when(violated(r), 1L).otherwise(0L)).as(s"_v$i")
       } :+ count(lit(1)).as("_total")
       val agg = df.agg(slots.head, slots.tail: _*)
-      val asRows = rowLocal.zipWithIndex.map { case (r, i) =>
-        agg.select(lit(r.name).as("rule"), col(s"_v$i").as("violations"),
-          col("_total").as("total"))
-      }
-      // the agg subtree is tiny (1 row); Catalyst reuses the exchange
-      frames ++= asRows
+      val pairs = array(rowLocal.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"_v$i").as("violations"))
+      }: _*)
+      frames += agg
+        .select(explode(pairs).as("_p"), col("_total").as("total"))
+        .select(col("_p.rule").as("rule"),
+          col("_p.violations").as("violations"), col("total"))
     }
     // one bounded job, only when a cross-row rule needs the denominator
     lazy val total = df.count()
