@@ -47,7 +47,12 @@ object Corpus {
     */
   def gramIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
-      .repartition(col("id"))
+      // numbered ⇒ exempt from AQE coalescing: the exchange moves slim
+      // (id, tokens) rows but everything DOWNSTREAM of it (n-gram
+      // explode, window sizing, prefix ranking, pair fan-out) is
+      // compute-bound — size-based coalescing was squeezing those
+      // stages onto 2 tasks and serializing the operator's hot path
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(
         col("id"),
         explode(TextFunctions.wordNgramsOfTokens(col("_graft_toks"), n)).as("gram"))
