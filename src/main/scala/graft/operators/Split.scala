@@ -48,4 +48,20 @@ object Split {
       fractions: Map[String, Double],
       seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * first 8 md5 hex chars of the id, mod k — the same
+    * engine/partitioning/growth-stable hash argument as [[assignment]]
+    * (a row keeps its fold when the corpus grows or repartitions, and
+    * any engine with md5 reproduces it). Stateless per row: no shuffle.
+    */
+  def foldAssignment(id: Column, k: Int): Column = {
+    require(k >= 2, "need at least 2 folds")
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % k).as("fold")
+  }
+
+  /** df plus a `fold` column in [0, k). */
+  def kfold(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("fold", foldAssignment(graft.ops.Cleanse.colRef(idCol), k))
 }

@@ -54,4 +54,45 @@ object Outliers {
       .select(col("d.*"), col("b.lo"), col("b.hi"))
       .withColumn("is_outlier", v < col("lo") || v > col("hi"))
   }
+
+  /** MAD (median-absolute-deviation) outlier flagging — the robust
+    * z-score: a value is an outlier when
+    * |v − median| > k · 1.4826 · MAD, with MAD = median(|v − median|)
+    * and 1.4826 the normal-consistency constant. Where IQR fences go
+    * degenerate on heavy-tailed or half-constant groups, MAD holds; the
+    * comparison is multiplication-only (no division), so MAD = 0
+    * degrades gracefully to "flag any deviation" instead of dividing by
+    * zero.
+    *
+    * Shape: two grouped median aggregations with a broadcast join after
+    * each (group count assumed dimension-small), then a codegen'd
+    * per-row comparison. Exact `percentile` buffers each group — the
+    * same caveat as [[iqr]]; pass `approx = true` for the sketch-based
+    * 100 TB path. Unlike [[iqr]], the joins are plain equi-joins:
+    * null-group rows drop (use iqr's null-safe pattern if they matter).
+    */
+  def mad(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 3.0,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    Seq("med", "mad", "dev", "is_outlier").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before mad()"))
+    val v = Cleanse.colRef(valueCol)
+    val gs = groupCols.map(Cleanse.colRef)
+    def med(c: org.apache.spark.sql.Column) =
+      if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
+    val meds = df.groupBy(gs: _*).agg(med(v).as("med"))
+    val withDev = df.join(broadcast(meds), groupCols)
+      .withColumn("dev", abs(v - col("med")))
+    val mads = withDev.groupBy(gs: _*).agg(med(col("dev")).as("mad"))
+    withDev.join(broadcast(mads), groupCols)
+      .withColumn("is_outlier",
+        col("dev") > lit(k) * lit(1.4826) * col("mad"))
+  }
 }

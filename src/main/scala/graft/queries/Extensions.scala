@@ -1247,6 +1247,30 @@ object Extensions {
         col("roll_min"), col("roll_max"), col("roll_sum_cents"))
       .orderBy(col("user_id"), col("event_id"))
 
+  /** MAD robust outliers per return flag: med/MAD are exact medians
+    * (bit-identical to quantile_cont), the flag a multiplication-only
+    * comparison — deterministic end-to-end.
+    */
+  def qA19MadOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.Outliers.mad(
+      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+      "l_extendedprice", Seq("l_returnflag"), k = 3.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"))
+      .orderBy(col("l_returnflag"))
+
+  /** Deterministic k-fold cross-validation assignment (md5-prefix mod
+    * k): fold sizes per source prove the assignment; the oracle
+    * re-derives the identical hash arithmetic.
+    */
+  def qS5KFold(s: SparkSession, d: String): DataFrame =
+    graft.operators.Split.kfold(documents(s, d), "doc_id", k = 5)
+      .groupBy(col("fold"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("fold"), col("source"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1328,7 +1352,9 @@ object Extensions {
     "q96_event_transitions" -> qE4Transitions _,
     "q97_quality_rules" -> qQ1QualityRules _,
     "q98_feature_scale" -> qQ2FeatureScale _,
-    "q99_rolling_stats" -> qE5RollingStats _)
+    "q99_rolling_stats" -> qE5RollingStats _,
+    "q100_mad_outliers" -> qA19MadOutliers _,
+    "q101_kfold" -> qS5KFold _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2071,7 +2097,32 @@ object Extensions {
          FROM events WHERE user_id < 20
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-         ORDER BY user_id, event_id""")
+         ORDER BY user_id, event_id""",
+    // med/MAD = exact medians (quantile_cont == percentile bit-for-bit);
+    // the flag is multiplication-only, so no division degeneracy.
+    "q100_mad_outliers" ->
+      """WITH m AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY 1),
+         dv AS (SELECT l_returnflag,
+             abs(l_extendedprice - med) AS dev, med
+           FROM lineitem JOIN m USING (l_returnflag)),
+         md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+           FROM dv GROUP BY 1)
+         SELECT l_returnflag, count(*) AS n,
+           count(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 END)
+             AS n_outliers,
+           min(med) AS med, min(mad) AS mad
+         FROM dv JOIN md USING (l_returnflag)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // identical hash arithmetic: first 8 md5 hex chars as an integer,
+    // mod k ('0x'||hex casts to BIGINT in DuckDB; conv(hex,16,10) in
+    // Spark).
+    "q101_kfold" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 5 AS fold,
+           source, count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY fold, source""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

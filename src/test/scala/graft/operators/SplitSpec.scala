@@ -28,6 +28,29 @@ class SplitSpec extends SparkSpec {
     assert(small == grown)
   }
 
+  test("kfold is deterministic, partition-independent, and balanced") {
+    val df = spark.range(10000).toDF("id")
+    val a = Split.kfold(df, "id", 5)
+    val b = Split.kfold(df.repartition(11), "id", 5)
+    val disagree = a.join(b.withColumnRenamed("fold", "fold_b"), "id")
+      .filter(col("fold") =!= col("fold_b")).count()
+    assert(disagree == 0)
+    val sizes = a.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // binomial noise around 2000 per fold
+    assert(sizes.values.forall(n => math.abs(n - 2000L) < 200))
+  }
+
+  test("kfold keeps a row's fold when the corpus grows") {
+    val small = Split.kfold(spark.range(100).toDF("id"), "id", 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grown = Split.kfold(spark.range(50000).toDF("id"), "id", 7)
+      .filter(col("id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == grown)
+  }
+
   test("stratified sampleBy is reproducible for a fixed seed") {
     val df = (1 to 2000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     val f = Map("a" -> 0.5, "b" -> 0.1)
