@@ -165,7 +165,10 @@ object TextFunctions {
       regexp_extract(c, scheme, 1).as("scheme"),
       regexp_extract(c, scheme + "([^/?#]*)", 2).as("host"),
       regexp_extract(c, scheme + "[^/?#]*([^?#]*)", 2).as("path"),
-      regexp_extract(c, "\\?([^#]*)", 1).as("query"))
+      // anchored through the URL structure: a bare "\?([^#]*)" would
+      // extract bogus "queries" from non-URL text and from '?' inside
+      // fragments (RFC 3986 keeps "#frag?x" in the fragment)
+      regexp_extract(c, scheme + "[^?#]*\\?([^#]*)", 2).as("query"))
   }
 
   /** Content fingerprint: md5 of the canonicalized token stream. Two

@@ -51,8 +51,15 @@ object Corpus {
       // (id, tokens) rows but everything DOWNSTREAM of it (n-gram
       // explode, window sizing, prefix ranking, pair fan-out) is
       // compute-bound — size-based coalescing was squeezing those
-      // stages onto 2 tasks and serializing the operator's hot path
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // stages onto 2 tasks and serializing the operator's hot path.
+      // Width = max(cores, spark.sql.shuffle.partitions): never below
+      // cluster width locally, and on a real cluster it follows the
+      // operator-sized shuffle partitioning (100 TB / cores per task
+      // would otherwise be the failure mode of a cores-only pin).
+      .repartition(
+        math.max(df.sparkSession.sparkContext.defaultParallelism,
+          df.sparkSession.sessionState.conf.numShufflePartitions),
+        col("id"))
       .select(
         col("id"),
         explode(TextFunctions.wordNgramsOfTokens(col("_graft_toks"), n)).as("gram"))

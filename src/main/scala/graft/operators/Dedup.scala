@@ -344,17 +344,42 @@ object Dedup {
     // bounded-size probe on the checkpointed frame (one cheap job):
     // limit(n+1).count() never scans past the budget, so a huge edge
     // set costs one truncated pass, not a full count
-    if (driverFinishEdges > 0) {
+    // driver finish only for integral id types: the union-find keys on
+    // longs, and casting e.g. md5-hex string ids to long yields NULLs
+    // (-> one bogus all-zero component) or lossy round-trips. Non-long
+    // ids stay on the distributed loop, which is type-agnostic.
+    val integralIds = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (driverFinishEdges > 0 && integralIds) {
       val probeCap = math.min(driverFinishEdges, Int.MaxValue - 1L).toInt
       val nEdges = edges.limit(probeCap + 1).count()
-      if (nEdges <= driverFinishEdges) return driverUnionFind(pairs, edges)
+      // compare against the PROBED bound: with driverFinishEdges above
+      // the collectable range the truncated count could undercount and
+      // wave through an edge set the driver cannot hold
+      if (nEdges <= probeCap) return driverUnionFind(pairs, edges)
     }
     var (labels, labelIds) = cpTracked(edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")))
+    // Convergence: for numeric ids, Σlabel is min-monotone per node and
+    // strictly decreases until the fixed point — one tiny aggregation.
+    // Non-numeric ids (md5-hex strings, ...) cannot cast to decimal
+    // (ANSI throws); they take the exact changed-row probe instead: an
+    // id-co-partitioned join with limit(1) early-exit.
+    val numericIds = integralIds ||
+      pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
+    def anyChanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.alias("n")
+        .join(prev.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count() > 0
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -375,13 +400,18 @@ object Dedup {
           least(merged("label"), coalesce(col("m_label"), merged("label"))).as("label")))
       // labels are min-monotone per node, so Σlabel strictly decreases
       // until the fixed point — convergence is one tiny aggregation over
-      // the just-checkpointed frame, not a join against the prior round
-      val nextSum = labelSum(next)
+      // the just-checkpointed frame (numeric ids), or an exact
+      // changed-row probe (non-numeric)
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = !anyChanged(next, labels)
+      }
       unpersist(labelIds) // previous round's blocks: no longer reachable
       labels = next
       labelIds = nextIds
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       it += 1
     }
     labels

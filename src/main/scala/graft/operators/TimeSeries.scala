@@ -42,9 +42,16 @@ object TimeSeries {
       .select(col("k"),
         explode(sequence(col("t0"), col("t1"),
           expr(s"INTERVAL 1 $unit"))).as("bkt"))
-    grid.join(stats, Seq("k", "bkt"), "left")
-      .select(col("k"), col("bkt"),
-        coalesce(col("n"), lit(0L)).as("n"), col("lo"), col("hi"))
+    // null-safe on the key: a null-key group aggregates fine on both
+    // sides but a plain equi-join would never match it, silently
+    // zero-filling buckets whose events exist (same pattern as
+    // Outliers.iqr's bounds join)
+    grid.alias("g")
+      .join(stats.alias("s"),
+        col("g.k") <=> col("s.k") && col("g.bkt") === col("s.bkt"), "left")
+      .select(col("g.k").as("k"), col("g.bkt").as("bkt"),
+        coalesce(col("s.n"), lit(0L)).as("n"),
+        col("s.lo").as("lo"), col("s.hi").as("hi"))
   }
 
   /** Trailing-window rolling stats per key over a total (ts, tie)

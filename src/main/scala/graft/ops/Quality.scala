@@ -35,8 +35,10 @@ object Quality {
     def name = s"in_set($column)"
   }
 
-  /** Fails non-null rows not fully matching `regex` (Java∩RE2-portable
-    * patterns only, per the shared-regex-subset rule).
+  /** Fails non-null rows where `regex` does not match. SQL `rlike`
+    * semantics: a SUBSTRING search — anchor with `^...$` for full-value
+    * validation (Java∩RE2-portable patterns only, per the
+    * shared-regex-subset rule).
     */
   final case class MatchesRe(column: String, regex: String) extends Rule {
     def name = s"matches($column)"
@@ -82,7 +84,10 @@ object Quality {
       // union branches would replan — and re-scan — the aggregation
       // once per rule: measured 4 full scans for 4 rules.)
       val slots = rowLocal.zipWithIndex.map { case (r, i) =>
-        sum(when(violated(r), 1L).otherwise(0L)).as(s"_v$i")
+        // coalesce: sum over an EMPTY batch is null, and an empty batch
+        // must report 0 violations, not null
+        coalesce(sum(when(violated(r), 1L).otherwise(0L)), lit(0L))
+          .as(s"_v$i")
       } :+ count(lit(1)).as("_total")
       val agg = df.agg(slots.head, slots.tail: _*)
       val pairs = array(rowLocal.zipWithIndex.map { case (r, i) =>
@@ -93,23 +98,26 @@ object Quality {
         .select(col("_p.rule").as("rule"),
           col("_p.violations").as("violations"), col("total"))
     }
-    // one bounded job, only when a cross-row rule needs the denominator
-    lazy val total = df.count()
+    // lazy denominator: a 1-row count frame cross-joined into each
+    // cross-row rule row. Keeps check() side-effect-free (no eager job
+    // at plan-build time) and every rule's `total` evaluates against
+    // the same source at the same time as its violation count.
+    lazy val totalFrame = df.agg(count(lit(1)).as("total"))
     rules.foreach {
       case Unique(c) =>
         val k = Cleanse.colRef(c)
         frames += df.filter(k.isNotNull)
           .agg((count(lit(1)) - countDistinct(k)).as("violations"))
-          .select(lit(s"unique($c)").as("rule"), col("violations"),
-            lit(total).as("total"))
+          .select(lit(s"unique($c)").as("rule"), col("violations"))
+          .crossJoin(totalFrame)
       case RefIntegrity(c, dim, dc) =>
         val orphans = df.filter(Cleanse.colRef(c).isNotNull)
           .join(broadcast(dim.select(Cleanse.colRef(dc).as("_k")).distinct()),
             Cleanse.colRef(c) === col("_k"), "left_anti")
         frames += orphans
           .agg(count(lit(1)).as("violations"))
-          .select(lit(s"ref($c)").as("rule"), col("violations"),
-            lit(total).as("total"))
+          .select(lit(s"ref($c)").as("rule"), col("violations"))
+          .crossJoin(totalFrame)
       case _ => ()
     }
     frames.result().reduce(_.union(_))

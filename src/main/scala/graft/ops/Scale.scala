@@ -25,6 +25,9 @@ object Scale {
       groupCols: Seq[String],
       as: String = "scaled"): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    (Seq(as, "_med", "_iqr")).foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before robust()"))
     val v = Cleanse.colRef(valueCol)
     val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
       .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("_q"))
@@ -46,6 +49,9 @@ object Scale {
       groupCols: Seq[String],
       as: String = "scaled"): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    (Seq(as, "_lo", "_rng")).foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before minMax()"))
     val v = Cleanse.colRef(valueCol)
     val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
       .agg(min(v).as("_lo"), nullif(max(v) - min(v), lit(0.0)).as("_rng"))

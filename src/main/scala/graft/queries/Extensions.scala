@@ -1978,7 +1978,8 @@ object Extensions {
            regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
            regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]*)', 2) AS host,
            regexp_extract(url, '^([a-z][a-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path,
-           regexp_extract(url, '\?([^#]*)', 1) AS query
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://[^?#]*\?([^#]*)', 2)
+             AS query
          FROM u ORDER BY p_partkey""",
     // same integer prefix-sum chain as Corpus.packSequences; the window
     // sum is CAST back from DuckDB's HUGEINT to keep dtype kinds aligned.

@@ -102,5 +102,10 @@ class TextFunctionsSpec extends SparkSpec {
     assert(parts("http://host.com") == (("http", "host.com", "", "")))
     assert(parts("ftp://h:21/p") == (("ftp", "h:21", "/p", "")))
     assert(parts("not a url at all") == (("", "", "", "")))
+    // '?' inside a fragment is NOT a query (RFC 3986); '?' in non-URL
+    // text must not leak into the query either
+    assert(parts("https://x.com/a#frag?notquery") ==
+      (("https", "x.com", "/a", "")))
+    assert(parts("what? really#x") == (("", "", "", "")))
   }
 }

@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver(700L) == 500L)
   }
 
+  test("clusters: string ids skip the driver finish and stay correct") {
+    // md5-hex-style ids: the long-keyed driver union-find cannot
+    // represent them — the small-edge-set gate must fall through to the
+    // type-agnostic distributed loop instead of corrupting labels
+    val pairs = Seq(("aa", "bb"), ("bb", "cc"), ("ee", "ff"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("aa" -> "aa", "bb" -> "aa", "cc" -> "aa",
+      "ee" -> "ee", "ff" -> "ee"))
+  }
+
   test("nearDupSurvivors keeps one doc per cluster plus all unpaired docs") {
     val corpus = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -29,6 +29,17 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "2024-01-01 01:00:00.0", 1L, 5.0)))
   }
 
+  test("gapFill keeps null-key groups (null-safe stats join)") {
+    val ev = Seq((Some("a"), ts(0), 1.0), (None, ts(1), 7.0),
+      (None, ts(3), 9.0)).toDF("k", "t", "v")
+    val nullRows = TimeSeries.gapFill(ev, "k", "t", "v", "hour")
+      .filter(col("k").isNull).orderBy("bkt").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+    // span 1h..3h: events at 1 and 3, gap at 2 — counts must be real,
+    // not zero-filled away by a null-blind equi-join
+    assert(nullRows.toSeq == Seq((1L, 7.0), (0L, null), (1L, 9.0)))
+  }
+
   test("gapFill spans are per key, not global") {
     val ev = Seq(("a", ts(0), 1.0), ("a", ts(9), 1.0), ("b", ts(5), 1.0))
       .toDF("k", "t", "v")

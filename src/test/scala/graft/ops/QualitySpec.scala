@@ -39,6 +39,14 @@ class QualitySpec extends SparkSpec {
     assert(got == Map("unique(id)" -> 1L, "ref(id)" -> 1L))
   }
 
+  test("empty batch reports zero violations, not null") {
+    val empty = df.filter(col("id") < 0)
+    val got = Quality.check(empty, Seq(NotNull("v"), InRange("v", 0, 1)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq.sortBy(_._1) == Seq(("in_range(v)", 0L, 0L),
+      ("not_null(v)", 0L, 0L)))
+  }
+
   test("null keys are excluded from unique and ref checks") {
     val d = Seq(Some(1L), None, None, Some(1L)).toDF("id")
     val dim = Seq(1L).toDF("k")
