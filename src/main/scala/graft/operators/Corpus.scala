@@ -342,6 +342,41 @@ object Corpus {
       format_string("%08x", buckets))
   }
 
+  /** Temperature resampling for data mixing: flatten the group
+    * distribution toward `share^alpha` (alpha = 1 keeps the natural
+    * mix, alpha → 0 approaches uniform) by DOWNSAMPLING only — the
+    * per-group keep rate is `(n_min/n_g)^(1-alpha)`, which the
+    * normalization constant provably cancels down to (scaled so the
+    * rarest group keeps everything; no row replication). The keep
+    * decision is the [[weightedSample]] md5-threshold chain, so the
+    * whole operator is: one per-group count aggregation, a 1-row min
+    * frame, a broadcast join, a codegen'd filter — no data shuffle.
+    *
+    * alpha = 0.5 (the common "square-root temperature" mix) uses
+    * `sqrt`, which IEEE 754 requires correctly rounded — the keep rate
+    * is then bit-identical in every engine (oracle-checkable, q102).
+    * Other alphas go through `pow`, whose last ulp is libm-specific:
+    * fine in production, excluded from hash gates.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    if (alpha == 1.0) return df // natural mix: exact no-op, not weight-1
+    val counts = df.groupBy(cr(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"))
+    val minN = counts.agg(min(col("_n")).as("_nmin"))
+    val ratio = col("_nmin").cast("double") / col("_n").cast("double")
+    val keep = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val stats = counts.crossJoin(minN).select(col("_g"), keep.as("_keep"))
+    weightedSample(
+      df.join(broadcast(stats), cr(groupCol) === col("_g")),
+      idCol, col("_keep"))
+      .drop("_g", "_keep")
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * hash-threshold fraction; strata absent from `fractions` are
     * dropped. The declarative CASE chain keeps the whole operator a

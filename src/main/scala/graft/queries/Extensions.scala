@@ -1271,6 +1271,16 @@ object Extensions {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("fold"), col("source"))
 
+  /** Temperature-0.5 resample of the document mix by language (the
+    * skewed group: en dominates) — keep rate sqrt(n_min/n_g), IEEE-
+    * exact, decided by the md5-threshold chain the oracle re-derives.
+    */
+  def qC10TemperatureResample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.temperatureResample(
+      documents(s, d), "doc_id", "lang", alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1354,7 +1364,8 @@ object Extensions {
     "q98_feature_scale" -> qQ2FeatureScale _,
     "q99_rolling_stats" -> qE5RollingStats _,
     "q100_mad_outliers" -> qA19MadOutliers _,
-    "q101_kfold" -> qS5KFold _)
+    "q101_kfold" -> qS5KFold _,
+    "q102_temperature_resample" -> qC10TemperatureResample _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2123,7 +2134,20 @@ object Extensions {
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) % 5 AS fold,
            source, count(*) AS n
-         FROM documents GROUP BY 1, 2 ORDER BY fold, source""")
+         FROM documents GROUP BY 1, 2 ORDER BY fold, source""",
+    // sqrt is IEEE-correctly-rounded in every engine, so the per-group
+    // keep rate and the %08x-threshold compare reproduce exactly
+    // (same chain as q83's weighted sample).
+    "q102_temperature_resample" ->
+      """WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS nmin FROM c),
+         k AS (SELECT g, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS keep FROM c, m)
+         SELECT doc_id, lang FROM documents JOIN k ON lang = g
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           printf('%08x', CAST(least(greatest(
+             floor(keep * 4294967296.0), 0.0), 4294967295.0) AS BIGINT))
+         ORDER BY doc_id""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

@@ -166,6 +166,25 @@ class CorpusSpec extends SparkSpec {
     assert(g2.map(_._3).toSeq == Seq("delta", "beta"))
   }
 
+  test("temperatureResample flattens a skewed mix toward uniform") {
+    // 800 'a' vs 100 'b': alpha=0.5 keeps b fully, a at sqrt(1/8)≈0.354
+    val d = ((0L until 800L).map((_, "a")) ++ (800L until 900L).map((_, "b")))
+      .toDF("doc_id", "g")
+    val out = Corpus.temperatureResample(d, "doc_id", "g", alpha = 0.5)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("b") > 95) // rarest group ~fully kept (weight-1 quantization)
+    val kept = byG("a").toDouble / 800
+    assert(kept > 0.25 && kept < 0.45) // ≈ sqrt(100/800) = 0.354
+    // deterministic: repartitioning changes nothing
+    val again = Corpus.temperatureResample(
+      d.repartition(7), "doc_id", "g", alpha = 0.5)
+      .agg(sum(col("doc_id"))).collect()(0).getLong(0)
+    assert(again == out.agg(sum(col("doc_id"))).collect()(0).getLong(0))
+    // alpha=1 is the exact natural mix
+    assert(Corpus.temperatureResample(d, "doc_id", "g", 1.0).count() == 900)
+  }
+
   test("packSequences assigns next-fit bins with straddling") {
     // one shard, budget 10, tokens 4,5,3,12,2 in id order:
     // prefix sums 0,4,9,12,24 → bins 0,0,1,2,2 (doc 3 straddles into 2)
