@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Paths, Similarity, TimeSeries}
 
 /** 10×-sf0.1 stress probe (50k docs with 10 exact copies each — an
   * adversarial dup density that hammers hot LSH buckets): times the
@@ -47,6 +47,35 @@ object Stress {
     time("brute kNN top-20")(
       Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0),
         "embedding", "vec_id", q, k = 20).count())
+
+    // round-6 operators (10× docs / 1M events; see docs/SCALE.md)
+    time("exact n-gram pairs (PPJoin, t=0.5)")(
+      Corpus.exactNgramPairs(docs, "text", "doc_id", 0.5, 3).count())
+    // candidate volume is quadratic in exact-copy multiplicity (every
+    // copy shares every prefix gram) — the production composition runs
+    // exact dedup FIRST, then mines near-dups among unique contents
+    time("exact dedup -> n-gram pairs (composition)")(
+      Corpus.exactNgramPairs(Dedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", 0.5, 3).count())
+    time("sequence packing (2048-token bins)")(
+      Corpus.packSequences(docs, "doc_id", col("doc_id") % 32,
+        col("doc_id"), col("n_chars"), 2048L).count())
+    time("temperature resample (alpha=0.5 by lang)")(
+      Corpus.temperatureResample(docs, "doc_id", "lang").count())
+    val evPath = args.lift(2).getOrElse("/tmp/sf1_events.parquet")
+    val ev = spark.read.parquet(evPath).repartition(32)
+    println(s"[stress] events=${ev.count()}")
+    time("funnel view->click->purchase")(
+      Paths.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).count())
+    time("event transitions")(
+      Paths.transitions(ev, "user_id", "ts", "event_id", "event_type")
+        .count())
+    time("rolling 7-row stats per user")(
+      TimeSeries.rolling(ev, "user_id", "ts", "event_id", "value", 7)
+        .count())
+    time("gap-filled hourly resample per type")(
+      TimeSeries.gapFill(ev, "event_type", "ts", "value", "hour").count())
     spark.stop()
   }
 }
