@@ -1281,6 +1281,20 @@ object Extensions {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Multi-match regex extraction over part types — the §2.8 scalar
+    * surface's extract-all breadth (pattern in the Java∩RE2 subset):
+    * per-row match list, count, first match, joined canonical form.
+    */
+  def qT14RegexpExtractAll(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0)).as("toks"))
+      .select(col("p_partkey"),
+        size(col("toks")).as("n_toks"),
+        element_at(col("toks"), 1).as("first_tok"),
+        array_join(col("toks"), "-").as("joined"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1365,7 +1379,8 @@ object Extensions {
     "q99_rolling_stats" -> qE5RollingStats _,
     "q100_mad_outliers" -> qA19MadOutliers _,
     "q101_kfold" -> qS5KFold _,
-    "q102_temperature_resample" -> qC10TemperatureResample _)
+    "q102_temperature_resample" -> qC10TemperatureResample _,
+    "q103_regexp_extract_all" -> qT14RegexpExtractAll _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2147,7 +2162,15 @@ object Extensions {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
            printf('%08x', CAST(least(greatest(
              floor(keep * 4294967296.0), 0.0), 4294967295.0) AS BIGINT))
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q103_regexp_extract_all" ->
+      """WITH t AS (SELECT p_partkey,
+             regexp_extract_all(p_type, '[A-Z]+') AS toks FROM part)
+         SELECT p_partkey,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           toks[1] AS first_tok,
+           array_to_string(toks, '-') AS joined
+         FROM t ORDER BY p_partkey""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,
