@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs, processed by
   * partition-batched transforms.
   *
-  * Image and audio decode are REAL, JDK-only codecs: PNG/JPEG/BMP via
-  * `javax.imageio.ImageIO`, WAV (RIFF/PCM) via
-  * `javax.sound.sampled.AudioSystem`. No third-party media library is
-  * needed. Only video-frame extraction remains a stand-in
-  * ([[FakeCodec.sampleFrames]]) — the JDK ships no container demuxer —
-  * and is clearly marked as such.
+  * Image, audio AND video decode are REAL, JDK-only codecs: PNG/JPEG/
+  * BMP via `javax.imageio.ImageIO`, WAV (RIFF/PCM) via
+  * `javax.sound.sampled.AudioSystem`, and MJPEG-AVI video via
+  * [[MjpegAvi]] (RIFF chunk demux + ImageIO per-frame JPEG decode).
+  * No third-party media library is needed. Containers the JDK cannot
+  * demux (H.264 in MP4, ...) fall back to the clearly-marked
+  * [[FakeCodec.sampleFrames]] byte-slice stand-in.
   *
   * Scale design: `mapPartitions` over an iterator (the Scala analogue of
   * mapInPandas batches) keeps memory bounded to one row's media buffer at
@@ -207,12 +208,13 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB: video-frame stand-in =======
-    * The JDK ships no video container demuxer, so frame sampling alone
-    * remains a deterministic fake (byte-range slices standing in for
-    * decoded frames). A production build swaps ONLY this object for an
-    * ffmpeg-backed one; the distributed shape (flatMap, one row per
-    * frame) is real.
+  /** ======= STUB: non-MJPEG video stand-in =======
+    * MJPEG-AVI demuxes for real ([[MjpegAvi]]); every OTHER container
+    * (H.264/MP4, VP9/WebM, ...) has no JDK demuxer, so for those
+    * frame sampling falls back to this deterministic fake (byte-range
+    * slices standing in for decoded frames). A production build swaps
+    * ONLY this object for an ffmpeg-backed one; the distributed shape
+    * (flatMap, one row per frame) is real either way.
     */
   object FakeCodec {
     /** "Sample frames": k deterministic offsets into a video buffer. */
@@ -421,7 +423,11 @@ object Multimodal {
     StructField("frame", BinaryType, nullable = false)))
 
   /** Frame-sampling pass: one row per sampled frame (flatMap shape).
-    * Uses the [[FakeCodec]] video stand-in (no JDK demuxer exists).
+    * MJPEG-AVI content demuxes for REAL ([[MjpegAvi.frames]]: RIFF
+    * chunk walk, each frame a whole ImageIO-decodable JPEG), sampled
+    * at k evenly-spaced stream positions floor(n·i/k). Other
+    * containers (no JDK demuxer exists for them) fall back to the
+    * documented [[FakeCodec]] byte-slice stand-in.
     */
   def sampleFrames(media: DataFrame, k: Int): DataFrame = {
     val enc = Encoders.row(frameSchema)
@@ -429,9 +435,76 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getLong(0)
-          FakeCodec.sampleFrames(r.getAs[Array[Byte]](1), k) // STUB: video only
-            .zipWithIndex.map { case (f, i) => Row(id, i, f) }
+          val bytes = r.getAs[Array[Byte]](1)
+          val sampled =
+            if (MjpegAvi.isAvi(bytes)) {
+              val all = MjpegAvi.frames(bytes)
+              val n = all.length
+              if (n == 0) Seq.empty
+              else (0 until math.min(k, n))
+                .map(i => all((n.toLong * i / k).toInt)).distinct
+            } else FakeCodec.sampleFrames(bytes, k) // stand-in: non-AVI only
+          sampled.zipWithIndex.map { case (f, i) => Row(id, i, f) }
         }
       }(enc)
+  }
+
+  /** Deterministic REAL-VIDEO media table: per id, an MJPEG AVI with
+    * 3 + id%5 frames of (4 + id%13) × (3 + id%11) gray JPEGs. The
+    * frame COUNT and DIMENSIONS are closed-form (container metadata +
+    * JPEG headers decode exactly), which is what the oracle checks;
+    * pixel values go through lossy JPEG and are spec-checked only.
+    */
+  def syntheticVideos(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + java.lang.Math.floorMod(id, 13L).toInt
+          val h = 3 + java.lang.Math.floorMod(id, 11L).toInt
+          val g = java.lang.Math.floorMod(id, 256L).toInt
+          val nFrames = 3 + java.lang.Math.floorMod(id, 5L).toInt
+          val frames = (0 until nFrames).map { _ =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          Row(id, MjpegAvi.encode(frames, w, h),
+            Row("video", "avi", w, h, nFrames * 100L, null))
+        }
+      }(enc)
+  }
+
+  /** Per-frame dimension decode: sampled frames → (media_id,
+    * frame_idx, width, height) via ImageIO JPEG header decode — the
+    * integer-exact witnesses the q104 oracle re-derives in closed
+    * form.
+    */
+  def decodeFrameDims(frames: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = Encoders.row(schema)
+    frames.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else Some(Row(r.getLong(0), r.getInt(1), img.getWidth, img.getHeight))
+      }
+    }(enc)
   }
 }

@@ -1295,6 +1295,20 @@ object Extensions {
         array_join(col("toks"), "-").as("joined"))
       .orderBy(col("p_partkey"))
 
+  /** REAL video frames end-to-end: MJPEG-AVI fixtures (RIFF container,
+    * JPEG frames) → demux → k=3 evenly-spaced frames → per-frame JPEG
+    * header decode. Frame count and dimensions are closed-form in the
+    * id, so the oracle re-derives them without touching bytes:
+    * n = 3 + id%5 ≥ k ⇒ exactly 3 sampled frames per id, each
+    * (4 + id%13) × (3 + id%11).
+    */
+  def qM3VideoFrames(s: SparkSession, d: String): DataFrame = {
+    val ids = part(s, d).select(col("p_partkey")).filter(col("p_partkey") <= 60)
+    val media = Multimodal.syntheticVideos(s, ids, "p_partkey")
+    Multimodal.decodeFrameDims(Multimodal.sampleFrames(media, 3))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1380,7 +1394,8 @@ object Extensions {
     "q100_mad_outliers" -> qA19MadOutliers _,
     "q101_kfold" -> qS5KFold _,
     "q102_temperature_resample" -> qC10TemperatureResample _,
-    "q103_regexp_extract_all" -> qT14RegexpExtractAll _)
+    "q103_regexp_extract_all" -> qT14RegexpExtractAll _,
+    "q104_video_frames" -> qM3VideoFrames _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2170,7 +2185,19 @@ object Extensions {
            CAST(len(toks) AS INTEGER) AS n_toks,
            toks[1] AS first_tok,
            array_to_string(toks, '-') AS joined
-         FROM t ORDER BY p_partkey""")
+         FROM t ORDER BY p_partkey""",
+    // frame count and dims are closed-form in the id: the Spark side
+    // earns them by demuxing a real AVI and decoding real JPEG headers,
+    // the oracle re-derives them arithmetically (n = 3+id%5 >= k = 3
+    // evenly-spaced sampled frames, all (4+id%13) x (3+id%11)).
+    "q104_video_frames" ->
+      """SELECT p_partkey AS media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(4 + p_partkey % 13 AS INTEGER) AS width,
+           CAST(3 + p_partkey % 11 AS INTEGER) AS height
+         FROM part, (SELECT unnest(range(3)) AS i)
+         WHERE p_partkey <= 60
+         ORDER BY media_id, frame_idx""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

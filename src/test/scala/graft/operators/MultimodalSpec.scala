@@ -120,4 +120,37 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
     assert(a.length == 20)
   }
+
+  test("MjpegAvi round-trips JPEG frames through a real RIFF container") {
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val avi = MjpegAvi.encode(Seq(jpeg, jpeg, jpeg), 6, 4)
+    assert(MjpegAvi.isAvi(avi))
+    val back = MjpegAvi.frames(avi)
+    assert(back.length == 3)
+    assert(back.forall(_.sameElements(jpeg)))
+    // every demuxed frame is a real, ImageIO-decodable JPEG
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(back.head))
+    assert(dec.getWidth == 6 && dec.getHeight == 4)
+    assert(MjpegAvi.frames("not an avi".getBytes).isEmpty)
+  }
+
+  test("sampleFrames demuxes real AVI content and decodes frame dims") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 14L).toDF("id") // 14: w=4+1=5, h=3+3=6, n=3+4=7
+    val media = Multimodal.syntheticVideos(spark, ids, "id")
+    val dims = Multimodal.decodeFrameDims(Multimodal.sampleFrames(media, 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(dims.count(_._1 == 14L) == 3) // k=3 sampled of 7 frames
+    assert(dims.filter(_._1 == 14L).forall(d => d._3 == 5 && d._4 == 6))
+    assert(dims.length == 9)
+    // non-AVI bytes still route to the documented byte-slice stand-in
+    val fake = Multimodal.syntheticMedia(spark, ids, "id")
+    assert(Multimodal.sampleFrames(fake, 3).count() == 9)
+  }
 }
