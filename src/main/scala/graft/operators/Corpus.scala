@@ -342,6 +342,37 @@ object Corpus {
       format_string("%08x", buckets))
   }
 
+  /** Materialize packed training sequences: after [[packSequences]]
+    * assigns (shard, bin), concatenate each bin's documents in pack
+    * order into one training-sequence string. Shuffles on (shard, bin)
+    * — each group holds ≈ budget tokens by construction, so group
+    * state is bounded by the budget, never by document count; the
+    * in-group ordering rides an array_sort over (order, text) structs
+    * (deterministic, no collect_list-ordering reliance).
+    */
+  def packMaterialize(
+      df: DataFrame,
+      idCol: String,
+      shard: Column,
+      order: Column,
+      tokens: Column,
+      textCol: String,
+      budget: Long,
+      sep: String = " "): DataFrame = {
+    val assigned = packSequences(df, idCol, shard, order, tokens, budget)
+      .select(col(idCol), col("shard"), col("bin"))
+    df.select(cr(idCol).as(idCol), order.as("_ord"), cr(textCol).as("_text"))
+      .join(assigned, Seq(idCol))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_ord"), col("_text")))),
+            x => x.getField("_text")),
+          sep).as("seq_text"))
+  }
+
   /** Temperature resampling for data mixing: flatten the group
     * distribution toward `share^alpha` (alpha = 1 keeps the natural
     * mix, alpha → 0 approaches uniform) by DOWNSAMPLING only — the

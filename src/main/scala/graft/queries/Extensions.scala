@@ -1309,6 +1309,18 @@ object Extensions {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Packed-sequence materialization: q91's bin assignment carried to
+    * the concatenated training-sequence text — string_agg with an
+    * explicit ORDER BY is the oracle twin of the array_sort-over-
+    * structs concat.
+    */
+  def qC11PackMaterialize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.packMaterialize(
+      documents(s, d), "doc_id",
+      shard = col("doc_id") % 8, order = col("doc_id"),
+      tokens = col("n_chars"), textCol = "text", budget = 2048L)
+      .orderBy(col("shard"), col("bin"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1395,7 +1407,8 @@ object Extensions {
     "q101_kfold" -> qS5KFold _,
     "q102_temperature_resample" -> qC10TemperatureResample _,
     "q103_regexp_extract_all" -> qT14RegexpExtractAll _,
-    "q104_video_frames" -> qM3VideoFrames _)
+    "q104_video_frames" -> qM3VideoFrames _,
+    "q105_pack_materialize" -> qC11PackMaterialize _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2197,7 +2210,20 @@ object Extensions {
            CAST(3 + p_partkey % 11 AS INTEGER) AS height
          FROM part, (SELECT unnest(range(3)) AS i)
          WHERE p_partkey <= 60
-         ORDER BY media_id, frame_idx""")
+         ORDER BY media_id, frame_idx""",
+    // same prefix-sum bin assignment as q91, then an ordered string_agg
+    // per (shard, bin) — the concat order is the pack order, total.
+    "q105_pack_materialize" ->
+      """WITH x AS (SELECT doc_id, text, doc_id % 8 AS shard,
+             CAST(n_chars AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev FROM x)
+         SELECT shard, CAST(floor(prev / 2048) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+         FROM c GROUP BY 1, 2 ORDER BY shard, bin""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

@@ -198,6 +198,19 @@ class CorpusSpec extends SparkSpec {
       (3L, 1L, 2L), (4L, 2L, 4L)))
   }
 
+  test("packMaterialize concatenates bins in pack order") {
+    val d = Seq((0L, 4L, "aa"), (1L, 5L, "bb"), (2L, 3L, "cc"),
+      (3L, 12L, "dd"), (4L, 2L, "ee"))
+      .toDF("doc_id", "n", "text")
+    val got = Corpus.packMaterialize(d, "doc_id", lit(0), col("doc_id"),
+      col("n"), "text", budget = 10L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // bins from the packSequences spec: 0:{0,1,2} 1:{3} 2:{4}
+    assert(got.toSeq == Seq((0L, 3L, "aa bb cc"), (1L, 1L, "dd"),
+      (2L, 1L, "ee")))
+  }
+
   test("packSequences shards pack independently and deterministically") {
     val d = (0L until 1000L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "n")
     val pack = Corpus.packSequences(d, "doc_id", shard = col("doc_id") % 4,
