@@ -402,8 +402,12 @@ object Corpus {
     val ratio = col("_nmin").cast("double") / col("_n").cast("double")
     val keep = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
     val stats = counts.crossJoin(minN).select(col("_g"), keep.as("_keep"))
+    // null-safe join: a null group aggregates into its own stats row,
+    // and must resample like any other group (a plain === would
+    // silently drop every null-group row — diverging from the
+    // alpha = 1 early return, which keeps them)
     weightedSample(
-      df.join(broadcast(stats), cr(groupCol) === col("_g")),
+      df.join(broadcast(stats), cr(groupCol) <=> col("_g")),
       idCol, col("_keep"))
       .drop("_g", "_keep")
   }

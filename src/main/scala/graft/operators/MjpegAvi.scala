@@ -43,7 +43,11 @@ object MjpegAvi {
     val avih = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(usPerFrame).putInt(maxFrame * fps).putInt(0)
-        .putInt(0x10) // AVIF_HASINDEX off; AVIF_WASCAPTUREFILE off; 0x10 = AVIF_ISINTERLEAVED
+        // flags 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+        // must stay clear — an index-trusting parser would otherwise
+        // seek a nonexistent idx1 (AVIF_ISINTERLEAVED is 0x100, also
+        // not claimed)
+        .putInt(0)
         .putInt(jpegFrames.length).putInt(0).putInt(1).putInt(maxFrame)
         .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
       chunk("avih", b.array())
@@ -97,18 +101,22 @@ object MjpegAvi {
       var p = start
       while (p + 8 <= end) {
         val id = fourcc(p)
-        val size = u32(p + 4)
-        val body = p + 8
-        val next = body + size.toInt + (size.toInt & 1) // even padding
-        if (body + size <= end) {
+        val size = u32(p + 4) // unsigned: kept as Long so a corrupt
+        val body = p + 8 //      0xFFFFFFxx field can't wrap negative
+        if (size >= 0 && body + size <= end) {
           if (id == "LIST" && size >= 4) {
             val lt = fourcc(body)
             walk(body + 4, body + size.toInt, inMovi || lt == "movi")
           } else if (inMovi && (id == "00dc" || id == "00db") && size > 0) {
             out += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
           }
+          p = body + size.toInt + (size.toInt & 1) // even padding
+        } else {
+          // corrupt size field: nothing after this chunk is walkable —
+          // stop rather than loop forever or index negative offsets
+          // (one bad file yields partial frames, never a hung task)
+          p = end
         }
-        p = next
       }
     }
     walk(12, bytes.length, inMovi = false)

@@ -59,12 +59,39 @@ object Multimodal {
       * integer sum over pixels of (r+g+b)/3 — an oracle-friendly
       * lossless-roundtrip witness — and mean_luma = px_sum/(w*h*255).
       */
+    /** Null on empty/undecodable bytes instead of throwing — the
+      * quarantine invariant every decode path shares.
+      */
+    def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+
+    /** Constant-gray RGB image — shared by the image and video fixture
+      * generators so their planted pixel semantics stay in sync.
+      */
+    def grayImage(w: Int, h: Int, g: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
     def decodeImage(bytes: Array[Byte]): (Int, Int, Long, Double) = {
-      val img =
-        if (bytes == null || bytes.isEmpty) null
-        else
-          try ImageIO.read(new ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+      val img = readImage(bytes)
       if (img == null) (0, 0, 0L, 0.0)
       else {
         val w = img.getWidth
@@ -287,16 +314,7 @@ object Multimodal {
           val w = 4 + java.lang.Math.floorMod(id, 13L).toInt
           val h = 3 + java.lang.Math.floorMod(id, 11L).toInt
           val g = java.lang.Math.floorMod(id, 256L).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          Row(id, JdkCodec.encodePng(img),
+          Row(id, JdkCodec.encodePng(JdkCodec.grayImage(w, h, g)),
             Row("image", "png", w, h, null, null))
         }
       }(enc)
@@ -440,9 +458,10 @@ object Multimodal {
             if (MjpegAvi.isAvi(bytes)) {
               val all = MjpegAvi.frames(bytes)
               val n = all.length
-              if (n == 0) Seq.empty
-              else (0 until math.min(k, n))
-                .map(i => all((n.toLong * i / k).toInt)).distinct
+              // n <= k: every frame (a k-divisor would re-pick frame 0
+              // and silently drop the tail); n > k: k evenly spaced
+              if (n <= k) all
+              else (0 until k).map(i => all((n.toLong * i / k).toInt))
             } else FakeCodec.sampleFrames(bytes, k) // stand-in: non-AVI only
           sampled.zipWithIndex.map { case (f, i) => Row(id, i, f) }
         }
@@ -465,20 +484,10 @@ object Multimodal {
           val h = 3 + java.lang.Math.floorMod(id, 11L).toInt
           val g = java.lang.Math.floorMod(id, 256L).toInt
           val nFrames = 3 + java.lang.Math.floorMod(id, 5L).toInt
-          val frames = (0 until nFrames).map { _ =>
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val rgb = (g << 16) | (g << 8) | g
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", bos)
-            bos.toByteArray
-          }
+          // frames are identical per id — encode once, the container
+          // copies the bytes per chunk anyway
+          val jpeg = JdkCodec.encodeJpeg(JdkCodec.grayImage(w, h, g))
+          val frames = Seq.fill(nFrames)(jpeg)
           Row(id, MjpegAvi.encode(frames, w, h),
             Row("video", "avi", w, h, nFrames * 100L, null))
         }
@@ -499,9 +508,9 @@ object Multimodal {
     val enc = Encoders.row(schema)
     frames.mapPartitions { it =>
       it.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](2)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        // JdkCodec.readImage: null (frame skipped), never a thrown
+        // decode error — one malformed frame can't kill a 100 TB scan
+        val img = JdkCodec.readImage(r.getAs[Array[Byte]](2))
         if (img == null) None
         else Some(Row(r.getLong(0), r.getInt(1), img.getWidth, img.getHeight))
       }

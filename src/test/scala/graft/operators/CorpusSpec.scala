@@ -185,6 +185,18 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.temperatureResample(d, "doc_id", "g", 1.0).count() == 900)
   }
 
+  test("temperatureResample keeps null-group rows (null-safe stats join)") {
+    val d = ((0L until 100L).map(i => (i, Some("a"))) ++
+      (100L until 150L).map(i => (i, None: Option[String])))
+      .toDF("doc_id", "g")
+    val out = Corpus.temperatureResample(d, "doc_id", "g", alpha = 0.5)
+    val nullKept = out.filter(col("g").isNull).count()
+    // null is the RAREST group (50 vs 100) → keep rate 1 (minus the
+    // weight-1 ffffffff quantization edge) — a null-blind join would
+    // return 0 here
+    assert(nullKept >= 48)
+  }
+
   test("packSequences assigns next-fit bins with straddling") {
     // one shard, budget 10, tokens 4,5,3,12,2 in id order:
     // prefix sums 0,4,9,12,24 → bins 0,0,1,2,2 (doc 3 straddles into 2)

@@ -153,4 +153,35 @@ class MultimodalSpec extends SparkSpec {
     val fake = Multimodal.syntheticMedia(spark, ids, "id")
     assert(Multimodal.sampleFrames(fake, 3).count() == 9)
   }
+
+  test("sampleFrames emits ALL frames when the video is shorter than k") {
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val avi = MjpegAvi.encode(Seq(bos.toByteArray, bos.toByteArray), 4, 3)
+    import spark.implicits._
+    val media = Seq((7L, avi)).toDF("media_id", "content")
+    // n=2 < k=5: both frames, not frame 0 collapsed by even-spacing math
+    assert(Multimodal.sampleFrames(media, 5).count() == 2)
+  }
+
+  test("corrupt AVI chunk sizes terminate the demux instead of hanging") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val avi = MjpegAvi.encode(Seq(bos.toByteArray), 4, 3)
+    // corrupt the first chunk's size field to 0xFFFFFFF8 (u32 wraps
+    // negative through toInt — the forever-loop trap)
+    val bad = avi.clone()
+    bad(16) = 0xF8.toByte; bad(17) = 0xFF.toByte
+    bad(18) = 0xFF.toByte; bad(19) = 0xFF.toByte
+    assert(MjpegAvi.frames(bad).isEmpty) // partial/empty, returns promptly
+    // truncated JPEG frames are quarantined, not thrown
+    val truncated = MjpegAvi.frames(avi).head.take(8)
+    val rows = Seq((1L, 0, truncated)).toDF("media_id", "frame_idx", "frame")
+    assert(Multimodal.decodeFrameDims(rows).count() == 0)
+  }
 }
