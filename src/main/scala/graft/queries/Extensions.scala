@@ -1321,6 +1321,29 @@ object Extensions {
       tokens = col("n_chars"), textCol = "text", budget = 2048L)
       .orderBy(col("shard"), col("bin"))
 
+  /** Snapshot diff audit: publish supplier twice (v2 doubles acctbal
+    * for even keys, drops keys % 7 == 0, adds shifted copies), then
+    * diff v1→v2 by key. The oracle re-derives the change labels from
+    * the same arithmetic — full-outer-join semantics, null-safe value
+    * compare.
+    */
+  def qK6SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q106_snapwh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+    graft.sink.Snapshots.publish(s, wh, "sup_diff", sup)
+    val v2 = sup.filter(col("s_suppkey") % 7 =!= 0)
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 2 === 0, col("s_acctbal") * 2)
+          .otherwise(col("s_acctbal")))
+      .union(sup.filter(col("s_suppkey") % 3 === 0)
+        .select((col("s_suppkey") + 100000).as("s_suppkey"),
+          col("s_acctbal")))
+    graft.sink.Snapshots.publish(s, wh, "sup_diff", v2)
+    graft.sink.Snapshots.diff(s, wh, "sup_diff", 1, 2, Seq("s_suppkey"))
+      .orderBy(col("s_suppkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1408,7 +1431,8 @@ object Extensions {
     "q102_temperature_resample" -> qC10TemperatureResample _,
     "q103_regexp_extract_all" -> qT14RegexpExtractAll _,
     "q104_video_frames" -> qM3VideoFrames _,
-    "q105_pack_materialize" -> qC11PackMaterialize _)
+    "q105_pack_materialize" -> qC11PackMaterialize _,
+    "q106_snapshot_diff" -> qK6SnapshotDiff _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2223,7 +2247,26 @@ object Extensions {
          SELECT shard, CAST(floor(prev / 2048) AS BIGINT) AS bin,
            count(*) AS n_docs,
            string_agg(text, ' ' ORDER BY doc_id) AS seq_text
-         FROM c GROUP BY 1, 2 ORDER BY shard, bin""")
+         FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
+    // full-outer keyed diff re-derived arithmetically: v2 drops k%7=0,
+    // doubles acctbal on (surviving) even keys, adds k+100000 for k%3=0.
+    "q106_snapshot_diff" ->
+      """WITH v1 AS (SELECT s_suppkey, s_acctbal FROM supplier),
+         v2 AS (SELECT s_suppkey,
+                  CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal * 2
+                       ELSE s_acctbal END AS s_acctbal
+                FROM supplier WHERE s_suppkey % 7 <> 0
+                UNION ALL
+                SELECT s_suppkey + 100000, s_acctbal FROM supplier
+                WHERE s_suppkey % 3 = 0)
+         SELECT coalesce(v1.s_suppkey, v2.s_suppkey) AS s_suppkey,
+           CASE WHEN v1.s_suppkey IS NULL THEN 'added'
+                WHEN v2.s_suppkey IS NULL THEN 'removed'
+                WHEN v1.s_acctbal IS NOT DISTINCT FROM v2.s_acctbal
+                  THEN 'unchanged'
+                ELSE 'changed' END AS change
+         FROM v1 FULL OUTER JOIN v2 ON v1.s_suppkey = v2.s_suppkey
+         ORDER BY s_suppkey""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

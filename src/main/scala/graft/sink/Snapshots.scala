@@ -110,6 +110,41 @@ object Snapshots {
   }
 
   /** Read a pinned version. */
+  /** Keyed diff between two published versions: one row per key
+    * present in either version, labeled added / removed / changed /
+    * unchanged (non-key columns compared null-safely). One
+    * co-partitioned full-outer join on the key — the incremental-audit
+    * primitive between snapshot publishes ("what did this batch
+    * actually do"), scan cost bounded by the two versions, never the
+    * history.
+    */
+  def diff(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      vOld: Int,
+      vNew: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val old = version(spark, warehouse, table, vOld)
+    val neu = version(spark, warehouse, table, vNew)
+    require(old.columns.sameElements(neu.columns),
+      s"schema changed between v$vOld and v$vNew — diff needs matching columns")
+    val valueCols = old.columns.filterNot(keyCols.contains)
+    // key-only tables still diff (added/removed/unchanged): a zero-field
+    // struct() is invalid, so the value payload falls back to a constant
+    def payload(cs: Seq[String]) =
+      if (cs.isEmpty) lit(0) else struct(cs.map(col): _*)
+    val o = old.select(keyCols.map(col) :+ payload(valueCols).as("_vo"): _*)
+    val n = neu.select(keyCols.map(col) :+ payload(valueCols).as("_vn"): _*)
+    o.join(n, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("_vo").isNull, lit("added"))
+          .when(col("_vn").isNull, lit("removed"))
+          .when(col("_vo") <=> col("_vn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("change"): _*)
+  }
+
   def version(spark: SparkSession, warehouse: String, table: String, v: Int): DataFrame =
     spark.read.parquet(new Path(tableDir(warehouse, table), s"v=$v").toString)
 

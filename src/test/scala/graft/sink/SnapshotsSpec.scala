@@ -41,4 +41,30 @@ class SnapshotsSpec extends SparkSpec {
     val b = Snapshots.contentHash(spark.range(101).toDF("v"))
     assert(a != b)
   }
+
+  test("diff labels added/removed/changed/unchanged between versions") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_diff_wh").toString
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    Snapshots.publish(spark, wh, "t", v1)
+    Snapshots.publish(spark, wh, "t", v2)
+    val got = Snapshots.diff(spark, wh, "t", 1, 2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("diff value compare is null-safe") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_diff_wh2").toString
+    val v1 = Seq((1L, Some("x")), (2L, None: Option[String])).toDF("k", "v")
+    val v2 = Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("k", "v")
+    Snapshots.publish(spark, wh, "t", v1)
+    Snapshots.publish(spark, wh, "t", v2)
+    val got = Snapshots.diff(spark, wh, "t", 1, 2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null == null must read as unchanged, a real->null flip as changed
+    assert(got == Map(1L -> "changed", 2L -> "unchanged"))
+  }
 }
