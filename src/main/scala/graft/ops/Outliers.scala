@@ -34,17 +34,22 @@ object Outliers {
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before iqr()"))
     val v = Cleanse.colRef(valueCol)
-    def pct(p: Double) =
-      if (approx) approx_percentile(v, lit(p), lit(accuracy))
-      else percentile(v, lit(p))
+    // ONE array-percentile aggregate: two scalar percentile() calls
+    // each buffer/sort the group independently — same answer, twice
+    // the aggregation state and work
+    val qs = array(lit(0.25), lit(0.75))
+    val pcts =
+      if (approx) approx_percentile(v, qs, lit(accuracy))
+      else percentile(v, qs)
     val bounds = df.groupBy(groupCols.map(Cleanse.colRef): _*)
-      .agg(
-        pct(0.25).as("_q1"),
-        pct(0.75).as("_q3"))
+      .agg(pcts.as("_q"))
       .select(
-        groupCols.map(Cleanse.colRef) ++ Seq(
-          (col("_q1") - lit(k) * (col("_q3") - col("_q1"))).as("lo"),
-          (col("_q3") + lit(k) * (col("_q3") - col("_q1"))).as("hi")): _*)
+        groupCols.map(Cleanse.colRef) ++ {
+          val q1 = element_at(col("_q"), 1)
+          val q3 = element_at(col("_q"), 2)
+          Seq((q1 - lit(k) * (q3 - q1)).as("lo"),
+            (q3 + lit(k) * (q3 - q1)).as("hi"))
+        }: _*)
     val d = df.alias("d")
     val b = broadcast(bounds.alias("b"))
     def q(n: String) = n.replace("`", "``")
