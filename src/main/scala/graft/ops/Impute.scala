@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Null imputation for feature pipelines: fill missing numerics with a
+  * per-group statistic. One broadcastable grouped aggregation + a
+  * codegen'd coalesce per row — no data shuffle. `median` uses exact
+  * `percentile` (bit-identical to DuckDB quantile_cont, so the fill
+  * values are oracle-checkable); `mean` uses `avg` (order-dependent
+  * last-ulp across engines — fine in production, excluded from hash
+  * gates); `constant` needs no aggregation at all.
+  *
+  * Groups whose statistic is itself null (all-null group) leave the
+  * value null — imputation never invents data.
+  */
+object Impute {
+
+  sealed trait Strategy
+  case object Median extends Strategy
+  case object Mean extends Strategy
+  final case class Constant(value: Double) extends Strategy
+
+  def byGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      strategy: Strategy = Median,
+      as: String = "imputed"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(!df.columns.contains(as),
+      s"input already has a '$as' column — rename it before impute()")
+    val v = Cleanse.colRef(valueCol)
+    strategy match {
+      case Constant(c) =>
+        df.withColumn(as, coalesce(v, lit(c)))
+      case s =>
+        val fillExpr = s match {
+          case Median => percentile(v, lit(0.5))
+          case _ => avg(v)
+        }
+        val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+          .agg(fillExpr.as("_fill"))
+        // null-safe join: null-group rows impute from their own group
+        val d = df.alias("d")
+        val b = broadcast(stats.alias("b"))
+        def q(n: String) = n.replace("`", "``")
+        val cond = groupCols.map(n =>
+          col(s"d.`${q(n)}`") <=> col(s"b.`${q(n)}`")).reduce(_ && _)
+        d.join(b, cond, "left")
+          .select(col("d.*"), coalesce(v, col("b._fill")).as(as))
+    }
+  }
+}

@@ -60,6 +60,33 @@ object Outliers {
       .withColumn("is_outlier", v < col("lo") || v > col("hi"))
   }
 
+  /** Winsorization: CLAMP values to the Tukey fences instead of
+    * flagging them — the variant a feature pipeline applies when
+    * dropping rows is not an option. Same fence computation (and the
+    * same approx sketch path) as [[iqr]]; the clamp is a codegen'd
+    * least/greatest per row, null values pass through untouched.
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5,
+      approx: Boolean = false,
+      accuracy: Int = 10000,
+      as: String = "winsorized"): DataFrame = {
+    require(!df.columns.contains(as),
+      s"input already has a '$as' column — rename it before winsorize()")
+    val v = Cleanse.colRef(valueCol)
+    iqr(df, valueCol, groupCols, k, approx, accuracy)
+      // guard the null case explicitly: least/greatest IGNORE nulls in
+      // both Spark and DuckDB, so a bare clamp would rewrite a missing
+      // value to the lower fence
+      .withColumn(as,
+        when(v.isNull, lit(null))
+          .otherwise(least(greatest(v, col("lo")), col("hi"))))
+      .drop("lo", "hi", "is_outlier")
+  }
+
   /** MAD (median-absolute-deviation) outlier flagging — the robust
     * z-score: a value is an outlier when
     * |v − median| > k · 1.4826 · MAD, with MAD = median(|v − median|)

@@ -1344,6 +1344,34 @@ object Extensions {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Winsorized prices per return flag: values clamp to the Tukey
+    * fences (the keep-the-row variant of q67's flagging) — same exact-
+    * quantile fence chain, clamp = least/greatest.
+    */
+  def qA20Winsorize(s: SparkSession, d: String): DataFrame =
+    graft.ops.Outliers.winsorize(
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice")),
+      "l_extendedprice", Seq("l_returnflag"), k = 1.5)
+      .filter(col("l_orderkey") < 500)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  /** Group-median imputation over a planted-null fixture (every 7th
+    * line's price nulled): fills derive from exact medians of the
+    * REMAINING values, null-group-safe, row-preserving.
+    */
+  def qA21Impute(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      when((col("l_orderkey") + col("l_linenumber")) % 7 === 0, lit(null))
+        .otherwise(col("l_extendedprice")).as("price"))
+    graft.ops.Impute.byGroup(li, "price", Seq("l_returnflag"))
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("imputed"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("imputed"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1432,7 +1460,9 @@ object Extensions {
     "q103_regexp_extract_all" -> qT14RegexpExtractAll _,
     "q104_video_frames" -> qM3VideoFrames _,
     "q105_pack_materialize" -> qC11PackMaterialize _,
-    "q106_snapshot_diff" -> qK6SnapshotDiff _)
+    "q106_snapshot_diff" -> qK6SnapshotDiff _,
+    "q107_winsorize" -> qA20Winsorize _,
+    "q108_impute" -> qA21Impute _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2266,7 +2296,33 @@ object Extensions {
                   THEN 'unchanged'
                 ELSE 'changed' END AS change
          FROM v1 FULL OUTER JOIN v2 ON v1.s_suppkey = v2.s_suppkey
-         ORDER BY s_suppkey""")
+         ORDER BY s_suppkey""",
+    // same fences as q67 (quantile_cont == percentile), clamp in SQL
+    "q107_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+           FROM lineitem GROUP BY 1),
+         f AS (SELECT l_returnflag,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM b)
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           least(greatest(l_extendedprice, lo), hi) AS winsorized
+         FROM lineitem JOIN f USING (l_returnflag)
+         WHERE l_orderkey < 500
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+    // fill = exact median of the non-null prices per flag
+    "q108_impute" ->
+      """WITH x AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL
+                  ELSE l_extendedprice END AS price
+           FROM lineitem),
+         m AS (SELECT l_returnflag, quantile_cont(price, 0.5) AS fill
+           FROM x GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+           coalesce(price, fill) AS imputed
+         FROM x JOIN m USING (l_returnflag)
+         WHERE l_orderkey < 500
+         ORDER BY l_orderkey, l_linenumber, imputed""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,

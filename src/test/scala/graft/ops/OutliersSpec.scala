@@ -24,6 +24,19 @@ class OutliersSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_outlier")) == 1)
   }
 
+  test("winsorize clamps to the fences and preserves rows and nulls") {
+    val df = (Seq.fill(20)(10.0).map(Option(_)) ++
+      Seq(Some(1000.0), Some(-500.0), None))
+      .map(("g", _)).toDF("grp", "v")
+    val out = Outliers.winsorize(df, "v", Seq("grp")).collect()
+    assert(out.length == 23) // row-preserving, null rows included
+    val w = out.filter(!_.isNullAt(1)).map(_.getDouble(2))
+    // all-10 quartiles → fences collapse to [10,10]: extremes clamp
+    assert(w.forall(_ == 10.0))
+    assert(out.count(_.isNullAt(1)) == 1) // null value stays null
+    assert(out.filter(_.isNullAt(1)).forall(_.isNullAt(2)))
+  }
+
   test("mad approx path produces the same flags on well-separated data") {
     val df = ((1 to 99).map(_.toDouble) :+ 10000.0).map(("g", _))
       .toDF("grp", "v")
