@@ -22,6 +22,27 @@ object Cleanse {
     */
   def colRef(name: String): Column = col(s"`${name.replace("`", "``")}`")
 
+  /** Null-safe broadcast join of a per-group stats frame back onto the
+    * data (the shared shape of Outliers.iqr / Impute.byGroup): rows
+    * whose group keys are null match their own null-group stats row
+    * instead of being dropped by equi-join semantics. Returns
+    * `data.* ++ stats-minus-keys`, left-join (rows with no stats row
+    * keep nulls).
+    */
+  def joinGroupStats(
+      data: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val d = data.alias("d")
+    val b = org.apache.spark.sql.functions.broadcast(stats.alias("b"))
+    def esc(n: String) = n.replace("`", "``")
+    val cond = groupCols.map(n =>
+      col(s"d.`${esc(n)}`") <=> col(s"b.`${esc(n)}`")).reduce(_ && _)
+    val carried = stats.columns.filterNot(groupCols.contains)
+      .map(n => col(s"b.`${esc(n)}`"))
+    d.join(b, cond, "left").select(col("d.*") +: carried.toIndexedSeq: _*)
+  }
+
   /** Full-whitespace trim: JS `.trim()` (the reference's, index.js:115)
     * and Java's `String.trim` strip tabs/newlines too, while Spark's
     * `trim` strips only the space character — a `"\tfoo"` cell must

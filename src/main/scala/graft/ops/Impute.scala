@@ -27,28 +27,25 @@ object Impute {
       groupCols: Seq[String],
       strategy: Strategy = Median,
       as: String = "imputed"): DataFrame = {
-    require(groupCols.nonEmpty, "at least one group column")
     require(!df.columns.contains(as),
       s"input already has a '$as' column — rename it before impute()")
     val v = Cleanse.colRef(valueCol)
     strategy match {
       case Constant(c) =>
+        // no grouping involved — groupCols may legitimately be empty
         df.withColumn(as, coalesce(v, lit(c)))
       case s =>
+        require(groupCols.nonEmpty, "at least one group column")
         val fillExpr = s match {
           case Median => percentile(v, lit(0.5))
           case _ => avg(v)
         }
         val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
           .agg(fillExpr.as("_fill"))
-        // null-safe join: null-group rows impute from their own group
-        val d = df.alias("d")
-        val b = broadcast(stats.alias("b"))
-        def q(n: String) = n.replace("`", "``")
-        val cond = groupCols.map(n =>
-          col(s"d.`${q(n)}`") <=> col(s"b.`${q(n)}`")).reduce(_ && _)
-        d.join(b, cond, "left")
-          .select(col("d.*"), coalesce(v, col("b._fill")).as(as))
+        // null-safe stats join: null-group rows impute from their own group
+        Cleanse.joinGroupStats(df, stats, groupCols)
+          .withColumn(as, coalesce(v, col("_fill")))
+          .drop("_fill")
     }
   }
 }

@@ -22,17 +22,19 @@ object Outliers {
     * null-group rows keep their (null-group) fences instead of being
     * dropped by inner-equi-join semantics.
     */
-  def iqr(
+  /** Tukey fences joined back per group under caller-chosen column
+    * names — the shared core of [[iqr]] and [[winsorize]].
+    */
+  private def withFences(
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String],
-      k: Double = 1.5,
-      approx: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      k: Double,
+      approx: Boolean,
+      accuracy: Int,
+      loName: String,
+      hiName: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
-    Seq("lo", "hi", "is_outlier").foreach(c =>
-      require(!df.columns.contains(c),
-        s"input already has a '$c' column — rename it before iqr()"))
     val v = Cleanse.colRef(valueCol)
     // ONE array-percentile aggregate: two scalar percentile() calls
     // each buffer/sort the group independently — same answer, twice
@@ -47,16 +49,24 @@ object Outliers {
         groupCols.map(Cleanse.colRef) ++ {
           val q1 = element_at(col("_q"), 1)
           val q3 = element_at(col("_q"), 2)
-          Seq((q1 - lit(k) * (q3 - q1)).as("lo"),
-            (q3 + lit(k) * (q3 - q1)).as("hi"))
+          Seq((q1 - lit(k) * (q3 - q1)).as(loName),
+            (q3 + lit(k) * (q3 - q1)).as(hiName))
         }: _*)
-    val d = df.alias("d")
-    val b = broadcast(bounds.alias("b"))
-    def q(n: String) = n.replace("`", "``")
-    val cond = groupCols.map(n =>
-      col(s"d.`${q(n)}`") <=> col(s"b.`${q(n)}`")).reduce(_ && _)
-    d.join(b, cond)
-      .select(col("d.*"), col("b.lo"), col("b.hi"))
+    Cleanse.joinGroupStats(df, bounds, groupCols)
+  }
+
+  def iqr(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    Seq("lo", "hi", "is_outlier").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before iqr()"))
+    val v = Cleanse.colRef(valueCol)
+    withFences(df, valueCol, groupCols, k, approx, accuracy, "lo", "hi")
       .withColumn("is_outlier", v < col("lo") || v > col("hi"))
   }
 
@@ -74,17 +84,23 @@ object Outliers {
       approx: Boolean = false,
       accuracy: Int = 10000,
       as: String = "winsorized"): DataFrame = {
-    require(!df.columns.contains(as),
-      s"input already has a '$as' column — rename it before winsorize()")
+    // fences ride collision-proofed temp names: the caller may freely
+    // have (or name `as` after) lo/hi/is_outlier — those are iqr's
+    // public contract, not winsorize's
+    val loT = "_graft_w_lo"
+    val hiT = "_graft_w_hi"
+    (Seq(as, loT, hiT)).foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before winsorize()"))
     val v = Cleanse.colRef(valueCol)
-    iqr(df, valueCol, groupCols, k, approx, accuracy)
+    withFences(df, valueCol, groupCols, k, approx, accuracy, loT, hiT)
       // guard the null case explicitly: least/greatest IGNORE nulls in
       // both Spark and DuckDB, so a bare clamp would rewrite a missing
       // value to the lower fence
       .withColumn(as,
         when(v.isNull, lit(null))
-          .otherwise(least(greatest(v, col("lo")), col("hi"))))
-      .drop("lo", "hi", "is_outlier")
+          .otherwise(least(greatest(v, col(loT)), col(hiT))))
+      .drop(loT, hiT)
   }
 
   /** MAD (median-absolute-deviation) outlier flagging — the robust

@@ -25,11 +25,18 @@ class ImputeSpec extends SparkSpec {
     assert(got.filter(_._1 == "c").forall(_._2.isEmpty))
   }
 
-  test("constant strategy needs no aggregation and fills everywhere") {
-    val got = Impute.byGroup(df, "v", Seq("g"), Impute.Constant(-1.0))
+  test("constant strategy needs no aggregation, no groups, fills everywhere") {
+    val got = Impute.byGroup(df, "v", Seq(), Impute.Constant(-1.0))
       .filter(col("v").isNull).select("imputed")
       .collect().map(_.getDouble(0))
     assert(got.toSeq == Seq(-1.0, -1.0, -1.0))
+  }
+
+  test("mean strategy fills from the group average") {
+    val got = Impute.byGroup(df, "v", Seq("g"), Impute.Mean)
+      .filter(col("g") === "a" && col("v").isNull)
+      .collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(2.0)) // avg(1, 3)
   }
 
   test("null group keys impute from their own group") {
