@@ -26,7 +26,9 @@ object Impute {
       valueCol: String,
       groupCols: Seq[String],
       strategy: Strategy = Median,
-      as: String = "imputed"): DataFrame = {
+      as: String = "imputed",
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(!df.columns.contains(as),
       s"input already has a '$as' column — rename it before impute()")
     val v = Cleanse.colRef(valueCol)
@@ -37,6 +39,7 @@ object Impute {
       case s =>
         require(groupCols.nonEmpty, "at least one group column")
         val fillExpr = s match {
+          case Median if approx => approx_percentile(v, lit(0.5), lit(accuracy))
           case Median => percentile(v, lit(0.5))
           case _ => avg(v)
         }

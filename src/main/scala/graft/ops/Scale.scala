@@ -17,20 +17,28 @@ object Scale {
 
   /** Robust scaler: (v − median) / (q3 − q1) per group — insensitive to
     * the outliers a 100 TB raw corpus always carries. Degenerate groups
-    * (IQR = 0) yield null rather than ±Inf.
+    * (IQR = 0) yield null rather than ±Inf. `approx = true` is the
+    * 100 TB path (bounded sketch per group instead of buffering every
+    * value — the same flag contract as Outliers.iqr/mad).
     */
   def robust(
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String],
-      as: String = "scaled"): DataFrame = {
+      as: String = "scaled",
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     (Seq(as, "_med", "_iqr")).foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before robust()"))
     val v = Cleanse.colRef(valueCol)
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val pcts =
+      if (approx) approx_percentile(v, qs, lit(accuracy))
+      else percentile(v, qs)
     val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
-      .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("_q"))
+      .agg(pcts.as("_q"))
       .select(groupCols.map(Cleanse.colRef) ++ Seq(
         element_at(col("_q"), 2).as("_med"),
         nullif(element_at(col("_q"), 3) - element_at(col("_q"), 1),

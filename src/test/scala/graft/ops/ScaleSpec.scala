@@ -25,6 +25,15 @@ class ScaleSpec extends SparkSpec {
     assert(rows.filter(_._1 == "c").forall(_._3 == null))
   }
 
+  test("robust approx path agrees with exact on well-separated data") {
+    val df = (0 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val exact = Scale.robust(df, "v", Seq("g")).orderBy("v")
+      .collect().map(_.getDouble(2)).toSeq
+    val approx = Scale.robust(df, "v", Seq("g"), approx = true).orderBy("v")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(exact == approx) // 101 distinct values, sketch is exact here
+  }
+
   test("robust zero-IQR group yields null, rows preserved") {
     val df = Seq(("z", 7.0), ("z", 7.0), ("z", 7.0)).toDF("g", "v")
     val out = Scale.robust(df, "v", Seq("g")).collect()
