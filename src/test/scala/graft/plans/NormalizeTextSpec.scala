@@ -30,6 +30,26 @@ class NormalizeTextSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("idempotent over random unicode (property)") {
+    // normalize(normalize(x)) == normalize(x): accent strip, lowercase
+    // and whitespace collapse are all projections — applying them twice
+    // must be a no-op. Driven with scalacheck's Gen directly (offline:
+    // no scalatestplus bridge), deterministic seed.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(12, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('á', 'É', 'î', 'ö', 'û', 'ñ', 'Ç'),
+      2 -> Gen.oneOf(' ', '\t', '\n'),
+      1 -> Gen.oneOf('!', '?', '#', '中', 'й'))).map(_.mkString)
+    val samples = (0 until 200).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = samples.toDF("t")
+    val once = df.select(NormalizeTextExpr(col("t")).as("n"))
+    val twice = once.select(col("n"), NormalizeTextExpr(col("n")).as("n2"))
+    assert(twice.filter(col("n") =!= col("n2")).count() == 0)
+  }
+
   test("matches the builtin four-expression chain") {
     val df = Seq("  Über  dîner\t", "No accents  here", " ÉLAN ").toDF("t")
     val got = df.select(NormalizeTextExpr(col("t")).as("n"))
