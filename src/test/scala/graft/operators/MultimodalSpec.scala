@@ -166,6 +166,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, 5).count() == 2)
   }
 
+  test("demux never throws on arbitrary bytes (fuzz property)") {
+    // random buffers, RIFF-prefixed random buffers, and truncations of
+    // a valid AVI: frames() must return (possibly empty) promptly —
+    // never throw, never loop
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val valid = MjpegAvi.encode(Seq(bos.toByteArray), 4, 3)
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { i =>
+      val raw = Array.fill(rnd.nextInt(200))(rnd.nextInt.toByte)
+      MjpegAvi.frames(raw) // must not throw
+      val riffed = "RIFF".getBytes ++ raw.take(4) ++ "AVI ".getBytes ++ raw
+      MjpegAvi.frames(riffed)
+      MjpegAvi.frames(valid.take(i % valid.length))
+    }
+  }
+
   test("corrupt AVI chunk sizes terminate the demux instead of hanging") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(
