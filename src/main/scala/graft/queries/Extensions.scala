@@ -1372,6 +1372,24 @@ object Extensions {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("imputed"))
   }
 
+  /** LATERAL correlated-subquery surface (Spark ≥3.2): per-customer
+    * top-2 orders through a lateral derived table — the decorrelated
+    * plan is a ranked window under the hood, but the SQL surface is
+    * the gate. Tiebreak on o_orderkey keeps it deterministic.
+    */
+  def qA22LateralTopK(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer_v c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 200
+         ORDER BY c_custkey, o_orderkey""")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1462,7 +1480,8 @@ object Extensions {
     "q105_pack_materialize" -> qC11PackMaterialize _,
     "q106_snapshot_diff" -> qK6SnapshotDiff _,
     "q107_winsorize" -> qA20Winsorize _,
-    "q108_impute" -> qA21Impute _)
+    "q108_impute" -> qA21Impute _,
+    "q109_lateral_topk" -> qA22LateralTopK _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2322,7 +2341,15 @@ object Extensions {
            coalesce(price, fill) AS imputed
          FROM x JOIN m USING (l_returnflag)
          WHERE l_orderkey < 500
-         ORDER BY l_orderkey, l_linenumber, imputed""")
+         ORDER BY l_orderkey, l_linenumber, imputed""",
+    "q109_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 200
+         ORDER BY c_custkey, o_orderkey""")
 
   /** q84 oracle: re-derives ZOrder.zValue/quantize in plain DuckDB bit
     * arithmetic — quantize is the same IEEE double chain (subtract,
