@@ -20,7 +20,11 @@ object Verify {
     // Deterministic order; name-sorted. A query that kills the JVM's
     // SparkContext (OOM) must not void the rest: recreate the session.
     var active = spark
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // local-iteration filter (comma-separated names); unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         if (active.sparkContext.isStopped) {
           // full config again — a bare builder would have no master/UTC

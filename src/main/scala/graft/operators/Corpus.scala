@@ -112,12 +112,35 @@ object Corpus {
     * scale, block by the full gram string instead (`hashGrams = false`)
     * and pay string-width shuffles.
     *
-    * `maxDf > 0` additionally drops grams whose df exceeds the cap from
+    * `maxDf` drops grams whose document frequency exceeds the cap from
     * candidate generation (the standard crawl-scale common-gram prune).
     * Denominators and intersections still come from the UNPRUNED sets,
     * so the score of every reported pair stays exact; the only effect of
-    * the cap is one-sided — pairs whose shared grams are all ultra-common
-    * can be missed. Leave 0 for a fully lossless join.
+    * the cap is one-sided and PRECISELY characterizable — a pair is
+    * reported iff its true Jaccard ≥ `threshold` AND at least one shared
+    * gram has df ≤ cap (proof sketch: rank positions are computed over
+    * surviving grams while prefix lengths use the TRUE set size, so the
+    * first surviving shared gram in global (df, hash) order sits within
+    * both prefixes — the dropped shared grams above it shrink the
+    * surviving sets at least as fast as they consume prefix budget).
+    * Pairs whose every shared gram is ultra-common are boilerplate
+    * collisions, not near-duplicates.
+    *
+    * `maxDf` modes:
+    *  - `-1` (default): auto-cap at `max(100, ceil(0.1 · nDocs))` — the
+    *    classic max-df rule (a gram in >10% of documents carries no
+    *    dedup signal). The doc count comes from a 1-row aggregate branch
+    *    of the SAME gram pipeline (exchange-reused, broadcast back), so
+    *    the auto mode adds no extra scan of the corpus. This is the
+    *    scale-safe default: without a cap the candidate self-join on a
+    *    hot gram grows as df², and a heavy-tailed corpus at 100× scale
+    *    turns one boilerplate 3-gram into a quadratic shuffle.
+    *  - `0`: explicitly lossless — no cap. Opt-in only: the caller
+    *    asserts the corpus has no heavy-tailed common grams (or accepts
+    *    the quadratic hot-gram cost). The LSH-blocked
+    *    [[Dedup.ngramJaccardNearDups]] is the right operator when
+    *    neither holds.
+    *  - `> 0`: explicit absolute cap.
     */
   def exactNgramPairs(
       df: DataFrame,
@@ -125,7 +148,7 @@ object Corpus {
       idCol: String,
       threshold: Double = 0.5,
       n: Int = 3,
-      maxDf: Long = 0L,
+      maxDf: Long = -1L,
       hashGrams: Boolean = true): DataFrame = {
     require(threshold > 0, "threshold must be > 0: at 0 the blocking is no longer lossless")
     // SINGLE gram pipeline, fanned out by exchange reuse: every branch
@@ -142,7 +165,20 @@ object Corpus {
     val wId = Window.partitionBy(col("id"))
     val sized = grams.withColumn("sz", count(lit(1)).over(wId))
     val dfreq0 = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-    val dfreq = if (maxDf <= 0) dfreq0 else dfreq0.filter(col("_df") <= maxDf)
+    val dfreq =
+      if (maxDf == 0L) dfreq0
+      else if (maxDf > 0L) dfreq0.filter(col("_df") <= maxDf)
+      else {
+        // auto cap: max(100, ceil(0.1 * nDocs)). The doc count is a
+        // 1-row aggregate over the same gram frame (exchange-reused,
+        // not a second corpus scan) broadcast onto the df counts, so
+        // the cap stays fully declarative — one query, one job.
+        val nDocs = grams.agg(countDistinct(col("id")).as("_ndocs"))
+        dfreq0.crossJoin(broadcast(nDocs))
+          .filter(col("_df") <=
+            greatest(lit(100L), ceil(lit(0.1) * col("_ndocs")).cast("long")))
+          .select(col("g"), col("_df"))
+      }
     // rank each doc's (surviving) grams rarest-first; under a maxDf cap
     // the prefix is computed over fewer grams, so it can only get
     // shorter (more misses, never wrong scores: the documented
@@ -396,20 +432,27 @@ object Corpus {
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
     if (alpha == 1.0) return df // natural mix: exact no-op, not weight-1
-    val counts = df.groupBy(cr(groupCol).as("_g"))
-      .agg(count(lit(1)).as("_n"))
-    val minN = counts.agg(min(col("_n")).as("_nmin"))
-    val ratio = col("_nmin").cast("double") / col("_n").cast("double")
+    // collision-proof internal names (same convention as quotaPerGroup /
+    // incrementalDedup): a caller column named `_g`/`_keep` must not be
+    // silently joined on or dropped
+    val (gC, nC, minC, keepC) =
+      ("_graft_tr_g", "_graft_tr_n", "_graft_tr_nmin", "_graft_tr_keep")
+    Seq(gC, keepC).foreach(c =>
+      require(!df.columns.contains(c), s"column $c already exists"))
+    val counts = df.groupBy(cr(groupCol).as(gC))
+      .agg(count(lit(1)).as(nC))
+    val minN = counts.agg(min(col(nC)).as(minC))
+    val ratio = col(minC).cast("double") / col(nC).cast("double")
     val keep = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
-    val stats = counts.crossJoin(minN).select(col("_g"), keep.as("_keep"))
+    val stats = counts.crossJoin(minN).select(col(gC), keep.as(keepC))
     // null-safe join: a null group aggregates into its own stats row,
     // and must resample like any other group (a plain === would
     // silently drop every null-group row — diverging from the
     // alpha = 1 early return, which keeps them)
     weightedSample(
-      df.join(broadcast(stats), cr(groupCol) <=> col("_g")),
-      idCol, col("_keep"))
-      .drop("_g", "_keep")
+      df.join(broadcast(stats), cr(groupCol) <=> col(gC)),
+      idCol, col(keepC))
+      .drop(gC, keepC)
   }
 
   /** Per-stratum deterministic sampling: each stratum keeps its own

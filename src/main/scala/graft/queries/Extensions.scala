@@ -1960,13 +1960,26 @@ object Extensions {
     // q69 runs the LSH-blocked edge path but must reproduce the EXACT
     // clusters — same oracle as q68 by construction.
     "q69_dedup_clusters_lsh" -> exactClustersSql,
+    // Capped semantics (= the operator's auto-maxDf default): a pair
+    // reports iff true Jaccard >= t AND it shares at least one gram
+    // with df <= max(100, ceil(0.1 * nDocs)). Scores stay exact over
+    // the FULL gram sets; the cap only gates candidate generation.
     "q77_ngram_pairs_exact" ->
       s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
          g AS (SELECT doc_id AS id, unnest(${ngramList(3)}) AS gram
                FROM d WHERE len(toks) >= 3),
+         cap AS (SELECT greatest(100, CAST(ceil(0.1 * count(DISTINCT id)) AS BIGINT)) AS cap
+                 FROM g),
+         rare AS (SELECT gram FROM (
+                    SELECT gram, count(*) AS df FROM g GROUP BY gram)
+                  WHERE df <= (SELECT cap FROM cap)),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM g a JOIN g b USING (gram)
+                  WHERE a.id < b.id AND gram IN (SELECT gram FROM rare)),
          sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
          p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
                FROM g a JOIN g b USING (gram)
+               JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id
                WHERE a.id < b.id GROUP BY 1, 2)
          SELECT id_a, id_b, jaccard FROM (
            SELECT id_a, id_b,

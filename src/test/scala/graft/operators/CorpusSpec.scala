@@ -58,6 +58,44 @@ class CorpusSpec extends SparkSpec {
     assert(pruned.count() == 0)
   }
 
+  test("auto maxDf (default) equals the lossless join when near-dups share rare grams") {
+    // 1200 docs all share a boilerplate trigram (df=1200 > auto cap
+    // max(100, 0.1*1200)=120); the planted near-dup pair shares rare
+    // grams too, so it must survive the cap with its exact score
+    val base = (2L until 1200L).map(i =>
+      (i, s"common boiler plate unique$i token$i extra$i"))
+    val planted = Seq(
+      (0L, "common boiler plate alpha beta gamma delta"),
+      (1L, "common boiler plate alpha beta gamma epsilon"))
+    val d = (planted ++ base).toDF("doc_id", "text")
+    val capped = Corpus.exactNgramPairs(d, "text", "doc_id", 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lossless = Corpus.exactNgramPairs(d, "text", "doc_id", 0.5, 3, maxDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == lossless)
+    assert(capped.map(p => (p._1, p._2)) == Set((0L, 1L)))
+    // score is the TRUE Jaccard over FULL sets: 4 shared of 6 distinct
+    assert(math.abs(capped.head._3 - 4.0 / 6.0) < 1e-12)
+  }
+
+  test("auto maxDf guards the quadratic hot-gram blowup (documented one-sided miss)") {
+    // 200 identical single-gram docs: the gram's df=200 exceeds the
+    // auto cap (100), so the default path refuses to generate the
+    // C(200,2) candidate pairs; the explicit lossless opt-in finds them
+    val same = (0L until 200L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    assert(Corpus.exactNgramPairs(same, "text", "doc_id", 0.5, 3).count() == 0)
+    assert(Corpus.exactNgramPairs(same, "text", "doc_id", 0.5, 3, maxDf = 0L)
+      .count() == 199L * 200L / 2)
+  }
+
+  test("temperatureResample refuses caller columns colliding with internals") {
+    val d = Seq((0L, "a", 1)).toDF("doc_id", "g", "_graft_tr_keep")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.temperatureResample(d, "doc_id", "g", alpha = 0.5)
+    }
+    assert(e.getMessage.contains("_graft_tr_keep"))
+  }
+
   test("contaminationCounts reports every train doc exactly once, 0 when clean") {
     val bench = docs.filter(col("doc_id") === 0)
     val train = docs.filter(col("doc_id") > 0)
