@@ -43,6 +43,29 @@ object Cleanse {
     d.join(b, cond, "left").select(col("d.*") +: carried.toIndexedSeq: _*)
   }
 
+  /** Guard for the exact (full-buffer) grouped-percentile path: exact
+    * `percentile` accumulates every group value in ONE aggregation
+    * buffer, so a hot group at corpus scale is an executor OOM, not a
+    * slow query. Callers refuse inputs past `maxExactRows` unless the
+    * caller explicitly opted in — the same philosophy as
+    * `Similarity.allPairsSimilar`'s probe. The probe is eager but
+    * BOUNDED: `limit(cap+1).count()` stops scanning once the cap is
+    * disproven, so an expensive derived input pays at most cap+1 rows
+    * of recompute, never a full pass.
+    */
+  private[ops] def guardExactPercentile(
+      df: org.apache.spark.sql.DataFrame,
+      maxExactRows: Long,
+      op: String): Unit = {
+    val probeCap = math.min(maxExactRows, Int.MaxValue - 2L).toInt + 1
+    val n = df.limit(probeCap).count()
+    require(n <= maxExactRows,
+      s"$op(approx = false) buffers every group value in a single aggregation " +
+        s"buffer and the input exceeds $maxExactRows rows (maxExactRows). " +
+        "Pass approx = true for the bounded-memory sketch path (tolerance-gated), " +
+        "or raise maxExactRows explicitly if exact quantiles at this size are intended.")
+  }
+
   /** Full-whitespace trim: JS `.trim()` (the reference's, index.js:115)
     * and Java's `String.trim` strip tabs/newlines too, while Spark's
     * `trim` strips only the space character — a `"\tfoo"` cell must

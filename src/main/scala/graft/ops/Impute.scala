@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Groups whose statistic is itself null (all-null group) leave the
   * value null — imputation never invents data.
+  *
+  * The exact-median default carries the same bounded-probe guard as
+  * `Outliers`: inputs past `maxExactRows` are refused with a pointer to
+  * `approx = true` (never silently switched — the fill values are
+  * hash-gated).
   */
 object Impute {
 
@@ -28,7 +33,8 @@ object Impute {
       strategy: Strategy = Median,
       as: String = "imputed",
       approx: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      maxExactRows: Long = 4000000L): DataFrame = {
     require(!df.columns.contains(as),
       s"input already has a '$as' column — rename it before impute()")
     val v = Cleanse.colRef(valueCol)
@@ -38,6 +44,10 @@ object Impute {
         df.withColumn(as, coalesce(v, lit(c)))
       case s =>
         require(groupCols.nonEmpty, "at least one group column")
+        // only the exact-median path buffers whole groups; Mean's state
+        // is a fixed-size (sum, count) pair and needs no guard
+        if (s == Median && !approx)
+          Cleanse.guardExactPercentile(df, maxExactRows, "Impute.byGroup")
         val fillExpr = s match {
           case Median if approx => approx_percentile(v, lit(0.5), lit(accuracy))
           case Median => percentile(v, lit(0.5))

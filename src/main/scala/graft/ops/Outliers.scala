@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * instead of buffering every value — fence positions tolerate sketch
   * error. Exact is the default because the primary gate hashes the
   * output; the approx path has its own tolerance-band gate (q70).
+  *
+  * The exact default is guarded, not trusted: every exact-percentile
+  * operator here probes the input (bounded, `limit`-capped) and REFUSES
+  * past `maxExactRows` with a pointer to `approx = true` — a silent
+  * auto-switch would change hashed results; an executor OOM at 100×
+  * scale would be worse. Raising `maxExactRows` is the explicit opt-in.
   */
 object Outliers {
 
@@ -32,9 +38,12 @@ object Outliers {
       k: Double,
       approx: Boolean,
       accuracy: Int,
+      maxExactRows: Long,
       loName: String,
-      hiName: String): DataFrame = {
+      hiName: String,
+      op: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    if (!approx) Cleanse.guardExactPercentile(df, maxExactRows, op)
     val v = Cleanse.colRef(valueCol)
     // ONE array-percentile aggregate: two scalar percentile() calls
     // each buffer/sort the group independently — same answer, twice
@@ -61,12 +70,14 @@ object Outliers {
       groupCols: Seq[String],
       k: Double = 1.5,
       approx: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      maxExactRows: Long = 4000000L): DataFrame = {
     Seq("lo", "hi", "is_outlier").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before iqr()"))
     val v = Cleanse.colRef(valueCol)
-    withFences(df, valueCol, groupCols, k, approx, accuracy, "lo", "hi")
+    withFences(df, valueCol, groupCols, k, approx, accuracy, maxExactRows,
+      "lo", "hi", "Outliers.iqr")
       .withColumn("is_outlier", v < col("lo") || v > col("hi"))
   }
 
@@ -83,7 +94,8 @@ object Outliers {
       k: Double = 1.5,
       approx: Boolean = false,
       accuracy: Int = 10000,
-      as: String = "winsorized"): DataFrame = {
+      as: String = "winsorized",
+      maxExactRows: Long = 4000000L): DataFrame = {
     // fences ride collision-proofed temp names: the caller may freely
     // have (or name `as` after) lo/hi/is_outlier — those are iqr's
     // public contract, not winsorize's
@@ -93,7 +105,8 @@ object Outliers {
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before winsorize()"))
     val v = Cleanse.colRef(valueCol)
-    withFences(df, valueCol, groupCols, k, approx, accuracy, loT, hiT)
+    withFences(df, valueCol, groupCols, k, approx, accuracy, maxExactRows,
+      loT, hiT, "Outliers.winsorize")
       // guard the null case explicitly: least/greatest IGNORE nulls in
       // both Spark and DuckDB, so a bare clamp would rewrite a missing
       // value to the lower fence
@@ -115,9 +128,11 @@ object Outliers {
     * Shape: two grouped median aggregations with a broadcast join after
     * each (group count assumed dimension-small), then a codegen'd
     * per-row comparison. Exact `percentile` buffers each group — the
-    * same caveat as [[iqr]]; pass `approx = true` for the sketch-based
-    * 100 TB path. Unlike [[iqr]], the joins are plain equi-joins:
-    * null-group rows drop (use iqr's null-safe pattern if they matter).
+    * same caveat (and the same `maxExactRows` guard) as [[iqr]]; pass
+    * `approx = true` for the sketch-based 100 TB path. Row-preserving
+    * like [[iqr]]/[[winsorize]]: the stats joins are NULL-SAFE on the
+    * group keys, so null-group rows flag against their own group's
+    * median/MAD instead of silently dropping.
     */
   def mad(
       df: DataFrame,
@@ -125,21 +140,23 @@ object Outliers {
       groupCols: Seq[String],
       k: Double = 3.0,
       approx: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      maxExactRows: Long = 4000000L): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     Seq("med", "mad", "dev", "is_outlier").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before mad()"))
+    if (!approx) Cleanse.guardExactPercentile(df, maxExactRows, "Outliers.mad")
     val v = Cleanse.colRef(valueCol)
     val gs = groupCols.map(Cleanse.colRef)
     def med(c: org.apache.spark.sql.Column) =
       if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
       else percentile(c, lit(0.5))
     val meds = df.groupBy(gs: _*).agg(med(v).as("med"))
-    val withDev = df.join(broadcast(meds), groupCols)
+    val withDev = Cleanse.joinGroupStats(df, meds, groupCols)
       .withColumn("dev", abs(v - col("med")))
     val mads = withDev.groupBy(gs: _*).agg(med(col("dev")).as("mad"))
-    withDev.join(broadcast(mads), groupCols)
+    Cleanse.joinGroupStats(withDev, mads, groupCols)
       .withColumn("is_outlier",
         col("dev") > lit(k) * lit(1.4826) * col("mad"))
   }

@@ -19,7 +19,8 @@ object Scale {
     * the outliers a 100 TB raw corpus always carries. Degenerate groups
     * (IQR = 0) yield null rather than ±Inf. `approx = true` is the
     * 100 TB path (bounded sketch per group instead of buffering every
-    * value — the same flag contract as Outliers.iqr/mad).
+    * value — the same flag contract as Outliers.iqr/mad, including the
+    * `maxExactRows` refusal guard on the exact default).
     */
   def robust(
       df: DataFrame,
@@ -27,11 +28,13 @@ object Scale {
       groupCols: Seq[String],
       as: String = "scaled",
       approx: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      maxExactRows: Long = 4000000L): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     (Seq(as, "_med", "_iqr")).foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before robust()"))
+    if (!approx) Cleanse.guardExactPercentile(df, maxExactRows, "Scale.robust")
     val v = Cleanse.colRef(valueCol)
     val qs = array(lit(0.25), lit(0.5), lit(0.75))
     val pcts =

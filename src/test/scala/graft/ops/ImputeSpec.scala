@@ -46,4 +46,17 @@ class ImputeSpec extends SparkSpec {
       .filter(col("g").isNull && col("v").isNull).collect()
     assert(nullG.length == 1 && nullG(0).getDouble(2) == 6.0)
   }
+
+  test("exact median refuses past maxExactRows; mean/approx/opt-in are exempt") {
+    val big = spark.range(5000).select(lit("g").as("g"),
+      col("id").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException](
+      Impute.byGroup(big, "v", Seq("g"), maxExactRows = 1000L).count())
+    assert(e.getMessage.contains("approx = true"))
+    assert(Impute.byGroup(big, "v", Seq("g"), approx = true,
+      maxExactRows = 1000L).count() == 5000)
+    assert(Impute.byGroup(big, "v", Seq("g"), strategy = Impute.Mean,
+      maxExactRows = 1000L).count() == 5000)
+    assert(Impute.byGroup(big, "v", Seq("g"), maxExactRows = 5000L).count() == 5000)
+  }
 }
