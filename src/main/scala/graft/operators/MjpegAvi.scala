@@ -25,6 +25,7 @@ object MjpegAvi {
   def encode(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
       fps: Int = 10): Array[Byte] = {
     require(jpegFrames.nonEmpty, "at least one frame")
+    require(fps > 0, "fps must be positive") // 0 divides; <0 writes garbage headers
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
       val b = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -88,6 +89,14 @@ object MjpegAvi {
   /** Demux: every video frame chunk ('00dc'/'00db') inside the movi
     * list, in stream order. Tolerant single-pass chunk walk — no idx1
     * needed (the index is optional in the spec and our writer omits it).
+    *
+    * The walk is ITERATIVE with an explicit continuation stack, not
+    * recursive: a nested LIST header costs only 12 input bytes, so a
+    * crafted file could nest thousands deep — per-LIST recursion would
+    * throw StackOverflowError (an Error no decode-path catch handles),
+    * breaking the quarantine invariant that arbitrary bytes never kill
+    * a task. Descending into a LIST pushes the after-the-list segment
+    * and continues inside it, so frame order is preserved.
     */
   def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     if (!isAvi(bytes)) return Seq.empty
@@ -97,29 +106,36 @@ object MjpegAvi {
     def u32(off: Int): Long =
       (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
         (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
-      var p = start
-      while (p + 8 <= end) {
+    val stack = scala.collection.mutable.Stack[(Int, Int, Boolean)]()
+    stack.push((12, bytes.length, false))
+    while (stack.nonEmpty) {
+      var (p, end, inMovi) = stack.pop()
+      var live = true
+      while (live && p + 8 <= end) {
         val id = fourcc(p)
         val size = u32(p + 4) // unsigned: kept as Long so a corrupt
         val body = p + 8 //      0xFFFFFFxx field can't wrap negative
         if (size >= 0 && body + size <= end) {
           if (id == "LIST" && size >= 4) {
-            val lt = fourcc(body)
-            walk(body + 4, body + size.toInt, inMovi || lt == "movi")
-          } else if (inMovi && (id == "00dc" || id == "00db") && size > 0) {
-            out += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+            // continue after this list once its interior is exhausted
+            stack.push((body + size.toInt + (size.toInt & 1), end, inMovi))
+            inMovi = inMovi || fourcc(body) == "movi"
+            end = body + size.toInt
+            p = body + 4
+          } else {
+            if (inMovi && (id == "00dc" || id == "00db") && size > 0)
+              out += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+            p = body + size.toInt + (size.toInt & 1) // even padding
           }
-          p = body + size.toInt + (size.toInt & 1) // even padding
         } else {
           // corrupt size field: nothing after this chunk is walkable —
-          // stop rather than loop forever or index negative offsets
-          // (one bad file yields partial frames, never a hung task)
-          p = end
+          // abandon this segment rather than loop forever or index
+          // negative offsets (one bad file yields partial frames,
+          // never a hung task); enclosing segments resume normally
+          live = false
         }
       }
     }
-    walk(12, bytes.length, inMovi = false)
     out.result()
   }
 }

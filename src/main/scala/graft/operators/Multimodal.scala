@@ -443,11 +443,16 @@ object Multimodal {
   /** Frame-sampling pass: one row per sampled frame (flatMap shape).
     * MJPEG-AVI content demuxes for REAL ([[MjpegAvi.frames]]: RIFF
     * chunk walk, each frame a whole ImageIO-decodable JPEG), sampled
-    * at k evenly-spaced stream positions floor(n·i/k). Other
-    * containers (no JDK demuxer exists for them) fall back to the
-    * documented [[FakeCodec]] byte-slice stand-in.
+    * at k evenly-spaced stream positions floor(n·i/k).
+    *
+    * Other containers have no JDK demuxer: by default they raise a
+    * typed unsupported-container error — a user must never mistake the
+    * [[FakeCodec]] byte-slice stand-in for decoded frames on real
+    * data. `allowStandIn = true` is the explicit opt-in for tests and
+    * synthetic pipelines that knowingly process fake media bytes.
     */
-  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+  def sampleFrames(media: DataFrame, k: Int,
+      allowStandIn: Boolean = false): DataFrame = {
     val enc = Encoders.row(frameSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { it =>
@@ -462,7 +467,15 @@ object Multimodal {
               // and silently drop the tail); n > k: k evenly spaced
               if (n <= k) all
               else (0 until k).map(i => all((n.toLong * i / k).toInt))
-            } else FakeCodec.sampleFrames(bytes, k) // stand-in: non-AVI only
+            } else if (allowStandIn) {
+              FakeCodec.sampleFrames(bytes, k) // explicit stand-in opt-in
+            } else {
+              throw new UnsupportedOperationException(
+                s"unsupported video container for media_id=$id: only MJPEG-AVI " +
+                  "(RIFF 'AVI ') demuxes on a bare JVM. Transcode to MJPEG-AVI, " +
+                  "or pass allowStandIn = true to substitute deterministic " +
+                  "byte-slice stand-in frames (synthetic pipelines/tests only).")
+            }
           sampled.zipWithIndex.map { case (f, i) => Row(id, i, f) }
         }
       }(enc)

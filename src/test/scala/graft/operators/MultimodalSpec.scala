@@ -97,11 +97,22 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("tag") === "b").collect()(0).getLong(df.columns.indexOf("id")) == 2L)
   }
 
-  test("sampleFrames explodes k frames per media (video stub)") {
-    val frames = Multimodal.sampleFrames(video, k = 4)
+  test("sampleFrames explodes k frames per media (video stub, explicit opt-in)") {
+    val frames = Multimodal.sampleFrames(video, k = 4, allowStandIn = true)
     assert(frames.count() == 20 * 4)
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= 4).count() == 0)
+  }
+
+  test("sampleFrames raises a typed error on non-AVI content by default") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(video, k = 4).count()
+    }
+    // root cause is the typed unsupported-container error, not a decode crash
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(msgs.contains("UnsupportedOperationException"))
+    assert(msgs.contains("MJPEG-AVI"))
   }
 
   test("real javax.sound decode recovers planted WAV rate/duration/abs-sum") {
@@ -149,9 +160,9 @@ class MultimodalSpec extends SparkSpec {
     assert(dims.count(_._1 == 14L) == 3) // k=3 sampled of 7 frames
     assert(dims.filter(_._1 == 14L).forall(d => d._3 == 5 && d._4 == 6))
     assert(dims.length == 9)
-    // non-AVI bytes still route to the documented byte-slice stand-in
+    // non-AVI bytes route to the byte-slice stand-in only on opt-in
     val fake = Multimodal.syntheticMedia(spark, ids, "id")
-    assert(Multimodal.sampleFrames(fake, 3).count() == 9)
+    assert(Multimodal.sampleFrames(fake, 3, allowStandIn = true).count() == 9)
   }
 
   test("sampleFrames emits ALL frames when the video is shorter than k") {
@@ -183,6 +194,44 @@ class MultimodalSpec extends SparkSpec {
       MjpegAvi.frames(riffed)
       MjpegAvi.frames(valid.take(i % valid.length))
     }
+  }
+
+  test("deeply nested LIST headers demux iteratively — no stack overflow") {
+    // 200k nested LISTs (12 bytes each): a recursive walk would throw
+    // StackOverflowError; the iterative walk must return the frame
+    // planted at the innermost level, in order
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val depth = 200000
+    val innerChunk = {
+      val padded = if (jpeg.length % 2 == 1) jpeg :+ 0.toByte else jpeg
+      val b = java.nio.ByteBuffer.allocate(8 + padded.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("00dc".getBytes("US-ASCII")).putInt(jpeg.length).put(padded)
+      b.array()
+    }
+    // build outside-in: total = depth*12 + innerChunk
+    val total = depth * 12 + innerChunk.length
+    val buf = java.nio.ByteBuffer.allocate(12 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + total).put("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until depth) {
+      val remaining = (depth - i - 1) * 12 + innerChunk.length
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + remaining)
+        .put((if (i == 0) "movi" else "rec ").getBytes("US-ASCII"))
+    }
+    buf.put(innerChunk)
+    val frames = MjpegAvi.frames(buf.array())
+    assert(frames.length == 1 && frames.head.sameElements(jpeg))
+  }
+
+  test("encode refuses non-positive fps") {
+    val e = intercept[IllegalArgumentException](
+      MjpegAvi.encode(Seq(Array[Byte](1, 2)), 4, 3, fps = 0))
+    assert(e.getMessage.contains("fps"))
   }
 
   test("corrupt AVI chunk sizes terminate the demux instead of hanging") {
