@@ -312,9 +312,11 @@ object Dedup {
     * the driver finish is O(E α(E)) on data that provably fits in one
     * task's worth of memory. At 100 TB the near-dup edge set usually
     * does NOT fit (billions of edges) and the distributed loop runs —
-    * but even there, real runs contract quickly and a future round can
-    * hand off mid-iteration once the frontier shrinks under the budget.
-    * The bound is an explicit argument (0 disables the driver path);
+    * but real graphs contract fast, so each round ALSO probes the
+    * contracted component graph (distinct cross-component label pairs)
+    * and hands off mid-iteration the moment it fits the budget, cutting
+    * the latency tail of the fixed point. The bound is an explicit
+    * argument (0 disables both driver paths and the per-round probe);
     * the distributed loop stays the default scale path and both paths
     * are gate-checked against the same recursive-CTE oracle.
     */
@@ -363,14 +365,14 @@ object Dedup {
     }
     var (labels, labelIds) = cpTracked(edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")))
-    // Convergence: for numeric ids, Σlabel is min-monotone per node and
+    // Convergence: for INTEGRAL ids, Σlabel is min-monotone per node and
     // strictly decreases until the fixed point — one tiny aggregation.
-    // Non-numeric ids (md5-hex strings, ...) cannot cast to decimal
-    // (ANSI throws); they take the exact changed-row probe instead: an
-    // id-co-partitioned join with limit(1) early-exit.
-    val numericIds = integralIds ||
-      pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // The fast path is integral-only on purpose: the Decimal(38,0) cast
+    // ROUNDS fractional labels, so a sub-integer label decrease
+    // (2.6 → 2.4) could leave the rounded sum unchanged and fake
+    // convergence before the fixed point. Fractional-numeric and string
+    // ids take the exact changed-row probe instead: an id-co-partitioned
+    // join with limit(1) early-exit.
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
@@ -379,7 +381,7 @@ object Dedup {
         .join(prev.alias("p"), col("n.id") === col("p.id"))
         .filter(col("n.label") =!= col("p.label"))
         .limit(1).count() > 0
-    var prevSum = if (numericIds) labelSum(labels) else null
+    var prevSum = if (integralIds) labelSum(labels) else null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -402,12 +404,46 @@ object Dedup {
       // until the fixed point — convergence is one tiny aggregation over
       // the just-checkpointed frame (numeric ids), or an exact
       // changed-row probe (non-numeric)
-      if (numericIds) {
+      if (integralIds) {
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
       } else {
         converged = !anyChanged(next, labels)
+      }
+      // MID-ITERATION HANDOFF (the scaladoc's "contract, then finish
+      // centrally" ending): the distinct contracted component graph —
+      // (label_a, label_b) pairs over current labels, self-loops
+      // dropped — only shrinks as components merge, while each further
+      // distributed round costs fixed job/shuffle latency. Once the
+      // contracted graph fits the driver budget, finish it with the
+      // same union-find as the small-graph path and compose the root
+      // mapping onto the current labels (labels always lie inside
+      // their component, so the component min over labels IS the
+      // component min over ids). Probe cost is one bounded
+      // distinct+count per round — set driverFinishEdges = 0 to
+      // disable for pure-distributed runs.
+      if (!converged && driverFinishEdges > 0 && integralIds) {
+        val la = next.select(col("id").as("id_a"), col("label").as("_graft_la"))
+        val lb = next.select(col("id").as("id_b"), col("label").as("_graft_lb"))
+        val contracted = edges.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+          .filter(col("_graft_la") =!= col("_graft_lb"))
+          .select(col("_graft_la").as("id_a"), col("_graft_lb").as("id_b"))
+          .distinct()
+        val probeCap = math.min(driverFinishEdges, Int.MaxValue - 1L).toInt
+        val frontier = contracted.limit(probeCap + 1).count()
+        if (frontier <= probeCap) {
+          // contracted carries both orientations already (edges is
+          // symmetric and label pairs mirror), so id_a covers every
+          // label-node — the shape driverUnionFind requires
+          val roots = driverUnionFind(pairs, contracted)
+            .select(col("id").as("label"), col("label").as("_graft_root"))
+          val composed = next.join(broadcast(roots), Seq("label"), "left")
+            .select(col("id"),
+              coalesce(col("_graft_root"), col("label")).as("label"))
+          unpersist(labelIds)
+          return composed
+        }
       }
       unpersist(labelIds) // previous round's blocks: no longer reachable
       labels = next

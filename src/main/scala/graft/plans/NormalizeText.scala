@@ -18,8 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `trim(regexp_replace(lower(strip_accents(s)), '\s+', ' ', 'g'))`):
   *   - accent strip = NFD + remove Unicode category Mn (utf8proc's
   *     strip_accents does the same decompose-and-drop for Latin text);
-  *   - lowercase = `String.toLowerCase(Locale.ROOT)`;
-  *   - whitespace = Java regex `\s` class (ASCII), runs → one ' '.
+  *   - lowercase = `String.toLowerCase(Locale.ROOT)`, applied BEFORE
+  *     the mark-drop pass: Java's full case mappings can themselves
+  *     emit combining marks (composed 'İ' U+0130 → 'i' + U+0307), and
+  *     utf8proc's simple 1:1 mapping never does — lowering first
+  *     guarantees any such mark dies in the same strip pass instead of
+  *     leaking into the output;
+  *   - whitespace = RE2's ASCII `\s` class `[\t\n\f\r ]` (what the
+  *     oracle's regexp_replace matches), runs → one ' '. Deliberately
+  *     NOT Java's `\s`: Java adds vertical tab U+000B, which the
+  *     oracle chain passes through untouched — so do we.
   */
 object NormalizeTextExpr {
 
@@ -27,8 +35,8 @@ object NormalizeTextExpr {
     ExprColumn(NormalizeText(ExprColumn.exprOf(text)))
 
   private[plans] def eval(s: UTF8String): UTF8String = {
-    val str = s.toString
-    val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
+    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val nfd = Normalizer.normalize(lowered, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
     var i = 0
     var pendingSpace = false
@@ -36,8 +44,7 @@ object NormalizeTextExpr {
     while (i < nfd.length) {
       val c = nfd.charAt(i)
       if (Character.getType(c) != Character.NON_SPACING_MARK) {
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-          c == '\f' || c == '\r') {
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
           pendingSpace = emitted // leading whitespace never emits
         } else {
           if (pendingSpace) { sb.append(' '); pendingSpace = false }
@@ -47,7 +54,7 @@ object NormalizeTextExpr {
       }
       i += 1
     }
-    UTF8String.fromString(sb.toString.toLowerCase(java.util.Locale.ROOT))
+    UTF8String.fromString(sb.toString)
   }
 }
 

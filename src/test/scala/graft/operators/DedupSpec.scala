@@ -79,6 +79,41 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver(700L) == 500L)
   }
 
+  test("clusters: mid-iteration handoff finishes a graph that contracts under budget") {
+    // 12 star clusters (hubs k*100, 10 spokes each) linked hub-to-hub
+    // in a chain: 131 pairs → 262 symmetrized edges, over the budget of
+    // 60, so the upfront driver finish is refused. After one round each
+    // star contracts onto its hub and the contracted component graph is
+    // just the ~11-edge hub chain — far under budget. With maxIters = 2
+    // the distributed loop ALONE cannot close a 12-hub chain (needs
+    // ~4 halving rounds), so exact labels prove the mid-iteration
+    // handoff ran.
+    val stars = for {
+      k <- 0L until 12L; j <- 1L to 10L
+    } yield (k * 100, k * 100 + j)
+    val chain = (0L until 11L).map(k => (k * 100, (k + 1) * 100))
+    val pairs = (stars ++ chain).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs, maxIters = 2, driverFinishEdges = 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 12 * 11)
+    assert(labels.values.forall(_ == 0L)) // one component, min id 0
+    // sanity: the distributed loop alone at maxIters=2 is NOT converged
+    val loopOnly = Dedup.clusters(pairs, maxIters = 2, driverFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loopOnly.values.exists(_ != 0L))
+  }
+
+  test("clusters: fractional ids use the exact convergence probe, not the rounded sum") {
+    // sub-integer id gaps: Decimal(38,0) rounding could alias a label
+    // change into an unchanged sum — the chain must still fully converge
+    val pairs = Seq((1.25, 1.5), (1.5, 1.75), (1.75, 2.25), (9.5, 9.75))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(labels == Map(1.25 -> 1.25, 1.5 -> 1.25, 1.75 -> 1.25,
+      2.25 -> 1.25, 9.5 -> 9.5, 9.75 -> 9.5))
+  }
+
   test("clusters: string ids skip the driver finish and stay correct") {
     // md5-hex-style ids: the long-keyed driver union-find cannot
     // represent them — the small-edge-set gate must fall through to the

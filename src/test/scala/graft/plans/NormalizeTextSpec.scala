@@ -24,6 +24,20 @@ class NormalizeTextSpec extends SparkSpec {
     assert(norm("a") == "a")
   }
 
+  test("case mappings that introduce combining marks strip clean (Turkish İ)") {
+    // Java toLowerCase('İ') = 'i' + U+0307; lowering BEFORE the mark
+    // drop guarantees the dotted mark dies in the same pass — matching
+    // utf8proc's mark-free simple mapping in the oracle chain
+    assert(norm("İstanbul") == "istanbul")
+    assert(norm("i̇stanbul") == "istanbul") // pre-decomposed form too
+  }
+
+  test("vertical tab is NOT whitespace (RE2 \\s parity with the oracle)") {
+    // DuckDB's regexp_replace('\s+') leaves \x0B untouched; so must we
+    assert(norm("a\u000Bb") == "a\u000Bb")
+    assert(norm("  a \u000B b ") == "a \u000B b")
+  }
+
   test("null propagates") {
     val r = Seq[(Integer, String)]((1, null)).toDF("id", "t")
       .select(NormalizeTextExpr(col("t")).as("n")).collect().head
