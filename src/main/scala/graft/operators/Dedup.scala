@@ -121,6 +121,17 @@ object Dedup {
       posexplode(HashExpressions.minhashBandHashes(
         canonical(col(textCol)), shingleLen = 5, numPerms = numPerms,
         bands = bands)).as(Seq("band", "bh")))
+    bandedCandidates(banded, maxBucket)
+  }
+
+  /** The shuffle/bucket/pair core of [[minhashCandidates]] over
+    * pre-banded `(id, band, bh)` rows: group by band+bucket, drop
+    * oversized buckets, emit each bucket's unordered member pairs
+    * locally, dedup across bands. Exposed so the banding machinery is
+    * oracle-checkable over PLANTED band hashes (q30) — the
+    * text→signature step is Murmur3-based and not SQL-expressible.
+    */
+  def bandedCandidates(banded: DataFrame, maxBucket: Int = 500): DataFrame =
     banded
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("id"))).as("members"))
@@ -130,7 +141,6 @@ object Dedup {
       // a pair can fire in several bands — distinct is the only
       // cross-bucket coordination left in the pipeline
       .distinct()
-  }
 
   /** Canonical text form shared by shingling and the fused band hasher:
     * lowercase word tokens joined by single spaces.
@@ -162,24 +172,40 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double,
-      shingleLen: Int = 5): DataFrame = {
-    // Shingle ONLY docs that appear in a candidate pair (semi-join
-    // restriction): candidates are a vanishing fraction of the corpus,
-    // so the expensive array materialization never touches the rest.
-    val cached = candidates.cache()
-    val ids = cached
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
+      shingleLen: Int = 5): DataFrame =
     // hashed shingle sets (sorted long arrays, fused expression): exact
     // Jaccard modulo 2^-32 hash collisions, linear-merge comparison —
     // the string-array formulation (substring×N + array_distinct +
     // array_intersect) measured ~100ms/doc at sf0.1.
-    val sh = df.select(
-      col(idCol).as("id"),
-      HashExpressions.shingleHashSet(canonical(col(textCol)), shingleLen).as("sh"))
+    verifyJaccardSets(
+      candidates,
+      df.select(
+        col(idCol).as("id"),
+        HashExpressions.shingleHashSet(canonical(col(textCol)), shingleLen).as("sh")),
+      threshold)
+
+  /** Exact-Jaccard verification over caller-supplied element SETS
+    * (`sets` = (id, sh) with sh a SORTED-distinct array<long>): keeps
+    * candidate pairs whose |∩|/|∪| ≥ threshold. The join re-attaches
+    * sets only for candidates (tiny vs corpus). Exposed so the verify
+    * machinery is oracle-checkable over planted sets (q30,
+    * list_intersect/list_distinct in DuckDB).
+    */
+  def verifyJaccardSets(
+      candidates: DataFrame,
+      sets: DataFrame,
+      threshold: Double): DataFrame = {
+    // Restrict set materialization to docs that appear in a candidate
+    // pair (semi-join restriction): candidates are a vanishing fraction
+    // of the corpus, so the expensive array never touches the rest.
+    val cached = candidates.cache()
+    val ids = cached
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = sets
       .join(ids, Seq("id"), "left_semi")
       // referenced by BOTH pair-side joins below: uncached, the whole
-      // shingle pass (and its semi-join) would run twice
+      // set-building pass (and its semi-join) would run twice
       .cache()
     val withA = cached
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))

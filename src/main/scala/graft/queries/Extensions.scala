@@ -281,8 +281,41 @@ object Extensions {
         element_at(col("sig"), 4).as("mh3"))
       .orderBy(col("doc_id"))
 
-  /** MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only). */
-  def qD3MinhashNearDups(s: SparkSession, d: String): DataFrame =
+  /** MinHash-LSH band/bucket/verify machinery, ORACLE-checked end-to-end
+    * (the q31 pattern, for minhash): the banding core
+    * (Dedup.bandedCandidates: groupBy band+bucket, maxBucket drop, local
+    * pair-gen, cross-band distinct) and the exact-Jaccard verify
+    * (Dedup.verifyJaccardSets: sorted-long linear merge) run over
+    * PLANTED values DuckDB derives from doc_id in closed form —
+    * families (doc_id div 10) share a bucket in bands 0-2; band 3 is one
+    * degenerate all-docs bucket that maxBucket=100 must drop; shingle
+    * sets are 10 consecutive ints offset by the member index, so
+    * same-family pairs at distance dm have Jaccard (10-dm)/(10+dm) and
+    * threshold 0.5 keeps dm ≤ 3. The text→signature/shingle hashing is
+    * Murmur3-based (not SQL-expressible) and is covered by q110 +
+    * DedupSpec planted truths.
+    */
+  def qD3MinhashNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val fam = expr("doc_id div 10")
+    val banded = docs.select(
+      col("doc_id").as("id"),
+      posexplode(array(fam, fam, fam, lit(0L))).as(Seq("band", "bh")))
+    val sets = docs.select(
+      col("doc_id").as("id"),
+      sequence(fam * 100 + col("doc_id") % 10,
+        fam * 100 + col("doc_id") % 10 + 9).as("sh"))
+    Dedup.verifyJaccardSets(
+      Dedup.bandedCandidates(banded, maxBucket = 100), sets, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash-LSH near-dups over the real document TEXT (rows-only: the
+    * text→signature step is Spark-Murmur3-based, not SQL-expressible;
+    * the band/verify machinery is oracle-checked by q30 and the hash
+    * functions by DedupSpec planted truths — same split as q31/q71).
+    */
+  def qD9MinhashText(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(documents(s, d), "text", "doc_id", threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -1481,7 +1514,8 @@ object Extensions {
     "q106_snapshot_diff" -> qK6SnapshotDiff _,
     "q107_winsorize" -> qA20Winsorize _,
     "q108_impute" -> qA21Impute _,
-    "q109_lateral_topk" -> qA22LateralTopK _)
+    "q109_lateral_topk" -> qA22LateralTopK _,
+    "q110_minhash_text" -> qD9MinhashText _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1626,6 +1660,33 @@ object Extensions {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+    // q30: planted band hashes + shingle sets (closed form of doc_id,
+    // same arithmetic both engines); oracle = bucket join with the
+    // maxBucket drop + exact list-intersection Jaccard — checks the LSH
+    // band/bucket/pair/verify machinery exactly.
+    "q30_minhash_near_dups" ->
+      """WITH bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+         b AS (SELECT doc_id AS id, band,
+                 CASE WHEN band = 3 THEN 0 ELSE doc_id // 10 END AS bh
+               FROM documents CROSS JOIN bands),
+         ok AS (SELECT band, bh FROM (
+                  SELECT band, bh, count(*) AS c FROM b GROUP BY 1, 2)
+                WHERE c BETWEEN 2 AND 100),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                  FROM b x JOIN b y USING (band, bh)
+                  JOIN ok USING (band, bh)
+                  WHERE x.id < y.id),
+         sh AS (SELECT doc_id AS id,
+                  list_transform(generate_series(0, 9),
+                    k -> (doc_id // 10) * 100 + doc_id % 10 + k) AS s
+                FROM documents)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE) /
+               len(list_distinct(a.s || bb.s)) AS jaccard
+           FROM cand JOIN sh a ON a.id = cand.id_a
+                     JOIN sh bb ON bb.id = cand.id_b)
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
     // q31: planted 56-bit fingerprints (closed form of doc_id, same
     // arithmetic both engines); oracle = brute-force hamming join —
     // checks the banding/xor/bit_count/exactly-once machinery exactly.
