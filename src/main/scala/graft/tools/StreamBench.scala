@@ -1,0 +1,82 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Streaming throughput micro-bench for §2.10 scale evidence: a rate
+  * source drives the full stateful path — rate → Event → custom
+  * sessionization (flatMapGroupsWithState) → foreachBatch publishing
+  * each micro-batch as an immutable [[graft.sink.Snapshots]] version —
+  * and reports end-to-end rows/sec from the query's own progress
+  * metrics (processedRowsPerSecond averaged over steady-state batches,
+  * plus wall-clock rows/sec as the cross-check).
+  *
+  * The rate source generates `rowsPerSecond` monotonically-timestamped
+  * rows across 32 partitions; user_id = value % users gives each user
+  * an in-gap event stream, so session state stays open and every batch
+  * exercises state update + timeout arming, not just inserts.
+  *
+  * Usage: StreamBench [rowsPerSecond] [seconds] (defaults 200k, 20).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rate = args.headOption.map(_.toInt).getOrElse(200000)
+    val secs = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val warehouse =
+      java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+    val events = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rate) // deterministic batch sizing
+      .option("numPartitions", 32)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        // rotating users: each gets ~1000 consecutive events then goes
+        // idle, so the processing-time timeout actually fires and every
+        // batch both opens and CLOSES sessions (state insert + update +
+        // removal + emission all on the hot path)
+        expr("value div 1000").as("user_id"),
+        lit("view").as("event_type"),
+        (col("value") % 97).cast("double").as("value"),
+        lit("{}").as("props"))
+      .as[Streams.Event]
+
+    val sessions = Streams.sessionize(events, gapMs = 3 * 1000L)
+    var published = 0L
+    val q = Streams.foreachBatchSink(sessions.toDF(), { (batch, id) =>
+      // foreachBatch → immutable snapshot version per micro-batch (the
+      // production pattern: stream → versioned batch table)
+      published += batch.count()
+      graft.sink.Snapshots.publish(batch.sparkSession, warehouse, "sessions", batch)
+      ()
+    }).trigger(Trigger.ProcessingTime("1 second")).start()
+
+    val t0 = System.nanoTime()
+    q.awaitTermination(secs * 1000L)
+    q.stop(); q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.toSeq
+    val inputRows = prog.map(_.numInputRows).sum
+    val steady = prog.drop(2).map(_.processedRowsPerSecond)
+      .filter(d => !d.isNaN && d > 0)
+    val steadyAvg = if (steady.isEmpty) 0.0 else steady.sum / steady.size
+    println(f"""{"metric":"stream_sessionize_rows_per_sec","steady":$steadyAvg%.0f,"wall_rows_per_sec":${inputRows / wallSec}%.0f,"input_rows":$inputRows,"batches":${prog.size},"published_sessions":$published,"wall_sec":$wallSec%.1f}""")
+    spark.stop()
+  }
+}

@@ -272,6 +272,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize to snapshot versions (the StreamBench wiring)") {
+    // the §2.10 throughput micro-bench path end-to-end on a memory
+    // stream: sessionize → foreachBatch → one immutable Snapshots
+    // version per non-empty micro-batch, _CURRENT pointing at the last
+    implicit val sq = spark.sqlContext
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_sess_snap").toString
+    val input = MemoryStream[Event]
+    // NoTimeout for the same quiescence reason as the first sessionize
+    // test; StreamBench runs the timeout-armed variant for throughput
+    val q = Streams.foreachBatchSink(
+      Streams.sessionize(input.toDS(), gapMs = 60000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout).toDF(),
+      (batch, _) =>
+        if (!batch.isEmpty)
+          graft.sink.Snapshots.publish(batch.sparkSession, warehouse, "sessions", batch))
+      .start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:00:30", 7))
+      q.processAllAvailable() // session open — nothing closed yet
+      input.addData(ev(3, "2024-01-01 11:00:00", 7)) // > gap: closes it
+      q.processAllAvailable()
+      val vs = graft.sink.Snapshots.versions(spark, warehouse, "sessions")
+      assert(vs.nonEmpty)
+      val sessions = graft.sink.Snapshots.version(
+        spark, warehouse, "sessions", vs.max)
+      val r = sessions.collect()
+      assert(r.length == 1 && r.head.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
   test("streaming CDC: foreachBatch upserts each micro-batch into a base table") {
     implicit val sq = spark.sqlContext
     import java.nio.file.Files
