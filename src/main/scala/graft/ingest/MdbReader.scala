@@ -1,0 +1,259 @@
+package graft.ingest
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Minimal MS Access Jet4 (`.mdb`, Access 2000–2003) reader over JDK
+  * built-ins only — closing the reference's S3 Access path
+  * (backend/index.js:61-80), which is a Windows-only ACE OLEDB bridge
+  * there. Jet4 is a published page-based format (documented publicly in
+  * the mdbtools project's format notes); this implements the subset the
+  * reference semantics need — read-only, strings-only, FIRST user table
+  * (index.js:66-74 reads only the first table of the schema enum):
+  *
+  *   - page 0 database header: `Standard Jet DB` magic + version byte
+  *     (0x00 Jet3 → typed error; 0x01 Jet4 → supported; ≥0x02 ACE
+  *     `.accdb` → typed error);
+  *   - system catalog: MSysObjects' table definition lives at page 2;
+  *     its rows enumerate all objects — user tables have
+  *     `Type & 0x7f == 1`, visible flags, and a name outside the
+  *     `MSys*` namespace; the object's TDEF page is `Id & 0xffffff`;
+  *   - table definition (TDEF) pages: column count, per-column
+  *     descriptors (type, column number, fixed offset / variable index),
+  *     UTF-16LE column names;
+  *   - data pages: row-offset directory (delete/lookup flag bits), rows
+  *     packed from the page end; Jet4 row = u16 column count, fixed
+  *     column block, variable column block, then (from the row tail)
+  *     null mask, u16 variable-column count, and a (count+1)-entry u16
+  *     offset table whose last entry is end-of-data;
+  *   - values rendered as strings: TEXT (UTF-16LE, with the 0xFFFE
+  *     compressed-marker variant), LONG/INT (little-endian ints),
+  *     DOUBLE (integer-trimmed like [[XlsReader]]), BOOL (stored in the
+  *     null-mask bit: set = true, never null). Other Jet types (MEMO,
+  *     OLE, GUID, DATETIME, MONEY) render null — the strings-only
+  *     contract mirrors the reference's display-value semantics.
+  *
+  * Out of scope (typed error or documented skip, never a wrong answer):
+  * Jet3 (2 KB pages, packed row format), ACE `.accdb`, encrypted
+  * databases (the RC4-protected header region — catalog parse fails →
+  * typed error), multi-page TDEFs, and overflow (lookup) rows.
+  * Data-page discovery is a full file scan filtered on the owning TDEF
+  * page rather than the usage-bitmap walk — a table scan either way,
+  * and robust to bitmap corruption.
+  */
+object MdbReader {
+
+  private val PageSize = 4096
+  private val Magic = "Standard Jet DB"
+
+  // Jet4 column descriptor layout (25 bytes per column)
+  private val ColDescLen = 25
+  private val TdefHeaderLen = 0x3f
+
+  // Jet column type codes
+  private val TBool = 0x01
+  private val TInt = 0x03
+  private val TLong = 0x04
+  private val TDouble = 0x07
+  private val TText = 0x0a
+
+  private final case class Col(
+      name: String, typ: Int, num: Int, offV: Int, offF: Int, fixed: Boolean)
+
+  /** First user table as a strings-only DataFrame (reference S3
+    * semantics). `maxRows` is the preview limit (TOP n parity,
+    * index.js:71-72).
+    */
+  def read(spark: SparkSession, path: String, maxRows: Int = Int.MaxValue): DataFrame = {
+    val (names, rows) = readRows(path, maxRows)
+    val (keep, schema) = Readers.dedupeNames(names.toIndexedSeq)
+    val data = rows.map(r => Row.fromSeq(r.toIndexedSeq))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq), schema)
+    df.select(keep.map(graft.ops.Cleanse.colRef).toIndexedSeq: _*)
+  }
+
+  /** (column names, rows) of the first user table; values null-or-string. */
+  private[graft] def readRows(path: String, maxRows: Int): (Seq[String], Seq[Seq[String]]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    checkHeader(bytes)
+    try {
+      val catalog = parseTable(bytes, 2)
+      val catRows = tableRows(bytes, catalog, Int.MaxValue)
+      def idx(n: String) = {
+        val i = catalog.cols.indexWhere(_.name.equalsIgnoreCase(n))
+        require(i >= 0, s"catalog column $n missing")
+        i
+      }
+      val (iId, iName, iType, iFlags) = (idx("Id"), idx("Name"), idx("Type"), idx("Flags"))
+      val firstUser = catRows.find { r =>
+        val name = r(iName)
+        val typ = Option(r(iType)).map(_.toLong).getOrElse(0L)
+        val flags = Option(r(iFlags)).map(_.toLong).getOrElse(0L)
+        name != null && !name.startsWith("MSys") &&
+          (typ & 0x7f) == 1 && (flags & 0x80000002L) == 0
+      }.getOrElse(throw new IllegalArgumentException(
+        s"No user table found in Access database: $path"))
+      val tdefPg = (firstUser(iId).toLong & 0xffffff).toInt
+      val table = parseTable(bytes, tdefPg)
+      (table.cols.map(_.name), tableRows(bytes, table, maxRows))
+    } catch {
+      case e @ (_: UnsupportedOperationException | _: IllegalArgumentException) => throw e
+      case _: Exception =>
+        throw new UnsupportedOperationException(
+          "Unreadable Jet4 .mdb (corrupt, encrypted, or an unsupported " +
+            "layout — multi-page TDEFs and overflow rows are out of scope); " +
+            "export the table to CSV and use the delimited reader")
+    }
+  }
+
+  private def checkHeader(bytes: Array[Byte]): Unit = {
+    if (bytes.length < PageSize ||
+      new String(bytes, 4, Magic.length, "US-ASCII") != Magic)
+      throw new IllegalArgumentException(
+        "Not an Access database (missing Jet DB signature)")
+    bytes(0x14) match {
+      case 0x00 => throw new UnsupportedOperationException(
+        "Jet3 (Access 97) .mdb is not supported (2 KB pages, packed rows); " +
+          "convert with Access or export to CSV")
+      case 0x01 => ()
+      case v => throw new UnsupportedOperationException(
+        f"ACE-era Access database (version 0x$v%02x, .accdb) is not " +
+          "supported; export to CSV and use the delimited reader")
+    }
+  }
+
+  private final case class Table(tdefPg: Int, cols: Seq[Col])
+
+  private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
+      (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+
+  private def parseTable(bytes: Array[Byte], tdefPg: Int): Table = {
+    val base = tdefPg * PageSize
+    require(base + PageSize <= bytes.length, s"TDEF page $tdefPg out of range")
+    require(u8(bytes, base) == 0x02, s"page $tdefPg is not a table definition")
+    if (i32(bytes, base + 4) != 0)
+      throw new UnsupportedOperationException(
+        "Multi-page table definitions are not supported")
+    val numRealIdx = i32(bytes, base + 0x32)
+    val numCols = u16(bytes, base + 0x2c)
+    var p = base + TdefHeaderLen + numRealIdx * 12
+    val cols = (0 until numCols).map { _ =>
+      val typ = u8(bytes, p)
+      val num = u16(bytes, p + 5)
+      val offV = u16(bytes, p + 7)
+      val flags = u8(bytes, p + 15)
+      val offF = u16(bytes, p + 21)
+      val c = Col("", typ, num, offV, offF, (flags & 0x01) != 0)
+      p += ColDescLen
+      c
+    }
+    val named = cols.map { c =>
+      val nameLen = u16(bytes, p)
+      val name = new String(bytes, p + 2, nameLen, "UTF-16LE")
+      p += 2 + nameLen
+      c.copy(name = name)
+    }
+    Table(tdefPg, named.sortBy(_.num))
+  }
+
+  /** Rows of `table` in (page order, row order), strings-only. */
+  private def tableRows(bytes: Array[Byte], table: Table, maxRows: Int): Seq[Seq[String]] = {
+    val out = ArrayBuffer.empty[Seq[String]]
+    val nPages = bytes.length / PageSize
+    var pg = 1
+    while (pg < nPages && out.length < maxRows) {
+      val base = pg * PageSize
+      if (u8(bytes, base) == 0x01 && i32(bytes, base + 4) == table.tdefPg) {
+        val nRows = u16(bytes, base + 0x0c)
+        var r = 0
+        while (r < nRows && out.length < maxRows) {
+          val raw = u16(bytes, base + 0x0e + 2 * r)
+          val deleted = (raw & 0x8000) != 0
+          val lookup = (raw & 0x4000) != 0 // overflow pointer: skip (doc'd)
+          val start = raw & 0x1fff
+          if (!deleted && !lookup && start > 0 && start < PageSize) {
+            val end =
+              if (r == 0) PageSize
+              else u16(bytes, base + 0x0e + 2 * (r - 1)) & 0x1fff
+            if (end > start) out += decodeRow(bytes, base, start, end, table.cols)
+          }
+          r += 1
+        }
+      }
+      pg += 1
+    }
+    out.toSeq
+  }
+
+  private def decodeRow(
+      bytes: Array[Byte], pageBase: Int, start: Int, end: Int,
+      cols: Seq[Col]): Seq[String] = {
+    val row = java.util.Arrays.copyOfRange(bytes, pageBase + start, pageBase + end)
+    val numCols = u16(row, 0)
+    val maskSz = (numCols + 7) / 8
+    def notNull(c: Int): Boolean =
+      c < numCols && (u8(row, row.length - maskSz + c / 8) & (1 << (c % 8))) != 0
+    val hasVar = cols.exists(!_.fixed)
+    // tail (Jet4): ... [off_n .. off_1 off_0] [u16 varCount] [null mask]
+    val varCount = if (hasVar) u16(row, row.length - maskSz - 2) else 0
+    def varOff(i: Int): Int = u16(row, row.length - maskSz - 2 - 2 * (i + 1))
+    cols.map { c =>
+      if (c.typ == TBool) {
+        // booleans live in the null mask itself: bit set = true
+        if (notNull(c.num)) "1" else "0"
+      } else if (!notNull(c.num)) {
+        null
+      } else if (c.fixed) {
+        val o = 2 + c.offF
+        c.typ match {
+          case TInt => ((u16(row, o) << 16) >> 16).toString
+          case TLong => i32(row, o).toString
+          case TDouble => renderDouble(java.lang.Double.longBitsToDouble(
+            (0 until 8).map(i => (row(o + i) & 0xffL) << (8 * i)).reduce(_ | _)))
+          case _ => null // strings-only contract: unsupported types render null
+        }
+      } else {
+        if (c.offV >= varCount) null
+        else decodeText(row, varOff(c.offV), varOff(c.offV + 1))
+      }
+    }
+  }
+
+  /** Jet4 TEXT: UTF-16LE, or the 0xFF 0xFE "compressed" variant where
+    * runs of 8-bit (latin-1) chars alternate with UTF-16LE runs, toggled
+    * by 0x00 bytes (the published compression scheme for mostly-latin
+    * text).
+    */
+  private def decodeText(row: Array[Byte], from: Int, to: Int): String = {
+    if (to <= from) return ""
+    val len = to - from
+    if (len >= 2 && (row(from) & 0xff) == 0xff && (row(from + 1) & 0xff) == 0xfe) {
+      val sb = new java.lang.StringBuilder
+      var i = from + 2
+      var compressed = true
+      while (i < to) {
+        if (compressed) {
+          if (row(i) == 0x00) { compressed = false; i += 1 }
+          else { sb.append((row(i) & 0xff).toChar); i += 1 }
+        } else {
+          if (i + 1 < to && row(i) == 0x00 && row(i + 1) == 0x00) { compressed = true; i += 2 }
+          else if (i + 1 < to) { sb.append(u16(row, i).toChar); i += 2 }
+          else i = to
+        }
+      }
+      sb.toString
+    } else new String(row, from, len, "UTF-16LE")
+  }
+
+  /** Integer-valued doubles trim to int form ("3.0" → "3") —
+    * [[XlsReader]]/[[ExcelReader]] rendering parity.
+    */
+  private def renderDouble(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+}

@@ -157,12 +157,17 @@ object Readers {
       case Sniffer.Excel => ExcelReader.read(spark, path)
       case Sniffer.Jsonl => jsonl(spark, path)
       case Sniffer.Parquet => spark.read.parquet(path)
+      case Sniffer.Access if path.toLowerCase.endsWith(".mdb") =>
+        // S3: native Jet4 reader (first user table, strings-only —
+        // reference semantics, index.js:66-74). Jet3/ACE/encrypted
+        // surface typed errors from the reader itself.
+        MdbReader.read(spark, path)
       case Sniffer.Access =>
         throw new UnsupportedOperationException(
-          "Access (.accdb/.mdb) requires the ACE OLEDB provider, which the " +
-            "reference itself only supports on Windows (index.js:63,78). " +
-            "No JDBC driver for Access is available offline; export to CSV " +
-            "and use the delimited reader. (SURVEY.md §7.2(6))")
+          ".accdb is the ACE-era format, which the reference itself only " +
+            "reads through the Windows-only ACE OLEDB provider " +
+            "(index.js:63,78). Jet4 .mdb is read natively; for .accdb, " +
+            "export to CSV (or save as .mdb) and re-ingest.")
     }
   }
 }

@@ -52,6 +52,37 @@ object Extensions {
       .orderBy(col("n_nationkey"))
   }
 
+  /** S3 end-to-end: `supplier` rendered as a structurally real Jet4
+    * .mdb (page-0 header, MSysObjects catalog with system/non-table
+    * decoys, TDEF, multi-page Jet4 data rows across LONG/TEXT/DOUBLE
+    * columns), read back through the full dispatching reader stack —
+    * first-user-table, strings-only (reference index.js:66-74
+    * semantics). Fixture content derives only from the sf tables →
+    * plain SQL oracle, the q73 pattern for Access. Null/empty-string
+    * and compressed-text coverage rides MdbSpec.
+    */
+  def qS4MdbRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rows = supplier(s, d)
+      .orderBy(col("s_suppkey"))
+      .collect()
+      .map(r => Seq(Some(r.getLong(0).toString), Some(r.getString(1)),
+        Some(r.getInt(2).toString), Some(r.getDouble(3).toString)))
+    val f = Files.createTempFile("graft_supplier", ".mdb")
+    graft.ingest.MdbFixture.writeMdb(f.toString, "supplier",
+      Seq(("s_suppkey", graft.ingest.MdbFixture.CLong),
+        ("s_name", graft.ingest.MdbFixture.CText),
+        ("s_nationkey", graft.ingest.MdbFixture.CLong),
+        ("s_acctbal", graft.ingest.MdbFixture.CDouble)),
+      rows.toIndexedSeq)
+    graft.ingest.Readers.read(s, f.toString)
+      .select(
+        col("s_suppkey").cast("bigint"),
+        col("s_name"),
+        col("s_nationkey").cast("int"),
+        col("s_acctbal").cast("double"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** S2-legacy end-to-end: `nation` rendered as a real BIFF8 .xls
     * (OLE2 compound file, SST with a forced CONTINUE split, RK/NUMBER
     * numerics), read back through the full dispatching reader stack.
@@ -1515,7 +1546,8 @@ object Extensions {
     "q107_winsorize" -> qA20Winsorize _,
     "q108_impute" -> qA21Impute _,
     "q109_lateral_topk" -> qA22LateralTopK _,
-    "q110_minhash_text" -> qD9MinhashText _)
+    "q110_minhash_text" -> qD9MinhashText _,
+    "q111_mdb_roundtrip" -> qS4MdbRoundtrip _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1552,6 +1584,9 @@ object Extensions {
     "q73_xls_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    "q111_mdb_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey""",
     "q74_chunking" ->
       s"""WITH f AS (
            SELECT doc_id, $toks AS toks, len($toks) AS n

@@ -1,0 +1,110 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MdbSpec extends SparkSpec {
+
+  private def cols = Seq(
+    ("id", MdbFixture.CLong), ("name", MdbFixture.CText),
+    ("score", MdbFixture.CDouble), ("active", MdbFixture.CBool),
+    ("note", MdbFixture.CText))
+
+  private def rows = Seq(
+    Seq(Some("1"), Some("alpha"), Some("3.0"), Some("1"), Some("first note")),
+    Seq(Some("2"), Some("bêta üñí"), Some("2.5"), Some("0"), None),
+    Seq(Some("-3"), None, None, Some("1"), Some("")),
+    Seq(Some("2147483647"), Some("max"), Some("-1.25"), Some("0"), Some("x")))
+
+  private def writeFixture(compress: Boolean = false): String = {
+    val f = Files.createTempFile("graft_fix", ".mdb").toString
+    MdbFixture.writeMdb(f, "people", cols, rows, compressText = compress)
+    f
+  }
+
+  test("round-trips a Jet4 fixture through the dispatching reader, strings-only") {
+    val df = Readers.read(spark, writeFixture())
+    assert(df.columns.toSeq == Seq("id", "name", "score", "active", "note"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val got = df.orderBy(col("id").cast("long")).collect()
+      .map(r => (0 until 5).map(i => r.getString(i)))
+    assert(got.length == 4)
+    assert(got(1) == Seq("1", "alpha", "3", "1", "first note")) // 3.0 → "3"
+    assert(got(2) == Seq("2", "bêta üñí", "2.5", "0", null))    // null text
+    assert(got(0) == Seq("-3", null, null, "1", ""))            // empty ≠ null
+    assert(got(3) == Seq("2147483647", "max", "-1.25", "0", "x"))
+  }
+
+  test("compressed-text variant decodes identically for latin-1 values") {
+    val plain = Readers.read(spark, writeFixture(compress = false))
+      .orderBy(col("id").cast("long")).collect().map(_.toString).toSeq
+    val comp = Readers.read(spark, writeFixture(compress = true))
+      .orderBy(col("id").cast("long")).collect().map(_.toString).toSeq
+    assert(plain == comp)
+  }
+
+  test("first USER table is selected: MSys* and non-table catalog rows skipped") {
+    // the fixture's catalog lists MSysObjects and a non-table object
+    // BEFORE the user table — reading 'people' proves the filter
+    val df = Readers.read(spark, writeFixture())
+    assert(df.columns.contains("name"))
+    assert(df.count() == 4)
+  }
+
+  test("many rows span multiple data pages") {
+    val f = Files.createTempFile("graft_big", ".mdb").toString
+    val big = (0 until 500).map(i =>
+      Seq(Some(i.toString), Some(s"name_$i padded with some text $i"),
+        Some((i / 2.0).toString), Some((i % 2).toString), Some("n" * 50)))
+    MdbFixture.writeMdb(f, "big", cols, big)
+    assert(Files.size(java.nio.file.Paths.get(f)) > 5 * 4096) // really multi-page
+    val got = MdbReader.read(spark, f)
+    assert(got.count() == 500)
+    assert(got.filter(col("id") === "499").collect()(0).getString(1)
+      == "name_499 padded with some text 499")
+  }
+
+  test("preview limit stops early (TOP n parity)") {
+    val (_, r) = MdbReader.readRows(writeFixture(), maxRows = 2)
+    assert(r.length == 2)
+  }
+
+  test("Jet3 and ACE version bytes raise typed errors") {
+    val j3 = Files.createTempFile("graft_j3", ".mdb").toString
+    MdbFixture.writeMdb(j3, "t", cols.take(2), rows.take(1).map(_.take(2)),
+      versionByte = 0x00)
+    val e3 = intercept[UnsupportedOperationException](MdbReader.read(spark, j3))
+    assert(e3.getMessage.contains("Jet3"))
+    val ace = Files.createTempFile("graft_ace", ".mdb").toString
+    MdbFixture.writeMdb(ace, "t", cols.take(2), rows.take(1).map(_.take(2)),
+      versionByte = 0x02)
+    val eA = intercept[UnsupportedOperationException](MdbReader.read(spark, ace))
+    assert(eA.getMessage.contains("ACE"))
+  }
+
+  test("non-Jet bytes and .accdb raise typed errors") {
+    val junk = Files.createTempFile("graft_junk", ".mdb")
+    Files.write(junk, Array.fill[Byte](5000)(42))
+    val e = intercept[IllegalArgumentException](MdbReader.read(spark, junk.toString))
+    assert(e.getMessage.contains("Jet DB signature"))
+    val acc = Files.createTempFile("graft_x", ".accdb")
+    Files.write(acc, Array.fill[Byte](10)(1))
+    val e2 = intercept[UnsupportedOperationException](
+      Readers.read(spark, acc.toString))
+    assert(e2.getMessage.contains(".accdb"))
+  }
+
+  test("corrupt catalog surfaces the typed unreadable error, not a deep crash") {
+    val f = writeFixture()
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    // stomp the catalog TDEF page type
+    bytes(2 * 4096) = 0x07
+    Files.write(java.nio.file.Paths.get(f), bytes)
+    val e = intercept[Exception](MdbReader.read(spark, f))
+    assert(e.isInstanceOf[UnsupportedOperationException] ||
+      e.isInstanceOf[IllegalArgumentException])
+  }
+}
