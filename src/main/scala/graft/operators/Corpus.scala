@@ -455,6 +455,72 @@ object Corpus {
       .drop(gC, keepC)
   }
 
+  /** Per-group boilerplate-line removal (the CCNet/RefinedWeb recipe):
+    * a LINE is boilerplate within a group (domain/source) when it
+    * appears in at least `minDocFrac` of the group's documents — the
+    * shared headers, footers and cookie banners that survive HTML
+    * extraction. Those lines are stripped from every document in the
+    * group; document line order is preserved; groups with fewer than
+    * `minDocs` documents are left untouched (no reliable frequency
+    * signal). Null-group documents pass through unstripped (equality
+    * joins, both engines agree); a fully-boilerplate document keeps its
+    * row with empty text — dropping rows is [[quotaPerGroup]]'s job,
+    * not this operator's.
+    *
+    * Scale shape: one explode of the text into (group, line, pos) rows,
+    * a distinct + count aggregation for per-group line document
+    * frequencies, an anti-join of the lines against the boilerplate
+    * set on (group, line), and an id-keyed reassembly via
+    * array_sort-over-structs (the [[packMaterialize]] pattern — no
+    * collect_list-ordering reliance). Line rows shuffle twice (df
+    * count + reassembly); nothing materializes per-group state larger
+    * than one document.
+    *
+    * Determinism: line splitting, frequency thresholds (`df ≥
+    * frac·nDocs` as one IEEE multiply+compare of integer-derived
+    * values) and ordered reassembly are all expressible identically in
+    * ANSI SQL — oracle gate q112.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      minDocFrac: Double = 0.5,
+      minDocs: Int = 3,
+      sep: String = "\n"): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1, "minDocFrac in (0,1]")
+    require(minDocs >= 1, "minDocs must be positive")
+    val (idT, gT, lineT, posT, textT) =
+      ("_graft_bp_id", "_graft_bp_g", "_graft_bp_line", "_graft_bp_pos", "_graft_bp_text")
+    require(!df.columns.exists(_.startsWith("_graft_bp_")),
+      "input already has _graft_bp_* columns — rename them first")
+    val lines = df.select(
+      cr(idCol).as(idT), cr(groupCol).as(gT),
+      posexplode(split(cr(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq(posT, lineT)))
+    val nDocs = df.groupBy(cr(groupCol).as(gT))
+      .agg(count(lit(1)).as("_graft_bp_n"))
+    val lineDf = lines.select(col(gT), col(lineT), col(idT)).distinct()
+      .groupBy(col(gT), col(lineT)).agg(count(lit(1)).as("_graft_bp_df"))
+    val boiler = lineDf.join(nDocs, Seq(gT))
+      .filter(col("_graft_bp_n") >= minDocs &&
+        col("_graft_bp_df").cast("double") >= lit(minDocFrac) * col("_graft_bp_n"))
+      .select(col(gT), col(lineT))
+    val cleaned = lines.join(boiler, Seq(gT, lineT), "left_anti")
+      .groupBy(col(idT))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(posT), col(lineT)))),
+          x => x.getField(lineT)),
+        sep).as(textT))
+    df.join(cleaned, cr(idCol) === col(idT), "left")
+      .withColumn(textCol,
+        when(cr(textCol).isNull, lit(null.asInstanceOf[String]))
+          .otherwise(coalesce(col(textT), lit(""))))
+      .drop(idT, textT)
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * hash-threshold fraction; strata absent from `fractions` are
     * dropped. The declarative CASE chain keeps the whole operator a

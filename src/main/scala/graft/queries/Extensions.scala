@@ -1025,6 +1025,26 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Per-source boilerplate-line removal end-to-end: every doc gets a
+    * source-branded header and a shared footer planted around its text
+    * (derived only from sf tables → SQL oracle), then
+    * [[graft.operators.Corpus.stripBoilerplate]] must remove exactly
+    * the lines appearing in ≥ half the source's docs — headers and
+    * footers go, unique bodies stay, order preserved.
+    */
+  def qC12StripBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("=== "), col("source"), lit(" header ===")),
+        col("text"),
+        lit("contact us at example dot com")).as("text"))
+    graft.operators.Corpus.stripBoilerplate(
+      messy, "text", "doc_id", "source", minDocFrac = 0.5, minDocs = 3)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quota cap: at most 10 docs per source, chosen by md5
     * order — deterministic and stable under corpus growth.
     */
@@ -1547,7 +1567,8 @@ object Extensions {
     "q108_impute" -> qA21Impute _,
     "q109_lateral_topk" -> qA22LateralTopK _,
     "q110_minhash_text" -> qD9MinhashText _,
-    "q111_mdb_roundtrip" -> qS4MdbRoundtrip _)
+    "q111_mdb_roundtrip" -> qS4MdbRoundtrip _,
+    "q112_strip_boilerplate" -> qC12StripBoilerplate _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1587,6 +1608,33 @@ object Extensions {
     "q111_mdb_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    // q112: identical planting + line-frequency threshold + ordered
+    // reassembly; df >= 0.5*n is one IEEE multiply+compare of
+    // integer-derived values in both engines.
+    "q112_strip_boilerplate" ->
+      """WITH m AS (SELECT doc_id, source,
+             '=== ' || source || ' header ===' || chr(10) || text ||
+               chr(10) || 'contact us at example dot com' AS text
+           FROM documents),
+         ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS parts
+                FROM m),
+         l AS (SELECT doc_id, source, parts,
+                 unnest(generate_series(1, len(parts))) AS pos
+               FROM ls),
+         l2 AS (SELECT doc_id, source, parts[pos] AS line, pos FROM l),
+         nd AS (SELECT source, count(*) AS n_docs FROM m GROUP BY 1),
+         bf AS (SELECT source, line, count(DISTINCT doc_id) AS df
+                FROM l2 GROUP BY 1, 2),
+         boiler AS (SELECT source, line FROM bf JOIN nd USING (source)
+                    WHERE n_docs >= 3
+                      AND CAST(df AS DOUBLE) >= 0.5 * n_docs),
+         kept AS (SELECT l2.doc_id, l2.line, l2.pos
+                  FROM l2 ANTI JOIN boiler USING (source, line)),
+         r AS (SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS text
+               FROM kept GROUP BY doc_id)
+         SELECT m.doc_id, coalesce(r.text, '') AS text
+         FROM m LEFT JOIN r USING (doc_id) ORDER BY m.doc_id""",
     "q74_chunking" ->
       s"""WITH f AS (
            SELECT doc_id, $toks AS toks, len($toks) AS n

@@ -96,6 +96,42 @@ class CorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_tr_keep"))
   }
 
+  test("stripBoilerplate removes frequent lines per group, preserves order and rows") {
+    val d = Seq(
+      (0L, "srcA", "HEADER\nbody zero\nFOOTER"),
+      (1L, "srcA", "HEADER\nbody one\nFOOTER"),
+      (2L, "srcA", "HEADER\nbody two\nmore two\nFOOTER"),
+      (3L, "srcA", "HEADER\nFOOTER"),              // fully boilerplate
+      (4L, "srcB", "HEADER\nbody b\nFOOTER"),       // group under minDocs
+      (5L, "srcB", "HEADER\nother b\nFOOTER")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.stripBoilerplate(d, "text", "doc_id", "source",
+      minDocFrac = 0.5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(0L) == "body zero")
+    assert(out(2L) == "body two\nmore two") // order preserved
+    assert(out(3L) == "")                   // row kept, text emptied
+    // srcB has only 2 docs (< minDocs): untouched
+    assert(out(4L) == "HEADER\nbody b\nFOOTER")
+    assert(out.size == 6)
+    // schema/columns unchanged
+    assert(Corpus.stripBoilerplate(d, "text", "doc_id", "source")
+      .columns.toSeq == d.columns.toSeq)
+  }
+
+  test("stripBoilerplate: null text stays null; null group passes through") {
+    val d = Seq(
+      (0L, Some("g"), Some("X\na")), (1L, Some("g"), Some("X\nb")),
+      (2L, Some("g"), Some("X\nc")), (3L, Some("g"), None),
+      (4L, None: Option[String], Some("X\nz"))
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.stripBoilerplate(d, "text", "doc_id", "source")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(0L).contains("a") && !out(0L).get.contains("X"))
+    assert(out(3L).isEmpty)                    // null text preserved
+    assert(out(4L).contains("X\nz"))           // null group unstripped
+  }
+
   test("contaminationCounts reports every train doc exactly once, 0 when clean") {
     val bench = docs.filter(col("doc_id") === 0)
     val train = docs.filter(col("doc_id") > 0)
