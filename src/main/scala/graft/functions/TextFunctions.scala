@@ -23,6 +23,39 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9']+"), t => length(t) > 0)
 
+  /** HTML → plain text for crawl-corpus extraction, as one codegen'd
+    * regexp_replace chain: script/style blocks and comments drop whole,
+    * every remaining tag becomes a space (tags are word boundaries:
+    * `a</p><p>b` must not fuse into `ab`), the six entities that
+    * dominate real text decode (`&nbsp; &lt; &gt; &quot; &#39;` first,
+    * `&amp;` LAST so `&amp;lt;` decodes once, to `&lt;`), and
+    * whitespace runs collapse to single spaces with ends trimmed.
+    *
+    * Every pattern is deliberately inside the Java∩RE2 regex subset —
+    * lazy quantifiers and inline `(?is)` flags, NO backreferences (RE2
+    * has none, which is why script and style get separate patterns) —
+    * so the DuckDB oracle runs the character-identical chain (q113).
+    * This is extraction-grade cleanup (the trafilatura/jusText
+    * *fallback* path), not a DOM parser: CDATA and malformed nesting
+    * degrade to their literal text rather than erroring.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col, (e, v)) =>
+        // entity names contain no regex metacharacters — the pattern
+        // stays character-identical to the oracle's (\Q..\E would not
+        // parse under RE2)
+        regexp_replace(col, e, v)
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Token-windowed document chunks — the training-pipeline splitter:
     * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
     * stride = chunkTokens − overlap, the last chunk is length-capped,

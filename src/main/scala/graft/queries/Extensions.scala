@@ -1045,6 +1045,28 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML → text extraction end-to-end: document text wrapped in
+    * realistic markup (style/script blocks, comments, attributes, the
+    * six common entities incl. a double-escaped `&amp;lt;`), then
+    * [[TextFunctions.stripHtml]] must recover clean text. The oracle
+    * runs the character-identical regexp chain (Java∩RE2 subset — no
+    * backreferences, same inline flags).
+    */
+  def qT15StripHtml(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><style>p { color: red }</style>" +
+          "<script type=\"text/js\">var x = 1 < 2;</script></head><body><h1>"),
+        col("source"),
+        lit("</h1><!-- crawl artifact --><p class=\"body\">"),
+        col("text"),
+        lit(" &amp;lt; escaped, it&#39;s &quot;done&quot;&nbsp;now</p></body></html>"))
+        .as("html"))
+      .select(col("doc_id"),
+        TextFunctions.stripHtml(col("html")).as("text"))
+      .orderBy(col("doc_id"))
+
   /** Per-source quota cap: at most 10 docs per source, chosen by md5
     * order — deterministic and stable under corpus growth.
     */
@@ -1568,7 +1590,8 @@ object Extensions {
     "q109_lateral_topk" -> qA22LateralTopK _,
     "q110_minhash_text" -> qD9MinhashText _,
     "q111_mdb_roundtrip" -> qS4MdbRoundtrip _,
-    "q112_strip_boilerplate" -> qC12StripBoilerplate _)
+    "q112_strip_boilerplate" -> qC12StripBoilerplate _,
+    "q113_strip_html" -> qT15StripHtml _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1608,6 +1631,40 @@ object Extensions {
     "q111_mdb_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    // q113: the character-identical regexp chain (all patterns in the
+    // Java∩RE2 subset; DuckDB needs the explicit 'g' flag where Spark
+    // replaces globally by default).
+    "q113_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style>p { color: red }</style>' ||
+           '<script type="text/js">var x = 1 < 2;</script></head><body><h1>' ||
+           source || '</h1><!-- crawl artifact --><p class="body">' || text ||
+           ' &amp;lt; escaped, it&#39;s &quot;done&quot;&nbsp;now</p></body></html>'
+             AS html
+         FROM documents)
+         SELECT doc_id, trim(regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(html,
+                     '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' ', 'g'),
+                '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+              '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'),
+            '&amp;', '&', 'g'),
+           '\s+', ' ', 'g')) AS text
+         FROM h ORDER BY doc_id""",
     // q112: identical planting + line-frequency threshold + ordered
     // reassembly; df >= 0.5*n is one IEEE multiply+compare of
     // integer-derived values in both engines.

@@ -108,4 +108,22 @@ class TextFunctionsSpec extends SparkSpec {
       (("https", "x.com", "/a", "")))
     assert(parts("what? really#x") == (("", "", "", "")))
   }
+
+  test("stripHtml drops script/style/comments, spaces tags, decodes entities once") {
+    def strip(s: String): String =
+      one(TF.stripHtml(col("t")), s).asInstanceOf[String]
+    assert(strip("<html><body><h1>Title</h1><p>a b</p></body></html>") == "Title a b")
+    // tags are word boundaries, not fused away
+    assert(strip("a</p><p>b") == "a b")
+    // script/style contents vanish entirely, even with < inside
+    assert(strip("<script>var x = 1 < 2;</script>keep<style>p{}</style>") == "keep")
+    assert(strip("x<!-- hidden -->y") == "x y")
+    // entity decode is single-pass: &amp;lt; -> &lt; (literal), not <
+    assert(strip("it&#39;s &quot;q&quot; 1 &lt; 2 &amp; more") == "it's \"q\" 1 < 2 & more")
+    assert(strip("a&amp;lt;b") == "a&lt;b")
+    assert(strip("a&nbsp;b") == "a b")
+    // malformed nesting degrades to literal text, never errors
+    assert(strip("<p <broken>text") == "text")
+    assert(strip("") == "")
+  }
 }

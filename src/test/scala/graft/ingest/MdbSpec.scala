@@ -97,6 +97,39 @@ class MdbSpec extends SparkSpec {
     assert(e2.getMessage.contains(".accdb"))
   }
 
+  test("fuzz: arbitrary bytes after a valid header only ever raise the typed errors") {
+    // quarantine invariant (same standard as the AVI demux): random
+    // page contents, bit-flipped fixtures, and truncations must never
+    // escape as deep binary errors (ArrayIndexOutOfBounds, NPE, ...)
+    val fixture = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(writeFixture()))
+    val rnd = new scala.util.Random(13)
+    def attempt(bytes: Array[Byte]): Unit = {
+      val f = Files.createTempFile("graft_fuzz", ".mdb")
+      Files.write(f, bytes)
+      try MdbReader.readRows(f.toString, 100)
+      catch {
+        case _: UnsupportedOperationException => ()
+        case _: IllegalArgumentException => ()
+      }
+    }
+    (0 until 60).foreach { i =>
+      // valid page-0 header + random garbage pages
+      val garbage = new Array[Byte](4096 * (1 + rnd.nextInt(4)))
+      rnd.nextBytes(garbage)
+      attempt(java.util.Arrays.copyOf(fixture, 4096) ++ garbage)
+      // bit-flipped real fixture
+      val flipped = fixture.clone()
+      (0 until 20).foreach { _ =>
+        val p = 4096 + rnd.nextInt(flipped.length - 4096)
+        flipped(p) = (flipped(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      attempt(flipped)
+      // truncations
+      attempt(java.util.Arrays.copyOf(fixture, 4096 + i * 367))
+    }
+  }
+
   test("corrupt catalog surfaces the typed unreadable error, not a deep crash") {
     val f = writeFixture()
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
