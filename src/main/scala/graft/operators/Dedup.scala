@@ -540,6 +540,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-ranked cluster survivors: keep each near-dup cluster's
+    * BEST member — rank by the caller's `quality` expression DESC with
+    * id ASC as the deterministic tiebreak — plus every unpaired doc.
+    * This is what production curation actually wants ([[nearDupSurvivors]]
+    * is the quality-blind min-id special case): among near-duplicate
+    * crawl snapshots, keep the longest / highest-scoring one, not the
+    * one with the smallest id.
+    *
+    * Scale shape: [[clusters]] on the edge set, one broadcast-scale join
+    * of the labels onto the (cluster-member) docs, one window rank per
+    * cluster, an anti-join of the losers — cluster volume, not corpus
+    * volume, everywhere past the clustering itself.
+    */
+  def nearDupSurvivorsBy(
+      df: DataFrame, pairs: DataFrame, idCol: String,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val (idT, labT, rnT) = ("_graft_sv_id", "_graft_sv_label", "_graft_sv_rn")
+    require(!df.columns.exists(_.startsWith("_graft_sv_")),
+      "input already has _graft_sv_* columns — rename them first")
+    val labels = clusters(pairs)
+      .select(col("id").as(idT), col("label").as(labT))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labT))
+      .orderBy(quality.desc, graft.ops.Cleanse.colRef(idCol).asc)
+    val losers = df.join(labels, graft.ops.Cleanse.colRef(idCol) === col(idT))
+      .withColumn(rnT, row_number().over(w))
+      .filter(col(rnT) > 1)
+      .select(col(idT).as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dups: word-ngram sets compared exactly over
     * MinHash candidates (LSH does the blocking; word-grams do the
     * verification — the catch-crawl-dup recipe).

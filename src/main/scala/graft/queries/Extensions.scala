@@ -614,6 +614,22 @@ object Extensions {
         threshold = 0.4, dim = 64, bits = 4, tables = 64))
       .orderBy(col("id"))
 
+  /** Quality-ranked survivor selection over the q68 clusters: each
+    * near-dup cluster keeps its highest-quality member (quality =
+    * (vec_id·37) mod 101, a deterministic stand-in both engines derive
+    * identically; id-asc tiebreak), unpaired vectors all survive. The
+    * oracle reuses the exact recursive-CTE clustering and ranks in SQL.
+    */
+  def qD10SurvivorsByQuality(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      pmod(col("vec_id") * 37, lit(101)).as("quality"))
+    val pairs = Similarity.allPairsSimilar(e, "embedding", "vec_id", threshold = 0.4)
+    Dedup.nearDupSurvivorsBy(e, pairs, "vec_id", col("quality"))
+      .select(col("vec_id"), col("quality"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal decode (ORACLE-checked): real PNG bytes encoded per
@@ -1591,7 +1607,8 @@ object Extensions {
     "q110_minhash_text" -> qD9MinhashText _,
     "q111_mdb_roundtrip" -> qS4MdbRoundtrip _,
     "q112_strip_boilerplate" -> qC12StripBoilerplate _,
-    "q113_strip_html" -> qT15StripHtml _)
+    "q113_strip_html" -> qT15StripHtml _,
+    "q114_survivors_by_quality" -> qD10SurvivorsByQuality _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2158,6 +2175,32 @@ object Extensions {
          FROM lineitem l JOIN b USING (l_returnflag)
          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "q68_dedup_clusters" -> exactClustersSql,
+    // q114: same exact clustering, then best-member-per-cluster by
+    // (quality DESC, id ASC); unpaired vectors all survive.
+    "q114_survivors_by_quality" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               $dotExpr / (${normExpr("a")} * ${normExpr("b")}) AS cos
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < b.vec_id)
+           WHERE cos >= 0.4),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         q AS (SELECT vec_id, (vec_id * 37) % 101 AS quality FROM embeddings),
+         ranked AS (SELECT q.vec_id, row_number() OVER (
+               PARTITION BY lab.label
+               ORDER BY q.quality DESC, q.vec_id ASC) AS rn
+             FROM q JOIN lab ON lab.id = q.vec_id)
+         SELECT vec_id, quality FROM q
+         WHERE vec_id NOT IN (SELECT vec_id FROM ranked WHERE rn > 1)
+         ORDER BY vec_id""",
     // q69 runs the LSH-blocked edge path but must reproduce the EXACT
     // clusters — same oracle as q68 by construction.
     "q69_dedup_clusters_lsh" -> exactClustersSql,

@@ -126,6 +126,20 @@ class DedupSpec extends SparkSpec {
       "ee" -> "ee", "ff" -> "ee"))
   }
 
+  test("nearDupSurvivorsBy keeps each cluster's best-quality member") {
+    // cluster {1,2,3} best quality at id 2; pair {5,6} tie broken by id;
+    // 9 unpaired survives untouched
+    val corpus = Seq((1L, 10), (2L, 99), (3L, 50), (5L, 7), (6L, 7), (9L, 1))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupSurvivorsBy(corpus, pairs, "doc_id", col("quality"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 5L, 9L))
+    // quality-blind variant keeps min ids instead
+    assert(Dedup.nearDupSurvivors(corpus, pairs, "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
+  }
+
   test("nearDupSurvivors keeps one doc per cluster plus all unpaired docs") {
     val corpus = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
