@@ -91,7 +91,11 @@ object GraftFunctions {
     ("graft_srp_multi", exprs => exprs match {
       case Seq(c, b, t) => SrpSigMulti(asDoubles(c), intArg(b, "bits"), intArg(t, "tables"))
       case _ => throw new IllegalArgumentException("graft_srp_multi(vec, bits, tables)")
-    }, "graft_srp_multi(vec, bits, tables) - multi-table SRP signatures"))
+    }, "graft_srp_multi(vec, bits, tables) - multi-table SRP signatures"),
+    ("graft_normalize_text", exprs => exprs match {
+      case Seq(c) => NormalizeText(c)
+      case _ => throw new IllegalArgumentException("graft_normalize_text(text)")
+    }, "graft_normalize_text(text) - fused lower+accent-strip+whitespace-collapse"))
   // Note: TextFunctions.chunks is NOT registered here — it is a pure
   // built-in composition (split/slice/transform) that SQL callers can
   // write directly; the registry is reserved for the custom Catalyst

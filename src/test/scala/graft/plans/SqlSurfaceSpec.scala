@@ -41,6 +41,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(4) == 64)
   }
 
+  test("graft_normalize_text is callable from SQL and matches the Column API") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_normalize_text('  Crème\tBRÛLÉE  ') AS n").collect()(0).getString(0)
+    assert(got == "creme brulee")
+    val df = Seq("  Über  dîner ").toDF("t")
+    df.createOrReplaceTempView("sql_norm_t")
+    assert(spark.sql("SELECT graft_normalize_text(t) FROM sql_norm_t")
+      .collect()(0).getString(0) ==
+      df.select(NormalizeTextExpr(col("t"))).collect()(0).getString(0))
+  }
+
   test("SQL results agree with the Column API") {
     GraftFunctions.register(spark)
     val df = Seq("the quick brown fox").toDF("t")
