@@ -62,7 +62,29 @@ object Stress {
         col("doc_id"), col("n_chars"), 2048L).count())
     time("temperature resample (alpha=0.5 by lang)")(
       Corpus.temperatureResample(docs, "doc_id", "lang").count())
+
+    // round-7 operators over the same adversarial replica
+    time("strip boilerplate (per-source frequent lines)")(
+      Corpus.stripBoilerplate(
+        docs.withColumn("text",
+          concat_ws("\n", concat(lit("=== "), col("source"), lit(" ===")),
+            col("text"), lit("footer line"))),
+        "text", "doc_id", "source").count())
+    time("strip html (regex chain)")(
+      docs.select(graft.functions.TextFunctions.stripHtml(
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+        .as("t")).filter(length(col("t")) > 0).count())
+    time("survivors by quality over LSH near-dup edges")(
+      Dedup.nearDupSurvivorsBy(
+        embs, Similarity.embeddingNearDups(embs, "embedding", "vec_id",
+          threshold = 0.9, dim = 64, bits = 8, tables = 16),
+        "vec_id", col("vec_id") % 97).count())
+
     val evPath = args.lift(2).getOrElse("/tmp/sf1_events.parquet")
+    if (!new java.io.File(evPath).exists()) {
+      println(s"[stress] events replica missing at $evPath — skipping event ops")
+      spark.stop(); return
+    }
     val ev = spark.read.parquet(evPath).repartition(32)
     println(s"[stress] events=${ev.count()}")
     time("funnel view->click->purchase")(
