@@ -339,6 +339,37 @@ object Corpus {
       .drop(rn)
   }
 
+  /** Token-budget quota per group — the data-mixing twin of
+    * [[quotaPerGroup]]: documents are admitted in deterministic md5
+    * order until the group's CUMULATIVE token count reaches `budget`
+    * (pretraining mixes are specified in tokens, not documents, so a
+    * doc-count cap over-weights short-doc sources). A document is kept
+    * iff the tokens BEFORE it are under budget — the boundary doc
+    * straddles in (same policy as [[packSequences]]), so every
+    * non-empty group keeps at least one document and the kept total
+    * overshoots by at most one document.
+    *
+    * Scale shape: one hash-partition shuffle on the group + an
+    * in-partition running sum; selection is stable under corpus growth
+    * and repartitioning (the [[quotaPerGroup]] md5 argument).
+    */
+  def tokenQuotaPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val prev = "_graft_tq_prev"
+    require(!df.columns.contains(prev), s"column $prev already exists")
+    val w = Window.partitionBy(cr(groupCol))
+      .orderBy(md5(cr(idCol).cast("string")), cr(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(prev, coalesce(sum(tokens.cast("long")).over(w), lit(0L)))
+      .filter(col(prev) < budget)
+      .drop(prev)
+  }
+
   /** Keep-decision column for a deterministic Bernoulli(frac) sample:
     * true iff the first 8 hex chars of md5(id) sort below the quantized
     * threshold (fractions quantize to 1/2³²). Same engine-portable

@@ -1089,6 +1089,16 @@ object Extensions {
   def qC3QuotaSample(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.quotaPerGroup(documents(s, d), "source", "doc_id", cap = 10)
       .select(col("doc_id"), col("source"))
+
+  /** Token-budget quota: each source admits docs in md5 order until
+    * 5000 cumulative "tokens" (n_chars as the stand-in); the boundary
+    * doc straddles in. Oracle = the identical running-sum window.
+    */
+  def qC13TokenQuota(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.tokenQuotaPerGroup(
+      documents(s, d), "source", "doc_id", col("n_chars"), budget = 5000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
       .orderBy(col("doc_id"))
 
   /** Stratified hash sampling: per-lang keep fractions rebalancing the
@@ -1608,7 +1618,8 @@ object Extensions {
     "q111_mdb_roundtrip" -> qS4MdbRoundtrip _,
     "q112_strip_boilerplate" -> qC12StripBoilerplate _,
     "q113_strip_html" -> qT15StripHtml _,
-    "q114_survivors_by_quality" -> qD10SurvivorsByQuality _)
+    "q114_survivors_by_quality" -> qD10SurvivorsByQuality _,
+    "q115_token_quota" -> qC13TokenQuota _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2243,6 +2254,15 @@ object Extensions {
          SELECT doc_id AS id, coalesce(n_shared, 0) AS n_shared
          FROM documents LEFT JOIN sh ON sh.id = doc_id
          WHERE doc_id % 10 <> 0 ORDER BY id""",
+    "q115_token_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM documents)
+         WHERE prev < 5000 ORDER BY doc_id""",
     "q79_quota_sample" ->
       """SELECT doc_id, source FROM documents
          QUALIFY row_number() OVER (

@@ -187,6 +187,24 @@ class CorpusSpec extends SparkSpec {
     assert(keptGrown == expected(2000))
   }
 
+  test("tokenQuotaPerGroup admits docs until the budget, boundary doc straddles in") {
+    val d = (0L until 100L).map(i => (i, "g", 10L + i % 5)).toDF("id", "grp", "toks")
+    val kept = Corpus.tokenQuotaPerGroup(d, "grp", "id", col("toks"), budget = 120L)
+    val rows = kept.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    assert(total >= 120L)                       // budget reached
+    assert(total - rows.map(_._2).max < 120L)   // overshoot ≤ one doc
+    // deterministic under repartitioning
+    val again = Corpus.tokenQuotaPerGroup(
+      d.repartition(13), "grp", "id", col("toks"), 120L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
+    // a doc larger than the whole budget still admits when it is first
+    val huge = Seq((1L, "g", 1000L)).toDF("id", "grp", "toks")
+    assert(Corpus.tokenQuotaPerGroup(huge, "grp", "id", col("toks"), 10L)
+      .count() == 1)
+  }
+
   test("hashSample matches fraction and is partition-independent") {
     val df = spark.range(20000).toDF("id")
     val a = Corpus.hashSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
