@@ -339,6 +339,58 @@ object Corpus {
       .drop(rn)
   }
 
+  /** Global exact paragraph dedup (the RefinedWeb/MassiveText stage,
+    * distinct from [[stripBoilerplate]]'s per-group frequency rule):
+    * every repeated paragraph keeps exactly its FIRST occurrence —
+    * ordered by (id, position) — and loses all others, corpus-wide.
+    * Paragraphs shorter than `minChars` are exempt (blank separators
+    * and stubby fragments carry no duplication signal and must not
+    * collapse across unrelated documents). Document paragraph order is
+    * preserved; rows are preserved (a fully-deduped document keeps an
+    * empty-text row).
+    *
+    * Scale shape: explode into (id, pos, para), one hash shuffle on
+    * md5(para) for the keep-first window (32-char digests ride the
+    * shuffle with slim keys; the window state per paragraph group is
+    * the group itself — bounded by the copy count of one paragraph),
+    * then the same id-keyed ordered reassembly as [[stripBoilerplate]].
+    * Determinism: first-occurrence is a total (id, pos) order, no
+    * hashing ties — oracle gate q116 runs the identical window in SQL.
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minChars: Int = 20,
+      sep: String = "\n"): DataFrame = {
+    require(minChars >= 0, "minChars must be non-negative")
+    val (idT, posT, paraT, rnT, textT) =
+      ("_graft_pd_id", "_graft_pd_pos", "_graft_pd_para", "_graft_pd_rn", "_graft_pd_text")
+    require(!df.columns.exists(_.startsWith("_graft_pd_")),
+      "input already has _graft_pd_* columns — rename them first")
+    val paras = df.select(
+      cr(idCol).as(idT),
+      posexplode(split(cr(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq(posT, paraT)))
+    val w = Window.partitionBy(md5(col(paraT)))
+      .orderBy(col(idT).asc, col(posT).asc)
+    val kept = paras
+      .withColumn(rnT, row_number().over(w))
+      .filter(length(col(paraT)) < minChars || col(rnT) === 1)
+    val cleaned = kept
+      .groupBy(col(idT))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(posT), col(paraT)))),
+          x => x.getField(paraT)),
+        sep).as(textT))
+    df.join(cleaned, cr(idCol) === col(idT), "left")
+      .withColumn(textCol,
+        when(cr(textCol).isNull, lit(null.asInstanceOf[String]))
+          .otherwise(coalesce(col(textT), lit(""))))
+      .drop(idT, textT)
+  }
+
   /** Token-budget quota per group — the data-mixing twin of
     * [[quotaPerGroup]]: documents are admitted in deterministic md5
     * order until the group's CUMULATIVE token count reaches `budget`

@@ -1090,6 +1090,24 @@ object Extensions {
     graft.operators.Corpus.quotaPerGroup(documents(s, d), "source", "doc_id", cap = 10)
       .select(col("doc_id"), col("source"))
 
+  /** Global exact paragraph dedup end-to-end: every doc carries a
+    * per-source promo paragraph (repeated across the source's docs) on
+    * top of its unique body; only the source's first doc (by id) keeps
+    * the promo, every body survives, order preserved. Oracle = the
+    * identical keep-first window in SQL.
+    */
+  def qC14DedupParagraphs(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        concat(lit("subscribe to the "), col("source"),
+          lit(" newsletter today for updates"))).as("text"))
+    graft.operators.Corpus.dedupParagraphs(messy, "text", "doc_id", minChars = 20)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget quota: each source admits docs in md5 order until
     * 5000 cumulative "tokens" (n_chars as the stand-in); the boundary
     * doc straddles in. Oracle = the identical running-sum window.
@@ -1619,7 +1637,8 @@ object Extensions {
     "q112_strip_boilerplate" -> qC12StripBoilerplate _,
     "q113_strip_html" -> qT15StripHtml _,
     "q114_survivors_by_quality" -> qD10SurvivorsByQuality _,
-    "q115_token_quota" -> qC13TokenQuota _)
+    "q115_token_quota" -> qC13TokenQuota _,
+    "q116_dedup_paragraphs" -> qC14DedupParagraphs _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2254,6 +2273,27 @@ object Extensions {
          SELECT doc_id AS id, coalesce(n_shared, 0) AS n_shared
          FROM documents LEFT JOIN sh ON sh.id = doc_id
          WHERE doc_id % 10 <> 0 ORDER BY id""",
+    // q116: identical keep-first window over exploded paragraphs; short
+    // paragraphs (< 20 chars) are exempt in both engines.
+    "q116_dedup_paragraphs" ->
+      """WITH m AS (SELECT doc_id,
+             text || chr(10) || 'subscribe to the ' || source ||
+               ' newsletter today for updates' AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM m),
+         l AS (SELECT doc_id, parts,
+                 unnest(generate_series(1, len(parts))) AS pos
+               FROM ls),
+         l2 AS (SELECT doc_id, parts[pos] AS para, pos FROM l),
+         r AS (SELECT doc_id, para, pos, row_number() OVER (
+                 PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+               FROM l2),
+         kept AS (SELECT doc_id, para, pos FROM r
+                  WHERE len(para) < 20 OR rn = 1),
+         agg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+                 FROM kept GROUP BY doc_id)
+         SELECT m.doc_id, coalesce(agg.text, '') AS text
+         FROM m LEFT JOIN agg USING (doc_id) ORDER BY m.doc_id""",
     "q115_token_quota" ->
       """SELECT doc_id, source, n_chars FROM (
            SELECT doc_id, source, n_chars,

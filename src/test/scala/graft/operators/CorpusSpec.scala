@@ -187,6 +187,22 @@ class CorpusSpec extends SparkSpec {
     assert(keptGrown == expected(2000))
   }
 
+  test("dedupParagraphs keeps first occurrence globally, exempts short paragraphs") {
+    val d = Seq(
+      (0L, "unique body zero\nthis paragraph repeats everywhere\n--"),
+      (1L, "this paragraph repeats everywhere\nunique body one\n--"),
+      (2L, "this paragraph repeats everywhere"),
+      (3L, "unique body three")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupParagraphs(d, "text", "doc_id", minChars = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0 owns the first occurrence; "--" is short → exempt everywhere
+    assert(out(0L) == "unique body zero\nthis paragraph repeats everywhere\n--")
+    assert(out(1L) == "unique body one\n--")
+    assert(out(2L) == "") // fully deduped, row preserved
+    assert(out(3L) == "unique body three")
+  }
+
   test("tokenQuotaPerGroup admits docs until the budget, boundary doc straddles in") {
     val d = (0L until 100L).map(i => (i, "g", 10L + i % 5)).toDF("id", "grp", "toks")
     val kept = Corpus.tokenQuotaPerGroup(d, "grp", "id", col("toks"), budget = 120L)
