@@ -349,13 +349,18 @@ object Corpus {
     * preserved; rows are preserved (a fully-deduped document keeps an
     * empty-text row).
     *
-    * Scale shape: explode into (id, pos, para), one hash shuffle on
-    * md5(para) for the keep-first window (32-char digests ride the
-    * shuffle with slim keys; the window state per paragraph group is
-    * the group itself — bounded by the copy count of one paragraph),
-    * then the same id-keyed ordered reassembly as [[stripBoilerplate]].
+    * Scale shape: explode into (id, pos, para), then keep-first as a
+    * partial-aggregated `min(struct(id, pos))` per paragraph hash
+    * joined back onto the lines — deliberately NOT a window: a
+    * boilerplate paragraph repeated across millions of documents would
+    * be one hot window partition (a single-task sort AQE cannot
+    * split), while the min-aggregation combines map-side and the
+    * equi-join on the hash is AQE-skew-splittable. Then the same
+    * id-keyed ordered reassembly as [[stripBoilerplate]].
     * Determinism: first-occurrence is a total (id, pos) order, no
-    * hashing ties — oracle gate q116 runs the identical window in SQL.
+    * hashing ties — oracle gate q116 runs the equivalent keep-first
+    * window in SQL (identical result; the window is fine at oracle
+    * scale).
     */
   def dedupParagraphs(
       df: DataFrame,
@@ -364,19 +369,22 @@ object Corpus {
       minChars: Int = 20,
       sep: String = "\n"): DataFrame = {
     require(minChars >= 0, "minChars must be non-negative")
-    val (idT, posT, paraT, rnT, textT) =
-      ("_graft_pd_id", "_graft_pd_pos", "_graft_pd_para", "_graft_pd_rn", "_graft_pd_text")
+    val (idT, posT, paraT, hT, fT, textT) =
+      ("_graft_pd_id", "_graft_pd_pos", "_graft_pd_para",
+        "_graft_pd_h", "_graft_pd_first", "_graft_pd_text")
     require(!df.columns.exists(_.startsWith("_graft_pd_")),
       "input already has _graft_pd_* columns — rename them first")
     val paras = df.select(
       cr(idCol).as(idT),
       posexplode(split(cr(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq(posT, paraT)))
-    val w = Window.partitionBy(md5(col(paraT)))
-      .orderBy(col(idT).asc, col(posT).asc)
-    val kept = paras
-      .withColumn(rnT, row_number().over(w))
-      .filter(length(col(paraT)) < minChars || col(rnT) === 1)
+      .withColumn(hT, md5(col(paraT)))
+    // keep-first via partial-aggregated min, not a window (see scaladoc)
+    val firsts = paras.groupBy(col(hT))
+      .agg(min(struct(col(idT), col(posT))).as(fT))
+    val kept = paras.join(firsts, Seq(hT))
+      .filter(length(col(paraT)) < minChars ||
+        struct(col(idT), col(posT)) === col(fT))
     val cleaned = kept
       .groupBy(col(idT))
       .agg(array_join(
