@@ -411,7 +411,11 @@ object Corpus {
     *
     * Scale shape: one hash-partition shuffle on the group + an
     * in-partition running sum; selection is stable under corpus growth
-    * and repartitioning (the [[quotaPerGroup]] md5 argument).
+    * and repartitioning (the [[quotaPerGroup]] md5 argument). Same
+    * hot-group caveat as [[quotaPerGroup]]: a pathologically large
+    * group sorts on one task (AQE does not split window partitions) —
+    * pre-thin it with [[hashSample]] at roughly budget/groupTokens
+    * before the exact cut.
     */
   def tokenQuotaPerGroup(
       df: DataFrame,
