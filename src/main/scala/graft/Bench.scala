@@ -44,17 +44,28 @@ object Bench {
         catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
-    // Median-of-3 per query (+ per-query spread in the JSON): the host
-    // shows heavy run-to-run contention noise (the same query measured
-    // 0.5s and 4.8s in adjacent suite runs); the median resists a single
-    // contended rep in either direction, and max-min spread makes the
-    // noise floor visible instead of silently folded in. clearCache
-    // BETWEEN reps: operators that persist intermediates (the dedup
-    // pipelines) build identical plans on later reps, and CacheManager
-    // would otherwise substitute rep 1's materialized cache — timing a
-    // cache-hit run, not full work. Clearing also stops cached
-    // intermediates accumulating across the suite.
+    // INTERLEAVED passes + adaptive reps: the host shows heavy
+    // run-to-run contention noise (the same query measured 0.5s and
+    // 4.8s in adjacent suite runs; three consecutive rounds of verdict
+    // adjudication traced 2-4x "regressions" on untouched code to
+    // suite contention). Two defenses:
+    //   1. Reps are interleaved ACROSS the suite (pass 1 of every
+    //      query, then pass 2, ...) instead of back-to-back per query,
+    //      so a contended time window taxes ONE rep of several queries
+    //      — which the per-query median then discards — rather than
+    //      every rep of one query, which no statistic can repair.
+    //   2. Queries whose running median is under 2s (where a single
+    //      contended rep is a 2-4x swing) get extra interleaved passes
+    //      until they carry >=5 reps; slow queries keep the base rep
+    //      count since their medians were already reproducible.
+    // clearCache BETWEEN reps: operators that persist intermediates
+    // (the dedup pipelines) build identical plans on later reps, and
+    // CacheManager would otherwise substitute rep 1's materialized
+    // cache — timing a cache-hit run, not full work. Clearing also
+    // stops cached intermediates accumulating across the suite.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val fastReps = sys.env.getOrElse("SPARK_GRAFT_FAST_REPS", "5").toInt.max(reps)
+    val fastCutSec = sys.env.getOrElse("SPARK_GRAFT_FAST_CUT_SEC", "2.0").toDouble
     // session accessor with post-failure recovery (same pattern as
     // Verify): a context-killing query must not silently void the rest
     // of the suite with near-zero "timings" of instant failures
@@ -72,30 +83,47 @@ object Bench {
       }
       active
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // a failed rep reports NO timing: recording time-to-failure would
-      // let times.min publish a fast "success" for a query that threw
-      val times = (1 to reps).flatMap { _ =>
-        val s = session()
-        s.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          fn(s, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-        }
-      }
-      name -> times
-    }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val timesByName = scala.collection.mutable.LinkedHashMap(
+      queryList.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    val attemptsByName = scala.collection.mutable.Map(
+      queryList.map { case (name, _) => name -> 0 }: _*)
+    // a failed rep reports NO timing: recording time-to-failure would
+    // let the median publish a fast "success" for a query that threw
+    def runPass(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
+      subset.foreach { case (name, fn) =>
+        val s = session()
+        s.catalog.clearCache()
+        attemptsByName(name) += 1
+        val t0 = System.nanoTime()
+        try {
+          fn(s, sfDir).write.mode("overwrite").format("noop").save()
+          timesByName(name) = timesByName(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      }
+    (1 to reps).foreach(_ => runPass(queryList))
+    // Adaptive passes for the noise-prone fast queries. The pass cap
+    // bounds work when a query alternates success/failure and can
+    // never accumulate fastReps successful reps.
+    var extraPass = 0
+    var pending = true
+    while (pending && extraPass < fastReps) {
+      val fast = queryList.filter { case (name, _) =>
+        val ts = timesByName(name)
+        ts.nonEmpty && ts.size < fastReps && median(ts) < fastCutSec
+      }
+      if (fast.isEmpty) pending = false
+      else { runPass(fast); extraPass += 1 }
+    }
+    val results = queryList.map { case (name, _) => name -> timesByName(name) }
     // -1 marks an all-reps failure; spread = max-min over successful reps
     val meds = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) -1.0 else median(ts))
@@ -116,6 +144,9 @@ object Bench {
     val spread = results.map { case (k, ts) =>
       "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"
     }.mkString("{", ",", "}")
+    val repCounts = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.size
+    }.mkString("{", ",", "}")
     val longQs = meds.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = meds.map(_._2).filter(_ >= 0).sum
@@ -123,7 +154,7 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption).getOrElse(-1.0)
     System.err.println(
-      f"""[bench-detail] {"queries":$longQs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+      f"""[bench-detail] {"queries":$longQs,"spread":$spread,"n":$repCounts,"reps":$reps,"sf":"$sfDir"}""")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":$sfNum%.3f}"""
     require(line.length < 1800, s"bench JSON line too long: ${line.length}")
