@@ -32,8 +32,24 @@ object MdbFixture {
   case object CLong extends ColType
   case object CBool extends ColType
   case object CDouble extends ColType
+  /** value = decimal string, ≤4 fraction digits (scaled-int64 storage) */
+  case object CMoney extends ColType
+  /** value = `yyyy-MM-dd` or `yyyy-MM-dd HH:mm:ss` (double-days storage) */
+  case object CDate extends ColType
+  /** value = braced registry-format guid */
+  case object CGuid extends ColType
+  /** long text; storage auto-selected by encoded size — inline (≤64 B),
+    * one LVAL row (≤[[LvalChunk]] B), or a chained multi-row LVAL walk
+    */
+  case object CMemo extends ColType
 
   private val PageSize = 4096
+
+  /** Max LVAL row payload per chunk — small enough that several chunk
+    * rows share a page, large enough that big memos chain across pages.
+    */
+  private val LvalChunk = 1800
+  private val InlineMax = 64
 
   def writeMdb(
       path: String,
@@ -58,14 +74,159 @@ object MdbFixture {
     pages += tdefPage(catalogCols, catalogRows.length)
     pages += null // page 3 reserved: catalog data (owner = 2)
     pages += tdefPage(columns, rows.length)
-    val catData = dataPages(2, catalogCols, catalogRows, compressText = false)
+    val catData = dataPages(2, catalogCols, catalogRows, compressText = false,
+      Seq.fill(catalogRows.length)(Map.empty[Int, Array[Byte]]))
     require(catData.length == 1, "catalog fixture must fit one page")
     pages.buf(3) = catData.head
-    dataPages(userTdefPg, columns, rows, compressText).foreach(pages += _)
+    // memo plan: every CMemo value becomes a 12-byte header (+ inline
+    // bytes) in its row's variable block; non-inline values also place
+    // rows on LVAL pages, which sit at pages 5.. so their record
+    // pointers are known before the data pages are encoded
+    val memoCols = columns.zipWithIndex.collect { case ((_, CMemo), i) => i }
+    val lval = new LvalAlloc(firstPg = 5)
+    val memoPlan: Seq[Map[Int, Array[Byte]]] = rows.map { values =>
+      memoCols.flatMap { ci =>
+        values(ci).map(s => ci -> lval.memoField(encodeText(s, compressText)))
+      }.toMap
+    }
+    lval.pages().foreach(pages += _)
+    dataPages(userTdefPg, columns, rows, compressText, memoPlan).foreach(pages += _)
 
     val out = new ByteArrayOutputStream()
     pages.buf.foreach(out.write)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
+  }
+
+  /** Variant with rows relocated to an overflow page: for each index in
+    * `overflowIdx`, the main data page's directory entry is flagged
+    * 0x4000 and holds only a 4-byte record pointer to the row's real
+    * home on a second, owner-tagged data page — the layout Jet produces
+    * when an update outgrows the row's original page. No memo columns.
+    */
+  def writeMdbWithOverflow(
+      path: String,
+      tableName: String,
+      columns: Seq[(String, ColType)],
+      rows: Seq[Seq[Option[String]]],
+      overflowIdx: Set[Int]): Unit = {
+    require(columns.forall(_._2 != CMemo), "overflow fixture excludes memo columns")
+    val userTdefPg = 4
+    val catalogCols = Seq(
+      ("Id", CLong), ("Name", CText), ("Type", CLong), ("Flags", CLong))
+    val catalogRows = Seq(
+      Seq(Some("2"), Some("MSysObjects"), Some("1"), Some("-2147483646")),
+      Seq(Some(userTdefPg.toString), Some(tableName), Some("1"), Some("0")))
+    val pages = ArrayBufferOfPages()
+    pages += headerPage(0x01)
+    pages += new Array[Byte](PageSize)
+    pages += tdefPage(catalogCols, catalogRows.length)
+    pages += dataPages(2, catalogCols, catalogRows, compressText = false,
+      Seq.fill(catalogRows.length)(Map.empty[Int, Array[Byte]])).head
+    pages += tdefPage(columns, rows.length)
+    val enc = rows.map(v => encodeRow(columns, v, compressText = false, Map.empty))
+    val overflowRows = rows.indices.filter(overflowIdx.contains)
+    // page 6 holds the relocated rows as ordinary rows
+    val mainPg = new Array[Byte](PageSize)
+    mainPg(0) = 0x01; mainPg(1) = 0x01
+    putI32(mainPg, 4, userTdefPg)
+    putU16(mainPg, 0x0c, rows.length)
+    var end = PageSize
+    rows.indices.foreach { i =>
+      val content =
+        if (overflowIdx.contains(i)) {
+          val ptr = new Array[Byte](4)
+          putI32(ptr, 0, (overflowRows.indexOf(i) << 24) | 6)
+          ptr
+        } else enc(i)
+      val start = end - content.length
+      System.arraycopy(content, 0, mainPg, start, content.length)
+      putU16(mainPg, 0x0e + 2 * i,
+        if (overflowIdx.contains(i)) start | 0x4000 else start)
+      end = start
+    }
+    putU16(mainPg, 2, end - (0x0e + 2 * rows.length))
+    pages += mainPg
+    val ovPg = new Array[Byte](PageSize)
+    ovPg(0) = 0x01; ovPg(1) = 0x01
+    putI32(ovPg, 4, userTdefPg)
+    putU16(ovPg, 0x0c, overflowRows.length)
+    var end2 = PageSize
+    overflowRows.zipWithIndex.foreach { case (ri, slot) =>
+      val start = end2 - enc(ri).length
+      System.arraycopy(enc(ri), 0, ovPg, start, enc(ri).length)
+      putU16(ovPg, 0x0e + 2 * slot, start)
+      end2 = start
+    }
+    putU16(ovPg, 2, end2 - (0x0e + 2 * overflowRows.length))
+    pages += ovPg
+    val out = new ByteArrayOutputStream()
+    pages.buf.foreach(out.write)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
+  }
+
+  /** Allocates LVAL rows across `LVAL`-tagged pages numbered from
+    * `firstPg`; chained memos place their chunks in reverse so each
+    * chunk's leading next-pointer is known when it is written.
+    */
+  private final class LvalAlloc(firstPg: Int) {
+    private val pageRows =
+      scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+    private var free = PageSize - 0x0e
+
+    private def place(content: Array[Byte]): Int = {
+      if (content.length + 2 > free) {
+        pageRows += scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        free = PageSize - 0x0e
+      }
+      require(content.length + 2 <= free, "LVAL row larger than a page")
+      val ptr = (pageRows.last.length << 24) | (firstPg + pageRows.length - 1)
+      pageRows.last += content
+      free -= content.length + 2
+      ptr
+    }
+
+    def memoField(enc: Array[Byte]): Array[Byte] = {
+      if (enc.length <= InlineMax) {
+        val b = new Array[Byte](12 + enc.length)
+        putI32(b, 0, enc.length | 0x80 << 24)
+        System.arraycopy(enc, 0, b, 12, enc.length)
+        b
+      } else if (enc.length <= LvalChunk) {
+        val b = new Array[Byte](12)
+        putI32(b, 0, enc.length | 0x40 << 24)
+        putI32(b, 4, place(enc))
+        b
+      } else {
+        var next = 0
+        enc.grouped(LvalChunk).toSeq.reverse.foreach { ch =>
+          val content = new Array[Byte](4 + ch.length)
+          putI32(content, 0, next)
+          System.arraycopy(ch, 0, content, 4, ch.length)
+          next = place(content)
+        }
+        val b = new Array[Byte](12)
+        putI32(b, 0, enc.length)
+        putI32(b, 4, next)
+        b
+      }
+    }
+
+    def pages(): Seq[Array[Byte]] = pageRows.filter(_.nonEmpty).toSeq.map { rs =>
+      val p = new Array[Byte](PageSize)
+      p(0) = 0x01; p(1) = 0x01
+      System.arraycopy("LVAL".getBytes("US-ASCII"), 0, p, 4, 4)
+      putU16(p, 0x0c, rs.length)
+      var end = PageSize
+      rs.zipWithIndex.foreach { case (r, i) =>
+        val start = end - r.length
+        System.arraycopy(r, 0, p, start, r.length)
+        putU16(p, 0x0e + 2 * i, start)
+        end = start
+      }
+      putU16(p, 2, end - (0x0e + 2 * rs.length))
+      p
+    }
   }
 
   // tiny growable page list with slot replacement (page 3 is reserved
@@ -88,6 +249,8 @@ object MdbFixture {
   private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
     b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
   }
+  private def putI64(b: Array[Byte], o: Int, v: Long): Unit =
+    (0 until 8).foreach(k => b(o + k) = ((v >> (8 * k)) & 0xff).toByte)
   private def putI32(b: Array[Byte], o: Int, v: Int): Unit = {
     b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
     b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
@@ -95,23 +258,29 @@ object MdbFixture {
 
   private def fixedLen(t: ColType): Int = t match {
     case CLong => 4
-    case CDouble => 8
+    case CDouble | CMoney | CDate => 8
+    case CGuid => 16
     case CBool => 0 // value lives in the null mask
-    case CText => 0
+    case CText | CMemo => 0
   }
   private def typeCode(t: ColType): Int = t match {
     case CBool => 0x01
     case CLong => 0x04
+    case CMoney => 0x05
     case CDouble => 0x07
+    case CDate => 0x08
     case CText => 0x0a
+    case CMemo => 0x0c
+    case CGuid => 0x0f
   }
+  private def isVar(t: ColType): Boolean = t == CText || t == CMemo
 
   private def tdefPage(columns: Seq[(String, ColType)], numRows: Int): Array[Byte] = {
     val p = new Array[Byte](PageSize)
     p(0) = 0x02; p(1) = 0x01
     putI32(p, 4, 0) // single-page TDEF
     putI32(p, 0x10, numRows)
-    val varCols = columns.filter(_._2 == CText)
+    val varCols = columns.filter(c => isVar(c._2))
     putU16(p, 0x28, columns.length)
     putU16(p, 0x2a, varCols.length)
     putU16(p, 0x2c, columns.length)
@@ -123,10 +292,10 @@ object MdbFixture {
     columns.zipWithIndex.foreach { case ((_, t), i) =>
       p(o) = typeCode(t).toByte
       putU16(p, o + 5, i)
-      putU16(p, o + 7, if (t == CText) { val v = varIdx; varIdx += 1; v } else 0xffff)
+      putU16(p, o + 7, if (isVar(t)) { val v = varIdx; varIdx += 1; v } else 0xffff)
       putU16(p, o + 9, i)
-      p(o + 15) = (if (t == CText) 0x02 else 0x03).toByte // bit 0: fixed
-      putU16(p, o + 21, if (t == CText) 0 else { val f = fixedOff; fixedOff += fixedLen(t); f })
+      p(o + 15) = (if (isVar(t)) 0x02 else 0x03).toByte // bit 0: fixed
+      putU16(p, o + 21, if (isVar(t)) 0 else { val f = fixedOff; fixedOff += fixedLen(t); f })
       putU16(p, o + 23, fixedLen(t))
       o += 25
     }
@@ -151,7 +320,7 @@ object MdbFixture {
 
   private def encodeRow(
       columns: Seq[(String, ColType)], values: Seq[Option[String]],
-      compressText: Boolean): Array[Byte] = {
+      compressText: Boolean, memo: Map[Int, Array[Byte]]): Array[Byte] = {
     val n = columns.length
     val maskSz = (n + 7) / 8
     val fixed = new ByteArrayOutputStream()
@@ -165,22 +334,52 @@ object MdbFixture {
           fixed.write(b); if (v.isDefined) setNotNull(i)
         case CDouble =>
           val b = new Array[Byte](8)
+          v.foreach(s => putI64(b, 0, java.lang.Double.doubleToLongBits(s.toDouble)))
+          fixed.write(b); if (v.isDefined) setNotNull(i)
+        case CMoney =>
+          val b = new Array[Byte](8)
+          v.foreach(s => putI64(b, 0,
+            new java.math.BigDecimal(s).setScale(4).unscaledValue().longValueExact()))
+          fixed.write(b); if (v.isDefined) setNotNull(i)
+        case CDate =>
+          val b = new Array[Byte](8)
           v.foreach { s =>
-            val bits = java.lang.Double.doubleToLongBits(s.toDouble)
-            (0 until 8).foreach(k => b(k) = ((bits >> (8 * k)) & 0xff).toByte)
+            val dt =
+              if (s.contains(' ')) java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              else java.time.LocalDate.parse(s).atStartOfDay
+            val days = java.time.temporal.ChronoUnit.DAYS
+              .between(java.time.LocalDate.of(1899, 12, 30), dt.toLocalDate).toDouble +
+              dt.toLocalTime.toSecondOfDay / 86400.0
+            putI64(b, 0, java.lang.Double.doubleToLongBits(days))
+          }
+          fixed.write(b); if (v.isDefined) setNotNull(i)
+        case CGuid =>
+          val b = new Array[Byte](16)
+          v.foreach { s =>
+            val g = s.stripPrefix("{").stripSuffix("}").split("-")
+            require(g.length == 5, s"bad guid: $s")
+            putI32(b, 0, java.lang.Long.parseLong(g(0), 16).toInt)
+            putU16(b, 4, Integer.parseInt(g(1), 16))
+            putU16(b, 6, Integer.parseInt(g(2), 16))
+            (0 until 2).foreach(k =>
+              b(8 + k) = Integer.parseInt(g(3).substring(2 * k, 2 * k + 2), 16).toByte)
+            (0 until 6).foreach(k =>
+              b(10 + k) = Integer.parseInt(g(4).substring(2 * k, 2 * k + 2), 16).toByte)
           }
           fixed.write(b); if (v.isDefined) setNotNull(i)
         case CBool => if (v.exists(s => s == "1" || s.equalsIgnoreCase("true"))) setNotNull(i)
-        case CText => if (v.isDefined) setNotNull(i)
+        case CText | CMemo => if (v.isDefined) setNotNull(i)
       }
     }
-    val varCols = columns.zipWithIndex.filter(_._1._2 == CText)
+    val varCols = columns.zipWithIndex.filter(c => isVar(c._1._2))
     val varData = new ByteArrayOutputStream()
     val fixedBytes = fixed.toByteArray
     val varBase = 2 + fixedBytes.length
     val offsets = ArrayBuffer(varBase)
-    varCols.foreach { case (_, i) =>
-      values(i).foreach(s => varData.write(encodeText(s, compressText)))
+    varCols.foreach { case ((_, t), i) =>
+      values(i).foreach { s =>
+        varData.write(if (t == CMemo) memo(i) else encodeText(s, compressText))
+      }
       offsets += varBase + varData.size()
     }
     val varBytes = varData.toByteArray
@@ -206,7 +405,8 @@ object MdbFixture {
       ownerTdefPg: Int,
       columns: Seq[(String, ColType)],
       rows: Seq[Seq[Option[String]]],
-      compressText: Boolean): Seq[Array[Byte]] = {
+      compressText: Boolean,
+      memoPlan: Seq[Map[Int, Array[Byte]]]): Seq[Array[Byte]] = {
     val pages = ArrayBuffer.empty[Array[Byte]]
     var cur = ArrayBuffer.empty[Array[Byte]]
     var dirEnd = 0x0e
@@ -229,8 +429,8 @@ object MdbFixture {
       dirEnd = 0x0e
       dataStart = PageSize
     }
-    rows.foreach { values =>
-      val r = encodeRow(columns, values, compressText)
+    rows.zipWithIndex.foreach { case (values, ri) =>
+      val r = encodeRow(columns, values, compressText, memoPlan(ri))
       if (dataStart - r.length < dirEnd + 2) flush()
       require(dataStart - r.length >= dirEnd + 2, "row larger than a page")
       dataStart -= r.length

@@ -1,5 +1,7 @@
 package graft.ingest
 
+import java.io.ByteArrayOutputStream
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -28,19 +30,32 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *     null mask, u16 variable-column count, and a (count+1)-entry u16
   *     offset table whose last entry is end-of-data;
   *   - values rendered as strings: TEXT (UTF-16LE, with the 0xFFFE
-  *     compressed-marker variant), LONG/INT (little-endian ints),
-  *     DOUBLE (integer-trimmed like [[XlsReader]]), BOOL (stored in the
-  *     null-mask bit: set = true, never null). Other Jet types (MEMO,
-  *     OLE, GUID, DATETIME, MONEY) render null — the strings-only
-  *     contract mirrors the reference's display-value semantics.
+  *     compressed-marker variant), BYTE/INT/LONG (little-endian ints),
+  *     FLOAT/DOUBLE (integer-trimmed like [[XlsReader]]), BOOL (stored
+  *     in the null-mask bit: set = true, never null), DATETIME (8-byte
+  *     double, days since 1899-12-30, rendered `yyyy-MM-dd[ HH:mm:ss]`
+  *     with the time omitted at midnight — Access display parity),
+  *     MONEY (int64 scaled 10^4, trailing zeros trimmed), GUID
+  *     (registry format, little-endian first three groups), and MEMO —
+  *     the inline variant plus both LVAL page forms (type 1: the value
+  *     is a whole row on an `LVAL`-tagged page; type 2: rows chained by
+  *     a leading 4-byte next-record pointer). Remaining Jet types
+  *     (OLE, BINARY, NUMERIC, replication ids) raise a typed
+  *     unsupported-column error naming the column — never a silent
+  *     null (a column of nulls where the reference's ADODB path shows
+  *     values is a wrong answer, not a contract).
   *
   * Out of scope (typed error or documented skip, never a wrong answer):
   * Jet3 (2 KB pages, packed row format), ACE `.accdb`, encrypted
   * databases (the RC4-protected header region — catalog parse fails →
-  * typed error), multi-page TDEFs, and overflow (lookup) rows.
-  * Data-page discovery is a full file scan filtered on the owning TDEF
-  * page rather than the usage-bitmap walk — a table scan either way,
-  * and robust to bitmap corruption.
+  * typed error), and multi-page TDEFs. Overflow (lookup) directory
+  * entries hold a 4-byte record pointer, not row data; the scan skips
+  * the pointer and picks the relocated row up when it reaches the
+  * overflow page itself, which is a regular owner-tagged data page —
+  * row totals stay correct, only physical order changes (spec'd with
+  * an overflow fixture in MdbSpec). Data-page discovery is a full file
+  * scan filtered on the owning TDEF page rather than the usage-bitmap
+  * walk — a table scan either way, and robust to bitmap corruption.
   */
 object MdbReader {
 
@@ -53,10 +68,16 @@ object MdbReader {
 
   // Jet column type codes
   private val TBool = 0x01
+  private val TByte = 0x02
   private val TInt = 0x03
   private val TLong = 0x04
+  private val TMoney = 0x05
+  private val TFloat = 0x06
   private val TDouble = 0x07
+  private val TDateTime = 0x08
   private val TText = 0x0a
+  private val TMemo = 0x0c
+  private val TGuid = 0x0f
 
   private final case class Col(
       name: String, typ: Int, num: Int, offV: Int, offF: Int, fixed: Boolean)
@@ -132,6 +153,8 @@ object MdbReader {
   private def i32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
       (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+  private def i64(b: Array[Byte], o: Int): Long =
+    (0 until 8).map(i => (b(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
 
   private def parseTable(bytes: Array[Byte], tdefPg: Int): Table = {
     val base = tdefPg * PageSize
@@ -175,12 +198,13 @@ object MdbReader {
         while (r < nRows && out.length < maxRows) {
           val raw = u16(bytes, base + 0x0e + 2 * r)
           val deleted = (raw & 0x8000) != 0
-          val lookup = (raw & 0x4000) != 0 // overflow pointer: skip (doc'd)
+          // overflow pointer entry: 4 bytes of record pointer, not row
+          // data — the relocated row is read when its (owner-tagged)
+          // overflow page comes up in this same scan
+          val lookup = (raw & 0x4000) != 0
           val start = raw & 0x1fff
           if (!deleted && !lookup && start > 0 && start < PageSize) {
-            val end =
-              if (r == 0) PageSize
-              else u16(bytes, base + 0x0e + 2 * (r - 1)) & 0x1fff
+            val end = rowEnd(bytes, base, nRows, start)
             if (end > start) out += decodeRow(bytes, base, start, end, table.cols)
           }
           r += 1
@@ -189,6 +213,24 @@ object MdbReader {
       pg += 1
     }
     out.toSeq
+  }
+
+  /** End of the row starting at `start`: the smallest other directory
+    * offset greater than it, else the page end. Rows pack from the page
+    * end, but directory order need not match placement order after
+    * deletes/updates in real files, so "previous directory entry" is
+    * NOT a safe extent bound; deleted/lookup entries still delimit the
+    * space below them and count as boundaries.
+    */
+  private def rowEnd(bytes: Array[Byte], base: Int, nRows: Int, start: Int): Int = {
+    var end = PageSize
+    var i = 0
+    while (i < nRows) {
+      val o = u16(bytes, base + 0x0e + 2 * i) & 0x1fff
+      if (o > start && o < end) end = o
+      i += 1
+    }
+    end
   }
 
   private def decodeRow(
@@ -212,18 +254,32 @@ object MdbReader {
       } else if (c.fixed) {
         val o = 2 + c.offF
         c.typ match {
+          case TByte => u8(row, o).toString
           case TInt => ((u16(row, o) << 16) >> 16).toString
           case TLong => i32(row, o).toString
-          case TDouble => renderDouble(java.lang.Double.longBitsToDouble(
-            (0 until 8).map(i => (row(o + i) & 0xffL) << (8 * i)).reduce(_ | _)))
-          case _ => null // strings-only contract: unsupported types render null
+          case TMoney => renderMoney(i64(row, o))
+          case TFloat => renderFloat(java.lang.Float.intBitsToFloat(i32(row, o)))
+          case TDouble => renderDouble(java.lang.Double.longBitsToDouble(i64(row, o)))
+          case TDateTime => renderDateTime(java.lang.Double.longBitsToDouble(i64(row, o)))
+          case TGuid => renderGuid(row, o)
+          case t => throw unsupportedType(c.name, t)
         }
       } else {
         if (c.offV >= varCount) null
-        else decodeText(row, varOff(c.offV), varOff(c.offV + 1))
+        else c.typ match {
+          case TText => decodeText(row, varOff(c.offV), varOff(c.offV + 1))
+          case TMemo => decodeMemo(bytes, row, varOff(c.offV), varOff(c.offV + 1))
+          case t => throw unsupportedType(c.name, t)
+        }
       }
     }
   }
+
+  private def unsupportedType(col: String, typ: Int) =
+    new UnsupportedOperationException(
+      f"Unsupported Jet4 column type 0x$typ%02x in column '$col' " +
+        "(OLE/binary/numeric are out of scope); export the table to CSV " +
+        "and use the delimited reader")
 
   /** Jet4 TEXT: UTF-16LE, or the 0xFF 0xFE "compressed" variant where
     * runs of 8-bit (latin-1) chars alternate with UTF-16LE runs, toggled
@@ -256,4 +312,94 @@ object MdbReader {
     */
   private def renderDouble(d: Double): String =
     if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  private def renderFloat(f: Float): String =
+    if (f.isWhole && math.abs(f) < 1e15) f.toLong.toString else f.toString
+
+  /** MONEY is a 10^4-scaled int64; trailing zeros trim ("12.5000" →
+    * "12.5", "10.0000" → "10") — same display-parity rule as
+    * [[renderDouble]]. toPlainString keeps large values out of E
+    * notation.
+    */
+  private def renderMoney(v: Long): String =
+    java.math.BigDecimal.valueOf(v, 4).stripTrailingZeros.toPlainString
+
+  private val JetDateEpoch = java.time.LocalDate.of(1899, 12, 30)
+  private val DateTimeFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** DATETIME is a double of days since 1899-12-30 with the time of day
+    * in the fraction; rendered to second precision, date-only at
+    * midnight (Access display parity with [[renderDouble]] trimming).
+    */
+  private def renderDateTime(days: Double): String = {
+    val whole = math.floor(days)
+    val secs = math.round((days - whole) * 86400.0)
+    val dt = JetDateEpoch.plusDays(whole.toLong).atStartOfDay.plusSeconds(secs)
+    if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT) dt.toLocalDate.toString
+    else dt.format(DateTimeFmt)
+  }
+
+  /** GUID: 16 bytes in the Windows mixed-endian layout (first three
+    * groups little-endian, last eight bytes as-is), rendered in the
+    * braced registry format.
+    */
+  private def renderGuid(b: Array[Byte], o: Int): String = {
+    def hex(from: Int, until: Int): String =
+      (from until until).map(i => f"${b(i) & 0xff}%02x").mkString
+    f"{${i32(b, o)}%08x-${u16(b, o + 4)}%04x-${u16(b, o + 6)}%04x-" +
+      hex(o + 8, o + 10) + "-" + hex(o + 10, o + 16) + "}"
+  }
+
+  /** Jet4 MEMO: u32 length-with-flags (low 3 bytes = memo byte length;
+    * high byte: 0x80 inline, 0x40 single-LVAL-row, 0x00 chained), then
+    * a u32 record pointer (row << 24 | page) into an `LVAL`-tagged
+    * page, then 4 unused bytes. Text encoding is the same as TEXT.
+    */
+  private def decodeMemo(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int): String = {
+    require(to - from >= 12, "MEMO field shorter than its 12-byte header")
+    val lenFlags = i32(row, from)
+    val flags = (lenFlags >>> 24) & 0xff
+    val memoLen = lenFlags & 0xffffff
+    if ((flags & 0x80) != 0) {
+      decodeText(row, from + 12, math.min(from + 12 + memoLen, to))
+    } else if ((flags & 0x40) != 0) {
+      val (s, e) = lvalSlice(bytes, i32(row, from + 4))
+      decodeText(bytes, s, e)
+    } else {
+      // chained: each LVAL row = u32 next record pointer + data bytes
+      val buf = new ByteArrayOutputStream()
+      var ptr = i32(row, from + 4)
+      var hops = 0
+      while (ptr != 0 && hops < (1 << 16)) {
+        val (s, e) = lvalSlice(bytes, ptr)
+        require(e - s >= 4, "chained LVAL row shorter than its next pointer")
+        ptr = i32(bytes, s)
+        buf.write(bytes, s + 4, e - s - 4)
+        hops += 1
+      }
+      require(ptr == 0, "LVAL chain does not terminate")
+      val all = buf.toByteArray
+      require(all.length >= memoLen, "LVAL chain shorter than the declared memo length")
+      decodeText(all, 0, memoLen)
+    }
+  }
+
+  /** Absolute (start, end) of row `recPtr >>> 24` on LVAL page
+    * `recPtr & 0xffffff` — the page must carry the `LVAL` tag where
+    * data pages carry their owning TDEF pointer.
+    */
+  private def lvalSlice(bytes: Array[Byte], recPtr: Int): (Int, Int) = {
+    val pg = recPtr & 0xffffff
+    val rowIdx = (recPtr >>> 24) & 0xff
+    val base = pg * PageSize
+    require(base >= 0 && base + PageSize <= bytes.length, s"LVAL page $pg out of range")
+    require(u8(bytes, base) == 0x01 &&
+      new String(bytes, base + 4, 4, "US-ASCII") == "LVAL", s"page $pg is not an LVAL page")
+    val nRows = u16(bytes, base + 0x0c)
+    require(rowIdx < nRows, s"LVAL row $rowIdx out of range on page $pg")
+    val start = u16(bytes, base + 0x0e + 2 * rowIdx) & 0x1fff
+    require(start > 0 && start < PageSize, s"bad LVAL row offset on page $pg")
+    (base + start, base + rowEnd(bytes, base, nRows, start))
+  }
 }

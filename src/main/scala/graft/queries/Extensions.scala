@@ -83,6 +83,52 @@ object Extensions {
       .orderBy(col("s_suppkey"))
   }
 
+  /** S3 rich-types end-to-end: the documents table rendered as a Jet4
+    * .mdb exercising every decoded value class beyond q111's five —
+    * DATETIME (midnight and timed variants), MONEY (10^4-scaled int64),
+    * GUID (mixed-endian 16 bytes), and MEMO in all three storage forms
+    * (inline ≤64 B, single LVAL row, chained LVAL rows — memo length
+    * scales 1–16 copies of the doc text, to ~18 KB). Read back through
+    * the dispatching reader and cast; per-column nulls planted on
+    * disjoint doc_id residues. Fixture content derives only from the
+    * sf tables → plain SQL oracle (the q111/q73 pattern).
+    */
+  def qS5MdbRichTypes(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val dtFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val rows = docs.map { r =>
+      val k = r.getLong(0)
+      val ts = java.time.LocalDateTime.of(2001, 3, 15, 0, 0)
+        .plusDays(k % 1499).plusSeconds(if (k % 5 == 0) 0 else k % 86399)
+      Seq(
+        Some(k.toString),
+        if (k % 31 == 0) None else Some(ts.format(dtFmt)),
+        if (k % 29 == 0) None
+        else Some(java.math.BigDecimal.valueOf(r.getLong(2) * 10000 + k, 4).toPlainString),
+        if (k % 23 == 0) None
+        else Some(Seq.fill((1 + k % 16).toInt)(r.getString(1)).mkString(" ")),
+        if (k % 37 == 0) None else Some(f"{$k%08x-0000-0000-0000-$k%012x}"))
+    }
+    val f = Files.createTempFile("graft_docs", ".mdb")
+    graft.ingest.MdbFixture.writeMdb(f.toString, "docs",
+      Seq(("doc_id", graft.ingest.MdbFixture.CLong),
+        ("ts", graft.ingest.MdbFixture.CDate),
+        ("amount", graft.ingest.MdbFixture.CMoney),
+        ("body", graft.ingest.MdbFixture.CMemo),
+        ("gid", graft.ingest.MdbFixture.CGuid)),
+      rows.toIndexedSeq)
+    graft.ingest.Readers.read(s, f.toString)
+      .select(
+        col("doc_id").cast("bigint"),
+        col("ts").cast("timestamp"),
+        col("amount").cast("double"),
+        col("body"),
+        col("gid"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S2-legacy end-to-end: `nation` rendered as a real BIFF8 .xls
     * (OLE2 compound file, SST with a forced CONTINUE split, RK/NUMBER
     * numerics), read back through the full dispatching reader stack.
@@ -1638,7 +1684,8 @@ object Extensions {
     "q113_strip_html" -> qT15StripHtml _,
     "q114_survivors_by_quality" -> qD10SurvivorsByQuality _,
     "q115_token_quota" -> qC13TokenQuota _,
-    "q116_dedup_paragraphs" -> qC14DedupParagraphs _)
+    "q116_dedup_paragraphs" -> qC14DedupParagraphs _,
+    "q117_mdb_rich_types" -> qS5MdbRichTypes _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1678,6 +1725,21 @@ object Extensions {
     "q111_mdb_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    "q117_mdb_rich_types" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                ELSE TIMESTAMP '2001-03-15 00:00:00'
+                     + INTERVAL (doc_id % 1499) DAY
+                     + INTERVAL (CASE WHEN doc_id % 5 = 0 THEN 0
+                                      ELSE doc_id % 86399 END) SECOND END AS ts,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(n_chars * 10000 + doc_id AS DOUBLE) / 10000 END AS amount,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE rtrim(repeat(text || ' ', CAST(1 + doc_id % 16 AS INTEGER))) END AS body,
+           CASE WHEN doc_id % 37 = 0 THEN NULL
+                ELSE '{' || lpad(lower(hex(doc_id)),8,'0') || '-0000-0000-0000-'
+                     || lpad(lower(hex(doc_id)),12,'0') || '}' END AS gid
+         FROM documents WHERE doc_id < 400 ORDER BY doc_id""",
     // q113: the character-identical regexp chain (all patterns in the
     // Java∩RE2 subset; DuckDB needs the explicit 'g' flag where Spark
     // replaces globally by default).

@@ -72,6 +72,77 @@ class MdbSpec extends SparkSpec {
     assert(r.length == 2)
   }
 
+  test("DATETIME, MONEY, and GUID columns decode to display strings") {
+    val f = Files.createTempFile("graft_rich", ".mdb").toString
+    val c = Seq(("id", MdbFixture.CLong), ("ts", MdbFixture.CDate),
+      ("amount", MdbFixture.CMoney), ("gid", MdbFixture.CGuid))
+    val r = Seq(
+      Seq(Some("1"), Some("2021-06-05 13:45:12"), Some("172799.49"),
+        Some("{0000002a-0000-0000-0000-00000000002a}")),
+      Seq(Some("2"), Some("2021-06-05"), Some("10.5000"), None),
+      Seq(Some("3"), None, Some("-3.0001"),
+        Some("{deadbeef-cafe-f00d-0123-456789abcdef}")),
+      Seq(Some("4"), Some("1899-12-30"), Some("0"), None))
+    MdbFixture.writeMdb(f, "rich", c, r)
+    val got = MdbReader.read(spark, f).orderBy(col("id")).collect()
+      .map(x => (0 until 4).map(x.getString))
+    assert(got(0) == Seq("1", "2021-06-05 13:45:12", "172799.49",
+      "{0000002a-0000-0000-0000-00000000002a}"))
+    assert(got(1) == Seq("2", "2021-06-05", "10.5", null)) // midnight → date-only; money trims
+    assert(got(2) == Seq("3", null, "-3.0001",
+      "{deadbeef-cafe-f00d-0123-456789abcdef}"))
+    assert(got(3) == Seq("4", "1899-12-30", "0", null)) // the Jet date epoch itself
+  }
+
+  test("MEMO decodes all three storage forms: inline, LVAL row, chained LVAL") {
+    val f = Files.createTempFile("graft_memo", ".mdb").toString
+    val c = Seq(("id", MdbFixture.CLong), ("body", MdbFixture.CMemo))
+    val small = "short note"                       // ≤64 B encoded → inline
+    val medium = "m" * 500                         // one LVAL row
+    val large = (0 until 400).map(i => s"w$i").mkString(" ") * 4 // chained
+    assert(large.length * 2 > 4096, "large memo must not fit one page")
+    val r = Seq(
+      Seq(Some("1"), Some(small)),
+      Seq(Some("2"), Some(medium)),
+      Seq(Some("3"), Some(large)),
+      Seq(Some("4"), None),
+      Seq(Some("5"), Some(""))) // empty inline ≠ null
+    MdbFixture.writeMdb(f, "memos", c, r)
+    val got = MdbReader.read(spark, f).orderBy(col("id")).collect()
+      .map(x => x.getString(1))
+    assert(got.toSeq == Seq(small, medium, large, null, ""))
+    // compressed-text encoding round-trips through the same three forms
+    val fc = Files.createTempFile("graft_memoc", ".mdb").toString
+    MdbFixture.writeMdb(fc, "memos", c, r, compressText = true)
+    assert(MdbReader.read(spark, fc).orderBy(col("id")).collect()
+      .map(x => x.getString(1)).toSeq == Seq(small, medium, large, null, ""))
+  }
+
+  test("overflow rows are read from their owner-tagged overflow page, once") {
+    val f = Files.createTempFile("graft_ovf", ".mdb").toString
+    val c = Seq(("id", MdbFixture.CLong), ("name", MdbFixture.CText))
+    val r = (0 until 6).map(i => Seq(Some(i.toString), Some(s"row_$i")))
+    MdbFixture.writeMdbWithOverflow(f, "ovf", c, r, overflowIdx = Set(1, 4))
+    val got = MdbReader.read(spark, f).orderBy(col("id").cast("long")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(got.toSeq == (0 until 6).map(i => (i.toString, s"row_$i")))
+  }
+
+  test("a valued unsupported column type raises a typed error naming the column") {
+    val f = writeFixture()
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    // user TDEF is page 4: stomp the first column descriptor's type
+    // byte (LONG 0x04 → OLE 0x0b); its 4-byte values are now claimed
+    // by a type the reader must refuse, not null out
+    val tdef = 4 * 4096
+    assert(bytes(tdef + 0x3f) == 0x04)
+    bytes(tdef + 0x3f) = 0x0b
+    Files.write(java.nio.file.Paths.get(f), bytes)
+    val e = intercept[UnsupportedOperationException](
+      MdbReader.readRows(f, 100))
+    assert(e.getMessage.contains("0x0b") && e.getMessage.contains("'id'"))
+  }
+
   test("Jet3 and ACE version bytes raise typed errors") {
     val j3 = Files.createTempFile("graft_j3", ".mdb").toString
     MdbFixture.writeMdb(j3, "t", cols.take(2), rows.take(1).map(_.take(2)),
