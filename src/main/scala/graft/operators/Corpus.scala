@@ -311,6 +311,20 @@ object Corpus {
     train.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Keep predicate for the hot-group pre-thin: md5 prefix below `frac`
+    * quantized to 2³² buckets (floored at one bucket so the probe keeps
+    * something). The kept set is a DOWNWARD-CLOSED PREFIX of the
+    * (md5(id), id) quota order — an 8-hex-char prefix below the
+    * threshold implies the full hash sorts below every hash at or above
+    * it — which is what makes pre-thinning lossless whenever the quota
+    * cut lands inside the thinned set.
+    */
+  private def thinKeep(id: Column, frac: Column): Column = {
+    val buckets = least(greatest(floor(frac * 4294967296.0), lit(1.0)),
+      lit(4294967295.0)).cast("long")
+    substring(md5(id.cast("string")), 1, 8) < format_string("%08x", buckets)
+  }
+
   /** At most `cap` rows per group, chosen deterministically: rows rank
     * by md5 of their id within each group, so the kept subset is stable
     * under corpus growth, re-partitioning, and engine choice — a
@@ -318,25 +332,65 @@ object Corpus {
     * of crawl pipelines).
     *
     * Scale shape: one hash-partition shuffle on `groupCol` + a
-    * window-sort within each group. A pathologically hot group sorts on
-    * one task; AQE's skew handling does not split window partitions, so
-    * for crawl-scale domain skew pre-filter hot groups with
-    * [[hashSample]] first (cap/|group| as the fraction) — that is the
-    * two-stage quota recipe.
+    * window-sort within each group. A pathologically hot group would
+    * sort on one task (AQE does not split window partitions), so groups
+    * larger than `preThinFactor × cap` are pre-thinned IN-OPERATOR with
+    * [[thinKeep]] at `preThinFactor × cap / |group|` before the window:
+    * the thinned set is a prefix of the quota order, so the result is
+    * identical whenever it still holds ≥ cap rows — expected size is
+    * `preThinFactor × cap`, so with the default factor the exact path
+    * is a ≈ e^-8·cap tail event. Groups where the probe does come up
+    * short (including a group thinned to zero — possible only for
+    * adversarial id sets aligned against the hash) are detected lazily
+    * and recomputed exactly through a fallback branch, so the operator
+    * is exact ALWAYS, with the single-task sort bounded to
+    * `preThinFactor × cap` rows per group on the main path.
     */
   def quotaPerGroup(
       df: DataFrame,
       groupCol: String,
       idCol: String,
-      cap: Int): DataFrame = {
+      cap: Int,
+      preThinFactor: Double = 8.0): DataFrame = {
     require(cap > 0, "cap must be positive")
-    val rn = "_graft_quota_rn"
-    require(!df.columns.contains(rn), s"column $rn already exists")
+    require(preThinFactor > 0, "preThinFactor must be positive")
+    val (rn, gT, g2T, cntT, tcntT) = ("_graft_quota_rn", "_graft_quota_g",
+      "_graft_quota_g2", "_graft_quota_cnt", "_graft_quota_tcnt")
+    require(!df.columns.exists(_.startsWith("_graft_quota_")),
+      "input already has _graft_quota_* columns — rename them first")
     val w = Window.partitionBy(cr(groupCol))
       .orderBy(md5(cr(idCol).cast("string")), cr(idCol))
-    df.withColumn(rn, row_number().over(w))
+    val counts = df.groupBy(cr(groupCol).as(gT)).agg(count(lit(1)).as(cntT))
+    val hot = col(cntT) > lit(preThinFactor * cap)
+    // null-safe join: a null group is a real window partition and must
+    // not be dropped by the count lookup
+    val joined = df.join(counts, cr(groupCol) <=> col(gT))
+    val thinned = joined.filter(!hot ||
+      thinKeep(cr(idCol), lit(preThinFactor * cap) / col(cntT)))
+    // safety probe as plain aggregates, NOT window counts: per-group
+    // stats of the thinned set are a map-side-combined groupBy, so the
+    // expensive window sort runs exactly once, on the main path only.
+    // A left join from counts also covers groups thinned to zero
+    // (absent from thinStats → tcnt 0). A group is unsafe iff the
+    // probe kept fewer than cap rows AND actually dropped some.
+    val thinStats = thinned.groupBy(cr(groupCol).as(g2T))
+      .agg(count(lit(1)).as(tcntT))
+    val unsafeGroups = counts
+      .join(thinStats, col(gT) <=> col(g2T), "left")
+      .filter(coalesce(col(tcntT), lit(0L)) < cap &&
+        coalesce(col(tcntT), lit(0L)) < col(cntT))
+      .select(col(gT).as(g2T))
+    val main = thinned
+      .join(unsafeGroups, cr(groupCol) <=> col(g2T), "left_anti")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= cap)
+      .drop(rn, gT, cntT)
+    val fallback = df
+      .join(unsafeGroups, cr(groupCol) <=> col(g2T), "left_semi")
+      .withColumn(rn, row_number().over(w))
       .filter(col(rn) <= cap)
       .drop(rn)
+    main.unionByName(fallback)
   }
 
   /** Global exact paragraph dedup (the RefinedWeb/MassiveText stage,
@@ -411,27 +465,66 @@ object Corpus {
     *
     * Scale shape: one hash-partition shuffle on the group + an
     * in-partition running sum; selection is stable under corpus growth
-    * and repartitioning (the [[quotaPerGroup]] md5 argument). Same
-    * hot-group caveat as [[quotaPerGroup]]: a pathologically large
-    * group sorts on one task (AQE does not split window partitions) —
-    * pre-thin it with [[hashSample]] at roughly budget/groupTokens
-    * before the exact cut.
+    * and repartitioning (the [[quotaPerGroup]] md5 argument). Hot
+    * groups carry the same in-operator guard as [[quotaPerGroup]]:
+    * groups whose token total exceeds `preThinFactor × budget` are
+    * pre-thinned with [[thinKeep]] at `preThinFactor × budget /
+    * groupTokens` (id hashes are independent of document length, so
+    * the thinned set's expected token mass is `preThinFactor ×
+    * budget`); the thinned set is a prefix of the admission order, so
+    * the cut is exact whenever the thinned set still carries ≥ budget
+    * tokens. Groups where the probe comes up short are recomputed
+    * exactly through the lazy fallback branch — exact ALWAYS, with
+    * the single-task sort bounded on the main path.
     */
   def tokenQuotaPerGroup(
       df: DataFrame,
       groupCol: String,
       idCol: String,
       tokens: Column,
-      budget: Long): DataFrame = {
+      budget: Long,
+      preThinFactor: Double = 8.0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val prev = "_graft_tq_prev"
-    require(!df.columns.contains(prev), s"column $prev already exists")
+    require(preThinFactor > 0, "preThinFactor must be positive")
+    val (prev, gT, g2T, cntT, gtokT, tcntT, tsumT) =
+      ("_graft_tq_prev", "_graft_tq_g", "_graft_tq_g2", "_graft_tq_cnt",
+        "_graft_tq_gtok", "_graft_tq_tcnt", "_graft_tq_tsum")
+    require(!df.columns.exists(_.startsWith("_graft_tq_")),
+      "input already has _graft_tq_* columns — rename them first")
+    val tok = tokens.cast("long")
     val w = Window.partitionBy(cr(groupCol))
       .orderBy(md5(cr(idCol).cast("string")), cr(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn(prev, coalesce(sum(tokens.cast("long")).over(w), lit(0L)))
+    val counts = df.groupBy(cr(groupCol).as(gT))
+      .agg(count(lit(1)).as(cntT), sum(tok).as(gtokT))
+    // coalesce: an all-null-token group has a null total — not hot,
+    // and must keep every row exactly as the unguarded cut would
+    val hot = coalesce(col(gtokT) > lit(preThinFactor) * budget, lit(false))
+    val joined = df.join(counts, cr(groupCol) <=> col(gT))
+    val thinned = joined.filter(!hot ||
+      thinKeep(cr(idCol), lit(preThinFactor) * budget / col(gtokT)))
+    // safety probe as plain aggregates — see quotaPerGroup: the window
+    // runs once, on the main path only; a left join from counts covers
+    // groups thinned to zero. Unsafe iff the thinned token mass is
+    // under budget AND the probe actually dropped rows.
+    val thinStats = thinned.groupBy(cr(groupCol).as(g2T))
+      .agg(count(lit(1)).as(tcntT), sum(tok).as(tsumT))
+    val unsafeGroups = counts
+      .join(thinStats, col(gT) <=> col(g2T), "left")
+      .filter(coalesce(col(tsumT), lit(0L)) < budget &&
+        coalesce(col(tcntT), lit(0L)) < col(cntT))
+      .select(col(gT).as(g2T))
+    val main = thinned
+      .join(unsafeGroups, cr(groupCol) <=> col(g2T), "left_anti")
+      .withColumn(prev, coalesce(sum(tok).over(w), lit(0L)))
+      .filter(col(prev) < budget)
+      .drop(prev, gT, cntT, gtokT)
+    val fallback = df
+      .join(unsafeGroups, cr(groupCol) <=> col(g2T), "left_semi")
+      .withColumn(prev, coalesce(sum(tok).over(w), lit(0L)))
       .filter(col(prev) < budget)
       .drop(prev)
+    main.unionByName(fallback)
   }
 
   /** Keep-decision column for a deterministic Bernoulli(frac) sample:

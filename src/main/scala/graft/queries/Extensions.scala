@@ -1135,6 +1135,7 @@ object Extensions {
   def qC3QuotaSample(s: SparkSession, d: String): DataFrame =
     graft.operators.Corpus.quotaPerGroup(documents(s, d), "source", "doc_id", cap = 10)
       .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** Global exact paragraph dedup end-to-end: every doc carries a
     * per-source promo paragraph (repeated across the source's docs) on
@@ -1162,7 +1163,6 @@ object Extensions {
     graft.operators.Corpus.tokenQuotaPerGroup(
       documents(s, d), "source", "doc_id", col("n_chars"), budget = 5000L)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
       .orderBy(col("doc_id"))
 
   /** Stratified hash sampling: per-lang keep fractions rebalancing the

@@ -187,6 +187,51 @@ class CorpusSpec extends SparkSpec {
     assert(keptGrown == expected(2000))
   }
 
+  test("quotaPerGroup guard: hot-group pre-thin and forced fallback match the unguarded cut") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val df = spark.range(3000).toDF("id").withColumn("grp",
+      when(col("id") % 7 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 3).cast("string")))
+    val expected: Map[String, Set[Long]] = (0L until 3000L)
+      .map(i => (if (i % 7 == 0) null else (i % 3).toString, i))
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2)
+          .sortBy(i => (DigestUtils.md5Hex(i.toString), i)).take(10).toSet
+      }
+    // factor 8 exercises the pre-thinned main path (every group is hot:
+    // 80 < ~430); factor 0.1 thins to ~1 row so every group probes
+    // short and the exact fallback (and, for some seeds, the
+    // thinned-to-zero branch) must reproduce the unguarded result
+    for (factor <- Seq(8.0, 0.1)) {
+      val got = Corpus.quotaPerGroup(df, "grp", "id", cap = 10,
+        preThinFactor = factor)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+      assert(got == expected, s"factor=$factor")
+    }
+  }
+
+  test("tokenQuotaPerGroup guard: pre-thin and forced fallback match the unguarded cut") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val d = (0L until 4000L).map(i =>
+      (i, if (i % 11 == 0) null else (i % 2).toString, 5L + i % 9))
+      .toDF("id", "grp", "toks")
+    val expected: Map[String, Set[Long]] = (0L until 4000L)
+      .map(i => (if (i % 11 == 0) null else (i % 2).toString, i, 5L + i % 9))
+      .groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(r => (DigestUtils.md5Hex(r._2.toString), r._2))
+        val before = sorted.map(_._3).scanLeft(0L)(_ + _)
+        g -> sorted.zip(before).filter(_._2 < 150L).map(_._1._2).toSet
+      }
+    for (factor <- Seq(8.0, 0.02)) {
+      val got = Corpus.tokenQuotaPerGroup(d, "grp", "id", col("toks"),
+        budget = 150L, preThinFactor = factor)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+      assert(got == expected, s"factor=$factor")
+    }
+  }
+
   test("dedupParagraphs keeps first occurrence globally, exempts short paragraphs") {
     val d = Seq(
       (0L, "unique body zero\nthis paragraph repeats everywhere\n--"),
