@@ -54,7 +54,14 @@ object Snapshots {
       spark: SparkSession,
       warehouse: String,
       table: String,
-      df: DataFrame): Int = {
+      df: DataFrame): Int = publish(spark, warehouse, table, df, None)
+
+  private def publish(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      df: DataFrame,
+      batchId: Option[Long]): Int = {
     val fs = fsOf(spark, warehouse)
     val dir = tableDir(warehouse, table)
     val next = versions(spark, warehouse, table).lastOption.getOrElse(0) + 1
@@ -74,17 +81,71 @@ object Snapshots {
         s""""schema":${ujsonSafe(staged.schema.json)}}"""
     val mf = fs.create(new Path(staging, "_MANIFEST.json"), true)
     try mf.write(manifest.getBytes(StandardCharsets.UTF_8)) finally mf.close()
+    batchId.foreach { id =>
+      val bf = fs.create(new Path(staging, "_BATCH"), true)
+      try bf.write(id.toString.getBytes(StandardCharsets.UTF_8)) finally bf.close()
+    }
     if (!fs.rename(staging, vdir))
       throw new IllegalStateException(s"snapshot publish of $table v$next failed")
-    // atomic pointer flip: write tmp, rename over _CURRENT
+    flipPointer(fs, dir, table, next)
+    next
+  }
+
+  // atomic pointer flip: write tmp, rename over _CURRENT
+  private def flipPointer(fs: FileSystem, dir: Path, table: String, v: Int): Unit = {
     val tmp = new Path(dir, s"._CURRENT.tmp")
     val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val cur = new Path(dir, "_CURRENT")
     fs.delete(cur, false)
     if (!fs.rename(tmp, cur))
       throw new IllegalStateException(s"snapshot pointer flip of $table failed")
-    next
+  }
+
+  /** Batch id recorded in a version dir's `_BATCH` marker, if the
+    * version was published through [[publishBatch]].
+    */
+  private def batchOf(fs: FileSystem, dir: Path, v: Int): Option[Long] = {
+    val marker = new Path(new Path(dir, s"v=$v"), "_BATCH")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Idempotent per-micro-batch publish for foreachBatch sinks.
+    * Structured Streaming re-runs the last micro-batch after a restart,
+    * so a naive publish-per-batch emits the replayed batch as a second
+    * version. Batch ids are monotonic per query; each version published
+    * here carries its batch id in a `_BATCH` marker, and a replayed
+    * (`batchId` ≤ latest recorded) batch publishes nothing and returns
+    * the already-published version. If a crash landed between the
+    * version rename and the `_CURRENT` flip, the replay completes the
+    * interrupted commit by re-flipping the pointer to the latest
+    * version instead of re-writing its data — exactly-once publish
+    * across restarts with no coordination beyond the two renames.
+    */
+  def publishBatch(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      df: DataFrame,
+      batchId: Long): Int = {
+    val fs = fsOf(spark, warehouse)
+    val dir = tableDir(warehouse, table)
+    val latest = versions(spark, warehouse, table).lastOption
+    val replayed = latest.flatMap(v => batchOf(fs, dir, v))
+      .exists(last => batchId <= last)
+    if (replayed) {
+      val v = latest.get
+      val cur = new Path(dir, "_CURRENT")
+      if (!fs.exists(cur) || currentVersion(spark, warehouse, table) != v)
+        flipPointer(fs, dir, table, v)
+      v
+    } else publish(spark, warehouse, table, df, Some(batchId))
   }
 
   /** Published version numbers, ascending. */

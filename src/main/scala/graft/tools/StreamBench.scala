@@ -17,9 +17,10 @@ import graft.streaming.Streams
   * plus wall-clock rows/sec as the cross-check).
   *
   * The rate source generates `rowsPerSecond` monotonically-timestamped
-  * rows across 32 partitions; user_id = value % users gives each user
-  * an in-gap event stream, so session state stays open and every batch
-  * exercises state update + timeout arming, not just inserts.
+  * rows across 32 partitions; user_id = value div 1000 rotates users —
+  * each gets ~1000 consecutive events then goes idle, so the timeout
+  * fires and every batch exercises state insert + update + removal +
+  * emission, not just inserts.
   *
   * Usage: StreamBench [rowsPerSecond] [seconds] (defaults 200k, 20).
   */
@@ -63,7 +64,8 @@ object StreamBench {
       // foreachBatch → immutable snapshot version per micro-batch (the
       // production pattern: stream → versioned batch table)
       published += batch.count()
-      graft.sink.Snapshots.publish(batch.sparkSession, warehouse, "sessions", batch)
+      graft.sink.Snapshots.publishBatch(
+        batch.sparkSession, warehouse, "sessions", batch, id)
       ()
     }).trigger(Trigger.ProcessingTime("1 second")).start()
 

@@ -36,6 +36,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.contentHash(spark.range(0).toDF("v")).isEmpty)
   }
 
+  test("publishBatch is idempotent under micro-batch replay") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    val b0 = Seq((1, "a")).toDF("k", "v")
+    val b1 = Seq((2, "b")).toDF("k", "v")
+    assert(Snapshots.publishBatch(spark, wh, "s", b0, batchId = 0L) == 1)
+    // restart replays the last batch: same id → no new version
+    assert(Snapshots.publishBatch(spark, wh, "s", b0, batchId = 0L) == 1)
+    assert(Snapshots.versions(spark, wh, "s") == Seq(1))
+    assert(Snapshots.publishBatch(spark, wh, "s", b1, batchId = 1L) == 2)
+    // a replay arriving even later (older id) still publishes nothing
+    assert(Snapshots.publishBatch(spark, wh, "s", b0, batchId = 0L) == 2)
+    assert(Snapshots.versions(spark, wh, "s") == Seq(1, 2))
+    assert(Snapshots.currentVersion(spark, wh, "s") == 2)
+    assert(Snapshots.current(spark, wh, "s").count() == 1)
+  }
+
+  test("publishBatch replay completes an interrupted pointer flip") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    val b0 = Seq((1, "a")).toDF("k", "v")
+    val b1 = Seq((2, "b")).toDF("k", "v")
+    Snapshots.publishBatch(spark, wh, "s", b0, batchId = 0L)
+    Snapshots.publishBatch(spark, wh, "s", b1, batchId = 1L)
+    // simulate a crash between the v=2 rename and the _CURRENT flip by
+    // rewinding the pointer to v1
+    val cur = java.nio.file.Paths.get(wh, "s", "_CURRENT")
+    java.nio.file.Files.write(cur, "1".getBytes)
+    // drop the Hadoop local-FS checksum shadow of the rewritten file
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(wh, "s", "._CURRENT.crc"))
+    assert(Snapshots.currentVersion(spark, wh, "s") == 1)
+    // the replayed batch must repair the pointer, not re-publish data
+    assert(Snapshots.publishBatch(spark, wh, "s", b1, batchId = 1L) == 2)
+    assert(Snapshots.versions(spark, wh, "s") == Seq(1, 2))
+    assert(Snapshots.currentVersion(spark, wh, "s") == 2)
+  }
+
   test("content hash distinguishes different frames") {
     val a = Snapshots.contentHash(spark.range(100).toDF("v"))
     val b = Snapshots.contentHash(spark.range(101).toDF("v"))
