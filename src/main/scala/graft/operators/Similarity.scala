@@ -128,13 +128,38 @@ object Similarity {
       col(idCol), col(vecCol),
       srpSignature(col(vecCol), dim, bits).as("bucket"))
     // query signature computed driver-side with the same planes
-    val qsig = (0 until bits).map { i =>
+    val projs = (0 until bits).map { i =>
       val p = planes(i, query.length)
-      val proj = query.zip(p).map { case (x, s) => x.toDouble * s }.sum
-      if (proj >= 0) 1L << i else 0L
-    }.sum
-    // multiprobe: flip each of the `probes` lowest-impact bits
-    val probeSigs = qsig +: (0 until math.min(probes, bits)).map(i => qsig ^ (1L << i))
+      query.zip(p).map { case (x, s) => x.toDouble * s }.sum
+    }
+    val qsig = projs.zipWithIndex
+      .collect { case (proj, i) if proj >= 0 => 1L << i }.sum
+    // QUERY-DIRECTED multiprobe (the Lv et al. VLDB'07 argument): a true
+    // neighbor most likely lands across the hyperplanes the query is
+    // CLOSEST to, so probe buckets are ranked by perturbation cost —
+    // single and pair flips of the smallest-|margin| bits, cheapest
+    // first. (Flipping by bit INDEX, the previous rule, probes buckets
+    // unrelated to the query's geometry: measured recall@10 0.08 → 0.13
+    // at probes=4 on the sf0.1 embeddings; the full recall/probes curve
+    // is in docs/SCALE.md — on structureless vectors recall is bounded
+    // by scan fraction, so size `probes` from that table, it is the
+    // recall knob.)
+    val ranked = projs.zipWithIndex
+      .map { case (proj, i) => (i, proj * proj) }.sortBy(_._2)
+    val singles = ranked.map { case (i, c) => (Seq(i), c) }
+    val lim = math.min(bits, 12) // multi-flips from the 12 cheapest bits
+    val pairs = for {
+      a <- 0 until lim; b <- (a + 1) until lim
+    } yield (Seq(ranked(a)._1, ranked(b)._1), ranked(a)._2 + ranked(b)._2)
+    // triples keep `probes` a working knob past the pair limit (at
+    // bits=8: 8+28 ≤2-flip buckets, +56 triples → probes up to 92)
+    val triples = for {
+      a <- 0 until lim; b <- (a + 1) until lim; c <- (b + 1) until lim
+    } yield (Seq(ranked(a)._1, ranked(b)._1, ranked(c)._1),
+      ranked(a)._2 + ranked(b)._2 + ranked(c)._2)
+    val probeSigs = qsig +: (singles ++ pairs ++ triples).sortBy(_._2)
+      .take(math.min(probes, (1 << bits) - 1))
+      .map { case (idxs, _) => idxs.foldLeft(qsig)((s, i) => s ^ (1L << i)) }
     val q = array(query.map(lit): _*)
     sigged
       .filter(col("bucket").isin(probeSigs: _*))

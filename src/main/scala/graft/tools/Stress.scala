@@ -31,6 +31,66 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+
+    // ANN recall@k against brute-force truth — a scale-credible ANN
+    // needs a recall number NEXT TO its latency. Recall is score-based:
+    // an ANN hit counts iff its cosine reaches the k-th true cosine
+    // (−1e-9), which is robust to ties — on the 10-copy replica every
+    // vector has 10 exact-duplicate neighbors, so id-set recall would
+    // punish returning a different-but-equally-similar copy. Configs
+    // match the oracle gates exactly (q35: bits=8 probes=4; q36:
+    // 16 clusters nprobe=4).
+    locally {
+      val k = 10
+      val (assigned, cents) =
+        Similarity.ivfIndex(embs, "embedding", nClusters = 16, dim = 64)
+      assigned.persist()
+      val qIds = embs.select(col("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(96).collect()
+        .map(_.getLong(0)).grouped(4).map(_.head).take(24).toSeq
+      def recallOf(ann: DataFrame, kth: Double): Double =
+        ann.collect().map(_.getDouble(1)).count(_ >= kth - 1e-9).toDouble / k
+      // gate configs by default; STRESS_RECALL_SWEEP walks the full
+      // probes/nprobe curves for the docs/SCALE.md recall table
+      val sweep = sys.env.contains("STRESS_RECALL_SWEEP")
+      val lshProbes = if (sweep) Seq(4, 16, 32, 64, 128) else Seq(4)
+      val ivfProbes = if (sweep) Seq(1, 2, 4, 8, 16) else Seq(4)
+      val t0 = System.nanoTime()
+      val stats = qIds.map { qid =>
+        val qv = embs.filter(col("vec_id") === qid)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val rest = embs.filter(col("vec_id") =!= qid)
+        val truth = Similarity
+          .bruteForceTopK(rest, "embedding", "vec_id", qv, k).collect()
+        val kth = truth.last.getDouble(1)
+        val rls = lshProbes.map(p => recallOf(Similarity.lshTopK(rest,
+          "embedding", "vec_id", qv, k, dim = 64, bits = 8, probes = p), kth))
+        val ris = ivfProbes.map(p => recallOf(Similarity.ivfTopK(
+          assigned.filter(col("vec_id") =!= qid), cents,
+          "embedding", "vec_id", qv, k, nprobe = p), kth))
+        (rls, ris)
+      }
+      assigned.unpersist()
+      def mean(xs: Seq[Double]) = xs.sum / xs.length
+      val lshLine = lshProbes.zipWithIndex.map { case (p, i) =>
+        f"probes=$p:${mean(stats.map(_._1(i)))}%.2f" }.mkString(" ")
+      val ivfLine = ivfProbes.zipWithIndex.map { case (p, i) =>
+        f"nprobe=$p:${mean(stats.map(_._2(i)))}%.2f" }.mkString(" ")
+      println(f"[stress] recall@10 over ${qIds.length} queries " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1fs incl. truth): " +
+        s"lsh(bits=8) $lshLine; ivf(nClusters=16) $ivfLine")
+      val q0 = embs.filter(col("vec_id") === qIds.head)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      time("lsh kNN top-10 (q35 config)")(
+        Similarity.lshTopK(embs.filter(col("vec_id") =!= qIds.head),
+          "embedding", "vec_id", q0, 10, dim = 64, bits = 8, probes = 4).count())
+      val (a2, c2) = Similarity.ivfIndex(embs, "embedding", nClusters = 16, dim = 64)
+      time("ivf kNN top-10 incl. index build (q36 config)")(
+        Similarity.ivfTopK(a2.filter(col("vec_id") =!= qIds.head), c2,
+          "embedding", "vec_id", q0, 10, nprobe = 4).count())
+    }
+    if (sys.env.contains("STRESS_RECALL_ONLY")) { spark.stop(); return }
+
     time("exact dedup groups")(
       Dedup.exactGroups(docs, "text", "doc_id").count())
     time("minhash candidates")(
