@@ -240,7 +240,11 @@ object MdbFixture {
   private def headerPage(versionByte: Int): Array[Byte] = {
     val p = new Array[Byte](PageSize)
     p(0) = 0x00; p(1) = 0x01
-    val magic = "Standard Jet DB".getBytes("US-ASCII")
+    // ACE versions (0x02 Access 2007, 0x03 2010+) sign with their own
+    // magic; the page machinery below is shared with Jet4, as in real
+    // files
+    val magic = (if (versionByte >= 0x02) "Standard ACE DB"
+      else "Standard Jet DB").getBytes("US-ASCII")
     System.arraycopy(magic, 0, p, 4, magic.length)
     p(0x14) = versionByte.toByte
     p

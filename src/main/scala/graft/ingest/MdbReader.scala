@@ -6,17 +6,20 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-/** Minimal MS Access Jet4 (`.mdb`, Access 2000–2003) reader over JDK
-  * built-ins only — closing the reference's S3 Access path
-  * (backend/index.js:61-80), which is a Windows-only ACE OLEDB bridge
-  * there. Jet4 is a published page-based format (documented publicly in
-  * the mdbtools project's format notes); this implements the subset the
-  * reference semantics need — read-only, strings-only, FIRST user table
-  * (index.js:66-74 reads only the first table of the schema enum):
+/** Minimal MS Access Jet4/ACE (`.mdb` Access 2000–2003, `.accdb`
+  * Access 2007/2010+) reader over JDK built-ins only — closing the
+  * reference's S3 Access path (backend/index.js:61-80), which is a
+  * Windows-only ACE OLEDB bridge there. Jet4 is a published page-based
+  * format (documented publicly in the mdbtools project's format
+  * notes), and ACE keeps its page/catalog/TDEF/row layout — the deltas
+  * are the header signature, version byte, and new column types. This
+  * implements the subset the reference semantics need — read-only,
+  * strings-only, FIRST user table (index.js:66-74 reads only the first
+  * table of the schema enum):
   *
   *   - page 0 database header: `Standard Jet DB` magic + version byte
-  *     (0x00 Jet3 → typed error; 0x01 Jet4 → supported; ≥0x02 ACE
-  *     `.accdb` → typed error);
+  *     0x01 (Jet4), or `Standard ACE DB` + 0x02/0x03 (ACE `.accdb`);
+  *     0x00 Jet3 → typed error;
   *   - system catalog: MSysObjects' table definition lives at page 2;
   *     its rows enumerate all objects — user tables have
   *     `Type & 0x7f == 1`, visible flags, and a name outside the
@@ -61,6 +64,7 @@ object MdbReader {
 
   private val PageSize = 4096
   private val Magic = "Standard Jet DB"
+  private val AceMagic = "Standard ACE DB"
 
   // Jet4 column descriptor layout (25 bytes per column)
   private val ColDescLen = 25
@@ -130,18 +134,29 @@ object MdbReader {
   }
 
   private def checkHeader(bytes: Array[Byte]): Unit = {
-    if (bytes.length < PageSize ||
-      new String(bytes, 4, Magic.length, "US-ASCII") != Magic)
+    if (bytes.length < PageSize)
       throw new IllegalArgumentException(
-        "Not an Access database (missing Jet DB signature)")
-    bytes(0x14) match {
-      case 0x00 => throw new UnsupportedOperationException(
+        "Not an Access database (missing Jet/ACE DB signature)")
+    val magic = new String(bytes, 4, Magic.length, "US-ASCII")
+    val ver = bytes(0x14) & 0xff
+    (magic, ver) match {
+      case (Magic, 0x00) => throw new UnsupportedOperationException(
         "Jet3 (Access 97) .mdb is not supported (2 KB pages, packed rows); " +
           "convert with Access or export to CSV")
-      case 0x01 => ()
-      case v => throw new UnsupportedOperationException(
-        f"ACE-era Access database (version 0x$v%02x, .accdb) is not " +
-          "supported; export to CSV and use the delimited reader")
+      case (Magic, 0x01) => ()
+      // ACE (.accdb, Access 2007/2010+): same page size, catalog, TDEF
+      // and row layout as Jet4 — the format deltas are the signature,
+      // the version byte, and new column types (complex/attachment),
+      // which surface the typed unsupported-column error at decode
+      case (AceMagic, v) if v == 0x02 || v == 0x03 => ()
+      case (Magic, v) => throw new UnsupportedOperationException(
+        f"Jet-signed Access database with unknown version 0x$v%02x " +
+          "(corrupt header?); export to CSV and use the delimited reader")
+      case (AceMagic, v) => throw new UnsupportedOperationException(
+        f"ACE database version 0x$v%02x is not supported; " +
+          "export to CSV and use the delimited reader")
+      case _ => throw new IllegalArgumentException(
+        "Not an Access database (missing Jet/ACE DB signature)")
     }
   }
 

@@ -157,17 +157,11 @@ object Readers {
       case Sniffer.Excel => ExcelReader.read(spark, path)
       case Sniffer.Jsonl => jsonl(spark, path)
       case Sniffer.Parquet => spark.read.parquet(path)
-      case Sniffer.Access if path.toLowerCase.endsWith(".mdb") =>
-        // S3: native Jet4 reader (first user table, strings-only —
-        // reference semantics, index.js:66-74). Jet3/ACE/encrypted
-        // surface typed errors from the reader itself.
-        MdbReader.read(spark, path)
       case Sniffer.Access =>
-        throw new UnsupportedOperationException(
-          ".accdb is the ACE-era format, which the reference itself only " +
-            "reads through the Windows-only ACE OLEDB provider " +
-            "(index.js:63,78). Jet4 .mdb is read natively; for .accdb, " +
-            "export to CSV (or save as .mdb) and re-ingest.")
+        // S3: native Jet4/ACE reader (first user table, strings-only —
+        // reference semantics, index.js:66-74). Jet3/encrypted/unknown
+        // versions surface typed errors from the reader itself.
+        MdbReader.read(spark, path)
     }
   }
 }

@@ -129,6 +129,36 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** S3-ACE end-to-end: `supplier` rendered as an ACE-era `.accdb`
+    * (`Standard ACE DB` signature, version 0x03, over the Jet4-shaped
+    * page machinery real ACE files share), read back through the full
+    * dispatching reader — the reference reads `.accdb` through its ACE
+    * OLEDB provider (index.js:63-78,91). Rich value types ride q117;
+    * this gate pins the ACE header path end-to-end. Same oracle shape
+    * as q111.
+    */
+  def qS6AccdbRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val rows = supplier(s, d)
+      .orderBy(col("s_suppkey"))
+      .collect()
+      .map(r => Seq(Some(r.getLong(0).toString), Some(r.getString(1)),
+        Some(r.getInt(2).toString), Some(r.getDouble(3).toString)))
+    val f = Files.createTempFile("graft_supplier", ".accdb")
+    graft.ingest.MdbFixture.writeMdb(f.toString, "supplier",
+      Seq(("s_suppkey", graft.ingest.MdbFixture.CLong),
+        ("s_name", graft.ingest.MdbFixture.CText),
+        ("s_nationkey", graft.ingest.MdbFixture.CLong),
+        ("s_acctbal", graft.ingest.MdbFixture.CDouble)),
+      rows.toIndexedSeq, versionByte = 0x03)
+    graft.ingest.Readers.read(s, f.toString)
+      .select(
+        col("s_suppkey").cast("bigint"),
+        col("s_name"),
+        col("s_nationkey").cast("int"),
+        col("s_acctbal").cast("double"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** S2-legacy end-to-end: `nation` rendered as a real BIFF8 .xls
     * (OLE2 compound file, SST with a forced CONTINUE split, RK/NUMBER
     * numerics), read back through the full dispatching reader stack.
@@ -1685,7 +1715,8 @@ object Extensions {
     "q114_survivors_by_quality" -> qD10SurvivorsByQuality _,
     "q115_token_quota" -> qC13TokenQuota _,
     "q116_dedup_paragraphs" -> qC14DedupParagraphs _,
-    "q117_mdb_rich_types" -> qS5MdbRichTypes _)
+    "q117_mdb_rich_types" -> qS5MdbRichTypes _,
+    "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1723,6 +1754,9 @@ object Extensions {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
     "q111_mdb_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey""",
+    "q118_accdb_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
     "q117_mdb_rich_types" ->

@@ -143,29 +143,49 @@ class MdbSpec extends SparkSpec {
     assert(e.getMessage.contains("0x0b") && e.getMessage.contains("'id'"))
   }
 
-  test("Jet3 and ACE version bytes raise typed errors") {
+  test(".accdb (ACE v0x02 and v0x03) round-trips through the dispatching reader") {
+    for (v <- Seq(0x02, 0x03)) {
+      val f = Files.createTempFile("graft_ace", ".accdb").toString
+      MdbFixture.writeMdb(f, "people", cols, rows, versionByte = v)
+      val df = Readers.read(spark, f)
+      assert(df.columns.toSeq == Seq("id", "name", "score", "active", "note"))
+      val got = df.orderBy(col("id").cast("long")).collect()
+        .map(r => (0 until 5).map(r.getString))
+      assert(got(1) == Seq("1", "alpha", "3", "1", "first note"), s"v=$v")
+      assert(got.length == 4)
+    }
+  }
+
+  test("Jet3, unknown versions, and magic/version mismatches raise typed errors") {
     val j3 = Files.createTempFile("graft_j3", ".mdb").toString
     MdbFixture.writeMdb(j3, "t", cols.take(2), rows.take(1).map(_.take(2)),
       versionByte = 0x00)
     val e3 = intercept[UnsupportedOperationException](MdbReader.read(spark, j3))
     assert(e3.getMessage.contains("Jet3"))
-    val ace = Files.createTempFile("graft_ace", ".mdb").toString
-    MdbFixture.writeMdb(ace, "t", cols.take(2), rows.take(1).map(_.take(2)),
-      versionByte = 0x02)
-    val eA = intercept[UnsupportedOperationException](MdbReader.read(spark, ace))
-    assert(eA.getMessage.contains("ACE"))
+    // ACE-signed with an unknown version
+    val ace9 = Files.createTempFile("graft_ace9", ".accdb").toString
+    MdbFixture.writeMdb(ace9, "t", cols.take(2), rows.take(1).map(_.take(2)),
+      versionByte = 0x09)
+    val eA = intercept[UnsupportedOperationException](MdbReader.read(spark, ace9))
+    assert(eA.getMessage.contains("ACE") && eA.getMessage.contains("0x09"))
+    // Jet-signed with an ACE version byte (header corruption)
+    val mix = Files.createTempFile("graft_mix", ".mdb").toString
+    MdbFixture.writeMdb(mix, "t", cols.take(2), rows.take(1).map(_.take(2)))
+    val mb = Files.readAllBytes(java.nio.file.Paths.get(mix))
+    mb(0x14) = 0x02
+    Files.write(java.nio.file.Paths.get(mix), mb)
+    val eM = intercept[UnsupportedOperationException](MdbReader.read(spark, mix))
+    assert(eM.getMessage.contains("unknown version"))
   }
 
-  test("non-Jet bytes and .accdb raise typed errors") {
-    val junk = Files.createTempFile("graft_junk", ".mdb")
-    Files.write(junk, Array.fill[Byte](5000)(42))
-    val e = intercept[IllegalArgumentException](MdbReader.read(spark, junk.toString))
-    assert(e.getMessage.contains("Jet DB signature"))
-    val acc = Files.createTempFile("graft_x", ".accdb")
-    Files.write(acc, Array.fill[Byte](10)(1))
-    val e2 = intercept[UnsupportedOperationException](
-      Readers.read(spark, acc.toString))
-    assert(e2.getMessage.contains(".accdb"))
+  test("non-Jet bytes raise the typed signature error through the dispatcher") {
+    for (ext <- Seq(".mdb", ".accdb")) {
+      val junk = Files.createTempFile("graft_junk", ext)
+      Files.write(junk, Array.fill[Byte](5000)(42))
+      val e = intercept[IllegalArgumentException](
+        Readers.read(spark, junk.toString))
+      assert(e.getMessage.contains("signature"), ext)
+    }
   }
 
   test("fuzz: arbitrary bytes after a valid header only ever raise the typed errors") {
