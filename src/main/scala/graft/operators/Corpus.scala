@@ -415,6 +415,11 @@ object Corpus {
     * hashing ties — oracle gate q116 runs the equivalent keep-first
     * window in SQL (identical result; the window is fine at oracle
     * scale).
+    *
+    * Contract: `idCol` must be UNIQUE — it is the reassembly key, so a
+    * duplicated id would cross-multiply rows and merge documents. A
+    * null id round-trips (the reassembly join is null-safe), though
+    * keep-first order places null ids before all others.
     */
   def dedupParagraphs(
       df: DataFrame,
@@ -446,7 +451,11 @@ object Corpus {
           array_sort(collect_list(struct(col(posT), col(paraT)))),
           x => x.getField(paraT)),
         sep).as(textT))
-    df.join(cleaned, cr(idCol) === col(idT), "left")
+    // null-safe reassembly: a NULL-id row must rejoin its own exploded
+    // lines, not silently lose its text to a non-matching equi-join.
+    // Ids are REQUIRED unique (scaladoc) — id-keyed reassembly is only
+    // well-defined then; duplicate ids would cross-multiply rows here.
+    df.join(cleaned, cr(idCol) <=> col(idT), "left")
       .withColumn(textCol,
         when(cr(textCol).isNull, lit(null.asInstanceOf[String]))
           .otherwise(coalesce(col(textT), lit(""))))
@@ -668,6 +677,10 @@ object Corpus {
     * frac·nDocs` as one IEEE multiply+compare of integer-derived
     * values) and ordered reassembly are all expressible identically in
     * ANSI SQL — oracle gate q112.
+    *
+    * Contract: `idCol` must be UNIQUE — it is the reassembly key, so a
+    * duplicated id would cross-multiply rows and merge documents. A
+    * null id round-trips (the reassembly join is null-safe).
     */
   def stripBoilerplate(
       df: DataFrame,
@@ -702,7 +715,11 @@ object Corpus {
           array_sort(collect_list(struct(col(posT), col(lineT)))),
           x => x.getField(lineT)),
         sep).as(textT))
-    df.join(cleaned, cr(idCol) === col(idT), "left")
+    // null-safe reassembly: a NULL-id row must rejoin its own exploded
+    // lines, not silently lose its text to a non-matching equi-join.
+    // Ids are REQUIRED unique (scaladoc) — id-keyed reassembly is only
+    // well-defined then; duplicate ids would cross-multiply rows here.
+    df.join(cleaned, cr(idCol) <=> col(idT), "left")
       .withColumn(textCol,
         when(cr(textCol).isNull, lit(null.asInstanceOf[String]))
           .otherwise(coalesce(col(textT), lit(""))))

@@ -348,7 +348,9 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, maxIters: Int = 50,
       reliable: Boolean = false,
-      driverFinishEdges: Long = 2000000L): DataFrame = {
+      driverFinishEdges: Long = 2000000L,
+      driverProbeEvery: Int = 2): DataFrame = {
+    require(driverProbeEvery >= 1, "driverProbeEvery must be >= 1")
     val sc = pairs.sparkSession.sparkContext
     // localCheckpoint pins its materialized blocks in the block manager
     // until the RDD is GC'd — over many rounds (and repeated calls in
@@ -446,16 +448,22 @@ object Dedup {
       // same union-find as the small-graph path and compose the root
       // mapping onto the current labels (labels always lie inside
       // their component, so the component min over labels IS the
-      // component min over ids). Probe cost is one bounded
-      // distinct+count per round — set driverFinishEdges = 0 to
-      // disable for pure-distributed runs.
-      if (!converged && driverFinishEdges > 0 && integralIds) {
+      // component min over ids). Probe cost is the contracted-graph
+      // build (two label joins + distinct) — paid every
+      // `driverProbeEvery` rounds, not every round, since on graphs
+      // that never fit the budget the probe is pure overhead; the
+      // frame is checkpointed so the driver finish COLLECTS the
+      // already-materialized blocks instead of re-running the joins.
+      // Set driverFinishEdges = 0 to disable for pure-distributed runs.
+      if (!converged && driverFinishEdges > 0 && integralIds &&
+          (it + 1) % driverProbeEvery == 0) {
         val la = next.select(col("id").as("id_a"), col("label").as("_graft_la"))
         val lb = next.select(col("id").as("id_b"), col("label").as("_graft_lb"))
-        val contracted = edges.join(la, Seq("id_a")).join(lb, Seq("id_b"))
-          .filter(col("_graft_la") =!= col("_graft_lb"))
-          .select(col("_graft_la").as("id_a"), col("_graft_lb").as("id_b"))
-          .distinct()
+        val (contracted, cIds) = cpTracked(
+          edges.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+            .filter(col("_graft_la") =!= col("_graft_lb"))
+            .select(col("_graft_la").as("id_a"), col("_graft_lb").as("id_b"))
+            .distinct())
         val probeCap = math.min(driverFinishEdges, Int.MaxValue - 1L).toInt
         val frontier = contracted.limit(probeCap + 1).count()
         if (frontier <= probeCap) {
@@ -464,12 +472,15 @@ object Dedup {
           // label-node — the shape driverUnionFind requires
           val roots = driverUnionFind(pairs, contracted)
             .select(col("id").as("label"), col("label").as("_graft_root"))
+          // driverUnionFind collected eagerly — contracted blocks done
+          unpersist(cIds)
           val composed = next.join(broadcast(roots), Seq("label"), "left")
             .select(col("id"),
               coalesce(col("_graft_root"), col("label")).as("label"))
           unpersist(labelIds)
           return composed
         }
+        unpersist(cIds)
       }
       unpersist(labelIds) // previous round's blocks: no longer reachable
       labels = next

@@ -248,6 +248,24 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == "unique body three")
   }
 
+  test("dedupParagraphs and stripBoilerplate round-trip a null-id row's text") {
+    val d = Seq(
+      (Some(1L), "kept paragraph body one\nshared promo paragraph here"),
+      (Some(2L), "shared promo paragraph here\nkept paragraph body two"),
+      (None, "null id document body paragraph"))
+      .toDF("doc_id", "text")
+    val dp = Corpus.dedupParagraphs(d, "text", "doc_id", minChars = 20)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    // before the null-safe join the null-id row's text was wiped to ""
+    assert(dp(None) == "null id document body paragraph")
+    val sb = Corpus.stripBoilerplate(
+      d.withColumn("g", lit("s")), "text", "doc_id", "g",
+      minDocs = 2, minDocFrac = 0.5)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(sb(None) == "null id document body paragraph")
+    assert(sb(Some(1L)) == "kept paragraph body one")
+  }
+
   test("tokenQuotaPerGroup admits docs until the budget, boundary doc straddles in") {
     val d = (0L until 100L).map(i => (i, "g", 10L + i % 5)).toDF("id", "grp", "toks")
     val kept = Corpus.tokenQuotaPerGroup(d, "grp", "id", col("toks"), budget = 120L)
