@@ -150,7 +150,7 @@ object Readers {
     val plainLocal = !path.contains("://") &&
       !path.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
     val fmt = Sniffer.formatOf(path)
-    if (fmt != Sniffer.Access && plainLocal && !new java.io.File(path).exists())
+    if (plainLocal && !new java.io.File(path).exists())
       throw new IllegalArgumentException(s"File not found or expired: $path")
     fmt match {
       case Sniffer.Delimited => delimited(spark, path)

@@ -303,10 +303,11 @@ class IngestSpec extends SparkSpec {
     assert(Readers.read(spark, pdir).count() == 5)
   }
 
-  test("access files rejected with guidance") {
-    val e = intercept[UnsupportedOperationException] {
-      Readers.read(spark, "/tmp/nope.accdb")
-    }
-    assert(e.getMessage.contains("CSV"))
+  test("missing access file gets the expired-file error like every local path") {
+    // .accdb/.mdb route to MdbReader now (round-trip coverage in
+    // MdbSpec), so Access no longer bypasses the U3 existence check
+    val e = intercept[IllegalArgumentException](
+      Readers.read(spark, "/tmp/nope.accdb"))
+    assert(e.getMessage.contains("File not found or expired"))
   }
 }
