@@ -73,17 +73,19 @@ object MdbFixture {
     pages += new Array[Byte](PageSize) // page 1: usage bitmap placeholder
     pages += tdefPage(catalogCols, catalogRows.length)
     pages += null // page 3 reserved: catalog data (owner = 2)
-    pages += tdefPage(columns, rows.length)
+    // user TDEF at page 4; wide tables chain continuation pages at 5..
+    val userTdef = tdefPagesOf(tdefStreamBytes(columns, rows.length), contStart = 5)
+    userTdef.foreach(pages += _)
     val catData = dataPages(2, catalogCols, catalogRows, compressText = false,
       Seq.fill(catalogRows.length)(Map.empty[Int, Array[Byte]]))
     require(catData.length == 1, "catalog fixture must fit one page")
     pages.buf(3) = catData.head
     // memo plan: every CMemo value becomes a 12-byte header (+ inline
     // bytes) in its row's variable block; non-inline values also place
-    // rows on LVAL pages, which sit at pages 5.. so their record
+    // rows on LVAL pages, which follow the TDEF chain so their record
     // pointers are known before the data pages are encoded
     val memoCols = columns.zipWithIndex.collect { case ((_, CMemo), i) => i }
-    val lval = new LvalAlloc(firstPg = 5)
+    val lval = new LvalAlloc(firstPg = 4 + userTdef.length)
     val memoPlan: Seq[Map[Int, Array[Byte]]] = rows.map { values =>
       memoCols.flatMap { ci =>
         values(ci).map(s => ci -> lval.memoField(encodeText(s, compressText)))
@@ -280,9 +282,24 @@ object MdbFixture {
   private def isVar(t: ColType): Boolean = t == CText || t == CMemo
 
   private def tdefPage(columns: Seq[(String, ColType)], numRows: Int): Array[Byte] = {
-    val p = new Array[Byte](PageSize)
+    val s = tdefStreamBytes(columns, numRows)
+    require(s.length == PageSize, "this table definition needs tdefPagesOf")
+    s
+  }
+
+  /** The logical TDEF stream: page-one layout in full, continuing past
+    * PageSize when the descriptors + UTF-16 names of a wide table spill
+    * over; [[tdefPagesOf]] splits the tail across continuation pages
+    * (8-byte page headers, chained via the offset-4 next pointer) the
+    * way real Jet4/ACE files store ~90+-column tables.
+    */
+  private def tdefStreamBytes(
+      columns: Seq[(String, ColType)], numRows: Int): Array[Byte] = {
+    val sz = 0x3f + 25 * columns.length +
+      columns.map(_._1.getBytes("UTF-16LE").length + 2).sum
+    val p = new Array[Byte](math.max(PageSize, sz))
     p(0) = 0x02; p(1) = 0x01
-    putI32(p, 4, 0) // single-page TDEF
+    putI32(p, 4, 0) // next TDEF page; patched by tdefPagesOf when chained
     putI32(p, 0x10, numRows)
     val varCols = columns.filter(c => isVar(c._2))
     putU16(p, 0x28, columns.length)
@@ -310,7 +327,29 @@ object MdbFixture {
       o += 2 + nb.length
     }
     putI32(p, 8, o - 0x3f) // tdefLen
-    p
+    if (sz <= PageSize) java.util.Arrays.copyOf(p, PageSize)
+    else java.util.Arrays.copyOf(p, sz)
+  }
+
+  /** Split a logical TDEF stream into its page chain: the first page
+    * as-is, overflow in (PageSize−8)-byte chunks on continuation pages
+    * numbered from `contStart`, linked through the offset-4 pointer.
+    */
+  private def tdefPagesOf(stream: Array[Byte], contStart: Int): Seq[Array[Byte]] = {
+    if (stream.length <= PageSize) Seq(java.util.Arrays.copyOf(stream, PageSize))
+    else {
+      val first = java.util.Arrays.copyOf(stream, PageSize)
+      val chunks = stream.drop(PageSize).grouped(PageSize - 8).toSeq
+      val conts = chunks.zipWithIndex.map { case (ch, i) =>
+        val pg = new Array[Byte](PageSize)
+        pg(0) = 0x02; pg(1) = 0x01
+        putI32(pg, 4, if (i == chunks.length - 1) 0 else contStart + i + 1)
+        System.arraycopy(ch, 0, pg, 8, ch.length)
+        pg
+      }
+      putI32(first, 4, contStart)
+      first +: conts
+    }
   }
 
   private def encodeText(s: String, compress: Boolean): Array[Byte] =

@@ -48,10 +48,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *     null (a column of nulls where the reference's ADODB path shows
   *     values is a wrong answer, not a contract).
   *
-  * Out of scope (typed error or documented skip, never a wrong answer):
-  * Jet3 (2 KB pages, packed row format), ACE `.accdb`, encrypted
-  * databases (the RC4-protected header region — catalog parse fails →
-  * typed error), and multi-page TDEFs. Overflow (lookup) directory
+  * Out of scope (typed error, never a wrong answer): Jet3 (2 KB pages,
+  * packed row format) and encrypted databases (the RC4-protected
+  * header region — catalog parse fails → typed error). Multi-page
+  * TDEFs are stitched via the offset-4 next-page chain (wide tables
+  * spill descriptors + names routinely). Overflow (lookup) directory
   * entries hold a 4-byte record pointer, not row data; the scan skips
   * the pointer and picks the relocated row up when it reaches the
   * overflow page itself, which is a regular owner-tagged data page —
@@ -127,9 +128,9 @@ object MdbReader {
       case e @ (_: UnsupportedOperationException | _: IllegalArgumentException) => throw e
       case _: Exception =>
         throw new UnsupportedOperationException(
-          "Unreadable Jet4 .mdb (corrupt, encrypted, or an unsupported " +
-            "layout — multi-page TDEFs and overflow rows are out of scope); " +
-            "export the table to CSV and use the delimited reader")
+          "Unreadable Access database (corrupt, encrypted, or an " +
+            "unsupported layout); export the table to CSV and use the " +
+            "delimited reader")
     }
   }
 
@@ -171,29 +172,52 @@ object MdbReader {
   private def i64(b: Array[Byte], o: Int): Long =
     (0 until 8).map(i => (b(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
 
+  /** TDEF pages chain through the next-page pointer at offset 4; the
+    * logical definition stream is page one in full, then each
+    * continuation page minus its 8-byte page header. Wide tables (~90+
+    * columns) spill their descriptors and UTF-16 names across pages
+    * routinely, so the stream is stitched here instead of refused.
+    */
+  private def tdefStream(bytes: Array[Byte], tdefPg: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var pg = tdefPg
+    var first = true
+    var hops = 0
+    val seen = scala.collection.mutable.Set.empty[Int]
+    while (pg != 0 || first) {
+      val base = pg * PageSize
+      require(base > 0 && base + PageSize <= bytes.length,
+        s"TDEF page $pg out of range")
+      require(u8(bytes, base) == 0x02, s"page $pg is not a table definition")
+      require(seen.add(pg), s"TDEF page chain loops at page $pg")
+      require(hops < 1024, "TDEF page chain too long")
+      if (first) out.write(bytes, base, PageSize)
+      else out.write(bytes, base + 8, PageSize - 8)
+      pg = i32(bytes, base + 4)
+      first = false
+      hops += 1
+    }
+    out.toByteArray
+  }
+
   private def parseTable(bytes: Array[Byte], tdefPg: Int): Table = {
-    val base = tdefPg * PageSize
-    require(base + PageSize <= bytes.length, s"TDEF page $tdefPg out of range")
-    require(u8(bytes, base) == 0x02, s"page $tdefPg is not a table definition")
-    if (i32(bytes, base + 4) != 0)
-      throw new UnsupportedOperationException(
-        "Multi-page table definitions are not supported")
-    val numRealIdx = i32(bytes, base + 0x32)
-    val numCols = u16(bytes, base + 0x2c)
-    var p = base + TdefHeaderLen + numRealIdx * 12
+    val td = tdefStream(bytes, tdefPg)
+    val numRealIdx = i32(td, 0x32)
+    val numCols = u16(td, 0x2c)
+    var p = TdefHeaderLen + numRealIdx * 12
     val cols = (0 until numCols).map { _ =>
-      val typ = u8(bytes, p)
-      val num = u16(bytes, p + 5)
-      val offV = u16(bytes, p + 7)
-      val flags = u8(bytes, p + 15)
-      val offF = u16(bytes, p + 21)
+      val typ = u8(td, p)
+      val num = u16(td, p + 5)
+      val offV = u16(td, p + 7)
+      val flags = u8(td, p + 15)
+      val offF = u16(td, p + 21)
       val c = Col("", typ, num, offV, offF, (flags & 0x01) != 0)
       p += ColDescLen
       c
     }
     val named = cols.map { c =>
-      val nameLen = u16(bytes, p)
-      val name = new String(bytes, p + 2, nameLen, "UTF-16LE")
+      val nameLen = u16(td, p)
+      val name = new String(td, p + 2, nameLen, "UTF-16LE")
       p += 2 + nameLen
       c.copy(name = name)
     }

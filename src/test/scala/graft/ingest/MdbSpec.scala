@@ -67,6 +67,33 @@ class MdbSpec extends SparkSpec {
       == "name_499 padded with some text 499")
   }
 
+  test("wide table: multi-page TDEF chain stitches 150 columns") {
+    val f = Files.createTempFile("graft_wide", ".mdb").toString
+    // 150 descriptors (25 B each) + UTF-16 names blow well past one
+    // 4096-byte page, forcing a continuation chain
+    val wideCols = (0 until 150).map(i =>
+      (s"really_long_column_name_number_$i", MdbFixture.CLong))
+    val wideRows = (0 until 7).map(r =>
+      (0 until 150).map(c => Some((r * 1000 + c).toString)))
+    MdbFixture.writeMdb(f, "wide", wideCols, wideRows)
+    val df = MdbReader.read(spark, f)
+    assert(df.columns.length == 150)
+    assert(df.columns(149) == "really_long_column_name_number_149")
+    val got = df.orderBy(col("really_long_column_name_number_0").cast("long"))
+      .collect()
+    assert(got.length == 7)
+    assert(got(3).getString(149) == "3149")
+    // memo columns still work when the TDEF itself is chained
+    val f2 = Files.createTempFile("graft_widem", ".mdb").toString
+    val memoCols = wideCols.take(120) :+ ("body", MdbFixture.CMemo)
+    val memoRows = (0 until 3).map(r =>
+      (0 until 120).map(c => Some((r * 1000 + c).toString)) :+ Some("m" * 500))
+    MdbFixture.writeMdb(f2, "widem", memoCols, memoRows)
+    val got2 = MdbReader.read(spark, f2)
+      .orderBy(col("really_long_column_name_number_0").cast("long")).collect()
+    assert(got2.length == 3 && got2(0).getString(120) == "m" * 500)
+  }
+
   test("preview limit stops early (TOP n parity)") {
     val (_, r) = MdbReader.readRows(writeFixture(), maxRows = 2)
     assert(r.length == 2)
