@@ -317,12 +317,18 @@ object Corpus {
     * (md5(id), id) quota order — an 8-hex-char prefix below the
     * threshold implies the full hash sorts below every hash at or above
     * it — which is what makes pre-thinning lossless whenever the quota
-    * cut lands inside the thinned set.
+    * cut lands inside the thinned set. Null ids ALWAYS pass: md5(null)
+    * is null, and the quota window orders by (md5(id), id) asc
+    * nulls-first, so a null-id row ranks ahead of every hashed row and
+    * belongs to every downward-closed prefix — dropping it here would
+    * thin away a row the exact operator keeps while the row-count probe
+    * still reads "safe".
     */
   private def thinKeep(id: Column, frac: Column): Column = {
     val buckets = least(greatest(floor(frac * 4294967296.0), lit(1.0)),
       lit(4294967295.0)).cast("long")
-    substring(md5(id.cast("string")), 1, 8) < format_string("%08x", buckets)
+    id.isNull ||
+      (substring(md5(id.cast("string")), 1, 8) < format_string("%08x", buckets))
   }
 
   /** At most `cap` rows per group, chosen deterministically: rows rank

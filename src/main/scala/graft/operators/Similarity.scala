@@ -157,8 +157,13 @@ object Similarity {
       a <- 0 until lim; b <- (a + 1) until lim; c <- (b + 1) until lim
     } yield (Seq(ranked(a)._1, ranked(b)._1, ranked(c)._1),
       ranked(a)._2 + ranked(b)._2 + ranked(c)._2)
+    // bucket-count cap as a Long: `(1 << bits) - 1` is an Int shift that
+    // wraps for bits ≥ 31 (bits=32 → 0), which would silently drop every
+    // perturbation and degrade multiprobe to the exact bucket only
+    val maxProbes =
+      if (bits >= 31) Int.MaxValue else (1 << bits) - 1
     val probeSigs = qsig +: (singles ++ pairs ++ triples).sortBy(_._2)
-      .take(math.min(probes, (1 << bits) - 1))
+      .take(math.min(probes, maxProbes))
       .map { case (idxs, _) => idxs.foldLeft(qsig)((s, i) => s ^ (1L << i)) }
     val q = array(query.map(lit): _*)
     sigged

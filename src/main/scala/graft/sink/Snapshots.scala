@@ -127,6 +127,16 @@ object Snapshots {
     * interrupted commit by re-flipping the pointer to the latest
     * version instead of re-writing its data — exactly-once publish
     * across restarts with no coordination beyond the two renames.
+    *
+    * Replay detection scans back to the NEWEST version that carries a
+    * `_BATCH` marker, so plain [[publish]] calls interleaved on the
+    * same table (e.g. a manual backfill between micro-batches) do not
+    * break the chain. The remaining single-writer assumption: at most
+    * ONE streaming query publishes batches to a given table — two
+    * concurrent queries share a batch-id sequence only by accident, so
+    * their replays cannot be told apart. Completing an interrupted
+    * pointer flip is also only attempted when the latest version is the
+    * batch chain's head; a newer plain-publish version keeps `_CURRENT`.
     */
   def publishBatch(
       spark: SparkSession,
@@ -136,13 +146,20 @@ object Snapshots {
       batchId: Long): Int = {
     val fs = fsOf(spark, warehouse)
     val dir = tableDir(warehouse, table)
-    val latest = versions(spark, warehouse, table).lastOption
-    val replayed = latest.flatMap(v => batchOf(fs, dir, v))
-      .exists(last => batchId <= last)
+    val vs = versions(spark, warehouse, table)
+    // newest _BATCH-bearing version — interleaved plain publish()
+    // versions carry no marker and must not hide the batch chain
+    val chainHead = vs.reverseIterator
+      .map(v => (v, batchOf(fs, dir, v)))
+      .collectFirst { case (v, Some(last)) => (v, last) }
+    val replayed = chainHead.exists { case (_, last) => batchId <= last }
     if (replayed) {
-      val v = latest.get
+      val v = chainHead.get._1
+      // complete an interrupted flip only when the batch chain's head is
+      // the table's latest version; a newer plain publish owns _CURRENT
       val cur = new Path(dir, "_CURRENT")
-      if (!fs.exists(cur) || currentVersion(spark, warehouse, table) != v)
+      if (vs.lastOption.contains(v) &&
+        (!fs.exists(cur) || currentVersion(spark, warehouse, table) != v))
         flipPointer(fs, dir, table, v)
       v
     } else publish(spark, warehouse, table, df, Some(batchId))

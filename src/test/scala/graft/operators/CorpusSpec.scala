@@ -211,6 +211,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("quota guards: null-id rows in a hot group survive the pre-thin") {
+    import org.apache.commons.codec.digest.DigestUtils
+    // md5(null) is null and the quota window orders by (md5(id), id)
+    // asc nulls-first, so null-id rows rank FIRST and belong to every
+    // downward-closed prefix — a null-blind thinKeep dropped them while
+    // the row-count probe still read "safe" (the old thinned set held
+    // >= cap rows), silently breaking the exact-ALWAYS guarantee
+    val df = (0L until 1000L).map(i =>
+      (if (i < 3) null else s"d$i", "hot")).toDF("id", "grp")
+    val expectedNonNull = (3L until 1000L).map(i => s"d$i")
+      .sortBy(id => (DigestUtils.md5Hex(id), id)).take(7).toSet
+    val got = Corpus.quotaPerGroup(df, "grp", "id", cap = 10,
+      preThinFactor = 8.0) // hot: 80 < 1000 → pre-thinned main path
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.count(_.isEmpty) == 3, "all three null-id rows kept")
+    assert(got.flatten.toSet == expectedNonNull)
+
+    val toks = (0L until 1000L).map(i =>
+      (if (i < 2) null else s"t$i", "hot", 10L)).toDF("id", "grp", "toks")
+    val sortedIds = (2L until 1000L).map(i => s"t$i")
+      .sortBy(id => (DigestUtils.md5Hex(id), id))
+    // budget 100 at 10 tokens/row → 10 rows: the 2 nulls then 8 hashed
+    val gotT = Corpus.tokenQuotaPerGroup(toks, "grp", "id", col("toks"),
+      budget = 100L, preThinFactor = 8.0)
+      .collect().map(r => Option(r.getString(0)))
+    assert(gotT.count(_.isEmpty) == 2)
+    assert(gotT.flatten.toSet == sortedIds.take(8).toSet)
+  }
+
   test("tokenQuotaPerGroup guard: pre-thin and forced fallback match the unguarded cut") {
     import org.apache.commons.codec.digest.DigestUtils
     val d = (0L until 4000L).map(i =>

@@ -52,6 +52,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L)) // the identical vector shares the signature
   }
 
+  test("LSH multiprobe still probes at bits >= 31 (Int-shift wrap guard)") {
+    // `(1 << bits) - 1` wraps for bits >= 31 (bits=32 → 0), which
+    // silently dropped every perturbation sig — multiprobe degraded to
+    // the exact bucket only. Near-identical vectors flip exactly the
+    // low-margin bits, which is what query-directed probing targets, so
+    // with 32-bit buckets the probed run must recall strictly more.
+    val dim = 16
+    val q = (0 until dim).map(j => math.sin(j * 1.7 + 0.3)).toArray
+    val noisy = (1 to 120).map { i =>
+      (i.toLong, (0 until dim)
+        .map(j => (q(j) + 0.12 * math.sin(i * 7.31 + j * 2.13)).toFloat))
+    }
+    val c = ((0L, q.map(_.toFloat).toSeq) +: noisy.map { case (i, v) => (i, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val qf = q.map(_.toFloat).toSeq
+    def ids(probes: Int) = Similarity.lshTopK(
+      c, "embedding", "vec_id", qf, k = 121, dim = dim,
+      bits = 32, probes = probes).collect().map(_.getLong(0)).toSet
+    val exact = ids(0)
+    val probed = ids(290)
+    assert(exact.contains(0L) && probed.contains(0L))
+    assert(exact.subsetOf(probed))
+    assert(probed.size > exact.size,
+      s"multiprobe added nothing at bits=32 (exact=${exact.size})")
+  }
+
   test("IVF: probe path returns the nearest vector") {
     val (assigned, cents) = Similarity.ivfIndex(corpus, "embedding", nClusters = 2, dim = 4)
     assert(assigned.columns.contains("ivf_cluster"))

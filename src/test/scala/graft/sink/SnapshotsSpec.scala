@@ -72,6 +72,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, wh, "s") == 2)
   }
 
+  test("publishBatch survives an interleaved plain publish on the same table") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    val b0 = Seq((1, "a")).toDF("k", "v")
+    val fill = Seq((9, "manual")).toDF("k", "v")
+    val b1 = Seq((2, "b")).toDF("k", "v")
+    assert(Snapshots.publishBatch(spark, wh, "s", b0, batchId = 0L) == 1)
+    // a manual backfill between micro-batches has no _BATCH marker; it
+    // must not hide the batch chain from replay detection
+    assert(Snapshots.publish(spark, wh, "s", fill) == 2)
+    // a replay of batch 0 scans back to v1's marker → no duplicate, and
+    // the plain publish keeps ownership of _CURRENT
+    assert(Snapshots.publishBatch(spark, wh, "s", b0, batchId = 0L) == 1)
+    assert(Snapshots.versions(spark, wh, "s") == Seq(1, 2))
+    assert(Snapshots.currentVersion(spark, wh, "s") == 2)
+    // the next new batch publishes normally on top
+    assert(Snapshots.publishBatch(spark, wh, "s", b1, batchId = 1L) == 3)
+    assert(Snapshots.currentVersion(spark, wh, "s") == 3)
+  }
+
   test("content hash distinguishes different frames") {
     val a = Snapshots.contentHash(spark.range(100).toDF("v"))
     val b = Snapshots.contentHash(spark.range(101).toDF("v"))
