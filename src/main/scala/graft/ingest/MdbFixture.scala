@@ -42,6 +42,21 @@ object MdbFixture {
     * one LVAL row (≤[[LvalChunk]] B), or a chained multi-row LVAL walk
     */
   case object CMemo extends ColType
+  /** value = lowercase hex string; stored as variable-length raw bytes */
+  case object CBinary extends ColType
+  /** value = base64 string; OLE object storage = MEMO's LVAL forms with
+    * raw (non-text) payload bytes
+    */
+  case object COle extends ColType
+  /** value = decimal string; 17-byte fixed-point (sign byte, 0x80 =
+    * negative, + 16-byte big-endian magnitude at `scale`), precision/
+    * scale written to descriptor bytes 11/12 per the Jet4 layout
+    */
+  final case class CNumeric(prec: Int, scale: Int) extends ColType
+  /** fixed-length TEXT: `len` bytes of UTF-16LE, zero-padded — rare but
+    * legal in Jet4 (the fixed flag + type 0x0a combination)
+    */
+  final case class CFixedText(len: Int) extends ColType
 
   private val PageSize = 4096
 
@@ -84,11 +99,18 @@ object MdbFixture {
     // bytes) in its row's variable block; non-inline values also place
     // rows on LVAL pages, which follow the TDEF chain so their record
     // pointers are known before the data pages are encoded
-    val memoCols = columns.zipWithIndex.collect { case ((_, CMemo), i) => i }
+    val memoCols = columns.zipWithIndex.collect {
+      case ((_, t @ (CMemo | COle)), i) => (i, t)
+    }
     val lval = new LvalAlloc(firstPg = 4 + userTdef.length)
     val memoPlan: Seq[Map[Int, Array[Byte]]] = rows.map { values =>
-      memoCols.flatMap { ci =>
-        values(ci).map(s => ci -> lval.memoField(encodeText(s, compressText)))
+      memoCols.flatMap { case (ci, t) =>
+        values(ci).map { s =>
+          val payload =
+            if (t == COle) java.util.Base64.getDecoder.decode(s)
+            else encodeText(s, compressText)
+          ci -> lval.memoField(payload)
+        }
       }.toMap
     }
     lval.pages().foreach(pages += _)
@@ -111,7 +133,8 @@ object MdbFixture {
       columns: Seq[(String, ColType)],
       rows: Seq[Seq[Option[String]]],
       overflowIdx: Set[Int]): Unit = {
-    require(columns.forall(_._2 != CMemo), "overflow fixture excludes memo columns")
+    require(columns.forall(c => c._2 != CMemo && c._2 != COle),
+      "overflow fixture excludes LVAL-backed columns")
     val userTdefPg = 4
     val catalogCols = Seq(
       ("Id", CLong), ("Name", CText), ("Type", CLong), ("Flags", CLong))
@@ -266,8 +289,10 @@ object MdbFixture {
     case CLong => 4
     case CDouble | CMoney | CDate => 8
     case CGuid => 16
+    case CNumeric(_, _) => 17
+    case CFixedText(n) => n
     case CBool => 0 // value lives in the null mask
-    case CText | CMemo => 0
+    case CText | CMemo | CBinary | COle => 0
   }
   private def typeCode(t: ColType): Int = t match {
     case CBool => 0x01
@@ -275,11 +300,15 @@ object MdbFixture {
     case CMoney => 0x05
     case CDouble => 0x07
     case CDate => 0x08
-    case CText => 0x0a
+    case CBinary => 0x09
+    case CText | CFixedText(_) => 0x0a
+    case COle => 0x0b
     case CMemo => 0x0c
     case CGuid => 0x0f
+    case CNumeric(_, _) => 0x10
   }
-  private def isVar(t: ColType): Boolean = t == CText || t == CMemo
+  private def isVar(t: ColType): Boolean =
+    t == CText || t == CMemo || t == CBinary || t == COle
 
   private def tdefPage(columns: Seq[(String, ColType)], numRows: Int): Array[Byte] = {
     val s = tdefStreamBytes(columns, numRows)
@@ -315,6 +344,11 @@ object MdbFixture {
       putU16(p, o + 5, i)
       putU16(p, o + 7, if (isVar(t)) { val v = varIdx; varIdx += 1; v } else 0xffff)
       putU16(p, o + 9, i)
+      t match { // NUMERIC precision/scale live at descriptor bytes 11/12
+        case CNumeric(prec, scale) =>
+          p(o + 11) = prec.toByte; p(o + 12) = scale.toByte
+        case _ => ()
+      }
       p(o + 15) = (if (isVar(t)) 0x02 else 0x03).toByte // bit 0: fixed
       putU16(p, o + 21, if (isVar(t)) 0 else { val f = fixedOff; fixedOff += fixedLen(t); f })
       putU16(p, o + 23, fixedLen(t))
@@ -350,6 +384,12 @@ object MdbFixture {
       putI32(first, 4, contStart)
       first +: conts
     }
+  }
+
+  private def hexBytes(s: String): Array[Byte] = {
+    require(s.length % 2 == 0, s"odd-length hex: $s")
+    Array.tabulate(s.length / 2)(i =>
+      Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
   }
 
   private def encodeText(s: String, compress: Boolean): Array[Byte] =
@@ -410,8 +450,27 @@ object MdbFixture {
               b(10 + k) = Integer.parseInt(g(4).substring(2 * k, 2 * k + 2), 16).toByte)
           }
           fixed.write(b); if (v.isDefined) setNotNull(i)
+        case CFixedText(len) =>
+          val b = new Array[Byte](len)
+          v.foreach { s =>
+            val eb = s.getBytes("UTF-16LE")
+            require(eb.length <= len, s"fixed text overflows $len bytes: $s")
+            System.arraycopy(eb, 0, b, 0, eb.length)
+          }
+          fixed.write(b); if (v.isDefined) setNotNull(i)
+        case CNumeric(_, scale) =>
+          val b = new Array[Byte](17)
+          v.foreach { s =>
+            val dec = new java.math.BigDecimal(s).setScale(scale)
+            if (dec.signum() < 0) b(0) = 0x80.toByte
+            // big-endian; drop toByteArray's sign-guard leading zero
+            val mag = dec.unscaledValue().abs().toByteArray.dropWhile(_ == 0)
+            require(mag.length <= 16, s"numeric overflows 16 bytes: $s")
+            System.arraycopy(mag, 0, b, 17 - mag.length, mag.length)
+          }
+          fixed.write(b); if (v.isDefined) setNotNull(i)
         case CBool => if (v.exists(s => s == "1" || s.equalsIgnoreCase("true"))) setNotNull(i)
-        case CText | CMemo => if (v.isDefined) setNotNull(i)
+        case CText | CMemo | CBinary | COle => if (v.isDefined) setNotNull(i)
       }
     }
     val varCols = columns.zipWithIndex.filter(c => isVar(c._1._2))
@@ -421,7 +480,11 @@ object MdbFixture {
     val offsets = ArrayBuffer(varBase)
     varCols.foreach { case ((_, t), i) =>
       values(i).foreach { s =>
-        varData.write(if (t == CMemo) memo(i) else encodeText(s, compressText))
+        varData.write(t match {
+          case CMemo | COle => memo(i)
+          case CBinary => hexBytes(s)
+          case _ => encodeText(s, compressText)
+        })
       }
       offsets += varBase + varData.size()
     }

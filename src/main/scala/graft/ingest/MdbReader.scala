@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * table of the schema enum):
   *
   *   - page 0 database header: `Standard Jet DB` magic + version byte
-  *     0x01 (Jet4), or `Standard ACE DB` + 0x02/0x03 (ACE `.accdb`);
-  *     0x00 Jet3 → typed error;
+  *     0x01 (Jet4), or `Standard ACE DB` + 0x02–0x05 (ACE `.accdb`,
+  *     Access 2007 through 2016+); 0x00 Jet3 → typed error;
   *   - system catalog: MSysObjects' table definition lives at page 2;
   *     its rows enumerate all objects — user tables have
   *     `Type & 0x7f == 1`, visible flags, and a name outside the
@@ -39,11 +39,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *     double, days since 1899-12-30, rendered `yyyy-MM-dd[ HH:mm:ss]`
   *     with the time omitted at midnight — Access display parity),
   *     MONEY (int64 scaled 10^4, trailing zeros trimmed), GUID
-  *     (registry format, little-endian first three groups), and MEMO —
+  *     (registry format, little-endian first three groups), MEMO —
   *     the inline variant plus both LVAL page forms (type 1: the value
   *     is a whole row on an `LVAL`-tagged page; type 2: rows chained by
-  *     a leading 4-byte next-record pointer). Remaining Jet types
-  *     (OLE, BINARY, NUMERIC, replication ids) raise a typed
+  *     a leading 4-byte next-record pointer) — NUMERIC (17-byte
+  *     fixed-point: sign byte, 0x80 = negative, + 16-byte big-endian
+  *     magnitude scaled by the descriptor's scale byte), BINARY
+  *     (lowercase hex, fixed or variable), and OLE (base64 of the raw
+  *     object bytes, same LVAL storage as MEMO). Remaining Jet/ACE
+  *     types (complex, attachment, replication ids) raise a typed
   *     unsupported-column error naming the column — never a silent
   *     null (a column of nulls where the reference's ADODB path shows
   *     values is a wrong answer, not a contract).
@@ -80,12 +84,20 @@ object MdbReader {
   private val TFloat = 0x06
   private val TDouble = 0x07
   private val TDateTime = 0x08
+  private val TBinary = 0x09
   private val TText = 0x0a
+  private val TOle = 0x0b
   private val TMemo = 0x0c
   private val TGuid = 0x0f
+  private val TNumeric = 0x10
 
+  /** `len` = declared fixed length (descriptor bytes 23–24); `prec`/
+    * `scale` are NUMERIC's precision/scale (descriptor bytes 11/12 —
+    * meaningless for other types).
+    */
   private final case class Col(
-      name: String, typ: Int, num: Int, offV: Int, offF: Int, fixed: Boolean)
+      name: String, typ: Int, num: Int, offV: Int, offF: Int, fixed: Boolean,
+      len: Int, prec: Int, scale: Int)
 
   /** First user table as a strings-only DataFrame (reference S3
     * semantics). `maxRows` is the preview limit (TOP n parity,
@@ -145,11 +157,13 @@ object MdbReader {
         "Jet3 (Access 97) .mdb is not supported (2 KB pages, packed rows); " +
           "convert with Access or export to CSV")
       case (Magic, 0x01) => ()
-      // ACE (.accdb, Access 2007/2010+): same page size, catalog, TDEF
-      // and row layout as Jet4 — the format deltas are the signature,
-      // the version byte, and new column types (complex/attachment),
-      // which surface the typed unsupported-column error at decode
-      case (AceMagic, v) if v == 0x02 || v == 0x03 => ()
+      // ACE (.accdb, Access 2007–2019/365: version bytes 0x02–0x05):
+      // same page size, catalog, TDEF and row layout as Jet4 — the
+      // format deltas are the signature, the version byte, and new
+      // column types (complex/attachment/extended-date), which surface
+      // the typed unsupported-column error at decode. mdbtools likewise
+      // routes every ACE version through its Jet4 path.
+      case (AceMagic, v) if v >= 0x02 && v <= 0x05 => ()
       case (Magic, v) => throw new UnsupportedOperationException(
         f"Jet-signed Access database with unknown version 0x$v%02x " +
           "(corrupt header?); export to CSV and use the delimited reader")
@@ -209,9 +223,12 @@ object MdbReader {
       val typ = u8(td, p)
       val num = u16(td, p + 5)
       val offV = u16(td, p + 7)
+      val prec = u8(td, p + 11)
+      val scale = u8(td, p + 12)
       val flags = u8(td, p + 15)
       val offF = u16(td, p + 21)
-      val c = Col("", typ, num, offV, offF, (flags & 0x01) != 0)
+      val len = u16(td, p + 23)
+      val c = Col("", typ, num, offV, offF, (flags & 0x01) != 0, len, prec, scale)
       p += ColDescLen
       c
     }
@@ -301,6 +318,12 @@ object MdbReader {
           case TDouble => renderDouble(java.lang.Double.longBitsToDouble(i64(row, o)))
           case TDateTime => renderDateTime(java.lang.Double.longBitsToDouble(i64(row, o)))
           case TGuid => renderGuid(row, o)
+          case TBinary => renderHex(row, o, o + c.len)
+          case TNumeric => renderNumeric(row, o, c.scale)
+          // fixed-length TEXT (legal in Jet4, if rare): col.len bytes,
+          // NUL-padded on the right
+          case TText =>
+            decodeText(row, o, o + c.len).reverse.dropWhile(_ == '\u0000').reverse
           case t => throw unsupportedType(c.name, t)
         }
       } else {
@@ -308,6 +331,9 @@ object MdbReader {
         else c.typ match {
           case TText => decodeText(row, varOff(c.offV), varOff(c.offV + 1))
           case TMemo => decodeMemo(bytes, row, varOff(c.offV), varOff(c.offV + 1))
+          case TBinary => renderHex(row, varOff(c.offV), varOff(c.offV + 1))
+          case TOle => renderBase64(
+            lvalBytes(bytes, row, varOff(c.offV), varOff(c.offV + 1)))
           case t => throw unsupportedType(c.name, t)
         }
       }
@@ -317,8 +343,8 @@ object MdbReader {
   private def unsupportedType(col: String, typ: Int) =
     new UnsupportedOperationException(
       f"Unsupported Jet4 column type 0x$typ%02x in column '$col' " +
-        "(OLE/binary/numeric are out of scope); export the table to CSV " +
-        "and use the delimited reader")
+        "(complex/attachment/replication types are out of scope); export " +
+        "the table to CSV and use the delimited reader")
 
   /** Jet4 TEXT: UTF-16LE, or the 0xFF 0xFE "compressed" variant where
     * runs of 8-bit (latin-1) chars alternate with UTF-16LE runs, toggled
@@ -390,21 +416,59 @@ object MdbReader {
       hex(o + 8, o + 10) + "-" + hex(o + 10, o + 16) + "}"
   }
 
-  /** Jet4 MEMO: u32 length-with-flags (low 3 bytes = memo byte length;
-    * high byte: 0x80 inline, 0x40 single-LVAL-row, 0x00 chained), then
-    * a u32 record pointer (row << 24 | page) into an `LVAL`-tagged
-    * page, then 4 unused bytes. Text encoding is the same as TEXT.
+  /** BINARY renders as lowercase hex — the unambiguous short form for a
+    * fixed/variable raw-byte field (Access itself has no display form;
+    * the reference's ADODB path surfaces a byte array).
     */
+  private def renderHex(b: Array[Byte], from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder((to - from) * 2)
+    var i = from
+    while (i < to) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** OLE objects render as base64 of the raw bytes — lossless and
+    * compact for multi-KB blobs where hex would double again.
+    */
+  private def renderBase64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+
+  /** NUMERIC/DECIMAL: 17 bytes — a sign byte (bit 0x80 set = negative,
+    * per the mdbtools format notes) then a 16-byte big-endian unsigned
+    * magnitude, scaled by the column descriptor's scale. Rendered like
+    * MONEY: trailing zeros trimmed, plain (non-E) notation.
+    */
+  private def renderNumeric(b: Array[Byte], o: Int, scale: Int): String = {
+    val neg = (b(o) & 0x80) != 0
+    val mag = new java.math.BigInteger(1,
+      java.util.Arrays.copyOfRange(b, o + 1, o + 17))
+    val signed = if (neg) mag.negate() else mag
+    new java.math.BigDecimal(signed, scale).stripTrailingZeros.toPlainString
+  }
+
+  /** Jet4 MEMO: the [[lvalBytes]] payload decoded as TEXT. */
   private def decodeMemo(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int): String = {
-    require(to - from >= 12, "MEMO field shorter than its 12-byte header")
+    val b = lvalBytes(bytes, row, from, to)
+    decodeText(b, 0, b.length)
+  }
+
+  /** Long-value payload shared by MEMO and OLE: u32 length-with-flags
+    * (low 3 bytes = payload byte length; high byte: 0x80 inline, 0x40
+    * single-LVAL-row, 0x00 chained), then a u32 record pointer
+    * (row << 24 | page) into an `LVAL`-tagged page, then 4 unused
+    * bytes. Returns the raw payload bytes — MEMO decodes them as TEXT,
+    * OLE renders them as base64.
+    */
+  private def lvalBytes(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    require(to - from >= 12, "long-value field shorter than its 12-byte header")
     val lenFlags = i32(row, from)
     val flags = (lenFlags >>> 24) & 0xff
     val memoLen = lenFlags & 0xffffff
     if ((flags & 0x80) != 0) {
-      decodeText(row, from + 12, math.min(from + 12 + memoLen, to))
+      java.util.Arrays.copyOfRange(row, from + 12, math.min(from + 12 + memoLen, to))
     } else if ((flags & 0x40) != 0) {
       val (s, e) = lvalSlice(bytes, i32(row, from + 4))
-      decodeText(bytes, s, e)
+      java.util.Arrays.copyOfRange(bytes, s, e)
     } else {
       // chained: each LVAL row = u32 next record pointer + data bytes
       val buf = new ByteArrayOutputStream()
@@ -420,7 +484,7 @@ object MdbReader {
       require(ptr == 0, "LVAL chain does not terminate")
       val all = buf.toByteArray
       require(all.length >= memoLen, "LVAL chain shorter than the declared memo length")
-      decodeText(all, 0, memoLen)
+      java.util.Arrays.copyOf(all, memoLen)
     }
   }
 

@@ -159,6 +159,52 @@ object Extensions {
       .orderBy(col("s_suppkey"))
   }
 
+  /** S3 binary-types end-to-end: `part` rendered as a Jet4 .mdb
+    * exercising the remaining decoded value classes beyond q117 —
+    * NUMERIC (17-byte fixed-point, sign byte + big-endian magnitude,
+    * negative and zero values planted), BINARY (variable raw bytes →
+    * lowercase hex), OLE (LVAL storage, inline through chained by
+    * repeat count → base64), and fixed-length TEXT (zero-padded
+    * 40-byte field). Per-column nulls on disjoint residues. Fixture
+    * content derives only from the sf tables → plain SQL oracle (the
+    * q117 pattern).
+    */
+  def qS7MdbBinaryTypes(s: SparkSession, d: String): DataFrame = {
+    val parts = part(s, d).filter(col("p_partkey") <= 400)
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey")).collect()
+    val rows = parts.map { r =>
+      val k = r.getLong(0)
+      val name = r.getString(1)
+      Seq(
+        Some(k.toString),
+        if (k % 13 == 0) None
+        else Some(java.math.BigDecimal.valueOf(k * 7 - 100000, 2).toPlainString),
+        if (k % 17 == 0) None
+        else Some(name.getBytes("US-ASCII").map(b => f"$b%02x").mkString),
+        if (k % 11 == 0) None
+        else Some(java.util.Base64.getEncoder.encodeToString(
+          ((name + " ") * (1 + (k % 250)).toInt).getBytes("UTF-8"))),
+        if (k % 19 == 0) None else Some(name.take(15)))
+    }
+    val f = Files.createTempFile("graft_parts", ".mdb")
+    graft.ingest.MdbFixture.writeMdb(f.toString, "parts",
+      Seq(("p_partkey", graft.ingest.MdbFixture.CLong),
+        ("num", graft.ingest.MdbFixture.CNumeric(18, 4)),
+        ("raw", graft.ingest.MdbFixture.CBinary),
+        ("obj", graft.ingest.MdbFixture.COle),
+        ("tag", graft.ingest.MdbFixture.CFixedText(40))),
+      rows.toIndexedSeq)
+    graft.ingest.Readers.read(s, f.toString)
+      .select(
+        col("p_partkey").cast("bigint"),
+        col("num").cast("double"),
+        col("raw"),
+        col("obj"),
+        col("tag"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** S2-legacy end-to-end: `nation` rendered as a real BIFF8 .xls
     * (OLE2 compound file, SST with a forced CONTINUE split, RK/NUMBER
     * numerics), read back through the full dispatching reader stack.
@@ -1716,6 +1762,7 @@ object Extensions {
     "q115_token_quota" -> qC13TokenQuota _,
     "q116_dedup_paragraphs" -> qC14DedupParagraphs _,
     "q117_mdb_rich_types" -> qS5MdbRichTypes _,
+    "q119_mdb_binary_types" -> qS7MdbBinaryTypes _,
     "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
@@ -1759,6 +1806,18 @@ object Extensions {
     "q118_accdb_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    "q119_mdb_binary_types" ->
+      """SELECT p_partkey,
+           CASE WHEN p_partkey % 13 = 0 THEN NULL
+                ELSE CAST(p_partkey * 7 - 100000 AS DOUBLE) / 100 END AS num,
+           CASE WHEN p_partkey % 17 = 0 THEN NULL
+                ELSE lower(hex(p_name)) END AS raw,
+           CASE WHEN p_partkey % 11 = 0 THEN NULL
+                ELSE to_base64(encode(repeat(p_name || ' ',
+                       CAST(1 + p_partkey % 250 AS INTEGER)))) END AS obj,
+           CASE WHEN p_partkey % 19 = 0 THEN NULL
+                ELSE left(p_name, 15) END AS tag
+         FROM part WHERE p_partkey <= 400 ORDER BY p_partkey""",
     "q117_mdb_rich_types" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 31 = 0 THEN NULL

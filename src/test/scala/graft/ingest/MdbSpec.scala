@@ -159,19 +159,46 @@ class MdbSpec extends SparkSpec {
     val f = writeFixture()
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
     // user TDEF is page 4: stomp the first column descriptor's type
-    // byte (LONG 0x04 → OLE 0x0b); its 4-byte values are now claimed
-    // by a type the reader must refuse, not null out
+    // byte (LONG 0x04 → COMPLEX 0x12); its 4-byte values are now
+    // claimed by a type the reader must refuse, not null out
     val tdef = 4 * 4096
     assert(bytes(tdef + 0x3f) == 0x04)
-    bytes(tdef + 0x3f) = 0x0b
+    bytes(tdef + 0x3f) = 0x12
     Files.write(java.nio.file.Paths.get(f), bytes)
     val e = intercept[UnsupportedOperationException](
       MdbReader.readRows(f, 100))
-    assert(e.getMessage.contains("0x0b") && e.getMessage.contains("'id'"))
+    assert(e.getMessage.contains("0x12") && e.getMessage.contains("'id'"))
   }
 
-  test(".accdb (ACE v0x02 and v0x03) round-trips through the dispatching reader") {
-    for (v <- Seq(0x02, 0x03)) {
+  test("NUMERIC, BINARY, OLE, and fixed TEXT columns decode to display strings") {
+    val f = Files.createTempFile("graft_bin", ".mdb").toString
+    val c = Seq(("id", MdbFixture.CLong),
+      ("num", MdbFixture.CNumeric(18, 4)),
+      ("raw", MdbFixture.CBinary),
+      ("obj", MdbFixture.COle),
+      ("tag", MdbFixture.CFixedText(20)))
+    def b64(bytes: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(bytes)
+    val tinyOle = b64(Array[Byte](1, 2, 3))                          // inline
+    val midOle = b64(Array.tabulate[Byte](500)(_.toByte))            // one LVAL row
+    val bigOle = b64(Array.tabulate[Byte](9000)(i => (i * 31).toByte)) // chained
+    val r = Seq(
+      Seq(Some("1"), Some("12345.6789"), Some("00ff10ab"), Some(tinyOle), Some("alpha")),
+      Seq(Some("2"), Some("-0.5"), Some(""), Some(midOle), Some("")),
+      Seq(Some("3"), Some("99999999999999.9999"), None, Some(bigOle), None),
+      Seq(Some("4"), Some("0"), Some("deadbeef"), None, Some("ten chars!")))
+    MdbFixture.writeMdb(f, "bin", c, r)
+    val got = MdbReader.read(spark, f).orderBy(col("id")).collect()
+      .map(x => (0 until 5).map(x.getString))
+    assert(got(0) == Seq("1", "12345.6789", "00ff10ab", tinyOle, "alpha"))
+    assert(got(1) == Seq("2", "-0.5", "", midOle, "")) // sign byte; empty ≠ null
+    assert(got(2) == Seq("3", "99999999999999.9999", null, bigOle, null))
+    assert(got(3) == Seq("4", "0", "deadbeef", null, "ten chars!"))
+  }
+
+  test(".accdb (ACE v0x02–v0x05) round-trips through the dispatching reader") {
+    // 0x02/0x03 = Access 2007/2010; 0x04/0x05 = 2013/2016+ — identical
+    // page/TDEF/row layout, so all four read through the Jet4 path
+    for (v <- Seq(0x02, 0x03, 0x04, 0x05)) {
       val f = Files.createTempFile("graft_ace", ".accdb").toString
       MdbFixture.writeMdb(f, "people", cols, rows, versionByte = v)
       val df = Readers.read(spark, f)
