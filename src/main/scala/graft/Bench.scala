@@ -56,16 +56,27 @@ object Bench {
     //      every rep of one query, which no statistic can repair.
     //   2. Queries whose running median is under 2s (where a single
     //      contended rep is a 2-4x swing) get extra interleaved passes
-    //      until they carry >=5 reps; slow queries keep the base rep
-    //      count since their medians were already reproducible.
+    //      until they carry >=5 reps — AND (round 9) queries of ANY
+    //      speed whose rep spread exceeds SPREAD_RATIO of their median:
+    //      the round-8 judge rerun showed the heavy tail (q77 8.4→14.4s,
+    //      q78 2.1→8.8s between consecutive full runs) is exactly the
+    //      class the sub-2s rule missed — 3 reps of a contended 10s
+    //      query let ONE bad rep decide the median. A wide spread is
+    //      direct evidence the median is not yet trustworthy, so spread
+    //      (not speed) is the top-up trigger; reps stay bounded by
+    //      fastReps so a genuinely bimodal query terminates.
     // clearCache BETWEEN reps: operators that persist intermediates
     // (the dedup pipelines) build identical plans on later reps, and
     // CacheManager would otherwise substitute rep 1's materialized
     // cache — timing a cache-hit run, not full work. Clearing also
     // stops cached intermediates accumulating across the suite.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val fastReps = sys.env.getOrElse("SPARK_GRAFT_FAST_REPS", "5").toInt.max(reps)
+    val fastReps = sys.env.getOrElse("SPARK_GRAFT_FAST_REPS", "7").toInt.max(reps)
     val fastCutSec = sys.env.getOrElse("SPARK_GRAFT_FAST_CUT_SEC", "2.0").toDouble
+    // a rep set whose max exceeds min by this ratio is "unstable" and
+    // earns top-up passes regardless of speed (1.25 < the 1.3x
+    // reproducibility bar, so certified medians carry margin)
+    val spreadRatio = sys.env.getOrElse("SPARK_GRAFT_SPREAD_RATIO", "1.25").toDouble
     // session accessor with post-failure recovery (same pattern as
     // Verify): a context-killing query must not silently void the rest
     // of the suite with near-zero "timings" of instant failures
@@ -110,15 +121,18 @@ object Bench {
         }
       }
     (1 to reps).foreach(_ => runPass(queryList))
-    // Adaptive passes for the noise-prone fast queries. The pass cap
-    // bounds work when a query alternates success/failure and can
-    // never accumulate fastReps successful reps.
+    // Adaptive passes for the noise-prone queries: all sub-2s queries
+    // (pre-emptively — one contended rep there is a 2-4x swing), plus
+    // any query whose observed rep spread already exceeds spreadRatio.
+    // The pass cap bounds work when a query alternates success/failure
+    // and can never accumulate fastReps successful reps.
     var extraPass = 0
     var pending = true
     while (pending && extraPass < fastReps) {
       val fast = queryList.filter { case (name, _) =>
         val ts = timesByName(name)
-        ts.nonEmpty && ts.size < fastReps && median(ts) < fastCutSec
+        ts.nonEmpty && ts.size < fastReps &&
+          (median(ts) < fastCutSec || ts.max > ts.min * spreadRatio)
       }
       if (fast.isEmpty) pending = false
       else { runPass(fast); extraPass += 1 }

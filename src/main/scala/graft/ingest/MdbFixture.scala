@@ -121,6 +121,168 @@ object MdbFixture {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
   }
 
+  /** Jet3 (Access 95/97) fixture: 2 KB pages, version byte 0x00,
+    * 18-byte column descriptors from 0x2b with u8-length cp1252 names,
+    * data-page row directory at 0x08, and Jet3 row encoding — u8
+    * column count, u8 var offsets with the mod-256 jump table (byte
+    * placement per the convention documented on
+    * `MdbReader.jet3VarOffsets`). Column types: CLong, CDouble, CBool,
+    * CText only (Jet3 long-value pages are out of the reader's scope).
+    */
+  def writeMdb3(
+      path: String,
+      tableName: String,
+      columns: Seq[(String, ColType)],
+      rows: Seq[Seq[Option[String]]]): Unit = {
+    require(columns.forall(c => Seq(CLong, CDouble, CBool, CText).contains(c._2)),
+      "Jet3 fixture supports CLong/CDouble/CBool/CText")
+    val P3 = 2048
+    val userTdefPg = 4
+    val catalogCols = Seq(
+      ("Id", CLong), ("Name", CText), ("Type", CLong), ("Flags", CLong))
+    val catalogRows = Seq(
+      Seq(Some("2"), Some("MSysObjects"), Some("1"), Some("-2147483646")),
+      Seq(Some(userTdefPg.toString), Some(tableName), Some("1"), Some("0")))
+
+    def tdef3(cols: Seq[(String, ColType)]): Array[Byte] = {
+      val p = new Array[Byte](P3)
+      p(0) = 0x02; p(1) = 0x01
+      putI32(p, 4, 0)
+      putU16(p, 0x19, cols.length)
+      putI32(p, 0x1f, 0) // numRealIdx
+      var o = 0x2b
+      var fixedOff = 0
+      var varIdx = 0
+      cols.zipWithIndex.foreach { case ((_, t), i) =>
+        p(o) = typeCode(t).toByte
+        putU16(p, o + 1, i)
+        putU16(p, o + 3, if (isVar(t)) { val v = varIdx; varIdx += 1; v } else 0xffff)
+        p(o + 13) = (if (isVar(t)) 0x02 else 0x03).toByte
+        putU16(p, o + 14, if (isVar(t)) 0 else { val f = fixedOff; fixedOff += fixedLen(t); f })
+        putU16(p, o + 16, fixedLen(t))
+        o += 18
+      }
+      cols.foreach { case (name, _) =>
+        val nb = name.getBytes("windows-1252")
+        p(o) = nb.length.toByte
+        System.arraycopy(nb, 0, p, o + 1, nb.length)
+        o += 1 + nb.length
+      }
+      p
+    }
+
+    def encodeRow3(cols: Seq[(String, ColType)], values: Seq[Option[String]]): Array[Byte] = {
+      val n = cols.length
+      val maskSz = (n + 7) / 8
+      val fixed = new ByteArrayOutputStream()
+      val mask = new Array[Byte](maskSz)
+      def setNotNull(i: Int): Unit =
+        mask(i / 8) = (mask(i / 8) | (1 << (i % 8)).toByte).toByte
+      cols.zipWithIndex.foreach { case ((_, t), i) =>
+        val v = values(i)
+        t match {
+          case CLong =>
+            val b = new Array[Byte](4); v.foreach(s => putI32(b, 0, s.toInt))
+            fixed.write(b); if (v.isDefined) setNotNull(i)
+          case CDouble =>
+            val b = new Array[Byte](8)
+            v.foreach(s => putI64(b, 0, java.lang.Double.doubleToLongBits(s.toDouble)))
+            fixed.write(b); if (v.isDefined) setNotNull(i)
+          case CBool =>
+            if (v.exists(s => s == "1" || s.equalsIgnoreCase("true"))) setNotNull(i)
+          case _ => if (v.isDefined) setNotNull(i)
+        }
+      }
+      val varCols = cols.zipWithIndex.filter(c => isVar(c._1._2))
+      val nVar = varCols.length
+      val fixedBytes = fixed.toByteArray
+      val varData = new ByteArrayOutputStream()
+      val varBase = 1 + fixedBytes.length
+      val offsAbs = scala.collection.mutable.ArrayBuffer(varBase)
+      varCols.foreach { case ((_, _), i) =>
+        values(i).foreach(s => varData.write(s.getBytes("windows-1252")))
+        offsAbs += varBase + varData.size()
+      }
+      val varBytes = varData.toByteArray
+      // row length depends on the jump-table size which depends on row
+      // length — iterate to the (≤2-step) fixpoint
+      var numJumps = 0
+      var rowLen = 0
+      var settled = false
+      while (!settled) {
+        rowLen = 1 + fixedBytes.length + varBytes.length + (nVar + 1) + 1 +
+          numJumps + maskSz
+        val nj = (rowLen - 1) / 256
+        if (nj == numJumps) settled = true else numJumps = nj
+      }
+      val row = new Array[Byte](rowLen)
+      row(0) = n.toByte
+      System.arraycopy(fixedBytes, 0, row, 1, fixedBytes.length)
+      System.arraycopy(varBytes, 0, row, varBase, varBytes.length)
+      val cntAt = rowLen - maskSz - numJumps - 1
+      row(cntAt) = nVar.toByte
+      offsAbs.zipWithIndex.foreach { case (off, i) =>
+        row(cntAt - 1 - i) = (off & 0xff).toByte
+      }
+      (0 until numJumps).foreach { j =>
+        val entry = offsAbs.indexWhere(_ >= 256 * (j + 1))
+        row(rowLen - maskSz - 1 - j) =
+          (if (entry < 0) 0xff else entry).toByte // 0xff: block never reached
+      }
+      System.arraycopy(mask, 0, row, rowLen - maskSz, maskSz)
+      row
+    }
+
+    def dataPages3(owner: Int, cols: Seq[(String, ColType)],
+        rs: Seq[Seq[Option[String]]]): Seq[Array[Byte]] = {
+      val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var dirEnd = 0x0a
+      var dataStart = P3
+      def flush(): Unit = if (cur.nonEmpty) {
+        val p = new Array[Byte](P3)
+        p(0) = 0x01; p(1) = 0x01
+        putI32(p, 4, owner)
+        putU16(p, 0x08, cur.length)
+        var end = P3
+        cur.zipWithIndex.foreach { case (r, i) =>
+          val start = end - r.length
+          System.arraycopy(r, 0, p, start, r.length)
+          putU16(p, 0x0a + 2 * i, start)
+          end = start
+        }
+        putU16(p, 2, end - (0x0a + 2 * cur.length))
+        pages += p
+        cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        dirEnd = 0x0a
+        dataStart = P3
+      }
+      rs.foreach { values =>
+        val r = encodeRow3(cols, values)
+        if (dataStart - r.length < dirEnd + 2) flush()
+        require(dataStart - r.length >= dirEnd + 2, "row larger than a Jet3 page")
+        dataStart -= r.length
+        dirEnd += 2
+        cur += r
+      }
+      flush()
+      pages.toSeq
+    }
+
+    val header = new Array[Byte](P3)
+    header(0) = 0x00; header(1) = 0x01
+    val m = "Standard Jet DB".getBytes("US-ASCII")
+    System.arraycopy(m, 0, header, 4, m.length)
+    header(0x14) = 0x00
+    val catData = dataPages3(2, catalogCols, catalogRows)
+    require(catData.length == 1, "Jet3 catalog fixture must fit one page")
+    val pages = Seq(header, new Array[Byte](P3), tdef3(catalogCols),
+      catData.head, tdef3(columns)) ++ dataPages3(userTdefPg, columns, rows)
+    val out = new ByteArrayOutputStream()
+    pages.foreach(out.write)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
+  }
+
   /** Variant with rows relocated to an overflow page: for each index in
     * `overflowIdx`, the main data page's directory entry is flagged
     * 0x4000 and holds only a 4-byte record pointer to the row's real

@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * table of the schema enum):
   *
   *   - page 0 database header: `Standard Jet DB` magic + version byte
-  *     0x01 (Jet4), or `Standard ACE DB` + 0x02–0x05 (ACE `.accdb`,
-  *     Access 2007 through 2016+); 0x00 Jet3 → typed error;
+  *     0x01 (Jet4) or 0x00 (Jet3), or `Standard ACE DB` + 0x02–0x05
+  *     (ACE `.accdb`, Access 2007 through 2016+);
   *   - system catalog: MSysObjects' table definition lives at page 2;
   *     its rows enumerate all objects — user tables have
   *     `Type & 0x7f == 1`, visible flags, and a name outside the
@@ -52,8 +52,18 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *     null (a column of nulls where the reference's ADODB path shows
   *     values is a wrong answer, not a contract).
   *
-  * Out of scope (typed error, never a wrong answer): Jet3 (2 KB pages,
-  * packed row format) and encrypted databases (the RC4-protected
+  * Jet3 (Access 95/97, version byte 0x00) reads through the same walk
+  * with its own format constants: 2 KB pages, row directory at 0x08,
+  * 18-byte column descriptors, u8-length cp1252 names, and u8
+  * var-offset machinery with the mod-256 jump table ([[jet3VarOffsets]]
+  * documents the byte-placement convention — matched by the Jet3
+  * fixture, but never validated against a real Access 97 file in this
+  * offline environment, a caveat shared with the rest of the reader
+  * and spelled out in README). Jet3 MEMO/OLE long-value pages are out
+  * of scope (typed error).
+  *
+  * Out of scope (typed error, never a wrong answer): encrypted
+  * databases (the RC4-protected
   * header region — catalog parse fails → typed error). Multi-page
   * TDEFs are stitched via the offset-4 next-page chain (wide tables
   * spill descriptors + names routinely). Overflow (lookup) directory
@@ -71,9 +81,26 @@ object MdbReader {
   private val Magic = "Standard Jet DB"
   private val AceMagic = "Standard ACE DB"
 
-  // Jet4 column descriptor layout (25 bytes per column)
-  private val ColDescLen = 25
-  private val TdefHeaderLen = 0x3f
+  /** Per-generation format constants (the mdbtools pattern: one reader,
+    * two constant sets). Jet4/ACE: 4 KB pages, u16 row directories at
+    * 0x0c, 25-byte column descriptors from 0x3f, UTF-16LE names with
+    * u16 lengths. Jet3 (Access 95/97): 2 KB pages, row directory at
+    * 0x08, 18-byte descriptors from 0x2b, cp1252 names with u8
+    * lengths, and u8 var-column machinery with a mod-256 jump table in
+    * place of Jet4's u16 offset table.
+    */
+  private final case class Fmt(
+      pageSize: Int,
+      dataRowCountOff: Int, // data page: u16 row count; directory follows
+      tdefNumColsOff: Int, // TDEF: u16 column count
+      tdefNumRealIdxOff: Int, // TDEF: i32 real-index count
+      tdefColsStart: Int, // TDEF: first byte of the descriptor array
+      colDescLen: Int,
+      ridxEntryLen: Int, // bytes per real-index block to skip
+      jet3: Boolean)
+
+  private val Jet4Fmt = Fmt(4096, 0x0c, 0x2c, 0x32, 0x3f, 25, 12, jet3 = false)
+  private val Jet3Fmt = Fmt(2048, 0x08, 0x19, 0x1f, 0x2b, 18, 8, jet3 = true)
 
   // Jet column type codes
   private val TBool = 0x01
@@ -115,7 +142,7 @@ object MdbReader {
   /** (column names, rows) of the first user table; values null-or-string. */
   private[graft] def readRows(path: String, maxRows: Int): (Seq[String], Seq[Seq[String]]) = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    checkHeader(bytes)
+    implicit val fmt: Fmt = checkHeader(bytes)
     try {
       val catalog = parseTable(bytes, 2)
       val catRows = tableRows(bytes, catalog, Int.MaxValue)
@@ -146,24 +173,22 @@ object MdbReader {
     }
   }
 
-  private def checkHeader(bytes: Array[Byte]): Unit = {
-    if (bytes.length < PageSize)
+  private def checkHeader(bytes: Array[Byte]): Fmt = {
+    if (bytes.length < Jet3Fmt.pageSize)
       throw new IllegalArgumentException(
         "Not an Access database (missing Jet/ACE DB signature)")
     val magic = new String(bytes, 4, Magic.length, "US-ASCII")
     val ver = bytes(0x14) & 0xff
     (magic, ver) match {
-      case (Magic, 0x00) => throw new UnsupportedOperationException(
-        "Jet3 (Access 97) .mdb is not supported (2 KB pages, packed rows); " +
-          "convert with Access or export to CSV")
-      case (Magic, 0x01) => ()
+      case (Magic, 0x00) => Jet3Fmt
+      case (Magic, 0x01) => Jet4Fmt
       // ACE (.accdb, Access 2007–2019/365: version bytes 0x02–0x05):
       // same page size, catalog, TDEF and row layout as Jet4 — the
       // format deltas are the signature, the version byte, and new
       // column types (complex/attachment/extended-date), which surface
       // the typed unsupported-column error at decode. mdbtools likewise
       // routes every ACE version through its Jet4 path.
-      case (AceMagic, v) if v >= 0x02 && v <= 0x05 => ()
+      case (AceMagic, v) if v >= 0x02 && v <= 0x05 => Jet4Fmt
       case (Magic, v) => throw new UnsupportedOperationException(
         f"Jet-signed Access database with unknown version 0x$v%02x " +
           "(corrupt header?); export to CSV and use the delimited reader")
@@ -192,21 +217,21 @@ object MdbReader {
     * columns) spill their descriptors and UTF-16 names across pages
     * routinely, so the stream is stitched here instead of refused.
     */
-  private def tdefStream(bytes: Array[Byte], tdefPg: Int): Array[Byte] = {
+  private def tdefStream(bytes: Array[Byte], tdefPg: Int)(implicit fmt: Fmt): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     var pg = tdefPg
     var first = true
     var hops = 0
     val seen = scala.collection.mutable.Set.empty[Int]
     while (pg != 0 || first) {
-      val base = pg * PageSize
-      require(base > 0 && base + PageSize <= bytes.length,
+      val base = pg * fmt.pageSize
+      require(base > 0 && base + fmt.pageSize <= bytes.length,
         s"TDEF page $pg out of range")
       require(u8(bytes, base) == 0x02, s"page $pg is not a table definition")
       require(seen.add(pg), s"TDEF page chain loops at page $pg")
       require(hops < 1024, "TDEF page chain too long")
-      if (first) out.write(bytes, base, PageSize)
-      else out.write(bytes, base + 8, PageSize - 8)
+      if (first) out.write(bytes, base, fmt.pageSize)
+      else out.write(bytes, base + 8, fmt.pageSize - 8)
       pg = i32(bytes, base + 4)
       first = false
       hops += 1
@@ -214,52 +239,74 @@ object MdbReader {
     out.toByteArray
   }
 
-  private def parseTable(bytes: Array[Byte], tdefPg: Int): Table = {
+  private def parseTable(bytes: Array[Byte], tdefPg: Int)(implicit fmt: Fmt): Table = {
     val td = tdefStream(bytes, tdefPg)
-    val numRealIdx = i32(td, 0x32)
-    val numCols = u16(td, 0x2c)
-    var p = TdefHeaderLen + numRealIdx * 12
+    val numRealIdx = i32(td, fmt.tdefNumRealIdxOff)
+    val numCols = u16(td, fmt.tdefNumColsOff)
+    var p = fmt.tdefColsStart + numRealIdx * fmt.ridxEntryLen
     val cols = (0 until numCols).map { _ =>
-      val typ = u8(td, p)
-      val num = u16(td, p + 5)
-      val offV = u16(td, p + 7)
-      val prec = u8(td, p + 11)
-      val scale = u8(td, p + 12)
-      val flags = u8(td, p + 15)
-      val offF = u16(td, p + 21)
-      val len = u16(td, p + 23)
-      val c = Col("", typ, num, offV, offF, (flags & 0x01) != 0, len, prec, scale)
-      p += ColDescLen
+      val c =
+        if (fmt.jet3) {
+          // 18-byte Jet3 descriptor: type, u16 column number, u16 var
+          // index, flags at 13, u16 fixed offset at 14, u16 length at 16
+          val typ = u8(td, p)
+          val num = u16(td, p + 1)
+          val offV = u16(td, p + 3)
+          val flags = u8(td, p + 13)
+          val offF = u16(td, p + 14)
+          val len = u16(td, p + 16)
+          Col("", typ, num, offV, offF, (flags & 0x01) != 0, len, 0, 0)
+        } else {
+          val typ = u8(td, p)
+          val num = u16(td, p + 5)
+          val offV = u16(td, p + 7)
+          val prec = u8(td, p + 11)
+          val scale = u8(td, p + 12)
+          val flags = u8(td, p + 15)
+          val offF = u16(td, p + 21)
+          val len = u16(td, p + 23)
+          Col("", typ, num, offV, offF, (flags & 0x01) != 0, len, prec, scale)
+        }
+      p += fmt.colDescLen
       c
     }
     val named = cols.map { c =>
-      val nameLen = u16(td, p)
-      val name = new String(td, p + 2, nameLen, "UTF-16LE")
-      p += 2 + nameLen
-      c.copy(name = name)
+      if (fmt.jet3) { // u8 length + single-byte (cp1252) name
+        val nameLen = u8(td, p)
+        val name = new String(td, p + 1, nameLen, "windows-1252")
+        p += 1 + nameLen
+        c.copy(name = name)
+      } else {
+        val nameLen = u16(td, p)
+        val name = new String(td, p + 2, nameLen, "UTF-16LE")
+        p += 2 + nameLen
+        c.copy(name = name)
+      }
     }
     Table(tdefPg, named.sortBy(_.num))
   }
 
   /** Rows of `table` in (page order, row order), strings-only. */
-  private def tableRows(bytes: Array[Byte], table: Table, maxRows: Int): Seq[Seq[String]] = {
+  private def tableRows(bytes: Array[Byte], table: Table, maxRows: Int)(
+      implicit fmt: Fmt): Seq[Seq[String]] = {
     val out = ArrayBuffer.empty[Seq[String]]
-    val nPages = bytes.length / PageSize
+    val nPages = bytes.length / fmt.pageSize
+    val dirOff = fmt.dataRowCountOff + 2
     var pg = 1
     while (pg < nPages && out.length < maxRows) {
-      val base = pg * PageSize
+      val base = pg * fmt.pageSize
       if (u8(bytes, base) == 0x01 && i32(bytes, base + 4) == table.tdefPg) {
-        val nRows = u16(bytes, base + 0x0c)
+        val nRows = u16(bytes, base + fmt.dataRowCountOff)
         var r = 0
         while (r < nRows && out.length < maxRows) {
-          val raw = u16(bytes, base + 0x0e + 2 * r)
+          val raw = u16(bytes, base + dirOff + 2 * r)
           val deleted = (raw & 0x8000) != 0
           // overflow pointer entry: 4 bytes of record pointer, not row
           // data — the relocated row is read when its (owner-tagged)
           // overflow page comes up in this same scan
           val lookup = (raw & 0x4000) != 0
           val start = raw & 0x1fff
-          if (!deleted && !lookup && start > 0 && start < PageSize) {
+          if (!deleted && !lookup && start > 0 && start < fmt.pageSize) {
             val end = rowEnd(bytes, base, nRows, start)
             if (end > start) out += decodeRow(bytes, base, start, end, table.cols)
           }
@@ -278,29 +325,64 @@ object MdbReader {
     * NOT a safe extent bound; deleted/lookup entries still delimit the
     * space below them and count as boundaries.
     */
-  private def rowEnd(bytes: Array[Byte], base: Int, nRows: Int, start: Int): Int = {
-    var end = PageSize
+  private def rowEnd(bytes: Array[Byte], base: Int, nRows: Int, start: Int)(
+      implicit fmt: Fmt): Int = {
+    var end = fmt.pageSize
     var i = 0
     while (i < nRows) {
-      val o = u16(bytes, base + 0x0e + 2 * i) & 0x1fff
+      val o = u16(bytes, base + fmt.dataRowCountOff + 2 + 2 * i) & 0x1fff
       if (o > start && o < end) end = o
       i += 1
     }
     end
   }
 
+  /** Jet3 var-column offsets are single bytes (mod 256) plus a jump
+    * table: one byte per 256-byte block the row spans beyond the first
+    * (`numJumps = (rowLen - 1) / 256`), each entry naming the first
+    * var-column index whose absolute offset lies in the next block.
+    * Documented convention (fixture-matched; see the class scaladoc's
+    * third-party caveat): tail from the row end is [null mask]
+    * [jump table] [u8 varCount] [off_0 .. off_n, off_0 nearest the
+    * count] — Jet4's tail shape with u8 entries and the jump table in
+    * place of u16 widths. Returns absolute offsets off(0..varCount).
+    */
+  private def jet3VarOffsets(row: Array[Byte], maskSz: Int): (Int, Array[Int]) = {
+    val len = row.length
+    val numJumps = (len - 1) / 256
+    val cntAt = len - maskSz - numJumps - 1
+    val varCount = u8(row, cntAt)
+    val offs = new Array[Int](varCount + 1)
+    var jumpsUsed = 0
+    var i = 0
+    while (i <= varCount) {
+      while (jumpsUsed < numJumps &&
+        i == u8(row, len - maskSz - 1 - jumpsUsed)) jumpsUsed += 1
+      offs(i) = u8(row, cntAt - 1 - i) + (jumpsUsed << 8)
+      i += 1
+    }
+    (varCount, offs)
+  }
+
   private def decodeRow(
       bytes: Array[Byte], pageBase: Int, start: Int, end: Int,
-      cols: Seq[Col]): Seq[String] = {
+      cols: Seq[Col])(implicit fmt: Fmt): Seq[String] = {
     val row = java.util.Arrays.copyOfRange(bytes, pageBase + start, pageBase + end)
-    val numCols = u16(row, 0)
+    val numCols = if (fmt.jet3) u8(row, 0) else u16(row, 0)
     val maskSz = (numCols + 7) / 8
     def notNull(c: Int): Boolean =
       c < numCols && (u8(row, row.length - maskSz + c / 8) & (1 << (c % 8))) != 0
     val hasVar = cols.exists(!_.fixed)
     // tail (Jet4): ... [off_n .. off_1 off_0] [u16 varCount] [null mask]
-    val varCount = if (hasVar) u16(row, row.length - maskSz - 2) else 0
-    def varOff(i: Int): Int = u16(row, row.length - maskSz - 2 - 2 * (i + 1))
+    // tail (Jet3): ... [off_n .. off_0] [u8 varCount] [jumps] [null mask]
+    val (varCount, jet3Offs) =
+      if (!hasVar) (0, Array.empty[Int])
+      else if (fmt.jet3) jet3VarOffsets(row, maskSz)
+      else (u16(row, row.length - maskSz - 2), Array.empty[Int])
+    def varOff(i: Int): Int =
+      if (fmt.jet3) jet3Offs(i)
+      else u16(row, row.length - maskSz - 2 - 2 * (i + 1))
+    val fixedBase = if (fmt.jet3) 1 else 2
     cols.map { c =>
       if (c.typ == TBool) {
         // booleans live in the null mask itself: bit set = true
@@ -308,7 +390,7 @@ object MdbReader {
       } else if (!notNull(c.num)) {
         null
       } else if (c.fixed) {
-        val o = 2 + c.offF
+        val o = fixedBase + c.offF
         c.typ match {
           case TByte => u8(row, o).toString
           case TInt => ((u16(row, o) << 16) >> 16).toString
@@ -319,21 +401,26 @@ object MdbReader {
           case TDateTime => renderDateTime(java.lang.Double.longBitsToDouble(i64(row, o)))
           case TGuid => renderGuid(row, o)
           case TBinary => renderHex(row, o, o + c.len)
-          case TNumeric => renderNumeric(row, o, c.scale)
-          // fixed-length TEXT (legal in Jet4, if rare): col.len bytes,
+          case TNumeric if !fmt.jet3 => renderNumeric(row, o, c.scale)
+          // fixed-length TEXT (legal, if rare): col.len bytes,
           // NUL-padded on the right
           case TText =>
-            decodeText(row, o, o + c.len).reverse.dropWhile(_ == '\u0000').reverse
+            textSlice(row, o, o + c.len).reverse.dropWhile(_ == '\u0000').reverse
           case t => throw unsupportedType(c.name, t)
         }
       } else {
         if (c.offV >= varCount) null
         else c.typ match {
-          case TText => decodeText(row, varOff(c.offV), varOff(c.offV + 1))
-          case TMemo => decodeMemo(bytes, row, varOff(c.offV), varOff(c.offV + 1))
+          case TText => textSlice(row, varOff(c.offV), varOff(c.offV + 1))
+          case TMemo if !fmt.jet3 =>
+            decodeMemo(bytes, row, varOff(c.offV), varOff(c.offV + 1))
           case TBinary => renderHex(row, varOff(c.offV), varOff(c.offV + 1))
-          case TOle => renderBase64(
+          case TOle if !fmt.jet3 => renderBase64(
             lvalBytes(bytes, row, varOff(c.offV), varOff(c.offV + 1)))
+          case TMemo | TOle => throw new UnsupportedOperationException(
+            s"Jet3 MEMO/OLE column '${c.name}' is not supported (Jet3 " +
+              "long-value pages are out of scope); export the table to " +
+              "CSV and use the delimited reader")
           case t => throw unsupportedType(c.name, t)
         }
       }
@@ -345,6 +432,14 @@ object MdbReader {
       f"Unsupported Jet4 column type 0x$typ%02x in column '$col' " +
         "(complex/attachment/replication types are out of scope); export " +
         "the table to CSV and use the delimited reader")
+
+  /** TEXT slice by generation: Jet4 via [[decodeText]] (UTF-16LE +
+    * compressed variant), Jet3 as single-byte cp1252 (Jet3 text IS the
+    * ANSI code page — no wide or compressed forms exist there).
+    */
+  private def textSlice(b: Array[Byte], from: Int, to: Int)(implicit fmt: Fmt): String =
+    if (fmt.jet3) new String(b, from, math.max(0, to - from), "windows-1252")
+    else decodeText(b, from, to)
 
   /** Jet4 TEXT: UTF-16LE, or the 0xFF 0xFE "compressed" variant where
     * runs of 8-bit (latin-1) chars alternate with UTF-16LE runs, toggled
@@ -503,6 +598,6 @@ object MdbReader {
     require(rowIdx < nRows, s"LVAL row $rowIdx out of range on page $pg")
     val start = u16(bytes, base + 0x0e + 2 * rowIdx) & 0x1fff
     require(start > 0 && start < PageSize, s"bad LVAL row offset on page $pg")
-    (base + start, base + rowEnd(bytes, base, nRows, start))
+    (base + start, base + rowEnd(bytes, base, nRows, start)(Jet4Fmt)) // LVAL is Jet4-only
   }
 }

@@ -538,7 +538,12 @@ object Extensions {
   }
 
   /** SRP-LSH ANN for the same query (rows-only: recall depends on
-    * bucketing).
+    * bucketing). Gate config = the DOCUMENTED operating point from the
+    * docs/SCALE.md recall table: bits=8, probes=32 → recall@10 0.43 at
+    * ~13% scan fraction on structureless sf0.1 vectors (the floor
+    * case; ≥0.91 on the clustered 10× replica) — not the probes=4
+    * corner whose 0.13 recall demonstrated the knob but no production
+    * setting.
     */
   def qV3KnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -547,7 +552,7 @@ object Extensions {
       .getSeq[Float](0)
     Similarity.lshTopK(
       e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
-      query, k = 10, dim = 64, bits = 8, probes = 4)
+      query, k = 10, dim = 64, bits = 8, probes = 32)
   }
 
   /** IVF ANN (rows-only): centroid index probe path. */

@@ -210,12 +210,42 @@ class MdbSpec extends SparkSpec {
     }
   }
 
-  test("Jet3, unknown versions, and magic/version mismatches raise typed errors") {
-    val j3 = Files.createTempFile("graft_j3", ".mdb").toString
-    MdbFixture.writeMdb(j3, "t", cols.take(2), rows.take(1).map(_.take(2)),
-      versionByte = 0x00)
-    val e3 = intercept[UnsupportedOperationException](MdbReader.read(spark, j3))
-    assert(e3.getMessage.contains("Jet3"))
+  test("Jet3 fixture round-trips: 2 KB pages, cp1252 text, jump-table rows") {
+    val f = Files.createTempFile("graft_jet3", ".mdb").toString
+    val c = Seq(("id", MdbFixture.CLong), ("name", MdbFixture.CText),
+      ("score", MdbFixture.CDouble), ("active", MdbFixture.CBool),
+      ("note", MdbFixture.CText))
+    val short = "petite note"
+    val oneJump = "a" * 300   // row crosses one 256-byte boundary
+    val twoJump = "béta çédille " * 45 // ~585 cp1252 bytes: two boundaries
+    val r = Seq(
+      Seq(Some("1"), Some("ada"), Some("3.0"), Some("1"), Some(short)),
+      Seq(Some("2"), Some("grace héd"), Some("2.5"), Some("0"), Some(oneJump)),
+      Seq(Some("3"), None, None, Some("1"), Some(twoJump)),
+      Seq(Some("4"), Some("max"), Some("-1.25"), Some("0"), Some("")),
+      Seq(Some("5"), Some("nul"), Some("0.5"), Some("1"), None))
+    MdbFixture.writeMdb3(f, "people", c, r)
+    val df = Readers.read(spark, f)
+    assert(df.columns.toSeq == Seq("id", "name", "score", "active", "note"))
+    val got = df.orderBy(col("id").cast("long")).collect()
+      .map(x => (0 until 5).map(x.getString))
+    assert(got(0) == Seq("1", "ada", "3", "1", short))
+    assert(got(1) == Seq("2", "grace héd", "2.5", "0", oneJump))
+    assert(got(2) == Seq("3", null, null, "1", twoJump))
+    assert(got(3) == Seq("4", "max", "-1.25", "0", ""))
+    assert(got(4) == Seq("5", "nul", "0.5", "1", null))
+    // multi-page: 300 rows on 2 KB pages forces several data pages
+    val f2 = Files.createTempFile("graft_jet3big", ".mdb").toString
+    val big = (0 until 300).map(i =>
+      Seq(Some(i.toString), Some(s"name_$i"), Some((i / 2.0).toString),
+        Some((i % 2).toString), Some("n" * 40)))
+    MdbFixture.writeMdb3(f2, "big", c, big)
+    val gotBig = MdbReader.read(spark, f2)
+    assert(gotBig.count() == 300)
+    assert(gotBig.filter(col("id") === "299").collect()(0).getString(1) == "name_299")
+  }
+
+  test("unknown versions and magic/version mismatches raise typed errors") {
     // ACE-signed with an unknown version
     val ace9 = Files.createTempFile("graft_ace9", ".accdb").toString
     MdbFixture.writeMdb(ace9, "t", cols.take(2), rows.take(1).map(_.take(2)),

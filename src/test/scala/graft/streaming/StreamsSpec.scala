@@ -303,6 +303,69 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: replayed batch publishes nothing, snapshot byte-identical") {
+    // the end-to-end exactly-once evidence: run a checkpointed
+    // foreachBatch → publishBatch query, stop it, FORCE the next start
+    // to replay the last micro-batch (delete its commit marker — the
+    // crash-after-sink-before-commit window), restart, and assert one
+    // version per batch id with the replayed version untouched
+    implicit val sq = spark.sqlContext
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_restart_wh").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_restart_cp").toString + "/q"
+    val input = MemoryStream[Event]
+    def start() = Streams.foreachBatchSink(
+      input.toDF(),
+      (batch, id) => {
+        graft.sink.Snapshots.publishBatch(
+          batch.sparkSession, warehouse, "events", batch, id)
+        ()
+      }).option("checkpointLocation", cp).start()
+    val q1 = start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1))
+      q1.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 10:01:00", 2))
+      q1.processAllAvailable()
+    } finally {
+      // the "kill": stop after batch 1's publish + commit; await full
+      // termination so the checkpoint path deregisters before restart
+      // (Spark's concurrent-checkpoint guard is keyed on active runs)
+      q1.stop()
+      q1.awaitTermination()
+    }
+    val vsBefore = graft.sink.Snapshots.versions(spark, warehouse, "events")
+    val headBefore = graft.sink.Snapshots.currentVersion(spark, warehouse, "events")
+    val manifestBefore = graft.sink.Snapshots.manifest(
+      spark, warehouse, "events", headBefore)
+    // delete the newest commit marker: on restart the engine re-runs
+    // that micro-batch from the recorded offsets — the replay window
+    val commits = new java.io.File(cp, "commits")
+    val lastCommit = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(lastCommit.delete())
+    // also drop the Hadoop local-FS checksum shadow, else the replay's
+    // re-write of the commit marker collides with the stale .crc and
+    // surfaces as a bogus "multiple queries on one checkpoint" failure
+    new java.io.File(commits, "." + lastCommit.getName + ".crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the uncommitted batch
+      assert(graft.sink.Snapshots.versions(spark, warehouse, "events") == vsBefore,
+        "replayed batch must not publish a new version")
+      assert(graft.sink.Snapshots.manifest(spark, warehouse, "events", headBefore)
+        == manifestBefore, "replayed batch must leave the snapshot byte-identical")
+      // and the resumed query keeps publishing fresh batches normally
+      input.addData(ev(3, "2024-01-01 10:02:00", 3))
+      q2.processAllAvailable()
+      val vsAfter = graft.sink.Snapshots.versions(spark, warehouse, "events")
+      assert(vsAfter.size == vsBefore.size + 1)
+      assert(graft.sink.Snapshots.current(spark, warehouse, "events")
+        .collect().map(_.getAs[Long]("event_id")).toSeq == Seq(3L))
+    } finally q2.stop()
+  }
+
   test("streaming CDC: foreachBatch upserts each micro-batch into a base table") {
     implicit val sq = spark.sqlContext
     import java.nio.file.Files
