@@ -127,15 +127,16 @@ object MdbFixture {
     * column count, u8 var offsets with the mod-256 jump table (byte
     * placement per the convention documented on
     * `MdbReader.jet3VarOffsets`). Column types: CLong, CDouble, CBool,
-    * CText only (Jet3 long-value pages are out of the reader's scope).
+    * CText, plus CMemo/COle via 2 KB `LVAL` pages (same field header
+    * and storage forms as Jet4; cp1252 text payloads).
     */
   def writeMdb3(
       path: String,
       tableName: String,
       columns: Seq[(String, ColType)],
       rows: Seq[Seq[Option[String]]]): Unit = {
-    require(columns.forall(c => Seq(CLong, CDouble, CBool, CText).contains(c._2)),
-      "Jet3 fixture supports CLong/CDouble/CBool/CText")
+    require(columns.forall(c => Seq(CLong, CDouble, CBool, CText, CMemo, COle).contains(c._2)),
+      "Jet3 fixture supports CLong/CDouble/CBool/CText/CMemo/COle")
     val P3 = 2048
     val userTdefPg = 4
     val catalogCols = Seq(
@@ -171,7 +172,8 @@ object MdbFixture {
       p
     }
 
-    def encodeRow3(cols: Seq[(String, ColType)], values: Seq[Option[String]]): Array[Byte] = {
+    def encodeRow3(cols: Seq[(String, ColType)], values: Seq[Option[String]],
+        memo: Map[Int, Array[Byte]] = Map.empty): Array[Byte] = {
       val n = cols.length
       val maskSz = (n + 7) / 8
       val fixed = new ByteArrayOutputStream()
@@ -200,7 +202,8 @@ object MdbFixture {
       val varBase = 1 + fixedBytes.length
       val offsAbs = scala.collection.mutable.ArrayBuffer(varBase)
       varCols.foreach { case ((_, _), i) =>
-        values(i).foreach(s => varData.write(s.getBytes("windows-1252")))
+        values(i).foreach(s =>
+          varData.write(memo.getOrElse(i, s.getBytes("windows-1252"))))
         offsAbs += varBase + varData.size()
       }
       val varBytes = varData.toByteArray
@@ -234,7 +237,8 @@ object MdbFixture {
     }
 
     def dataPages3(owner: Int, cols: Seq[(String, ColType)],
-        rs: Seq[Seq[Option[String]]]): Seq[Array[Byte]] = {
+        rs: Seq[Seq[Option[String]]],
+        memoPlan: Seq[Map[Int, Array[Byte]]] = Seq.empty): Seq[Array[Byte]] = {
       val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var dirEnd = 0x0a
@@ -257,8 +261,9 @@ object MdbFixture {
         dirEnd = 0x0a
         dataStart = P3
       }
-      rs.foreach { values =>
-        val r = encodeRow3(cols, values)
+      rs.zipWithIndex.foreach { case (values, ri) =>
+        val r = encodeRow3(cols, values,
+          if (memoPlan.isEmpty) Map.empty else memoPlan(ri))
         if (dataStart - r.length < dirEnd + 2) flush()
         require(dataStart - r.length >= dirEnd + 2, "row larger than a Jet3 page")
         dataStart -= r.length
@@ -276,8 +281,26 @@ object MdbFixture {
     header(0x14) = 0x00
     val catData = dataPages3(2, catalogCols, catalogRows)
     require(catData.length == 1, "Jet3 catalog fixture must fit one page")
+    // memo plan mirrors writeMdb: LVAL pages sit right after the user
+    // TDEF (page 5..) so record pointers are known before rows encode;
+    // Jet3 memo/OLE payloads are cp1252 text / raw base64-decoded bytes
+    val memoCols = columns.zipWithIndex.collect {
+      case ((_, t @ (CMemo | COle)), i) => (i, t)
+    }
+    val lval = new LvalAlloc(firstPg = 5, pageSize = P3, rcOff = 0x08)
+    val memoPlan: Seq[Map[Int, Array[Byte]]] = rows.map { values =>
+      memoCols.flatMap { case (ci, t) =>
+        values(ci).map { s =>
+          val payload =
+            if (t == COle) java.util.Base64.getDecoder.decode(s)
+            else s.getBytes("windows-1252")
+          ci -> lval.memoField(payload)
+        }
+      }.toMap
+    }
     val pages = Seq(header, new Array[Byte](P3), tdef3(catalogCols),
-      catData.head, tdef3(columns)) ++ dataPages3(userTdefPg, columns, rows)
+      catData.head, tdef3(columns)) ++ lval.pages() ++
+      dataPages3(userTdefPg, columns, rows, memoPlan)
     val out = new ByteArrayOutputStream()
     pages.foreach(out.write)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
@@ -354,17 +377,22 @@ object MdbFixture {
   /** Allocates LVAL rows across `LVAL`-tagged pages numbered from
     * `firstPg`; chained memos place their chunks in reverse so each
     * chunk's leading next-pointer is known when it is written.
+    * `pageSize`/`rcOff` select the page geometry (Jet4: 4 KB with the
+    * row count at 0x0c; Jet3: 2 KB at 0x08) — the LVAL tag, record
+    * pointers, and 12-byte field headers are generation-invariant.
     */
-  private final class LvalAlloc(firstPg: Int) {
+  private final class LvalAlloc(firstPg: Int, pageSize: Int = PageSize, rcOff: Int = 0x0c) {
+    private val dirAt = rcOff + 2
+    private val chunk = math.min(LvalChunk, pageSize - dirAt - 8)
     private val pageRows =
       scala.collection.mutable.ArrayBuffer(
         scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
-    private var free = PageSize - 0x0e
+    private var free = pageSize - dirAt
 
     private def place(content: Array[Byte]): Int = {
       if (content.length + 2 > free) {
         pageRows += scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        free = PageSize - 0x0e
+        free = pageSize - dirAt
       }
       require(content.length + 2 <= free, "LVAL row larger than a page")
       val ptr = (pageRows.last.length << 24) | (firstPg + pageRows.length - 1)
@@ -379,14 +407,14 @@ object MdbFixture {
         putI32(b, 0, enc.length | 0x80 << 24)
         System.arraycopy(enc, 0, b, 12, enc.length)
         b
-      } else if (enc.length <= LvalChunk) {
+      } else if (enc.length <= chunk) {
         val b = new Array[Byte](12)
         putI32(b, 0, enc.length | 0x40 << 24)
         putI32(b, 4, place(enc))
         b
       } else {
         var next = 0
-        enc.grouped(LvalChunk).toSeq.reverse.foreach { ch =>
+        enc.grouped(chunk).toSeq.reverse.foreach { ch =>
           val content = new Array[Byte](4 + ch.length)
           putI32(content, 0, next)
           System.arraycopy(ch, 0, content, 4, ch.length)
@@ -400,18 +428,18 @@ object MdbFixture {
     }
 
     def pages(): Seq[Array[Byte]] = pageRows.filter(_.nonEmpty).toSeq.map { rs =>
-      val p = new Array[Byte](PageSize)
+      val p = new Array[Byte](pageSize)
       p(0) = 0x01; p(1) = 0x01
       System.arraycopy("LVAL".getBytes("US-ASCII"), 0, p, 4, 4)
-      putU16(p, 0x0c, rs.length)
-      var end = PageSize
+      putU16(p, rcOff, rs.length)
+      var end = pageSize
       rs.zipWithIndex.foreach { case (r, i) =>
         val start = end - r.length
         System.arraycopy(r, 0, p, start, r.length)
-        putU16(p, 0x0e + 2 * i, start)
+        putU16(p, dirAt + 2 * i, start)
         end = start
       }
-      putU16(p, 2, end - (0x0e + 2 * rs.length))
+      putU16(p, 2, end - (dirAt + 2 * rs.length))
       p
     }
   }

@@ -59,8 +59,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * documents the byte-placement convention — matched by the Jet3
   * fixture, but never validated against a real Access 97 file in this
   * offline environment, a caveat shared with the rest of the reader
-  * and spelled out in README). Jet3 MEMO/OLE long-value pages are out
-  * of scope (typed error).
+  * and spelled out in README). Jet3 MEMO/OLE read through the same
+  * LVAL walk as Jet4 (the 12-byte header, the inline/single-row/
+  * chained flags, and the `LVAL` page tag are shared across
+  * generations); only the page geometry differs, and memo text
+  * decodes as cp1252 instead of UTF-16LE.
   *
   * Out of scope (typed error, never a wrong answer): encrypted
   * databases (the RC4-protected
@@ -412,15 +415,10 @@ object MdbReader {
         if (c.offV >= varCount) null
         else c.typ match {
           case TText => textSlice(row, varOff(c.offV), varOff(c.offV + 1))
-          case TMemo if !fmt.jet3 =>
-            decodeMemo(bytes, row, varOff(c.offV), varOff(c.offV + 1))
+          case TMemo => decodeMemo(bytes, row, varOff(c.offV), varOff(c.offV + 1))
           case TBinary => renderHex(row, varOff(c.offV), varOff(c.offV + 1))
-          case TOle if !fmt.jet3 => renderBase64(
+          case TOle => renderBase64(
             lvalBytes(bytes, row, varOff(c.offV), varOff(c.offV + 1)))
-          case TMemo | TOle => throw new UnsupportedOperationException(
-            s"Jet3 MEMO/OLE column '${c.name}' is not supported (Jet3 " +
-              "long-value pages are out of scope); export the table to " +
-              "CSV and use the delimited reader")
           case t => throw unsupportedType(c.name, t)
         }
       }
@@ -541,10 +539,14 @@ object MdbReader {
     new java.math.BigDecimal(signed, scale).stripTrailingZeros.toPlainString
   }
 
-  /** Jet4 MEMO: the [[lvalBytes]] payload decoded as TEXT. */
-  private def decodeMemo(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int): String = {
+  /** MEMO: the [[lvalBytes]] payload decoded as TEXT — Jet4 via
+    * [[decodeText]] (UTF-16LE / compressed), Jet3 as cp1252 (memo text
+    * is stored in the ANSI code page there, like inline TEXT).
+    */
+  private def decodeMemo(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int)(
+      implicit fmt: Fmt): String = {
     val b = lvalBytes(bytes, row, from, to)
-    decodeText(b, 0, b.length)
+    if (fmt.jet3) new String(b, "windows-1252") else decodeText(b, 0, b.length)
   }
 
   /** Long-value payload shared by MEMO and OLE: u32 length-with-flags
@@ -554,7 +556,8 @@ object MdbReader {
     * bytes. Returns the raw payload bytes — MEMO decodes them as TEXT,
     * OLE renders them as base64.
     */
-  private def lvalBytes(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int): Array[Byte] = {
+  private def lvalBytes(bytes: Array[Byte], row: Array[Byte], from: Int, to: Int)(
+      implicit fmt: Fmt): Array[Byte] = {
     require(to - from >= 12, "long-value field shorter than its 12-byte header")
     val lenFlags = i32(row, from)
     val flags = (lenFlags >>> 24) & 0xff
@@ -585,19 +588,21 @@ object MdbReader {
 
   /** Absolute (start, end) of row `recPtr >>> 24` on LVAL page
     * `recPtr & 0xffffff` — the page must carry the `LVAL` tag where
-    * data pages carry their owning TDEF pointer.
+    * data pages carry their owning TDEF pointer. The record-pointer
+    * scheme and the `LVAL` tag are shared across generations; only the
+    * page geometry (size, row-directory offset) is per-format.
     */
-  private def lvalSlice(bytes: Array[Byte], recPtr: Int): (Int, Int) = {
+  private def lvalSlice(bytes: Array[Byte], recPtr: Int)(implicit fmt: Fmt): (Int, Int) = {
     val pg = recPtr & 0xffffff
     val rowIdx = (recPtr >>> 24) & 0xff
-    val base = pg * PageSize
-    require(base >= 0 && base + PageSize <= bytes.length, s"LVAL page $pg out of range")
+    val base = pg * fmt.pageSize
+    require(base >= 0 && base + fmt.pageSize <= bytes.length, s"LVAL page $pg out of range")
     require(u8(bytes, base) == 0x01 &&
       new String(bytes, base + 4, 4, "US-ASCII") == "LVAL", s"page $pg is not an LVAL page")
-    val nRows = u16(bytes, base + 0x0c)
+    val nRows = u16(bytes, base + fmt.dataRowCountOff)
     require(rowIdx < nRows, s"LVAL row $rowIdx out of range on page $pg")
-    val start = u16(bytes, base + 0x0e + 2 * rowIdx) & 0x1fff
-    require(start > 0 && start < PageSize, s"bad LVAL row offset on page $pg")
-    (base + start, base + rowEnd(bytes, base, nRows, start)(Jet4Fmt)) // LVAL is Jet4-only
+    val start = u16(bytes, base + fmt.dataRowCountOff + 2 + 2 * rowIdx) & 0x1fff
+    require(start > 0 && start < fmt.pageSize, s"bad LVAL row offset on page $pg")
+    (base + start, base + rowEnd(bytes, base, nRows, start))
   }
 }

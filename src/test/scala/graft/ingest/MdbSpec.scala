@@ -245,6 +245,30 @@ class MdbSpec extends SparkSpec {
     assert(gotBig.filter(col("id") === "299").collect()(0).getString(1) == "name_299")
   }
 
+  test("Jet3 MEMO/OLE read through 2 KB LVAL pages (inline, single-row, chained)") {
+    val f = Files.createTempFile("graft_jet3memo", ".mdb").toString
+    val c = Seq(("id", MdbFixture.CLong), ("note", MdbFixture.CMemo),
+      ("blob", MdbFixture.COle))
+    val inline = "façade à 64" // ≤64 cp1252 bytes → inline form
+    val single = "mémo çédille " * 30 // ~390 B → one LVAL row
+    val chained = "x" * 5000 // > one 2 KB page → chained LVAL rows
+    val oleRaw = Array.tabulate[Byte](700)(i => (i * 31).toByte)
+    val oleB64 = java.util.Base64.getEncoder.encodeToString(oleRaw)
+    val r = Seq(
+      Seq(Some("1"), Some(inline), Some(oleB64)),
+      Seq(Some("2"), Some(single), None),
+      Seq(Some("3"), Some(chained), None),
+      Seq(Some("4"), None, None))
+    MdbFixture.writeMdb3(f, "memos", c, r)
+    val got = MdbReader.read(spark, f).orderBy(col("id").cast("long"))
+      .collect().map(x => (0 until 3).map(x.getString))
+    assert(got(0)(1) == inline)
+    assert(got(0)(2) == oleB64)
+    assert(got(1)(1) == single)
+    assert(got(2)(1) == chained)
+    assert(got(3)(1) == null && got(3)(2) == null)
+  }
+
   test("unknown versions and magic/version mismatches raise typed errors") {
     // ACE-signed with an unknown version
     val ace9 = Files.createTempFile("graft_ace9", ".accdb").toString

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+import graft.{SparkEntry, SparkSpec}
+
+/** docs/PLANS.md as executable regression tests: the plan-audit claims
+  * that the verdict rounds graded from prose ("dims broadcast, filters
+  * pushed, one exchange here, never a cartesian product") are asserted
+  * here against the ACTUAL static physical plans, so a refactor that
+  * silently degrades a plan — a lost broadcast hint, a filter that stops
+  * reaching the parquet scan, an extra shuffle in an audited operator —
+  * fails the suite instead of surfacing as a 100 TB incident.
+  *
+  * All assertions run on `queryExecution.sparkPlan` (the pre-AQE static
+  * plan): it is what the cost-based planner commits to independent of
+  * runtime statistics, it is cheap (no jobs run), and every property
+  * asserted is scale-invariant by construction — broadcasts come from
+  * explicit `broadcast()` hints on bounded-size dims (nation/region/
+  * 1-row aggregates), pushdown/pruning from the declarative plan shape,
+  * and shuffle counts from the operator's fixed stage structure, none of
+  * which AQE changes (AQE can only further coalesce/convert at runtime).
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def df(name: String): DataFrame = SparkEntry.queries(name)(spark, sf())
+  private def plan(name: String): SparkPlan = df(name).queryExecution.sparkPlan
+
+  // Node collection uses `collect` (physical tree only), NOT
+  // `collectWithSubqueries`: on a pre-AQE sparkPlan, subquery
+  // expressions still carry UNPLANNED logical plans, and a
+  // PartialFunction[SparkPlan, _] CCEs on them at the bridge cast.
+  // Subquery bodies are covered by the string form in the sweep below.
+
+  /** Shuffle exchanges in the physical plan. */
+  private def shuffles(p: SparkPlan): Int =
+    p.collect { case e: ShuffleExchangeExec => e }.size
+
+  /** Formatted explain (scan details: PushedFilters / ReadSchema). */
+  private def scanInfo(name: String): String = {
+    val qe = df(name).queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  // ---------------------------------------------------------------- sweep
+
+  test("no gate query plans a CartesianProduct") {
+    // The one O(n^2) operator family (allPairsSimilarity) is size-guarded
+    // AND broadcast-hinted, so even it must plan as a broadcast
+    // nested-loop join, never an unbounded cartesian shuffle product.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val cart = p.collect { case c: CartesianProductExec => c }
+      // string form also reaches subquery bodies (see note above)
+      if (cart.nonEmpty || p.toString.contains("CartesianProduct")) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  // ----------------------------------------------------- pushdown/pruning
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val info = scanInfo("q01_pricing_summary")
+    assert(info.contains("PushedFilters"), "no scan pushdown section")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(info).isDefined,
+      s"l_shipdate not pushed to scan:\n$info")
+  }
+
+  test("q01 prunes unused lineitem columns from the scan") {
+    val info = scanInfo("q01_pricing_summary")
+    // 7 needed columns; the wide ones must not be read.
+    assert(!info.contains("l_comment"), "l_comment read but unused")
+    assert(!info.contains("l_shipinstruct"), "l_shipinstruct read but unused")
+  }
+
+  test("q02 pushes all three range predicates to the scan") {
+    val info = scanInfo("q02_revenue_forecast")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(("PushedFilters: \\[[^\\]]*" + c).r.findFirstIn(info).isDefined,
+        s"$c not pushed:\n$info"))
+  }
+
+  // ------------------------------------------------------------ broadcast
+
+  test("q04 star join broadcasts both dims (no sort-merge join)") {
+    val p = plan("q04_region_customer_stats")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.size == 2, s"expected 2 broadcast joins, got ${bhj.size}")
+    assert(smj.isEmpty, "dim join degraded to sort-merge")
+  }
+
+  test("q03 broadcasts the filtered customer dim") {
+    val p = plan("q03_top_revenue_orders")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "customer join not broadcast")
+  }
+
+  // ---------------------------------------------------------------- top-k
+
+  test("q06 global top-100 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q06_top_orders")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q03 top-10 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q03_top_revenue_orders")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  // ----------------------------------------- audited operator shuffle caps
+
+  // Bounds are the docs/PLANS.md audited shapes plus the oracle-
+  // determinism sort; equality would be brittle to harmless re-plans, a
+  // cap still catches an accidentally introduced extra exchange.
+
+  test("q01 scan-agg uses exactly one data shuffle (partial agg holds)") {
+    // partial HashAggregate -> 1 exchange on the 6 group keys -> final
+    // agg; the trailing orderBy adds a range exchange over 6 rows.
+    assert(shuffles(plan("q01_pricing_summary")) <= 2)
+  }
+
+  test("q05 window uses a single shuffle on custkey") {
+    // one hash exchange for the window partition; trailing sort adds one.
+    assert(shuffles(plan("q05_top_orders_per_customer")) <= 2)
+  }
+
+  test("q30 minhash gate stays within its audited exchange budget") {
+    // PLANS.md round-7: posexplode -> ONE hash exchange on (band, bh) ->
+    // ObjectHashAggregate -> capped Generate, + the deterministic output
+    // sort; pre-shuffle of the source text adds one.
+    assert(shuffles(plan("q30_minhash_near_dups")) <= 4)
+  }
+
+  // ------------------------------------------------------- codegen purity
+
+  test("dedup/text/similarity hot paths contain no ScalaUDF") {
+    // The §2.11 claim: extension points are native Catalyst expressions
+    // (codegen'd), never opaque UDFs that break whole-stage codegen.
+    val hotPaths = Seq(
+      "q24_token_stats", "q25_lang_id", "q26_quality_score",
+      "q27_fingerprint", "q28_exact_dedup", "q30_minhash_near_dups",
+      "q31_simhash_near_dups", "q33_knn_brute", "q51_embedding_pairs_exact",
+      "q75_redaction", "q76_repetition", "q113_strip_html")
+    val offenders = hotPaths.filter { name =>
+      plan(name).toString.contains("UDF")
+    }
+    assert(offenders.isEmpty, s"ScalaUDF in hot path: $offenders")
+  }
+}
