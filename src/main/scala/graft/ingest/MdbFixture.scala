@@ -279,6 +279,7 @@ object MdbFixture {
     val m = "Standard Jet DB".getBytes("US-ASCII")
     System.arraycopy(m, 0, header, 4, m.length)
     header(0x14) = 0x00
+    putI32(header, 0x3e, 0xe15e01b9) // un-encoded db-key field
     val catData = dataPages3(2, catalogCols, catalogRows)
     require(catData.length == 1, "Jet3 catalog fixture must fit one page")
     // memo plan mirrors writeMdb: LVAL pages sit right after the user
@@ -462,7 +463,51 @@ object MdbFixture {
       else "Standard Jet DB").getBytes("US-ASCII")
     System.arraycopy(magic, 0, p, 4, magic.length)
     p(0x14) = versionByte.toByte
+    // un-encoded db-key field: real files store key 0 XOR'd with the
+    // header mask (see MdbReader.DbKeyMask)
+    putI32(p, 0x3e, 0xe15e01b9)
     p
+  }
+
+  /** Applies the Jet "Encode Database" transform to a written fixture:
+    * stores `key ^ mask` in the header's 0x3e field and RC4-encrypts
+    * every page except page 0 with the 4-byte LE key `key ^ pageNumber`
+    * (the mdbtools-documented scheme). The page size follows the
+    * version byte, so Jet3/Jet4/ACE fixtures all encode.
+    */
+  def encodeMdb(path: String, key: Int): Unit = {
+    require(key != 0 && key != 0xe15e01b9, "key 0 / mask collide with the un-encoded marker")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val ps = if ((bytes(0x14) & 0xff) == 0x00) 2048 else PageSize
+    putI32(bytes, 0x3e, key ^ 0xe15e01b9)
+    var pg = 1
+    while ((pg + 1) * ps <= bytes.length) {
+      val k = key ^ pg
+      fixtureRc4(Array[Byte](k.toByte, (k >> 8).toByte, (k >> 16).toByte, (k >>> 24).toByte),
+        bytes, pg * ps, ps)
+      pg += 1
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  // RC4 for the encoder (the reader has its own copy; both are pinned
+  // to the RFC 6229 vectors in MdbSpec, which is what makes the
+  // round-trip meaningful — symmetric-cipher bugs would self-cancel)
+  private def fixtureRc4(key: Array[Byte], buf: Array[Byte], off: Int, len: Int): Unit = {
+    val s = (0 until 256).toArray
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) % 256
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    var i = 0
+    j = 0
+    for (n <- 0 until len) {
+      i = (i + 1) % 256
+      j = (j + s(i)) % 256
+      val t = s(i); s(i) = s(j); s(j) = t
+      buf(off + n) = (buf(off + n) ^ s((s(i) + s(j)) % 256)).toByte
+    }
   }
 
   private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {

@@ -65,9 +65,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * generations); only the page geometry differs, and memo text
   * decodes as cp1252 instead of UTF-16LE.
   *
-  * Out of scope (typed error, never a wrong answer): encrypted
-  * databases (the RC4-protected
-  * header region — catalog parse fails → typed error). Multi-page
+  * RC4-"encoded" databases (Tools→Security "Encode Database") decode
+  * transparently: a non-zero db key in the header's masked 0x3e field
+  * triggers per-page RC4 with key `dbKey ^ pageNumber` (see
+  * [[decodeIfEncrypted]]). Out of scope (typed error, never a wrong
+  * answer): password-ENCRYPTED ACE databases (Office agile crypto, a
+  * different scheme — catalog parse fails → typed error). Multi-page
   * TDEFs are stitched via the offset-4 next-page chain (wide tables
   * spill descriptors + names routinely). Overflow (lookup) directory
   * entries hold a 4-byte record pointer, not row data; the scan skips
@@ -144,8 +147,9 @@ object MdbReader {
 
   /** (column names, rows) of the first user table; values null-or-string. */
   private[graft] def readRows(path: String, maxRows: Int): (Seq[String], Seq[Seq[String]]) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    implicit val fmt: Fmt = checkHeader(bytes)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    implicit val fmt: Fmt = checkHeader(raw)
+    val bytes = decodeIfEncrypted(raw)
     try {
       val catalog = parseTable(bytes, 2)
       val catRows = tableRows(bytes, catalog, Int.MaxValue)
@@ -174,6 +178,75 @@ object MdbReader {
             "unsupported layout); export the table to CSV and use the " +
             "delimited reader")
     }
+  }
+
+  /** The header's db-key field (offset 0x3e) is stored XOR'd with this
+    * constant (the mdbtools `file.c` masking), so an un-encoded
+    * database's field reads back as key 0.
+    */
+  private val DbKeyMask = 0xe15e01b9
+
+  /** Jet "Encode Database" support: a non-zero db key means every page
+    * except page 0 is RC4-encrypted with the 4-byte little-endian key
+    * `dbKey ^ pageNumber` — the scheme mdbtools implements from the
+    * published Jet format notes. (This is the Tools→Security "encode"
+    * option; a *database password* is a separate header field that
+    * does NOT encrypt pages, so password-"protected" files read
+    * normally.) A RAW field of 0 is also treated as un-encoded: real
+    * files store `0 ^ mask` when un-encoded, but independent fixture
+    * writers zero-fill the header, and `key == DbKeyMask` is a
+    * 1-in-2^32 coincidence against a field that reads garbage
+    * otherwise. Like the Jet3 byte conventions, the scheme is
+    * validated round-trip against this repo's own encoder plus RFC
+    * 6229-style RC4 test vectors, not a real Access-encoded file
+    * (none exists in this offline environment — README caveat).
+    */
+  private def decodeIfEncrypted(bytes: Array[Byte])(implicit fmt: Fmt): Array[Byte] = {
+    val masked = i32(bytes, 0x3e)
+    val dbKey = masked ^ DbKeyMask
+    if (masked == 0 || dbKey == 0) return bytes
+    val out = bytes.clone()
+    val nPages = bytes.length / fmt.pageSize
+    var pg = 1
+    while (pg < nPages) {
+      val k = dbKey ^ pg
+      val key = Array[Byte](k.toByte, (k >> 8).toByte, (k >> 16).toByte, (k >>> 24).toByte)
+      rc4(key, out, pg * fmt.pageSize, fmt.pageSize)
+      pg += 1
+    }
+    out
+  }
+
+  /** RC4 (KSA + PRGA) XOR'd over `buf[off, off+len)` in place. */
+  private def rc4(key: Array[Byte], buf: Array[Byte], off: Int, len: Int): Unit = {
+    val s = Array.tabulate(256)(identity)
+    var i = 0
+    var j = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    i = 0; j = 0
+    var n = 0
+    while (n < len) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      buf(off + n) = (buf(off + n) ^ s((s(i) + s(j)) & 0xff)).toByte
+      n += 1
+    }
+  }
+
+  /** Keystream prefix for the RC4 conformance spec (RFC 6229 vectors):
+    * RC4 is symmetric, so an implementation bug would self-cancel in
+    * the fixture round-trip — conformance to the published vectors is
+    * what pins TRUE RC4, the variant real Access files use.
+    */
+  private[ingest] def rc4Keystream(key: Array[Byte], n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    rc4(key, buf, 0, n)
+    buf
   }
 
   private def checkHeader(bytes: Array[Byte]): Fmt = {

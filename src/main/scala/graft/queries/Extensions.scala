@@ -129,6 +129,40 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** S3-encoded end-to-end: `customer` rendered as a Jet4 `.mdb`, then
+    * passed through the Jet "Encode Database" transform (RC4 per page,
+    * db key in the header's masked 0x3e field — the mdbtools-documented
+    * scheme), and read back through the full dispatching reader, which
+    * must detect the key and decode transparently — the reference's
+    * ADODB provider opens encoded databases the same way
+    * (index.js:63-78). The fixture content derives only from the sf
+    * tables, so the oracle is plain SQL; a wrong or skipped decode
+    * cannot round-trip (MdbSpec pins RC4 itself to the RFC 6229
+    * vectors, so fixture and reader can't share a cancelling bug).
+    */
+  def qS8MdbEncoded(s: SparkSession, d: String): DataFrame = {
+    val rows = customer(s, d).filter(col("c_custkey") <= 300)
+      .orderBy(col("c_custkey"))
+      .collect()
+      .map(r => Seq(Some(r.getLong(0).toString), Some(r.getString(1)),
+        Some(r.getInt(2).toString), Some(r.getDouble(3).toString)))
+    val f = Files.createTempFile("graft_cust_enc", ".mdb")
+    graft.ingest.MdbFixture.writeMdb(f.toString, "customer_enc",
+      Seq(("c_custkey", graft.ingest.MdbFixture.CLong),
+        ("c_name", graft.ingest.MdbFixture.CText),
+        ("c_nationkey", graft.ingest.MdbFixture.CLong),
+        ("c_acctbal", graft.ingest.MdbFixture.CDouble)),
+      rows.toIndexedSeq)
+    graft.ingest.MdbFixture.encodeMdb(f.toString, 0x2f9a51c3)
+    graft.ingest.Readers.read(s, f.toString)
+      .select(
+        col("c_custkey").cast("bigint"),
+        col("c_name"),
+        col("c_nationkey").cast("int"),
+        col("c_acctbal").cast("double"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** S3-ACE end-to-end: `supplier` rendered as an ACE-era `.accdb`
     * (`Standard ACE DB` signature, version 0x03, over the Jet4-shaped
     * page machinery real ACE files share), read back through the full
@@ -1768,7 +1802,8 @@ object Extensions {
     "q116_dedup_paragraphs" -> qC14DedupParagraphs _,
     "q117_mdb_rich_types" -> qS5MdbRichTypes _,
     "q119_mdb_binary_types" -> qS7MdbBinaryTypes _,
-    "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _)
+    "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _,
+    "q120_mdb_encoded" -> qS8MdbEncoded _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -1811,6 +1846,9 @@ object Extensions {
     "q118_accdb_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    "q120_mdb_encoded" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+         WHERE c_custkey <= 300 ORDER BY c_custkey""",
     "q119_mdb_binary_types" ->
       """SELECT p_partkey,
            CASE WHEN p_partkey % 13 = 0 THEN NULL

@@ -269,6 +269,67 @@ class MdbSpec extends SparkSpec {
     assert(got(3)(1) == null && got(3)(2) == null)
   }
 
+  test("RC4 conforms to the published test vectors") {
+    // RFC 6229, 40-bit key 0x0102030405: first keystream bytes
+    val ks = MdbReader.rc4Keystream(Array[Byte](1, 2, 3, 4, 5), 16)
+    assert(ks.map(b => f"$b%02x").mkString ==
+      "b2396305f03dc027ccc3524a0a1118a8")
+    // classic vector: RC4("Key") keystream XOR "Plaintext" = ciphertext
+    val pt = "Plaintext".getBytes("US-ASCII")
+    val ct = MdbReader.rc4Keystream("Key".getBytes("US-ASCII"), pt.length)
+      .zip(pt).map { case (k, p) => (k ^ p).toByte }
+    assert(ct.map(b => f"$b%02x").mkString == "bbf316e8d940af0ad3")
+  }
+
+  test("RC4-encoded databases read transparently (Jet4, ACE, Jet3)") {
+    // Jet4 with a chained memo: LVAL pages must decode too
+    val f4 = Files.createTempFile("graft_enc4", ".mdb").toString
+    val c4 = Seq(("id", MdbFixture.CLong), ("name", MdbFixture.CText),
+      ("note", MdbFixture.CMemo))
+    val big = "carol chained memo " * 300
+    val r4 = Seq(
+      Seq(Some("1"), Some("alice"), Some("inline note")),
+      Seq(Some("2"), Some("bob"), Some(big)),
+      Seq(Some("3"), None, None))
+    MdbFixture.writeMdb(f4, "enc", c4, r4)
+    val plain = Files.readAllBytes(java.nio.file.Paths.get(f4))
+    MdbFixture.encodeMdb(f4, 0x5eed1234)
+    // not vacuous: pages really are scrambled on disk
+    assert(!java.util.Arrays.equals(plain, Files.readAllBytes(java.nio.file.Paths.get(f4))))
+    intercept[Exception] { // and unreadable without the decode step:
+      val noKey = Files.readAllBytes(java.nio.file.Paths.get(f4))
+      putAt(noKey, 0x3e, 0xe15e01b9) // forge "un-encoded" marker
+      val forged = Files.createTempFile("graft_enc4f", ".mdb").toString
+      Files.write(java.nio.file.Paths.get(forged), noKey)
+      MdbReader.read(spark, forged).collect()
+    }
+    val got4 = MdbReader.read(spark, f4).orderBy(col("id").cast("long"))
+      .collect().map(x => (0 until 3).map(x.getString))
+    assert(got4(0) == Seq("1", "alice", "inline note"))
+    assert(got4(1) == Seq("2", "bob", big))
+    assert(got4(2) == Seq("3", null, null))
+    // ACE .accdb
+    val fa = Files.createTempFile("graft_enca", ".accdb").toString
+    MdbFixture.writeMdb(fa, "enc", c4.take(2), r4.map(_.take(2)), versionByte = 0x03)
+    MdbFixture.encodeMdb(fa, 77)
+    assert(MdbReader.read(spark, fa).orderBy(col("id").cast("long"))
+      .collect().map(_.getString(1)).toSeq == Seq("alice", "bob", null))
+    // Jet3 (2 KB pages — the per-format page stride matters)
+    val f3 = Files.createTempFile("graft_enc3", ".mdb").toString
+    val c3 = Seq(("id", MdbFixture.CLong), ("name", MdbFixture.CText))
+    val r3 = (0 until 120).map(i => Seq(Some(i.toString), Some(s"nom_$i")))
+    MdbFixture.writeMdb3(f3, "enc3", c3, r3)
+    MdbFixture.encodeMdb(f3, -977)
+    val got3 = MdbReader.read(spark, f3)
+    assert(got3.count() == 120)
+    assert(got3.filter(col("id") === "77").collect()(0).getString(1) == "nom_77")
+  }
+
+  private def putAt(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
   test("unknown versions and magic/version mismatches raise typed errors") {
     // ACE-signed with an unknown version
     val ace9 = Files.createTempFile("graft_ace9", ".accdb").toString
