@@ -18,25 +18,46 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (legacy conf) and convert to a microsecond timestamp in-plan — the
-    * generator's timestamps are whole microseconds, so truncation is
-    * lossless and matches DuckDB's TIMESTAMP_NS values.
+  /** Schema-adaptive events read. Test-data generators have shipped `ts`
+    * in three physical layouts over time: parquet TIMESTAMP(NANOS)
+    * (which Spark's reader rejects — [PARQUET_TYPE_ILLEGAL] — unless the
+    * legacy nanos-as-long conf maps it to LongType), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ), and UTC-adjusted
+    * TIMESTAMP(MICROS) (read as TIMESTAMP). Rather than hard-code one
+    * layout, branch on the scanned field type and normalize every layout
+    * to a session-tz `TimestampType` column — the session tz is pinned to
+    * UTC, so the NTZ→LTZ cast is a lossless reinterpretation and all
+    * three layouts yield byte-identical rows downstream.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // session-wide side effect, intentionally left set: the conf must be
-    // active when the relation is ANALYZED, and resetting after read()
-    // would race concurrent planning in the same session. Consequence: a
-    // later scan of some OTHER nanos-timestamp parquet in this session
-    // yields LongType instead of PARQUET_TYPE_ILLEGAL — callers of such
-    // tables should convert explicitly as done here.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, d, "events")
     import org.apache.spark.sql.functions._
-    // integer div: a double `/` would round (epoch-nanos exceed a
-    // double's 53-bit mantissa → ±1µs errors)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    // A nanos-annotated file fails schema inference at read() time; only
+    // then flip the legacy conf (scoped to the retry — the conf matters
+    // at ANALYSIS of relations created while it is set, so relations read
+    // before/after without it are unaffected) and re-read as LongType.
+    val raw =
+      try t(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              e.getCondition.startsWith("PARQUET_TYPE_ILLEGAL") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try t(s, d, "events")
+          finally s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    val ts = raw.schema("ts").dataType match {
+      // integer div: a double `/` would round (epoch-nanos exceed a
+      // double's 53-bit mantissa → ±1µs errors)
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other " +
+            "(expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   /** documents/embeddings ship as ONE small parquet file each (single

@@ -31,18 +31,44 @@ object Streams {
 
   /** File-source stream of event rows (parquet dir with the batch
     * schema). For tests, a memory/rate source with the same schema works
-    * identically downstream. Handles the driver testdata's
-    * TIMESTAMP(NANOS) encoding the same way Tables.events does: read
-    * nanos as long, convert in-plan with integer division.
+    * identically downstream. Schema-adaptive the same way Tables.events
+    * is: a file stream needs an explicit schema, so probe the physical
+    * `ts` layout with a batch footer read, then stream with the matching
+    * schema and normalize to `TimestampType` in-plan (int64-nanos →
+    * integer-divide; TIMESTAMP_NTZ → lossless cast under the UTC session
+    * tz; TIMESTAMP → pass through).
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    val physicalTs =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch {
+        // TIMESTAMP(NANOS) file: schema inference rejects it outright —
+        // the stream must read it as long (legacy conf).
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              e.getCondition.startsWith("PARQUET_TYPE_ILLEGAL") =>
+          LongType
+      }
+    val streamSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = physicalTs)
       case f => f
     })
-    spark.readStream.schema(nanosSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (physicalTs == LongType) {
+      // must stay set for the lifetime of the stream: every microbatch's
+      // file read re-converts the parquet schema under this conf
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    val raw = spark.readStream.schema(streamSchema).parquet(path)
+    val ts = physicalTs match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other " +
+            "(expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

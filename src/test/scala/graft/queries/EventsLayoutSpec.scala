@@ -1,0 +1,131 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.SparkSpec
+import graft.streaming.Streams
+
+/** Layout regression for the events adapter (VERDICT r9 item 2): the
+  * driver's generator has shipped `ts` as parquet TIMESTAMP(NANOS)
+  * (rounds ≤8) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 9+),
+  * and a UTC-adjusted TIMESTAMP(MICROS) is the third plausible layout.
+  * `Tables.events` / `Streams.readEvents` must return identical
+  * rows+schema over every layout, so a future regeneration cannot dark
+  * the 11 events gates again. Fixtures are written with parquet-mr
+  * directly (Spark cannot write a NANOS-annotated column), one file per
+  * layout, identical logical rows.
+  */
+class EventsLayoutSpec extends SparkSpec {
+
+  /** Whole-microsecond instants incl. sub-millisecond digits (catches a
+    * millis-precision truncation) spanning two distinct values per user.
+    */
+  private val microsTs: Seq[Long] = Seq(
+    1600000000123456L, 1600000003000000L, 1600003600999001L, 1600007200000123L)
+
+  private def eventsSchema(tsAnno: LogicalTypeAnnotation): MessageType =
+    Types.buildMessage()
+      .addField(Types.optional(INT64).named("event_id"))
+      .addField(Types.optional(INT64).as(tsAnno).named("ts"))
+      .addField(Types.optional(INT64).named("user_id"))
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type"))
+      .addField(Types.optional(DOUBLE).named("value"))
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props"))
+      .named("events")
+
+  /** Writes one events.parquet under a fresh dir; `tsOf` maps the
+    * canonical micros instant to the stored int64 for the layout.
+    */
+  private def writeLayout(
+      tsAnno: LogicalTypeAnnotation, tsOf: Long => Long): String = {
+    val dir = Files.createTempDirectory("graft_events_layout")
+    val schema = eventsSchema(tsAnno)
+    val writer = ExampleParquetWriter
+      .builder(new HPath(dir.resolve("events.parquet").toString))
+      .withType(schema)
+      .build()
+    val groups = new SimpleGroupFactory(schema)
+    try microsTs.zipWithIndex.foreach { case (us, i) =>
+      val g = groups.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", tsOf(us))
+      g.add("user_id", (i % 2).toLong)
+      g.add("event_type", if (i % 2 == 0) "view" else "click")
+      g.add("value", i * 1.5)
+      g.add("props", s"""{"i":$i}""")
+      writer.write(g)
+    } finally writer.close()
+    dir.toString
+  }
+
+  private lazy val layouts: Map[String, String] = Map(
+    "int64-nanos" -> writeLayout(
+      LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS), _ * 1000L),
+    "timestamp-micros-ntz" -> writeLayout(
+      LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS), identity),
+    "timestamp-micros-utc" -> writeLayout(
+      LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS), identity))
+
+  test("Tables.events yields identical rows and schema over every ts layout") {
+    val read = layouts.map { case (name, dir) =>
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$name: adapter must normalize ts to TimestampType")
+      name -> df.select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id").collect().toSeq
+    }
+    // exact micros preserved (no millis truncation, no ±1µs double rounding)
+    for ((name, rows) <- read) {
+      assert(rows.map(_.getLong(1)) == microsTs, s"$name: micros mismatch")
+    }
+    // full-row equality across layouts
+    val ref = read("timestamp-micros-ntz")
+    for ((name, rows) <- read) assert(rows == ref, s"$name != ntz layout")
+  }
+
+  test("Tables.events read order is layout-independent (probe conf does not leak)") {
+    // reading a nanos file must not leave the legacy conf set for later reads
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong") // clean slate
+    Tables.events(spark, layouts("int64-nanos")).collect()
+    // unset restores the registered default ("false"), so check the value
+    assert(!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong").toBoolean)
+    val after = Tables.events(spark, layouts("timestamp-micros-ntz"))
+    assert(after.schema("ts").dataType == TimestampType)
+  }
+
+  test("Streams.readEvents probes the physical layout per directory") {
+    for ((name, dir) <- layouts) {
+      val stream = Streams.readEvents(spark, dir)
+      assert(stream.isStreaming, name)
+      assert(stream.schema("ts").dataType == TimestampType,
+        s"$name: stream adapter must normalize ts to TimestampType")
+    }
+  }
+
+  test("Streams.readEvents converts the legacy nanos layout end-to-end") {
+    // run the layout no longer covered by the driver testdata through a
+    // real micro-batch to a memory sink (StreamsSpec covers the current one)
+    val stream = Streams.readEvents(spark, layouts("int64-nanos"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("events_nanos_layout").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("events_nanos_layout")
+        .select(unix_micros(col("ts"))).orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == microsTs)
+    } finally q.stop()
+  }
+}
