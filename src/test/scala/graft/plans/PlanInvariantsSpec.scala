@@ -47,18 +47,41 @@ class PlanInvariantsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- sweep
 
+  /** Builds each query's static plan, isolating per-query build/analysis
+    * failures instead of letting one unanalyzable query abort a sweep:
+    * a broken source must surface as ITS OWN failure (QueriesSmokeSpec
+    * builds every query individually), not mask a whole-suite property
+    * for the 100+ queries that still analyze. Returns (broken, planned).
+    */
+  private def builtPlans(
+      names: Seq[String]): (Seq[(String, String)], Seq[(String, SparkPlan)]) =
+    names.sorted.partitionMap { name =>
+      try Right(name -> plan(name))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(name -> e.toString.linesIterator.next())
+      }
+    }
+
   test("no gate query plans a CartesianProduct") {
     // The one O(n^2) operator family (allPairsSimilarity) is size-guarded
     // AND broadcast-hinted, so even it must plan as a broadcast
     // nested-loop join, never an unbounded cartesian shuffle product.
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = plan(name)
+    val (broken, planned) = builtPlans(SparkEntry.queries.keys.toSeq)
+    broken.foreach { case (name, err) =>
+      info(s"did not analyze (excluded from sweep): $name — $err")
+    }
+    val offenders = planned.flatMap { case (name, p) =>
       val cart = p.collect { case c: CartesianProductExec => c }
       // string form also reaches subquery bodies (see note above)
       if (cart.nonEmpty || p.toString.contains("CartesianProduct")) Some(name)
       else None
     }
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+    // the sweep must still be sweeping: a mass build failure is its own bug
+    assert(planned.size > SparkEntry.queries.size / 2,
+      s"only ${planned.size}/${SparkEntry.queries.size} queries analyzed — " +
+        s"broken: ${broken.map(_._1)}")
   }
 
   // ----------------------------------------------------- pushdown/pruning
@@ -148,9 +171,16 @@ class PlanInvariantsSpec extends SparkSpec {
       "q27_fingerprint", "q28_exact_dedup", "q30_minhash_near_dups",
       "q31_simhash_near_dups", "q33_knn_brute", "q51_embedding_pairs_exact",
       "q75_redaction", "q76_repetition", "q113_strip_html")
-    val offenders = hotPaths.filter { name =>
-      plan(name).toString.contains("UDF")
+    val (broken, planned) = builtPlans(hotPaths)
+    broken.foreach { case (name, err) =>
+      info(s"did not analyze (excluded from sweep): $name — $err")
+    }
+    val offenders = planned.collect {
+      case (name, p) if p.toString.contains("UDF") => name
     }
     assert(offenders.isEmpty, s"ScalaUDF in hot path: $offenders")
+    assert(planned.size > hotPaths.size / 2,
+      s"only ${planned.size}/${hotPaths.size} hot paths analyzed — " +
+        s"broken: ${broken.map(_._1)}")
   }
 }
