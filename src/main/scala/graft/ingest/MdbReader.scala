@@ -70,7 +70,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * triggers per-page RC4 with key `dbKey ^ pageNumber` (see
   * [[decodeIfEncrypted]]). Out of scope (typed error, never a wrong
   * answer): password-ENCRYPTED ACE databases (Office agile crypto, a
-  * different scheme — catalog parse fails → typed error). Multi-page
+  * different scheme — catalog parse fails → typed error); this is
+  * parity-adjacent rather than a parity gap — the reference's ADODB
+  * path (backend/index.js:64) would equally need the user-supplied
+  * password, which no caller of this surface provides. Multi-page
   * TDEFs are stitched via the offset-4 next-page chain (wide tables
   * spill descriptors + names routinely). Overflow (lookup) directory
   * entries hold a 4-byte record pointer, not row data; the scan skips
