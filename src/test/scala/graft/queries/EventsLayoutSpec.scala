@@ -17,11 +17,13 @@ import graft.streaming.Streams
 /** Layout regression for the events adapter (VERDICT r9 item 2): the
   * driver's generator has shipped `ts` as parquet TIMESTAMP(NANOS)
   * (rounds ≤8) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 9+),
-  * and a UTC-adjusted TIMESTAMP(MICROS) is the third plausible layout.
+  * a UTC-adjusted TIMESTAMP(MICROS) is the third plausible layout, and
+  * legacy INT96 (Spark ≤2.x / Impala default) the fourth.
   * `Tables.events` / `Streams.readEvents` must return identical
   * rows+schema over every layout, so a future regeneration cannot dark
   * the 11 events gates again. Fixtures are written with parquet-mr
-  * directly (Spark cannot write a NANOS-annotated column), one file per
+  * directly (Spark cannot write a NANOS-annotated column) except INT96,
+  * which Spark itself writes under outputTimestampType; one file per
   * layout, identical logical rows.
   */
 class EventsLayoutSpec extends SparkSpec {
@@ -69,13 +71,43 @@ class EventsLayoutSpec extends SparkSpec {
     dir.toString
   }
 
+  /** Fourth layout: legacy INT96 timestamps, what Spark ≤2.x and Impala
+    * writers produce by default. Spark itself writes it under the
+    * outputTimestampType conf and reads it back as TimestampType, so the
+    * adapter's pass-through branch must cover it.
+    */
+  private def writeInt96Layout(): String = {
+    val dir = Files.createTempDirectory("graft_events_layout")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      import spark.implicits._
+      microsTs.zipWithIndex.map { case (us, i) =>
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        (i.toLong, t, (i % 2).toLong,
+          if (i % 2 == 0) "view" else "click", i * 1.5, s"""{"i":$i}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/_int96_out")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    // flatten Spark's part-file directory to the single-file shape the
+    // other layout fixtures use (the adapters accept either; the specs
+    // probe bare dirs, which only see flat files)
+    val part = Files.list(dir.resolve("_int96_out")).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")).head
+    Files.move(java.nio.file.Paths.get(part), dir.resolve("events.parquet"))
+    dir.toString
+  }
+
   private lazy val layouts: Map[String, String] = Map(
     "int64-nanos" -> writeLayout(
       LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS), _ * 1000L),
     "timestamp-micros-ntz" -> writeLayout(
       LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS), identity),
     "timestamp-micros-utc" -> writeLayout(
-      LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS), identity))
+      LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS), identity),
+    "int96-legacy" -> writeInt96Layout())
 
   test("Tables.events yields identical rows and schema over every ts layout") {
     val read = layouts.map { case (name, dir) =>
