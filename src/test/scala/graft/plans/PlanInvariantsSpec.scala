@@ -107,6 +107,27 @@ class PlanInvariantsSpec extends SparkSpec {
         s"$c not pushed:\n$info"))
   }
 
+  test("events ts-range filters push through the adapter's NTZ normalization") {
+    // The events adapter normalizes TIMESTAMP_NTZ → TimestampType with a
+    // cast. Catalyst unwraps that cast in comparisons (UTC session tz
+    // makes it order-preserving and bijective), so range predicates
+    // still reach the parquet scan as bounds on the RAW column — the
+    // property that lets a 100 TB events scan prune row groups by time.
+    // An adapter change that breaks unwrapping (e.g. a non-bijective
+    // expression around ts) would silently turn time-range queries into
+    // full scans; this pins it.
+    import org.apache.spark.sql.functions._
+    val f = graft.queries.Tables.events(spark, sf())
+      .filter(col("ts") >= lit("2020-01-01").cast("timestamp") &&
+        col("ts") < lit("2021-01-01").cast("timestamp"))
+      .select("event_id", "ts")
+    val info = f.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual\\(ts", "LessThan\\(ts").foreach(p =>
+      assert(("PushedFilters: \\[[^\\]]*" + p).r.findFirstIn(info).isDefined,
+        s"ts range bound not pushed to the events scan:\n$info"))
+  }
+
   // ------------------------------------------------------------ broadcast
 
   test("q04 star join broadcasts both dims (no sort-merge join)") {
