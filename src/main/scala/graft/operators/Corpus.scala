@@ -843,4 +843,123 @@ object Corpus {
         floor(col("prev") / budget).as("bin"),
         (col("prev") % budget).as("off"))
   }
+
+  /** Tokenized bigram-eligible docs `(id, _graft_toks)` behind a pinned
+    * hash exchange — the shared trunk for [[ngramLmScore]]'s branches.
+    * Same pre-explode repartition discipline as [[gramIndex]]: the
+    * exchange parallelizes everything downstream off a few source
+    * splits, keeps the tokenizer out of transform lambdas
+    * (CollapseProject would inline and re-run it per position), and —
+    * because every branch descends from this ONE structurally identical
+    * exchange — ReuseExchange runs the scan+tokenize once per side no
+    * matter how many model branches read it.
+    */
+  private def tokFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      .filter(size(col("_graft_toks")) >= 2)
+      .repartition(
+        math.max(df.sparkSession.sparkContext.defaultParallelism,
+          df.sparkSession.sessionState.conf.numShufflePartitions),
+        col("id"))
+
+  /** Ordered consecutive-bigram rows `(id, w1, w2)` over a [[tokFrame]]
+    * — unlike [[gramIndex]] these keep MULTIPLICITY and position
+    * adjacency (an LM needs every occurrence, a Jaccard set needs
+    * distinct grams). The `>= 2`-token filter upstream means the
+    * sequence() bound is always >= 1.
+    */
+  private def bigramsOf(toks: DataFrame): DataFrame =
+    toks
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("_graft_toks")) - 1), i =>
+          struct(
+            element_at(col("_graft_toks"), i).as("w1"),
+            element_at(col("_graft_toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1"), col("bg.w2"))
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 — there a KenLM 5-gram; here a bigram LM with
+    * add-`k` smoothing, trained and scored entirely inside the engine):
+    * train token-bigram counts on `reference`, then score each `docs`
+    * row by the average negative log-probability of its bigrams.
+    * High perplexity against an in-domain reference model is the
+    * standard "this text does not look like my corpus" filter signal.
+    *
+    * Model: `P(w2|w1) = (C(w1,w2) + k) / (ctx(w1) + k*V)` with
+    * `ctx(w1) = Σ_w C(w1,w)` (occurrences of `w1` in bigram-context
+    * position) and `V` = distinct tokens across the reference docs the
+    * model trains on (the bigram-eligible >= 2-token docs — the LM
+    * never sees shorter ones). An unseen
+    * context scores `k/(k*V) = 1/V`. Output per scored doc (>= 2
+    * tokens; shorter docs have no bigrams and no row):
+    *  - `n_bigrams`  — bigram occurrences scored
+    *  - `n_unseen`   — occurrences whose bigram never appears in the
+    *                   reference (`C = 0`)
+    *  - `n_rare`     — occurrences with `P < 1/rareCutoff`, evaluated in
+    *                   pure integer arithmetic
+    *                   (`rareCutoff*(C+k) < ctx + k*V`) so the count is
+    *                   bit-exact across engines — these three integer
+    *                   columns are the oracle-gated surface (q121),
+    *                   because `ln`/`exp` are not IEEE-correctly-rounded
+    *                   and a cross-engine hash on them would be fragile
+    *  - `avg_neg_logprob`, `perplexity` — the real LM scores
+    *    (spec-verified against a closed-form hand model; see CorpusSpec)
+    *
+    * Scale shape (100 TB): the model is never driver-materialized — it
+    * IS a DataFrame. One tokens projection per side feeds every branch
+    * through the pinned repartition exchange (ReuseExchange runs the
+    * tokenizer once); counts are partial-aggregated shuffles on gram
+    * keys; scoring is two hash joins co-partitioned on `(w1,w2)` and
+    * `w1`; `V` is a 1-row aggregate broadcast. Zipf keeps the bigram
+    * model ~linear in vocabulary, orders of magnitude under corpus
+    * size, and AQE converts the model joins to broadcasts whenever the
+    * counts fit.
+    */
+  def ngramLmScore(
+      reference: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Long = 1L,
+      rareCutoff: Long = 256L): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0 (k = 0 breaks unseen bigrams)")
+    require(rareCutoff > 1, "rareCutoff must exceed 1")
+    val refToks = tokFrame(reference, textCol, idCol)
+    val bigramCounts = bigramsOf(refToks).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    // context totals re-aggregate the already-reduced model (not the raw
+    // bigram stream): a second tiny shuffle instead of a second pass
+    val ctxCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"))
+    // V = distinct tokens across the training docs, derived from the
+    // MODEL rather than a third corpus branch: every token of a >= 2-
+    // token doc occurs as some bigram's w1 (all but the last position)
+    // or w2 (all but the first), so distinct(w1 ∪ w2) over the reduced
+    // counts is exactly the vocabulary — computed over model-sized
+    // input, and the shared exchange underneath is reused, not re-run
+    val vocab = bigramCounts.select(col("w1").as("tok"))
+      .union(bigramCounts.select(col("w2").as("tok")))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bigramsOf(tokFrame(docs, textCol, idCol))
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+      .join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("m"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("ctx"), lit(0L)).as("ctx"), col("v"))
+    val p = (col("c") + lit(k)).cast("double") /
+      (col("ctx") + lit(k) * col("v")).cast("double")
+    scored
+      .groupBy(col("id"))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        sum(when(col("c") === 0L, col("m")).otherwise(0L)).as("n_unseen"),
+        sum(when(lit(rareCutoff) * (col("c") + lit(k)) <
+          col("ctx") + lit(k) * col("v"), col("m")).otherwise(0L)).as("n_rare"),
+        (sum(col("m") * -log(p)) / sum(col("m"))).as("avg_neg_logprob"))
+      .withColumn("perplexity", exp(col("avg_neg_logprob")))
+  }
 }

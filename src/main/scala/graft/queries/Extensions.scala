@@ -1222,6 +1222,27 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** LM-perplexity quality filter end-to-end (the CCNet signal): train
+    * [[graft.operators.Corpus.ngramLmScore]]'s bigram model on the
+    * train split (doc_id % 10 != 0 — the q78 split convention), score
+    * the eval split against it, and gate the three integer-exact
+    * columns (`n_bigrams`/`n_unseen`/`n_rare` — `n_rare` compares
+    * `256*(C+1) < ctx + V` in BIGINT, bit-identical across engines).
+    * The transcendental columns (`avg_neg_logprob`/`perplexity`) stay
+    * out of the oracle projection — `ln`/`exp` are not required to be
+    * correctly rounded, so a cross-engine hash on them would be
+    * fragile; CorpusSpec verifies them against a closed-form model.
+    */
+  def qC13NgramLmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.Corpus.ngramLmScore(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id")
+      .select(col("id"), col("n_bigrams"), col("n_unseen"), col("n_rare"))
+      .orderBy(col("id"))
+  }
+
   /** HTML → text extraction end-to-end: document text wrapped in
     * realistic markup (style/script blocks, comments, attributes, the
     * six common entities incl. a double-escaped `&amp;lt;`), then
@@ -1803,7 +1824,8 @@ object Extensions {
     "q117_mdb_rich_types" -> qS5MdbRichTypes _,
     "q119_mdb_binary_types" -> qS7MdbBinaryTypes _,
     "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _,
-    "q120_mdb_encoded" -> qS8MdbEncoded _)
+    "q120_mdb_encoded" -> qS8MdbEncoded _,
+    "q121_lm_score" -> qC13NgramLmScore _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2471,6 +2493,30 @@ object Extensions {
          SELECT doc_id AS id, coalesce(n_shared, 0) AS n_shared
          FROM documents LEFT JOIN sh ON sh.id = doc_id
          WHERE doc_id % 10 <> 0 ORDER BY id""",
+    // q121: bigram LM trained on the train split, eval split scored.
+    // Only the integer-exact columns are gated; P < 1/256 is evaluated
+    // as 256*(C+1) < ctx + V in BIGINT, so no float enters the compare.
+    "q121_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         refl AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM d WHERE doc_id % 10 <> 0 AND len(toks) >= 2),
+         c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+                 SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM refl)
+               GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM c GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+                 SELECT w1 AS tok FROM c UNION SELECT w2 FROM c)),
+         el AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 2),
+         ebg AS (SELECT doc_id AS id, toks[i] AS w1, toks[i + 1] AS w2 FROM el),
+         sc AS (SELECT ebg.id, coalesce(c.c, 0) AS c, coalesce(ctx.ctx, 0) AS ctx
+                FROM ebg LEFT JOIN c USING (w1, w2)
+                         LEFT JOIN ctx ON ctx.w1 = ebg.w1)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+           CAST(sum(CASE WHEN 256 * (c + 1) < ctx + (SELECT v FROM v)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         FROM sc GROUP BY id ORDER BY id""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.
     "q116_dedup_paragraphs" ->

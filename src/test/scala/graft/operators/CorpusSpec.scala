@@ -436,4 +436,45 @@ class CorpusSpec extends SparkSpec {
     // offsets stay inside the budget
     assert(a.values.forall(_._2 < 64L))
   }
+
+  test("ngramLmScore matches the closed-form add-1 bigram model") {
+    // reference: C(a,b)=2, C(b,a)=1, C(a,c)=1; ctx(a)=3, ctx(b)=1; V=3
+    val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "a b c"), // P(b|a)=(2+1)/(3+3)=1/2, P(c|b)=(0+1)/(1+3)=1/4
+      (1L, "z z"),   // unseen context: P(z|z)=1/V=1/3
+      (2L, "a")      // 1 token → no bigrams → no row
+    ).toDF("doc_id", "text")
+    val got = Corpus.ngramLmScore(ref, eval, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    val (n0, u0, r0, nll0, ppl0) = got(0L)
+    assert((n0, u0, r0) == (2L, 1L, 0L))
+    // ppl = geometric mean of 1/P = sqrt(2 * 4) = sqrt(8)
+    assert(math.abs(nll0 - (-math.log(0.5) - math.log(0.25)) / 2) < 1e-12)
+    assert(math.abs(ppl0 - math.sqrt(8.0)) < 1e-9)
+    val (n1, u1, _, _, ppl1) = got(1L)
+    assert((n1, u1) == (1L, 1L))
+    assert(math.abs(ppl1 - 3.0) < 1e-9) // 1/P(z|z) = V = 3
+  }
+
+  test("ngramLmScore rareCutoff is a strict integer probability bound") {
+    val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val eval = Seq((0L, "a b c")).toDF("doc_id", "text")
+    // cutoff 2: P(b|a)=1/2 is NOT < 1/2 (strict); P(c|b)=1/4 is → n_rare=1
+    val r = Corpus.ngramLmScore(ref, eval, "text", "doc_id", rareCutoff = 2L)
+      .select("n_rare").collect().head.getLong(0)
+    assert(r == 1L)
+  }
+
+  test("ngramLmScore is input-partitioning invariant") {
+    val ref = docs.filter(col("doc_id") =!= 5L)
+    val a = Corpus.ngramLmScore(ref, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = Corpus.ngramLmScore(ref.repartition(7), docs.repartition(5), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a == b)
+    assert(!a.contains(5L)) // empty text → no bigrams → no row
+  }
 }
