@@ -877,6 +877,42 @@ object Corpus {
             element_at(col("_graft_toks"), i + 1).as("w2")))).as("bg"))
       .select(col("id"), col("bg.w1"), col("bg.w2"))
 
+  /** A trained bigram LM as three DataFrames — never collected, joinable
+    * at any scale, and reusable across queries or streaming micro-batches
+    * (persist the members for repeated scoring; they are model-sized,
+    * orders of magnitude under the corpus).
+    */
+  final case class LmModel(
+      bigrams: DataFrame, // (w1, w2, c)
+      contexts: DataFrame, // (w1, ctx)
+      vocab: DataFrame) // 1 row (v)
+
+  /** Train [[LmModel]] on `reference` — the shared half of
+    * [[ngramLmScore]], exposed so batch queries and streaming
+    * micro-batch scoring ([[graft.streaming.Streams.scoreLmBatches]])
+    * use one identical model.
+    */
+  def ngramLmModel(
+      reference: DataFrame, textCol: String, idCol: String): LmModel = {
+    val refToks = tokFrame(reference, textCol, idCol)
+    val bigramCounts = bigramsOf(refToks).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    // context totals re-aggregate the already-reduced model (not the raw
+    // bigram stream): a second tiny shuffle instead of a second pass
+    val ctxCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"))
+    // V = distinct tokens across the training docs, derived from the
+    // MODEL rather than a third corpus branch: every token of a >= 2-
+    // token doc occurs as some bigram's w1 (all but the last position)
+    // or w2 (all but the first), so distinct(w1 ∪ w2) over the reduced
+    // counts is exactly the vocabulary — computed over model-sized
+    // input, and the shared exchange underneath is reused, not re-run
+    val vocab = bigramCounts.select(col("w1").as("tok"))
+      .union(bigramCounts.select(col("w2").as("tok")))
+      .agg(countDistinct(col("tok")).as("v"))
+    LmModel(bigramCounts, ctxCounts, vocab)
+  }
+
   /** CCNet-style n-gram language-model quality scoring (Wenzek et al.,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", LREC 2020 — there a KenLM 5-gram; here a bigram LM with
@@ -922,25 +958,26 @@ object Corpus {
       textCol: String,
       idCol: String,
       k: Long = 1L,
+      rareCutoff: Long = 256L): DataFrame =
+    scoreWithLmModel(
+      docs, ngramLmModel(reference, textCol, idCol), textCol, idCol,
+      k, rareCutoff)
+
+  /** Score `docs` against an already-trained [[LmModel]] — see
+    * [[ngramLmScore]] for semantics and column contract.
+    */
+  def scoreWithLmModel(
+      docs: DataFrame,
+      model: LmModel,
+      textCol: String,
+      idCol: String,
+      k: Long = 1L,
       rareCutoff: Long = 256L): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0 (k = 0 breaks unseen bigrams)")
     require(rareCutoff > 1, "rareCutoff must exceed 1")
-    val refToks = tokFrame(reference, textCol, idCol)
-    val bigramCounts = bigramsOf(refToks).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
-    // context totals re-aggregate the already-reduced model (not the raw
-    // bigram stream): a second tiny shuffle instead of a second pass
-    val ctxCounts = bigramCounts.groupBy(col("w1"))
-      .agg(sum(col("c")).as("ctx"))
-    // V = distinct tokens across the training docs, derived from the
-    // MODEL rather than a third corpus branch: every token of a >= 2-
-    // token doc occurs as some bigram's w1 (all but the last position)
-    // or w2 (all but the first), so distinct(w1 ∪ w2) over the reduced
-    // counts is exactly the vocabulary — computed over model-sized
-    // input, and the shared exchange underneath is reused, not re-run
-    val vocab = bigramCounts.select(col("w1").as("tok"))
-      .union(bigramCounts.select(col("w2").as("tok")))
-      .agg(countDistinct(col("tok")).as("v"))
+    val bigramCounts = model.bigrams
+    val ctxCounts = model.contexts
+    val vocab = model.vocab
     val scored = bigramsOf(tokFrame(docs, textCol, idCol))
       .groupBy(col("id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))

@@ -290,4 +290,36 @@ object Streams {
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Streaming deployment of the CCNet LM-perplexity filter
+    * ([[graft.operators.Corpus.ngramLmScore]]): score a document STREAM
+    * against a batch-trained [[graft.operators.Corpus.LmModel]], one
+    * micro-batch at a time via foreachBatch.
+    *
+    * foreachBatch — not an end-to-end streaming aggregation — is the
+    * right shape here: each document is fully contained in one input
+    * row, so per-doc scoring needs no cross-batch state, while a
+    * streaming groupBy(id) would grow the state store by every doc id
+    * ever seen (unbounded on a crawl). Inside the handler the batch is
+    * scored with the exact batch operator (same plan, same oracle-gated
+    * semantics — streaming ≡ batch by construction, pinned by
+    * StreamsSpec), joined against the static model DataFrames that
+    * re-plan per micro-batch like any stream-static join. Persist the
+    * model members before long runs to avoid re-aggregating the
+    * reference corpus each batch.
+    */
+  def scoreLmBatches(
+      docs: DataFrame,
+      model: graft.operators.Corpus.LmModel,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      k: Long = 1L,
+      rareCutoff: Long = 256L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.scoreWithLmModel(
+          batch, model, textCol, idCol, k, rareCutoff),
+        batchId)
+    }
 }

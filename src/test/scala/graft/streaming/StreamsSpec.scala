@@ -413,4 +413,37 @@ class StreamsSpec extends SparkSpec {
       assert(got.count() == 3)
     } finally q.stop()
   }
+
+  test("LM micro-batch scoring equals the batch operator over the same docs") {
+    implicit val sq = spark.sqlContext
+    val ref = Seq((10L, "a b a b"), (11L, "a c"), (12L, "b c a d"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Corpus.ngramLmModel(ref, "text", "doc_id")
+    val docs = Seq(
+      (0L, "a b c"), (1L, "z z"), (2L, "a"), // batch 1 (doc 2: no bigrams)
+      (3L, "c a d b"), (4L, "d d d")) // batch 2
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+    val writer = Streams.scoreLmBatches(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id",
+      (scored, _) => acc.synchronized {
+        acc ++= scored.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+      })
+    val q = writer.start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Corpus.ngramLmScore(
+      ref, docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    // every batch-mode row appears once across the micro-batches, with
+    // identical integer counts AND bit-identical perplexity (same plan)
+    assert(acc.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    assert(!acc.exists(_._1 == 2L)) // 1-token doc scores in neither mode
+  }
 }
