@@ -359,4 +359,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cos.as("cos"))
       .distinct()
   }
+
+  /** Embedding-level benchmark decontamination: for every `train` row,
+    * the max cosine similarity to ANY `bench` row, plus the flag
+    * `max_sim >= threshold`. This is the semantic complement to the
+    * n-gram paths ([[graft.operators.Corpus.contaminationCounts]] /
+    * `bloomDecontaminate`): paraphrased or lightly-reworded eval
+    * leakage shares few exact 8-grams but keeps a near-identical
+    * embedding, so modern curation runs BOTH filters.
+    *
+    * Every train row is emitted exactly once (`contaminated = false`
+    * when clean) — callers anti-filter on the flag. Scale shape: eval
+    * suites are thousands of rows against a corpus of billions, so the
+    * bench side broadcasts (same posture as [[crossTopK]]); the train
+    * side is one scan with per-partition partial max, and the only
+    * shuffle moves slim `(id, partial max)` rows. A bench too large to
+    * broadcast composes with [[lshTopK]]'s bucketed prefilter instead
+    * of this exact path. max() over doubles is order-insensitive, so
+    * the output is deterministic under any partitioning.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("id"), col(vecCol).as("tvec"))
+    val b = bench.select(col(vecCol).as("bvec"))
+    t.crossJoin(broadcast(b))
+      .groupBy(col("id"))
+      .agg(max(cosine(col("tvec"), col("bvec"))).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
 }

@@ -571,6 +571,23 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Semantic decontamination end-to-end: the benchmark split
+    * (vec_id % 10 = 0, the q78 convention) broadcasts against the train
+    * split; every train row reports its max benchmark cosine and the
+    * `>= 0.2` flag. Exact floats are gate-safe here for the same reason
+    * q33/q34 are: both engines fold the dot product in array order and
+    * sqrt/divide are IEEE-correctly-rounded, and max() is
+    * order-insensitive.
+    */
+  def qV7SemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    Similarity.semanticDecontaminate(
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0),
+      "embedding", "vec_id", threshold = 0.2)
+      .orderBy(col("id"))
+  }
+
   /** SRP-LSH ANN for the same query (rows-only: recall depends on
     * bucketing). Gate config = the DOCUMENTED operating point from the
     * docs/SCALE.md recall table: bits=8, probes=32 → recall@10 0.43 at
@@ -1825,7 +1842,8 @@ object Extensions {
     "q119_mdb_binary_types" -> qS7MdbBinaryTypes _,
     "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _,
     "q120_mdb_encoded" -> qS8MdbEncoded _,
-    "q121_lm_score" -> qC13NgramLmScore _)
+    "q121_lm_score" -> qC13NgramLmScore _,
+    "q122_semantic_decontam" -> qV7SemanticDecontam _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2129,6 +2147,17 @@ object Extensions {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
          WHERE rk <= 3 ORDER BY query_id, rk""",
+    // q122: max-benchmark-cosine per train vector. Gate-safe floats —
+    // sequential array-order dot fold + correctly-rounded sqrt/divide
+    // (the q33/q34 argument) and order-insensitive max().
+    "q122_semantic_decontam" ->
+      s"""SELECT id, max_sim, max_sim >= 0.2 AS contaminated FROM (
+           SELECT a.vec_id AS id,
+             max($dotExpr / (${normExpr("a")} * ${normExpr("b")})) AS max_sim
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+           GROUP BY a.vec_id)
+         ORDER BY id""",
     "q40_asof_attribution" ->
       """SELECT e.event_id, e.ts, e.user_id, c.ts AS asof_ts,
          c.click_value

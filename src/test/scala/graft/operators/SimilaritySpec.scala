@@ -128,4 +128,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lsh == exact)
   }
+
+  test("semanticDecontaminate flags exactly the planted near-bench vectors") {
+    val bench = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, vec(0.9, 0.1, 0, 0)), // ~0.994 to bench 100 → contaminated
+      (2L, vec(0, 1, 0, 0)), // orthogonal to both → clean
+      (3L, vec(0, 0.1, 0.9, 0)), // ~0.994 to bench 101 → contaminated
+      (4L, vec(-1, 0, 0, 0))) // negative cos → clean
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+      train, bench, "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // every train row, exactly once
+    assert(got(1L)._2 && got(3L)._2 && !got(2L)._2 && !got(4L)._2)
+    // float32 storage: compare at float precision, not double
+    assert(math.abs(got(1L)._1 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+    // max over BOTH bench vectors: cos to 100 is -1, to 101 is 0 → 0
+    assert(got(4L)._1 == 0.0)
+  }
 }
