@@ -173,7 +173,7 @@ class StreamsSpec extends SparkSpec {
     assert(u1(0).getDouble(5) == 5.0)
   }
 
-  test("file-source stream over the driver's events parquet (nanos handled)") {
+  test("file-source stream over the driver's events parquet (layout probed)") {
     // file-stream source needs a DIRECTORY; stage the single parquet
     // file into one (read-only testdata stays untouched)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
