@@ -999,4 +999,159 @@ object Corpus {
         (sum(col("m") * -log(p)) / sum(col("m"))).as("avg_neg_logprob"))
       .withColumn("perplexity", exp(col("avg_neg_logprob")))
   }
+
+  /** Ordered consecutive-trigram rows `(id, w1, w2, w3)` over a
+    * [[tokFrame]] — multiplicity- and adjacency-preserving like
+    * [[bigramsOf]]. Docs with exactly 2 tokens contribute bigrams to a
+    * model but have no trigram rows (sequence() over an empty range).
+    */
+  private def trigramsOf(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("_graft_toks")) >= 3)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("_graft_toks")) - 2), i =>
+          struct(
+            element_at(col("_graft_toks"), i).as("w1"),
+            element_at(col("_graft_toks"), i + 1).as("w2"),
+            element_at(col("_graft_toks"), i + 2).as("w3")))).as("tg"))
+      .select(col("id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+
+  /** A trained backoff trigram LM as four DataFrames — the
+    * [[LmModel]] posture one order up: never collected, joinable at
+    * any scale, reusable across queries. `totals` is one row
+    * `(n_tokens)` = total token occurrences in the training docs (the
+    * unigram normalizer).
+    */
+  final case class Lm3Model(
+      trigrams: DataFrame, // (w1, w2, w3, c3)
+      bigrams: DataFrame, // (w1, w2, c2)
+      unigrams: DataFrame, // (w1, c1)
+      totals: DataFrame) // 1 row (n_tokens)
+
+  /** Train [[Lm3Model]] on `reference`: per-order raw counts off ONE
+    * tokens projection. All three n-gram streams (and the totals
+    * aggregate) descend from the same pinned [[tokFrame]] exchange, so
+    * ReuseExchange runs the scan + tokenizer once and each order is a
+    * partial-aggregated shuffle on its own gram key. Counts are RAW per
+    * order (a doc's last bigram has no covering trigram), matching
+    * stupid backoff's definition — not marginals of the next order up.
+    */
+  def trigramLmModel(
+      reference: DataFrame, textCol: String, idCol: String): Lm3Model = {
+    val refToks = tokFrame(reference, textCol, idCol)
+    val c3 = trigramsOf(refToks).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = bigramsOf(refToks).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = refToks
+      .select(col("id"), explode(col("_graft_toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // N re-aggregates the reduced unigram model (vocabulary-sized), not
+    // the raw token stream — the ctxCounts trick from ngramLmModel.
+    val n = c1.agg(sum(col("c1")).as("n_tokens"))
+    Lm3Model(c3, c2, c1, n)
+  }
+
+  /** Trigram LM scoring with STUPID BACKOFF (Brants et al., "Large
+    * Language Models in Machine Translation", EMNLP 2007 — the
+    * web-scale scheme that replaces smoothed probabilities with
+    * unnormalized scores and a constant backoff factor, chosen there
+    * precisely because it trains/scores as pure distributed count
+    * joins):
+    *
+    * {{{
+    * S(w3 | w1 w2) = C(w1 w2 w3) / C(w1 w2)        if C(w1 w2 w3) > 0
+    *               = α · S(w3 | w2)                 otherwise
+    * S(w3 | w2)    = C(w2 w3) / C(w2)               if C(w2 w3) > 0
+    *               = α · S(w3)                      otherwise
+    * S(w3)         = C(w3) / N                      if C(w3) > 0
+    *               = 1 / N                          otherwise (OOV floor)
+    * }}}
+    *
+    * with α = 0.4 (the paper's value). This is the higher-order
+    * upgrade of [[ngramLmScore]]'s bigram signal — the CCNet filter
+    * proper scores with a 5-gram model; order 3 with backoff already
+    * separates fluent-but-off-domain from degenerate text in a way no
+    * single-order model can (a doc of real words in scrambled order
+    * backs off on every trigram).
+    *
+    * Output per scored doc (>= 3 tokens; shorter docs have no trigrams
+    * and no row):
+    *  - `n_trigrams` — trigram occurrences scored
+    *  - `n_tri_hit` / `n_bi_hit` / `n_uni_hit` / `n_unseen` — how far
+    *    each occurrence backed off: full trigram match, bigram
+    *    `(w2,w3)` match, unigram `w3` match, or OOV. Pure
+    *    join-existence counts in exact integer arithmetic — the
+    *    oracle-gated surface (q123), transcendental-free by the same
+    *    rule as q121's columns.
+    *  - `avg_neg_logscore`, `ppl_proxy` — the float scores
+    *    (spec-verified against a closed-form hand model; stupid
+    *    backoff's S is not a normalized probability, so the exp() is a
+    *    perplexity PROXY — standard for this scheme).
+    *
+    * Scale shape (100 TB): the eval side tokenizes once (pinned
+    * [[tokFrame]] exchange), reduces to distinct `(id, w1, w2, w3, m)`
+    * rows, then left-joins the four model relations on their gram keys
+    * — keyed hash joins AQE broadcasts whenever the Zipf-bounded
+    * counts fit — and one 1-row totals broadcast. No order ever
+    * rescans the corpus; backoff is a CASE over already-joined counts,
+    * not a second pass.
+    */
+  def trigramLmScore(
+      reference: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.4): DataFrame =
+    scoreWithLm3Model(
+      docs, trigramLmModel(reference, textCol, idCol), textCol, idCol, alpha)
+
+  /** Score `docs` against an already-trained [[Lm3Model]] — see
+    * [[trigramLmScore]] for semantics and column contract.
+    */
+  def scoreWithLm3Model(
+      docs: DataFrame,
+      model: Lm3Model,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "backoff factor must be in (0, 1]")
+    val scored = trigramsOf(tokFrame(docs, textCol, idCol))
+      .groupBy(col("id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(model.bigrams.select(
+        col("w1").as("w1b"), col("w2").as("w2b"), col("c2").as("ctx12")),
+        col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
+      .join(model.bigrams.select(
+        col("w1").as("w2c"), col("w2").as("w3c"), col("c2").as("c23")),
+        col("w2") === col("w2c") && col("w3") === col("w3c"), "left")
+      .join(model.unigrams.select(col("w1").as("w2u"), col("c1").as("c2u")),
+        col("w2") === col("w2u"), "left")
+      .join(model.unigrams.select(col("w1").as("w3u"), col("c1").as("c3u")),
+        col("w3") === col("w3u"), "left")
+      .crossJoin(broadcast(model.totals))
+    // Backoff tiers as disjoint predicates over joined counts. A seen
+    // trigram implies its prefix bigram was seen (same raw stream), so
+    // ctx12 is non-null on the tri-hit branch by construction.
+    val triHit = col("c3").isNotNull
+    val biHit = !triHit && col("c23").isNotNull
+    val uniHit = !triHit && !biHit && col("c3u").isNotNull
+    val s = when(triHit, col("c3").cast("double") / col("ctx12").cast("double"))
+      .when(biHit, lit(alpha) * col("c23").cast("double") / col("c2u").cast("double"))
+      .when(uniHit, lit(alpha) * lit(alpha) *
+        col("c3u").cast("double") / col("n_tokens").cast("double"))
+      .otherwise(lit(alpha) * lit(alpha) / col("n_tokens").cast("double"))
+    scored
+      .groupBy(col("id"))
+      .agg(
+        sum(col("m")).as("n_trigrams"),
+        sum(when(triHit, col("m")).otherwise(0L)).as("n_tri_hit"),
+        sum(when(biHit, col("m")).otherwise(0L)).as("n_bi_hit"),
+        sum(when(uniHit, col("m")).otherwise(0L)).as("n_uni_hit"),
+        sum(when(!triHit && !biHit && !uniHit, col("m")).otherwise(0L))
+          .as("n_unseen"),
+        (sum(col("m") * -log(s)) / sum(col("m"))).as("avg_neg_logscore"))
+      .withColumn("ppl_proxy", exp(col("avg_neg_logscore")))
+  }
 }

@@ -368,15 +368,21 @@ object Similarity {
     * leakage shares few exact 8-grams but keeps a near-identical
     * embedding, so modern curation runs BOTH filters.
     *
-    * Every train row is emitted exactly once (`contaminated = false`
-    * when clean) — callers anti-filter on the flag. Scale shape: eval
-    * suites are thousands of rows against a corpus of billions, so the
-    * bench side broadcasts (same posture as [[crossTopK]]); the train
-    * side is one scan with per-partition partial max, and the only
-    * shuffle moves slim `(id, partial max)` rows. A bench too large to
-    * broadcast composes with [[lshTopK]]'s bucketed prefilter instead
-    * of this exact path. max() over doubles is order-insensitive, so
-    * the output is deterministic under any partitioning.
+    * Every train row is emitted exactly once — including against an
+    * EMPTY bench (a left nested-loop join, not a cross join, so clean
+    * corpora survive a benchmark set that happens to be empty:
+    * `max_sim = null, contaminated = false`). A train row whose own
+    * embedding is null likewise reports `max_sim = null,
+    * contaminated = false` rather than a null flag — callers
+    * anti-filter on the flag, and a null there silently drops the row.
+    * Scale shape: eval suites are thousands of rows against a corpus of
+    * billions, so the bench side broadcasts (same posture as
+    * [[crossTopK]]); the train side is one scan with per-partition
+    * partial max, and the only shuffle moves slim `(id, partial max)`
+    * rows. A bench too large to broadcast uses
+    * [[semanticDecontaminateLsh]]'s bucketed prefilter instead of this
+    * exact path. max() over doubles is order-insensitive, so the
+    * output is deterministic under any partitioning.
     */
   def semanticDecontaminate(
       train: DataFrame,
@@ -386,9 +392,70 @@ object Similarity {
       threshold: Double): DataFrame = {
     val t = train.select(col(idCol).as("id"), col(vecCol).as("tvec"))
     val b = bench.select(col(vecCol).as("bvec"))
-    t.crossJoin(broadcast(b))
+    // left + always-true condition ≡ cross join when bench is non-empty
+    // (same BroadcastNestedLoopJoin physical plan, outer build side),
+    // but keeps every train row when it is empty.
+    t.join(broadcast(b), lit(true), "left")
       .groupBy(col("id"))
       .agg(max(cosine(col("tvec"), col("bvec"))).as("max_sim"))
-      .withColumn("contaminated", col("max_sim") >= threshold)
+      .withColumn("contaminated", coalesce(col("max_sim") >= threshold, lit(false)))
+  }
+
+  /** [[semanticDecontaminate]] for a bench set too large to broadcast:
+    * multi-table SRP-LSH prefilter → exact cosine verify on candidates
+    * only (the [[embeddingNearDups]] posture applied to the
+    * train-vs-bench bipartite problem). Candidate generation is an
+    * equi-join on `(table, signature)` — a keyed shuffle both sides
+    * partition by, never a cross product — so the pair volume scales
+    * with bucket collisions, not `|train| × |bench|`.
+    *
+    * Contract differences vs the exact path, both inherent to LSH:
+    *  - `max_sim` is the max over VERIFIED CANDIDATES (null when no
+    *    bench row shares a bucket) — for a contaminated row it equals
+    *    the true max whenever the argmax pair collides in ≥ 1 of the
+    *    `tables` tables, which is the recall knob: a pair at cosine c
+    *    survives with prob 1 − (1 − (1 − arccos(c)/π)^bits)^tables
+    *    (≈ 1 − 6e-8 at c = 0.99, bits = 8, tables = 12 — the
+    *    default operating point; see docs/SCALE.md for the measured
+    *    recall/scan-fraction row).
+    *  - `contaminated` can false-negative only when EVERY ≥-threshold
+    *    partner of a row misses all tables; exact verify means false
+    *    positives are impossible.
+    *
+    * A pair colliding in several tables is verified once per collision;
+    * the per-train max() absorbs the duplicates (bounded ×`tables`
+    * work on the near-dup minority — the [[embeddingNearDups]]
+    * tradeoff, which likewise verifies inside the bucket join rather
+    * than shuffling vectors a second time to dedup candidates first).
+    */
+  def semanticDecontaminateLsh(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 12): DataFrame = {
+    // cast/norm in their own select BELOW the posexplode Generate — the
+    // embeddingNearDups CollapseProject note applies verbatim (a fused
+    // select would recompute norm once per exploded table row).
+    val vd = col(vecCol).cast("array<double>")
+    val tPrep = train.select(col(idCol).as("id"), vd.as("tvec"), norm(vd).as("t_n"))
+    val tSig = tPrep.select(col("id"), col("tvec"), col("t_n"),
+      posexplode(graft.plans.HashExpressions.srpSignatures(col("tvec"), bits, tables))
+        .as(Seq("tbl", "sig")))
+    val bPrep = bench.select(vd.as("bvec"), norm(vd).as("b_n"))
+    val bSig = bPrep.select(col("bvec"), col("b_n"),
+      posexplode(graft.plans.HashExpressions.srpSignatures(col("bvec"), bits, tables))
+        .as(Seq("tbl_b", "sig_b")))
+    val denom = col("t_n") * col("b_n")
+    val cos = when(denom === 0.0, lit(0.0)).otherwise(dot(col("tvec"), col("bvec")) / denom)
+    val perId = tSig
+      .join(bSig, col("tbl") === col("tbl_b") && col("sig") === col("sig_b"))
+      .groupBy(col("id"))
+      .agg(max(cos).as("max_sim"))
+    train.select(col(idCol).as("id"))
+      .join(perId, Seq("id"), "left")
+      .withColumn("contaminated", coalesce(col("max_sim") >= threshold, lit(false)))
   }
 }

@@ -588,6 +588,44 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Semantic decontamination at non-broadcastable-bench scale:
+    * [[Similarity.semanticDecontaminateLsh]]'s SRP-bucket prefilter →
+    * exact-cosine verify, gated bit-exactly against the EXACT
+    * semantics on planted truth (the q30/q69 pattern — the natural
+    * sf embeddings are structureless, max pairwise cosine ≈ 0.53, so
+    * a threshold low enough to fire there would make any honest
+    * prefilter scan everything). Bench = deterministic perturbations
+    * `b[i] = 0.9·v[i] + 0.1·v[65−i]` of the train rows with
+    * vec_id % 30 == 1 (cosine ≈ 0.994 to their source; `*`/`+` are
+    * exact-rounded IEEE ops, so DuckDB reconstructs bit-identical
+    * vectors) plus the natural benchmark split as background. At
+    * threshold 0.9 exactly the planted sources are contaminated; at
+    * bits = 8, tables = 12 the planted argmax pair collides in ≥ 1
+    * table with probability 1 − (1 − 0.965^8)^12 ≈ 1 − 6e-8 per row,
+    * so the LSH max equals the oracle's exhaustive max on every
+    * contaminated row and the flag/`sim_hit` columns hash-match.
+    * Clean rows' candidate-max is LSH-dependent, so the gate projects
+    * `sim_hit = max_sim` ONLY where contaminated (the column the
+    * operator's callers act on); recall/scan-fraction evidence lives
+    * in docs/SCALE.md.
+    */
+  def qV8SemanticDecontamLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    val train = e.filter(col("vec_id") % 10 =!= 0).select(col("vec_id"), vd.as("vec"))
+    val planted = train.filter(col("vec_id") % 30 === 1)
+      .select(transform(sequence(lit(1), lit(64)), i =>
+        lit(0.9) * element_at(col("vec"), i) +
+          lit(0.1) * element_at(col("vec"), lit(65) - i)).as("vec"))
+    val bench = planted.unionByName(
+      e.filter(col("vec_id") % 10 === 0).select(vd.as("vec")))
+    Similarity.semanticDecontaminateLsh(
+      train, bench, "vec", "vec_id", threshold = 0.9, bits = 8, tables = 12)
+      .select(col("id"), col("contaminated"),
+        when(col("contaminated"), col("max_sim")).as("sim_hit"))
+      .orderBy(col("id"))
+  }
+
   /** SRP-LSH ANN for the same query (rows-only: recall depends on
     * bucketing). Gate config = the DOCUMENTED operating point from the
     * docs/SCALE.md recall table: bits=8, probes=32 → recall@10 0.43 at
@@ -1260,6 +1298,26 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Trigram stupid-backoff LM scoring end-to-end (the q121 signal one
+    * order up — CCNet proper scores with a 5-gram model; see
+    * [[graft.operators.Corpus.trigramLmScore]]): train per-order counts
+    * on the train split, score the eval split, gate the five
+    * integer-exact backoff-tier counts (pure join-existence counts —
+    * which order each trigram occurrence resolved at). The float
+    * score columns stay out of the oracle per the no-transcendentals
+    * rule; CorpusSpec pins them against a closed-form hand model.
+    */
+  def qC15TrigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.Corpus.trigramLmScore(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id")
+      .select(col("id"), col("n_trigrams"), col("n_tri_hit"),
+        col("n_bi_hit"), col("n_uni_hit"), col("n_unseen"))
+      .orderBy(col("id"))
+  }
+
   /** HTML → text extraction end-to-end: document text wrapped in
     * realistic markup (style/script blocks, comments, attributes, the
     * six common entities incl. a double-escaped `&amp;lt;`), then
@@ -1843,7 +1901,9 @@ object Extensions {
     "q118_accdb_roundtrip" -> qS6AccdbRoundtrip _,
     "q120_mdb_encoded" -> qS8MdbEncoded _,
     "q121_lm_score" -> qC13NgramLmScore _,
-    "q122_semantic_decontam" -> qV7SemanticDecontam _)
+    "q122_semantic_decontam" -> qV7SemanticDecontam _,
+    "q123_trigram_lm_score" -> qC15TrigramLmScore _,
+    "q124_semantic_decontam_lsh" -> qV8SemanticDecontamLsh _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2149,15 +2209,50 @@ object Extensions {
          WHERE rk <= 3 ORDER BY query_id, rk""",
     // q122: max-benchmark-cosine per train vector. Gate-safe floats —
     // sequential array-order dot fold + correctly-rounded sqrt/divide
-    // (the q33/q34 argument) and order-insensitive max().
+    // (the q33/q34 argument) and order-insensitive max(). The CASE
+    // mirrors Spark cosine()'s zero-denominator guard (→ 0.0, not
+    // NULL/error) so a degenerate all-zero embedding in a future
+    // testdata regeneration cannot diverge the engines.
     "q122_semantic_decontam" ->
       s"""SELECT id, max_sim, max_sim >= 0.2 AS contaminated FROM (
            SELECT a.vec_id AS id,
-             max($dotExpr / (${normExpr("a")} * ${normExpr("b")})) AS max_sim
+             max(CASE WHEN ${normExpr("a")} * ${normExpr("b")} = 0 THEN 0.0
+                 ELSE $dotExpr / (${normExpr("a")} * ${normExpr("b")}) END) AS max_sim
            FROM embeddings a, embeddings b
            WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
            GROUP BY a.vec_id)
          ORDER BY id""",
+    // q124: the LSH-prefiltered decontamination path vs the EXHAUSTIVE
+    // max over the same planted bench (construction mirrored from
+    // qV8SemanticDecontamLsh — 0.9*v[i] + 0.1*v[65-i] in double is
+    // exact-rounded in both engines). sim_hit is projected only where
+    // contaminated: there the LSH candidate-max provably equals the
+    // exhaustive max (argmax pair caught; see the query scaladoc).
+    "q124_semantic_decontam_lsh" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         t AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+         bench AS (
+           SELECT list_transform(range(1, 65),
+                    i -> CAST(0.9 AS DOUBLE) * v[i] +
+                         CAST(0.1 AS DOUBLE) * v[65 - i]) AS bv
+           FROM t WHERE vec_id % 30 = 1
+           UNION ALL
+           SELECT v FROM e WHERE vec_id % 10 = 0),
+         mx AS (SELECT t.vec_id AS id,
+             max(CASE WHEN sqrt(list_sum(list_transform(t.v, x -> x * x))) *
+                           sqrt(list_sum(list_transform(bv, x -> x * x))) = 0
+                 THEN 0.0
+                 ELSE list_sum(list_transform(list_zip(t.v, bv),
+                        p -> p[1] * p[2])) /
+                      (sqrt(list_sum(list_transform(t.v, x -> x * x))) *
+                       sqrt(list_sum(list_transform(bv, x -> x * x)))) END)
+               AS max_sim
+           FROM t, bench GROUP BY t.vec_id)
+         SELECT id, max_sim >= 0.9 AS contaminated,
+           CASE WHEN max_sim >= 0.9 THEN max_sim END AS sim_hit
+         FROM mx ORDER BY id""",
     "q40_asof_attribution" ->
       """SELECT e.event_id, e.ts, e.user_id, c.ts AS asof_ts,
          c.click_value
@@ -2545,6 +2640,48 @@ object Extensions {
            CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
            CAST(sum(CASE WHEN 256 * (c + 1) < ctx + (SELECT v FROM v)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         FROM sc GROUP BY id ORDER BY id""",
+    // q123: trigram stupid-backoff LM, per-order counts trained on the
+    // same split as q121. Only the five join-existence tier counts are
+    // gated (exact BIGINTs); the backoff S-scores are float and stay in
+    // CorpusSpec. Unigrams/bigrams count over >= 2-token train docs
+    // (the engine's tokFrame floor), trigrams over >= 3-token docs.
+    "q123_trigram_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         tr AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 <> 0),
+         c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+                  SELECT unnest(toks) AS w FROM tr WHERE len(toks) >= 2)
+                GROUP BY w),
+         bl AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tr WHERE len(toks) >= 2),
+         c2 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                  CAST(count(*) AS BIGINT) AS c2
+                FROM bl GROUP BY 1, 2),
+         tl AS (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM tr WHERE len(toks) >= 3),
+         c3 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                  CAST(count(*) AS BIGINT) AS c3
+                FROM tl GROUP BY 1, 2, 3),
+         el AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 3),
+         eg AS (SELECT doc_id AS id, toks[i] AS w1, toks[i + 1] AS w2,
+                  toks[i + 2] AS w3 FROM el),
+         sc AS (SELECT eg.id,
+                  c3.c3 IS NOT NULL AS tri,
+                  c3.c3 IS NULL AND b23.c2 IS NOT NULL AS bi,
+                  c3.c3 IS NULL AND b23.c2 IS NULL
+                    AND u3.c1 IS NOT NULL AS uni
+                FROM eg LEFT JOIN c3 USING (w1, w2, w3)
+                        LEFT JOIN c2 b23
+                          ON b23.w1 = eg.w2 AND b23.w2 = eg.w3
+                        LEFT JOIN c1 u3 ON u3.w = eg.w3)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN tri THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+           CAST(sum(CASE WHEN bi THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hit,
+           CAST(sum(CASE WHEN uni THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
+           CAST(sum(CASE WHEN NOT tri AND NOT bi AND NOT uni THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unseen
          FROM sc GROUP BY id ORDER BY id""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.
