@@ -33,18 +33,23 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     // A nanos-annotated file fails schema inference at read() time; only
-    // then flip the legacy conf (scoped to the retry — the conf matters
-    // at ANALYSIS of relations created while it is set, so relations read
-    // before/after without it are unaffected) and re-read as LongType.
+    // then re-read under the legacy conf. The retry runs on a DEDICATED
+    // newSession() (same SparkContext, isolated SQL conf): a transient
+    // set/unset on `s` would race any concurrent analysis in the same
+    // session — another events() retry could observe the unset window
+    // and fail, or an unrelated nanos parquet could silently infer
+    // LongType. The conf only matters while read() bakes the schema
+    // into the LogicalRelation, so the returned frame composes freely
+    // with `s`-session frames afterwards and nothing ever mutates `s`.
     val raw =
       try t(s, d, "events")
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition != null &&
               e.getCondition.startsWith("PARQUET_TYPE_ILLEGAL") =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          try t(s, d, "events")
-          finally s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          val iso = s.newSession()
+          iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(iso, d, "events")
       }
     val ts = raw.schema("ts").dataType match {
       // integer div: a double `/` would round (epoch-nanos exceed a

@@ -48,17 +48,42 @@ object Streams {
             if e.getCondition != null &&
               e.getCondition.startsWith("PARQUET_TYPE_ILLEGAL") =>
           LongType
+        // Empty source directory — the NORMAL state when a stream starts
+        // before its producer writes anything. No footer to probe, so
+        // assume the current-generation layout (TimestampType; covers
+        // both the NTZ and UTC micros cases byte-identically once the
+        // session tz is UTC) rather than refusing to start.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") =>
+          TimestampType
       }
     val streamSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = physicalTs)
       case f => f
     })
-    if (physicalTs == LongType) {
-      // must stay set for the lifetime of the stream: every microbatch's
-      // file read re-converts the parquet schema under this conf
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    val raw = spark.readStream.schema(streamSchema).parquet(path)
+    // The legacy nanos conf must hold for the STREAM's lifetime (every
+    // micro-batch re-converts the parquet schema under it), but a
+    // session-global set would silently turn any CONCURRENT batch read
+    // of a nanos-annotated parquet in the same session into LongType.
+    // So nanos streams run on a DEDICATED newSession(): same
+    // SparkContext, isolated SQL conf. The returned frame (and
+    // anything started off it — memory sinks register in ITS catalog)
+    // belongs to that session; EventsLayoutSpec pins both the
+    // isolation and the end-to-end conversion.
+    val sess = if (physicalTs == LongType) {
+      val iso = spark.newSession()
+      // runtime-set confs don't propagate to a new session (only
+      // builder-time SparkConf entries do) — carry the two that change
+      // query semantics/shape
+      iso.conf.set("spark.sql.session.timeZone",
+        spark.conf.get("spark.sql.session.timeZone"))
+      iso.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      iso
+    } else spark
+    val raw = sess.readStream.schema(streamSchema).parquet(path)
     val ts = physicalTs match {
       case LongType         => timestamp_micros(expr("ts div 1000"))
       case TimestampNTZType => col("ts").cast(TimestampType)

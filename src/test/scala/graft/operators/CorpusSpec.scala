@@ -477,4 +477,47 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
     assert(!a.contains(5L)) // empty text → no bigrams → no row
   }
+
+  test("trigramLmScore matches the closed-form stupid-backoff model") {
+    // reference "a b a b a" + "b c":
+    //   C3(a,b,a)=2, C3(b,a,b)=1; C2(a,b)=2, C2(b,a)=2, C2(b,c)=1;
+    //   C1(a)=3, C1(b)=3, C1(c)=1; N=7
+    val ref = Seq((10L, "a b a b a"), (11L, "b c")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "a b a c"), // (a,b,a): tri S=2/2=1; (b,a,c): uni S=.4^2*1/7
+      (1L, "c b c"),   // (c,b,c): bi via (b,c) → S=.4*1/3
+      (2L, "x y z"),   // fully OOV w3 → unseen, S=.4^2/7
+      (3L, "a b")      // 2 tokens → no trigram → no row
+    ).toDF("doc_id", "text")
+    val got = Corpus.trigramLmScore(ref, eval, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    val (n0, t0, b0, u0, z0, nll0, _) = got(0L)
+    assert((n0, t0, b0, u0, z0) == (2L, 1L, 0L, 1L, 0L))
+    val exp0 = (-math.log(1.0) - math.log(0.16 * (1.0 / 7.0))) / 2
+    assert(math.abs(nll0 - exp0) < 1e-12)
+    val (n1, t1, b1, u1, z1, nll1, ppl1) = got(1L)
+    assert((n1, t1, b1, u1, z1) == (1L, 0L, 1L, 0L, 0L))
+    assert(math.abs(nll1 - -math.log(0.4 / 3.0)) < 1e-12)
+    assert(math.abs(ppl1 - 3.0 / 0.4) < 1e-9) // exp(nll) = 1/S
+    val (n2, t2, b2, u2, z2, nll2, _) = got(2L)
+    assert((n2, t2, b2, u2, z2) == (1L, 0L, 0L, 0L, 1L))
+    assert(math.abs(nll2 - -math.log(0.16 / 7.0)) < 1e-12)
+  }
+
+  test("trigramLmScore is input-partitioning invariant and model-reusable") {
+    val ref = docs.filter(col("doc_id") =!= 5L)
+    val a = Corpus.trigramLmScore(ref, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val model = Corpus.trigramLmModel(ref.repartition(7), "text", "doc_id")
+    val b = Corpus.scoreWithLm3Model(docs.repartition(5), model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(a == b)
+    // tier counts partition n_trigrams exactly
+    a.values.foreach { case (n, t, bi, u, z) => assert(t + bi + u + z == n) }
+  }
 }

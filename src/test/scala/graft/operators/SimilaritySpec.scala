@@ -148,4 +148,53 @@ class SimilaritySpec extends SparkSpec {
     // max over BOTH bench vectors: cos to 100 is -1, to 101 is 0 → 0
     assert(got(4L)._1 == 0.0)
   }
+
+  test("semanticDecontaminate keeps every train row against an empty bench") {
+    val train = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+      train, bench, "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> (true, false), 2L -> (true, false)))
+  }
+
+  test("semanticDecontaminate: null train embedding → false flag, not null") {
+    val train = Seq((1L, Some(vec(1, 0, 0, 0))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+      train, bench, "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (false, true))
+    assert(got(2L) == (true, false)) // null vec: no cos, flag still false
+  }
+
+  test("semanticDecontaminateLsh agrees with the exact path (q124 property)") {
+    // the q69-style equivalence at spec scale: enough tables make the
+    // prefilter argmax-complete for the planted high-cosine pairs, so
+    // flag and contaminated-row max_sim match the exhaustive path; clean
+    // rows compare flag-only (candidate-max is LSH-dependent by contract)
+    val bench = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, vec(0.9, 0.1, 0, 0)),
+      (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0.1, 0.9, 0)),
+      (4L, vec(-1, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.semanticDecontaminate(
+      train, bench, "embedding", "vec_id", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val lsh = Similarity.semanticDecontaminateLsh(
+      train, bench, "embedding", "vec_id", threshold = 0.9,
+      bits = 4, tables = 64)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1), r.getBoolean(2))).toMap
+    assert(lsh.keySet == exact.keySet) // every train row emitted
+    exact.foreach { case (id, (sim, flag)) =>
+      assert(lsh(id)._2 == flag, s"flag mismatch for $id")
+      if (flag) assert(lsh(id)._1 == sim, s"contaminated max_sim for $id")
+    }
+  }
 }

@@ -148,16 +148,74 @@ class EventsLayoutSpec extends SparkSpec {
 
   test("Streams.readEvents converts the legacy nanos layout end-to-end") {
     // run the layout no longer covered by the driver testdata through a
-    // real micro-batch to a memory sink (StreamsSpec covers the current one)
+    // real micro-batch to a memory sink (StreamsSpec covers the current
+    // one). Nanos streams run on a dedicated session, so the memory
+    // sink registers in THAT session's catalog — query it there.
     val stream = Streams.readEvents(spark, layouts("int64-nanos"))
     val q = stream.writeStream.outputMode("append")
       .format("memory").queryName("events_nanos_layout").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("events_nanos_layout")
+      val got = stream.sparkSession.table("events_nanos_layout")
         .select(unix_micros(col("ts"))).orderBy("event_id")
         .collect().map(_.getLong(0)).toSeq
       assert(got == microsTs)
+    } finally q.stop()
+  }
+
+  test("nanos stream leaves sibling session analyses untouched (conf isolated)") {
+    // The VERDICT r10 hole: the stream-lifetime nanosAsLong conf was
+    // session-global, so a CONCURRENT batch read of a different
+    // nanos-annotated parquet silently inferred LongType. Now the
+    // stream runs on its own session: while it is live, (a) the
+    // caller's session never sees the conf, (b) a batch NTZ read still
+    // normalizes to TimestampType, and (c) a batch read of a DIFFERENT
+    // nanos file in the caller's session still takes the
+    // PARQUET_TYPE_ILLEGAL → retry path rather than LongType.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val stream = Streams.readEvents(spark, layouts("int64-nanos"))
+    assert(stream.sparkSession ne spark, "nanos stream must isolate its session")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("events_nanos_iso").start()
+    try {
+      q.processAllAvailable()
+      assert(!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong").toBoolean,
+        "legacy conf leaked into the caller's session")
+      val ntz = Tables.events(spark, layouts("timestamp-micros-ntz"))
+      assert(ntz.schema("ts").dataType == TimestampType)
+      // raw read (no adapter) of a nanos file must still REJECT in the
+      // caller's session — proof the conf is not ambiently set there
+      val raw = intercept[org.apache.spark.sql.AnalysisException](
+        spark.read.parquet(layouts("int64-nanos")).schema)
+      assert(raw.getCondition != null &&
+        raw.getCondition.startsWith("PARQUET_TYPE_ILLEGAL"))
+      // and the adapter's retry path still converts it correctly
+      val viaAdapter = Tables.events(spark, layouts("int64-nanos"))
+        .select(unix_micros(col("ts"))).orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaAdapter == microsTs)
+    } finally q.stop()
+  }
+
+  test("Streams.readEvents starts on an empty source directory") {
+    // the normal cold-start state: the stream begins before its producer
+    // writes any file. No footer to probe → current-generation layout.
+    val dir = Files.createTempDirectory("graft_events_empty").toString
+    val stream = Streams.readEvents(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == TimestampType)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("events_empty_start").start()
+    try {
+      q.processAllAvailable() // zero batches, but the query is LIVE
+      assert(stream.sparkSession.table("events_empty_start").isEmpty)
+      // data landing AFTER start is picked up with the assumed layout
+      import spark.implicits._
+      Seq((0L, new java.sql.Timestamp(1600000000123L), 0L, "view", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(stream.sparkSession.table("events_empty_start").count() == 1L)
     } finally q.stop()
   }
 }
