@@ -1003,18 +1003,31 @@ object Corpus {
   /** Ordered consecutive-trigram rows `(id, w1, w2, w3)` over a
     * [[tokFrame]] — multiplicity- and adjacency-preserving like
     * [[bigramsOf]]. Docs with exactly 2 tokens contribute bigrams to a
-    * model but have no trigram rows (sequence() over an empty range).
+    * model but no trigram rows.
+    *
+    * The 3-token floor is an EXPRESSION branch (explode of an empty
+    * array), NOT a plan-level `.filter(size >= 3)`: a filter here gets
+    * pushed below [[tokFrame]]'s pinned repartition, making the
+    * trigram branch's exchange subtree differ from the bigram/unigram
+    * branches' (`>= 2` only) — ReuseExchange then re-scans and
+    * re-tokenizes the corpus for it (measured: 4 scans instead of 2 in
+    * q123's executed plan before this shape). sequence() itself cannot
+    * take the empty case: Spark's sequence(1, 0) DESCENDS, it is not
+    * empty.
     */
-  private def trigramsOf(toks: DataFrame): DataFrame =
+  private def trigramsOf(toks: DataFrame): DataFrame = {
+    val n = size(col("_graft_toks"))
+    val grams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        struct(
+          element_at(col("_graft_toks"), i).as("w1"),
+          element_at(col("_graft_toks"), i + 1).as("w2"),
+          element_at(col("_graft_toks"), i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
     toks
-      .filter(size(col("_graft_toks")) >= 3)
-      .select(col("id"), explode(
-        transform(sequence(lit(1), size(col("_graft_toks")) - 2), i =>
-          struct(
-            element_at(col("_graft_toks"), i).as("w1"),
-            element_at(col("_graft_toks"), i + 1).as("w2"),
-            element_at(col("_graft_toks"), i + 2).as("w3")))).as("tg"))
+      .select(col("id"), explode(grams).as("tg"))
       .select(col("id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+  }
 
   /** A trained backoff trigram LM as four DataFrames — the
     * [[LmModel]] posture one order up: never collected, joinable at
@@ -1043,8 +1056,16 @@ object Corpus {
       .agg(count(lit(1)).as("c3"))
     val c2 = bigramsOf(refToks).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+    // The unigram explode wraps its input in a (vacuous under the
+    // tokFrame floor) CASE: a BARE attribute explode triggers
+    // InferFiltersFromGenerate, whose size>0/isnotnull predicates push
+    // below the shared exchange and de-unify this branch's subtree from
+    // the gram branches' (which explode computed expressions and get no
+    // inference) — measured as a third corpus scan before this shape.
     val c1 = refToks
-      .select(col("id"), explode(col("_graft_toks")).as("w1"))
+      .select(col("id"), explode(
+        when(size(col("_graft_toks")) >= 1, col("_graft_toks"))
+          .otherwise(array().cast("array<string>"))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     // N re-aggregates the reduced unigram model (vocabulary-sized), not
     // the raw token stream — the ctxCounts trick from ngramLmModel.

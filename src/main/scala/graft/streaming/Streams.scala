@@ -347,4 +347,26 @@ object Streams {
           batch, model, textCol, idCol, k, rareCutoff),
         batchId)
     }
+
+  /** Streaming deployment of the trigram stupid-backoff scorer
+    * ([[graft.operators.Corpus.scoreWithLm3Model]]) — same foreachBatch
+    * rationale as [[scoreLmBatches]] (per-doc scoring has no
+    * cross-batch state; a streaming groupBy would grow the state store
+    * by every doc id ever seen), same streaming ≡ batch guarantee
+    * (the handler IS the batch operator), same persist-the-model
+    * advice for long runs (StreamBench's `lm` mode measures the gap).
+    */
+  def scoreLm3Batches(
+      docs: DataFrame,
+      model: graft.operators.Corpus.Lm3Model,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      alpha: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.scoreWithLm3Model(
+          batch, model, textCol, idCol, alpha),
+        batchId)
+    }
 }

@@ -40,6 +40,24 @@ object Inspect {
         println(s"[inspect] $q rows: $n")
       case Array("show", q) =>
         graft.SparkEntry.queries(q)(spark, sfDir).show(100, truncate = false)
+      case Array("scans", q) =>
+        // Runtime scan/reuse audit: AQE exchange reuse does NOT show in
+        // the static plan, so execute first (collect — gate outputs are
+        // small) and read the FINAL adaptive plan, splitting off the
+        // "== Initial Plan ==" section.
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val finalPlan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val nScan = "Scan parquet".r.findAllIn(finalPlan).length
+        val nReuse = "ReusedExchange".r.findAllIn(finalPlan).length
+        println(s"[inspect] $q executed plan: parquet scans=$nScan, " +
+          s"reused exchanges=$nReuse")
+        finalPlan.linesIterator
+          .filter(l => l.contains("Scan parquet") || l.contains("ReusedExchange"))
+          .foreach(l => println("[inspect]   " + l.trim.take(160)))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/graft_plan_$q.txt"), finalPlan)
       case Array("dedup-debug") =>
         import org.apache.spark.sql.functions._
         import graft.operators.Dedup

@@ -26,6 +26,7 @@ import graft.streaming.Streams
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lm")) { lmBench(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
@@ -79,6 +80,57 @@ object StreamBench {
       .filter(d => !d.isNaN && d > 0)
     val steadyAvg = if (steady.isEmpty) 0.0 else steady.sum / steady.size
     println(f"""{"metric":"stream_sessionize_rows_per_sec","steady":$steadyAvg%.0f,"wall_rows_per_sec":${inputRows / wallSec}%.0f,"input_rows":$inputRows,"batches":${prog.size},"published_sessions":$published,"wall_sec":$wallSec%.1f}""")
+    spark.stop()
+  }
+
+  /** Streaming LM-scoring throughput: the [[Streams.scoreLmBatches]]
+    * path over a file-source document stream, measured with the model
+    * members UNPERSISTED (every micro-batch re-aggregates the reference
+    * corpus into counts — the stream-static join re-plans per batch)
+    * vs PERSISTED (the scaladoc's recommendation for long runs). The
+    * gap IS the evidence for that recommendation; correctness of the
+    * scored rows is pinned by StreamsSpec's streaming≡batch case, so
+    * this only measures.
+    *
+    * Usage: StreamBench lm [docsParquet] [filesPerTrigger]
+    */
+  private def lmBench(args: Array[String]): Unit = {
+    val docsPath = args.lift(1).getOrElse("/tmp/sf1_documents.parquet")
+    val perTrigger = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-lm-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(docsPath)
+    val model = graft.operators.Corpus.ngramLmModel(docs, "text", "doc_id")
+    // stage the stream as many small files so the run has real
+    // micro-batch cadence rather than one giant batch
+    val stageDir =
+      java.nio.file.Files.createTempDirectory("graft_lm_stream").toString
+    docs.repartition(40).write.mode("overwrite").parquet(stageDir)
+    val schema = docs.schema
+    for (persisted <- Seq(false, true)) {
+      if (persisted) {
+        Seq(model.bigrams, model.contexts, model.vocab).foreach { m =>
+          m.persist(); m.count() // materialize before the clock starts
+        }
+      }
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
+      var scored = 0L
+      val t0 = System.nanoTime()
+      val q = Streams.scoreLmBatches(stream, model, "text", "doc_id",
+        (batch, _) => scored += batch.count()).start()
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val label = if (persisted) "persisted" else "unpersisted"
+      println(f"""{"metric":"stream_lm_score_rows_per_sec","model":"$label","rows_per_sec":${scored / wall}%.0f,"scored_rows":$scored,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+    }
     spark.stop()
   }
 }

@@ -140,6 +140,59 @@ object Stress {
           threshold = 0.9, dim = 64, bits = 8, tables = 16),
         "vec_id", col("vec_id") % 97).count())
 
+    // round-11 operators: LM quality scoring + semantic decontamination
+    // over the same replica. LM cost should track corpus tokens (the
+    // model is Zipf-bounded: 10 exact copies add ZERO new grams, only
+    // count mass); decontam should track train rows × bench size
+    // (exact) or candidate collisions (LSH).
+    time("bigram LM train+score (90/10 split)")(
+      Corpus.ngramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id").count())
+    time("trigram LM train+score (stupid backoff)")(
+      Corpus.trigramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id").count())
+    time("semantic decontam (exact, broadcast bench)")(
+      Similarity.semanticDecontaminate(
+        embs.filter(col("vec_id") % 10 =!= 0),
+        embs.filter(col("vec_id") % 10 === 0),
+        "embedding", "vec_id", threshold = 0.9).count())
+    locally {
+      // q124's planted construction at replica scale: LSH path timing,
+      // flag recall vs the exact path, and the scan fraction (verified
+      // candidate pairs / full bipartite cross size) — the number that
+      // justifies the prefilter at a non-broadcastable bench.
+      val vd = col("embedding").cast("array<double>")
+      val train = embs.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), vd.as("vec"))
+      val planted = train.filter(col("vec_id") % 30 === 1)
+        .select(transform(sequence(lit(1), lit(64)), i =>
+          lit(0.9) * element_at(col("vec"), i) +
+            lit(0.1) * element_at(col("vec"), lit(65) - i)).as("vec"))
+      val bench = planted.unionByName(
+        embs.filter(col("vec_id") % 10 === 0).select(vd.as("vec")))
+      time("semantic decontam (LSH prefilter, planted bench)")(
+        Similarity.semanticDecontaminateLsh(train, bench, "vec", "vec_id",
+          threshold = 0.9, bits = 8, tables = 12).count())
+      val exactFlagged = Similarity.semanticDecontaminate(
+        train, bench, "vec", "vec_id", threshold = 0.9)
+        .filter(col("contaminated")).count()
+      val lshFlagged = Similarity.semanticDecontaminateLsh(
+        train, bench, "vec", "vec_id", threshold = 0.9, bits = 8, tables = 12)
+        .filter(col("contaminated")).count()
+      // candidate collisions = the pairs the verify stage actually pays
+      val sigT = train.select(
+        posexplode(graft.plans.HashExpressions.srpSignatures(
+          col("vec"), 8, 12)).as(Seq("tbl", "sig")))
+      val sigB = bench.select(
+        posexplode(graft.plans.HashExpressions.srpSignatures(
+          col("vec"), 8, 12)).as(Seq("tbl_b", "sig_b")))
+      val cand = sigT.join(sigB,
+        col("tbl") === col("tbl_b") && col("sig") === col("sig_b")).count()
+      val cross = train.count() * bench.count()
+      println(f"[stress] decontam-lsh: flag recall $lshFlagged/$exactFlagged, " +
+        f"verified pairs $cand of $cross cross (${cand.toDouble / cross}%.4f scan fraction)")
+    }
+
     val evPath = args.lift(2).getOrElse("/tmp/sf1_events.parquet")
     if (!new java.io.File(evPath).exists()) {
       println(s"[stress] events replica missing at $evPath — skipping event ops")
