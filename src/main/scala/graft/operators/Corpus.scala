@@ -1000,80 +1000,83 @@ object Corpus {
       .withColumn("perplexity", exp(col("avg_neg_logprob")))
   }
 
-  /** Ordered consecutive-trigram rows `(id, w1, w2, w3)` over a
-    * [[tokFrame]] — multiplicity- and adjacency-preserving like
-    * [[bigramsOf]]. Docs with exactly 2 tokens contribute bigrams to a
-    * model but no trigram rows.
+  /** Ordered consecutive k-gram rows `(id, g1..gk)` over a [[tokFrame]]
+    * — multiplicity- and adjacency-preserving like [[bigramsOf]].
     *
-    * The 3-token floor is an EXPRESSION branch (explode of an empty
-    * array), NOT a plan-level `.filter(size >= 3)`: a filter here gets
-    * pushed below [[tokFrame]]'s pinned repartition, making the
-    * trigram branch's exchange subtree differ from the bigram/unigram
-    * branches' (`>= 2` only) — ReuseExchange then re-scans and
-    * re-tokenizes the corpus for it (measured: 4 scans instead of 2 in
-    * q123's executed plan before this shape). sequence() itself cannot
-    * take the empty case: Spark's sequence(1, 0) DESCENDS, it is not
-    * empty.
+    * The k-token floor is an EXPRESSION branch (explode of an empty
+    * array), NOT a plan-level `.filter(size >= k)`: a filter here gets
+    * pushed below [[tokFrame]]'s pinned repartition, making this
+    * order's exchange subtree differ from the other orders' — and
+    * ReuseExchange then re-scans and re-tokenizes the corpus for it
+    * (measured: 4 scans instead of 2 in q123's executed plan before
+    * this shape). sequence() itself cannot take the empty case:
+    * Spark's sequence(1, 0) DESCENDS, it is not empty.
     */
-  private def trigramsOf(toks: DataFrame): DataFrame = {
+  private def gramsOf(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "use the unigram branch for k = 1")
     val n = size(col("_graft_toks"))
-    val grams = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i =>
-        struct(
-          element_at(col("_graft_toks"), i).as("w1"),
-          element_at(col("_graft_toks"), i + 1).as("w2"),
-          element_at(col("_graft_toks"), i + 2).as("w3"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    val structType =
+      (1 to k).map(j => s"g$j:string").mkString("array<struct<", ",", ">>")
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        struct((1 to k).map { j =>
+          val pos = if (j == 1) i else i + (j - 1)
+          element_at(col("_graft_toks"), pos).as(s"g$j")
+        }: _*)))
+      .otherwise(array().cast(structType))
     toks
-      .select(col("id"), explode(grams).as("tg"))
-      .select(col("id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+      .select(col("id"), explode(grams).as("gr"))
+      .select(col("id") +: (1 to k).map(j => col(s"gr.g$j")): _*)
   }
 
-  /** A trained backoff trigram LM as four DataFrames — the
-    * [[LmModel]] posture one order up: never collected, joinable at
-    * any scale, reusable across queries. `totals` is one row
-    * `(n_tokens)` = total token occurrences in the training docs (the
-    * unigram normalizer).
+  /** A trained order-`n` backoff LM as `n` count DataFrames plus the
+    * token total — the [[LmModel]] posture at any order: never
+    * collected, joinable at any scale, reusable across queries and
+    * micro-batches. `orders(k - 1)` holds the raw k-gram counts
+    * `(g1..gk, c)`; `totals` is one row `(n_tokens)` (the unigram
+    * normalizer).
     */
-  final case class Lm3Model(
-      trigrams: DataFrame, // (w1, w2, w3, c3)
-      bigrams: DataFrame, // (w1, w2, c2)
-      unigrams: DataFrame, // (w1, c1)
-      totals: DataFrame) // 1 row (n_tokens)
+  final case class LmNModel(
+      n: Int,
+      orders: IndexedSeq[DataFrame],
+      totals: DataFrame)
 
-  /** Train [[Lm3Model]] on `reference`: per-order raw counts off ONE
-    * tokens projection. All three n-gram streams (and the totals
+  /** Train [[LmNModel]] on `reference`: per-order raw counts off ONE
+    * tokens projection. All `n` gram streams (and the totals
     * aggregate) descend from the same pinned [[tokFrame]] exchange, so
     * ReuseExchange runs the scan + tokenizer once and each order is a
-    * partial-aggregated shuffle on its own gram key. Counts are RAW per
-    * order (a doc's last bigram has no covering trigram), matching
-    * stupid backoff's definition — not marginals of the next order up.
+    * partial-aggregated shuffle on its own gram key (runtime-verified:
+    * 2 corpus scans total in q123/q125's executed plans — `Inspect
+    * scans:`). Counts are RAW per order (a doc's last bigram has no
+    * covering trigram), matching stupid backoff's definition — not
+    * marginals of the next order up.
     */
-  def trigramLmModel(
-      reference: DataFrame, textCol: String, idCol: String): Lm3Model = {
+  def ngramBackoffModel(
+      reference: DataFrame, textCol: String, idCol: String,
+      n: Int): LmNModel = {
+    require(n >= 2 && n <= 8, "backoff order must be in [2, 8]")
     val refToks = tokFrame(reference, textCol, idCol)
-    val c3 = trigramsOf(refToks).groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
-    val c2 = bigramsOf(refToks).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
     // The unigram explode wraps its input in a (vacuous under the
     // tokFrame floor) CASE: a BARE attribute explode triggers
     // InferFiltersFromGenerate, whose size>0/isnotnull predicates push
     // below the shared exchange and de-unify this branch's subtree from
     // the gram branches' (which explode computed expressions and get no
     // inference) — measured as a third corpus scan before this shape.
-    val c1 = refToks
+    val unigrams = refToks
       .select(col("id"), explode(
         when(size(col("_graft_toks")) >= 1, col("_graft_toks"))
-          .otherwise(array().cast("array<string>"))).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+          .otherwise(array().cast("array<string>"))).as("g1"))
+      .groupBy(col("g1")).agg(count(lit(1)).as("c"))
+    val higher = (2 to n).map(k => gramsOf(refToks, k)
+      .groupBy((1 to k).map(j => col(s"g$j")): _*)
+      .agg(count(lit(1)).as("c")))
     // N re-aggregates the reduced unigram model (vocabulary-sized), not
     // the raw token stream — the ctxCounts trick from ngramLmModel.
-    val n = c1.agg(sum(col("c1")).as("n_tokens"))
-    Lm3Model(c3, c2, c1, n)
+    val totals = unigrams.agg(sum(col("c")).as("n_tokens"))
+    LmNModel(n, unigrams +: higher.toIndexedSeq, totals)
   }
 
-  /** Trigram LM scoring with STUPID BACKOFF (Brants et al., "Large
+  /** Order-`n` LM scoring with STUPID BACKOFF (Brants et al., "Large
     * Language Models in Machine Translation", EMNLP 2007 — the
     * web-scale scheme that replaces smoothed probabilities with
     * unnormalized scores and a constant backoff factor, chosen there
@@ -1081,98 +1084,120 @@ object Corpus {
     * joins):
     *
     * {{{
-    * S(w3 | w1 w2) = C(w1 w2 w3) / C(w1 w2)        if C(w1 w2 w3) > 0
-    *               = α · S(w3 | w2)                 otherwise
-    * S(w3 | w2)    = C(w2 w3) / C(w2)               if C(w2 w3) > 0
-    *               = α · S(w3)                      otherwise
-    * S(w3)         = C(w3) / N                      if C(w3) > 0
-    *               = 1 / N                          otherwise (OOV floor)
+    * S(w | ctx_k) = C(ctx_k w) / C(ctx_k)   if the (k+1)-gram was seen
+    *              = α · S(w | ctx_{k-1})     otherwise (drop the oldest
+    *                                         context word and recurse)
+    * S(w)         = C(w) / N                if C(w) > 0
+    *              = 1 / N                    otherwise (OOV floor)
     * }}}
     *
-    * with α = 0.4 (the paper's value). This is the higher-order
-    * upgrade of [[ngramLmScore]]'s bigram signal — the CCNet filter
-    * proper scores with a 5-gram model; order 3 with backoff already
-    * separates fluent-but-off-domain from degenerate text in a way no
-    * single-order model can (a doc of real words in scrambled order
-    * backs off on every trigram).
+    * with α = 0.4 (the paper's value). CCNet's filter proper scores
+    * with a 5-gram model — `n = 5` here reproduces that configuration;
+    * `n = 3` is the cheap strong default (q123). Higher order with
+    * backoff separates fluent-but-off-domain from degenerate text in a
+    * way no single-order model can (a doc of real words in scrambled
+    * order backs off on every gram).
     *
-    * Output per scored doc (>= 3 tokens; shorter docs have no trigrams
+    * Output per scored doc (>= n tokens; shorter docs have no n-grams
     * and no row):
-    *  - `n_trigrams` — trigram occurrences scored
-    *  - `n_tri_hit` / `n_bi_hit` / `n_uni_hit` / `n_unseen` — how far
-    *    each occurrence backed off: full trigram match, bigram
-    *    `(w2,w3)` match, unigram `w3` match, or OOV. Pure
+    *  - `n_ngrams` — n-gram occurrences scored
+    *  - `n_hit_k` for k = n..1 and `n_unseen` — how far each
+    *    occurrence backed off: its length-k suffix matched at order k
+    *    (all longer suffixes missed), or the final word is OOV. Pure
     *    join-existence counts in exact integer arithmetic — the
-    *    oracle-gated surface (q123), transcendental-free by the same
-    *    rule as q121's columns.
+    *    oracle-gated surface (q123/q125), transcendental-free by the
+    *    same rule as q121's columns.
     *  - `avg_neg_logscore`, `ppl_proxy` — the float scores
     *    (spec-verified against a closed-form hand model; stupid
     *    backoff's S is not a normalized probability, so the exp() is a
     *    perplexity PROXY — standard for this scheme).
     *
     * Scale shape (100 TB): the eval side tokenizes once (pinned
-    * [[tokFrame]] exchange), reduces to distinct `(id, w1, w2, w3, m)`
-    * rows, then left-joins the four model relations on their gram keys
-    * — keyed hash joins AQE broadcasts whenever the Zipf-bounded
-    * counts fit — and one 1-row totals broadcast. No order ever
-    * rescans the corpus; backoff is a CASE over already-joined counts,
-    * not a second pass.
+    * [[tokFrame]] exchange), reduces to distinct `(id, g1..gn, m)`
+    * rows, then left-joins the model relations on their gram keys —
+    * `n` suffix-count joins + `n−1` context-count joins, all keyed
+    * hash joins AQE broadcasts whenever the Zipf-bounded counts fit —
+    * plus one 1-row totals broadcast. No order ever rescans the
+    * corpus; backoff is a CASE over already-joined counts, not a
+    * second pass.
     */
-  def trigramLmScore(
+  def ngramBackoffScore(
       reference: DataFrame,
       docs: DataFrame,
       textCol: String,
       idCol: String,
+      n: Int = 3,
       alpha: Double = 0.4): DataFrame =
-    scoreWithLm3Model(
-      docs, trigramLmModel(reference, textCol, idCol), textCol, idCol, alpha)
+    scoreWithLmNModel(
+      docs, ngramBackoffModel(reference, textCol, idCol, n), textCol, idCol,
+      alpha)
 
-  /** Score `docs` against an already-trained [[Lm3Model]] — see
-    * [[trigramLmScore]] for semantics and column contract.
+  /** Score `docs` against an already-trained [[LmNModel]] — see
+    * [[ngramBackoffScore]] for semantics and column contract.
     */
-  def scoreWithLm3Model(
+  def scoreWithLmNModel(
       docs: DataFrame,
-      model: Lm3Model,
+      model: LmNModel,
       textCol: String,
       idCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha <= 1, "backoff factor must be in (0, 1]")
-    val scored = trigramsOf(tokFrame(docs, textCol, idCol))
-      .groupBy(col("id"), col("w1"), col("w2"), col("w3"))
+    val n = model.n
+    var scored = gramsOf(tokFrame(docs, textCol, idCol), n)
+      .groupBy(col("id") +: (1 to n).map(j => col(s"g$j")): _*)
       .agg(count(lit(1)).as("m"))
-      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
-      .join(model.bigrams.select(
-        col("w1").as("w1b"), col("w2").as("w2b"), col("c2").as("ctx12")),
-        col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
-      .join(model.bigrams.select(
-        col("w1").as("w2c"), col("w2").as("w3c"), col("c2").as("c23")),
-        col("w2") === col("w2c") && col("w3") === col("w3c"), "left")
-      .join(model.unigrams.select(col("w1").as("w2u"), col("c1").as("c2u")),
-        col("w2") === col("w2u"), "left")
-      .join(model.unigrams.select(col("w1").as("w3u"), col("c1").as("c3u")),
-        col("w3") === col("w3u"), "left")
-      .crossJoin(broadcast(model.totals))
+    // Suffix-order-k count: the doc n-gram's last k words against the
+    // k-gram model table → c_k. The same model table serves as the
+    // order-(k+1) context below, so its aggregate exchange is reused.
+    for (k <- n to 1 by -1) {
+      val mk = model.orders(k - 1).select(
+        (1 to k).map(j => col(s"g$j").as(s"k${k}_$j")) :+
+          col("c").as(s"c_$k"): _*)
+      val cond = (1 to k).map(j => col(s"g${n - k + j}") === col(s"k${k}_$j"))
+        .reduce(_ && _)
+      scored = scored.join(mk, cond, "left")
+    }
+    // Context-count for order k >= 2: the (k-1)-gram preceding the last
+    // word within the suffix window → ctx_k (k = 1's context is N).
+    for (k <- n to 2 by -1) {
+      val mk = model.orders(k - 2).select(
+        (1 to k - 1).map(j => col(s"g$j").as(s"x${k}_$j")) :+
+          col("c").as(s"ctx_$k"): _*)
+      val cond = (1 to k - 1).map(j =>
+        col(s"g${n - k + j}") === col(s"x${k}_$j")).reduce(_ && _)
+      scored = scored.join(mk, cond, "left")
+    }
+    scored = scored.crossJoin(broadcast(model.totals))
     // Backoff tiers as disjoint predicates over joined counts. A seen
-    // trigram implies its prefix bigram was seen (same raw stream), so
-    // ctx12 is non-null on the tri-hit branch by construction.
-    val triHit = col("c3").isNotNull
-    val biHit = !triHit && col("c23").isNotNull
-    val uniHit = !triHit && !biHit && col("c3u").isNotNull
-    val s = when(triHit, col("c3").cast("double") / col("ctx12").cast("double"))
-      .when(biHit, lit(alpha) * col("c23").cast("double") / col("c2u").cast("double"))
-      .when(uniHit, lit(alpha) * lit(alpha) *
-        col("c3u").cast("double") / col("n_tokens").cast("double"))
-      .otherwise(lit(alpha) * lit(alpha) / col("n_tokens").cast("double"))
+    // k-suffix implies its (k-1)-prefix context was seen (same raw
+    // stream), so ctx_k is non-null on the hit-k branch by construction.
+    def hitK(k: Int): Column =
+      (k + 1 to n).map(j => col(s"c_$j").isNull)
+        .foldLeft(col(s"c_$k").isNotNull)(_ && _)
+    val allMiss = (1 to n).map(j => col(s"c_$j").isNull).reduce(_ && _)
+    def alphaPow(p: Int): Column =
+      (1 to p).map(_ => lit(alpha)).foldLeft(lit(1.0): Column)(_ * _)
+    val sExpr = {
+      val branches = (n to 1 by -1).map { k =>
+        val ctx = if (k == 1) col("n_tokens") else col(s"ctx_$k")
+        (hitK(k),
+          alphaPow(n - k) * col(s"c_$k").cast("double") / ctx.cast("double"))
+      }
+      val chain = branches.foldLeft(None: Option[Column]) {
+        case (None, (p, v)) => Some(when(p, v))
+        case (Some(c), (p, v)) => Some(c.when(p, v))
+      }.get
+      chain.otherwise(alphaPow(n - 1) / col("n_tokens").cast("double"))
+    }
+    val tierCols = (n to 1 by -1).map(k =>
+      sum(when(hitK(k), col("m")).otherwise(0L)).as(s"n_hit_$k")) :+
+      sum(when(allMiss, col("m")).otherwise(0L)).as("n_unseen")
     scored
       .groupBy(col("id"))
       .agg(
-        sum(col("m")).as("n_trigrams"),
-        sum(when(triHit, col("m")).otherwise(0L)).as("n_tri_hit"),
-        sum(when(biHit, col("m")).otherwise(0L)).as("n_bi_hit"),
-        sum(when(uniHit, col("m")).otherwise(0L)).as("n_uni_hit"),
-        sum(when(!triHit && !biHit && !uniHit, col("m")).otherwise(0L))
-          .as("n_unseen"),
-        (sum(col("m") * -log(s)) / sum(col("m"))).as("avg_neg_logscore"))
+        sum(col("m")).as("n_ngrams"),
+        tierCols :+
+          (sum(col("m") * -log(sExpr)) / sum(col("m"))).as("avg_neg_logscore"): _*)
       .withColumn("ppl_proxy", exp(col("avg_neg_logscore")))
   }
 }

@@ -1299,22 +1299,40 @@ object Extensions {
   }
 
   /** Trigram stupid-backoff LM scoring end-to-end (the q121 signal one
-    * order up — CCNet proper scores with a 5-gram model; see
-    * [[graft.operators.Corpus.trigramLmScore]]): train per-order counts
-    * on the train split, score the eval split, gate the five
-    * integer-exact backoff-tier counts (pure join-existence counts —
-    * which order each trigram occurrence resolved at). The float
-    * score columns stay out of the oracle per the no-transcendentals
-    * rule; CorpusSpec pins them against a closed-form hand model.
+    * order up; see [[graft.operators.Corpus.ngramBackoffScore]] at
+    * n = 3): train per-order counts on the train split, score the eval
+    * split, gate the five integer-exact backoff-tier counts (pure
+    * join-existence counts — which order each trigram occurrence
+    * resolved at). The float score columns stay out of the oracle per
+    * the no-transcendentals rule; CorpusSpec pins them against a
+    * closed-form hand model.
     */
   def qC15TrigramLmScore(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    graft.operators.Corpus.trigramLmScore(
+    graft.operators.Corpus.ngramBackoffScore(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0),
-      "text", "doc_id")
-      .select(col("id"), col("n_trigrams"), col("n_tri_hit"),
-        col("n_bi_hit"), col("n_uni_hit"), col("n_unseen"))
+      "text", "doc_id", n = 3)
+      .select(col("id"), col("n_ngrams").as("n_trigrams"),
+        col("n_hit_3").as("n_tri_hit"), col("n_hit_2").as("n_bi_hit"),
+        col("n_hit_1").as("n_uni_hit"), col("n_unseen"))
+      .orderBy(col("id"))
+  }
+
+  /** 5-gram stupid-backoff LM scoring — CCNet's actual configuration
+    * (Wenzek et al. score with a 5-gram KenLM; this is the same order
+    * with Brants-style backoff, trained and scored entirely in-engine).
+    * Same split and gate discipline as q123, six integer-exact
+    * backoff-tier counts (hit at order 5/4/3/2/1 or OOV).
+    */
+  def qC16FivegramLmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.Corpus.ngramBackoffScore(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 5)
+      .select(col("id"), col("n_ngrams"), col("n_hit_5"), col("n_hit_4"),
+        col("n_hit_3"), col("n_hit_2"), col("n_hit_1"), col("n_unseen"))
       .orderBy(col("id"))
   }
 
@@ -1903,7 +1921,8 @@ object Extensions {
     "q121_lm_score" -> qC13NgramLmScore _,
     "q122_semantic_decontam" -> qV7SemanticDecontam _,
     "q123_trigram_lm_score" -> qC15TrigramLmScore _,
-    "q124_semantic_decontam_lsh" -> qV8SemanticDecontamLsh _)
+    "q124_semantic_decontam_lsh" -> qV8SemanticDecontamLsh _,
+    "q125_fivegram_lm_score" -> qC16FivegramLmScore _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2682,6 +2701,70 @@ object Extensions {
            CAST(sum(CASE WHEN uni THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
            CAST(sum(CASE WHEN NOT tri AND NOT bi AND NOT uni THEN 1 ELSE 0 END)
              AS BIGINT) AS n_unseen
+         FROM sc GROUP BY id ORDER BY id""",
+    // q125: 5-gram stupid backoff, same discipline as q123 — six
+    // join-existence tier counts (which suffix order each 5-gram
+    // occurrence resolved at), all exact BIGINTs. Order-k counts come
+    // from train docs with len >= k (unigrams/bigrams from the >= 2
+    // tokFrame floor).
+    "q125_fivegram_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         tr AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 <> 0),
+         c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                  SELECT unnest(toks) AS w FROM tr WHERE len(toks) >= 2)
+                GROUP BY w),
+         c2 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM tr WHERE len(toks) >= 2)
+                GROUP BY 1, 2),
+         c3 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                      FROM tr WHERE len(toks) >= 3)
+                GROUP BY 1, 2, 3),
+         c4 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                  toks[i + 3] AS w4, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 3)) AS i
+                      FROM tr WHERE len(toks) >= 4)
+                GROUP BY 1, 2, 3, 4),
+         c5 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                  toks[i + 3] AS w4, toks[i + 4] AS w5,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 4)) AS i
+                      FROM tr WHERE len(toks) >= 5)
+                GROUP BY 1, 2, 3, 4, 5),
+         eg AS (SELECT doc_id AS id, toks[i] AS g1, toks[i + 1] AS g2,
+                  toks[i + 2] AS g3, toks[i + 3] AS g4, toks[i + 4] AS g5
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 4)) AS i
+                      FROM d WHERE doc_id % 10 = 0 AND len(toks) >= 5)),
+         sc AS (SELECT eg.id,
+                  h5.c IS NOT NULL AS t5,
+                  h5.c IS NULL AND h4.c IS NOT NULL AS t4,
+                  h5.c IS NULL AND h4.c IS NULL
+                    AND h3.c IS NOT NULL AS t3,
+                  h5.c IS NULL AND h4.c IS NULL AND h3.c IS NULL
+                    AND h2.c IS NOT NULL AS t2,
+                  h5.c IS NULL AND h4.c IS NULL AND h3.c IS NULL
+                    AND h2.c IS NULL AND h1.c IS NOT NULL AS t1
+                FROM eg
+                  LEFT JOIN c5 h5 ON h5.w1 = eg.g1 AND h5.w2 = eg.g2
+                    AND h5.w3 = eg.g3 AND h5.w4 = eg.g4 AND h5.w5 = eg.g5
+                  LEFT JOIN c4 h4 ON h4.w1 = eg.g2 AND h4.w2 = eg.g3
+                    AND h4.w3 = eg.g4 AND h4.w4 = eg.g5
+                  LEFT JOIN c3 h3 ON h3.w1 = eg.g3 AND h3.w2 = eg.g4
+                    AND h3.w3 = eg.g5
+                  LEFT JOIN c2 h2 ON h2.w1 = eg.g4 AND h2.w2 = eg.g5
+                  LEFT JOIN c1 h1 ON h1.w = eg.g5)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN t5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_5,
+           CAST(sum(CASE WHEN t4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_4,
+           CAST(sum(CASE WHEN t3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_3,
+           CAST(sum(CASE WHEN t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_2,
+           CAST(sum(CASE WHEN t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_1,
+           CAST(sum(CASE WHEN NOT t5 AND NOT t4 AND NOT t3 AND NOT t2
+                    AND NOT t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
          FROM sc GROUP BY id ORDER BY id""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.

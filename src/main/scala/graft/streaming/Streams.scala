@@ -348,24 +348,24 @@ object Streams {
         batchId)
     }
 
-  /** Streaming deployment of the trigram stupid-backoff scorer
-    * ([[graft.operators.Corpus.scoreWithLm3Model]]) — same foreachBatch
+  /** Streaming deployment of the order-n stupid-backoff scorer
+    * ([[graft.operators.Corpus.scoreWithLmNModel]]) — same foreachBatch
     * rationale as [[scoreLmBatches]] (per-doc scoring has no
     * cross-batch state; a streaming groupBy would grow the state store
     * by every doc id ever seen), same streaming ≡ batch guarantee
     * (the handler IS the batch operator), same persist-the-model
     * advice for long runs (StreamBench's `lm` mode measures the gap).
     */
-  def scoreLm3Batches(
+  def scoreLmNBatches(
       docs: DataFrame,
-      model: graft.operators.Corpus.Lm3Model,
+      model: graft.operators.Corpus.LmNModel,
       textCol: String,
       idCol: String,
       onBatch: (DataFrame, Long) => Unit,
       alpha: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       onBatch(
-        graft.operators.Corpus.scoreWithLm3Model(
+        graft.operators.Corpus.scoreWithLmNModel(
           batch, model, textCol, idCol, alpha),
         batchId)
     }

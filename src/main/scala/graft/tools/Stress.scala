@@ -149,8 +149,11 @@ object Stress {
       Corpus.ngramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id").count())
     time("trigram LM train+score (stupid backoff)")(
-      Corpus.trigramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id").count())
+      Corpus.ngramBackoffScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 3).count())
+    time("5-gram LM train+score (stupid backoff, CCNet order)")(
+      Corpus.ngramBackoffScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5).count())
     time("semantic decontam (exact, broadcast bench)")(
       Similarity.semanticDecontaminate(
         embs.filter(col("vec_id") % 10 =!= 0),

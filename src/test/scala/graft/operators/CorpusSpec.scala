@@ -478,7 +478,7 @@ class CorpusSpec extends SparkSpec {
     assert(!a.contains(5L)) // empty text → no bigrams → no row
   }
 
-  test("trigramLmScore matches the closed-form stupid-backoff model") {
+  test("ngramBackoffScore(3) matches the closed-form stupid-backoff model") {
     // reference "a b a b a" + "b c":
     //   C3(a,b,a)=2, C3(b,a,b)=1; C2(a,b)=2, C2(b,a)=2, C2(b,c)=1;
     //   C1(a)=3, C1(b)=3, C1(c)=1; N=7
@@ -489,7 +489,7 @@ class CorpusSpec extends SparkSpec {
       (2L, "x y z"),   // fully OOV w3 → unseen, S=.4^2/7
       (3L, "a b")      // 2 tokens → no trigram → no row
     ).toDF("doc_id", "text")
-    val got = Corpus.trigramLmScore(ref, eval, "text", "doc_id")
+    val got = Corpus.ngramBackoffScore(ref, eval, "text", "doc_id", n = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getDouble(6), r.getDouble(7))).toMap
@@ -507,17 +507,46 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(nll2 - -math.log(0.16 / 7.0)) < 1e-12)
   }
 
-  test("trigramLmScore is input-partitioning invariant and model-reusable") {
+  test("ngramBackoffScore(5) resolves each tier of a hand-built suffix chain") {
+    // one reference doc "a b c d e f": every k-gram count = 1, N = 6.
+    val ref = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "a b c d e"), // exact 5-gram hit: S = C5/C4(abcd) = 1/1
+      (1L, "x b c d e"), // 5-miss, suffix (b,c,d,e) hits order 4: α·C4/C3(bcd)=0.4
+      (2L, "x y c d e"), // order 3: α²·C3(cde)/C2(cd) = 0.16
+      (3L, "x y z d e"), // order 2: α³·C2(de)/C1(d) = 0.064
+      (4L, "x y z w e"), // order 1: α⁴·C1(e)/N = 0.0256/6
+      (5L, "x y z w v")  // OOV final word: α⁴/N
+    ).toDF("doc_id", "text")
+    val got = Corpus.ngramBackoffScore(ref, eval, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)), r.getDouble(8))).toMap
+    assert(got(0L)._1 == Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L))
+    assert(math.abs(got(0L)._2 - -math.log(1.0)) < 1e-12)
+    assert(got(1L)._1 == Seq(1L, 0L, 1L, 0L, 0L, 0L, 0L))
+    assert(math.abs(got(1L)._2 - -math.log(0.4)) < 1e-12)
+    assert(got(2L)._1 == Seq(1L, 0L, 0L, 1L, 0L, 0L, 0L))
+    assert(math.abs(got(2L)._2 - -math.log(0.4 * 0.4)) < 1e-12)
+    assert(got(3L)._1 == Seq(1L, 0L, 0L, 0L, 1L, 0L, 0L))
+    assert(math.abs(got(3L)._2 - -math.log(0.4 * 0.4 * 0.4)) < 1e-12)
+    assert(got(4L)._1 == Seq(1L, 0L, 0L, 0L, 0L, 1L, 0L))
+    assert(math.abs(got(4L)._2 - -math.log(0.4 * 0.4 * 0.4 * 0.4 / 6.0)) < 1e-12)
+    assert(got(5L)._1 == Seq(1L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(math.abs(got(5L)._2 - -math.log(0.4 * 0.4 * 0.4 * 0.4 / 6.0)) < 1e-12)
+  }
+
+  test("ngramBackoffScore is input-partitioning invariant and model-reusable") {
     val ref = docs.filter(col("doc_id") =!= 5L)
-    val a = Corpus.trigramLmScore(ref, docs, "text", "doc_id")
+    val a = Corpus.ngramBackoffScore(ref, docs, "text", "doc_id", n = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    val model = Corpus.trigramLmModel(ref.repartition(7), "text", "doc_id")
-    val b = Corpus.scoreWithLm3Model(docs.repartition(5), model, "text", "doc_id")
+    val model = Corpus.ngramBackoffModel(ref.repartition(7), "text", "doc_id", n = 3)
+    val b = Corpus.scoreWithLmNModel(docs.repartition(5), model, "text", "doc_id")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(a == b)
-    // tier counts partition n_trigrams exactly
+    // tier counts partition n_ngrams exactly
     a.values.foreach { case (n, t, bi, u, z) => assert(t + bi + u + z == n) }
   }
 }

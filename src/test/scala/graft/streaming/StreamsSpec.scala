@@ -451,14 +451,14 @@ class StreamsSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val ref = Seq((10L, "a b a b a"), (11L, "b c"), (12L, "b c a d"))
       .toDF("doc_id", "text")
-    val model = graft.operators.Corpus.trigramLmModel(ref, "text", "doc_id")
+    val model = graft.operators.Corpus.ngramBackoffModel(ref, "text", "doc_id", n = 3)
     val docs = Seq(
       (0L, "a b a c"), (1L, "c b c"), (2L, "a b"), // batch 1 (doc 2: no trigram)
       (3L, "x y z"), (4L, "b c a d b")) // batch 2
     val input = MemoryStream[(Long, String)]
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Long, Long, Double)]
-    val writer = Streams.scoreLm3Batches(
+    val writer = Streams.scoreLmNBatches(
       input.toDF().toDF("doc_id", "text"), model, "text", "doc_id",
       (scored, _) => acc.synchronized {
         acc ++= scored.collect().map(r =>
@@ -472,8 +472,8 @@ class StreamsSpec extends SparkSpec {
       input.addData(docs.drop(3): _*)
       q.processAllAvailable()
     } finally q.stop()
-    val batch = graft.operators.Corpus.trigramLmScore(
-      ref, docs.toDF("doc_id", "text"), "text", "doc_id")
+    val batch = graft.operators.Corpus.ngramBackoffScore(
+      ref, docs.toDF("doc_id", "text"), "text", "doc_id", n = 3)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5), r.getDouble(6)))
