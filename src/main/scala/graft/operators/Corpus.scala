@@ -1200,4 +1200,280 @@ object Corpus {
           (sum(col("m") * -log(sExpr)) / sum(col("m"))).as("avg_neg_logscore"): _*)
       .withColumn("ppl_proxy", exp(col("avg_neg_logscore")))
   }
+
+  // ------------------------------------------------------------------
+  // DSIR — importance resampling toward a target domain
+  // ------------------------------------------------------------------
+
+  /** Per-document hashed n-gram feature-bucket multiplicities
+    * `(id, bucket, m)` — the DSIR feature space (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023: hashed unigram+bigram bag features). The bucket is the first
+    * `hexChars` hex digits of md5(gram) — a STRING key, so the same
+    * bucketing runs bit-identically in any engine with md5 (the
+    * [[sampleKeep]] portability argument applied to feature hashing;
+    * `B = 16^hexChars` buckets).
+    *
+    * One scan: tokens project → pinned repartition on `id` (the
+    * [[gramIndex]] anti-collapse/parallelism exchange) → one explode of
+    * unigrams ++ bigram strings → count. No `>= 2`-token floor — a
+    * 1-token doc still has its unigram feature ([[tokFrame]]'s floor is
+    * an LM-bigram concern, not a bag-of-features one). The bigram array
+    * is guarded `when(size >= 2, ...)` because Spark's `sequence(1, 0)`
+    * DESCENDS rather than yielding empty.
+    */
+  private def featureBuckets(
+      df: DataFrame, textCol: String, idCol: String,
+      hexChars: Int): DataFrame = {
+    val toks = df
+      .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      .repartition(
+        math.max(df.sparkSession.sparkContext.defaultParallelism,
+          df.sparkSession.sessionState.conf.numShufflePartitions),
+        col("id"))
+    val bigrams = when(size(col("_graft_toks")) >= 2,
+      transform(sequence(lit(1), size(col("_graft_toks")) - 1), i =>
+        concat_ws(" ",
+          element_at(col("_graft_toks"), i),
+          element_at(col("_graft_toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    toks
+      .select(col("id"),
+        explode(concat(col("_graft_toks"), bigrams)).as("gram"))
+      .select(col("id"), substring(md5(col("gram")), 1, hexChars).as("bucket"))
+      // id-hash partitioning already clusters (id, bucket) — no new
+      // exchange here, just a partial+final agg on the existing layout
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+  }
+
+  /** A fitted DSIR model: hashed-bucket counts under the TARGET
+    * distribution and the RAW distribution, plus their 1-row totals —
+    * all DataFrames (never driver-materialized), model-sized
+    * (`<= 16^hexChars` rows per side regardless of corpus size).
+    */
+  final case class DsirModel(
+      targetCounts: DataFrame, // (bucket, tc)
+      rawCounts: DataFrame, // (bucket, rc)
+      totals: DataFrame, // 1 row (t_tot, r_tot)
+      buckets: Long) // B = 16^hexChars
+
+  /** DSIR importance weighting (Xie et al., NeurIPS 2023): estimate
+    * hashed-feature multinomials for the small TARGET domain (p) and
+    * the large RAW corpus (q), then weight every raw document by
+    * `log w = Σ_b m_b · (log p̂_b − log q̂_b)` with add-`k` smoothed
+    * bucket probabilities `p̂_b = (tc_b + k)/(T + kB)`. High-weight
+    * documents look like the target domain; [[dsirResample]] draws the
+    * Gumbel top-k sample the paper prescribes.
+    *
+    * Output per RAW doc (every raw row emitted, featureless docs with
+    * zeros — filters must be able to account for every input):
+    *  - `n_feats`      — unigram+bigram occurrences (BIGINT)
+    *  - `target_mass`  — `Σ_b m_b · tc_b` (BIGINT: how much of the
+    *                     doc's feature mass the target model has seen)
+    *  - `raw_mass`     — `Σ_b m_b · rc_b` (BIGINT)
+    *  - `n_oov_target` — occurrences in buckets the target never hit
+    * These four integer columns are the oracle surface (q126) — exact
+    * sums of exact counts, engine-portable. `log_weight` is the real
+    * DSIR score (transcendental → spec-verified against a closed-form
+    * hand model, CorpusSpec).
+    *
+    * Scale shape (100 TB raw, MB-scale target): the raw corpus is
+    * tokenized ONCE — `rawCounts` re-aggregates the already-reduced
+    * per-doc frame (the [[ngramLmModel]] ctx trick), so the model
+    * branch and the scoring branch share one exchange subtree under
+    * ReuseExchange. Both models are `<= B` rows — broadcast-sized by
+    * construction (AQE turns the bucket joins into broadcasts), and the
+    * only full-width shuffle is the feature count on `id`-partitioned
+    * data. The target side is a second, much smaller scan.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      hexChars: Int = 3,
+      k: Long = 1L): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    require(k > 0, "add-k smoothing needs k > 0")
+    val b = math.pow(16.0, hexChars.toDouble).toLong
+    val rawPerDoc = featureBuckets(raw, textCol, idCol, hexChars)
+    val tc = featureBuckets(target, textCol, idCol, hexChars)
+      .groupBy(col("bucket")).agg(sum(col("m")).as("tc"))
+    val rc = rawPerDoc.groupBy(col("bucket")).agg(sum(col("m")).as("rc"))
+    // coalesce: sum over ZERO rows is null — an empty target corpus
+    // must degrade to the smoothing-only model (p̂_b = 1/B), not null
+    // out every weight
+    val totals = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
+      .crossJoin(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("r_tot")))
+    val logP = log((col("tc") + lit(k)).cast("double") /
+      (col("t_tot") + lit(k) * lit(b)).cast("double"))
+    val logQ = log((col("rc") + lit(k)).cast("double") /
+      (col("r_tot") + lit(k) * lit(b)).cast("double"))
+    val scored = rawPerDoc
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("m"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        col("t_tot"), col("r_tot"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("m")).as("n_feats"),
+        sum(col("m") * col("tc")).as("target_mass"),
+        sum(col("m") * col("rc")).as("raw_mass"),
+        sum(when(col("tc") === 0L, col("m")).otherwise(0L)).as("n_oov_target"),
+        sum(col("m").cast("double") * (logP - logQ)).as("log_weight"))
+    raw.select(cr(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("target_mass"), lit(0L)).as("target_mass"),
+        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
+        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
+  /** Gumbel top-`n` importance resampling over [[dsirWeights]] output —
+    * the DSIR paper's sampling-without-replacement step: draw
+    * `g_i ~ Gumbel(0,1)` per doc and keep the `n` largest
+    * `log_weight + g`. The Gumbel draw is DETERMINISTIC: the uniform is
+    * the first 8 md5 hex digits of `salt ++ id` mapped to (0,1) (the
+    * [[sampleKeep]] hash-uniform, offset by +0.5/2^32 so `-ln(-ln u)`
+    * never sees 0) — reproducible across runs, partitionings, and
+    * engines, re-seedable via `salt`. TakeOrdered keeps the top-n
+    * selection distributed (per-partition heaps, no full sort).
+    */
+  def dsirResample(
+      scored: DataFrame, idCol: String, n: Int,
+      salt: String = "dsir"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val gumbel = -log(-log(u))
+    scored
+      .withColumn("gumbel_key", col("log_weight") + gumbel)
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(n)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact duplicate-span detection (Lee et al., ACL 2022)
+  // ------------------------------------------------------------------
+
+  /** Cross-document duplicate-span detection — the exact-substring
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022), §4.1. Their suffix-array finds
+    * duplicated substrings of ANY length >= 50 tokens; the
+    * shuffle-friendly equivalent here fingerprints every `n`-token
+    * window and counts, per document, the window positions whose span
+    * text also occurs in AT LEAST ONE OTHER document (a duplicated
+    * substring of length >= L contains a duplicated n-window at every
+    * offset, so window hits are a complete detector for spans >= n —
+    * the standard windowed approximation of the suffix-array method).
+    * Within-doc repetition deliberately does NOT count ([[q76]]'s
+    * repetition signal owns that); a span flagged here is interesting
+    * precisely because another document has it.
+    *
+    * Output per input doc (every row emitted): `n_spans`
+    * (`max(|tokens| - n + 1, 0)`), `n_dup_spans` (window positions
+    * whose span occurs in >= 2 docs), `has_dup`. All integer/boolean —
+    * the full row is the oracle surface (q127).
+    *
+    * Scale shape: one tokens scan feeds both the span explode and the
+    * `n_spans` projection through the pinned `id`-repartition
+    * (ReuseExchange — one tokenize). Spans are hashed to 64-bit
+    * ([[exactNgramPairs]]'s xxhash64 posture: joins move slim longs,
+    * never 8-word strings); per-doc multiplicities reduce on the
+    * existing `id` partitioning; the only new shuffles are the
+    * doc-frequency count on the hash and the keyed join back — both
+    * partial-aggregated, never all-pairs. A hot span (boilerplate in
+    * millions of docs) is one counter cell here, not a join blow-up:
+    * the doc-count aggregate reduces it before anything fans out.
+    */
+  def duplicateSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "span windows need n >= 2")
+    val base = df
+      .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      .repartition(
+        math.max(df.sparkSession.sparkContext.defaultParallelism,
+          df.sparkSession.sessionState.conf.numShufflePartitions),
+        col("id"))
+    val spans = base
+      .select(col("id"), explode(
+        when(size(col("_graft_toks")) >= n,
+          transform(sequence(lit(1), size(col("_graft_toks")) - (n - 1)), i =>
+            xxhash64(concat_ws(" ", slice(col("_graft_toks"), i, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as("h"))
+    val perDoc = spans.groupBy(col("id"), col("h")).agg(count(lit(1)).as("m"))
+    // (id, h) is unique after the reduce, so count(*) per h IS the
+    // distinct-doc frequency — derived from the reduced frame, never
+    // the raw span stream
+    val docFreq = perDoc.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    val dup = perDoc
+      .join(docFreq.filter(col("ndocs") >= 2), Seq("h"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_dup_spans"))
+    base
+      .select(col("id"),
+        greatest(size(col("_graft_toks")) - (n - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("has_dup", col("n_dup_spans") > 0L)
+  }
+
+  // ------------------------------------------------------------------
+  // C4 page/line cleaning (Raffel et al., JMLR 2020 §2.2)
+  // ------------------------------------------------------------------
+
+  /** The C4 cleaning rules (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+    * 2020, §2.2), as one declarative pass. Line level — a line survives
+    * iff it ends in a terminal punctuation mark (`. ! ? "`), contains
+    * at least 3 words, and does not mention "javascript"
+    * (case-insensitive). Page level — a page is kept iff its RETAINED
+    * text carries at least 5 sentence-terminal marks (`. ! ?` — C4
+    * counts sentences; terminal-mark count is the declarative proxy,
+    * exact on prose where sentences end in exactly one mark), the
+    * original page does not contain any `badPhrases` entry
+    * (case-insensitive; C4 uses the public "Dirty, Naughty…" blocklist
+    * — supply it here; the default bans only `lorem ipsum`, C4's
+    * placeholder-text rule), and does not contain a curly bracket.
+    *
+    * Every page is emitted with its cleaned text and a `kept` flag —
+    * dropping is the caller's one-line filter, and audit queries can
+    * account for every input page. All columns are strings / exact
+    * integers / booleans: the whole row is the oracle surface (q128).
+    *
+    * Scale shape: pure per-row narrow work — no shuffle at all; the
+    * operator pipelines inside whole-stage codegen on whatever
+    * partitioning the scan provides, so at 100 TB it is scan-bound (the
+    * correct cost for a cleaning pass).
+    */
+  def c4Clean(
+      df: DataFrame, textCol: String, idCol: String,
+      badPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    val text = cr(textCol)
+    val lines = split(text, "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(keptLines, "\n")
+    val nSentences = (length(clean) -
+      length(regexp_replace(clean, "[.!?]", ""))).cast("long")
+    val badHit = badPhrases
+      .map(p => lower(text).contains(p.toLowerCase(java.util.Locale.ROOT)))
+      .foldLeft(lit(false))(_ || _)
+    df.select(
+      cr(idCol).as("id"),
+      clean.as("text"),
+      size(lines).cast("long").as("n_lines"),
+      size(keptLines).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      (nSentences >= 5L && !badHit && !text.contains("{")).as("kept"))
+  }
 }

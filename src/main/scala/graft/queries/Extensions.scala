@@ -1336,6 +1336,80 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** DSIR importance weighting end-to-end (Xie et al., NeurIPS 2023):
+    * fit the hashed unigram+bigram bucket models with the raw/target
+    * split on the q78 convention (raw = doc_id % 10 != 0, target =
+    * % 10 == 0), score every raw doc, and gate the four integer-exact
+    * mass columns (`n_feats`/`target_mass`/`raw_mass`/`n_oov_target` —
+    * exact BIGINT sums of exact counts over the engine-portable
+    * md5-prefix buckets). The transcendental `log_weight` stays out of
+    * the oracle per the q121 no-transcendentals rule; CorpusSpec pins
+    * it against a closed-form hand model. hexChars = 2 (256 buckets)
+    * so the gate exercises real bucket collisions, not a one-gram-per-
+    * bucket degenerate table.
+    */
+  def qC17DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.Corpus.dsirWeights(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", hexChars = 2)
+      .select(col("id"), col("n_feats"), col("target_mass"),
+        col("raw_mass"), col("n_oov_target"))
+      .orderBy(col("id"))
+  }
+
+  /** Cross-document duplicate-span detection end-to-end (Lee et al.,
+    * ACL 2022 — the windowed exact-substring signal): every doc gets a
+    * closing line planted under its body — a SHARED 12-token promo on
+    * doc_id % 3 == 0 (its five interior 8-token windows duplicate
+    * across every planted doc), a doc-unique closer otherwise — then
+    * [[graft.operators.Corpus.duplicateSpans]] must count exactly the
+    * window positions whose span text occurs in >= 2 docs. Whole row is
+    * exact (BIGINT counts + flag); oracle = the identical windowing in
+    * SQL over the same planted construction.
+    */
+  def qC18DuplicateSpans(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat_ws("\n", col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("please share this exclusive report with every colleague in your team today"))
+          .otherwise(concat(lit("unique closing line number "), col("doc_id"))))
+        .as("text"))
+    graft.operators.Corpus.duplicateSpans(messy, "text", "doc_id", n = 8)
+      .orderBy(col("id"))
+  }
+
+  /** C4 cleaning end-to-end (Raffel et al., JMLR 2020 §2.2): each doc
+    * becomes a page of planted lines around its text — a keeper
+    * sentence, a 2-word fragment, a no-punctuation line, a javascript
+    * notice, and a 4-sentence paragraph — with `lorem ipsum` planted on
+    * doc_id % 7 == 0 and a curly bracket on % 11 == 0 so the page
+    * filter actually fires both ways. [[graft.operators.Corpus.c4Clean]]
+    * must drop exactly the junk lines and flag exactly the poisoned
+    * pages; the whole row (cleaned text, line/sentence counts, kept
+    * flag) is string/integer-exact, oracle = the character-identical
+    * rule chain in SQL.
+    */
+  def qC19C4Clean(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(lit("the daily "), col("source"), lit(" report is ready today.")),
+        lit("short line"),
+        col("text"),
+        lit("Please enable JavaScript to view this page."),
+        when(col("doc_id") % 7 === 0,
+          lit("filler begins with lorem ipsum dolor sit amet."))
+          .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+        when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+          .otherwise(lit("clean final line stands here.")))
+        .as("text"))
+    graft.operators.Corpus.c4Clean(messy, "text", "doc_id")
+      .orderBy(col("id"))
+  }
+
   /** HTML → text extraction end-to-end: document text wrapped in
     * realistic markup (style/script blocks, comments, attributes, the
     * six common entities incl. a double-escaped `&amp;lt;`), then
@@ -1922,7 +1996,10 @@ object Extensions {
     "q122_semantic_decontam" -> qV7SemanticDecontam _,
     "q123_trigram_lm_score" -> qC15TrigramLmScore _,
     "q124_semantic_decontam_lsh" -> qV8SemanticDecontamLsh _,
-    "q125_fivegram_lm_score" -> qC16FivegramLmScore _)
+    "q125_fivegram_lm_score" -> qC16FivegramLmScore _,
+    "q126_dsir_weights" -> qC17DsirWeights _,
+    "q127_duplicate_spans" -> qC18DuplicateSpans _,
+    "q128_c4_clean" -> qC19C4Clean _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2766,6 +2843,96 @@ object Extensions {
            CAST(sum(CASE WHEN NOT t5 AND NOT t4 AND NOT t3 AND NOT t2
                     AND NOT t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
          FROM sc GROUP BY id ORDER BY id""",
+    // q126: DSIR hashed-feature masses. Buckets are md5-hex prefixes
+    // (engine-portable strings, like every sampling oracle here); only
+    // the four exact BIGINT mass columns are gated, log_weight stays in
+    // CorpusSpec per the no-transcendentals rule.
+    "q126_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS (SELECT doc_id, unnest(list_concat(toks,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM d),
+         pd AS (SELECT doc_id, substr(md5(gram), 1, 2) AS bucket,
+                  CAST(count(*) AS BIGINT) AS m FROM f GROUP BY 1, 2),
+         tc AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS tc FROM pd
+                WHERE doc_id % 10 = 0 GROUP BY 1),
+         rp AS (SELECT * FROM pd WHERE doc_id % 10 <> 0),
+         rc AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS rc FROM rp GROUP BY 1),
+         sc AS (SELECT doc_id AS id, CAST(sum(m) AS BIGINT) AS n_feats,
+                  CAST(sum(m * coalesce(tc, 0)) AS BIGINT) AS target_mass,
+                  CAST(sum(m * coalesce(rc, 0)) AS BIGINT) AS raw_mass,
+                  CAST(sum(CASE WHEN tc IS NULL THEN m ELSE 0 END) AS BIGINT)
+                    AS n_oov_target
+                FROM rp LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+                GROUP BY 1)
+         SELECT doc_id AS id,
+           coalesce(n_feats, 0) AS n_feats,
+           coalesce(target_mass, 0) AS target_mass,
+           coalesce(raw_mass, 0) AS raw_mass,
+           coalesce(n_oov_target, 0) AS n_oov_target
+         FROM documents LEFT JOIN sc ON sc.id = doc_id
+         WHERE doc_id % 10 <> 0 ORDER BY id""",
+    // q127: identical 8-token windowing over the planted construction;
+    // the engine counts hashed spans (xxhash64), the oracle counts the
+    // strings themselves — identical tallies absent a 64-bit collision
+    // (the q77 posture).
+    "q127_duplicate_spans" ->
+      s"""WITH msy AS (SELECT doc_id, text || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               'please share this exclusive report with every colleague in your team today'
+             ELSE 'unique closing line number ' || CAST(doc_id AS VARCHAR) END
+             AS text FROM documents),
+         d AS (SELECT doc_id, $toks AS toks FROM msy),
+         sp AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 7)) AS i FROM d)),
+         pd AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS m
+                FROM sp GROUP BY 1, 2),
+         dc AS (SELECT gram, count(*) AS ndocs FROM pd GROUP BY 1),
+         du AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS nd FROM pd
+                JOIN dc USING (gram) WHERE ndocs >= 2 GROUP BY 1)
+         SELECT d.doc_id AS id,
+           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_spans,
+           coalesce(nd, 0) AS n_dup_spans,
+           coalesce(nd, 0) > 0 AS has_dup
+         FROM d LEFT JOIN du ON du.doc_id = d.doc_id ORDER BY id""",
+    // q128: the character-identical C4 rule chain (line keep = terminal
+    // punct + >= 3 words + no "javascript"; page keep = >= 5 terminal
+    // marks in retained text, no "lorem ipsum", no curly bracket) over
+    // the same planted page. DuckDB regexp_replace needs the 'g' flag
+    // to match Spark's global-by-default replace.
+    "q128_c4_clean" ->
+      """WITH msy AS (SELECT doc_id,
+             'the daily ' || source || ' report is ready today.' || chr(10) ||
+             'short line' || chr(10) || text || chr(10) ||
+             'Please enable JavaScript to view this page.' || chr(10) ||
+             CASE WHEN doc_id % 7 = 0 THEN
+               'filler begins with lorem ipsum dolor sit amet.'
+             ELSE 'one more sentence lands here! does a question count? yes it does. the paragraph closes now.'
+             END || chr(10) ||
+             CASE WHEN doc_id % 11 = 0 THEN 'template artifact { left behind.'
+             ELSE 'clean final line stands here.' END AS text
+           FROM documents),
+         r AS (SELECT doc_id, text, string_split(text, chr(10)) AS al,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                 w -> len(w) > 0)) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kl
+           FROM msy),
+         c AS (SELECT doc_id, text, al, kl,
+             array_to_string(kl, chr(10)) AS clean FROM r)
+         SELECT doc_id AS id, clean AS text,
+           CAST(len(al) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_lines_kept,
+           CAST(len(clean) - len(regexp_replace(clean, '[.!?]', '', 'g'))
+             AS BIGINT) AS n_sentences,
+           (len(clean) - len(regexp_replace(clean, '[.!?]', '', 'g')) >= 5
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')) AS kept
+         FROM c ORDER BY id""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.
     "q116_dedup_paragraphs" ->

@@ -549,4 +549,219 @@ class CorpusSpec extends SparkSpec {
     // tier counts partition n_ngrams exactly
     a.values.foreach { case (n, t, bi, u, z) => assert(t + bi + u + z == n) }
   }
+
+  // --------------------------------------------------------------- DSIR
+
+  /** Code-independent replica of the DSIR feature/weight math: plain
+    * Scala tokenize → unigram+bigram → md5-prefix bucket → smoothed
+    * log ratio, no Spark anywhere. The operator must match it exactly.
+    */
+  private def dsirOracle(
+      raw: Seq[(Long, String)], target: Seq[(Long, String)],
+      hexChars: Int, k: Long): Map[Long, (Long, Long, Long, Long, Double)] = {
+    def toksOf(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(t: String): Seq[String] = {
+      val w = toksOf(t)
+      (w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(g => md5hex(g).take(hexChars))
+    }
+    def counts(c: Seq[(Long, String)]): Map[String, Long] =
+      c.flatMap(d => feats(d._2)).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val tc = counts(target)
+    val rc = counts(raw)
+    val (tTot, rTot) = (tc.values.sum, rc.values.sum)
+    val b = math.pow(16.0, hexChars.toDouble).toLong
+    raw.map { case (id, text) =>
+      val f = feats(text).groupBy(identity).map { case (bk, v) => bk -> v.size.toLong }
+      val nf = f.values.sum
+      val tm = f.map { case (bk, m) => m * tc.getOrElse(bk, 0L) }.sum
+      val rm = f.map { case (bk, m) => m * rc.getOrElse(bk, 0L) }.sum
+      val oov = f.collect { case (bk, m) if !tc.contains(bk) => m }.sum
+      val lw = f.map { case (bk, m) =>
+        m * (math.log((tc.getOrElse(bk, 0L) + k).toDouble / (tTot + k * b)) -
+          math.log((rc.getOrElse(bk, 0L) + k).toDouble / (rTot + k * b)))
+      }.sum
+      id -> (nf, tm, rm, oov, lw)
+    }.toMap
+  }
+
+  test("dsirWeights matches the code-independent hand model exactly") {
+    val raw = Seq(
+      (0L, "spark streams shuffle data fast"),
+      (1L, "medical notes about patient care"),
+      (2L, "x"), // 1 token: unigram feature only, no bigram
+      (3L, "")) // featureless → zeros, weight 0
+    val target = Seq((100L, "medical notes on patient treatment and care"))
+    val got = Corpus.dsirWeights(
+      raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"),
+      "text", "doc_id", hexChars = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val want = dsirOracle(raw, target, hexChars = 2, k = 1L) + (3L -> (0L, 0L, 0L, 0L, 0.0))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nf, tm, rm, oov, lw)) =>
+      val (wnf, wtm, wrm, woov, wlw) = want(id)
+      assert((nf, tm, rm, oov) == (wnf, wtm, wrm, woov), s"doc $id integer cols")
+      assert(math.abs(lw - wlw) < 1e-12, s"doc $id log_weight $lw vs $wlw")
+    }
+    // the target-matching doc must outrank the off-domain one
+    assert(got(1L)._5 > got(0L)._5)
+  }
+
+  test("dsirWeights degrades to the smoothing-only model on an empty target") {
+    val raw = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val target = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Corpus.dsirWeights(raw, target, "text", "doc_id", hexChars = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    // every feature is target-OOV; log p̂ = log(1/B) is finite, never null
+    assert(got.values.forall { case (oov, lw) => oov == 3L && !lw.isNaN })
+    val want = dsirOracle(Seq((0L, "a b"), (1L, "c d")), Seq.empty, 2, 1L)
+    got.foreach { case (id, (_, lw)) =>
+      assert(math.abs(lw - want(id)._5) < 1e-12)
+    }
+  }
+
+  test("dsirWeights is input-partitioning invariant") {
+    val raw = docs.filter(col("doc_id") % 2 === 0)
+    val target = docs.filter(col("doc_id") % 2 =!= 0)
+    val a = Corpus.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val b = Corpus.dsirWeights(raw.repartition(7), target.repartition(3), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(a == b)
+    assert(a.keySet == Set(0L, 2L, 4L)) // every raw doc emitted, incl. empty-text
+  }
+
+  test("dsirResample draws the deterministic Gumbel top-n") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scored = Seq((1L, 0.0), (2L, 1.5), (3L, -0.5), (4L, 0.7), (5L, 0.2))
+      .toDF("doc_id", "log_weight")
+    def key(id: Long, salt: String): Double = {
+      val u = (java.lang.Long.parseLong(md5hex(salt + id).take(8), 16) + 0.5) / 4294967296.0
+      val w = Map(1L -> 0.0, 2L -> 1.5, 3L -> -0.5, 4L -> 0.7, 5L -> 0.2)(id)
+      w - math.log(-math.log(u))
+    }
+    val want = (1L to 5L).sortBy(id => -key(id, "dsir")).take(2).toSet
+    val got = Corpus.dsirResample(scored, "doc_id", n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // re-running and re-partitioning reproduce the same draw; a new salt
+    // is a fresh draw over the same weights
+    val again = Corpus.dsirResample(scored.repartition(4), "doc_id", n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    val salted = Corpus.dsirResample(scored, "doc_id", n = 2, salt = "seed2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted == (1L to 5L).sortBy(id => -key(id, "seed2")).take(2).toSet)
+  }
+
+  // ---------------------------------------------------- duplicate spans
+
+  test("duplicateSpans counts exactly the cross-doc duplicated windows") {
+    val d = Seq(
+      // 0 and 1 share the 4-token span "one two three four" planted in
+      // different surroundings
+      (0L, "alpha one two three four beta"),
+      (1L, "gamma delta one two three four"),
+      // 2 repeats a span WITHIN itself only — must not count
+      (2L, "p q r s p q r s"),
+      (3L, "totally unrelated words entirely here"),
+      (4L, "tiny")) // < n tokens → 0 spans
+      .toDF("doc_id", "text")
+    val got = Corpus.duplicateSpans(d, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // doc 0: 3 windows, 1 dup ("one two three four"); doc 1: same
+    assert(got(0L) == (3L, 1L, true))
+    assert(got(1L) == (3L, 1L, true))
+    // doc 2: 5 windows of 4 over 8 tokens; "p q r s" occurs at offsets
+    // 1 and 5 but only in THIS doc → not cross-doc, nothing flagged
+    assert(got(2L) == (5L, 0L, false))
+    assert(got(3L) == (2L, 0L, false))
+    assert(got(4L) == (0L, 0L, false))
+  }
+
+  test("duplicateSpans counts multiplicity of a cross-doc span") {
+    // doc 0 contains the shared span TWICE → both positions count
+    val d = Seq(
+      (0L, "a b c d x a b c d"),
+      (1L, "z z a b c d")).toDF("doc_id", "text")
+    val got = Corpus.duplicateSpans(d, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) == 2L)
+    assert(got(1L) == 1L)
+  }
+
+  test("duplicateSpans is input-partitioning invariant") {
+    val a = Corpus.duplicateSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Corpus.duplicateSpans(docs.repartition(7), "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    assert(a.size == docs.count()) // every doc emitted, incl. empty text
+  }
+
+  // ------------------------------------------------------------ C4 clean
+
+  test("c4Clean applies each line rule independently") {
+    val page = Seq((0L, Seq(
+      "this sentence properly ends with a period.", // kept
+      "no terminal punctuation on this line", // dropped: punct
+      "two words.", // dropped: < 3 words
+      "she said \"stay right there.\"", // kept: ends in quote
+      "Enable JavaScript to continue browsing now.", // dropped: javascript
+      "is this a kept question?", // kept
+      "short one." // dropped: 2 words
+    ).mkString("\n"))).toDF("doc_id", "text")
+    val r = Corpus.c4Clean(page, "text", "doc_id").collect().head
+    assert(r.getString(1) == Seq(
+      "this sentence properly ends with a period.",
+      "she said \"stay right there.\"",
+      "is this a kept question?").mkString("\n"))
+    assert((r.getLong(2), r.getLong(3)) == (7L, 3L))
+  }
+
+  test("c4Clean page filters: sentence floor, bad phrase, curly bracket") {
+    val pages = Seq(
+      // 5 one-sentence keeper lines → exactly at the floor, kept
+      (0L, (1 to 5).map(i => s"sentence number $i stands complete here.").mkString("\n")),
+      // 4 sentences → below the floor
+      (1L, (1 to 4).map(i => s"sentence number $i stands complete here.").mkString("\n")),
+      // enough sentences but poisoned by placeholder text
+      (2L, (1 to 5).map(i => s"sentence number $i stands complete here.").mkString("\n") +
+        "\nthe lorem ipsum generator left this behind."),
+      // enough sentences but a curly bracket anywhere on the page kills it
+      (3L, (1 to 5).map(i => s"sentence number $i stands complete here.").mkString("\n") +
+        "\nif (x) { return; }"),
+      (4L, "")) // empty page: 0 sentences, dropped
+      .toDF("doc_id", "text")
+    val got = Corpus.c4Clean(pages, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(0L) == (5L, true))
+    assert(got(1L) == (4L, false))
+    assert(got(2L)._2 == false)
+    assert(got(3L)._2 == false)
+    assert(got(4L) == (0L, false))
+  }
+
+  test("c4Clean custom bad-phrase list and in-line sentence marks") {
+    val pages = Seq(
+      (0L, "one full sentence sits here! two more sentences follow now. three lands here? four arrives now. five closes it out."),
+      (1L, "one full sentence sits here! two more sentences follow now. three lands here? four arrives now. five closes THE CASINO out."))
+      .toDF("doc_id", "text")
+    val got = Corpus.c4Clean(pages, "text", "doc_id", badPhrases = Seq("casino"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    // a single LINE carrying 5 sentences passes the floor (marks are
+    // counted in retained text, not per line)
+    assert(got(0L) == (5L, true))
+    assert(got(1L)._2 == false) // case-insensitive phrase hit
+  }
 }
