@@ -1396,6 +1396,13 @@ object Corpus {
     require(n >= 2, "span windows need n >= 2")
     val base = df
       .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      // null ids can never equi-join back to the reinstating left join
+      // (which emits them with zeros regardless) — and filtering them
+      // HERE, below the pinned exchange, keeps the two consumer
+      // subtrees identical: the outer join infers isnotnull(id) into
+      // the per-doc branch only, and an asymmetric filter would defeat
+      // ReuseExchange (measured: 2 corpus tokenizes → 1)
+      .filter(col("id").isNotNull)
       .repartition(
         math.max(df.sparkSession.sparkContext.defaultParallelism,
           df.sparkSession.sessionState.conf.numShufflePartitions),
@@ -1407,20 +1414,33 @@ object Corpus {
             xxhash64(concat_ws(" ", slice(col("_graft_toks"), i, lit(n))))))
           .otherwise(array().cast("array<long>"))).as("h"))
     val perDoc = spans.groupBy(col("id"), col("h")).agg(count(lit(1)).as("m"))
-    // (id, h) is unique after the reduce, so count(*) per h IS the
+    // (id, h) is unique after the reduce, so counting per h IS the
     // distinct-doc frequency — derived from the reduced frame, never
-    // the raw span stream
-    val docFreq = perDoc.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-    val dup = perDoc
-      .join(docFreq.filter(col("ndocs") >= 2), Seq("h"))
+    // the raw span stream. count(m) not count(1): m is never null, the
+    // tally is identical, but referencing m stops column pruning from
+    // rewriting THIS branch's perDoc into a plain distinct — a
+    // different subtree that would break exchange reuse with the join
+    // branch and tokenize the corpus twice.
+    val docFreq = perDoc.groupBy(col("h")).agg(count(col("m")).as("ndocs"))
+    // ONE aggregation branch computes both totals: every perDoc row
+    // matches exactly one docFreq row (constant fan-in), so n_spans =
+    // Σm rides the same join that classifies duplicates. A separate
+    // n_spans projection off `base` would sit LEFT of the reinstating
+    // outer join while this branch sits right — the join-inferred
+    // isnotnull(id) on the right side then breaks subtree reuse and the
+    // corpus tokenizes twice (measured: 2 text scans → 1).
+    val agg = perDoc
+      .join(docFreq, Seq("h"))
       .groupBy(col("id"))
-      .agg(sum(col("m")).as("n_dup_spans"))
-    base
+      .agg(
+        sum(col("m")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("m")).otherwise(0L)).as("n_dup_spans"))
+    // reinstate span-less docs (< n tokens / empty text) from a slim
+    // id-only scan — column pruning keeps the text out of this branch
+    df.select(cr(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
       .select(col("id"),
-        greatest(size(col("_graft_toks")) - (n - 1), lit(0))
-          .cast("long").as("n_spans"))
-      .join(dup, Seq("id"), "left")
-      .select(col("id"), col("n_spans"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
       .withColumn("has_dup", col("n_dup_spans") > 0L)
   }
@@ -1448,32 +1468,32 @@ object Corpus {
     * account for every input page. All columns are strings / exact
     * integers / booleans: the whole row is the oracle surface (q128).
     *
-    * Scale shape: pure per-row narrow work — no shuffle at all; the
-    * operator pipelines inside whole-stage codegen on whatever
-    * partitioning the scan provides, so at 100 TB it is scan-bound (the
-    * correct cost for a cleaning pass).
+    * Scale shape: pure per-row narrow work — no shuffle at all, so at
+    * 100 TB it is scan-bound (the correct cost for a cleaning pass).
+    * The line rules run in ONE codegen'd pass per page
+    * ([[graft.plans.C4StatsExpr]]): a composed-builtins formulation
+    * consumes the filtered-lines lambda four ways, and higher-order
+    * functions evaluate interpreted with no common-subexpression
+    * elimination — CollapseProject would re-run the whole chain once
+    * per consumer (the [[gramIndex]] re-evaluation trap). The page
+    * rules stay declarative builtins (cheap `contains` probes on the
+    * raw text; CSE dedups them).
     */
   def c4Clean(
       df: DataFrame, textCol: String, idCol: String,
       badPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
     val text = cr(textCol)
-    val lines = split(text, "\n")
-    val keptLines = filter(lines, l =>
-      trim(l).rlike("[.!?\"]$") &&
-        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 3 &&
-        !lower(l).contains("javascript"))
-    val clean = array_join(keptLines, "\n")
-    val nSentences = (length(clean) -
-      length(regexp_replace(clean, "[.!?]", ""))).cast("long")
+    val st = graft.plans.C4StatsExpr(text)
     val badHit = badPhrases
       .map(p => lower(text).contains(p.toLowerCase(java.util.Locale.ROOT)))
       .foldLeft(lit(false))(_ || _)
     df.select(
       cr(idCol).as("id"),
-      clean.as("text"),
-      size(lines).cast("long").as("n_lines"),
-      size(keptLines).cast("long").as("n_lines_kept"),
-      nSentences.as("n_sentences"),
-      (nSentences >= 5L && !badHit && !text.contains("{")).as("kept"))
+      st.getField("clean").as("text"),
+      st.getField("n_lines").cast("long").as("n_lines"),
+      st.getField("n_lines_kept").cast("long").as("n_lines_kept"),
+      st.getField("n_sentences").cast("long").as("n_sentences"),
+      (st.getField("n_sentences").cast("long") >= 5L &&
+        !badHit && !text.contains("{")).as("kept"))
   }
 }
