@@ -1227,6 +1227,12 @@ object Corpus {
       hexChars: Int): DataFrame = {
     val toks = df
       .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+      // null ids never join back through the reinstating outer join
+      // (which emits them with zeros regardless); filtering below the
+      // pinned exchange also keeps every consumer subtree identical so
+      // ReuseExchange holds even when the caller's input carries no
+      // id-constraining filter of its own (the duplicateSpans lesson)
+      .filter(col("id").isNotNull)
       .repartition(
         math.max(df.sparkSession.sparkContext.defaultParallelism,
           df.sparkSession.sessionState.conf.numShufflePartitions),
@@ -1251,12 +1257,89 @@ object Corpus {
     * distribution and the RAW distribution, plus their 1-row totals —
     * all DataFrames (never driver-materialized), model-sized
     * (`<= 16^hexChars` rows per side regardless of corpus size).
+    * Persist the three members before repeated scoring (streaming
+    * micro-batches, multiple corpora) — the [[LmModel]] advice.
     */
   final case class DsirModel(
       targetCounts: DataFrame, // (bucket, tc)
       rawCounts: DataFrame, // (bucket, rc)
       totals: DataFrame, // 1 row (t_tot, r_tot)
-      buckets: Long) // B = 16^hexChars
+      hexChars: Int) {
+    /** B = 16^hexChars. */
+    def buckets: Long = math.pow(16.0, hexChars.toDouble).toLong
+  }
+
+  /** Fit a [[DsirModel]] — the shared half of [[dsirWeights]], exposed
+    * so batch scoring and streaming micro-batch scoring
+    * ([[graft.streaming.Streams.scoreDsirBatches]]) use one identical
+    * model. Both count sides derive from one [[featureBuckets]] pass
+    * per corpus; the totals re-aggregate the already-reduced bucket
+    * counts (the [[ngramLmModel]] ctx trick), so fitting costs one
+    * scan per side.
+    */
+  def dsirModel(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      hexChars: Int = 3): DsirModel = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    val tc = featureBuckets(target, textCol, idCol, hexChars)
+      .groupBy(col("bucket")).agg(sum(col("m")).as("tc"))
+    val rc = featureBuckets(raw, textCol, idCol, hexChars)
+      .groupBy(col("bucket")).agg(sum(col("m")).as("rc"))
+    // coalesce: sum over ZERO rows is null — an empty target corpus
+    // must degrade to the smoothing-only model (p̂_b = 1/B), not null
+    // out every weight
+    val totals = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
+      .crossJoin(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("r_tot")))
+    DsirModel(tc, rc, totals, hexChars)
+  }
+
+  /** Score `docs` against an already-fitted [[DsirModel]] — see
+    * [[dsirWeights]] for semantics and the column contract. When `docs`
+    * IS the model's raw corpus (the batch path), the feature pass here
+    * is structurally identical to the model's and ReuseExchange
+    * collapses them to one scan; for any other `docs` (a stream
+    * micro-batch, a fresh crawl) only the new docs are scanned.
+    */
+  def scoreWithDsirModel(
+      docs: DataFrame,
+      model: DsirModel,
+      textCol: String,
+      idCol: String,
+      k: Long = 1L): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val b = model.buckets
+    val perDoc = featureBuckets(docs, textCol, idCol, model.hexChars)
+    val logP = log((col("tc") + lit(k)).cast("double") /
+      (col("t_tot") + lit(k) * lit(b)).cast("double"))
+    val logQ = log((col("rc") + lit(k)).cast("double") /
+      (col("r_tot") + lit(k) * lit(b)).cast("double"))
+    val scored = perDoc
+      .join(model.targetCounts, Seq("bucket"), "left")
+      .join(model.rawCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(model.totals))
+      .select(col("id"), col("m"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        col("t_tot"), col("r_tot"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("m")).as("n_feats"),
+        sum(col("m") * col("tc")).as("target_mass"),
+        sum(col("m") * col("rc")).as("raw_mass"),
+        sum(when(col("tc") === 0L, col("m")).otherwise(0L)).as("n_oov_target"),
+        sum(col("m").cast("double") * (logP - logQ)).as("log_weight"))
+    docs.select(cr(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("target_mass"), lit(0L)).as("target_mass"),
+        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
+        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
 
   /** DSIR importance weighting (Xie et al., NeurIPS 2023): estimate
     * hashed-feature multinomials for the small TARGET domain (p) and
@@ -1279,13 +1362,15 @@ object Corpus {
     * hand model, CorpusSpec).
     *
     * Scale shape (100 TB raw, MB-scale target): the raw corpus is
-    * tokenized ONCE — `rawCounts` re-aggregates the already-reduced
-    * per-doc frame (the [[ngramLmModel]] ctx trick), so the model
-    * branch and the scoring branch share one exchange subtree under
-    * ReuseExchange. Both models are `<= B` rows — broadcast-sized by
-    * construction (AQE turns the bucket joins into broadcasts), and the
-    * only full-width shuffle is the feature count on `id`-partitioned
-    * data. The target side is a second, much smaller scan.
+    * tokenized ONCE — the model's `rawCounts` feature pass and the
+    * scoring pass run over structurally identical subtrees, so
+    * ReuseExchange collapses them at the pinned feature exchange
+    * (runtime-audited: one text scan per side plus a column-pruned
+    * id-only scan for reinstatement). Both count sides are `<= B` rows
+    * — broadcast-sized by construction (AQE turns the bucket joins
+    * into broadcasts), and the only full-width shuffle is the feature
+    * count on `id`-partitioned data. The target side is a second, much
+    * smaller scan.
     */
   def dsirWeights(
       raw: DataFrame,
@@ -1293,47 +1378,10 @@ object Corpus {
       textCol: String,
       idCol: String,
       hexChars: Int = 3,
-      k: Long = 1L): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
-    require(k > 0, "add-k smoothing needs k > 0")
-    val b = math.pow(16.0, hexChars.toDouble).toLong
-    val rawPerDoc = featureBuckets(raw, textCol, idCol, hexChars)
-    val tc = featureBuckets(target, textCol, idCol, hexChars)
-      .groupBy(col("bucket")).agg(sum(col("m")).as("tc"))
-    val rc = rawPerDoc.groupBy(col("bucket")).agg(sum(col("m")).as("rc"))
-    // coalesce: sum over ZERO rows is null — an empty target corpus
-    // must degrade to the smoothing-only model (p̂_b = 1/B), not null
-    // out every weight
-    val totals = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("t_tot"))
-      .crossJoin(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("r_tot")))
-    val logP = log((col("tc") + lit(k)).cast("double") /
-      (col("t_tot") + lit(k) * lit(b)).cast("double"))
-    val logQ = log((col("rc") + lit(k)).cast("double") /
-      (col("r_tot") + lit(k) * lit(b)).cast("double"))
-    val scored = rawPerDoc
-      .join(tc, Seq("bucket"), "left")
-      .join(rc, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("id"), col("m"),
-        coalesce(col("tc"), lit(0L)).as("tc"),
-        coalesce(col("rc"), lit(0L)).as("rc"),
-        col("t_tot"), col("r_tot"))
-      .groupBy(col("id"))
-      .agg(
-        sum(col("m")).as("n_feats"),
-        sum(col("m") * col("tc")).as("target_mass"),
-        sum(col("m") * col("rc")).as("raw_mass"),
-        sum(when(col("tc") === 0L, col("m")).otherwise(0L)).as("n_oov_target"),
-        sum(col("m").cast("double") * (logP - logQ)).as("log_weight"))
-    raw.select(cr(idCol).as("id"))
-      .join(scored, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("target_mass"), lit(0L)).as("target_mass"),
-        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
-        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
-        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
-  }
+      k: Long = 1L): DataFrame =
+    scoreWithDsirModel(
+      raw, dsirModel(raw, target, textCol, idCol, hexChars),
+      textCol, idCol, k)
 
   /** Gumbel top-`n` importance resampling over [[dsirWeights]] output —
     * the DSIR paper's sampling-without-replacement step: draw

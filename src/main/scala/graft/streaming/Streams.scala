@@ -369,4 +369,28 @@ object Streams {
           batch, model, textCol, idCol, alpha),
         batchId)
     }
+
+  /** Streaming deployment of DSIR importance weighting
+    * ([[graft.operators.Corpus.scoreWithDsirModel]]): weight a document
+    * STREAM against a batch-fitted [[graft.operators.Corpus.DsirModel]]
+    * — the online form of the paper's selection step (fit p̂/q̂ once on
+    * the static corpora, score each arriving crawl shard). Same
+    * foreachBatch rationale as [[scoreLmBatches]]: per-doc scoring
+    * carries no cross-batch state, and the handler IS the batch
+    * operator (streaming ≡ batch by construction, pinned by
+    * StreamsSpec). Persist the model members before long runs.
+    */
+  def scoreDsirBatches(
+      docs: DataFrame,
+      model: graft.operators.Corpus.DsirModel,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      k: Long = 1L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.scoreWithDsirModel(
+          batch, model, textCol, idCol, k),
+        batchId)
+    }
 }

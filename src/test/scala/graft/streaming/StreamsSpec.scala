@@ -480,4 +480,75 @@ class StreamsSpec extends SparkSpec {
     assert(acc.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
     assert(!acc.exists(_._1 == 2L)) // 2-token doc scores in neither mode
   }
+
+  test("DSIR micro-batch scoring equals the batch operator over the same docs") {
+    implicit val sq = spark.sqlContext
+    val raw = Seq(
+      (10L, "spark shuffles data across executors"),
+      (11L, "medical notes about patient care"),
+      (12L, "web crawl boilerplate text here"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "patient care and medical treatment notes"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Corpus.dsirModel(raw, target, "text", "doc_id", hexChars = 2)
+    val docs = Seq(
+      (0L, "medical notes about patient treatment"), (1L, "spark data"), // batch 1
+      (2L, ""), (3L, "crawl text with patient words")) // batch 2 (doc 2 featureless)
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Double)]
+    val writer = Streams.scoreDsirBatches(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id",
+      (scored, _) => acc.synchronized {
+        acc ++= scored.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5)))
+      })
+    val q = writer.start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Corpus.scoreWithDsirModel(
+      docs.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+    // identical masses AND bit-identical log weights (same plan); the
+    // featureless doc is emitted with zeros in both modes
+    assert(acc.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    assert(acc.exists(t => t._1 == 2L && t._2 == 0L))
+  }
+
+  test("c4Clean runs directly on a streaming frame (stateless narrow op)") {
+    implicit val sq = spark.sqlContext
+    val pages = Seq(
+      (0L, "a good first sentence lands here.\nshort line\nanother kept sentence follows here. and more. and more. and one more."),
+      (1L, "lorem ipsum filler dolor sit amet appears right here. second sentence lands. third one here. fourth now. fifth closes."),
+      (2L, "Enable JavaScript now please.\ntiny"))
+    val input = MemoryStream[(Long, String)]
+    // the operator composes INSIDE readStream — no foreachBatch: it is
+    // pure narrow work, so Structured Streaming accepts it end-to-end
+    val cleaned = graft.operators.Corpus.c4Clean(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("c4_out").start()
+    try {
+      input.addData(pages: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_out")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+      val batch = graft.operators.Corpus.c4Clean(
+        pages.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+      assert(got == batch)
+      assert(got(0L)._5 == true) // 6 sentence marks survive the line filter
+      assert(got(1L)._5 == false) // lorem ipsum page drop
+      assert(got(2L)._5 == false) // javascript line gone, 0 sentences left
+    } finally q.stop()
+  }
 }
