@@ -192,6 +192,46 @@ object TextFunctions {
     * operator is oracle-hashable (same argument as [[redact]]).
     * Non-URL input decomposes to four empty strings, never an error.
     */
+  /** URL canonicalization for web-corpus dedup — RFC 3986 §6
+    * syntax-based normalization plus tracking-parameter stripping (the
+    * cheap first-line dedup every published web pipeline runs before
+    * content hashing; C4 and RefinedWeb both dedup by URL):
+    *  - scheme and host lowercase (ONLY those — path/query stay
+    *    case-sensitive, RFC 3986 §6.2.2.1);
+    *  - default ports dropped (`:80` for http, `:443` for https);
+    *  - fragment dropped (never sent to the server);
+    *  - trailing slashes stripped from the path;
+    *  - query params whose NAME is a known click-tracker dropped
+    *    (`utm_*`, `fbclid`, `gclid`, `msclkid`, `mc_eid`, `ref`,
+    *    `ref_src` — lowercase-convention names, matched
+    *    case-sensitively), empty `&&` segments dropped, `?` dropped
+    *    when nothing survives.
+    * A value without an absolute-URL scheme passes through UNCHANGED —
+    * canonicalization is defined on parseable URLs only, and a
+    * passthrough keeps the operator total (the dedup treats such rows
+    * as their own keys). Every pattern is in the Java∩RE2 subset
+    * (inline `(?i)`, no backreferences) so the DuckDB oracle runs the
+    * character-identical chain (q129).
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = "^(?i)([a-z][a-z0-9+.-]*)://"
+    val s = lower(regexp_extract(c, scheme, 1))
+    val h = lower(regexp_extract(c, scheme + "([^/?#]*)", 2))
+    val p = regexp_extract(c, scheme + "[^/?#]*([^?#]*)", 2)
+    val q = regexp_extract(c, scheme + "[^?#]*\\?([^#]*)", 2)
+    val host = when(s === "http", regexp_replace(h, ":80$", ""))
+      .when(s === "https", regexp_replace(h, ":443$", ""))
+      .otherwise(h)
+    val path = regexp_replace(p, "/+$", "")
+    val keptQ = array_join(filter(split(q, "&"), seg =>
+      seg =!= "" &&
+        !seg.rlike("^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)(=|$)")),
+      "&")
+    when(s === "", c).otherwise(concat(
+      s, lit("://"), host, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
+  }
+
   def urlParts(c: Column): Column = {
     val scheme = "^([a-z][a-z0-9+.-]*)://"
     struct(

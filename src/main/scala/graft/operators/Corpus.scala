@@ -1544,4 +1544,31 @@ object Corpus {
       (st.getField("n_sentences").cast("long") >= 5L &&
         !badHit && !text.contains("{")).as("kept"))
   }
+
+  /** URL-keyed exact dedup — the first dedup stage of every published
+    * web pipeline (C4 and RefinedWeb both dedup fetched pages by URL
+    * before any content hashing): canonicalize each row's URL
+    * ([[TextFunctions.canonicalizeUrl]] — RFC 3986 normalization +
+    * tracker stripping) and keep the minimum-`id` row per canonical
+    * key. Every input row is emitted with its `canonical_url` and a
+    * `keep` flag (audit-transparent, like [[c4Clean]]); non-URL values
+    * pass through canonicalization unchanged and dedup as their own
+    * keys.
+    *
+    * Scale shape: keep-first is min-aggregation + an equi-join back —
+    * both partial-aggregated keyed shuffles on the canonical key —
+    * NOT a per-group sort window: a hot canonical key (a crawl
+    * frontier re-fetching one page millions of times) reduces to one
+    * min cell map-side instead of serializing a single partition sort.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val withCanon = df.select(cr(idCol).as("id"),
+      TextFunctions.canonicalizeUrl(cr(urlCol)).as("canonical_url"))
+    val first = withCanon.groupBy(col("canonical_url"))
+      .agg(min(col("id")).as("_keep_id"))
+    withCanon
+      .join(first, Seq("canonical_url"))
+      .select(col("id"), col("canonical_url"),
+        (col("id") === col("_keep_id")).as("keep"))
+  }
 }

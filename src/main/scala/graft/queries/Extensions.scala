@@ -1410,6 +1410,36 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** URL canonicalization + URL-keyed dedup end-to-end (the C4 /
+    * RefinedWeb first-stage dedup): part rows become planted URLs
+    * exercising every rule — mixed-case scheme/host, explicit `:443`,
+    * trailing slash, `utm_*` tracking params straddling a real param,
+    * fragments, and a non-URL passthrough on p_partkey % 11 — then
+    * [[graft.operators.Corpus.dedupByUrl]] must converge them to
+    * canonical keys and keep exactly the min-id row per key. The
+    * planted key space (type × host-shard × item-id) is smaller than
+    * the part table, so real collisions exist and the keep flag fires
+    * both ways. Whole row exact; oracle = the character-identical
+    * normalization chain in SQL.
+    */
+  def qT16UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val urls = part(s, d).select(
+      col("p_partkey"),
+      when(col("p_partkey") % 11 === 0, col("p_type"))
+        .otherwise(concat(
+          when(col("p_partkey") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          lit("W"), (col("p_partkey") % 5).cast("string"), lit(".Example.org"),
+          when(col("p_partkey") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/catalog/"), lower(regexp_replace(col("p_type"), " ", "-")),
+          when(col("p_partkey") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&item="), (col("p_partkey") % 7).cast("string"),
+          lit("&utm_campaign=q"),
+          when(col("p_partkey") % 6 === 0, lit("#section-2")).otherwise(lit(""))))
+        .as("url"))
+    graft.operators.Corpus.dedupByUrl(urls, "url", "p_partkey")
+      .orderBy(col("id"))
+  }
+
   /** HTML → text extraction end-to-end: document text wrapped in
     * realistic markup (style/script blocks, comments, attributes, the
     * six common entities incl. a double-escaped `&amp;lt;`), then
@@ -1999,7 +2029,8 @@ object Extensions {
     "q125_fivegram_lm_score" -> qC16FivegramLmScore _,
     "q126_dsir_weights" -> qC17DsirWeights _,
     "q127_duplicate_spans" -> qC18DuplicateSpans _,
-    "q128_c4_clean" -> qC19C4Clean _)
+    "q128_c4_clean" -> qC19C4Clean _,
+    "q129_url_dedup" -> qT16UrlDedup _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2933,6 +2964,49 @@ object Extensions {
              AND NOT contains(lower(text), 'lorem ipsum')
              AND NOT contains(text, '{')) AS kept
          FROM c ORDER BY id""",
+    // q129: the character-identical canonicalization chain (group
+    // numbers match the Spark composition: the scheme subpattern is
+    // group 1, the component group 2), then keep-first = min(id) per
+    // canonical key. DuckDB regexp_replace is first-match-only, but
+    // every pattern here (:80$/:443$//+$) can match at most once.
+    "q129_url_dedup" ->
+      """WITH u AS (SELECT p_partkey AS id,
+             CASE WHEN p_partkey % 11 = 0 THEN p_type ELSE
+               (CASE WHEN p_partkey % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+               || 'W' || CAST(p_partkey % 5 AS VARCHAR) || '.Example.org'
+               || (CASE WHEN p_partkey % 3 = 0 THEN ':443' ELSE '' END)
+               || '/catalog/' || lower(replace(p_type, ' ', '-'))
+               || (CASE WHEN p_partkey % 4 = 0 THEN '/' ELSE '' END)
+               || '?utm_source=feed&item=' || CAST(p_partkey % 7 AS VARCHAR)
+               || '&utm_campaign=q'
+               || (CASE WHEN p_partkey % 6 = 0 THEN '#section-2' ELSE '' END)
+             END AS url FROM part),
+         p1 AS (SELECT id, url,
+             lower(regexp_extract(url, '^(?i)([a-z][a-z0-9+.-]*)://', 1)) AS s,
+             lower(regexp_extract(url,
+               '^(?i)([a-z][a-z0-9+.-]*)://([^/?#]*)', 2)) AS h,
+             regexp_extract(url,
+               '^(?i)([a-z][a-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS pth,
+             regexp_extract(url,
+               '^(?i)([a-z][a-z0-9+.-]*)://[^?#]*\?([^#]*)', 2) AS qry
+           FROM u),
+         p2 AS (SELECT id, url, s,
+             CASE WHEN s = 'http' THEN regexp_replace(h, ':80$', '')
+                  WHEN s = 'https' THEN regexp_replace(h, ':443$', '')
+                  ELSE h END AS host,
+             regexp_replace(pth, '/+$', '') AS path,
+             array_to_string(list_filter(string_split(qry, '&'), x ->
+               x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)(=|$)')),
+               '&') AS kq
+           FROM p1),
+         c AS (SELECT id, CASE WHEN s = '' THEN url
+             ELSE s || '://' || host || path ||
+               (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
+             END AS canonical_url FROM p2),
+         f AS (SELECT canonical_url, min(id) AS kid FROM c GROUP BY 1)
+         SELECT id, canonical_url, id = kid AS keep
+         FROM c JOIN f USING (canonical_url) ORDER BY id""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.
     "q116_dedup_paragraphs" ->

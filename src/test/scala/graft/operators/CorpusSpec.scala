@@ -752,6 +752,58 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (0L, false))
   }
 
+  // ----------------------------------------------------------- URL dedup
+
+  test("canonicalizeUrl applies each RFC 3986 / tracker rule independently") {
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      ("HTTPS://Example.ORG/Path/To", "https://example.org/Path/To"),
+      // default ports dropped, scheme-specific
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      ("http://a.com:443/x", "http://a.com:443/x"), // :443 is NOT http's default
+      // fragment dropped, trailing slashes stripped
+      ("https://a.com/x/#frag", "https://a.com/x"),
+      ("https://a.com///", "https://a.com"),
+      // tracker params stripped, real params kept in order, ?" dropped
+      // when nothing survives; empty && segments dropped
+      ("https://a.com/p?utm_source=x&id=7&utm_campaign=y", "https://a.com/p?id=7"),
+      ("https://a.com/p?utm_source=x&gclid=1", "https://a.com/p"),
+      ("https://a.com/p?a=1&&b=2", "https://a.com/p?a=1&b=2"),
+      ("https://a.com/p?ref=tw&refid=9", "https://a.com/p?refid=9"), // ref dies, refid lives
+      // non-URL values pass through untouched
+      ("not a url at all", "not a url at all"),
+      ("", ""))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), graft.functions.TextFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"canonicalize($in)")
+    }
+  }
+
+  test("dedupByUrl keeps exactly the min-id row per canonical key") {
+    val rows = Seq(
+      (5L, "https://a.com/p?utm_source=x"),
+      (2L, "HTTPS://A.com/p"), // same canonical key as 5 → keeper (min id)
+      (9L, "https://a.com/p/"), // trailing slash → same key again
+      (3L, "https://b.com/q"),
+      (4L, "not a url"),
+      (6L, "not a url")) // passthrough collides with 4 → 4 keeps
+      .toDF("doc_id", "url")
+    val got = Corpus.dedupByUrl(rows, "url", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L, 5L, 6L, 9L)) // every row emitted
+    assert(got(2L) == ("https://a.com/p", true))
+    assert(got(5L) == ("https://a.com/p", false))
+    assert(got(9L) == ("https://a.com/p", false))
+    assert(got(3L)._2 == true)
+    assert(got(4L) == ("not a url", true))
+    assert(got(6L) == ("not a url", false))
+  }
+
   test("c4Clean custom bad-phrase list and in-line sentence marks") {
     val pages = Seq(
       (0L, "one full sentence sits here! two more sentences follow now. three lands here? four arrives now. five closes it out."),
