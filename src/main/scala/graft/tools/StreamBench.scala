@@ -123,8 +123,17 @@ object StreamBench {
         .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
       var scored = 0L
       val t0 = System.nanoTime()
+      // persist-then-count, NOT bare count(): caching materializes the
+      // full scored rows (all columns), where count() alone would let
+      // ColumnPruning drop the score columns and their model joins —
+      // the same artifact the Stress rows corrected (docs/SCALE.md)
       val q = Streams.scoreLmBatches(stream, model, "text", "doc_id",
-        (batch, _) => scored += batch.count()).start()
+        { (batch, _) =>
+          batch.persist()
+          scored += batch.count()
+          batch.unpersist()
+          ()
+        }).start()
       q.processAllAvailable()
       q.stop(); q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9

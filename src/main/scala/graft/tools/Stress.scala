@@ -11,6 +11,113 @@ import graft.operators.{Corpus, Dedup, Paths, Similarity, TimeSeries}
   * scale claims. Run `python`-side replication first (see docs/SCALE.md).
   */
 object Stress {
+  /** noop-write timing (the Bench action): count() lets ColumnPruning
+    * drop scored/cleaned output columns AND eliminate left joins
+    * against unique-keyed model relations — operators whose cost IS
+    * that work time as a bare scan under count().
+    */
+  private def timeN(label: String)(df: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").format("noop").save()
+    println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs (noop write)")
+  }
+
+  /** Round-11 operators: LM scoring + semantic decontamination at
+    * replica scale (docs/SCALE.md round 11).
+    */
+  private def r11(docs: DataFrame, embs: DataFrame): Unit = {
+    // round-11 operators: LM quality scoring + semantic decontamination
+    // over the same replica. LM cost should track corpus tokens (the
+    // model is Zipf-bounded: 10 exact copies add ZERO new grams, only
+    // count mass); decontam should track train rows × bench size
+    // (exact) or candidate collisions (LSH). noop WRITE, not count():
+    // the scored/flagged output columns are exactly what count() lets
+    // ColumnPruning drop (left joins against unique-keyed model tables
+    // prune away entirely) — the count-based figures first published
+    // for these rows understated the model-join work.
+    timeN("bigram LM train+score (90/10 split)")(
+      Corpus.ngramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id"))
+    timeN("trigram LM train+score (stupid backoff)")(
+      Corpus.ngramBackoffScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 3))
+    timeN("5-gram LM train+score (stupid backoff, CCNet order)")(
+      Corpus.ngramBackoffScore(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5))
+    timeN("semantic decontam (exact, broadcast bench)")(
+      Similarity.semanticDecontaminate(
+        embs.filter(col("vec_id") % 10 =!= 0),
+        embs.filter(col("vec_id") % 10 === 0),
+        "embedding", "vec_id", threshold = 0.9))
+    locally {
+      // q124's planted construction at replica scale: LSH path timing,
+      // flag recall vs the exact path, and the scan fraction (verified
+      // candidate pairs / full bipartite cross size) — the number that
+      // justifies the prefilter at a non-broadcastable bench.
+      val vd = col("embedding").cast("array<double>")
+      val train = embs.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), vd.as("vec"))
+      val planted = train.filter(col("vec_id") % 30 === 1)
+        .select(transform(sequence(lit(1), lit(64)), i =>
+          lit(0.9) * element_at(col("vec"), i) +
+            lit(0.1) * element_at(col("vec"), lit(65) - i)).as("vec"))
+      val bench = planted.unionByName(
+        embs.filter(col("vec_id") % 10 === 0).select(vd.as("vec")))
+      timeN("semantic decontam (LSH prefilter, planted bench)")(
+        Similarity.semanticDecontaminateLsh(train, bench, "vec", "vec_id",
+          threshold = 0.9, bits = 8, tables = 12))
+      val exactFlagged = Similarity.semanticDecontaminate(
+        train, bench, "vec", "vec_id", threshold = 0.9)
+        .filter(col("contaminated")).count()
+      val lshFlagged = Similarity.semanticDecontaminateLsh(
+        train, bench, "vec", "vec_id", threshold = 0.9, bits = 8, tables = 12)
+        .filter(col("contaminated")).count()
+      // candidate collisions = the pairs the verify stage actually pays
+      val sigT = train.select(
+        posexplode(graft.plans.HashExpressions.srpSignatures(
+          col("vec"), 8, 12)).as(Seq("tbl", "sig")))
+      val sigB = bench.select(
+        posexplode(graft.plans.HashExpressions.srpSignatures(
+          col("vec"), 8, 12)).as(Seq("tbl_b", "sig_b")))
+      val cand = sigT.join(sigB,
+        col("tbl") === col("tbl_b") && col("sig") === col("sig_b")).count()
+      val cross = train.count() * bench.count()
+      println(f"[stress] decontam-lsh: flag recall $lshFlagged/$exactFlagged, " +
+        f"verified pairs $cand of $cross cross (${cand.toDouble / cross}%.4f scan fraction)")
+    }
+  }
+
+  /** Round-11b operators: DSIR weighting, duplicate spans, C4 clean,
+    * URL dedup. DSIR's model is capped at B = 16^3 buckets per side
+    * (constant in corpus size — stronger than Zipf); duplicate spans on
+    * the 10-copy replica is the adversarial case where EVERY window is
+    * cross-doc duplicated (doc-frequency join at maximal hit rate); C4
+    * clean and URL canonicalization are narrow work and should track
+    * the scan.
+    */
+  private def r11b(docs: DataFrame): Unit = {
+    timeN("dsir weights (90/10 split, hexChars=3)")(
+      Corpus.dsirWeights(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id"))
+    timeN("duplicate spans (n=8, every window duplicated)")(
+      Corpus.duplicateSpans(docs, "text", "doc_id", n = 8))
+    timeN("c4 clean (planted junk lines)")(
+      Corpus.c4Clean(
+        docs.withColumn("text", concat_ws("\n",
+          col("text"), lit("short line"),
+          lit("Please enable JavaScript to continue."),
+          lit("a clean closing sentence stands here."))),
+        "text", "doc_id"))
+    timeN("url canonicalize + dedup (50k planted urls)")(
+      Corpus.dedupByUrl(
+        docs.select(col("doc_id"), concat(
+          lit("HTTPS://w"), (col("doc_id") % 1000).cast("string"),
+          lit(".example.org/d/"), (col("doc_id") % 5000).cast("string"),
+          lit("?utm_source=crawl&x="), (col("doc_id") % 7).cast("string"))
+          .as("url")),
+        "url", "doc_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPath = args.headOption.getOrElse("/tmp/sf1_documents.parquet")
     val embPath = args.lift(1).getOrElse("/tmp/sf1_embeddings.parquet")
@@ -31,6 +138,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+    if (sys.env.contains("STRESS_R11_ONLY")) { r11(docs, embs); r11b(docs); spark.stop(); return }
 
     // ANN recall@k against brute-force truth — a scale-credible ANN
     // needs a recall number NEXT TO its latency. Recall is score-based:
@@ -140,61 +248,9 @@ object Stress {
           threshold = 0.9, dim = 64, bits = 8, tables = 16),
         "vec_id", col("vec_id") % 97).count())
 
-    // round-11 operators: LM quality scoring + semantic decontamination
-    // over the same replica. LM cost should track corpus tokens (the
-    // model is Zipf-bounded: 10 exact copies add ZERO new grams, only
-    // count mass); decontam should track train rows × bench size
-    // (exact) or candidate collisions (LSH).
-    time("bigram LM train+score (90/10 split)")(
-      Corpus.ngramLmScore(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id").count())
-    time("trigram LM train+score (stupid backoff)")(
-      Corpus.ngramBackoffScore(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 3).count())
-    time("5-gram LM train+score (stupid backoff, CCNet order)")(
-      Corpus.ngramBackoffScore(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5).count())
-    time("semantic decontam (exact, broadcast bench)")(
-      Similarity.semanticDecontaminate(
-        embs.filter(col("vec_id") % 10 =!= 0),
-        embs.filter(col("vec_id") % 10 === 0),
-        "embedding", "vec_id", threshold = 0.9).count())
-    locally {
-      // q124's planted construction at replica scale: LSH path timing,
-      // flag recall vs the exact path, and the scan fraction (verified
-      // candidate pairs / full bipartite cross size) — the number that
-      // justifies the prefilter at a non-broadcastable bench.
-      val vd = col("embedding").cast("array<double>")
-      val train = embs.filter(col("vec_id") % 10 =!= 0)
-        .select(col("vec_id"), vd.as("vec"))
-      val planted = train.filter(col("vec_id") % 30 === 1)
-        .select(transform(sequence(lit(1), lit(64)), i =>
-          lit(0.9) * element_at(col("vec"), i) +
-            lit(0.1) * element_at(col("vec"), lit(65) - i)).as("vec"))
-      val bench = planted.unionByName(
-        embs.filter(col("vec_id") % 10 === 0).select(vd.as("vec")))
-      time("semantic decontam (LSH prefilter, planted bench)")(
-        Similarity.semanticDecontaminateLsh(train, bench, "vec", "vec_id",
-          threshold = 0.9, bits = 8, tables = 12).count())
-      val exactFlagged = Similarity.semanticDecontaminate(
-        train, bench, "vec", "vec_id", threshold = 0.9)
-        .filter(col("contaminated")).count()
-      val lshFlagged = Similarity.semanticDecontaminateLsh(
-        train, bench, "vec", "vec_id", threshold = 0.9, bits = 8, tables = 12)
-        .filter(col("contaminated")).count()
-      // candidate collisions = the pairs the verify stage actually pays
-      val sigT = train.select(
-        posexplode(graft.plans.HashExpressions.srpSignatures(
-          col("vec"), 8, 12)).as(Seq("tbl", "sig")))
-      val sigB = bench.select(
-        posexplode(graft.plans.HashExpressions.srpSignatures(
-          col("vec"), 8, 12)).as(Seq("tbl_b", "sig_b")))
-      val cand = sigT.join(sigB,
-        col("tbl") === col("tbl_b") && col("sig") === col("sig_b")).count()
-      val cross = train.count() * bench.count()
-      println(f"[stress] decontam-lsh: flag recall $lshFlagged/$exactFlagged, " +
-        f"verified pairs $cand of $cross cross (${cand.toDouble / cross}%.4f scan fraction)")
-    }
+    r11(docs, embs)
+
+    r11b(docs)
 
     val evPath = args.lift(2).getOrElse("/tmp/sf1_events.parquet")
     if (!new java.io.File(evPath).exists()) {
