@@ -393,4 +393,80 @@ object Streams {
           batch, model, textCol, idCol, k),
         batchId)
     }
+
+  /** Streaming incremental exact dedup of a document stream against a
+    * STATIC corpus AND against everything the stream itself has already
+    * admitted — the production crawl-ingest shape
+    * ([[graft.operators.Corpus.incrementalDedup]] per micro-batch, plus
+    * a durable content-hash ledger for cross-batch dedup).
+    *
+    * Why not streaming `dropDuplicates`: the state store would hold
+    * every content hash ever seen with no watermark to expire them
+    * (content dedup has no event-time bound), growing without limit
+    * inside the streaming engine. The ledger here is a plain parquet
+    * directory of md5 hashes partitioned by micro-batch id — SMALL
+    * (32 bytes per admitted doc), shared-storage-friendly, and
+    * restart-safe: a replayed micro-batch OVERWRITES its own
+    * `batch_id=N` partition (dynamic partition overwrite, the
+    * [[graft.sink.Snapshots]] replay posture), so at-least-once
+    * delivery still yields an exactly-once ledger. Within a batch,
+    * first-by-id wins among same-content rows (deterministic under
+    * repartitioning).
+    *
+    * Scale: each micro-batch pays one anti-join against the static
+    * corpus hashes and one against the ledger — both keyed equi-joins
+    * on 16-byte hashes; persist the corpus-hash projection for long
+    * runs (the model-persist advice). At crawl scale the ledger is
+    * orders of magnitude smaller than the corpus it summarizes.
+    */
+  def incrementalDedupBatches(
+      docs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val h = "_graft_content_h"
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val ledgerSchema = StructType(Seq(
+        StructField(h, StringType), StructField("batch_id", LongType)))
+      val seen =
+        if (new java.io.File(ledgerDir).exists())
+          spark.read.schema(ledgerSchema).parquet(ledgerDir)
+            // replay safety: rows this very batch wrote before a crash
+            // must not suppress their own re-processing (the explicit
+            // schema also lets an EMPTY ledger dir read as zero rows
+            // instead of failing inference)
+            .filter(col("batch_id") =!= batchId)
+            .select(col(h))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(h, StringType))))
+      val hashed = batch
+        .withColumn(h, md5(graft.ops.Cleanse.colRef(textCol)))
+        // first-by-id among same-content rows WITHIN the batch — a
+        // deterministic keep-first, not dropDuplicates' arbitrary one
+        .withColumn("_graft_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(h))
+            .orderBy(graft.ops.Cleanse.colRef(idCol))))
+        .filter(col("_graft_rk") === 1).drop("_graft_rk")
+      val corpusSeen = corpus
+        .select(md5(graft.ops.Cleanse.colRef(textCol)).as(h)).distinct()
+      val fresh = hashed
+        .join(corpusSeen, Seq(h), "left_anti")
+        .join(seen, Seq(h), "left_anti")
+      fresh.persist()
+      try {
+        onBatch(fresh.drop(h), batchId)
+        fresh.select(col(h), lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(ledgerDir)
+      } finally fresh.unpersist()
+    }
+  }
 }

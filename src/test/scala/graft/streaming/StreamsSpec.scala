@@ -522,6 +522,38 @@ class StreamsSpec extends SparkSpec {
     assert(acc.exists(t => t._1 == 2L && t._2 == 0L))
   }
 
+  test("incremental dedup vs corpus + cross-batch ledger admits each content once") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((100L, "already in the corpus"), (101L, "also known text"))
+      .toDF("doc_id", "text")
+    val ledgerDir =
+      java.nio.file.Files.createTempDirectory("graft_dedup_ledger").toString + "/l"
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val writer = Streams.incrementalDedupBatches(
+      input.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", ledgerDir,
+      (fresh, bid) => admitted.synchronized {
+        admitted ++= fresh.collect().map(r => (bid, r.getLong(0), r.getString(1)))
+      })
+    val q = writer.start()
+    try {
+      // batch 0: corpus dup dropped; within-batch dup keeps min id
+      input.addData((1L, "already in the corpus"), (2L, "brand new text"),
+        (5L, "brand new text"), (3L, "another new one"))
+      q.processAllAvailable()
+      // batch 1: cross-batch dup dropped via the ledger; new text admitted
+      input.addData((7L, "brand new text"), (8L, "later arrival"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sortBy(_._2).toSeq == Seq(
+      (0L, 2L, "brand new text"), (0L, 3L, "another new one"),
+      (1L, 8L, "later arrival")))
+    // the ledger holds exactly one hash per admitted doc, by batch
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() == 3)
+    assert(ledger.filter(col("batch_id") === 0L).count() == 2)
+  }
+
   test("c4Clean runs directly on a streaming frame (stateless narrow op)") {
     implicit val sq = spark.sqlContext
     val pages = Seq(
