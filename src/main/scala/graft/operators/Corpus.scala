@@ -1545,6 +1545,132 @@ object Corpus {
         !badHit && !text.contains("{")).as("kept"))
   }
 
+  // ------------------------------------------------------------------
+  // Linear quality classifier (logistic regression over hashed features)
+  // ------------------------------------------------------------------
+
+  /** A trained linear quality classifier: per-bucket weights (<= B
+    * rows, broadcast-sized forever) plus the bias. Weights live in a
+    * DataFrame for scoring joins; `hexChars` fixes the feature space.
+    */
+  final case class LinearModel(weights: DataFrame /* (bucket, w) */ ,
+      bias: Double, hexChars: Int)
+
+  /** Train a logistic-regression quality classifier on hashed
+    * unigram+bigram features — the linear fastText-style filter the
+    * published pipelines use for page quality (GPT-3 trained LR against
+    * WebText as the positive class; CCNet's companion filters are
+    * fastText linear models). Positive/negative example sets in,
+    * per-bucket weights out; batch gradient descent, `iters` full
+    * passes.
+    *
+    * Features are [[featureBuckets]] multiplicities L1-NORMALIZED per
+    * document (`x_b = m_b / Σm` — document length must not be the
+    * signal), the same md5-prefix bucket space as [[dsirWeights]].
+    * Token-less training docs carry no gradient signal and are
+    * excluded from the example count.
+    *
+    * Distribution contract: the feature frame is computed ONCE and
+    * persisted; each iteration is two keyed shuffles over it (per-doc
+    * dot products, then per-bucket gradient sums). The weight vector —
+    * `<= 16^hexChars` rows by construction — is the ONLY driver
+    * round-trip per iteration (a bounded scalar handoff, the IVF
+    * sample-cap posture), re-broadcast as a literal frame so the plan
+    * lineage stays one iteration deep instead of `iters` joins tall.
+    * Gradient sums are floating-point reductions, so weights are
+    * deterministic to reduction order (~1e-12), not bit-pinned —
+    * which is why this operator's gate is rows-only with a
+    * planted-truth spec (training is iterative driver-side control
+    * flow, not expressible as one SQL query; CorpusSpec pins the math
+    * against a code-independent plain-Scala gradient descent).
+    */
+  def trainQualityClassifier(
+      pos: DataFrame,
+      neg: DataFrame,
+      textCol: String,
+      idCol: String,
+      hexChars: Int = 2,
+      iters: Int = 30,
+      lr: Double = 2.0): LinearModel = {
+    require(iters >= 1 && lr > 0)
+    val spark = pos.sparkSession
+    import spark.implicits._
+    // labels ride the id sign-free via a struct: (id, y) with disjoint
+    // synthetic ids is unnecessary — tag BEFORE the union instead
+    val labeled = featureBuckets(pos, textCol, idCol, hexChars)
+      .withColumn("y", lit(1.0))
+      .unionByName(
+        featureBuckets(neg, textCol, idCol, hexChars).withColumn("y", lit(0.0)))
+    // L1-normalize: x_b = m_b / Σ_b m_b (doc length is not the signal)
+    val norm = Window.partitionBy(col("y"), col("id"))
+    val feats = labeled
+      .withColumn("x", col("m") / sum(col("m")).over(norm))
+      .select(col("y"), col("id"), col("bucket"), col("x"))
+      .persist()
+    val n = feats.select(col("y"), col("id")).distinct().count().toDouble
+    var bias = 0.0
+    var weights = Map.empty[String, Double]
+    for (_ <- 1 to iters) {
+      val wDf = if (weights.isEmpty)
+        spark.createDataFrame(Seq.empty[(String, Double)]).toDF("bucket", "w")
+      else weights.toSeq.toDF("bucket", "w")
+      val errs = feats
+        .join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col("y"), col("id"))
+        .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("dot"))
+        .select(col("y"), col("id"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(bias)))) - col("y"))
+            .as("err"))
+        .persist() // two consumers below — one row per training doc
+      val grads = feats
+        .join(errs, Seq("y", "id"))
+        .groupBy(col("bucket"))
+        .agg((sum(col("x") * col("err")) / n).as("g"))
+        // bounded driver handoff: <= 16^hexChars rows
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val gBias =
+        errs.agg(sum(col("err")).as("s")).head().getDouble(0) / n
+      errs.unpersist()
+      weights = (weights.keySet ++ grads.keySet).map { b =>
+        b -> (weights.getOrElse(b, 0.0) - lr * grads.getOrElse(b, 0.0))
+      }.toMap
+      bias -= lr * gBias
+    }
+    feats.unpersist()
+    LinearModel(weights.toSeq.toDF("bucket", "w"), bias, hexChars)
+  }
+
+  /** Score documents with a trained [[LinearModel]]: per doc, the
+    * sigmoid of the weighted normalized feature sum — `quality` in
+    * (0, 1), plus the thresholded `keep` flag. Featureless docs score
+    * sigmoid(bias). One feature pass, one broadcast join against the
+    * capped weight table, one per-doc reduce — the [[scoreWithDsirModel]]
+    * shape, streaming-deployable the same way.
+    */
+  def scoreWithClassifier(
+      docs: DataFrame,
+      model: LinearModel,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val perDoc = featureBuckets(docs, textCol, idCol, model.hexChars)
+    val normW = Window.partitionBy(col("id"))
+    val scored = perDoc
+      .withColumn("x", col("m") / sum(col("m")).over(normW))
+      .join(broadcast(model.weights), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("dot"))
+      .select(col("id"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(model.bias)))))
+          .as("quality"))
+    docs.select(cr(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("quality"),
+          lit(1.0 / (1.0 + math.exp(-model.bias)))).as("quality"))
+      .withColumn("keep", col("quality") >= threshold)
+  }
+
   /** URL-keyed exact dedup — the first dedup stage of every published
     * web pipeline (C4 and RefinedWeb both dedup fetched pages by URL
     * before any content hashing): canonicalize each row's URL

@@ -1410,6 +1410,44 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Trained quality-classifier filter end-to-end (rows-only gate —
+    * training is iterative driver-side control flow, see README): fit
+    * logistic regression on the train split with planted class markers
+    * (quality phrases vs spam phrases appended per parity), then score
+    * the eval split carrying the same markers. CorpusSpec pins the
+    * training math against a code-independent plain-Scala gradient
+    * descent; this gate exercises the full train+score path on real
+    * table data every round. The marker paragraph is long enough to
+    * carry a measurable share of each doc's L1 feature mass against
+    * the real text it rides on (a one-phrase tag washes out), and
+    * iters = 8 is the measured minimum that separates cleanly
+    * (5 does not) at ~8 s in the sf0.1 bench — the price of a
+    * genuinely trained gate.
+    */
+  def qC20QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docsDf = documents(s, d)
+    val qualityTag = lit((" informative well researched careful article " +
+      "clear structure cited sources balanced thorough analysis") * 3)
+    val spamTag = lit((" click casino spam winner free offer act now " +
+      "limited deal exclusive prize claim instantly") * 3)
+    val train = docsDf.filter(col("doc_id") % 10 =!= 0)
+    val model = graft.operators.Corpus.trainQualityClassifier(
+      train.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(col("text"), qualityTag).as("text")),
+      train.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), concat(col("text"), spamTag).as("text")),
+      "text", "doc_id", hexChars = 3, iters = 8, lr = 8.0)
+    // eval ids are all multiples of 10 (hence all even) — class by
+    // (id div 10) parity so BOTH classes appear in the scored output
+    val eval = docsDf.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), concat(col("text"),
+        when((col("doc_id") / 10).cast("long") % 2 === 0, qualityTag)
+          .otherwise(spamTag)).as("text"))
+    graft.operators.Corpus.scoreWithClassifier(eval, model, "text", "doc_id")
+      .select(col("id"), col("keep"))
+      .orderBy(col("id"))
+  }
+
   /** URL canonicalization + URL-keyed dedup end-to-end (the C4 /
     * RefinedWeb first-stage dedup): part rows become planted URLs
     * exercising every rule — mixed-case scheme/host, explicit `:443`,
@@ -2030,7 +2068,8 @@ object Extensions {
     "q126_dsir_weights" -> qC17DsirWeights _,
     "q127_duplicate_spans" -> qC18DuplicateSpans _,
     "q128_c4_clean" -> qC19C4Clean _,
-    "q129_url_dedup" -> qT16UrlDedup _)
+    "q129_url_dedup" -> qT16UrlDedup _,
+    "q130_quality_classifier" -> qC20QualityClassifier _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).

@@ -752,6 +752,91 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (0L, false))
   }
 
+  // ------------------------------------------------- quality classifier
+
+  /** Code-independent plain-Scala replica of the classifier training:
+    * same features (md5-prefix buckets, L1-normalized), same batch GD.
+    */
+  private def lrOracle(
+      pos: Seq[(Long, String)], neg: Seq[(Long, String)],
+      hexChars: Int, iters: Int, lr: Double): (Map[String, Double], Double) = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(t: String): Map[String, Double] = {
+      val w = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+      val grams = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val m = grams.map(g => md5hex(g).take(hexChars))
+        .groupBy(identity).map { case (b, v) => b -> v.size.toDouble }
+      val tot = m.values.sum
+      m.map { case (b, v) => b -> v / tot }
+    }
+    val ex = pos.map(d => (feats(d._2), 1.0)) ++ neg.map(d => (feats(d._2), 0.0))
+    val n = ex.size.toDouble
+    var w = Map.empty[String, Double]
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      val errs = ex.map { case (x, y) =>
+        val dot = x.map { case (bk, v) => v * w.getOrElse(bk, 0.0) }.sum
+        (x, 1.0 / (1.0 + math.exp(-(dot + b))) - y)
+      }
+      val g = errs.flatMap { case (x, e) => x.map { case (bk, v) => bk -> v * e } }
+        .groupBy(_._1).map { case (bk, vs) => bk -> vs.map(_._2).sum / n }
+      w = (w.keySet ++ g.keySet).map(bk =>
+        bk -> (w.getOrElse(bk, 0.0) - lr * g.getOrElse(bk, 0.0))).toMap
+      b -= lr * errs.map(_._2).sum / n
+    }
+    (w, b)
+  }
+
+  test("trainQualityClassifier matches the plain-Scala gradient descent") {
+    val pos = Seq((0L, "excellent informative well researched article"),
+      (1L, "thorough careful writing informative and clear"))
+    val neg = Seq((10L, "click here casino winner spam offer"),
+      (11L, "spam click casino free winner now"))
+    val model = Corpus.trainQualityClassifier(
+      pos.toDF("doc_id", "text"), neg.toDF("doc_id", "text"),
+      "text", "doc_id", hexChars = 2, iters = 10, lr = 2.0)
+    val (ww, wb) = lrOracle(pos, neg, hexChars = 2, iters = 10, lr = 2.0)
+    val got = model.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == ww.keySet)
+    got.foreach { case (bk, v) => assert(math.abs(v - ww(bk)) < 1e-9, s"w($bk)") }
+    assert(math.abs(model.bias - wb) < 1e-9)
+  }
+
+  test("quality classifier separates planted classes and generalizes") {
+    val pos = (0L to 19L).map(i =>
+      (i, s"informative well researched careful article number $i with clear structure"))
+    val neg = (100L to 119L).map(i =>
+      (i, s"click casino spam winner free offer number $i act now"))
+    val model = Corpus.trainQualityClassifier(
+      pos.toDF("doc_id", "text"), neg.toDF("doc_id", "text"), "text", "doc_id")
+    val held = Seq(
+      (1000L, "a careful informative article with clear research"),
+      (1001L, "casino spam click free winner offer"),
+      (1002L, "")) // featureless → sigmoid(bias)
+    val got = Corpus.scoreWithClassifier(
+      held.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(1000L)._2 == true, s"held-out positive scored ${got(1000L)._1}")
+    assert(got(1001L)._2 == false, s"held-out negative scored ${got(1001L)._1}")
+    assert(got(1000L)._1 > got(1001L)._1)
+    assert(got.contains(1002L)) // every doc emitted
+  }
+
+  test("quality classifier is partitioning-invariant within float tolerance") {
+    val pos = docs.filter(col("doc_id") < 3).toDF()
+    val neg = docs.filter(col("doc_id") >= 3).toDF()
+    val a = Corpus.trainQualityClassifier(pos, neg, "text", "doc_id", iters = 3)
+    val b = Corpus.trainQualityClassifier(
+      pos.repartition(7), neg.repartition(5), "text", "doc_id", iters = 3)
+    val wa = a.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wb = b.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wa.keySet == wb.keySet)
+    wa.foreach { case (bk, v) => assert(math.abs(v - wb(bk)) < 1e-9) }
+    assert(math.abs(a.bias - b.bias) < 1e-9)
+  }
+
   // ----------------------------------------------------------- URL dedup
 
   test("canonicalizeUrl applies each RFC 3986 / tracker rule independently") {
