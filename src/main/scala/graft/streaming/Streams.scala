@@ -394,6 +394,28 @@ object Streams {
         batchId)
     }
 
+  /** Streaming deployment of the trained quality classifier
+    * ([[graft.operators.Corpus.scoreWithClassifier]]): score a document
+    * stream against a batch-trained
+    * [[graft.operators.Corpus.LinearModel]] — train offline on labeled
+    * sets, filter the crawl online. Same foreachBatch rationale and
+    * streaming ≡ batch guarantee as [[scoreLmBatches]]; persist
+    * `model.weights` before long runs.
+    */
+  def scoreClassifierBatches(
+      docs: DataFrame,
+      model: graft.operators.Corpus.LinearModel,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.scoreWithClassifier(
+          batch, model, textCol, idCol, threshold),
+        batchId)
+    }
+
   /** Streaming incremental exact dedup of a document stream against a
     * STATIC corpus AND against everything the stream itself has already
     * admitted — the production crawl-ingest shape

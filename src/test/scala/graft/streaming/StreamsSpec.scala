@@ -522,6 +522,37 @@ class StreamsSpec extends SparkSpec {
     assert(acc.exists(t => t._1 == 2L && t._2 == 0L))
   }
 
+  test("classifier micro-batch scoring equals the batch operator") {
+    implicit val sq = spark.sqlContext
+    val pos = (0L to 9L).map(i => (i, s"informative careful article number $i"))
+      .toDF("doc_id", "text")
+    val neg = (100L to 109L).map(i => (i, s"casino spam winner offer number $i"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Corpus.trainQualityClassifier(
+      pos, neg, "text", "doc_id", iters = 10)
+    val docs = Seq((0L, "a careful informative article"),
+      (1L, "casino spam offer"), (2L, ""))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+    val writer = Streams.scoreClassifierBatches(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id",
+      (scored, _) => acc.synchronized {
+        acc ++= scored.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      })
+    val q = writer.start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Corpus.scoreWithClassifier(
+      docs.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(acc.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    assert(acc.find(_._1 == 0L).get._3 == true)
+    assert(acc.find(_._1 == 1L).get._3 == false)
+  }
+
   test("incremental dedup vs corpus + cross-batch ledger admits each content once") {
     implicit val sq = spark.sqlContext
     val corpus = Seq((100L, "already in the corpus"), (101L, "also known text"))
