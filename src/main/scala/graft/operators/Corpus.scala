@@ -1671,6 +1671,99 @@ object Corpus {
       .withColumn("keep", col("quality") >= threshold)
   }
 
+  // ------------------------------------------------------------------
+  // Byte-pair encoding (Sennrich et al., ACL 2016)
+  // ------------------------------------------------------------------
+
+  /** Train a BPE merge table on a corpus — the reference subword
+    * algorithm (Sennrich, Haddow & Birch, ACL 2016), distributed the
+    * way it actually distributes: ALL iterations run over the
+    * DISTINCT-WORD frequency table, never the corpus. One corpus scan
+    * builds `(word, freq)`; every merge step is then (a) one
+    * vocabulary-sized pair-count aggregate, (b) a deterministic argmax
+    * (max count, then lexicographic — ties never depend on
+    * partitioning), (c) one codegen'd
+    * [[graft.plans.BpeExpressions.mergePair]] projection over the
+    * symbol arrays. The argmax row is the only driver round-trip per
+    * merge (1 row — the gradient-descent posture), and the lineage is
+    * cut with `localCheckpoint` every 8 merges (the [[Dedup]]
+    * label-propagation posture).
+    *
+    * Scale: the corpus contributes one tokenize+count scan; everything
+    * after is O(vocabulary) per merge. `minFreq` prunes the hapax tail
+    * and `maxWords` hard-caps the table (standard practice — published
+    * BPE vocabularies train on pruned word dicts), so a 100 TB corpus
+    * trains at the same per-merge cost as a 100 GB one.
+    *
+    * Returns merges in rank order (first learned = applied first).
+    * Training is iterative driver-side control flow — like
+    * [[trainQualityClassifier]], gated rows-only with a
+    * code-independent plain-Scala replica in CorpusSpec (exact match:
+    * BPE is all integer counts, no float anywhere).
+    */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minFreq: Long = 1L,
+      minPairFreq: Long = 2L,
+      maxWords: Option[Int] = None): Seq[(String, String)] = {
+    require(numMerges >= 1)
+    val wordsBase = df
+      .select(explode(TextFunctions.tokens(cr(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val capped = maxWords.fold(wordsBase)(n =>
+      wordsBase.orderBy(col("freq").desc, col("word")).limit(n))
+    var words = capped
+      .select(
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var rank = 0
+    while (rank < numMerges && !done) {
+      val top = words
+        // fully-merged words (1 symbol) have no pairs; a plan-level
+        // filter is safe here — each iteration's aggregate is its own
+        // plan, nothing shares a subtree with it
+        .filter(size(col("syms")) >= 2)
+        .select(explode(
+          transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"),
+          col("freq"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairFreq) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        words = words.withColumn("syms",
+          graft.plans.BpeExpressions.mergePair(col("syms"), l, r))
+        rank += 1
+        if (rank % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Segment `textCol` with a trained merge table: adds `bpe_tokens`
+    * (array of subword strings) and `n_bpe_tokens`. Pure narrow
+    * codegen'd work — the REAL token count for [[packSequences]] /
+    * [[tokenQuotaPerGroup]] budgets, replacing the whitespace and
+    * regex-subword approximations.
+    */
+  def bpeEncode(
+      df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.plans.BpeExpressions.encode(cr(textCol), merges)
+    df.withColumn("bpe_tokens", toks)
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   /** URL-keyed exact dedup — the first dedup stage of every published
     * web pipeline (C4 and RefinedWeb both dedup fetched pages by URL
     * before any content hashing): canonicalize each row's URL

@@ -1410,6 +1410,26 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** BPE subword tokenization end-to-end (rows-only gate — training is
+    * the same iterative driver-side control flow as q130, see README):
+    * learn a merge table on the train split, encode the eval split,
+    * report real subword token counts. CorpusSpec pins the merge
+    * sequence EXACTLY against a code-independent plain-Scala BPE (all
+    * integer counts — no float anywhere), plus greedy-encode and
+    * partitioning-invariance cases; this gate exercises train+encode
+    * on real table data every round.
+    */
+  def qC21BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val docsDf = documents(s, d)
+    val merges = graft.operators.Corpus.bpeTrain(
+      docsDf.filter(col("doc_id") % 10 =!= 0), "text",
+      numMerges = 24, minFreq = 2L)
+    graft.operators.Corpus.bpeEncode(
+      docsDf.filter(col("doc_id") % 10 === 0), "text", merges)
+      .select(col("doc_id").as("id"), col("n_bpe_tokens"))
+      .orderBy(col("id"))
+  }
+
   /** Trained quality-classifier filter end-to-end (rows-only gate —
     * training is iterative driver-side control flow, see README): fit
     * logistic regression on the train split with planted class markers
@@ -2069,7 +2089,8 @@ object Extensions {
     "q127_duplicate_spans" -> qC18DuplicateSpans _,
     "q128_c4_clean" -> qC19C4Clean _,
     "q129_url_dedup" -> qT16UrlDedup _,
-    "q130_quality_classifier" -> qC20QualityClassifier _)
+    "q130_quality_classifier" -> qC20QualityClassifier _,
+    "q131_bpe_tokens" -> qC21BpeTokens _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).

@@ -752,6 +752,99 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (0L, false))
   }
 
+  // ----------------------------------------------------------------- BPE
+
+  /** Code-independent plain-Scala BPE (Sennrich et al.): word-freq dict
+    * → iterative most-frequent-pair merges, ties by (count desc, left,
+    * right). All integer — the engine must match EXACTLY.
+    */
+  private def bpeOracle(
+      texts: Seq[String], numMerges: Int,
+      minPairFreq: Long = 2L): Seq[(String, String)] = {
+    val freq = texts
+      .flatMap(_.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    var words: Map[Vector[String], Long] =
+      freq.map { case (w, f) => (w.map(String.valueOf(_)).toVector :+ "</w>") -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, c) = counts.toSeq
+          .sortBy { case ((l, r), n) => (-n, l, r) }.head
+        if (c < minPairFreq) done = true
+        else {
+          merges += pair
+          // rebuild symbol sequences from the raw dict by replaying all
+          // merges (freqs re-sum if two spellings ever collide)
+          val rebuilt = scala.collection.mutable.Map.empty[Vector[String], Long]
+          freq.foreach { case (w, f) =>
+            var syms = w.map(String.valueOf(_)).toVector :+ "</w>"
+            merges.foreach { case (l, r) =>
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  out += (l + r); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.result()
+            }
+            rebuilt(syms) = rebuilt.getOrElse(syms, 0L) + f
+          }
+          words = rebuilt.toMap
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("bpeTrain matches the plain-Scala reference merge sequence exactly") {
+    val texts = Seq(
+      "low low low low low lower lower newest newest newest newest newest newest",
+      "widest widest widest new new")
+    val got = Corpus.bpeTrain(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", numMerges = 12)
+    val want = bpeOracle(texts, numMerges = 12)
+    assert(got == want, s"\n got: $got\nwant: $want")
+    assert(got.nonEmpty && got.size <= 12)
+  }
+
+  test("bpeEncode applies merges greedily by rank and counts real tokens") {
+    val texts = Seq("low low low lower lowest", "low low lower")
+    val merges = Corpus.bpeTrain(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", numMerges = 6)
+    // "low" must have fused into a single token after 6 merges on this
+    // corpus ("l o w </w>" appears 5 times — the top pairs)
+    val enc = Corpus.bpeEncode(
+      Seq((0L, "low lowering unseen"), (1L, "")).toDF("doc_id", "text"),
+      "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](2), r.getLong(3))).toMap
+    val (toks0, n0) = enc(0L)
+    assert(n0 == toks0.size)
+    assert(toks0.head == "low</w>") // fully merged known word
+    // unseen word still segments (into smaller units), never drops
+    assert(toks0.count(_.endsWith("</w>")) == 3) // one word boundary each
+    assert(enc(1L)._1.isEmpty && enc(1L)._2 == 0L)
+  }
+
+  test("bpeTrain is partitioning-invariant (integer argmax, no ties to luck)") {
+    val d = docs.filter(col("doc_id") =!= 5L)
+    val a = Corpus.bpeTrain(d, "text", numMerges = 8)
+    val b = Corpus.bpeTrain(d.repartition(7), "text", numMerges = 8)
+    assert(a == b)
+  }
+
   // ------------------------------------------------- quality classifier
 
   /** Code-independent plain-Scala replica of the classifier training:
@@ -866,6 +959,38 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.zipWithIndex.foreach { case ((in, want), i) =>
       assert(got(i.toLong) == want, s"canonicalize($in)")
+    }
+  }
+
+  test("canonicalizeUrl is idempotent over generated URL-ish inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      scheme <- Gen.oneOf("http://", "HTTPS://", "ftp://", "HtTp://", "")
+      host <- Gen.oneOf("Example.org", "a.b.co", "X9.net:8080",
+        "site.com:80", "site.com:443", "")
+      path <- Gen.oneOf("", "/", "/A/b", "/x/", "//", "/p.q/r")
+      query <- Gen.oneOf("", "?a=1", "?utm_source=x", "?utm_a=1&b=2&gclid=3",
+        "?&&", "?ref=t&REF=u", "?x=%20y")
+      frag <- Gen.oneOf("", "#f", "#a?b=1")
+    } yield scheme + host + path + query + frag
+    val samples = {
+      var seed = Seed(7L)
+      (1 to 300).flatMap { _ =>
+        val v = gen.apply(Gen.Parameters.default, seed)
+        seed = seed.next
+        v
+      } ++ Seq("", "no scheme here", "weird:///x")
+    }
+    val c = graft.functions.TextFunctions.canonicalizeUrl _
+    val rows = samples.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), col("url"), c(col("url")).as("c1"))
+      .select(col("id"), col("url"), col("c1"), c(col("c1")).as("c2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(3),
+        s"not idempotent for '${r.getString(1)}': '${r.getString(2)}' -> '${r.getString(3)}'")
     }
   }
 
