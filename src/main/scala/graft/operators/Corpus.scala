@@ -1764,6 +1764,44 @@ object Corpus {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** The Gopher document-quality rules (Rae et al. 2021, Appendix
+    * A1.1 — the non-repetition family; [[q76]]'s repetition signals are
+    * the other half), as one declarative pass over the fused
+    * [[graft.plans.GopherStatsExpr]] counts. Every published threshold
+    * is applied as a PURE INTEGER comparison (mean-word-length 3..10
+    * becomes `3n <= Σlen <= 10n`, ratio rules cross-multiply), so the
+    * whole row — nine counts plus the `kept` flag — is oracle-exact
+    * (q132). Thresholds, per the paper: 50..100,000 words; mean word
+    * length 3..10 chars; symbol-to-word ratio <= 0.1 for `#` and for
+    * ellipses; <= 90% of lines bullet-started; <= 30% ellipsis-ended;
+    * >= 80% of words with an alphabetic char; >= 2 of the 8 stop
+    * words. Pure narrow scan-bound work, like [[c4Clean]].
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.plans.GopherStatsExpr(cr(textCol))
+    def f(name: String) = st.getField(name)
+    df.select(
+      cr(idCol).as("id"),
+      f("n_words").as("n_words"),
+      f("sum_word_len").as("sum_word_len"),
+      f("n_alpha_words").as("n_alpha_words"),
+      f("n_hash").as("n_hash"),
+      f("n_ellipsis").as("n_ellipsis"),
+      f("n_lines").as("n_lines"),
+      f("n_bullet_lines").as("n_bullet_lines"),
+      f("n_ellipsis_lines").as("n_ellipsis_lines"),
+      f("n_stop_hits").as("n_stop_hits"),
+      (f("n_words") >= 50L && f("n_words") <= 100000L &&
+        lit(3L) * f("n_words") <= f("sum_word_len") &&
+        f("sum_word_len") <= lit(10L) * f("n_words") &&
+        lit(10L) * f("n_hash") <= f("n_words") &&
+        lit(10L) * f("n_ellipsis") <= f("n_words") &&
+        lit(10L) * f("n_bullet_lines") <= lit(9L) * f("n_lines") &&
+        lit(10L) * f("n_ellipsis_lines") <= lit(3L) * f("n_lines") &&
+        lit(5L) * f("n_alpha_words") >= lit(4L) * f("n_words") &&
+        f("n_stop_hits") >= 2L).as("kept"))
+  }
+
   /** URL-keyed exact dedup — the first dedup stage of every published
     * web pipeline (C4 and RefinedWeb both dedup fetched pages by URL
     * before any content hashing): canonicalize each row's URL

@@ -1410,6 +1410,34 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Gopher quality rules end-to-end (Rae et al. 2021 A1.1): each doc
+    * gets planted mix-ins — a stop-word sentence everywhere, a
+    * hash-symbol bomb on doc_id % 5 == 0 (trips the symbol-ratio
+    * rule), an ellipsis flood on % 7 == 0, bullet lines on % 3 == 0 —
+    * then [[graft.operators.Corpus.gopherQuality]] must report the
+    * nine integer counts and the integer-compared kept flag exactly.
+    * Whole row oracle-gated (no float ratio anywhere).
+    */
+  def qC22GopherQuality(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        lit("the data has to be checked with care and that will hold."),
+        when(col("doc_id") % 5 === 0,
+          lit("#### ### ## # ########## ## ### #### # ## ### # # ## ###"))
+          .otherwise(lit("a plain closing line stands here.")),
+        when(col("doc_id") % 7 === 0,
+          lit("wait for it... and more... and more... and more... so on..."))
+          .otherwise(lit("steady text without trailing dots")),
+        when(col("doc_id") % 3 === 0,
+          lit("- item one\n- item two\n* item three"))
+          .otherwise(lit("no bullets in this part")))
+        .as("text"))
+    graft.operators.Corpus.gopherQuality(messy, "text", "doc_id")
+      .orderBy(col("id"))
+  }
+
   /** BPE subword tokenization end-to-end (rows-only gate — training is
     * the same iterative driver-side control flow as q130, see README):
     * learn a merge table on the train split, encode the eval split,
@@ -2090,7 +2118,8 @@ object Extensions {
     "q128_c4_clean" -> qC19C4Clean _,
     "q129_url_dedup" -> qT16UrlDedup _,
     "q130_quality_classifier" -> qC20QualityClassifier _,
-    "q131_bpe_tokens" -> qC21BpeTokens _)
+    "q131_bpe_tokens" -> qC21BpeTokens _,
+    "q132_gopher_quality" -> qC22GopherQuality _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3067,6 +3096,65 @@ object Extensions {
          f AS (SELECT canonical_url, min(id) AS kid FROM c GROUP BY 1)
          SELECT id, canonical_url, id = kid AS keep
          FROM c JOIN f USING (canonical_url) ORDER BY id""",
+    // q132: the Gopher A1.1 rules over the planted construction —
+    // whitespace words from the raw text, my word-tokens for stop-word
+    // presence, replace-diff for non-overlapping symbol counts, and
+    // every threshold as the same integer cross-multiplication the
+    // engine applies. No float anywhere.
+    "q132_gopher_quality" ->
+      raw"""WITH msy AS (SELECT doc_id, text || chr(10) ||
+             'the data has to be checked with care and that will hold.'
+             || chr(10) ||
+             (CASE WHEN doc_id % 5 = 0 THEN
+               '#### ### ## # ########## ## ### #### # ## ### # # ## ###'
+              ELSE 'a plain closing line stands here.' END) || chr(10) ||
+             (CASE WHEN doc_id % 7 = 0 THEN
+               'wait for it... and more... and more... and more... so on...'
+              ELSE 'steady text without trailing dots' END) || chr(10) ||
+             (CASE WHEN doc_id % 3 = 0 THEN
+               '- item one' || chr(10) || '- item two' || chr(10) || '* item three'
+              ELSE 'no bullets in this part' END) AS text
+           FROM documents),
+         m AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)
+               AS words,
+             string_split(text, chr(10)) AS lines,
+             $toks AS toks
+           FROM msy),
+         c AS (SELECT doc_id AS id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0)
+               AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3
+               + (len(text) - len(replace(text, '…', ''))) AS BIGINT)
+               AS n_ellipsis,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l ->
+               left(trim(l), 1) = '-' OR left(trim(l), 1) = '*'
+               OR left(trim(l), 1) = '•')) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(lines, l ->
+               right(trim(l), 3) = '...' OR right(trim(l), 1) = '…'))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               s -> list_contains(toks, s))) AS BIGINT) AS n_stop_hits
+           FROM m)
+         SELECT id, n_words, sum_word_len, n_alpha_words, n_hash,
+           n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines,
+           n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words
+            AND 10 * n_hash <= n_words
+            AND 10 * n_ellipsis <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 2) AS kept
+         FROM c ORDER BY id""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.
     "q116_dedup_paragraphs" ->

@@ -752,6 +752,64 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (0L, false))
   }
 
+  // --------------------------------------------------------- Gopher rules
+
+  test("gopherQuality counts each metric exactly on a crafted page") {
+    val page = Seq(
+      "The quick brown fox has be to of and that with it", // 11 words, stops
+      "  - bullet item", // bullet after trim
+      "* second bullet",
+      "count ## #", // 3 hashes
+      "trailing thought...", // ... line-end + 1 ellipsis
+      "mid... dots", // 1 ellipsis, not line-end
+      "unicode one…", // … line-end + 1 ellipsis
+      "....", // 4 dots = ONE non-overlapping '...' (+ line-end hit)
+      "", // blank line: counts as a line, no bullet/ellipsis
+      "42 7 x9" // numeric words: 2 non-alpha, 1 alpha
+    ).mkString("\n")
+    val r = Corpus.gopherQuality(Seq((0L, page)).toDF("doc_id", "text"),
+      "text", "doc_id").collect().head
+    val got = (1 to 9).map(r.getLong).toList
+    val words = page.split("\\s+").filter(_.nonEmpty)
+    assert(got(0) == words.length) // n_words
+    assert(got(1) == words.map(_.length).sum) // sum_word_len
+    assert(got(2) == words.count(_.exists(_.isLetter))) // n_alpha_words
+    assert(got(3) == 3L) // n_hash
+    assert(got(4) == 4L) // '...'x3 (one per dotted line, '....'=1) + '…'
+    assert(got(5) == 10L) // n_lines
+    assert(got(6) == 2L) // bullet lines
+    assert(got(7) == 3L) // '...', '…', '....' line-ends
+    assert(got(8) == 7L) // the be to of and that with (no 'have')
+    assert(r.getBoolean(10) == false) // fails the 50-word floor
+  }
+
+  test("gopherQuality kept flag flips on each published threshold") {
+    // base page: 60 clean 4-letter words + stop words → passes all rules
+    val goodWords = (1 to 58).map(i => "word").mkString(" ")
+    val base = s"the and $goodWords"
+    def kept(text: String): Boolean =
+      Corpus.gopherQuality(Seq((0L, text)).toDF("doc_id", "text"),
+        "text", "doc_id").collect().head.getBoolean(10)
+    assert(kept(base) == true)
+    assert(kept("the and word") == false) // < 50 words
+    // mean word length: sixty 1-char words → mean 1 < 3
+    assert(kept("the and " + (1 to 58).map(_ => "a").mkString(" ")) == false)
+    // symbol ratio counts '#' CHARS: 5 over 61 words passes (<= 6.1),
+    // 7 over 67 words fails (> 6.7)
+    assert(kept(base + " " + "#" * 5) == true)
+    assert(kept(base + " # # # # # # #") == false)
+    // alpha words: add 16 pure-number words → 60/76 < 80%
+    assert(kept(base + " " + (1 to 16).map(_ => "1234").mkString(" ")) == false)
+    // stop words: strip them → only generic words remain
+    assert(kept(goodWords + " word word") == false)
+    // bullets: every line bulleted → 100% > 90%
+    assert(kept((1 to 10).map(_ => s"- the and $goodWords").mkString("\n")) == false)
+    // ellipsis line-ends: 4 of 10 lines > 30%
+    val ell = (1 to 4).map(_ => s"the and $goodWords...") ++
+      (1 to 6).map(_ => s"the and $goodWords")
+    assert(kept(ell.mkString("\n")) == false)
+  }
+
   // ----------------------------------------------------------------- BPE
 
   /** Code-independent plain-Scala BPE (Sennrich et al.): word-freq dict
