@@ -116,6 +116,20 @@ object Stress {
           lit("?utm_source=crawl&x="), (col("doc_id") % 7).cast("string"))
           .as("url")),
         "url", "doc_id"))
+    timeN("gopher quality rules (one fused pass)")(
+      Corpus.gopherQuality(docs, "text", "doc_id"))
+    locally {
+      // BPE: the 10-copy replica has EXACTLY the sf0.1 vocabulary (10
+      // copies add word-frequency mass, not words), so per-merge cost
+      // must match the gate's — only the initial tokenize+count scan
+      // sees 10× the rows. Train wall is driver-loop-inclusive.
+      val t0 = System.nanoTime()
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = 24, minFreq = 2L)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] bpe train 24 merges (vocab-bounded loop): ${merges.size} merges in $trainS%.1fs")
+      timeN("bpe encode 50k docs (trained table)")(
+        Corpus.bpeEncode(docs, "text", merges))
+    }
   }
 
   def main(args: Array[String]): Unit = {
