@@ -854,13 +854,32 @@ object Corpus {
     * exchange — ReuseExchange runs the scan+tokenize once per side no
     * matter how many model branches read it.
     */
+  /** The shared `(id, tokens)` projection behind a pinned `id`
+    * repartition — THE structural anchor of every exchange-reuse claim
+    * in this file (LM model branches, DSIR model-vs-scoring,
+    * duplicate-span totals-vs-classification). All consumers MUST go
+    * through this one helper: ReuseExchange requires byte-identical
+    * subtrees, and a hand-copied preamble that drifts (a different
+    * filter, a different width formula) silently doubles corpus scans.
+    * `minTokens` is the LM-bigram floor; `dropNullIds` serves operators
+    * whose reinstating outer join would otherwise infer an asymmetric
+    * isnotnull into only one consumer branch.
+    */
+  private def tokensPinned(
+      df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 0, dropNullIds: Boolean = false): DataFrame = {
+    var t = df.select(
+      cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
+    if (dropNullIds) t = t.filter(col("id").isNotNull)
+    if (minTokens > 0) t = t.filter(size(col("_graft_toks")) >= minTokens)
+    t.repartition(
+      math.max(df.sparkSession.sparkContext.defaultParallelism,
+        df.sparkSession.sessionState.conf.numShufflePartitions),
+      col("id"))
+  }
+
   private def tokFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
-      .filter(size(col("_graft_toks")) >= 2)
-      .repartition(
-        math.max(df.sparkSession.sparkContext.defaultParallelism,
-          df.sparkSession.sessionState.conf.numShufflePartitions),
-        col("id"))
+    tokensPinned(df, textCol, idCol, minTokens = 2)
 
   /** Ordered consecutive-bigram rows `(id, w1, w2)` over a [[tokFrame]]
     * — unlike [[gramIndex]] these keep MULTIPLICITY and position
@@ -1225,18 +1244,11 @@ object Corpus {
   private def featureBuckets(
       df: DataFrame, textCol: String, idCol: String,
       hexChars: Int): DataFrame = {
-    val toks = df
-      .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
-      // null ids never join back through the reinstating outer join
-      // (which emits them with zeros regardless); filtering below the
-      // pinned exchange also keeps every consumer subtree identical so
-      // ReuseExchange holds even when the caller's input carries no
-      // id-constraining filter of its own (the duplicateSpans lesson)
-      .filter(col("id").isNotNull)
-      .repartition(
-        math.max(df.sparkSession.sparkContext.defaultParallelism,
-          df.sparkSession.sessionState.conf.numShufflePartitions),
-        col("id"))
+    // dropNullIds: null ids never join back through the reinstating
+    // outer join (which emits them with zeros regardless), and the
+    // below-exchange filter keeps every consumer subtree identical for
+    // ReuseExchange (the duplicateSpans lesson)
+    val toks = tokensPinned(df, textCol, idCol, dropNullIds = true)
     val bigrams = when(size(col("_graft_toks")) >= 2,
       transform(sequence(lit(1), size(col("_graft_toks")) - 1), i =>
         concat_ws(" ",
@@ -1442,19 +1454,13 @@ object Corpus {
   def duplicateSpans(
       df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
     require(n >= 2, "span windows need n >= 2")
-    val base = df
-      .select(cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
-      // null ids can never equi-join back to the reinstating left join
-      // (which emits them with zeros regardless) — and filtering them
-      // HERE, below the pinned exchange, keeps the two consumer
-      // subtrees identical: the outer join infers isnotnull(id) into
-      // the per-doc branch only, and an asymmetric filter would defeat
-      // ReuseExchange (measured: 2 corpus tokenizes → 1)
-      .filter(col("id").isNotNull)
-      .repartition(
-        math.max(df.sparkSession.sparkContext.defaultParallelism,
-          df.sparkSession.sessionState.conf.numShufflePartitions),
-        col("id"))
+    // dropNullIds: null ids can never equi-join back to the
+    // reinstating left join (which emits them with zeros regardless),
+    // and the below-exchange filter keeps the two consumer subtrees
+    // identical — the outer join infers isnotnull(id) into the per-doc
+    // branch only, and an asymmetric filter defeats ReuseExchange
+    // (measured: 2 corpus tokenizes → 1)
+    val base = tokensPinned(df, textCol, idCol, dropNullIds = true)
     val spans = base
       .select(col("id"), explode(
         when(size(col("_graft_toks")) >= n,
@@ -1530,7 +1536,12 @@ object Corpus {
   def c4Clean(
       df: DataFrame, textCol: String, idCol: String,
       badPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
-    val text = cr(textCol)
+    // null pages read as empty: the expression is null-safe, so a bare
+    // null text would yield kept = NULL — and a null flag silently
+    // drops the row from BOTH filter(kept) and filter(!kept), the
+    // audit hole the semanticDecontaminate contract documents. Empty
+    // text cleans to "" and fails the sentence floor: kept = false.
+    val text = coalesce(cr(textCol), lit(""))
     val st = graft.plans.C4StatsExpr(text)
     val badHit = badPhrases
       .map(p => lower(text).contains(p.toLowerCase(java.util.Locale.ROOT)))
@@ -1608,6 +1619,10 @@ object Corpus {
       .select(col("y"), col("id"), col("bucket"), col("x"))
       .persist()
     val n = feats.select(col("y"), col("id")).distinct().count().toDouble
+    require(n > 0,
+      "trainQualityClassifier: no featured training documents — both " +
+        "example sets are empty or token-less (a 0-doc gradient would " +
+        "NPE on the null sum and 0/0 the bias step)")
     var bias = 0.0
     var weights = Map.empty[String, Double]
     for (_ <- 1 to iters) {
@@ -1778,7 +1793,9 @@ object Corpus {
     * words. Pure narrow scan-bound work, like [[c4Clean]].
     */
   def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val st = graft.plans.GopherStatsExpr(cr(textCol))
+    // null pages read as empty (the c4Clean null-flag rationale): all
+    // counts 0, kept = false via the 50-word floor — never NULL
+    val st = graft.plans.GopherStatsExpr(coalesce(cr(textCol), lit("")))
     def f(name: String) = st.getField(name)
     df.select(
       cr(idCol).as("id"),
@@ -1823,9 +1840,14 @@ object Corpus {
       TextFunctions.canonicalizeUrl(cr(urlCol)).as("canonical_url"))
     val first = withCanon.groupBy(col("canonical_url"))
       .agg(min(col("id")).as("_keep_id"))
-    withCanon
-      .join(first, Seq("canonical_url"))
-      .select(col("id"), col("canonical_url"),
-        (col("id") === col("_keep_id")).as("keep"))
+    // null-safe join: a NULL url must still emit its row ("every input
+    // row is emitted" — an equi-join would silently drop it). A null
+    // URL is NOT dedupable content, so every null-url row keeps.
+    withCanon.as("c")
+      .join(first.as("f"),
+        col("c.canonical_url") <=> col("f.canonical_url"))
+      .select(col("c.id").as("id"), col("c.canonical_url").as("canonical_url"),
+        (col("c.canonical_url").isNull ||
+          col("c.id") === col("f._keep_id")).as("keep"))
   }
 }

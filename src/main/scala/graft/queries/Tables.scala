@@ -48,6 +48,15 @@ object Tables {
             if e.getCondition != null &&
               e.getCondition.startsWith("PARQUET_TYPE_ILLEGAL") =>
           val iso = s.newSession()
+          // runtime-set confs don't propagate to a new session — carry
+          // the two that change query semantics/shape, exactly like
+          // Streams.readEvents: without the tz copy, actions driven
+          // from the returned frame would resolve dates in the JVM
+          // default zone instead of the caller's
+          iso.conf.set("spark.sql.session.timeZone",
+            s.conf.get("spark.sql.session.timeZone"))
+          iso.conf.set("spark.sql.shuffle.partitions",
+            s.conf.get("spark.sql.shuffle.partitions"))
           iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           t(iso, d, "events")
       }

@@ -454,8 +454,16 @@ object Streams {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val ledgerSchema = StructType(Seq(
         StructField(h, StringType), StructField("batch_id", LongType)))
+      // Hadoop FS probe, NOT java.io.File: the ledger lives wherever
+      // the checkpoint does (s3a/hdfs in production) and a local-File
+      // exists() is always false there — the ledger would be written
+      // but never read, silently disabling cross-batch dedup
+      val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+      val ledgerExists = ledgerPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(ledgerPath)
       val seen =
-        if (new java.io.File(ledgerDir).exists())
+        if (ledgerExists)
           spark.read.schema(ledgerSchema).parquet(ledgerDir)
             // replay safety: rows this very batch wrote before a crash
             // must not suppress their own re-processing (the explicit
@@ -466,8 +474,11 @@ object Streams {
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField(h, StringType))))
+      // null text hashes as empty text: md5(null) is null, and null
+      // keys pass EVERY anti-join (EqualTo never matches them) — a
+      // null-text doc would be re-admitted in every batch forever
       val hashed = batch
-        .withColumn(h, md5(graft.ops.Cleanse.colRef(textCol)))
+        .withColumn(h, md5(coalesce(graft.ops.Cleanse.colRef(textCol), lit(""))))
         // first-by-id among same-content rows WITHIN the batch — a
         // deterministic keep-first, not dropDuplicates' arbitrary one
         .withColumn("_graft_rk", row_number().over(
@@ -476,7 +487,8 @@ object Streams {
             .orderBy(graft.ops.Cleanse.colRef(idCol))))
         .filter(col("_graft_rk") === 1).drop("_graft_rk")
       val corpusSeen = corpus
-        .select(md5(graft.ops.Cleanse.colRef(textCol)).as(h)).distinct()
+        .select(md5(coalesce(graft.ops.Cleanse.colRef(textCol), lit("")))
+          .as(h)).distinct()
       val fresh = hashed
         .join(corpusSeen, Seq(h), "left_anti")
         .join(seen, Seq(h), "left_anti")

@@ -1072,6 +1072,32 @@ class CorpusSpec extends SparkSpec {
     assert(got(6L) == ("not a url", false))
   }
 
+  test("null inputs degrade to definite answers, never null flags or lost rows") {
+    // dedupByUrl: a NULL url row is emitted (null-safe join) and keeps
+    val rows = Seq((1L, "https://a.com/p"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val got = Corpus.dedupByUrl(rows, "url", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true))
+    // c4Clean / gopherQuality: null text reads as empty — kept is
+    // FALSE, never NULL (a null flag drops the row from both
+    // filter(kept) and filter(!kept))
+    val nullPage = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val c4 = Corpus.c4Clean(nullPage, "text", "doc_id").collect().head
+    assert(!c4.isNullAt(5) && c4.getBoolean(5) == false)
+    assert(c4.getString(1) == "")
+    val go = Corpus.gopherQuality(nullPage, "text", "doc_id").collect().head
+    assert(!go.isNullAt(10) && go.getBoolean(10) == false)
+    assert(go.getLong(1) == 0L)
+    // classifier: featureless training inputs fail LOUDLY, not with an
+    // NPE from a null gradient sum
+    val empty = Seq((0L, "")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.trainQualityClassifier(empty, empty, "text", "doc_id", iters = 1)
+    }
+    assert(e.getMessage.contains("no featured training documents"))
+  }
+
   test("c4Clean custom bad-phrase list and in-line sentence marks") {
     val pages = Seq(
       (0L, "one full sentence sits here! two more sentences follow now. three lands here? four arrives now. five closes it out."),
