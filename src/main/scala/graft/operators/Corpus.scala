@@ -1636,7 +1636,13 @@ object Corpus {
         .select(col("y"), col("id"),
           (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(bias)))) - col("y"))
             .as("err"))
-        .persist() // two consumers below — one row per training doc
+        // persisted: two consumers (bucket gradients + bias gradient).
+        // Measured alternatives both LOSE: unpersisted single-action
+        // fusion recomputes the dot-product aggregate per union branch
+        // (16.1 s vs 8.7 s at sf0.1), and persisted fusion still pays
+        // the union shuffle + cache writes inside one job (11.7 s) —
+        // two small actions over a cached 1-row-per-doc frame win.
+        .persist()
       val grads = feats
         .join(errs, Seq("y", "id"))
         .groupBy(col("bucket"))
