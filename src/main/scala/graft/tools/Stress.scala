@@ -130,6 +130,26 @@ object Stress {
       timeN("bpe encode 50k docs (trained table)")(
         Corpus.bpeEncode(docs, "text", merges))
     }
+    locally {
+      // classifier: 8 GD passes over 45k tagged docs — feature rows
+      // scale 10×, the weight table stays <= 4096 rows; per-pass cost
+      // should track the feature shuffles (the q130 gate at 10×).
+      val qTag = lit((" informative well researched careful article " +
+        "clear structure cited sources balanced thorough analysis") * 3)
+      val sTag = lit((" click casino spam winner free offer act now " +
+        "limited deal exclusive prize claim instantly") * 3)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val t0 = System.nanoTime()
+      val model = Corpus.trainQualityClassifier(
+        train.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), qTag).as("text")),
+        train.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), concat(col("text"), sTag).as("text")),
+        "text", "doc_id", hexChars = 3, iters = 8, lr = 8.0)
+      println(f"[stress] classifier train 8 passes (45k tagged docs): ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      timeN("classifier score 50k docs")(
+        Corpus.scoreWithClassifier(docs, model, "text", "doc_id"))
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -553,6 +553,28 @@ class StreamsSpec extends SparkSpec {
     assert(acc.find(_._1 == 1L).get._3 == false)
   }
 
+  test("bpeEncode composes inside readStream (stateless narrow op)") {
+    implicit val sq = spark.sqlContext
+    val ref = Seq((0L, "low low low low lower lowest")).toDF("doc_id", "text")
+    val merges = graft.operators.Corpus.bpeTrain(ref, "text", numMerges = 6)
+    val input = MemoryStream[(Long, String)]
+    val enc = graft.operators.Corpus.bpeEncode(
+      input.toDF().toDF("doc_id", "text"), "text", merges)
+    val q = enc.writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    try {
+      input.addData((1L, "low lower"), (2L, ""))
+      q.processAllAvailable()
+      val got = spark.table("bpe_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val batch = graft.operators.Corpus.bpeEncode(
+        Seq((1L, "low lower"), (2L, "")).toDF("doc_id", "text"), "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == batch)
+      assert(got(2L) == 0L)
+    } finally q.stop()
+  }
+
   test("incremental dedup vs corpus + cross-batch ledger admits each content once") {
     implicit val sq = spark.sqlContext
     val corpus = Seq((100L, "already in the corpus"), (101L, "also known text"))
