@@ -127,6 +127,30 @@ class EventsLayoutSpec extends SparkSpec {
     for ((name, rows) <- read) assert(rows == ref, s"$name != ntz layout")
   }
 
+  test("Tables.events nanos retry carries the caller's session timezone") {
+    // the retry runs on a dedicated newSession(), and runtime confs do
+    // NOT propagate there — without the explicit copy, date functions
+    // driven from the returned frame would resolve in the JVM default
+    // zone instead of the caller's (the Streams.readEvents rule)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Tables.events(spark, layouts("int64-nanos"))
+      val viaNanos = df.select(date_format(col("ts"), "yyyy-MM-dd HH").as("d"))
+        .orderBy(col("d")).collect().map(_.getString(0)).toSeq
+      // reference: the UTC-annotated layout is instant-exact under ANY
+      // session tz (the NTZ layout is NOT a valid reference here — its
+      // cast reinterprets wall time in the session zone, which is why
+      // the adapter documents the UTC-session assumption)
+      val viaUtc = Tables.events(spark, layouts("timestamp-micros-utc"))
+        .select(date_format(col("ts"), "yyyy-MM-dd HH").as("d"))
+        .orderBy(col("d")).collect().map(_.getString(0)).toSeq
+      // identical local renderings ⇒ the retry session saw the same tz
+      assert(viaNanos == viaUtc)
+      assert(viaNanos.nonEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("Tables.events read order is layout-independent (probe conf does not leak)") {
     // reading a nanos file must not leave the legacy conf set for later reads
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong") // clean slate
