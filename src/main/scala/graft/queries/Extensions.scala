@@ -1438,6 +1438,70 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** The curation PIPELINE end-to-end — the composition proof: pages
+    * flow through [[graft.operators.Corpus.c4Clean]] (line/page rules)
+    * → [[graft.operators.Corpus.gopherQuality]] on the CLEANED text →
+    * exact content dedup (md5 keep-first) → a per-source summary.
+    * Each stage is individually oracle-proven (q128/q132/q28-family);
+    * this gate proves they CHAIN — flags feed flags, cleaned text feeds
+    * the next stage, and the final per-source counts are bit-exact
+    * against an independent SQL recomputation of the whole pipeline.
+    * Input is the q128 planted construction (mixed keeps guaranteed).
+    */
+  def qP1CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("the daily "), col("source"),
+          lit(" report is ready to be shared today.")),
+        lit("short line"),
+        // the body ends in a period so the C4 line filter KEEPS it and
+        // the Gopher word floor sees real document mass; doc_id % 13
+        // plants a SHARED canonical body (long enough to survive the
+        // word floor) — same-source pages on the same %7/%11 branches
+        // then clean to identical text and the dedup stage has real
+        // duplicates to collapse
+        when(col("doc_id") % 13 === 0,
+          lit("the steady river winds to be close with the quiet valley and that old stone wall today. the steady river winds to be close with the quiet valley and that old stone wall today. the steady river winds to be close with the quiet valley and that old stone wall today."))
+          .otherwise(concat(col("text"), lit("."))),
+        lit("Please enable JavaScript to view this page."),
+        when(col("doc_id") % 7 === 0,
+          lit("filler begins with lorem ipsum dolor sit amet."))
+          .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+        when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+          .otherwise(lit("clean final line stands here.")))
+        .as("text"))
+    val c4 = graft.operators.Corpus.c4Clean(messy, "text", "doc_id")
+      .select(col("id"), col("text").as("clean"), col("kept").as("c4_kept"))
+    val pages = messy.select(col("doc_id").as("id"), col("source"))
+      .join(c4, Seq("id"))
+    val c4k = pages.filter(col("c4_kept"))
+      .select(col("id"), col("source"), col("clean"))
+    val gq = graft.operators.Corpus.gopherQuality(c4k, "clean", "id")
+      .select(col("id"), col("n_words"), col("kept").as("g_kept"))
+    val qk = c4k.join(gq, Seq("id")).filter(col("g_kept"))
+    val firsts = qk.groupBy(md5(col("clean")).as("h"))
+      .agg(min(col("id")).as("kid"))
+    val uniq = qk.select(col("id"), md5(col("clean")).as("h"))
+      .join(firsts, Seq("h"))
+      .select(col("id"), (col("id") === col("kid")).as("uniq"))
+    pages
+      .join(qk.select(col("id"), col("n_words"),
+        lit(true).as("g_kept")), Seq("id"), "left")
+      .join(uniq, Seq("id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("c4_kept"), 1L).otherwise(0L)).as("n_c4_kept"),
+        sum(when(coalesce(col("g_kept"), lit(false)), 1L).otherwise(0L))
+          .as("n_quality_kept"),
+        sum(when(coalesce(col("uniq"), lit(false)), 1L).otherwise(0L))
+          .as("n_unique"),
+        sum(when(coalesce(col("g_kept"), lit(false)), col("n_words"))
+          .otherwise(0L)).as("sum_words"))
+      .orderBy(col("source"))
+  }
+
   /** BPE subword tokenization end-to-end (rows-only gate — training is
     * the same iterative driver-side control flow as q130, see README):
     * learn a merge table on the train split, encode the eval split,
@@ -2119,7 +2183,8 @@ object Extensions {
     "q129_url_dedup" -> qT16UrlDedup _,
     "q130_quality_classifier" -> qC20QualityClassifier _,
     "q131_bpe_tokens" -> qC21BpeTokens _,
-    "q132_gopher_quality" -> qC22GopherQuality _)
+    "q132_gopher_quality" -> qC22GopherQuality _,
+    "q133_curation_pipeline" -> qP1CurationPipeline _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3155,6 +3220,87 @@ object Extensions {
             AND 5 * n_alpha_words >= 4 * n_words
             AND n_stop_hits >= 2) AS kept
          FROM c ORDER BY id""",
+    // q133: the pipeline composition — the q128 rule chain, then the
+    // q132 rules over the CLEANED text, then md5 keep-first dedup,
+    // summarized per source. Every fragment reuses its gate-proven SQL
+    // form; the join-through of flags is what this gate adds.
+    "q133_curation_pipeline" ->
+      """WITH msy AS (SELECT doc_id, source,
+             'the daily ' || source || ' report is ready to be shared today.'
+             || chr(10) ||
+             'short line' || chr(10) ||
+             (CASE WHEN doc_id % 13 = 0
+               THEN 'the steady river winds to be close with the quiet valley and that old stone wall today. the steady river winds to be close with the quiet valley and that old stone wall today. the steady river winds to be close with the quiet valley and that old stone wall today.'
+               ELSE text || '.' END) || chr(10) ||
+             'Please enable JavaScript to view this page.' || chr(10) ||
+             CASE WHEN doc_id % 7 = 0 THEN
+               'filler begins with lorem ipsum dolor sit amet.'
+             ELSE 'one more sentence lands here! does a question count? yes it does. the paragraph closes now.'
+             END || chr(10) ||
+             CASE WHEN doc_id % 11 = 0 THEN 'template artifact { left behind.'
+             ELSE 'clean final line stands here.' END AS text
+           FROM documents),
+         r AS (SELECT doc_id, source, text,
+             array_to_string(list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                 w -> len(w) > 0)) >= 3
+               AND NOT contains(lower(l), 'javascript')), chr(10)) AS clean
+           FROM msy),
+         c2 AS (SELECT doc_id, source, clean,
+             (len(clean) - len(regexp_replace(clean, '[.!?]', '', 'g')) >= 5
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')) AS c4_kept
+           FROM r),
+         g AS (SELECT doc_id, source, clean,
+             list_filter(string_split_regex(clean, '\s+'), w -> len(w) > 0)
+               AS words,
+             string_split(clean, chr(10)) AS lines,
+             list_filter(string_split_regex(lower(clean), '[^a-z0-9'']+'),
+               t -> len(t) > 0) AS toks
+           FROM c2 WHERE c4_kept),
+         g2 AS (SELECT doc_id, source, clean,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0)
+               AS BIGINT) AS swl,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS naw,
+             CAST(len(clean) - len(replace(clean, '#', '')) AS BIGINT) AS nh,
+             CAST((len(clean) - len(replace(clean, '...', ''))) // 3
+               + (len(clean) - len(replace(clean, '…', ''))) AS BIGINT) AS ne,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(len(list_filter(lines, l ->
+               left(trim(l), 1) = '-' OR left(trim(l), 1) = '*'
+               OR left(trim(l), 1) = '•')) AS BIGINT) AS nbl,
+             CAST(len(list_filter(lines, l ->
+               right(trim(l), 3) = '...' OR right(trim(l), 1) = '…'))
+               AS BIGINT) AS nel,
+             CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               s -> list_contains(toks, s))) AS BIGINT) AS nsh
+           FROM g),
+         qk AS (SELECT doc_id, clean, n_words FROM g2
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND 3 * n_words <= swl AND swl <= 10 * n_words
+             AND 10 * nh <= n_words AND 10 * ne <= n_words
+             AND 10 * nbl <= 9 * nl AND 10 * nel <= 3 * nl
+             AND 5 * naw >= 4 * n_words AND nsh >= 2),
+         fh AS (SELECT md5(clean) AS h, min(doc_id) AS kid
+                FROM qk GROUP BY 1),
+         u AS (SELECT qk.doc_id, qk.doc_id = fh.kid AS uniq
+               FROM qk JOIN fh ON md5(qk.clean) = fh.h)
+         SELECT c2.source, CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN c2.c4_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c4_kept,
+           CAST(sum(CASE WHEN qk.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quality_kept,
+           CAST(sum(CASE WHEN coalesce(u.uniq, false) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN qk.doc_id IS NOT NULL THEN qk.n_words
+             ELSE 0 END) AS BIGINT) AS sum_words
+         FROM c2 LEFT JOIN qk ON qk.doc_id = c2.doc_id
+                 LEFT JOIN u ON u.doc_id = c2.doc_id
+         GROUP BY 1 ORDER BY 1""",
     // q116: identical keep-first window over exploded paragraphs; short
     // paragraphs (< 20 chars) are exempt in both engines.
     "q116_dedup_paragraphs" ->
