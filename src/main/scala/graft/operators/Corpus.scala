@@ -1697,24 +1697,36 @@ object Corpus {
   // ------------------------------------------------------------------
 
   /** Train a BPE merge table on a corpus — the reference subword
-    * algorithm (Sennrich, Haddow & Birch, ACL 2016), distributed the
-    * way it actually distributes: ALL iterations run over the
-    * DISTINCT-WORD frequency table, never the corpus. One corpus scan
-    * builds `(word, freq)`; every merge step is then (a) one
-    * vocabulary-sized pair-count aggregate, (b) a deterministic argmax
-    * (max count, then lexicographic — ties never depend on
-    * partitioning), (c) one codegen'd
-    * [[graft.plans.BpeExpressions.mergePair]] projection over the
-    * symbol arrays. The argmax row is the only driver round-trip per
-    * merge (1 row — the gradient-descent posture), and the lineage is
-    * cut with `localCheckpoint` every 8 merges (the [[Dedup]]
-    * label-propagation posture).
+    * algorithm (Sennrich, Haddow & Birch, ACL 2016), distributed
+    * where the data is big and local where the loop is long: ONE
+    * corpus scan builds the distinct `(word, freq)` table (`minFreq`
+    * prunes the hapax tail, `maxWords` hard-caps it — standard
+    * practice, published BPE vocabularies train on pruned word
+    * dicts), and when that table fits `localMergeMaxWords` (the
+    * bounded-handoff posture of the IVF sample and the classifier
+    * gradient) it is collected ONCE and the merge loop runs
+    * driver-local with incremental pair-count maintenance — real
+    * 32k-merge vocabularies train in seconds instead of one Spark
+    * aggregate + argmax collect per merge (~0.3 s/merge ≈ hours at
+    * 32k; docs/SCALE.md has the measured row). Above the cap the
+    * per-merge distributed loop below remains: (a) one
+    * vocabulary-sized pair-count aggregate, (b) a deterministic
+    * argmax, (c) one codegen'd
+    * [[graft.plans.BpeExpressions.mergePair]] projection, lineage cut
+    * with `localCheckpoint` every 8 merges.
     *
-    * Scale: the corpus contributes one tokenize+count scan; everything
-    * after is O(vocabulary) per merge. `minFreq` prunes the hapax tail
-    * and `maxWords` hard-caps the table (standard practice — published
-    * BPE vocabularies train on pruned word dicts), so a 100 TB corpus
-    * trains at the same per-merge cost as a 100 GB one.
+    * BOTH paths produce the identical merge sequence: integer pair
+    * counts summed by word frequency, argmax by (count desc, left,
+    * right) where string order is unsigned UTF-8 byte order — exactly
+    * Spark's UTF8String ordering, replicated byte-wise in the local
+    * comparator (Java String.compareTo would diverge on
+    * supplementary-plane characters). CorpusSpec pins local ≡
+    * distributed ≡ a code-independent plain-Scala replica.
+    *
+    * Scale: a 100 TB corpus contributes one tokenize+count scan; the
+    * merge loop is O(vocabulary), which `maxWords` bounds — so train
+    * cost is independent of corpus size past the scan, and the loop
+    * runs wherever that bound puts it.
     *
     * Returns merges in rank order (first learned = applied first).
     * Training is iterative driver-side control flow — like
@@ -1728,7 +1740,8 @@ object Corpus {
       numMerges: Int,
       minFreq: Long = 1L,
       minPairFreq: Long = 2L,
-      maxWords: Option[Int] = None): Seq[(String, String)] = {
+      maxWords: Option[Int] = None,
+      localMergeMaxWords: Int = 1 << 16): Seq[(String, String)] = {
     require(numMerges >= 1)
     val wordsBase = df
       .select(explode(TextFunctions.tokens(cr(textCol))).as("word"))
@@ -1736,6 +1749,16 @@ object Corpus {
       .filter(col("freq") >= minFreq)
     val capped = maxWords.fold(wordsBase)(n =>
       wordsBase.orderBy(col("freq").desc, col("word")).limit(n))
+    if (localMergeMaxWords > 0) {
+      // probe with limit+1: if the dict fits the cap, these rows ARE
+      // the whole dict and the loop never touches the cluster again
+      val probe = capped.select(col("word"), col("freq"))
+        .limit(localMergeMaxWords + 1).collect()
+      if (probe.length <= localMergeMaxWords)
+        return bpeTrainLocal(
+          probe.map(r => (r.getString(0), r.getLong(1))),
+          numMerges, minPairFreq)
+    }
     var words = capped
       .select(
         concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
@@ -1766,6 +1789,114 @@ object Corpus {
           graft.plans.BpeExpressions.mergePair(col("syms"), l, r))
         rank += 1
         if (rank % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String binary order,
+    * so local and distributed argmax tie-breaks agree even on
+    * supplementary-plane symbols (String.compareTo orders by UTF-16
+    * unit and would diverge there).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local BPE merge loop over the collected `(word, freq)`
+    * dict — same integer math, same argmax order as the distributed
+    * path ([[bpeTrain]] scaladoc). Incremental maintenance: pair
+    * counts and a pair→words index are updated only for the words
+    * containing the merged pair, so each merge costs O(affected words
+    * × word length) plus one O(distinct pairs) argmax scan — ~32k
+    * merges over a 64k-word dict in seconds (docs/SCALE.md).
+    */
+  private def bpeTrainLocal(
+      dict: Array[(String, Long)],
+      numMerges: Int,
+      minPairFreq: Long): Seq[(String, String)] = {
+    val syms = dict.map { case (w, _) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      w.foreach(c => b += String.valueOf(c))
+      b += "</w>"
+      b
+    }
+    val freq = dict.map(_._2)
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+    val where = new scala.collection.mutable.HashMap[
+      (String, String), scala.collection.mutable.HashSet[Int]]
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + freq(w))
+        where.getOrElseUpdate(
+          p, new scala.collection.mutable.HashSet[Int]) += w
+        i += 1
+      }
+      w += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // argmax: max count, then unsigned-UTF-8-lex (l, r) — the exact
+      // distributed orderBy(c desc, l, r)
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (best == null || c > bestC ||
+          (c == bestC && (utf8Lt(p._1, best._1) ||
+            (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < minPairFreq) done = true
+      else {
+        merges += best
+        val (l, r) = best
+        val affected = where.getOrElse(
+          best, new scala.collection.mutable.HashSet[Int]).toArray
+        java.util.Arrays.sort(affected)
+        affected.foreach { idx =>
+          // retract this word's pairs, splice the merge, re-add
+          val s = syms(idx)
+          var i = 0
+          while (i + 1 < s.length) {
+            val p = (s(i), s(i + 1))
+            val c = counts.getOrElse(p, 0L) - freq(idx)
+            if (c <= 0L) { counts.remove(p); where.remove(p) }
+            else counts.update(p, c)
+            where.get(p).foreach(_ -= idx)
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          syms(idx) = out
+          i = 0
+          while (i + 1 < out.length) {
+            val p = (out(i), out(i + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + freq(idx))
+            where.getOrElseUpdate(
+              p, new scala.collection.mutable.HashSet[Int]) += idx
+            i += 1
+          }
+        }
       }
     }
     merges.toSeq
@@ -1825,6 +1956,85 @@ object Corpus {
         f("n_stop_hits") >= 2L).as("kept"))
   }
 
+  /** The Gopher REPETITION rules (Rae et al. 2021, Appendix A1.1 —
+    * the other half of [[gopherQuality]]): duplicate-line and
+    * duplicate-paragraph fractions, their character fractions, the
+    * top 2-/3-/4-gram character fractions, and the duplicate
+    * 5–10-gram character fractions, all from the fused one-pass
+    * [[graft.plans.GopherRepStatsExpr]] counts. Every published
+    * threshold cross-multiplies to a PURE INTEGER comparison (the
+    * [[gopherQuality]] discipline), so the whole row — sixteen counts
+    * plus `kept` — is oracle-exact (q134). Thresholds, per the
+    * paper's Table A1: duplicate line fraction <= 0.30, duplicate
+    * paragraph fraction <= 0.30, duplicate line character fraction
+    * <= 0.20, duplicate paragraph character fraction <= 0.20, top
+    * 2-/3-/4-gram character fraction <= 0.20/0.18/0.16, duplicate
+    * 5-..10-gram character fraction <= 0.15/0.14/0.13/0.12/0.11/0.10.
+    * Counting conventions (occurrences-beyond-the-first for
+    * lines/paragraphs, all-occurrences for duplicate n-grams,
+    * longest-argmax tie-break for the top gram) are pinned in the
+    * expression's scaladoc. Pure narrow scan-bound work — zero
+    * shuffle, like [[c4Clean]].
+    */
+  def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.plans.GopherRepStatsExpr(coalesce(cr(textCol), lit("")))
+    def f(name: String) = st.getField(name)
+    df.select(
+      (Seq(cr(idCol).as("id")) ++
+        graft.plans.GopherRepStatsExpr.schema.fieldNames.toSeq
+          .map(n => f(n).as(n)) ++
+        Seq(repetitionKept(f).as("kept"))): _*)
+  }
+
+  /** The 13 repetition thresholds as one integer-only predicate over
+    * the [[graft.plans.GopherRepStatsExpr]] fields (shared by
+    * [[gopherRepetition]] and [[gopherQualityFull]]).
+    */
+  private def repetitionKept(f: String => Column): Column =
+    lit(10L) * f("dup_lines") <= lit(3L) * f("n_lines") &&
+      lit(10L) * f("dup_paras") <= lit(3L) * f("n_paras") &&
+      lit(5L) * f("dup_line_chars") <= f("text_chars") &&
+      lit(5L) * f("dup_para_chars") <= f("text_chars") &&
+      lit(5L) * f("top2_chars") <= f("text_chars") &&
+      lit(50L) * f("top3_chars") <= lit(9L) * f("text_chars") &&
+      lit(25L) * f("top4_chars") <= lit(4L) * f("text_chars") &&
+      lit(20L) * f("dup5_chars") <= lit(3L) * f("text_chars") &&
+      lit(50L) * f("dup6_chars") <= lit(7L) * f("text_chars") &&
+      lit(100L) * f("dup7_chars") <= lit(13L) * f("text_chars") &&
+      lit(25L) * f("dup8_chars") <= lit(3L) * f("text_chars") &&
+      lit(100L) * f("dup9_chars") <= lit(11L) * f("text_chars") &&
+      lit(10L) * f("dup10_chars") <= f("text_chars")
+
+  /** The COMPLETE published Gopher document filter — both A1.1
+    * halves ([[gopherQuality]]'s document/word/symbol rules AND
+    * [[gopherRepetition]]'s repetition rules) in one projection:
+    * two fused one-pass expressions over the same text, still zero
+    * shuffle. Emits both half-flags for auditability plus the
+    * combined `kept`; a user running "the Gopher rules" gets the
+    * actual published filter, not half of it.
+    */
+  def gopherQualityFull(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val text = coalesce(cr(textCol), lit(""))
+    val q = graft.plans.GopherStatsExpr(text)
+    val r = graft.plans.GopherRepStatsExpr(text)
+    def qf(name: String) = q.getField(name)
+    val qualityKept =
+      qf("n_words") >= 50L && qf("n_words") <= 100000L &&
+        lit(3L) * qf("n_words") <= qf("sum_word_len") &&
+        qf("sum_word_len") <= lit(10L) * qf("n_words") &&
+        lit(10L) * qf("n_hash") <= qf("n_words") &&
+        lit(10L) * qf("n_ellipsis") <= qf("n_words") &&
+        lit(10L) * qf("n_bullet_lines") <= lit(9L) * qf("n_lines") &&
+        lit(10L) * qf("n_ellipsis_lines") <= lit(3L) * qf("n_lines") &&
+        lit(5L) * qf("n_alpha_words") >= lit(4L) * qf("n_words") &&
+        qf("n_stop_hits") >= 2L
+    df.select(
+      cr(idCol).as("id"),
+      qualityKept.as("quality_kept"),
+      repetitionKept(r.getField).as("repetition_kept"),
+      (qualityKept && repetitionKept(r.getField)).as("kept"))
+  }
+
   /** URL-keyed exact dedup — the first dedup stage of every published
     * web pipeline (C4 and RefinedWeb both dedup fetched pages by URL
     * before any content hashing): canonicalize each row's URL
@@ -1840,20 +2050,25 @@ object Corpus {
     * NOT a per-group sort window: a hot canonical key (a crawl
     * frontier re-fetching one page millions of times) reduces to one
     * min cell map-side instead of serializing a single partition sort.
+    * Null-URL rows never enter the join at all: their `keep` flag is
+    * constant `true` (a null URL is not dedupable content), so they
+    * split off BEFORE the shuffle and union back — at crawl scale a
+    * meaningful missing-URL fraction would otherwise funnel every
+    * null row through one planted hot key on both join sides.
     */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val withCanon = df.select(cr(idCol).as("id"),
       TextFunctions.canonicalizeUrl(cr(urlCol)).as("canonical_url"))
-    val first = withCanon.groupBy(col("canonical_url"))
+    val nonNull = withCanon.filter(col("canonical_url").isNotNull)
+    val first = nonNull.groupBy(col("canonical_url"))
       .agg(min(col("id")).as("_keep_id"))
-    // null-safe join: a NULL url must still emit its row ("every input
-    // row is emitted" — an equi-join would silently drop it). A null
-    // URL is NOT dedupable content, so every null-url row keeps.
-    withCanon.as("c")
-      .join(first.as("f"),
-        col("c.canonical_url") <=> col("f.canonical_url"))
+    nonNull.as("c")
+      .join(first.as("f"), col("c.canonical_url") === col("f.canonical_url"))
       .select(col("c.id").as("id"), col("c.canonical_url").as("canonical_url"),
-        (col("c.canonical_url").isNull ||
-          col("c.id") === col("f._keep_id")).as("keep"))
+        (col("c.id") === col("f._keep_id")).as("keep"))
+      // "every input row is emitted": null-URL rows rejoin here with
+      // their constant flag — a plain projection, no join, no hot key
+      .unionByName(withCanon.filter(col("canonical_url").isNull)
+        .select(col("id"), col("canonical_url"), lit(true).as("keep")))
   }
 }

@@ -1438,6 +1438,42 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Gopher REPETITION rules end-to-end (Rae et al. 2021 A1.1's other
+    * half — [[qC22GopherQuality]] covers the non-repetition family):
+    * each doc gets planted mix-ins — a verbatim-duplicated line on
+    * doc_id % 3 == 0, a verbatim-duplicated paragraph on % 5 == 0, a
+    * top-2-gram flood plus a truncated base (so the flood's fraction
+    * actually bites) on % 7 == 0, a thrice-repeated 5-word phrase on
+    * % 11 == 0 — then [[graft.operators.Corpus.gopherRepetition]]
+    * must report all sixteen integer counts and the integer-compared
+    * `kept` flag exactly. Whole row oracle-gated; no float anywhere.
+    */
+  def qC23GopherRepetition(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat_ws("\n\n",
+        when(col("doc_id") % 7 === 0, substring(col("text"), 1, 40))
+          .otherwise(col("text")),
+        when(col("doc_id") % 3 === 0,
+          lit("the same exact line repeats here\nthe same exact line repeats here"))
+          .otherwise(lit("one line stands alone here\nanother distinct line follows")),
+        when(col("doc_id") % 5 === 0,
+          lit("this paragraph body is repeated verbatim across the page"))
+          .otherwise(lit("a unique paragraph body closes the page")),
+        when(col("doc_id") % 5 === 0,
+          lit("this paragraph body is repeated verbatim across the page"))
+          .otherwise(lit("and a distinct final paragraph follows it")),
+        when(col("doc_id") % 7 === 0,
+          lit("again and again and again and again and again and again"))
+          .otherwise(lit("plain words carry on without any repetition at all")),
+        when(col("doc_id") % 11 === 0,
+          lit("the quick brown fox jumps over the quick brown fox jumps over the quick brown fox jumps over"))
+          .otherwise(lit("steady prose continues to the end of the record")))
+        .as("text"))
+    graft.operators.Corpus.gopherRepetition(messy, "text", "doc_id")
+      .orderBy(col("id"))
+  }
+
   /** The curation PIPELINE end-to-end — the composition proof: pages
     * flow through [[graft.operators.Corpus.c4Clean]] (line/page rules)
     * → [[graft.operators.Corpus.gopherQuality]] on the CLEANED text →
@@ -2184,7 +2220,8 @@ object Extensions {
     "q130_quality_classifier" -> qC20QualityClassifier _,
     "q131_bpe_tokens" -> qC21BpeTokens _,
     "q132_gopher_quality" -> qC22GopherQuality _,
-    "q133_curation_pipeline" -> qP1CurationPipeline _)
+    "q133_curation_pipeline" -> qP1CurationPipeline _,
+    "q134_gopher_repetition" -> qC23GopherRepetition _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3220,6 +3257,108 @@ object Extensions {
             AND 5 * n_alpha_words >= 4 * n_words
             AND n_stop_hits >= 2) AS kept
          FROM c ORDER BY id""",
+    // q134: the Gopher repetition family over the planted construction
+    // — lines/paragraphs split-trim-filtered, word n-grams for all nine
+    // sizes via one grams relation keyed by (id, n), top gram as
+    // max(count) * longest-argmax length, duplicate chars as the
+    // all-occurrences sum, and every threshold as the same integer
+    // cross-multiplication the engine applies. No float anywhere.
+    "q134_gopher_repetition" ->
+      """WITH msy AS (SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0 THEN left(text, 40) ELSE text END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'the same exact line repeats here' || chr(10) || 'the same exact line repeats here'
+               ELSE 'one line stands alone here' || chr(10) || 'another distinct line follows' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 5 = 0 THEN 'this paragraph body is repeated verbatim across the page'
+               ELSE 'a unique paragraph body closes the page' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 5 = 0 THEN 'this paragraph body is repeated verbatim across the page'
+               ELSE 'and a distinct final paragraph follows it' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 7 = 0 THEN 'again and again and again and again and again and again'
+               ELSE 'plain words carry on without any repetition at all' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 11 = 0 THEN 'the quick brown fox jumps over the quick brown fox jumps over the quick brown fox jumps over'
+               ELSE 'steady prose continues to the end of the record' END) AS text
+           FROM documents),
+         base AS (SELECT doc_id AS id, text,
+             CAST(len(text) AS BIGINT) AS text_chars,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM msy),
+         le AS (SELECT id, trim(l, ' ') AS lt FROM
+             (SELECT id, unnest(string_split(text, chr(10))) AS l FROM base)
+           WHERE len(trim(l, ' ')) > 0),
+         lc AS (SELECT id, lt, count(*) AS c FROM le GROUP BY 1, 2),
+         la AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_lines,
+             CAST(coalesce(sum(len(lt) * (c - 1)) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_line_chars
+           FROM lc GROUP BY 1),
+         pe AS (SELECT id, trim(p, ' ') AS pt FROM
+             (SELECT id, unnest(string_split_regex(text, '\n{2,}')) AS p FROM base)
+           WHERE len(trim(p, ' ')) > 0),
+         pc AS (SELECT id, pt, count(*) AS c FROM pe GROUP BY 1, 2),
+         pa AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_paras,
+             CAST(coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_paras,
+             CAST(coalesce(sum(len(pt) * (c - 1)) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_para_chars
+           FROM pc GROUP BY 1),
+         ns AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+         ge AS (SELECT id, n, unnest(list_transform(
+                 generate_series(1, len(ws) - n + 1),
+                 i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+           FROM base CROSS JOIN ns),
+         gc AS (SELECT id, n, g, count(*) AS c FROM ge GROUP BY 1, 2, 3),
+         gw AS (SELECT id, n, g, c, max(c) OVER (PARTITION BY id, n) AS mc
+           FROM gc),
+         ga AS (SELECT id, n,
+             CAST(any_value(mc) * coalesce(max(len(g)) FILTER (WHERE c = mc AND c >= 2), 0) AS BIGINT) AS topc,
+             CAST(coalesce(sum(len(g) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dupc
+           FROM gw GROUP BY 1, 2),
+         gp AS (SELECT id,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 2), 0) AS BIGINT) AS top2_chars,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 3), 0) AS BIGINT) AS top3_chars,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 4), 0) AS BIGINT) AS top4_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 5), 0) AS BIGINT) AS dup5_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 6), 0) AS BIGINT) AS dup6_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 7), 0) AS BIGINT) AS dup7_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 8), 0) AS BIGINT) AS dup8_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 9), 0) AS BIGINT) AS dup9_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 10), 0) AS BIGINT) AS dup10_chars
+           FROM ga GROUP BY 1)
+         SELECT b.id,
+           coalesce(la.n_lines, 0) AS n_lines,
+           coalesce(la.dup_lines, 0) AS dup_lines,
+           coalesce(la.dup_line_chars, 0) AS dup_line_chars,
+           coalesce(pa.n_paras, 0) AS n_paras,
+           coalesce(pa.dup_paras, 0) AS dup_paras,
+           coalesce(pa.dup_para_chars, 0) AS dup_para_chars,
+           b.text_chars,
+           coalesce(gp.top2_chars, 0) AS top2_chars,
+           coalesce(gp.top3_chars, 0) AS top3_chars,
+           coalesce(gp.top4_chars, 0) AS top4_chars,
+           coalesce(gp.dup5_chars, 0) AS dup5_chars,
+           coalesce(gp.dup6_chars, 0) AS dup6_chars,
+           coalesce(gp.dup7_chars, 0) AS dup7_chars,
+           coalesce(gp.dup8_chars, 0) AS dup8_chars,
+           coalesce(gp.dup9_chars, 0) AS dup9_chars,
+           coalesce(gp.dup10_chars, 0) AS dup10_chars,
+           (10 * coalesce(la.dup_lines, 0) <= 3 * coalesce(la.n_lines, 0)
+            AND 10 * coalesce(pa.dup_paras, 0) <= 3 * coalesce(pa.n_paras, 0)
+            AND 5 * coalesce(la.dup_line_chars, 0) <= b.text_chars
+            AND 5 * coalesce(pa.dup_para_chars, 0) <= b.text_chars
+            AND 5 * coalesce(gp.top2_chars, 0) <= b.text_chars
+            AND 50 * coalesce(gp.top3_chars, 0) <= 9 * b.text_chars
+            AND 25 * coalesce(gp.top4_chars, 0) <= 4 * b.text_chars
+            AND 20 * coalesce(gp.dup5_chars, 0) <= 3 * b.text_chars
+            AND 50 * coalesce(gp.dup6_chars, 0) <= 7 * b.text_chars
+            AND 100 * coalesce(gp.dup7_chars, 0) <= 13 * b.text_chars
+            AND 25 * coalesce(gp.dup8_chars, 0) <= 3 * b.text_chars
+            AND 100 * coalesce(gp.dup9_chars, 0) <= 11 * b.text_chars
+            AND 10 * coalesce(gp.dup10_chars, 0) <= b.text_chars) AS kept
+         FROM base b LEFT JOIN la ON la.id = b.id
+                     LEFT JOIN pa ON pa.id = b.id
+                     LEFT JOIN gp ON gp.id = b.id
+         ORDER BY b.id""",
     // q133: the pipeline composition — the q128 rule chain, then the
     // q132 rules over the CLEANED text, then md5 keep-first dedup,
     // summarized per source. Every fragment reuses its gate-proven SQL

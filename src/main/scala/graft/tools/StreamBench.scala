@@ -2,7 +2,7 @@ package graft.tools
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -27,6 +27,8 @@ import graft.streaming.Streams
 object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
+    if (Seq("lmn", "dsir", "clf", "incdedup").exists(args.headOption.contains))
+      { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
@@ -139,6 +141,101 @@ object StreamBench {
       val wall = (System.nanoTime() - t0) / 1e9
       val label = if (persisted) "persisted" else "unpersisted"
       println(f"""{"metric":"stream_lm_score_rows_per_sec","model":"$label","rows_per_sec":${scored / wall}%.0f,"scored_rows":$scored,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+    }
+    spark.stop()
+  }
+
+  /** Round-12 throughput rows for the remaining round-11 streaming
+    * deployments (scoreLmNBatches n=5, scoreDsirBatches,
+    * scoreClassifierBatches, incrementalDedupBatches), persisted vs
+    * unpersisted model members — the bigram row's 6.4× persist gap
+    * measured for each. Correctness of every path is pinned by
+    * StreamsSpec streaming≡batch cases; this only measures. The
+    * handler persists each scored batch before counting it (the
+    * measurement-correction rule: bare count() lets ColumnPruning drop
+    * the model joins — docs/SCALE.md).
+    *
+    * Usage: StreamBench <lmn|dsir|clf|incdedup> [docsParquet] [filesPerTrigger]
+    */
+  private def scoredBenches(args: Array[String]): Unit = {
+    val mode = args(0)
+    val docsPath = args.lift(1).getOrElse("/tmp/sf1_documents.parquet")
+    val perTrigger = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName(s"graft-stream-$mode-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(docsPath)
+    val stageDir =
+      java.nio.file.Files.createTempDirectory(s"graft_${mode}_stream").toString
+    docs.repartition(40).write.mode("overwrite").parquet(stageDir)
+    val schema = docs.schema
+
+    def run(metric: String, persistables: Seq[DataFrame])(
+        mk: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      for (persisted <- Seq(false, true)) {
+        if (persisted) persistables.foreach { m => m.persist(); m.count() }
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
+        var scored = 0L
+        val t0 = System.nanoTime()
+        val q = mk(stream, { (batch, _) =>
+          batch.persist()
+          scored += batch.count()
+          batch.unpersist()
+          ()
+        }).start()
+        q.processAllAvailable()
+        q.stop(); q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val label = if (persisted) "persisted" else "unpersisted"
+        println(f"""{"metric":"$metric","model":"$label","rows_per_sec":${scored / wall}%.0f,"scored_rows":$scored,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+      }
+      persistables.foreach(_.unpersist())
+    }
+
+    mode match {
+      case "lmn" =>
+        val model = graft.operators.Corpus.ngramBackoffModel(
+          docs, "text", "doc_id", n = 5)
+        run("stream_lm5_score_rows_per_sec",
+          model.orders :+ model.totals) { (s, h) =>
+          Streams.scoreLmNBatches(s, model, "text", "doc_id", h)
+        }
+      case "dsir" =>
+        val model = graft.operators.Corpus.dsirModel(
+          raw = docs,
+          target = docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id")
+        run("stream_dsir_score_rows_per_sec",
+          Seq(model.targetCounts, model.rawCounts, model.totals)) { (s, h) =>
+          Streams.scoreDsirBatches(s, model, "text", "doc_id", h)
+        }
+      case "clf" =>
+        val model = graft.operators.Corpus.trainQualityClassifier(
+          pos = docs.filter(col("doc_id") % 2 === 0),
+          neg = docs.filter(col("doc_id") % 2 =!= 0),
+          "text", "doc_id", iters = 8)
+        run("stream_clf_score_rows_per_sec", Seq(model.weights)) { (s, h) =>
+          Streams.scoreClassifierBatches(s, model, "text", "doc_id", h)
+        }
+      case "incdedup" =>
+        // the "model" here is the static corpus whose hash projection
+        // each micro-batch anti-joins; persisting it caches the corpus
+        // rows (the md5+distinct still re-aggregates per batch — the
+        // projection lives inside the operator)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        run("stream_incdedup_rows_per_sec", Seq(corpus)) { (s, h) =>
+          val ledger = java.nio.file.Files
+            .createTempDirectory("graft_incdedup_ledger").toString + "/ledger"
+          Streams.incrementalDedupBatches(
+            s, corpus, "text", "doc_id", ledger, h)
+        }
     }
     spark.stop()
   }

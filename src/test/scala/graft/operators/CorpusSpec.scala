@@ -810,6 +810,150 @@ class CorpusSpec extends SparkSpec {
     assert(kept(ell.mkString("\n")) == false)
   }
 
+  test("gopherRepetition counts each metric exactly on a crafted page") {
+    // two identical paragraphs of two lines each, then a spaced single
+    // word; every count below is hand-derived from the spec (lines
+    // split on \n space-trimmed non-empty; paragraphs split on >=2 \n;
+    // dup = occurrences beyond the first; word n-grams space-joined,
+    // top = count*len of the most frequent repeating gram, dup = ALL
+    // occurrences of grams appearing >= 2 times)
+    val page = "aa bb aa bb\ncc dd\n\naa bb aa bb\ncc dd\n\n  ee  "
+    val r = Corpus.gopherRepetition(
+      Seq((0L, page)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    val got = (1 to 16).map(r.getLong).toList
+    assert(got == List(
+      5L, 2L, 16L, // lines: 5 non-empty; 2 beyond-first; 11+5 chars
+      3L, 1L, 17L, // paras: 3; "aa bb aa bb\ncc dd" repeated; 17 chars
+      44L, // text_chars
+      20L, // top2: "aa bb" x4 * len 5
+      16L, // top3: max count 2, longest argmax len 8
+      22L, // top4: "aa bb aa bb" x2 * len 11
+      56L, // dup5: two 5-grams x2 occurrences x len 14
+      34L, // dup6: "aa bb aa bb cc dd" x2 x len 17
+      0L, 0L, 0L, 0L)) // no 7..10-gram repeats
+    assert(r.getBoolean(17) == false) // 5*56 > 3*44 → dup-5-gram trips
+  }
+
+  test("gopherRepetition kept flips on each published threshold") {
+    val uw = (0 until 240).map(i => s"u${i}x")
+    def rep(text: String) = Corpus.gopherRepetition(
+      Seq((0L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    def kept(text: String): Boolean = rep(text).getBoolean(17)
+    // interleave unique lines with copies of a one-word line so the
+    // duplicate never becomes a repeated 2-gram
+    def mkLines(nDup: Int, sep: String): String = {
+      val uniq = (0 until 10 - (nDup + 1))
+        .map(i => uw.slice(i * 4 + 20, i * 4 + 24).mkString(" "))
+      val dups = Seq.fill(nDup + 1)("kq")
+      (0 until math.max(uniq.size, dups.size)).flatMap(i =>
+        uniq.lift(i).toSeq ++ dups.lift(i).toSeq).mkString(sep)
+    }
+    // dup-line fraction <= 0.30: EXACT boundary — 3 of 10 is 30 <= 30
+    assert(kept(mkLines(3, "\n")) == true)
+    val lf = rep(mkLines(4, "\n"))
+    assert(10L * lf.getLong(2) > 3L * lf.getLong(1) && !lf.getBoolean(17))
+    // dup-paragraph fraction <= 0.30, isolated from the line rule by
+    // 5-line unique paragraphs (dup lines stay 4 of 35)
+    def mkParas(nDup: Int): String = {
+      val uniq = (0 until 6).map(i => (0 until 5)
+        .map(j => uw.slice(i * 25 + j * 5 + 40, i * 25 + j * 5 + 45)
+          .mkString(" ")).mkString("\n"))
+      val dups = Seq.fill(nDup + 1)("pq")
+      (0 until math.max(uniq.size, dups.size)).flatMap(i =>
+        uniq.lift(i).toSeq ++ dups.lift(i).toSeq).mkString("\n\n")
+    }
+    assert(kept(mkParas(3)) == true)
+    val pf = rep(mkParas(4))
+    assert(10L * pf.getLong(5) > 3L * pf.getLong(4) && !pf.getBoolean(17))
+    // dup-line CHAR fraction <= 0.20: four distinct duplicated 4-word
+    // lines inside non-duplicated paragraphs; shrinking the filler
+    // pushes 5*dup_line_chars past text_chars with no other rule near
+    def mkLineChars(fillWords: Int): String = {
+      val parts = (0 until 4).flatMap { i =>
+        val dl = s"q${i}abc r${i}def s${i}ghi t${i}jkl"
+        Seq(dl + "\n" + uw.slice(150 + i * 3, 153 + i * 3).mkString(" "),
+          dl + "\n" + uw.slice(170 + i * 3, 173 + i * 3).mkString(" "))
+      }
+      (parts :+ uw.take(fillWords).mkString(" ")).mkString("\n\n")
+    }
+    assert(kept(mkLineChars(60)) == true)
+    val lc = rep(mkLineChars(25))
+    assert(5L * lc.getLong(3) > lc.getLong(7) && !lc.getBoolean(17))
+    // dup-paragraph CHAR fraction <= 0.20: whole 4-word paragraphs
+    // duplicated — necessarily also duplicate lines with the same char
+    // mass, so the two char rules fail TOGETHER (inherent coupling:
+    // identical paragraphs have identical lines) and nothing else does
+    def mkParaChars(fillWords: Int): String = {
+      val parts = (0 until 4).flatMap { i =>
+        val p = s"q${i}abc r${i}def s${i}ghi t${i}jkl"
+        Seq(p, p)
+      } ++ (0 until 7).map(j => uw.slice(j * 4, j * 4 + 4).mkString(" "))
+      (parts :+ uw.slice(100, 100 + fillWords).mkString(" ")).mkString("\n\n")
+    }
+    val pc = rep(mkParaChars(20))
+    assert(5L * pc.getLong(6) > pc.getLong(7) && !pc.getBoolean(17))
+    // top-2-gram char fraction <= 0.20: "xy zw" repeated with two
+    // unique separator words per repeat (no longer gram ever repeats)
+    def mkTop(phrase: Seq[String], seps: Int, k: Int, fillWords: Int): String =
+      ((0 until k).flatMap(i =>
+        phrase ++ (0 until seps).map(j => uw(i * seps + j))) ++
+        uw.slice(120, 120 + fillWords)).mkString(" ")
+    assert(kept(mkTop(Seq("xy", "zw"), 2, 12, 40)) == true)
+    val t2 = rep(mkTop(Seq("xy", "zw"), 2, 20, 10))
+    assert(5L * t2.getLong(8) > t2.getLong(7) && !t2.getBoolean(17))
+    // top-3-gram <= 0.18 (trips before the looser top-2 rule can)
+    assert(kept(mkTop(Seq("xy", "zw", "vk"), 2, 8, 40)) == true)
+    val t3 = rep(mkTop(Seq("xy", "zw", "vk"), 2, 14, 20))
+    assert(50L * t3.getLong(9) > 9L * t3.getLong(7) && !t3.getBoolean(17))
+    // top-4-gram <= 0.16: single-char words keep the inner top-3 mass
+    // below ITS threshold while the quad crosses
+    assert(kept(mkTop(Seq("a", "b", "c", "d"), 3, 8, 40)) == true)
+    val t4 = rep(mkTop(Seq("a", "b", "c", "d"), 3, 12, 20))
+    assert(25L * t4.getLong(10) > 4L * t4.getLong(7) && !t4.getBoolean(17))
+    // duplicate-5-gram chars <= 0.15 (tightest reachable tier: any
+    // repeated phrase duplicates its sub-grams, so 5 trips first)
+    assert(kept(mkTop(Seq("a", "b", "c", "d", "e"), 4, 6, 40)) == true)
+    val d5 = rep(mkTop(Seq("a", "b", "c", "d", "e"), 4, 10, 25))
+    assert(20L * d5.getLong(11) > 3L * d5.getLong(7) && !d5.getBoolean(17))
+    // 6..10-gram tiers: a thrice-repeated 10-word phrase must cross
+    // EVERY dup-n-gram inequality (the documented cascade — duplicated
+    // long grams always duplicate their sub-grams)
+    val casc = rep(mkTop((0 until 10).map(i => ('a' + i).toChar.toString),
+      9, 3, 10))
+    val tc = casc.getLong(7)
+    assert(20L * casc.getLong(11) > 3L * tc)
+    assert(50L * casc.getLong(12) > 7L * tc)
+    assert(100L * casc.getLong(13) > 13L * tc)
+    assert(25L * casc.getLong(14) > 3L * tc)
+    assert(100L * casc.getLong(15) > 11L * tc)
+    assert(10L * casc.getLong(16) > tc)
+    assert(!casc.getBoolean(17))
+  }
+
+  test("gopherQualityFull combines both A1.1 halves") {
+    val stops = "the be to of and that have with"
+    val goodBody = (0 until 60).map(i => s"w${i}ord").mkString(" ")
+    val flood = (0 until 30).map(_ => "again and").mkString(" ")
+    val docs = Seq(
+      (1L, s"$stops $goodBody"), // passes both halves
+      (2L, s"$stops tiny"), // fails the 50-word floor only
+      (3L, s"$stops $goodBody $flood"), // >= 50 words but repetition-floods
+      (4L, s"spam $flood")) // fails both halves
+      .toDF("doc_id", "text")
+    val got = Corpus.gopherQualityFull(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((true, true, true)))
+    assert(got(2L) == ((false, true, false)))
+    assert(got(3L) == ((true, false, false)))
+    assert(got(4L)._3 == false)
+    assert(got(4L)._1 == false && got(4L)._2 == false)
+    // kept is ALWAYS the conjunction of the halves
+    got.values.foreach { case (q, r, k) => assert(k == (q && r)) }
+  }
+
   // ----------------------------------------------------------------- BPE
 
   /** Code-independent plain-Scala BPE (Sennrich et al.): word-freq dict
@@ -901,6 +1045,37 @@ class CorpusSpec extends SparkSpec {
     val a = Corpus.bpeTrain(d, "text", numMerges = 8)
     val b = Corpus.bpeTrain(d.repartition(7), "text", numMerges = 8)
     assert(a == b)
+  }
+
+  test("bpeTrain driver-local and distributed merge loops agree exactly") {
+    // ties abound in a small corpus — the local loop must replicate the
+    // distributed argmax order (count desc, then UTF-8-byte-lex l, r)
+    // merge for merge, including the minPairFreq stop
+    val d = docs
+    val local = Corpus.bpeTrain(d, "text", numMerges = 40)
+    val dist = Corpus.bpeTrain(d, "text", numMerges = 40,
+      localMergeMaxWords = 0)
+    assert(local == dist)
+    // and both stop identically when the pair supply dries up
+    val tiny = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    assert(Corpus.bpeTrain(tiny, "text", numMerges = 50) ==
+      Corpus.bpeTrain(tiny, "text", numMerges = 50, localMergeMaxWords = 0))
+  }
+
+  test("bpeTrain local path reaches vocabulary-scale merge counts fast") {
+    // 1,000 merges over a few-hundred-word dict: the per-merge cost is
+    // incremental pair maintenance + one argmax scan — this must run in
+    // seconds, not the distributed path's one-Spark-job-per-merge
+    val texts = (0 until 1200).map { i =>
+      (i.toLong, s"alpha${i}xq beta${i}zr gamma${i % 11} " * 3)
+    }
+    val df = texts.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = Corpus.bpeTrain(df, "text", numMerges = 1000,
+      minPairFreq = 1L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"got ${merges.size} merges")
+    assert(secs < 30.0, s"local merge loop took $secs s")
   }
 
   // ------------------------------------------------- quality classifier
@@ -1070,6 +1245,23 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L)._2 == true)
     assert(got(4L) == ("not a url", true))
     assert(got(6L) == ("not a url", false))
+  }
+
+  test("dedupByUrl: the null-URL branch never enters the join (no hot key)") {
+    // at crawl scale a meaningful missing-URL fraction must not funnel
+    // through one planted join key — null rows get their constant flag
+    // in a joinless Union branch
+    val rows = Seq((1L, "https://a.com/p"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val plan = Corpus.dedupByUrl(rows, "url", "doc_id")
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    val unions = plan.collect { case u: Union => u }
+    assert(unions.nonEmpty, "expected a Union of join/null branches")
+    val branches = unions.head.children
+    val joinless = branches.filter(b => b.collect { case j: Join => j }.isEmpty)
+    assert(joinless.nonEmpty,
+      s"expected a joinless null branch in:\n$plan")
   }
 
   test("null inputs degrade to definite answers, never null flags or lost rows") {
