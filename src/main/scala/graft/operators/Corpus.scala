@@ -2014,7 +2014,20 @@ object Corpus {
     * actual published filter, not half of it.
     */
   def gopherQualityFull(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val text = coalesce(cr(textCol), lit(""))
+    val (qualityKept, repKept) = gopherFlags(coalesce(cr(textCol), lit("")))
+    df.select(
+      cr(idCol).as("id"),
+      qualityKept.as("quality_kept"),
+      repKept.as("repetition_kept"),
+      (qualityKept && repKept).as("kept"))
+  }
+
+  /** The two Gopher half-filter predicates over a text column —
+    * (quality half, repetition half), each a pure integer-compared
+    * projection over its fused stats expression. Shared by
+    * [[gopherQualityFull]] and [[curatePages]].
+    */
+  private def gopherFlags(text: Column): (Column, Column) = {
     val q = graft.plans.GopherStatsExpr(text)
     val r = graft.plans.GopherRepStatsExpr(text)
     def qf(name: String) = q.getField(name)
@@ -2028,11 +2041,30 @@ object Corpus {
         lit(10L) * qf("n_ellipsis_lines") <= lit(3L) * qf("n_lines") &&
         lit(5L) * qf("n_alpha_words") >= lit(4L) * qf("n_words") &&
         qf("n_stop_hits") >= 2L
-    df.select(
-      cr(idCol).as("id"),
+    (qualityKept, repetitionKept(r.getField))
+  }
+
+  /** The STATELESS prefix of the published curation pipeline — C4
+    * line/page cleaning then the complete Gopher filter (both A1.1
+    * halves) over the cleaned text — as one narrow per-doc transform:
+    * emits `(id, clean, c4_kept, quality_kept, repetition_kept, kept)`
+    * with `kept` the conjunction. Zero shuffle, zero state — so the
+    * SAME function deploys unchanged on a STREAMING DataFrame
+    * (`readStream → curatePages → sink`; StreamsSpec pins streaming ≡
+    * batch), the production crawl-ingest shape where per-page
+    * filtering runs on arrival and only the stateful stages (dedup,
+    * decontamination) run against stores. The q135 gate proves the
+    * batch composition against an independent SQL recomputation.
+    */
+  def curatePages(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c4 = c4Clean(df, textCol, idCol)
+      .select(col("id"), col("text").as("clean"), col("kept").as("c4_kept"))
+    val (qualityKept, repKept) = gopherFlags(coalesce(col("clean"), lit("")))
+    c4.select(
+      col("id"), col("clean"), col("c4_kept"),
       qualityKept.as("quality_kept"),
-      repetitionKept(r.getField).as("repetition_kept"),
-      (qualityKept && repetitionKept(r.getField)).as("kept"))
+      repKept.as("repetition_kept"),
+      (col("c4_kept") && qualityKept && repKept).as("kept"))
   }
 
   /** URL-keyed exact dedup — the first dedup stage of every published

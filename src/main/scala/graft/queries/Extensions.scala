@@ -1538,6 +1538,98 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  /** The FULL published curation pipeline (the RefinedWeb/C4 shape):
+    * URL dedup → C4 clean → the complete Gopher filter (BOTH A1.1
+    * halves) → 3-gram-Jaccard near-dup removal → 8-gram
+    * decontamination against a benchmark split — each stage a
+    * gate-proven operator (q129/q128/q132+q134/q77/q78), composed so
+    * flags feed flags and cleaned text feeds every downstream stage.
+    * Near-dup removal uses the published pair rule: a doc is dropped
+    * when ANY earlier (lower-id) doc is >= 0.5 Jaccard-similar.
+    *
+    * Planted constructions guarantee every stage does real work at
+    * sf0.01 (verified stage counts 500 → 450 → 350 → 310 → 277 → 258):
+    * doc_id % 450 plants URL collisions (+ utm variants on % 4), the
+    * q133 text chain plants C4 kills (% 7 lorem, % 11 curly), % 13 a
+    * shared long body (near-dups across sources at j ≈ 0.92), % 19 a
+    * repeated-phrase final line that passes C4 but trips the
+    * REPETITION half (18 docs die there — the half q133 couldn't
+    * apply), and % 17 of the raw corpus is the decontamination bench.
+    * The whole pipeline is recomputed independently in SQL (q135
+    * oracle — every fragment reuses its own gate's proven form).
+    */
+  def qP2RefinedWebPipeline(s: SparkSession, d: String): DataFrame = {
+    val shared = "the steady river winds to be close with the quiet " +
+      "valley and that old stone wall today while morning light settles " +
+      "over the far meadow and the old road bends past the mill to " +
+      "reach the stone bridge before the village square opens."
+    val mill = "the mill wheel turns and turns the mill wheel turns " +
+      "and turns the mill wheel turns and turns tonight."
+    val messy = documents(s, d).select(
+      col("doc_id"), col("source"),
+      concat(lit("https://example.com/art/"),
+        (col("doc_id") % 450).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
+          .otherwise(lit(""))).as("url"),
+      concat_ws("\n",
+        concat(lit("the daily "), col("source"),
+          lit(" report is ready to be shared today.")),
+        lit("short line"),
+        when(col("doc_id") % 13 === 0, lit(shared))
+          .otherwise(concat(col("text"), lit("."))),
+        lit("Please enable JavaScript to view this page."),
+        when(col("doc_id") % 7 === 0,
+          lit("filler begins with lorem ipsum dolor sit amet."))
+          .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+        when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+          .when(col("doc_id") % 19 === 0, lit(mill))
+          .otherwise(lit("clean final line stands here.")))
+        .as("text"))
+    val urlKept = graft.operators.Corpus
+      .dedupByUrl(messy, "url", "doc_id")
+      .filter(col("keep")).select(col("id").as("doc_id"))
+    val s1 = messy.join(urlKept, Seq("doc_id"))
+    val c4 = graft.operators.Corpus.c4Clean(s1, "text", "doc_id")
+      .filter(col("kept")).select(col("id"), col("text").as("clean"))
+    // persist the stage frames consumed by MULTIPLE downstream
+    // branches (near-dup, decontamination, and the per-stage summary
+    // flags): without this every summary join re-derives the whole
+    // upstream chain — the near-dup join twice — measured 33.6 s vs
+    // 6.5 s at sf0.1. Bench clears cache between reps, so the persist
+    // is timed fairly inside the query.
+    val s2 = s1.select(col("doc_id").as("id"), col("source"))
+      .join(c4, Seq("id")).persist()
+    val gq = graft.operators.Corpus.gopherQualityFull(s2, "clean", "id")
+      .filter(col("kept")).select(col("id"))
+    val s3 = s2.join(gq, Seq("id")).persist()
+    val dropped = graft.operators.Corpus
+      .exactNgramPairs(s3, "clean", "id", threshold = 0.5, n = 3)
+      .select(col("id_b").as("id")).distinct().persist()
+    val s4 = s3.join(dropped, Seq("id"), "left_anti")
+    val bench = documents(s, d).filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("id"), col("text").as("clean"))
+    val s5 = graft.operators.Corpus.decontaminate(s4, bench, "clean", "id", n = 8)
+    val s5w = graft.operators.Corpus.gopherQuality(s5, "clean", "id")
+      .select(col("id"), col("n_words"))
+    messy.select(col("doc_id").as("id"), col("source"))
+      .join(s1.select(col("doc_id").as("id"), lit(1L).as("u")), Seq("id"), "left")
+      .join(s2.select(col("id"), lit(1L).as("c")), Seq("id"), "left")
+      .join(s3.select(col("id"), lit(1L).as("q")), Seq("id"), "left")
+      .join(s4.select(col("id"), lit(1L).as("nq")), Seq("id"), "left")
+      .join(s5w.select(col("id"), lit(1L).as("cl"), col("n_words")), Seq("id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(coalesce(col("u"), lit(0L))).as("n_url"),
+        sum(coalesce(col("c"), lit(0L))).as("n_c4"),
+        sum(coalesce(col("q"), lit(0L))).as("n_quality"),
+        sum(coalesce(col("nq"), lit(0L))).as("n_unique"),
+        sum(coalesce(col("cl"), lit(0L))).as("n_clean"),
+        sum(when(col("cl").isNotNull, col("n_words")).otherwise(0L))
+          .as("sum_words"))
+      .orderBy(col("source"))
+  }
+
   /** BPE subword tokenization end-to-end (rows-only gate — training is
     * the same iterative driver-side control flow as q130, see README):
     * learn a merge table on the train split, encode the eval split,
@@ -2221,7 +2313,8 @@ object Extensions {
     "q131_bpe_tokens" -> qC21BpeTokens _,
     "q132_gopher_quality" -> qC22GopherQuality _,
     "q133_curation_pipeline" -> qP1CurationPipeline _,
-    "q134_gopher_repetition" -> qC23GopherRepetition _)
+    "q134_gopher_repetition" -> qC23GopherRepetition _,
+    "q135_refinedweb_pipeline" -> qP2RefinedWebPipeline _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3359,6 +3452,167 @@ object Extensions {
                      LEFT JOIN pa ON pa.id = b.id
                      LEFT JOIN gp ON gp.id = b.id
          ORDER BY b.id""",
+    // q135: the FULL published pipeline recomputed independently —
+    // URL keep-first (constructed urls canonicalize to doc_id % 450
+    // classes), the q128 C4 chain, BOTH Gopher halves (q132 + q134
+    // fragments over the CLEANED text), the q77 capped-Jaccard pair
+    // rule, and the q78 8-gram decontamination, summarized per source.
+    "q135_refinedweb_pipeline" ->
+      """WITH msy AS (SELECT doc_id, source,
+             'the daily ' || source || ' report is ready to be shared today.' || chr(10) ||
+             'short line' || chr(10) ||
+             (CASE WHEN doc_id % 13 = 0 THEN 'the steady river winds to be close with the quiet valley and that old stone wall today while morning light settles over the far meadow and the old road bends past the mill to reach the stone bridge before the village square opens.' ELSE text || '.' END) || chr(10) ||
+             'Please enable JavaScript to view this page.' || chr(10) ||
+             (CASE WHEN doc_id % 7 = 0 THEN 'filler begins with lorem ipsum dolor sit amet.'
+              ELSE 'one more sentence lands here! does a question count? yes it does. the paragraph closes now.' END) || chr(10) ||
+             (CASE WHEN doc_id % 11 = 0 THEN 'template artifact { left behind.'
+              WHEN doc_id % 19 = 0 THEN 'the mill wheel turns and turns the mill wheel turns and turns the mill wheel turns and turns tonight.'
+              ELSE 'clean final line stands here.' END) AS text
+           FROM documents),
+         u AS (SELECT doc_id % 450 AS ukey, min(doc_id) AS kid FROM msy GROUP BY 1),
+         s1 AS (SELECT m.* FROM msy m JOIN u ON u.ukey = m.doc_id % 450 AND u.kid = m.doc_id),
+         r AS (SELECT doc_id, source, text,
+             array_to_string(list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> len(w) > 0)) >= 3
+               AND NOT contains(lower(l), 'javascript')), chr(10)) AS clean
+           FROM s1),
+         s2 AS (SELECT doc_id, source, clean FROM r
+           WHERE len(clean) - len(regexp_replace(clean, '[.!?]', '', 'g')) >= 5
+             AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')),
+         -- quality half over clean
+         qm AS (SELECT doc_id, clean,
+             list_filter(string_split_regex(clean, '\s+'), w -> len(w) > 0) AS words,
+             string_split(clean, chr(10)) AS lines,
+             list_filter(string_split_regex(lower(clean), '[^a-z0-9'']+'), t -> len(t) > 0) AS toks
+           FROM s2),
+         qc AS (SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS swl,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS naw,
+             CAST(len(clean) - len(replace(clean, '#', '')) AS BIGINT) AS nh,
+             CAST((len(clean) - len(replace(clean, '...', ''))) // 3
+               + (len(clean) - len(replace(clean, '…', ''))) AS BIGINT) AS ne,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(len(list_filter(lines, l ->
+               left(trim(l), 1) = '-' OR left(trim(l), 1) = '*' OR left(trim(l), 1) = '•')) AS BIGINT) AS nbl,
+             CAST(len(list_filter(lines, l ->
+               right(trim(l), 3) = '...' OR right(trim(l), 1) = '…')) AS BIGINT) AS nel,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               s -> list_contains(toks, s))) AS BIGINT) AS nsh
+           FROM qm),
+         qk AS (SELECT doc_id, n_words FROM qc
+           WHERE n_words >= 50 AND n_words <= 100000 AND 3*n_words <= swl AND swl <= 10*n_words
+             AND 10*nh <= n_words AND 10*ne <= n_words AND 10*nbl <= 9*nl
+             AND 10*nel <= 3*nl AND 5*naw >= 4*n_words AND nsh >= 2),
+         -- repetition half over clean
+         rb AS (SELECT doc_id AS id, clean AS text, CAST(len(clean) AS BIGINT) AS tc,
+             list_filter(string_split_regex(clean, '\s+'), w -> len(w) > 0) AS ws
+           FROM s2),
+         rle AS (SELECT id, trim(l, ' ') AS lt FROM
+             (SELECT id, unnest(string_split(text, chr(10))) AS l FROM rb)
+           WHERE len(trim(l, ' ')) > 0),
+         rlc AS (SELECT id, lt, count(*) AS c FROM rle GROUP BY 1, 2),
+         rla AS (SELECT id, CAST(sum(c) AS BIGINT) AS nl,
+             CAST(coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dl,
+             CAST(coalesce(sum(len(lt) * (c - 1)) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dlc
+           FROM rlc GROUP BY 1),
+         rpe AS (SELECT id, trim(p, ' ') AS pt FROM
+             (SELECT id, unnest(string_split_regex(text, '\n{2,}')) AS p FROM rb)
+           WHERE len(trim(p, ' ')) > 0),
+         rpc AS (SELECT id, pt, count(*) AS c FROM rpe GROUP BY 1, 2),
+         rpa AS (SELECT id, CAST(sum(c) AS BIGINT) AS np,
+             CAST(coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dp,
+             CAST(coalesce(sum(len(pt) * (c - 1)) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dpc
+           FROM rpc GROUP BY 1),
+         rns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+         rge AS (SELECT id, n, unnest(list_transform(generate_series(1, len(ws) - n + 1),
+                 i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+           FROM rb CROSS JOIN rns),
+         rgc AS (SELECT id, n, g, count(*) AS c FROM rge GROUP BY 1, 2, 3),
+         rgw AS (SELECT id, n, g, c, max(c) OVER (PARTITION BY id, n) AS mc FROM rgc),
+         rga AS (SELECT id, n,
+             CAST(any_value(mc) * coalesce(max(len(g)) FILTER (WHERE c = mc AND c >= 2), 0) AS BIGINT) AS topc,
+             CAST(coalesce(sum(len(g) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dupc
+           FROM rgw GROUP BY 1, 2),
+         rgp AS (SELECT id,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 2), 0) AS BIGINT) AS t2,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 3), 0) AS BIGINT) AS t3,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 4), 0) AS BIGINT) AS t4,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 5), 0) AS BIGINT) AS d5,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 6), 0) AS BIGINT) AS d6,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 7), 0) AS BIGINT) AS d7,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 8), 0) AS BIGINT) AS d8,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 9), 0) AS BIGINT) AS d9,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 10), 0) AS BIGINT) AS d10
+           FROM rga GROUP BY 1),
+         rk AS (SELECT b.id FROM rb b
+           LEFT JOIN rla ON rla.id = b.id
+           LEFT JOIN rpa ON rpa.id = b.id
+           LEFT JOIN rgp ON rgp.id = b.id
+           WHERE 10 * coalesce(rla.dl, 0) <= 3 * coalesce(rla.nl, 0)
+             AND 10 * coalesce(rpa.dp, 0) <= 3 * coalesce(rpa.np, 0)
+             AND 5 * coalesce(rla.dlc, 0) <= b.tc
+             AND 5 * coalesce(rpa.dpc, 0) <= b.tc
+             AND 5 * coalesce(rgp.t2, 0) <= b.tc
+             AND 50 * coalesce(rgp.t3, 0) <= 9 * b.tc
+             AND 25 * coalesce(rgp.t4, 0) <= 4 * b.tc
+             AND 20 * coalesce(rgp.d5, 0) <= 3 * b.tc
+             AND 50 * coalesce(rgp.d6, 0) <= 7 * b.tc
+             AND 100 * coalesce(rgp.d7, 0) <= 13 * b.tc
+             AND 25 * coalesce(rgp.d8, 0) <= 3 * b.tc
+             AND 100 * coalesce(rgp.d9, 0) <= 11 * b.tc
+             AND 10 * coalesce(rgp.d10, 0) <= b.tc),
+         s3 AS (SELECT s2.doc_id, s2.source, s2.clean, qk.n_words FROM s2
+           JOIN qk ON qk.doc_id = s2.doc_id
+           JOIN rk ON rk.id = s2.doc_id),
+         -- near-dup: 3-gram jaccard with the auto maxDf cap (q77 semantics)
+         nd AS (SELECT doc_id, list_filter(string_split_regex(lower(clean), '[^a-z0-9'']+'), t -> len(t) > 0) AS toks FROM s3),
+         ng AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+           FROM nd WHERE len(toks) >= 3),
+         ncap AS (SELECT greatest(100, CAST(ceil(0.1 * count(DISTINCT id)) AS BIGINT)) AS cap FROM ng),
+         nrare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM ng GROUP BY gram)
+           WHERE df <= (SELECT cap FROM ncap)),
+         ncand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM ng a JOIN ng b USING (gram)
+           WHERE a.id < b.id AND gram IN (SELECT gram FROM nrare)),
+         nsz AS (SELECT id, count(*) AS sz FROM ng GROUP BY id),
+         np AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           FROM ng a JOIN ng b USING (gram)
+           JOIN ncand ON ncand.id_a = a.id AND ncand.id_b = b.id
+           WHERE a.id < b.id GROUP BY 1, 2),
+         ndrop AS (SELECT DISTINCT id_b FROM (
+             SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+             FROM np JOIN nsz sa ON sa.id = np.id_a JOIN nsz sb ON sb.id = np.id_b)
+           WHERE j >= 0.5),
+         s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT id_b FROM ndrop)),
+         -- decontamination: 8-gram overlap vs the RAW text of doc_id % 17 = 0
+         bg AS (SELECT DISTINCT gram FROM (
+             SELECT unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+             FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0) AS toks FROM documents WHERE doc_id % 17 = 0)
+             WHERE len(toks) >= 8)),
+         tg AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 7), i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+           FROM nd WHERE doc_id IN (SELECT doc_id FROM s4) AND len(toks) >= 8),
+         dirty AS (SELECT DISTINCT id FROM tg WHERE gram IN (SELECT gram FROM bg)),
+         s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT id FROM dirty))
+         SELECT m.source,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(s1.doc_id) AS BIGINT) AS n_url,
+           CAST(count(s2.doc_id) AS BIGINT) AS n_c4,
+           CAST(count(s3.doc_id) AS BIGINT) AS n_quality,
+           CAST(count(s4.doc_id) AS BIGINT) AS n_unique,
+           CAST(count(s5.doc_id) AS BIGINT) AS n_clean,
+           CAST(coalesce(sum(s5.n_words), 0) AS BIGINT) AS sum_words
+         FROM msy m
+         LEFT JOIN s1 ON s1.doc_id = m.doc_id
+         LEFT JOIN s2 ON s2.doc_id = m.doc_id
+         LEFT JOIN s3 ON s3.doc_id = m.doc_id
+         LEFT JOIN s4 ON s4.doc_id = m.doc_id
+         LEFT JOIN s5 ON s5.doc_id = m.doc_id
+         GROUP BY 1 ORDER BY 1""",
     // q133: the pipeline composition — the q128 rule chain, then the
     // q132 rules over the CLEANED text, then md5 keep-first dedup,
     // summarized per source. Every fragment reuses its gate-proven SQL

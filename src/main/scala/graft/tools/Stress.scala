@@ -152,6 +152,64 @@ object Stress {
     }
   }
 
+  /** Round-12 operators: the Gopher repetition family (scan-bound like
+    * its sibling), the combined filter, the stateless curation prefix,
+    * the near-dup pair rule on the adversarial 10-copy replica (every
+    * doc has 9 exact twins — maximal true-pair load), and the
+    * driver-local BPE merge loop at a REAL vocabulary-scale merge
+    * count (the per-merge-Spark-job path measured ~0.3 s/merge, i.e.
+    * hours at 32k merges; the local loop must land in seconds).
+    */
+  private def r12(docs: DataFrame): Unit = {
+    timeN("gopher repetition rules (one fused pass)")(
+      Corpus.gopherRepetition(docs, "text", "doc_id"))
+    timeN("complete gopher filter (both halves, one projection)")(
+      Corpus.gopherQualityFull(docs, "text", "doc_id"))
+    timeN("curate pages (C4 -> full Gopher, stateless prefix)")(
+      Corpus.curatePages(
+        docs.withColumn("text", concat_ws("\n",
+          col("text"), lit("short line"),
+          lit("Please enable JavaScript to continue."),
+          lit("a clean closing sentence stands here with the end of day."))),
+        "text", "doc_id"))
+    locally {
+      val t0 = System.nanoTime()
+      val survivors = docs.join(
+        Corpus.exactNgramPairs(docs, "text", "doc_id", threshold = 0.5, n = 3)
+          .select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").count()
+      println(f"[stress] near-dup pair rule (10 exact copies each): " +
+        f"$survivors survivors of 50000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    locally {
+      // the SCALE path for the same job: MinHash-banded candidates +
+      // verification + cluster survivors — the banding caps what the
+      // exact PPJoin pays quadratically at this dup density
+      val t0 = System.nanoTime()
+      val survivors = Dedup.nearDupSurvivors(docs,
+        Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5),
+        "doc_id").count()
+      println(f"[stress] near-dup via MinHash+cluster (same replica): " +
+        f"$survivors survivors of 50000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    locally {
+      // vocabulary-scale BPE: a synthetic 24k-word dict (the replica's
+      // word-soup vocabulary is ~40 words — it dries up in hundreds of
+      // merges), 4,000 merges through the driver-local loop
+      val spark = docs.sparkSession
+      val wide = spark.range(50000).select(
+        concat(lit("alpha"), (col("id") % 12000).cast("string"),
+          lit("xq beta"), (col("id") % 11000).cast("string"),
+          lit("zr gamma"), (col("id") % 997).cast("string")).as("text"))
+      val t0 = System.nanoTime()
+      val merges = Corpus.bpeTrain(wide, "text", numMerges = 4000,
+        minPairFreq = 1L)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] bpe driver-local train: ${merges.size} merges, " +
+        f"~24k-word dict, $s%.1fs (${merges.size / s}%.0f merges/s)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPath = args.headOption.getOrElse("/tmp/sf1_documents.parquet")
     val embPath = args.lift(1).getOrElse("/tmp/sf1_embeddings.parquet")
@@ -172,6 +230,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+    if (sys.env.contains("STRESS_R12_ONLY")) { r12(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R11_ONLY")) { r11(docs, embs); r11b(docs); spark.stop(); return }
 
     // ANN recall@k against brute-force truth — a scale-credible ANN

@@ -636,4 +636,42 @@ class StreamsSpec extends SparkSpec {
       assert(got(2L)._5 == false) // javascript line gone, 0 sentences left
     } finally q.stop()
   }
+
+  test("curatePages (C4 → full Gopher) streams == batch (stateless prefix)") {
+    implicit val sq = spark.sqlContext
+    val stops = "the report has to be checked and that will hold with care."
+    val body = (0 until 60).map(i => s"w${i}ord").mkString(" ")
+    val flood = (0 until 30).map(_ => "again and").mkString(" ") + " closes."
+    val pages = Seq(
+      // passes every stage: enough sentences, >= 50 words, no repeated
+      // n-gram anywhere (the second line closes with FRESH words — a
+      // reused stop sentence would itself trip the dup-5-gram rule)
+      (0L, s"$stops\n$body and the close of day has come to rest now.\nmore closing prose lands here. yes. good. fine. done."),
+      // C4 kills the page (curly bracket)
+      (1L, s"$stops\ntemplate { artifact. extra sentence one. two. three. four. five."),
+      // C4 keeps it, the REPETITION half kills it (the composed stage
+      // q133 could not apply)
+      (2L, s"$stops\n$body and more prose holds the line here today.\n$flood yes. good. fine. done."))
+    val input = MemoryStream[(Long, String)]
+    // the whole stateless pipeline prefix composes INSIDE readStream —
+    // no foreachBatch, no state store
+    val curated = graft.operators.Corpus.curatePages(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      input.addData(pages: _*)
+      q.processAllAvailable()
+      def row(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+      val got = spark.table("curate_out").collect().map(row).toMap
+      val batch = graft.operators.Corpus.curatePages(
+        pages.toDF("doc_id", "text"), "text", "doc_id").collect().map(row).toMap
+      assert(got == batch)
+      assert(got(0L)._5 == true)
+      assert(got(1L)._2 == false && got(1L)._5 == false) // c4_kept false
+      assert(got(2L)._2 == true && got(2L)._4 == false && // repetition
+        got(2L)._5 == false)
+    } finally q.stop()
+  }
 }
