@@ -1499,6 +1499,82 @@ object Corpus {
       .withColumn("has_dup", col("n_dup_spans") > 0L)
   }
 
+  /** Cross-document duplicate-span REMOVAL — the ExactSubstr-style
+    * complement of [[duplicateSpans]] (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * detect substrings shared across documents and cut them OUT,
+    * rather than dropping whole near-dup docs). Windows of `n`
+    * consecutive whitespace words; a window is duplicated when its
+    * content appears in >= 2 DISTINCT documents (the [[duplicateSpans]]
+    * definition); every word position covered by ANY duplicated window
+    * is removed from EVERY document carrying it (the deterministic
+    * all-copies policy — a keep-first variant needs a global document
+    * order the corpus doesn't have; documented, not hidden). Emits
+    * `(id, clean_text, n_tokens, n_removed_tokens)` with `clean_text`
+    * the surviving words joined by single spaces — case and
+    * punctuation survive (windows are RAW whitespace words, not the
+    * canonicalized token stream); only whitespace is normalized, the
+    * unavoidable cost of word-level surgery. Null text cleans to ""
+    * with zero counts (the [[c4Clean]] null convention).
+    *
+    * Scale shape: one tokenize feeding three keyed branches behind a
+    * pinned id-partitioned exchange (the [[duplicateSpans]] reuse
+    * posture); span classification is a hash-keyed distinct + count +
+    * semi-join (8-byte xxhash64 keys, never the window strings);
+    * coverage explodes ONLY duplicated windows (×n rows on the
+    * duplicated fraction); reconstruction is a per-doc ordered
+    * aggregate — doc-sized, never corpus-sized.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "span windows need n >= 2")
+    val spark = df.sparkSession
+    val words = df
+      .select(cr(idCol).as("id"),
+        filter(split(coalesce(cr(textCol), lit("")), "\\s+"),
+          w => length(w) > 0).as("_graft_words"))
+      .filter(col("id").isNotNull)
+      .repartition(
+        math.max(spark.sparkContext.defaultParallelism,
+          spark.sessionState.conf.numShufflePartitions),
+        col("id"))
+    val spans = words.select(col("id"), explode(
+      when(size(col("_graft_words")) >= n,
+        transform(sequence(lit(1), size(col("_graft_words")) - (n - 1)), i =>
+          struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(col("_graft_words"), i, lit(n))))
+              .as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dupHashes = spans.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val covered = spans.join(dupHashes, Seq("h"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = words
+      .select(col("id"), posexplode(col("_graft_words")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val keptAgg = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = words
+      .select(col("id"), size(col("_graft_words")).cast("long").as("n_tokens"))
+    df.select(cr(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(keptAgg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed_tokens"))
+  }
+
   // ------------------------------------------------------------------
   // C4 page/line cleaning (Raffel et al., JMLR 2020 §2.2)
   // ------------------------------------------------------------------
@@ -2089,9 +2165,13 @@ object Corpus {
     * null row through one planted hot key on both join sides.
     */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val withCanon = df.select(cr(idCol).as("id"),
-      TextFunctions.canonicalizeUrl(cr(urlCol)).as("canonical_url"))
-    val nonNull = withCanon.filter(col("canonical_url").isNotNull)
+    // the split predicate tests the RAW column (canonicalizeUrl is
+    // null in ⟺ null out), so the null branch pays no regex chain and
+    // an IS NULL on a source column pushes to the scan — the branches
+    // partition the input instead of re-deriving it
+    val nonNull = df.filter(cr(urlCol).isNotNull)
+      .select(cr(idCol).as("id"),
+        TextFunctions.canonicalizeUrl(cr(urlCol)).as("canonical_url"))
     val first = nonNull.groupBy(col("canonical_url"))
       .agg(min(col("id")).as("_keep_id"))
     nonNull.as("c")
@@ -2100,7 +2180,9 @@ object Corpus {
         (col("c.id") === col("f._keep_id")).as("keep"))
       // "every input row is emitted": null-URL rows rejoin here with
       // their constant flag — a plain projection, no join, no hot key
-      .unionByName(withCanon.filter(col("canonical_url").isNull)
-        .select(col("id"), col("canonical_url"), lit(true).as("keep")))
+      .unionByName(df.filter(cr(urlCol).isNull)
+        .select(cr(idCol).as("id"),
+          lit(null).cast("string").as("canonical_url"),
+          lit(true).as("keep")))
   }
 }

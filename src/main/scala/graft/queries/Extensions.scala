@@ -1718,6 +1718,28 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Cross-doc duplicate-span REMOVAL end-to-end (Lee et al. 2022's
+    * ExactSubstr shape, word-level): a shared 10-word footer is
+    * planted on doc_id % 6 == 0 (its 5-word windows duplicate across
+    * those docs and get cut), every other doc closes with a
+    * doc_id-unique run (no fully-shared window — every window spans
+    * the unique id word); the word-soup bodies contribute natural
+    * cross-doc duplicated 5-grams too, all computed exactly by the
+    * oracle. The gate hashes the full reconstructed `clean_text`
+    * strings — surgery position by position.
+    */
+  def qC24RemoveDuplicateSpans(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" "),
+        when(col("doc_id") % 6 === 0,
+          lit("the shared boilerplate footer sentence appears on many pages today"))
+          .otherwise(concat(lit("unique closing run number "),
+            col("doc_id").cast("string"), lit(" ends page")))).as("text"))
+    graft.operators.Corpus.removeDuplicateSpans(messy, "text", "doc_id", n = 5)
+      .orderBy(col("id"))
+  }
+
   /** HTML → text extraction end-to-end: document text wrapped in
     * realistic markup (style/script blocks, comments, attributes, the
     * six common entities incl. a double-escaped `&amp;lt;`), then
@@ -2314,7 +2336,8 @@ object Extensions {
     "q132_gopher_quality" -> qC22GopherQuality _,
     "q133_curation_pipeline" -> qP1CurationPipeline _,
     "q134_gopher_repetition" -> qC23GopherRepetition _,
-    "q135_refinedweb_pipeline" -> qP2RefinedWebPipeline _)
+    "q135_refinedweb_pipeline" -> qP2RefinedWebPipeline _,
+    "q136_remove_dup_spans" -> qC24RemoveDuplicateSpans _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3613,6 +3636,34 @@ object Extensions {
          LEFT JOIN s4 ON s4.doc_id = m.doc_id
          LEFT JOIN s5 ON s5.doc_id = m.doc_id
          GROUP BY 1 ORDER BY 1""",
+    // q136: duplicate-span removal recomputed with STRING windows (no
+    // hash — collision-free ground truth for the xxhash64 engine keys),
+    // coverage as the distinct union of duplicated window spans, and
+    // reconstruction via ordered string_agg over the uncovered words.
+    "q136_remove_dup_spans" ->
+      """WITH msy AS (SELECT doc_id, text || ' ' ||
+           (CASE WHEN doc_id % 6 = 0 THEN 'the shared boilerplate footer sentence appears on many pages today'
+            ELSE 'unique closing run number ' || CAST(doc_id AS VARCHAR) || ' ends page' END) AS text FROM documents),
+         ws AS (SELECT doc_id AS id, list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w FROM msy),
+         sp0 AS (SELECT id, w, unnest(generate_series(1, len(w) - 4)) AS pos FROM ws),
+         sp AS (SELECT id, pos, array_to_string(w[pos:pos+4], ' ') AS g FROM sp0),
+         dg AS (SELECT g FROM (SELECT DISTINCT id, g FROM sp) GROUP BY g HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT id, pos2 FROM
+             (SELECT id, unnest(generate_series(pos, pos + 4)) AS pos2 FROM sp WHERE g IN (SELECT g FROM dg))),
+         tk0 AS (SELECT id, w, unnest(generate_series(1, len(w))) AS pos FROM ws),
+         tk AS (SELECT id, pos, w[pos] AS tok FROM tk0),
+         ka AS (SELECT tk.id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                CAST(count(*) AS BIGINT) AS n_kept
+            FROM tk LEFT JOIN cov ON cov.id = tk.id AND cov.pos2 = tk.pos
+            WHERE cov.id IS NULL GROUP BY tk.id),
+         tot AS (SELECT id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws)
+         SELECT m.doc_id AS id,
+           coalesce(ka.clean_text, '') AS clean_text,
+           coalesce(tot.n_tokens, 0) AS n_tokens,
+           coalesce(tot.n_tokens, 0) - coalesce(ka.n_kept, 0) AS n_removed_tokens
+         FROM msy m LEFT JOIN tot ON tot.id = m.doc_id
+                    LEFT JOIN ka ON ka.id = m.doc_id
+         ORDER BY id""",
     // q133: the pipeline composition — the q128 rule chain, then the
     // q132 rules over the CLEANED text, then md5 keep-first dedup,
     // summarized per source. Every fragment reuses its gate-proven SQL

@@ -181,6 +181,11 @@ object Stress {
       println(f"[stress] near-dup pair rule (10 exact copies each): " +
         f"$survivors survivors of 50000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    timeN("duplicate-span removal (every window duplicated)")(
+      // adversarial: 10 exact copies ⇒ every window cross-doc
+      // duplicated ⇒ every covered doc reconstructs to "" — maximal
+      // coverage explode + rebuild load
+      Corpus.removeDuplicateSpans(docs, "text", "doc_id", n = 8))
     locally {
       // the SCALE path for the same job: MinHash-banded candidates +
       // verification + cluster survivors — the banding caps what the

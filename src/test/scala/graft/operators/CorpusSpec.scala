@@ -709,6 +709,43 @@ class CorpusSpec extends SparkSpec {
     assert(a.size == docs.count()) // every doc emitted, incl. empty text
   }
 
+  test("removeDuplicateSpans cuts exactly the covered cross-doc windows") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "start2  alpha beta gamma delta end2"), // double space normalizes
+      (3L, "Totally different, words HERE indeed!"), // case/punct survive
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Corpus.removeDuplicateSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // shared run "alpha beta gamma delta": its two 3-windows appear in
+    // both docs; coverage is the union of window spans
+    assert(got(1L) == (("unique1 tail1", 6L, 4L)))
+    assert(got(2L) == (("start2 end2", 6L, 4L)))
+    assert(got(3L) == (("Totally different, words HERE indeed!", 5L, 0L)))
+    assert(got(4L) == (("", 0L, 0L))) // null text -> "" with zero counts
+  }
+
+  test("removeDuplicateSpans: fully-duplicated doc empties; invariant to partitioning") {
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"), // exact twin: every window duplicated
+      (3L, "solo words stand alone"))
+      .toDF("doc_id", "text")
+    val got = Corpus.removeDuplicateSpans(docs, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("", 4L, 4L)))
+    assert(got(2L) == (("", 4L, 4L)))
+    assert(got(3L)._3 == 0L)
+    val a = Corpus.removeDuplicateSpans(docs, "text", "doc_id", n = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Corpus.removeDuplicateSpans(docs.repartition(5), "text", "doc_id", n = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
   // ------------------------------------------------------------ C4 clean
 
   test("c4Clean applies each line rule independently") {
