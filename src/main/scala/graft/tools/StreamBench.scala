@@ -27,8 +27,8 @@ import graft.streaming.Streams
 object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
-    if (Seq("lmn", "dsir", "clf", "incdedup").exists(args.headOption.contains))
-      { scoredBenches(args); return }
+    if (Seq("lmn", "dsir", "clf", "incdedup", "curate")
+      .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
@@ -178,7 +178,10 @@ object StreamBench {
     def run(metric: String, persistables: Seq[DataFrame])(
         mk: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit) =>
           org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
-      for (persisted <- Seq(false, true)) {
+      // stateless modes have no model members: one variant, labeled so
+      val variants =
+        if (persistables.isEmpty) Seq(false) else Seq(false, true)
+      for (persisted <- variants) {
         if (persisted) persistables.foreach { m => m.persist(); m.count() }
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
@@ -193,7 +196,9 @@ object StreamBench {
         q.processAllAvailable()
         q.stop(); q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
-        val label = if (persisted) "persisted" else "unpersisted"
+        val label =
+          if (persistables.isEmpty) "stateless"
+          else if (persisted) "persisted" else "unpersisted"
         println(f"""{"metric":"$metric","model":"$label","rows_per_sec":${scored / wall}%.0f,"scored_rows":$scored,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
       }
       persistables.foreach(_.unpersist())
@@ -223,6 +228,14 @@ object StreamBench {
           "text", "doc_id", iters = 8)
         run("stream_clf_score_rows_per_sec", Seq(model.weights)) { (s, h) =>
           Streams.scoreClassifierBatches(s, model, "text", "doc_id", h)
+        }
+      case "curate" =>
+        // the q135 stateless prefix (C4 -> full Gopher) composing
+        // INSIDE readStream — no model, no state store, pure narrow
+        // work; the number is the per-page filtering rate at arrival
+        run("stream_curate_rows_per_sec", Seq.empty) { (s, h) =>
+          Streams.foreachBatchSink(
+            graft.operators.Corpus.curatePages(s, "text", "doc_id"), h)
         }
       case "incdedup" =>
         // the "model" here is the static corpus whose hash projection
