@@ -458,4 +458,52 @@ object Similarity {
       .join(perId, Seq("id"), "left")
       .withColumn("contaminated", coalesce(col("max_sim") >= threshold, lit(false)))
   }
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then remove SEMANTIC duplicates — pairs whose
+    * cosine similarity is >= 1 - eps — WITHIN each cluster only. The
+    * clustering is what makes web-scale dedup tractable: the quadratic
+    * pair search runs per cluster (n/k rows each), never corpus-wide,
+    * and k is the knob that bounds it (the paper's design point).
+    *
+    * Centroids come from [[ivfIndex]]'s bounded-sample Lloyd's loop
+    * (the IVF train recipe — driver-local on <= sampleSize rows);
+    * assignment is the fused nearest-centroid expression. Within a
+    * duplicate pair the LOWER id keeps (deterministic; the paper keeps
+    * the member least similar to its centroid — a ranking choice that
+    * changes WHICH member survives, not how many, and would tie dedup
+    * decisions to float centroid coordinates; min-id keeps the output
+    * reproducible under re-clustering). Identical vectors always share
+    * a cluster (assignment is a pure function of the vector), so exact
+    * copies can never escape the within-cluster search — the q137
+    * oracle leans on exactly that invariant.
+    *
+    * Emits every input row: `(id, cluster, keep)`. Float k-means means
+    * cluster IDS are training-order-dependent; `keep` is stable
+    * whenever no cross-cluster pair sits near the threshold (planted
+    * spec + gate territory). Scale: one assignment scan + one
+    * cluster-keyed self-join + a distinct on dropped ids.
+    */
+  def semDeDup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nClusters: Int,
+      dim: Int,
+      eps: Double = 0.01,
+      sampleSize: Int = 10000,
+      iters: Int = 10): DataFrame = {
+    require(eps > 0 && eps < 1, "eps in (0, 1)")
+    val (assigned, _) = ivfIndex(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "v", nClusters, dim, sampleSize, iters)
+    val a = assigned.select(col("id"), col("v"), col("ivf_cluster").as("cluster"))
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .filter(cosine(col("x.v"), col("y.v")) >= lit(1.0 - eps))
+      .select(col("y.id").as("id")).distinct()
+    a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(!col("_gd"), lit(true)).as("keep"))
+  }
 }

@@ -609,6 +609,30 @@ object Extensions {
     * operator's callers act on); recall/scan-fraction evidence lives
     * in docs/SCALE.md.
     */
+  /** SemDeDup end-to-end (Abbas et al. 2023): the embeddings table
+    * plus planted EXACT copies (vec_id % 7 == 0 re-emitted at
+    * vec_id + 100000) goes through k-means clustering + within-cluster
+    * cosine dedup at eps = 0.01. The keep column is ORACLE-EXACT by
+    * construction: identical vectors always co-cluster (assignment is
+    * a pure function of the vector), cosine(v, v) is 1 to within an
+    * ulp, and the measured max NATURAL pairwise cosine in this table
+    * is 0.513 — no non-planted pair can reach the 0.99 threshold under
+    * ANY clustering, so keep == (id is not a planted copy) regardless
+    * of float centroid drift. Cluster ids (training-order-dependent)
+    * are excluded from the gated row; the engine still has to earn the
+    * flags through real clustering + the within-cluster pair search.
+    */
+  def qV9SemDeDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    graft.operators.Similarity.semDeDup(corpus, "embedding", "vec_id",
+        nClusters = 8, dim = 64, eps = 0.01)
+      .select(col("id"), col("keep"))
+      .orderBy(col("id"))
+  }
+
   def qV8SemanticDecontamLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val vd = col("embedding").cast("array<double>")
@@ -2337,7 +2361,8 @@ object Extensions {
     "q133_curation_pipeline" -> qP1CurationPipeline _,
     "q134_gopher_repetition" -> qC23GopherRepetition _,
     "q135_refinedweb_pipeline" -> qP2RefinedWebPipeline _,
-    "q136_remove_dup_spans" -> qC24RemoveDuplicateSpans _)
+    "q136_remove_dup_spans" -> qC24RemoveDuplicateSpans _,
+    "q137_semdedup" -> qV9SemDeDup _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3664,6 +3689,16 @@ object Extensions {
          FROM msy m LEFT JOIN tot ON tot.id = m.doc_id
                     LEFT JOIN ka ON ka.id = m.doc_id
          ORDER BY id""",
+    // q137: closed-form planted truth (the q30/q31 posture): identical
+    // vectors co-cluster under any centroids, cosine(v,v) ~ 1, and the
+    // max natural pairwise cosine here is 0.513 << 0.99 — so exactly
+    // the planted copies (id >= 100000) drop and their lower-id
+    // originals keep.
+    "q137_semdedup" ->
+      """WITH c AS (SELECT vec_id AS id FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 7 = 0)
+         SELECT id, id < 100000 AS keep FROM c ORDER BY id""",
     // q133: the pipeline composition — the q128 rule chain, then the
     // q132 rules over the CLEANED text, then md5 keep-first dedup,
     // summarized per source. Every fragment reuses its gate-proven SQL

@@ -160,7 +160,7 @@ object Stress {
     * count (the per-merge-Spark-job path measured ~0.3 s/merge, i.e.
     * hours at 32k merges; the local loop must land in seconds).
     */
-  private def r12(docs: DataFrame): Unit = {
+  private def r12(docs: DataFrame, embs: DataFrame): Unit = {
     timeN("gopher repetition rules (one fused pass)")(
       Corpus.gopherRepetition(docs, "text", "doc_id"))
     timeN("complete gopher filter (both halves, one projection)")(
@@ -196,6 +196,19 @@ object Stress {
         "doc_id").count()
       println(f"[stress] near-dup via MinHash+cluster (same replica): " +
         f"$survivors survivors of 50000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    locally {
+      // SemDeDup on the 10-copy embedding replica — maximal semantic
+      // dup density: every copy group co-clusters (identical vectors)
+      // and the within-cluster pair search carries the full 45 pairs
+      // per group; survivors must be exactly the 2,000 distinct
+      // vectors (copies never escape the cluster search)
+      val t0 = System.nanoTime()
+      val kept = Similarity.semDeDup(embs, "embedding", "vec_id",
+        nClusters = 32, dim = 64, eps = 0.01)
+        .filter(col("keep")).count()
+      println(f"[stress] semDeDup (k=32, 10 exact copies each): " +
+        f"$kept survivors of 20000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     locally {
       // vocabulary-scale BPE: a synthetic 24k-word dict (the replica's
@@ -235,7 +248,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
-    if (sys.env.contains("STRESS_R12_ONLY")) { r12(docs); spark.stop(); return }
+    if (sys.env.contains("STRESS_R12_ONLY")) { r12(docs, embs); spark.stop(); return }
     if (sys.env.contains("STRESS_R11_ONLY")) { r11(docs, embs); r11b(docs); spark.stop(); return }
 
     // ANN recall@k against brute-force truth — a scale-credible ANN

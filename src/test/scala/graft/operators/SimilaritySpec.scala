@@ -129,6 +129,53 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("semDeDup drops exactly the planted within-cluster semantic copies") {
+    // three well-separated directions; members perturbed well below the
+    // 1 - eps threshold; exact copies planted with HIGHER ids
+    def member(axis: Int, j: Int): Seq[Float] = {
+      val v = Array.fill(8)(0.0)
+      v(axis) = 10.0
+      // each member lights a DIFFERENT spread dim: intra-cluster cosine
+      // is exactly 100/125 = 0.8, far from the 0.99 threshold (a
+      // magnitude-varying spread on a shared dim creeps past 0.99)
+      v((axis + 3 + j) % 8) = 5.0
+      v.toSeq.map(_.toFloat)
+    }
+    val base = for (axis <- Seq(0, 1, 2); j <- 0 until 4)
+      yield ((axis * 10 + j).toLong, member(axis, j))
+    val copies = Seq( // exact duplicates of (0,1) and (1,2)
+      (100L, member(0, 1)), (101L, member(1, 2)))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(df, "embedding", "vec_id",
+      nClusters = 3, dim = 8, eps = 0.01)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got.size == base.size + copies.size) // every row emitted
+    // copies dropped, their originals and everything else kept
+    assert(!got(100L)._2 && !got(101L)._2)
+    (base.map(_._1)).foreach(id => assert(got(id)._2, s"id $id"))
+    // a copy shares its original's cluster (assignment is a pure
+    // function of the vector)
+    assert(got(100L)._1 == got(1L)._1)
+    assert(got(101L)._1 == got(12L)._1)
+    // invariant to input partitioning (well-separated: no pair near
+    // the threshold, so float drift cannot flip a keep)
+    val again = Similarity.semDeDup(df.repartition(7), "embedding", "vec_id",
+      nClusters = 3, dim = 8, eps = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
+  test("semDeDup keep-first: the LOWER id of a duplicate pair survives") {
+    val v = Seq.fill(8)(1.0f)
+    val df = Seq((5L, v), (2L, v), (9L, v), (7L, Seq.fill(8)(0.0f) :+ 1.0f))
+      .map { case (i, x) => (i, x.take(8)) }.toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(df, "embedding", "vec_id",
+      nClusters = 2, dim = 8, eps = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(2L) && !got(5L) && !got(9L)) // min id keeps of the triple
+    assert(got(7L)) // lone vector untouched
+  }
+
   test("semanticDecontaminate flags exactly the planted near-bench vectors") {
     val bench = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 0, 1, 0)))
       .toDF("vec_id", "embedding")
