@@ -2021,16 +2021,24 @@ object Corpus {
       f("n_bullet_lines").as("n_bullet_lines"),
       f("n_ellipsis_lines").as("n_ellipsis_lines"),
       f("n_stop_hits").as("n_stop_hits"),
-      (f("n_words") >= 50L && f("n_words") <= 100000L &&
-        lit(3L) * f("n_words") <= f("sum_word_len") &&
-        f("sum_word_len") <= lit(10L) * f("n_words") &&
-        lit(10L) * f("n_hash") <= f("n_words") &&
-        lit(10L) * f("n_ellipsis") <= f("n_words") &&
-        lit(10L) * f("n_bullet_lines") <= lit(9L) * f("n_lines") &&
-        lit(10L) * f("n_ellipsis_lines") <= lit(3L) * f("n_lines") &&
-        lit(5L) * f("n_alpha_words") >= lit(4L) * f("n_words") &&
-        f("n_stop_hits") >= 2L).as("kept"))
+      qualityKept(f).as("kept"))
   }
+
+  /** The 10 non-repetition thresholds as one integer-only predicate
+    * over the [[graft.plans.GopherStatsExpr]] fields (shared by
+    * [[gopherQuality]] and [[gopherFlags]] — one source of truth for
+    * the published rule set, like [[repetitionKept]] for its half).
+    */
+  private def qualityKept(f: String => Column): Column =
+    f("n_words") >= 50L && f("n_words") <= 100000L &&
+      lit(3L) * f("n_words") <= f("sum_word_len") &&
+      f("sum_word_len") <= lit(10L) * f("n_words") &&
+      lit(10L) * f("n_hash") <= f("n_words") &&
+      lit(10L) * f("n_ellipsis") <= f("n_words") &&
+      lit(10L) * f("n_bullet_lines") <= lit(9L) * f("n_lines") &&
+      lit(10L) * f("n_ellipsis_lines") <= lit(3L) * f("n_lines") &&
+      lit(5L) * f("n_alpha_words") >= lit(4L) * f("n_words") &&
+      f("n_stop_hits") >= 2L
 
   /** The Gopher REPETITION rules (Rae et al. 2021, Appendix A1.1 —
     * the other half of [[gopherQuality]]): duplicate-line and
@@ -2106,18 +2114,7 @@ object Corpus {
   private def gopherFlags(text: Column): (Column, Column) = {
     val q = graft.plans.GopherStatsExpr(text)
     val r = graft.plans.GopherRepStatsExpr(text)
-    def qf(name: String) = q.getField(name)
-    val qualityKept =
-      qf("n_words") >= 50L && qf("n_words") <= 100000L &&
-        lit(3L) * qf("n_words") <= qf("sum_word_len") &&
-        qf("sum_word_len") <= lit(10L) * qf("n_words") &&
-        lit(10L) * qf("n_hash") <= qf("n_words") &&
-        lit(10L) * qf("n_ellipsis") <= qf("n_words") &&
-        lit(10L) * qf("n_bullet_lines") <= lit(9L) * qf("n_lines") &&
-        lit(10L) * qf("n_ellipsis_lines") <= lit(3L) * qf("n_lines") &&
-        lit(5L) * qf("n_alpha_words") >= lit(4L) * qf("n_words") &&
-        qf("n_stop_hits") >= 2L
-    (qualityKept, repetitionKept(r.getField))
+    (qualityKept(q.getField), repetitionKept(r.getField))
   }
 
   /** The STATELESS prefix of the published curation pipeline — C4

@@ -609,6 +609,23 @@ object Extensions {
     * operator's callers act on); recall/scan-fraction evidence lives
     * in docs/SCALE.md.
     */
+  def qV8SemanticDecontamLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    val train = e.filter(col("vec_id") % 10 =!= 0).select(col("vec_id"), vd.as("vec"))
+    val planted = train.filter(col("vec_id") % 30 === 1)
+      .select(transform(sequence(lit(1), lit(64)), i =>
+        lit(0.9) * element_at(col("vec"), i) +
+          lit(0.1) * element_at(col("vec"), lit(65) - i)).as("vec"))
+    val bench = planted.unionByName(
+      e.filter(col("vec_id") % 10 === 0).select(vd.as("vec")))
+    Similarity.semanticDecontaminateLsh(
+      train, bench, "vec", "vec_id", threshold = 0.9, bits = 8, tables = 12)
+      .select(col("id"), col("contaminated"),
+        when(col("contaminated"), col("max_sim")).as("sim_hit"))
+      .orderBy(col("id"))
+  }
+
   /** SemDeDup end-to-end (Abbas et al. 2023): the embeddings table
     * plus planted EXACT copies (vec_id % 7 == 0 re-emitted at
     * vec_id + 100000) goes through k-means clustering + within-cluster
@@ -630,23 +647,6 @@ object Extensions {
     graft.operators.Similarity.semDeDup(corpus, "embedding", "vec_id",
         nClusters = 8, dim = 64, eps = 0.01)
       .select(col("id"), col("keep"))
-      .orderBy(col("id"))
-  }
-
-  def qV8SemanticDecontamLsh(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val vd = col("embedding").cast("array<double>")
-    val train = e.filter(col("vec_id") % 10 =!= 0).select(col("vec_id"), vd.as("vec"))
-    val planted = train.filter(col("vec_id") % 30 === 1)
-      .select(transform(sequence(lit(1), lit(64)), i =>
-        lit(0.9) * element_at(col("vec"), i) +
-          lit(0.1) * element_at(col("vec"), lit(65) - i)).as("vec"))
-    val bench = planted.unionByName(
-      e.filter(col("vec_id") % 10 === 0).select(vd.as("vec")))
-    Similarity.semanticDecontaminateLsh(
-      train, bench, "vec", "vec_id", threshold = 0.9, bits = 8, tables = 12)
-      .select(col("id"), col("contaminated"),
-        when(col("contaminated"), col("max_sim")).as("sim_hit"))
       .orderBy(col("id"))
   }
 

@@ -115,6 +115,7 @@ object StreamBench {
       java.nio.file.Files.createTempDirectory("graft_lm_stream").toString
     docs.repartition(40).write.mode("overwrite").parquet(stageDir)
     val schema = docs.schema
+    val inputRows = docs.count() // every mode streams the full staging set
     for (persisted <- Seq(false, true)) {
       if (persisted) {
         Seq(model.bigrams, model.contexts, model.vocab).foreach { m =>
@@ -155,7 +156,7 @@ object StreamBench {
     * measurement-correction rule: bare count() lets ColumnPruning drop
     * the model joins — docs/SCALE.md).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|curate> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -174,6 +175,7 @@ object StreamBench {
       java.nio.file.Files.createTempDirectory(s"graft_${mode}_stream").toString
     docs.repartition(40).write.mode("overwrite").parquet(stageDir)
     val schema = docs.schema
+    val inputRows = docs.count() // every mode streams the full staging set
 
     def run(metric: String, persistables: Seq[DataFrame])(
         mk: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit) =>
@@ -199,7 +201,11 @@ object StreamBench {
         val label =
           if (persistables.isEmpty) "stateless"
           else if (persisted) "persisted" else "unpersisted"
-        println(f"""{"metric":"$metric","model":"$label","rows_per_sec":${scored / wall}%.0f,"scored_rows":$scored,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+        // two bases, both printed: scored/wall (the operator's OUTPUT
+        // rate — for incdedup that is admitted-fresh rows, a ~20x
+        // smaller number on the 95%-duplicate replica) and input/wall
+        // (the throughput basis docs/SCALE.md tables use)
+        println(f"""{"metric":"$metric","model":"$label","rows_per_sec":${scored / wall}%.0f,"input_rows_per_sec":${inputRows / wall}%.0f,"scored_rows":$scored,"input_rows":$inputRows,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
       }
       persistables.foreach(_.unpersist())
     }
