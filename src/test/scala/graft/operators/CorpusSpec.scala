@@ -746,6 +746,46 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("removeDuplicateSpans: random corpora match an independent replica") {
+    // tiny vocab ⇒ cross-doc duplicated windows abound naturally; the
+    // replica recomputes the surgery with plain Scala collections
+    // (string windows, set coverage) — nothing shared with the
+    // operator's hash-keyed plan
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "longword")
+    val docGen = Gen.choose(0, 25).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 8).flatMap(d => Gen.listOfN(d, docGen))
+    def replica(texts: Seq[String], n: Int): Map[Long, (String, Long, Long)] = {
+      val words = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val docsOf = scala.collection.mutable.Map.empty[String, Set[Int]]
+      words.zipWithIndex.foreach { case (w, d) =>
+        w.sliding(n).filter(_.size == n).foreach { g =>
+          val k = g.mkString(" ")
+          docsOf(k) = docsOf.getOrElse(k, Set.empty) + d
+        }
+      }
+      val dup = docsOf.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+      words.zipWithIndex.map { case (w, d) =>
+        val cov = (0 to w.size - n)
+          .filter(i => w.size >= n && dup(w.slice(i, i + n).mkString(" ")))
+          .flatMap(i => i until i + n).toSet
+        val kept = w.indices.filterNot(cov).map(w)
+        d.toLong -> (kept.mkString(" "), w.size.toLong, (w.size - kept.size).toLong)
+      }.toMap
+    }
+    (0 until 25).foreach { seed =>
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Corpus.removeDuplicateSpans(df, "text", "doc_id", n = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == replica(texts, 3), s"seed $seed diverged")
+    }
+  }
+
   // ------------------------------------------------------------ C4 clean
 
   test("c4Clean applies each line rule independently") {
