@@ -182,6 +182,24 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(shuffles(plan("q30_minhash_near_dups")) <= 4)
   }
 
+  test("q136 span-removal gate stays within its audited exchange budget") {
+    // static (pre-AQE, pre-ReuseExchange) count: the pinned
+    // id-repartition appears once per consuming branch (3), plus the
+    // span-hash aggregate, semi-join + coverage distinct, the per-doc
+    // rebuild aggregate, and the reinstating joins — runtime folds the
+    // repeated repartitions via ReuseExchange (the duplicateSpans
+    // posture). A count above this means a branch stopped sharing the
+    // pinned exchange shape.
+    assert(shuffles(plan("q136_remove_dup_spans")) <= 9)
+  }
+
+  test("q137 semDeDup gate stays within its audited exchange budget") {
+    // assignment is narrow (broadcast centroids); the budget is the
+    // cluster-keyed self-join sides, the dropped-id distinct, and the
+    // reinstating join
+    assert(shuffles(plan("q137_semdedup")) <= 6)
+  }
+
   // ------------------------------------------------------- codegen purity
 
   test("dedup/text/similarity hot paths contain no ScalaUDF") {
