@@ -1517,12 +1517,19 @@ object Corpus {
     * unavoidable cost of word-level surgery. Null text cleans to ""
     * with zero counts (the [[c4Clean]] null convention).
     *
-    * Scale shape: one tokenize feeding three keyed branches behind a
-    * pinned id-partitioned exchange (the [[duplicateSpans]] reuse
-    * posture); span classification is a hash-keyed distinct + count +
-    * semi-join (8-byte xxhash64 keys, never the window strings);
-    * coverage explodes ONLY duplicated windows (×n rows on the
-    * duplicated fraction); reconstruction is a per-doc ordered
+    * Scale shape: the word-split feeds its consumers behind a pinned
+    * id-partitioned exchange (the [[duplicateSpans]] reuse posture) —
+    * runtime-audited at 3 parquet scans total (Inspect: the slim
+    * id-only reinstating scan, the exchange source, and ONE cloned
+    * span branch whose explode-inferred size predicate pushes below
+    * the exchange and escapes ReuseExchange; the double consumption
+    * of the span stream by classification AND coverage makes the
+    * clone unavoidable without persisting a corpus-token-sized frame,
+    * so the bound is one extra corpus scan — dominated by the span
+    * shuffle it feeds). Span classification is a hash-keyed distinct
+    * + count + semi-join (8-byte xxhash64 keys, never the window
+    * strings); coverage explodes ONLY duplicated windows (×n rows on
+    * the duplicated fraction); reconstruction is a per-doc ordered
     * aggregate — doc-sized, never corpus-sized.
     */
   def removeDuplicateSpans(
