@@ -503,4 +503,147 @@ object Streams {
       } finally fresh.unpersist()
     }
   }
+  /** Streaming incremental NEAR-dup admission — the MinHash sibling of
+    * [[incrementalDedupBatches]], the production crawl shape when
+    * near-copies (boilerplate variants, re-rendered pages) must be
+    * caught, not just byte-identical text. Each micro-batch:
+    *
+    *  1. signatures: the fused MinHash expression per doc
+    *     ([[graft.operators.Dedup.minhashSignature]] — numPerms longs);
+    *  2. WITHIN-batch: banded candidates (band-slice hashes, one
+    *     self-join on (band, hash)) + the published pair rule — a doc
+    *     drops when ANY lower-id batch doc's ESTIMATED Jaccard (the
+    *     fraction of agreeing permutations — the standard streaming
+    *     estimator, E[agree] = true Jaccard; storing shingle sets for
+    *     exact verification is corpus-sized state) reaches the
+    *     threshold;
+    *  3. vs PRIOR: the same banded probe against the static corpus's
+    *     PRECOMPUTED signatures ([[nearDupCorpusSignatures]] — persist
+    *     it; see its scaladoc for the measured reason) plus the LEDGER
+    *     of previously admitted signatures;
+    *  4. survivors go to `onBatch` (original columns) and their
+    *     `(id, sig)` rows land in the ledger's `batch_id=N` partition
+    *     (dynamic overwrite — the [[incrementalDedupBatches]] replay
+    *     posture: an at-least-once replay overwrites its own partition
+    *     and is filtered out of its own prior set, so admission stays
+    *     exactly-once).
+    *
+    * Ledger rows are numPerms longs per admitted doc — orders of
+    * magnitude smaller than the text they summarize; band hashes are
+    * derived (a hash over each signature slice), never stored. Docs
+    * whose text yields an EMPTY signature (shorter than one shingle)
+    * are always admitted — near-dup semantics need real content;
+    * compose [[incrementalDedupBatches]] upstream for exact dedup of
+    * degenerate text. The corpus side takes the
+    * [[nearDupCorpusSignatures]] frame — the persistable unit IS the
+    * signature projection, the lesson the scoring deployments measured.
+    */
+  /** Corpus signature projection for [[incrementalNearDupBatches]]:
+    * `(id, sig)` with sig = the numPerms-long MinHash signature.
+    * Compute ONCE, `persist()`, and hand to the stream — an
+    * unpersisted frame re-runs the corpus tokenize + 64-perm MinHash
+    * in EVERY micro-batch's prior-set probe (measured: the whole
+    * stream crawls at ~200 input rows/s either way until this frame
+    * is cached, because signature recompute dwarfs the joins).
+    */
+  def nearDupCorpusSignatures(
+      corpus: DataFrame, textCol: String, idCol: String,
+      numPerms: Int = 64): DataFrame = {
+    val cr = graft.ops.Cleanse.colRef _
+    corpus.select(
+      cr(idCol).as("id"),
+      graft.operators.Dedup.minhashSignature(cr(textCol), numPerms).as("sig"))
+  }
+
+  def incrementalNearDupBatches(
+      docs: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      threshold: Double = 0.7,
+      numPerms: Int = 64,
+      bands: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    require(threshold > 0 && threshold <= 1)
+    val rows = numPerms / bands
+    val cr = graft.ops.Cleanse.colRef _
+    def sigOf(df: DataFrame): DataFrame = df.select(
+      cr(idCol).as("_gn_id"),
+      graft.operators.Dedup.minhashSignature(cr(textCol), numPerms).as("_gn_sig"))
+    // derived band keys: one hash per signature slice (band index rides
+    // as a second hash input so equal slices in different bands differ)
+    def banded(df: DataFrame): DataFrame = df.select(
+      col("_gn_id"), col("_gn_sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("bi"),
+          hash(slice(col("_gn_sig"), b * lit(rows) + 1, lit(rows)), b).as("bh"))))
+        .as("_gn_b"))
+      .select(col("_gn_id"), col("_gn_sig"),
+        col("_gn_b.bi").as("_gn_bi"), col("_gn_b.bh").as("_gn_bh"))
+      // an empty signature yields no bands at all — short docs never
+      // become candidates on either side
+      .filter(size(col("_gn_sig")) === numPerms)
+    def estSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+        .cast("double") / lit(numPerms.toDouble)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+      val ledgerSchema = StructType(Seq(
+        StructField("_gn_id", LongType),
+        StructField("_gn_sig", ArrayType(LongType)),
+        StructField("batch_id", LongType)))
+      val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+      val ledgerExists = ledgerPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(ledgerPath)
+      val ledgerSigs =
+        if (ledgerExists)
+          spark.read.schema(ledgerSchema).parquet(ledgerDir)
+            .filter(col("batch_id") =!= batchId) // replay safety
+            .select(col("_gn_id"), col("_gn_sig"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(ledgerSchema.fields.take(2)))
+      val bSigs = sigOf(batch)
+      val bBand = banded(bSigs)
+      // within-batch pair rule: drop _gn_id when a LOWER id in the same
+      // batch shares a band and the estimated Jaccard clears threshold
+      val inBatchDropped = bBand.as("x").join(bBand.as("y"),
+          col("x._gn_bi") === col("y._gn_bi") &&
+            col("x._gn_bh") === col("y._gn_bh") &&
+            col("x._gn_id") < col("y._gn_id"))
+        .select(col("x._gn_sig").as("sa"), col("y._gn_sig").as("sb"),
+          col("y._gn_id").as("_gn_id"))
+        .filter(estSim(col("sa"), col("sb")) >= threshold)
+        .select(col("_gn_id")).distinct()
+      val priorBand = banded(
+        corpusSigs.select(col("id").as("_gn_id"), col("sig").as("_gn_sig"))
+          .unionByName(ledgerSigs))
+      val vsPriorDropped = bBand.as("x").join(priorBand.as("p"),
+          col("x._gn_bi") === col("p._gn_bi") &&
+            col("x._gn_bh") === col("p._gn_bh"))
+        .select(col("x._gn_sig").as("sa"), col("p._gn_sig").as("sb"),
+          col("x._gn_id").as("_gn_id"))
+        .filter(estSim(col("sa"), col("sb")) >= threshold)
+        .select(col("_gn_id")).distinct()
+      val freshIds = bSigs.select(col("_gn_id"))
+        .join(inBatchDropped, Seq("_gn_id"), "left_anti")
+        .join(vsPriorDropped, Seq("_gn_id"), "left_anti")
+      val fresh = batch.join(
+        freshIds.withColumnRenamed("_gn_id", idCol), Seq(idCol), "left_semi")
+      fresh.persist()
+      try {
+        onBatch(fresh, batchId)
+        bSigs.join(freshIds, Seq("_gn_id"), "left_semi")
+          .select(col("_gn_id"), col("_gn_sig"), lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(ledgerDir)
+      } finally fresh.unpersist()
+    }
+  }
 }

@@ -27,7 +27,7 @@ import graft.streaming.Streams
 object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
-    if (Seq("lmn", "dsir", "clf", "incdedup", "curate")
+    if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -156,7 +156,7 @@ object StreamBench {
     * measurement-correction rule: bare count() lets ColumnPruning drop
     * the model joins — docs/SCALE.md).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|curate> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -234,6 +234,19 @@ object StreamBench {
           "text", "doc_id", iters = 8)
         run("stream_clf_score_rows_per_sec", Seq(model.weights)) { (s, h) =>
           Streams.scoreClassifierBatches(s, model, "text", "doc_id", h)
+        }
+      case "incneardup" =>
+        // MinHash near-dup admission: the replica's 10 exact copies are
+        // trivially near (est Jaccard 1.0); the persistable unit is the
+        // corpus SIGNATURE frame — unpersisted, the 64-perm MinHash of
+        // 25k docs recomputes in every micro-batch
+        val corpusSigs = Streams.nearDupCorpusSignatures(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        run("stream_incneardup_rows_per_sec", Seq(corpusSigs)) { (s, h) =>
+          val ledger = java.nio.file.Files
+            .createTempDirectory("graft_incneardup_ledger").toString + "/ledger"
+          Streams.incrementalNearDupBatches(
+            s, corpusSigs, "text", "doc_id", ledger, h)
         }
       case "curate" =>
         // the q135 stateless prefix (C4 -> full Gopher) composing
