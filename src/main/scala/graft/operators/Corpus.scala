@@ -1515,7 +1515,12 @@ object Corpus {
     * punctuation survive (windows are RAW whitespace words, not the
     * canonicalized token stream); only whitespace is normalized, the
     * unavoidable cost of word-level surgery. Null text cleans to ""
-    * with zero counts (the [[c4Clean]] null convention).
+    * with zero counts (the [[c4Clean]] null convention). Null-ID rows
+    * PASS THROUGH whitespace-normalized with zero removals: a doc
+    * without an identity cannot participate in cross-doc surgery
+    * (every internal stage keys on id), and silently blanking its
+    * text — the pre-round-13 behavior — lost content without counting
+    * it as removed.
     *
     * Scale shape: the word-split feeds its consumers behind a pinned
     * id-partitioned exchange (the [[duplicateSpans]] reuse posture) —
@@ -1572,7 +1577,8 @@ object Corpus {
         count(lit(1)).as("n_kept"))
     val totals = words
       .select(col("id"), size(col("_graft_words")).cast("long").as("n_tokens"))
-    df.select(cr(idCol).as("id"))
+    df.filter(cr(idCol).isNotNull)
+      .select(cr(idCol).as("id"))
       .join(totals, Seq("id"), "left")
       .join(keptAgg, Seq("id"), "left")
       .select(col("id"),
@@ -1580,6 +1586,16 @@ object Corpus {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         (coalesce(col("n_tokens"), lit(0L)) -
           coalesce(col("n_kept"), lit(0L))).as("n_removed_tokens"))
+      // null-id pass-through (see scaladoc): whitespace-normalized,
+      // nothing removed — identity-less docs sit outside the surgery
+      .unionByName(df.filter(cr(idCol).isNull)
+        .select(cr(idCol).as("id"),
+          filter(split(coalesce(cr(textCol), lit("")), "\\s+"),
+            w => length(w) > 0).as("_graft_w"))
+        .select(col("id"),
+          concat_ws(" ", col("_graft_w")).as("clean_text"),
+          size(col("_graft_w")).cast("long").as("n_tokens"),
+          lit(0L).as("n_removed_tokens")))
   }
 
   // ------------------------------------------------------------------

@@ -530,13 +530,24 @@ object Streams {
     *
     * Ledger rows are numPerms longs per admitted doc — orders of
     * magnitude smaller than the text they summarize; band hashes are
-    * derived (a hash over each signature slice), never stored. Docs
-    * whose text yields an EMPTY signature (shorter than one shingle)
-    * are always admitted — near-dup semantics need real content;
-    * compose [[incrementalDedupBatches]] upstream for exact dedup of
-    * degenerate text. The corpus side takes the
-    * [[nearDupCorpusSignatures]] frame — the persistable unit IS the
-    * signature projection, the lesson the scoring deployments measured.
+    * derived (a hash over each signature slice), never stored.
+    * DEGENERATE docs — canonical text with no tokens at all
+    * (null/whitespace/punctuation-only), which produce zero shingles —
+    * are detected by their all-sentinel signature (`sig[0] ==
+    * Long.MaxValue`; real permuted hashes are `mulMod` residues
+    * < 2^61−1, so no shingled doc can ever produce the sentinel) and
+    * routed around BOTH probes: always admitted, never ledgered.
+    * Near-dup semantics need real content — without the routing every
+    * degenerate doc shares the identical sentinel signature, estimates
+    * Jaccard 1.0 against all others, and all but the first would be
+    * silently dropped forever. Compose [[incrementalDedupBatches]]
+    * upstream for exact dedup of degenerate text. The corpus side
+    * takes the [[nearDupCorpusSignatures]] frame — the persistable
+    * unit IS the signature projection, the lesson the scoring
+    * deployments measured. Fail-fast: corpusSigs built with a
+    * different numPerms would silently band nothing (slice lengths
+    * disagree), so signature length is probed once at writer
+    * construction (one 1-row job) and mismatches throw.
     */
   /** Corpus signature projection for [[incrementalNearDupBatches]]:
     * `(id, sig)` with sig = the numPerms-long MinHash signature.
@@ -567,8 +578,22 @@ object Streams {
       bands: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     require(threshold > 0 && threshold <= 1)
+    // fail-fast on a corpusSigs/numPerms mismatch (one 1-row probe at
+    // construction): mismatched slice lengths would band NOTHING on the
+    // corpus side and silently disable corpus dedup
+    corpusSigs.select(size(col("sig")).as("n")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == numPerms,
+          s"corpusSigs signature length ${r.getInt(0)} != numPerms $numPerms " +
+            "— build nearDupCorpusSignatures with the same numPerms")
+      }
     val rows = numPerms / bands
     val cr = graft.ops.Cleanse.colRef _
+    // zero-shingle sentinel: minhashFromString leaves every slot at
+    // Long.MaxValue ONLY when the canonical text has no bytes (mulMod
+    // residues are < 2^61−1, so a real shingle can never produce it)
+    def degenerate(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      element_at(sig, 1) === Long.MaxValue
     def sigOf(df: DataFrame): DataFrame = df.select(
       cr(idCol).as("_gn_id"),
       graft.operators.Dedup.minhashSignature(cr(textCol), numPerms).as("_gn_sig"))
@@ -582,17 +607,22 @@ object Streams {
         .as("_gn_b"))
       .select(col("_gn_id"), col("_gn_sig"),
         col("_gn_b.bi").as("_gn_bi"), col("_gn_b.bh").as("_gn_bh"))
-      // an empty signature yields no bands at all — short docs never
-      // become candidates on either side
-      .filter(size(col("_gn_sig")) === numPerms)
+      // degenerate (zero-shingle) docs never band on ANY side — batch,
+      // corpus, or ledger: their sentinel signatures would otherwise
+      // all collide at estimated Jaccard 1.0
+      .filter(!degenerate(col("_gn_sig")))
     def estSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       size(filter(zip_with(a, b, (x, y) => x === y), p => p))
         .cast("double") / lit(numPerms.toDouble)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+      // ledger id field takes the BATCH's id type (string/int/long ids
+      // all round-trip; a hardcoded LongType read would fail at the
+      // second batch for any non-long id column)
+      val idType = batch.select(cr(idCol)).schema.head.dataType
       val ledgerSchema = StructType(Seq(
-        StructField("_gn_id", LongType),
+        StructField("_gn_id", idType),
         StructField("_gn_sig", ArrayType(LongType)),
         StructField("batch_id", LongType)))
       val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
@@ -637,7 +667,10 @@ object Streams {
       fresh.persist()
       try {
         onBatch(fresh, batchId)
-        bSigs.join(freshIds, Seq("_gn_id"), "left_semi")
+        // degenerate docs are admitted but never ledgered: their
+        // sentinel signature carries no content identity
+        bSigs.filter(!degenerate(col("_gn_sig")))
+          .join(freshIds, Seq("_gn_id"), "left_semi")
           .select(col("_gn_id"), col("_gn_sig"), lit(batchId).as("batch_id"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -727,6 +727,26 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == (("", 0L, 0L))) // null text -> "" with zero counts
   }
 
+  test("removeDuplicateSpans: null-id rows pass through, uncounted and uncut") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "alpha beta gamma delta unique1 tail1"),
+      (java.lang.Long.valueOf(2L), "start2 alpha beta gamma delta end2"),
+      // null id: real text, but no identity to key the surgery on —
+      // must pass through whitespace-normalized with ZERO removals,
+      // even though it carries the duplicated run
+      (null.asInstanceOf[java.lang.Long], "alpha  beta gamma delta floats here"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.removeDuplicateSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(None) == (("alpha beta gamma delta floats here", 6L, 0L)))
+    // and its windows did NOT raise the doc-frequency of the shared run
+    // past what docs 1+2 already establish (they still lose 4 tokens)
+    assert(rows(Some(1L)) == (("unique1 tail1", 6L, 4L)))
+    assert(rows(Some(2L)) == (("start2 end2", 6L, 4L)))
+  }
+
   test("removeDuplicateSpans: fully-duplicated doc empties; invariant to partitioning") {
     val docs = Seq(
       (1L, "one two three four"),

@@ -632,8 +632,8 @@ class StreamsSpec extends SparkSpec {
         (3L, "a totally unrelated body of words standing on its own here"))
       q.processAllAvailable()
       // batch 1: near-copy of Z dropped via the LEDGER (Z was admitted
-      // in batch 0); fresh text admitted; a sub-shingle-length doc has
-      // an empty signature and is always admitted (documented)
+      // in batch 0); fresh text admitted; a sub-shingle-length doc
+      // hashes one whole-string shingle that matches nothing — admitted
       input.addData((7L, near(zText)), (8L, "late arrival with its own brand new words in this sentence"),
         (9L, "ab"))
       q.processAllAvailable()
@@ -658,6 +658,77 @@ class StreamsSpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(!admitted.exists(_._2 == 18L)) // near-copy of an admitted doc
+  }
+
+  test("near-dup admission: degenerate (zero-token) docs are all admitted, never ledgered") {
+    implicit val sq = spark.sqlContext
+    // empty corpus frame with the (id, sig) shape
+    val corpusSigs = Streams.nearDupCorpusSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_deg_ledger").toString + "/l"
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalNearDupBatches(
+      input.toDF().toDF("doc_id", "text"), corpusSigs, "text", "doc_id", ledgerDir,
+      (fresh, _) => admitted.synchronized {
+        admitted ++= fresh.collect().map(_.getLong(0))
+      }).start()
+    try {
+      // two punctuation-only docs in ONE batch: identical sentinel
+      // signatures, but BOTH must be admitted (the pre-fix regression:
+      // estimated Jaccard 1.0 dropped the second)
+      input.addData((1L, "!!!"), (2L, "???"), (3L, "a real body of words here"))
+      q.processAllAvailable()
+      // next batch: another degenerate — must not be dropped against
+      // any ledgered sentinel either
+      input.addData((4L, "   "), (5L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // ledger holds ONLY the real doc: degenerate sigs carry no identity
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() == 1)
+  }
+
+  test("near-dup admission: string id columns round-trip through the ledger") {
+    implicit val sq = spark.sqlContext
+    val corpusSigs = Streams.nearDupCorpusSignatures(
+      Seq.empty[(String, String)].toDF("doc_id", "text"), "text", "doc_id")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_sid_ledger").toString + "/l"
+    val input = MemoryStream[(String, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val body = "a sentence with enough words to shingle and survive on its own today"
+    val q = Streams.incrementalNearDupBatches(
+      input.toDF().toDF("doc_id", "text"), corpusSigs, "text", "doc_id", ledgerDir,
+      (fresh, _) => admitted.synchronized {
+        admitted ++= fresh.collect().map(_.getString(0))
+      }).start()
+    try {
+      input.addData(("a", body))
+      q.processAllAvailable()
+      // second batch READS the first batch's ledger — the pre-fix
+      // hardcoded LongType schema failed here for string ids
+      input.addData(("b", body + " extra"), ("c", "different words entirely in this one"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sorted == Seq("a", "c")) // b = near-copy via ledger
+  }
+
+  test("near-dup admission fails fast on a corpusSigs numPerms mismatch") {
+    implicit val sq = spark.sqlContext
+    val corpusSigs = Streams.nearDupCorpusSignatures(
+      Seq((1L, "some corpus text body")).toDF("doc_id", "text"),
+      "text", "doc_id", numPerms = 32)
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      Streams.incrementalNearDupBatches(
+        input.toDF().toDF("doc_id", "text"), corpusSigs, "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("graft_mm_ledger").toString + "/l",
+        (_, _) => (), numPerms = 64)
+    }
+    assert(e.getMessage.contains("numPerms"))
   }
 
   test("c4Clean runs directly on a streaming frame (stateless narrow op)") {
