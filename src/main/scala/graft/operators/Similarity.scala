@@ -483,6 +483,24 @@ object Similarity {
     * whenever no cross-cluster pair sits near the threshold (planted
     * spec + gate territory). Scale: one assignment scan + one
     * cluster-keyed self-join + a distinct on dropped ids.
+    *
+    * MASS-DUPLICATE GUARD (round 13): byte-identical nonzero vectors
+    * collapse to one representative (min id — one keyed aggregate on
+    * the vector value) BEFORE clustering, and only representatives
+    * enter the within-cluster pair search. This is semantics-
+    * preserving, not an approximation: identical vectors co-cluster by
+    * construction and sit at cosine 1 ≥ 1−eps, so every non-min copy
+    * is dropped under the pair rule with NO cosine evaluated; and a
+    * representative is dropped by some copy of vector w at a lower id
+    * iff it is dropped by w's OWN representative (rep(w) carries w's
+    * minimum id). Without the guard, a mass-duplicated page (10⁶
+    * crawl copies of one document) lands its whole copy-set in ONE
+    * cluster and the pair search goes O(copies²) on a single key —
+    * the hot-bucket failure LSH dedup caps against. Zero vectors are
+    * exempt from the guard (each is its own representative): cosine
+    * involving a zero vector is defined 0 here, so identical zero
+    * vectors never drop each other and collapsing them would CHANGE
+    * the answer.
     */
   def semDeDup(
       df: DataFrame,
@@ -494,16 +512,33 @@ object Similarity {
       sampleSize: Int = 10000,
       iters: Int = 10): DataFrame = {
     require(eps > 0 && eps < 1, "eps in (0, 1)")
-    val (assigned, _) = ivfIndex(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")),
-      "v", nClusters, dim, sampleSize, iters)
+    val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val zero = norm(col("v")) === 0.0
+    // identity groups among nonzero vectors: min id represents the group
+    val groups = pts.filter(!zero)
+      .groupBy(col("v")).agg(min(col("id")).as("id"))
+    val reps = groups.select(col("id"), col("v"))
+      .unionByName(pts.filter(zero))
+    val (assigned, _) = ivfIndex(reps, "v", nClusters, dim, sampleSize, iters)
     val a = assigned.select(col("id"), col("v"), col("ivf_cluster").as("cluster"))
     val dropped = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
       .filter(cosine(col("x.v"), col("y.v")) >= lit(1.0 - eps))
       .select(col("y.id").as("id")).distinct()
-    a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cluster"),
+    val repOut = a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("v"), col("cluster"),
         coalesce(!col("_gd"), lit(true)).as("keep"))
+    // non-representative copies: keep = false by the pair rule (their
+    // representative is a lower-id cosine-1 partner in their own
+    // cluster); cluster rides over from the representative, since
+    // assignment is a pure function of the (identical) vector
+    val copies = pts.filter(!zero)
+      .join(groups.select(col("v"), col("id").as("_gn_rep")), Seq("v"))
+      .filter(col("id") =!= col("_gn_rep"))
+    val copyOut = copies
+      .join(repOut.select(col("id").as("_gn_rep"), col("cluster")), Seq("_gn_rep"))
+      .select(col("id"), col("cluster"), lit(false).as("keep"))
+    repOut.select(col("id"), col("cluster"), col("keep"))
+      .unionByName(copyOut)
   }
 }

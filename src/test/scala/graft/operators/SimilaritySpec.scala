@@ -176,6 +176,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got(7L)) // lone vector untouched
   }
 
+  test("semDeDup mass-copy guard: a huge identical copy-set never reaches the pair search") {
+    // 500 byte-identical copies of ONE page + a handful of distinct
+    // vectors: pre-guard this put a 500-member set into one cluster and
+    // the pair search went O(copies²) on a single key; post-guard only
+    // ONE representative of the copy-set enters the self-join. The
+    // planted truth is closed-form either way: min-id copy + the
+    // distinct vectors keep, all other copies drop.
+    def axis(i: Int, scale: Double): Seq[Float] = {
+      val v = Array.fill(8)(0.0f); v(i) = scale.toFloat; v.toSeq
+    }
+    val page = axis(0, 10.0)
+    val copies = (0 until 500).map(j => (1000L + j, page))
+    val distinctOnes = Seq((1L, axis(1, 7.0)), (2L, axis(2, 5.0)), (3L, axis(3, 9.0)))
+    val zeros = Seq((600L, Seq.fill(8)(0.0f)), (601L, Seq.fill(8)(0.0f)))
+    val df = (copies ++ distinctOnes ++ zeros).toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(df, "embedding", "vec_id",
+      nClusters = 4, dim = 8, eps = 0.01)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got.size == 505) // every row emitted exactly once
+    assert(got(1000L)._2) // min-id copy survives
+    (1001L until 1500L).foreach(id => assert(!got(id)._2, s"copy $id"))
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id)._2, s"distinct $id"))
+    // identical ZERO vectors are exempt: cosine is defined 0, so they
+    // never drop each other (collapsing them would change the answer)
+    assert(got(600L)._2 && got(601L)._2)
+    // copies share the representative's cluster
+    (1001L until 1500L).foreach(id => assert(got(id)._1 == got(1000L)._1))
+  }
+
   test("semanticDecontaminate flags exactly the planted near-bench vectors") {
     val bench = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 0, 1, 0)))
       .toDF("vec_id", "embedding")
