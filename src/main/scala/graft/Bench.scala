@@ -153,7 +153,10 @@ object Bench {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    val qs = meds.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.3f" }
+    // 2 decimals in the compact line: at 139 queries the 3-decimal form
+    // brushed the 1800-char stdout budget; full 3-decimal detail stays
+    // on stderr below
+    val qs = meds.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
       "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"

@@ -1582,7 +1582,41 @@ object Extensions {
     * The whole pipeline is recomputed independently in SQL (q135
     * oracle — every fragment reuses its own gate's proven form).
     */
-  def qP2RefinedWebPipeline(s: SparkSession, d: String): DataFrame = {
+  def qP2RefinedWebPipeline(s: SparkSession, d: String): DataFrame =
+    refinedWebPipelineWith(s, d, s3 =>
+      graft.operators.Corpus
+        .exactNgramPairs(s3, "clean", "id", threshold = 0.5, n = 3)
+        .select(col("id_b").as("id")).distinct())
+
+  /** The q135 pipeline with its near-dup stage swapped to the
+    * 100 TB-shaped path: banded MinHash-LSH candidate generation
+    * ([[graft.operators.Dedup.minhashCandidates]] — bucket-capped,
+    * never all-pairs) with the SAME exact 3-gram-Jaccard verification
+    * on candidates ([[graft.operators.Dedup.ngramJaccardNearDups]]).
+    * The exact PPJoin stage (q135) is lossless but measured
+    * pathological at high duplicate density (213 s vs 9.2 s on the
+    * 10× replica — docs/SCALE.md); the banded stage is the one a
+    * 1000-executor crawl dedup actually runs. On the planted
+    * construction the %13 shared-body near-dups sit at char-shingle
+    * Jaccard ≈ 0.9 — far above the 8×8 banding S-curve threshold — so
+    * LSH recall is total here and the gate reuses the q135 oracle SQL
+    * VERBATIM: same pipeline, same answer, scale-shaped dedup stage.
+    */
+  def qP3RefinedWebPipelineMinhash(s: SparkSession, d: String): DataFrame =
+    refinedWebPipelineWith(s, d, s3 =>
+      graft.operators.Dedup
+        .ngramJaccardNearDups(s3, "clean", "id", threshold = 0.5, n = 3)
+        .select(col("id_b").as("id")).distinct())
+
+  /** Shared body of the published-pipeline gates (q135/q138): every
+    * stage fixed except near-dup removal, pluggable as
+    * `s3 → dropped-id frame` so the oracle-provable exact PPJoin and
+    * the banded-MinHash scale path run the IDENTICAL pipeline around
+    * it.
+    */
+  private def refinedWebPipelineWith(
+      s: SparkSession, d: String,
+      nearDupDropped: DataFrame => DataFrame): DataFrame = {
     val shared = "the steady river winds to be close with the quiet " +
       "valley and that old stone wall today while morning light settles " +
       "over the far meadow and the old road bends past the mill to " +
@@ -1626,9 +1660,7 @@ object Extensions {
     val gq = graft.operators.Corpus.gopherQualityFull(s2, "clean", "id")
       .filter(col("kept")).select(col("id"))
     val s3 = s2.join(gq, Seq("id")).persist()
-    val dropped = graft.operators.Corpus
-      .exactNgramPairs(s3, "clean", "id", threshold = 0.5, n = 3)
-      .select(col("id_b").as("id")).distinct().persist()
+    val dropped = nearDupDropped(s3).persist()
     val s4 = s3.join(dropped, Seq("id"), "left_anti")
     val bench = documents(s, d).filter(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("id"), col("text").as("clean"))
@@ -2362,7 +2394,8 @@ object Extensions {
     "q134_gopher_repetition" -> qC23GopherRepetition _,
     "q135_refinedweb_pipeline" -> qP2RefinedWebPipeline _,
     "q136_remove_dup_spans" -> qC24RemoveDuplicateSpans _,
-    "q137_semdedup" -> qV9SemDeDup _)
+    "q137_semdedup" -> qV9SemDeDup _,
+    "q138_refinedweb_minhash" -> qP3RefinedWebPipelineMinhash _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2386,7 +2419,14 @@ object Extensions {
   private def normExpr(t: String) =
     s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-  val oracle: Map[String, String] = Map(
+  // q138 runs the IDENTICAL published pipeline with the scale-shaped
+  // near-dup stage (see qP3RefinedWebPipelineMinhash): LSH recall is
+  // total on the planted construction, so its oracle is q135's SQL
+  // verbatim — same pipeline, same answer.
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline"))
+
+  private val oracleBase: Map[String, String] = Map(
     "q21_s1_delimited_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q22_s2_excel_roundtrip" ->
