@@ -265,11 +265,34 @@ object Corpus {
       bench: DataFrame,
       textCol: String,
       idCol: String,
+      n: Int = 8): DataFrame =
+    decontaminateAgainstGrams(
+      train, decontaminationGrams(bench, textCol, idCol, n), textCol, idCol, n)
+
+  /** The distinct benchmark n-gram frame [[decontaminate]] probes — the
+    * PERSISTABLE unit for repeated decontamination (the streaming
+    * deployment [[graft.streaming.Streams.decontaminateBatches]] probes
+    * it every micro-batch; unpersisted, each batch re-tokenizes the
+    * whole benchmark corpus — the model-persist lesson every scoring
+    * deployment measured). One `gram` column.
+    */
+  def decontaminationGrams(
+      bench: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame =
+    gramIndex(bench, textCol, idCol, n).select(col("gram")).distinct()
+
+  /** [[decontaminate]] against a PRECOMPUTED benchmark gram frame
+    * (`gram` column, as built by [[decontaminationGrams]]). `n` must
+    * match the gram frame's n — gram strings of a different order
+    * simply never collide, silently disabling the filter.
+    */
+  def decontaminateAgainstGrams(
+      train: DataFrame,
+      benchGrams: DataFrame,
+      textCol: String,
+      idCol: String,
       n: Int = 8): DataFrame = {
-    val benchGrams = gramIndex(bench, textCol, idCol, n)
-      .select(col("gram")).distinct()
     val dirty = gramIndex(train, textCol, idCol, n)
-      .join(benchGrams, Seq("gram"), "left_semi")
+      .join(benchGrams.select(col("gram")), Seq("gram"), "left_semi")
       .select(col("id")).distinct()
     train.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

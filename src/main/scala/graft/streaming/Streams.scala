@@ -448,61 +448,103 @@ object Streams {
       idCol: String,
       ledgerDir: String,
       onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val h = "_graft_content_h"
+    val corpusSeen = dedupCorpusHashes(corpus, textCol)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val ledgerSchema = StructType(Seq(
-        StructField(h, StringType), StructField("batch_id", LongType)))
-      // Hadoop FS probe, NOT java.io.File: the ledger lives wherever
-      // the checkpoint does (s3a/hdfs in production) and a local-File
-      // exists() is always false there — the ledger would be written
-      // but never read, silently disabling cross-batch dedup
-      val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
-      val ledgerExists = ledgerPath
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(ledgerPath)
-      val seen =
-        if (ledgerExists)
-          spark.read.schema(ledgerSchema).parquet(ledgerDir)
-            // replay safety: rows this very batch wrote before a crash
-            // must not suppress their own re-processing (the explicit
-            // schema also lets an EMPTY ledger dir read as zero rows
-            // instead of failing inference)
-            .filter(col("batch_id") =!= batchId)
-            .select(col(h))
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField(h, StringType))))
-      // null text hashes as empty text: md5(null) is null, and null
-      // keys pass EVERY anti-join (EqualTo never matches them) — a
-      // null-text doc would be re-admitted in every batch forever
-      val hashed = batch
-        .withColumn(h, md5(coalesce(graft.ops.Cleanse.colRef(textCol), lit(""))))
-        // first-by-id among same-content rows WITHIN the batch — a
-        // deterministic keep-first, not dropDuplicates' arbitrary one
-        .withColumn("_graft_rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(h))
-            .orderBy(graft.ops.Cleanse.colRef(idCol))))
-        .filter(col("_graft_rk") === 1).drop("_graft_rk")
-      val corpusSeen = corpus
-        .select(md5(coalesce(graft.ops.Cleanse.colRef(textCol), lit("")))
-          .as(h)).distinct()
-      val fresh = hashed
-        .join(corpusSeen, Seq(h), "left_anti")
-        .join(seen, Seq(h), "left_anti")
+      val fresh = exactAdmitBatch(
+        batch, corpusSeen, textCol, idCol, ledgerDir, batchId)
       fresh.persist()
       try {
-        onBatch(fresh.drop(h), batchId)
-        fresh.select(col(h), lit(batchId).as("batch_id"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(ledgerDir)
+        onBatch(fresh.drop(ContentH), batchId)
+        writeBatchLedger(
+          fresh.select(col(ContentH), lit(batchId).as("batch_id")), ledgerDir)
       } finally fresh.unpersist()
     }
   }
+
+  /** Distinct content-hash projection of a static corpus — the
+    * persistable unit for [[incrementalDedupBatches]] /
+    * [[curateIncrementalBatches]] (16 bytes per distinct content;
+    * unpersisted, every micro-batch re-hashes the whole corpus).
+    */
+  def dedupCorpusHashes(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(
+      md5(coalesce(graft.ops.Cleanse.colRef(textCol), lit(""))).as(ContentH))
+      .distinct()
+
+  private val ContentH = "_graft_content_h"
+
+  /** One micro-batch of exact-dedup admission (the [[incrementalDedupBatches]]
+    * core, shared by the chained [[curateIncrementalBatches]]): batch
+    * rows minus corpus-hash matches minus ledger matches, keep-first by
+    * id within the batch. Output carries [[ContentH]] for the caller's
+    * ledger write.
+    */
+  private def exactAdmitBatch(
+      batch: DataFrame,
+      corpusHashes: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val ledgerSchema = StructType(Seq(
+      StructField(ContentH, StringType), StructField("batch_id", LongType)))
+    val seen = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+      .select(col(ContentH))
+    // null text hashes as empty text: md5(null) is null, and null
+    // keys pass EVERY anti-join (EqualTo never matches them) — a
+    // null-text doc would be re-admitted in every batch forever
+    val hashed = batch
+      .withColumn(ContentH, md5(coalesce(graft.ops.Cleanse.colRef(textCol), lit(""))))
+      // first-by-id among same-content rows WITHIN the batch — a
+      // deterministic keep-first, not dropDuplicates' arbitrary one
+      .withColumn("_graft_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(ContentH))
+          .orderBy(graft.ops.Cleanse.colRef(idCol))))
+      .filter(col("_graft_rk") === 1).drop("_graft_rk")
+    hashed
+      .join(corpusHashes, Seq(ContentH), "left_anti")
+      .join(seen, Seq(ContentH), "left_anti")
+  }
+
+  /** Read a batch ledger directory, or an empty frame when it does not
+    * exist yet. Hadoop FS probe, NOT java.io.File: the ledger lives
+    * wherever the checkpoint does (s3a/hdfs in production) and a
+    * local-File exists() is always false there — the ledger would be
+    * written but never read, silently disabling cross-batch dedup.
+    * Replay safety: rows the CURRENT batch wrote before a crash must
+    * not suppress their own re-processing, so `batch_id == batchId`
+    * rows are filtered out (the explicit schema also lets an EMPTY
+    * ledger dir read as zero rows instead of failing inference).
+    */
+  private def readLedger(
+      spark: SparkSession,
+      ledgerDir: String,
+      schema: StructType,
+      batchId: Long): DataFrame = {
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val ledgerExists = ledgerPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(ledgerPath)
+    if (ledgerExists)
+      spark.read.schema(schema).parquet(ledgerDir)
+        .filter(col("batch_id") =!= batchId)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.filterNot(_.name == "batch_id")))
+  }
+
+  /** Dynamic-partition-overwrite ledger append: a replayed micro-batch
+    * OVERWRITES its own `batch_id=N` partition, so at-least-once
+    * delivery still yields an exactly-once ledger (the
+    * [[graft.sink.Snapshots]] replay posture).
+    */
+  private def writeBatchLedger(rows: DataFrame, ledgerDir: String): Unit =
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(ledgerDir)
   /** Streaming incremental NEAR-dup admission — the MinHash sibling of
     * [[incrementalDedupBatches]], the production crawl shape when
     * near-copies (boilerplate variants, re-rendered pages) must be
@@ -576,17 +618,53 @@ object Streams {
       threshold: Double = 0.7,
       numPerms: Int = 64,
       bands: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireSigCompat(corpusSigs, threshold, numPerms, bands)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (fresh, ledgerRows) = nearAdmitBatch(
+        batch, corpusSigs, textCol, idCol, ledgerDir, batchId,
+        threshold, numPerms, bands)
+      fresh.persist()
+      try {
+        onBatch(fresh, batchId)
+        writeBatchLedger(ledgerRows, ledgerDir)
+      } finally fresh.unpersist()
+    }
+  }
+
+  /** Fail-fast parameter checks shared by the near-dup deployments:
+    * corpusSigs built with a different numPerms would silently band
+    * nothing on the corpus side (mismatched slice lengths), so
+    * signature length is probed once at writer construction (one 1-row
+    * job).
+    */
+  private def requireSigCompat(
+      corpusSigs: DataFrame, threshold: Double, numPerms: Int, bands: Int): Unit = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     require(threshold > 0 && threshold <= 1)
-    // fail-fast on a corpusSigs/numPerms mismatch (one 1-row probe at
-    // construction): mismatched slice lengths would band NOTHING on the
-    // corpus side and silently disable corpus dedup
     corpusSigs.select(size(col("sig")).as("n")).limit(1).collect()
       .headOption.foreach { r =>
         require(r.getInt(0) == numPerms,
           s"corpusSigs signature length ${r.getInt(0)} != numPerms $numPerms " +
             "— build nearDupCorpusSignatures with the same numPerms")
       }
+  }
+
+  /** One micro-batch of MinHash near-dup admission (the
+    * [[incrementalNearDupBatches]] core, shared by the chained
+    * [[curateIncrementalBatches]]). Returns `(admitted rows, ledger
+    * rows)` — the caller persists the former, sinks it, then writes the
+    * latter via the dynamic-overwrite ledger append.
+    */
+  private def nearAdmitBatch(
+      batch: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      batchId: Long,
+      threshold: Double,
+      numPerms: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val rows = numPerms / bands
     val cr = graft.ops.Cleanse.colRef _
     // zero-shingle sentinel: minhashFromString leaves every slot at
@@ -614,69 +692,150 @@ object Streams {
     def estSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       size(filter(zip_with(a, b, (x, y) => x === y), p => p))
         .cast("double") / lit(numPerms.toDouble)
+    val spark = batch.sparkSession
+    // ledger id field takes the BATCH's id type (string/int/long ids
+    // all round-trip; a hardcoded LongType read would fail at the
+    // second batch's ledger read for any non-long id column)
+    val idType = batch.select(cr(idCol)).schema.head.dataType
+    val ledgerSchema = StructType(Seq(
+      StructField("_gn_id", idType),
+      StructField("_gn_sig", ArrayType(LongType)),
+      StructField("batch_id", LongType)))
+    val ledgerSigs = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+      .select(col("_gn_id"), col("_gn_sig"))
+    val bSigs = sigOf(batch)
+    val bBand = banded(bSigs)
+    // within-batch pair rule: drop _gn_id when a LOWER id in the same
+    // batch shares a band and the estimated Jaccard clears threshold
+    val inBatchDropped = bBand.as("x").join(bBand.as("y"),
+        col("x._gn_bi") === col("y._gn_bi") &&
+          col("x._gn_bh") === col("y._gn_bh") &&
+          col("x._gn_id") < col("y._gn_id"))
+      .select(col("x._gn_sig").as("sa"), col("y._gn_sig").as("sb"),
+        col("y._gn_id").as("_gn_id"))
+      .filter(estSim(col("sa"), col("sb")) >= threshold)
+      .select(col("_gn_id")).distinct()
+    val priorBand = banded(
+      corpusSigs.select(col("id").as("_gn_id"), col("sig").as("_gn_sig"))
+        .unionByName(ledgerSigs))
+    val vsPriorDropped = bBand.as("x").join(priorBand.as("p"),
+        col("x._gn_bi") === col("p._gn_bi") &&
+          col("x._gn_bh") === col("p._gn_bh"))
+      .select(col("x._gn_sig").as("sa"), col("p._gn_sig").as("sb"),
+        col("x._gn_id").as("_gn_id"))
+      .filter(estSim(col("sa"), col("sb")) >= threshold)
+      .select(col("_gn_id")).distinct()
+    val freshIds = bSigs.select(col("_gn_id"))
+      .join(inBatchDropped, Seq("_gn_id"), "left_anti")
+      .join(vsPriorDropped, Seq("_gn_id"), "left_anti")
+    val fresh = batch.join(
+      freshIds.withColumnRenamed("_gn_id", idCol), Seq(idCol), "left_semi")
+    // degenerate docs are admitted but never ledgered: their sentinel
+    // signature carries no content identity
+    val ledgerRows = bSigs.filter(!degenerate(col("_gn_sig")))
+      .join(freshIds, Seq("_gn_id"), "left_semi")
+      .select(col("_gn_id"), col("_gn_sig"), lit(batchId).as("batch_id"))
+    (fresh, ledgerRows)
+  }
+
+  /** END-TO-END streaming curation — the production crawl-ingest
+    * deployment every stage scaladoc gestures at, as ONE foreachBatch
+    * chain per micro-batch of raw pages:
+    *
+    *  1. [[graft.operators.Corpus.curatePages]] — the stateless C4 →
+    *     full-Gopher prefix (clean text + keep flags, zero state);
+    *     non-kept pages drop here, before any store is touched;
+    *  2. exact-dedup admission of the CLEANED text vs the corpus
+    *     hash frame and the exact ledger ([[incrementalDedupBatches]]
+    *     semantics — cheap 16-byte keys kill byte-identical re-crawls
+    *     before MinHash runs);
+    *  3. MinHash near-dup admission vs the corpus signature frame and
+    *     the near ledger ([[incrementalNearDupBatches]] semantics);
+    *  4. optionally, n-gram decontamination against a STATIC benchmark
+    *     gram frame ([[graft.operators.Corpus.decontaminateAgainstGrams]]
+    *     — the bench side never grows, so no ledger is needed).
+    *
+    * Each admission stage keeps its OWN ledger, written after the sink
+    * succeeds: the exact ledger records stage-2 survivors (so a
+    * byte-identical copy of a page that was later near-dup-rejected
+    * still dies at the cheap exact stage), the near ledger records
+    * final near-dup survivors. Replay safety is per-ledger dynamic
+    * partition overwrite, as in the single-stage deployments. The
+    * output reaching `onBatch` is `(idCol, clean)` — the curated,
+    * deduplicated, decontaminated page stream.
+    *
+    * Scale: pass PERSISTED `corpusHashes` ([[dedupCorpusHashes]]) and
+    * `corpusSigs` ([[nearDupCorpusSignatures]]) frames — the
+    * persistable units; everything else is micro-batch-sized. The
+    * stages run cheapest-first, so each store probe sees only the
+    * survivors of the stage before it.
+    */
+  def curateIncrementalBatches(
+      docs: DataFrame,
+      corpusHashes: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      exactLedgerDir: String,
+      nearLedgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      threshold: Double = 0.7,
+      numPerms: Int = 64,
+      bands: Int = 8,
+      benchGrams: Option[DataFrame] = None,
+      decontamN: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireSigCompat(corpusSigs, threshold, numPerms, bands)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
-      // ledger id field takes the BATCH's id type (string/int/long ids
-      // all round-trip; a hardcoded LongType read would fail at the
-      // second batch for any non-long id column)
-      val idType = batch.select(cr(idCol)).schema.head.dataType
-      val ledgerSchema = StructType(Seq(
-        StructField("_gn_id", idType),
-        StructField("_gn_sig", ArrayType(LongType)),
-        StructField("batch_id", LongType)))
-      val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
-      val ledgerExists = ledgerPath
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(ledgerPath)
-      val ledgerSigs =
-        if (ledgerExists)
-          spark.read.schema(ledgerSchema).parquet(ledgerDir)
-            .filter(col("batch_id") =!= batchId) // replay safety
-            .select(col("_gn_id"), col("_gn_sig"))
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(ledgerSchema.fields.take(2)))
-      val bSigs = sigOf(batch)
-      val bBand = banded(bSigs)
-      // within-batch pair rule: drop _gn_id when a LOWER id in the same
-      // batch shares a band and the estimated Jaccard clears threshold
-      val inBatchDropped = bBand.as("x").join(bBand.as("y"),
-          col("x._gn_bi") === col("y._gn_bi") &&
-            col("x._gn_bh") === col("y._gn_bh") &&
-            col("x._gn_id") < col("y._gn_id"))
-        .select(col("x._gn_sig").as("sa"), col("y._gn_sig").as("sb"),
-          col("y._gn_id").as("_gn_id"))
-        .filter(estSim(col("sa"), col("sb")) >= threshold)
-        .select(col("_gn_id")).distinct()
-      val priorBand = banded(
-        corpusSigs.select(col("id").as("_gn_id"), col("sig").as("_gn_sig"))
-          .unionByName(ledgerSigs))
-      val vsPriorDropped = bBand.as("x").join(priorBand.as("p"),
-          col("x._gn_bi") === col("p._gn_bi") &&
-            col("x._gn_bh") === col("p._gn_bh"))
-        .select(col("x._gn_sig").as("sa"), col("p._gn_sig").as("sb"),
-          col("x._gn_id").as("_gn_id"))
-        .filter(estSim(col("sa"), col("sb")) >= threshold)
-        .select(col("_gn_id")).distinct()
-      val freshIds = bSigs.select(col("_gn_id"))
-        .join(inBatchDropped, Seq("_gn_id"), "left_anti")
-        .join(vsPriorDropped, Seq("_gn_id"), "left_anti")
-      val fresh = batch.join(
-        freshIds.withColumnRenamed("_gn_id", idCol), Seq(idCol), "left_semi")
-      fresh.persist()
+      val curated = graft.operators.Corpus.curatePages(batch, textCol, idCol)
+        .filter(col("kept"))
+        .select(col("id").as(idCol), col("clean"))
+      val exact = exactAdmitBatch(
+        curated, corpusHashes, "clean", idCol, exactLedgerDir, batchId)
+      exact.persist()
       try {
-        onBatch(fresh, batchId)
-        // degenerate docs are admitted but never ledgered: their
-        // sentinel signature carries no content identity
-        bSigs.filter(!degenerate(col("_gn_sig")))
-          .join(freshIds, Seq("_gn_id"), "left_semi")
-          .select(col("_gn_id"), col("_gn_sig"), lit(batchId).as("batch_id"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(ledgerDir)
-      } finally fresh.unpersist()
+        val (near, nearLedgerRows) = nearAdmitBatch(
+          exact.drop(ContentH), corpusSigs, "clean", idCol, nearLedgerDir,
+          batchId, threshold, numPerms, bands)
+        val out = benchGrams match {
+          case Some(bg) => graft.operators.Corpus
+            .decontaminateAgainstGrams(near, bg, "clean", idCol, decontamN)
+          case None => near
+        }
+        out.persist()
+        try {
+          onBatch(out, batchId)
+          writeBatchLedger(
+            exact.select(col(ContentH), lit(batchId).as("batch_id")),
+            exactLedgerDir)
+          writeBatchLedger(nearLedgerRows, nearLedgerDir)
+        } finally out.unpersist()
+      } finally exact.unpersist()
     }
   }
+
+  /** Streaming decontamination — the one published-pipeline stage that
+    * previously had no streaming twin: per micro-batch, drop every doc
+    * sharing an `n`-gram with the STATIC benchmark gram frame
+    * ([[graft.operators.Corpus.decontaminateAgainstGrams]] inside
+    * foreachBatch — the handler IS the batch operator, so streaming ≡
+    * batch by construction). The bench side is static, so unlike the
+    * dedup deployments NO ledger is needed; build `benchGrams` once
+    * with [[graft.operators.Corpus.decontaminationGrams]] and persist
+    * it (unpersisted, every micro-batch re-tokenizes the benchmark
+    * corpus — the measured model-persist cliff; StreamBench's
+    * `decontam` mode quantifies it).
+    */
+  def decontaminateBatches(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      n: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.decontaminateAgainstGrams(
+          batch, benchGrams, textCol, idCol, n),
+        batchId)
+    }
 }

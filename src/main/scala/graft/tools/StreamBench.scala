@@ -27,7 +27,8 @@ import graft.streaming.Streams
 object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
-    if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate")
+    if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
+        "decontam", "curatechain")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -156,7 +157,14 @@ object StreamBench {
     * measurement-correction rule: bare count() lets ColumnPruning drop
     * the model joins — docs/SCALE.md).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate> [docsParquet] [filesPerTrigger]
+    * Round-13 additions: `decontam` (streaming n-gram decontamination
+    * vs a static bench gram frame — the persistable unit) and
+    * `curatechain` (the END-TO-END curation deployment: curatePages →
+    * exact admit → near admit → decontaminate in one foreachBatch,
+    * both ledgers live; stream staged with the q135-style page wrapper
+    * so every stage does real work).
+    *
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -177,7 +185,10 @@ object StreamBench {
     val schema = docs.schema
     val inputRows = docs.count() // every mode streams the full staging set
 
-    def run(metric: String, persistables: Seq[DataFrame])(
+    def run(metric: String, persistables: Seq[DataFrame],
+        streamDir: String = stageDir,
+        streamSchema: org.apache.spark.sql.types.StructType = schema,
+        nInput: Long = inputRows)(
         mk: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit) =>
           org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
       // stateless modes have no model members: one variant, labeled so
@@ -185,8 +196,8 @@ object StreamBench {
         if (persistables.isEmpty) Seq(false) else Seq(false, true)
       for (persisted <- variants) {
         if (persisted) persistables.foreach { m => m.persist(); m.count() }
-        val stream = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
+        val stream = spark.readStream.schema(streamSchema)
+          .option("maxFilesPerTrigger", perTrigger).parquet(streamDir)
         var scored = 0L
         val t0 = System.nanoTime()
         val q = mk(stream, { (batch, _) =>
@@ -205,7 +216,7 @@ object StreamBench {
         // rate — for incdedup that is admitted-fresh rows, a ~20x
         // smaller number on the 95%-duplicate replica) and input/wall
         // (the throughput basis docs/SCALE.md tables use)
-        println(f"""{"metric":"$metric","model":"$label","rows_per_sec":${scored / wall}%.0f,"input_rows_per_sec":${inputRows / wall}%.0f,"scored_rows":$scored,"input_rows":$inputRows,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+        println(f"""{"metric":"$metric","model":"$label","rows_per_sec":${scored / wall}%.0f,"input_rows_per_sec":${nInput / wall}%.0f,"scored_rows":$scored,"input_rows":$nInput,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
       }
       persistables.foreach(_.unpersist())
     }
@@ -255,6 +266,56 @@ object StreamBench {
         run("stream_curate_rows_per_sec", Seq.empty) { (s, h) =>
           Streams.foreachBatchSink(
             graft.operators.Corpus.curatePages(s, "text", "doc_id"), h)
+        }
+      case "decontam" =>
+        // streaming decontamination: the bench gram frame is the
+        // persistable unit — unpersisted, every micro-batch
+        // re-tokenizes the whole benchmark corpus into 8-grams
+        val benchGrams = graft.operators.Corpus.decontaminationGrams(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+        run("stream_decontam_rows_per_sec", Seq(benchGrams)) { (s, h) =>
+          Streams.decontaminateBatches(s, benchGrams, "text", "doc_id", h)
+        }
+      case "curatechain" =>
+        // END-TO-END curation: wrap each doc into the q135-style page
+        // shape so the stateless prefix passes a meaningful fraction
+        // and every stage does real work — %13 plants a shared body
+        // (near-dups), %11 plants C4 kills, the replica's exact copies
+        // exercise the exact stage, %17 of raw text is the bench
+        val shared = "the steady river winds to be close with the quiet " +
+          "valley and that old stone wall today while morning light settles " +
+          "over the far meadow and the old road bends past the mill to " +
+          "reach the stone bridge before the village square opens."
+        val wrapped = docs.select(col("doc_id"), concat_ws("\n",
+          lit("the report has to be checked and that will hold with care."),
+          concat(col("text"), lit(".")),
+          when(col("doc_id") % 13 === 0, lit(shared))
+            .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+          when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+            .otherwise(lit("clean final line stands here."))).as("text"))
+        val chainDir = java.nio.file.Files
+          .createTempDirectory("graft_curatechain_stage").toString
+        wrapped.repartition(40).write.mode("overwrite").parquet(chainDir)
+        val nWrapped = wrapped.count()
+        // prior corpus = the curated output of the even half (admitted
+        // output is always post-curation text)
+        val corpus = graft.operators.Corpus.curatePages(
+          wrapped.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+          .filter(col("kept")).select(col("id").as("doc_id"), col("clean"))
+        val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean")
+        val corpusSigs = Streams
+          .nearDupCorpusSignatures(corpus, "clean", "doc_id")
+        val benchGrams = graft.operators.Corpus.decontaminationGrams(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+        run("stream_curatechain_rows_per_sec",
+          Seq(corpusHashes, corpusSigs, benchGrams),
+          chainDir, wrapped.schema, nWrapped) { (s, h) =>
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_curatechain_ledgers").toString
+          Streams.curateIncrementalBatches(
+            s, corpusHashes, corpusSigs, "text", "doc_id",
+            s"$base/exact", s"$base/near", h,
+            benchGrams = Some(benchGrams))
         }
       case "incdedup" =>
         // the "model" here is the static corpus whose hash projection

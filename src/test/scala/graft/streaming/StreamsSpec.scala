@@ -761,6 +761,100 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateBatches streams == batch decontaminate (static bench grams)") {
+    implicit val sq = spark.sqlContext
+    val benchText = "the committee benchmark answer key phrase number nine follows here today"
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a clean document with its very own words standing free of any benchmark"),
+      (2L, s"dirty one because $benchText rides inside it"),
+      (3L, "another clean body of plain words"))
+    val benchGrams = graft.operators.Corpus
+      .decontaminationGrams(bench, "text", "doc_id", n = 8).persist()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.decontaminateBatches(
+      input.toDF().toDF("doc_id", "text"), benchGrams, "text", "doc_id",
+      (clean, _) => got.synchronized { got ++= clean.collect().map(_.getLong(0)) })
+      .start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+    } finally { q.stop(); benchGrams.unpersist() }
+    val batch = graft.operators.Corpus.decontaminate(
+      docs.toDF("doc_id", "text"), bench, "text", "doc_id", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.toSet == batch)
+    assert(got.toSet == Set(1L, 3L))
+  }
+
+  test("curateIncrementalBatches chains clean→filter→exact→near→decontam with both ledgers") {
+    implicit val sq = spark.sqlContext
+    val stops = "the report has to be checked and that will hold with care."
+    def pageText(stem: String) =
+      s"$stops\n${(0 until 60).map(i => s"$stem${i}ord").mkString(" ")} and the close of day has come to rest now.\nmore closing prose lands here. yes. good. fine. done."
+    val aText = pageText("aw")
+    val gText = pageText("gw")
+    val cText = pageText("cw")
+    val benchText = "the committee benchmark answer key phrase number nine follows here today"
+    val dText = pageText("dw") + s"\n$benchText rides in this closing line."
+    val fText = s"$stops\ntemplate { artifact. one. two. three. four. five."
+    // the static corpus holds the CLEANED text of page G (prior
+    // admitted output is always post-curation text)
+    def cleanOf(text: String): String = graft.operators.Corpus
+      .curatePages(Seq((0L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getString(1)
+    val corpus = Seq((100L, cleanOf(gText))).toDF("doc_id", "clean")
+    val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean").persist()
+    val corpusSigs = Streams
+      .nearDupCorpusSignatures(corpus, "clean", "doc_id").persist()
+    val benchGrams = graft.operators.Corpus.decontaminationGrams(
+      Seq((900L, benchText)).toDF("doc_id", "text"), "text", "doc_id", n = 8)
+      .persist()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate_ledgers").toString
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.curateIncrementalBatches(
+      input.toDF().toDF("doc_id", "text"), corpusHashes, corpusSigs,
+      "text", "doc_id", s"$base/exact", s"$base/near",
+      (out, bid) => admitted.synchronized {
+        admitted ++= out.collect().map(r => (bid, r.getLong(0)))
+      },
+      benchGrams = Some(benchGrams)).start()
+    try {
+      // batch 0: A admitted; F fails curation ({); 3 = exact copy of A
+      // within the batch (keep-first); G exact-dropped vs the CORPUS;
+      // D passes dedup but dies at decontamination
+      input.addData((1L, aText), (2L, fText), (3L, aText), (4L, gText), (5L, dText))
+      q.processAllAvailable()
+      // batch 1: 6 = exact copy of A (exact LEDGER drop); 7 = near-copy
+      // of A (near LEDGER drop — extra tail line, high jaccard);
+      // C fresh → admitted
+      input.addData((6L, aText),
+        (7L, aText + "\nan extra tail sentence sits right here now."),
+        (8L, cText))
+      q.processAllAvailable()
+    } finally {
+      q.stop(); corpusHashes.unpersist(); corpusSigs.unpersist()
+      benchGrams.unpersist()
+    }
+    assert(admitted.sortBy(_._2).toSeq == Seq((0L, 1L), (1L, 8L)))
+    // exact ledger records STAGE-2 survivors (so identical re-crawls of
+    // later-rejected pages still die at the cheap stage): batch 0 = A +
+    // D (D fell at decontam, after exact), batch 1 = near-copy 7 + C
+    val exactLedger = spark.read.parquet(s"$base/exact")
+    assert(exactLedger.filter(col("batch_id") === 0L).count() == 2)
+    assert(exactLedger.filter(col("batch_id") === 1L).count() == 2)
+    // near ledger records near-stage survivors: batch 0 = A + D,
+    // batch 1 = C only (7 dropped there)
+    val nearLedger = spark.read.parquet(s"$base/near")
+    assert(nearLedger.filter(col("batch_id") === 0L).count() == 2)
+    assert(nearLedger.filter(col("batch_id") === 1L).count() == 1)
+    // the admitted stream carries (id, clean): cleaned text, not raw
+    assert(admitted.size == 2)
+  }
+
   test("curatePages (C4 → full Gopher) streams == batch (stateless prefix)") {
     implicit val sq = spark.sqlContext
     val stops = "the report has to be checked and that will hold with care."
