@@ -290,4 +290,23 @@ object TextFunctions {
     */
   def wordNgrams(c: Column, n: Int = 3): Column =
     wordNgramsOfTokens(tokens(c), n)
+
+  /** In-engine text→dense-embedding: deterministic signed-feature-hash
+    * projection of the canonical char-`n`-gram count profile into a
+    * unit `array<float>` of `dim` (codegen'd —
+    * [[graft.plans.TextEmbed]]). Canonicalization is the MinHash
+    * convention (lowercase word tokens joined by single spaces), so
+    * texts that shingle identically embed identically. The dense
+    * output composes directly with the semantic family
+    * ([[graft.operators.Similarity.semDeDup]],
+    * `semanticDecontaminate*`, ANN) with no external model; empty
+    * canonical text embeds as the zero vector (cosine-neutral by the
+    * engine's zero-norm convention). Hash-based, so not
+    * SQL-expressible: value-level behavior is pinned by the planted
+    * spec (identical ⇒ identical, cosine monotone in shared-gram
+    * fraction) and the q139 gate's closed-form composition truth.
+    */
+  def embedText(text: Column, dim: Int = 256, n: Int = 3): Column =
+    graft.plans.HashExpressions.hashedNgramEmbedding(
+      array_join(tokens(text), " "), dim, n)
 }

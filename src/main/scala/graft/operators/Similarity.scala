@@ -485,9 +485,12 @@ object Similarity {
     * cluster-keyed self-join + a distinct on dropped ids.
     *
     * MASS-DUPLICATE GUARD (round 13): byte-identical nonzero vectors
-    * collapse to one representative (min id — one keyed aggregate on
-    * the vector value) BEFORE clustering, and only representatives
-    * enter the within-cluster pair search. This is semantics-
+    * collapse to one representative (min id — one vector-keyed window
+    * rank) BEFORE clustering, and only representatives enter the
+    * within-cluster pair search; copies take their cluster from the
+    * fused nearest-centroid expression directly (assignment is a pure
+    * function of the vector), so the guard costs ONE extra shuffle and
+    * zero joins. This is semantics-
     * preserving, not an approximation: identical vectors co-cluster by
     * construction and sit at cosine 1 ≥ 1−eps, so every non-min copy
     * is dropped under the pair rule with NO cosine evaluated; and a
@@ -514,31 +517,31 @@ object Similarity {
     require(eps > 0 && eps < 1, "eps in (0, 1)")
     val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val zero = norm(col("v")) === 0.0
-    // identity groups among nonzero vectors: min id represents the group
-    val groups = pts.filter(!zero)
-      .groupBy(col("v")).agg(min(col("id")).as("id"))
-    val reps = groups.select(col("id"), col("v"))
+    // identity groups among nonzero vectors: ONE window over the vector
+    // value; rank 1 is the min-id representative
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("id"))
+    val ranked = pts.filter(!zero)
+      .withColumn("_gn_rn", row_number().over(w))
+    val reps = ranked.filter(col("_gn_rn") === 1).select(col("id"), col("v"))
       .unionByName(pts.filter(zero))
-    val (assigned, _) = ivfIndex(reps, "v", nClusters, dim, sampleSize, iters)
+    val (assigned, cents) = ivfIndex(reps, "v", nClusters, dim, sampleSize, iters)
     val a = assigned.select(col("id"), col("v"), col("ivf_cluster").as("cluster"))
     val dropped = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
       .filter(cosine(col("x.v"), col("y.v")) >= lit(1.0 - eps))
       .select(col("y.id").as("id")).distinct()
     val repOut = a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("v"), col("cluster"),
+      .select(col("id"), col("cluster"),
         coalesce(!col("_gd"), lit(true)).as("keep"))
     // non-representative copies: keep = false by the pair rule (their
     // representative is a lower-id cosine-1 partner in their own
-    // cluster); cluster rides over from the representative, since
-    // assignment is a pure function of the (identical) vector
-    val copies = pts.filter(!zero)
-      .join(groups.select(col("v"), col("id").as("_gn_rep")), Seq("v"))
-      .filter(col("id") =!= col("_gn_rep"))
-    val copyOut = copies
-      .join(repOut.select(col("id").as("_gn_rep"), col("cluster")), Seq("_gn_rep"))
-      .select(col("id"), col("cluster"), lit(false).as("keep"))
-    repOut.select(col("id"), col("cluster"), col("keep"))
-      .unionByName(copyOut)
+    // cluster); their cluster is computed DIRECTLY — assignment is a
+    // pure function of the (identical) vector, so no join back to the
+    // representative frame is needed
+    val copyOut = ranked.filter(col("_gn_rn") > 1).select(col("id"),
+      graft.plans.HashExpressions.nearestCentroid(col("v"), cents).as("cluster"),
+      lit(false).as("keep"))
+    repOut.unionByName(copyOut)
   }
 }

@@ -458,6 +458,49 @@ object HashExpressions {
   def stopwordHits(tokens: Column, sets: Seq[Seq[String]]): Column =
     ExprColumn(StopwordHits(ExprColumn.exprOf(tokens), sets))
 
+  def hashedNgramEmbedding(canonical: Column, dim: Int = 256, n: Int = 3): Column =
+    ExprColumn(TextEmbed(ExprColumn.exprOf(canonical), dim, n))
+
+  /** Deterministic hashed char-n-gram embedding of the canonical string:
+    * slide an `n`-byte window one byte at a time (sub-length strings use
+    * one whole-string gram, the [[minhashFromString]] convention), hash
+    * each window into one of `dim` buckets (murmur seed 42) with a ±1
+    * sign from an independent hash (seed 1042) — the signed
+    * feature-hashing projection of the COUNT profile (Weinberger et al.
+    * 2009: sign hashing makes collision noise zero-mean, so inner
+    * products are preserved in expectation) — then L2-normalize to a
+    * unit float vector. Zero-gram text (empty canonical) embeds as the
+    * zero vector, which [[graft.operators.Similarity.semDeDup]] and the
+    * cosine family already treat as "similar to nothing" (cosine
+    * defined 0), keeping degenerate-doc semantics consistent across the
+    * engine. Identical texts embed identically by construction.
+    */
+  private[plans] def embedText(s: UTF8String, dim: Int, n: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    val bytes = s.getBytes
+    val len = bytes.length
+    val step = math.min(n, math.max(len, 1))
+    var p = 0
+    while (p + step <= len) {
+      val off = Platform.BYTE_ARRAY_OFFSET + p
+      val h = Murmur3_x86_32.hashUnsafeBytes(bytes, off, step, 42)
+      val b = java.lang.Math.floorMod(h, dim)
+      val sign =
+        if ((Murmur3_x86_32.hashUnsafeBytes(bytes, off, step, 1042) & 1) == 0) 1.0
+        else -1.0
+      acc(b) += sign
+      p += 1
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += acc(i) * acc(i); i += 1 }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     ExprColumn(NearestCentroid(ExprColumn.exprOf(vec.cast("array<double>")), cents))
 
@@ -533,6 +576,33 @@ case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+/** Hashed char-n-gram text embedding: string → unit array<float> of
+  * `dim` (see [[HashExpressions.embedText]]) — the in-engine
+  * text→dense-vector path that lets the semantic family (semDeDup,
+  * semanticDecontaminate, ANN) compose from raw text without an
+  * external model.
+  */
+case class TextEmbed(child: Expression, dim: Int, n: Int)
+  extends UnaryExpression {
+
+  require(dim > 0, "embedding dim must be positive")
+  require(n > 0, "gram length must be positive")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.embedText(input.asInstanceOf[UTF8String], dim, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.embedText($c, $dim, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextEmbed =
     copy(child = newChild)
 }
 

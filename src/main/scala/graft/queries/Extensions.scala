@@ -650,6 +650,38 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** In-engine text→dense-embedding composed with SemDeDup (the q137
+    * posture over VECTORS THE ENGINE ITSELF PRODUCES from raw text):
+    * every document is salted with a unique md5-of-id word block
+    * (repeated 5×, so the salt carries the majority of each doc's
+    * char-3-gram mass), doc_id % 7 docs are planted as EXACT copies at
+    * id + 100000, and [[graft.functions.TextFunctions.embedText]]
+    * embeds the salted text. Identical texts embed identically, so the
+    * copies sit at cosine 1 and always drop; the salt drags every
+    * cross-doc cosine far below the 0.99 threshold (unsalted, this
+    * synthetic corpus saturates at 0.999 — measured; salted max is
+    * ~0.5, margin documented in docs/SCALE.md round 13), so keep ==
+    * (id < 100000) in closed form under ANY clustering — the oracle is
+    * SQL-expressible even though the embedding is hash-based. The gate
+    * earns it through the real chain: canonicalize → hashed signed
+    * gram projection → k-means assignment → identity guard + pair
+    * search.
+    */
+  def qV10TextEmbedSemDeDup(s: SparkSession, d: String): DataFrame = {
+    val salt = repeat(
+      regexp_replace(md5(col("doc_id").cast("string")), "(.{4})", "$1 "), 5)
+    val docs = documents(s, d)
+      .select(col("doc_id"), concat(col("text"), lit(" "), salt).as("text"))
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val emb = corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
+    graft.operators.Similarity.semDeDup(emb, "emb", "doc_id",
+        nClusters = 8, dim = 256, eps = 0.01)
+      .select(col("id"), col("keep"))
+      .orderBy(col("id"))
+  }
+
   /** SRP-LSH ANN for the same query (rows-only: recall depends on
     * bucketing). Gate config = the DOCUMENTED operating point from the
     * docs/SCALE.md recall table: bits=8, probes=32 → recall@10 0.43 at
@@ -2395,7 +2427,8 @@ object Extensions {
     "q135_refinedweb_pipeline" -> qP2RefinedWebPipeline _,
     "q136_remove_dup_spans" -> qC24RemoveDuplicateSpans _,
     "q137_semdedup" -> qV9SemDeDup _,
-    "q138_refinedweb_minhash" -> qP3RefinedWebPipelineMinhash _)
+    "q138_refinedweb_minhash" -> qP3RefinedWebPipelineMinhash _,
+    "q139_text_embed_semdedup" -> qV10TextEmbedSemDeDup _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3738,6 +3771,17 @@ object Extensions {
       """WITH c AS (SELECT vec_id AS id FROM embeddings
              UNION ALL
              SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 7 = 0)
+         SELECT id, id < 100000 AS keep FROM c ORDER BY id""",
+    // q139: same closed-form posture over vectors the ENGINE produces
+    // from salted raw text (embedText): identical texts embed
+    // identically (copies drop at cosine 1), the md5-of-id salt keeps
+    // every cross-doc cosine far below 1 - eps (measured margin in
+    // docs/SCALE.md round 13), so keep == (id < 100000) under any
+    // clustering.
+    "q139_text_embed_semdedup" ->
+      """WITH c AS (SELECT doc_id AS id FROM documents
+             UNION ALL
+             SELECT doc_id + 100000 FROM documents WHERE doc_id % 7 = 0)
          SELECT id, id < 100000 AS keep FROM c ORDER BY id""",
     // q133: the pipeline composition — the q128 rule chain, then the
     // q132 rules over the CLEANED text, then md5 keep-first dedup,

@@ -228,6 +228,141 @@ object Stress {
     }
   }
 
+  /** Round-13 evidence: the semDeDup mass-duplicate guard (100×
+    * copy-sets must stay flat — identity pre-dedup collapses each
+    * copy-set to one representative before the within-cluster pair
+    * search), the published pipeline run END-TO-END with the
+    * banded-MinHash dedup stage (q138's shape) with per-stage walls,
+    * and the in-engine text embedding throughput + its semDeDup
+    * composition at replica scale.
+    */
+  private def r13(docs: DataFrame, embs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    locally {
+      // r12's shape re-run post-guard: 10 copies each of 2,000 vectors
+      val t0 = System.nanoTime()
+      val kept = Similarity.semDeDup(embs, "embedding", "vec_id",
+        nClusters = 32, dim = 64, eps = 0.01).filter(col("keep")).count()
+      println(f"[stress] semDeDup k=32 (10 copies each, guarded): " +
+        f"$kept survivors of 20000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    locally {
+      // MASS-copy adversary: the same 20,000 rows but 100 copies each
+      // of 200 distinct vectors — pre-guard this concentrated 100-row
+      // copy-sets in single clusters (O(copies²) on one key); guarded,
+      // only 200 representatives reach the pair search
+      val mass = embs.select(col("embedding")).distinct().limit(200)
+        .withColumn("g", monotonically_increasing_id())
+        .crossJoin(spark.range(100).select(col("id").as("c")))
+        .select((col("g") * 100 + col("c")).as("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val kept = Similarity.semDeDup(mass, "embedding", "vec_id",
+        nClusters = 32, dim = 64, eps = 0.01).filter(col("keep")).count()
+      println(f"[stress] semDeDup k=32 (100-copy MASS sets, guarded): " +
+        f"$kept survivors of 20000 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    locally {
+      // the q138-shaped published pipeline END-TO-END on the replica,
+      // per-stage walls (each stage persisted+counted so its share is
+      // attributable): URL keep-first → C4 → full Gopher → banded
+      // MinHash near-dup (the scale stage; the exact PPJoin measured
+      // 213 s standalone on this dup density in r12) → 8-gram
+      // decontamination vs the %17 raw slice
+      def stage[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val out = f
+        println(f"[stress] pipeline stage $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        out
+      }
+      val tAll = System.nanoTime()
+      val messy = docs.select(col("doc_id"),
+        concat(lit("https://example.com/art/"),
+          (col("doc_id") % 45000).cast("string")).as("url"),
+        concat_ws("\n",
+          lit("the report has to be checked and that will hold with care."),
+          concat(col("text"), lit(".")),
+          lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now."),
+          when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+            .otherwise(lit("clean final line stands here."))).as("text"))
+      val s1 = stage("url-dedup") {
+        val kept = Corpus.dedupByUrl(messy, "url", "doc_id")
+          .filter(col("keep")).select(col("id").as("doc_id"))
+        val out = messy.join(kept, Seq("doc_id")).persist()
+        println(s"[stress]   rows after url-dedup: ${out.count()}")
+        out
+      }
+      val s2 = stage("c4-clean") {
+        val out = Corpus.c4Clean(s1, "text", "doc_id")
+          .filter(col("kept")).select(col("id"), col("text").as("clean"))
+          .persist()
+        println(s"[stress]   rows after c4: ${out.count()}")
+        out
+      }
+      val s3 = stage("gopher-full") {
+        val gq = Corpus.gopherQualityFull(s2, "clean", "id")
+          .filter(col("kept")).select(col("id"))
+        val out = s2.join(gq, Seq("id")).persist()
+        println(s"[stress]   rows after gopher: ${out.count()}")
+        out
+      }
+      val s4 = stage("near-dup-minhash") {
+        val dropped = Dedup.ngramJaccardNearDups(s3, "clean", "id", 0.5, 3)
+          .select(col("id_b").as("id")).distinct()
+        val out = s3.join(dropped, Seq("id"), "left_anti").persist()
+        println(s"[stress]   rows after near-dup: ${out.count()}")
+        out
+      }
+      stage("decontaminate-8gram") {
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("id"), col("text").as("clean"))
+        val n = Corpus.decontaminate(s4, bench, "clean", "id", 8).count()
+        println(s"[stress]   rows after decontam: $n")
+      }
+      println(f"[stress] pipeline TOTAL (MinHash dedup stage): " +
+        f"${(System.nanoTime() - tAll) / 1e9}%.1fs")
+      Seq(s1, s2, s3, s4).foreach(_.unpersist())
+    }
+    timeN("text embed 50k docs (hashed 3-gram, dim=256)")(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.embedText(col("text"), 256).as("emb")))
+    locally {
+      // q139 oracle margin: the closed form (keep == id < 100000) needs
+      // every NATURAL cross-doc cosine of the salted construction to
+      // sit far below the 0.99 drop threshold — measure the max over
+      // ALL distinct pairs at both gate scales (unsalted, this corpus
+      // saturates at ~0.999; the md5 salt is what buys the margin)
+      for (sfd <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val d = spark.read.parquet(sfd + "/documents.parquet")
+        val salt = repeat(regexp_replace(
+          md5(col("doc_id").cast("string")), "(.{4})", "$1 "), 5)
+        val emb = d.select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.embedText(
+            concat(col("text"), lit(" "), salt), 256).as("v"))
+        val t0 = System.nanoTime()
+        val mx = emb.as("x").join(emb.as("y"), col("x.id") < col("y.id"))
+          .select(max(Similarity.cosine(col("x.v"), col("y.v"))).as("m"))
+          .collect()(0).getDouble(0)
+        println(f"[stress] q139 salted max natural cosine @$sfd: $mx%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      }
+    }
+    locally {
+      // in-engine embedding → semDeDup composition: 10 identical texts
+      // per base doc embed to 10 identical vectors, so the identity
+      // guard collapses ~50k rows to ~5k representatives before the
+      // pair search; near-identical NATURAL texts (this synthetic
+      // corpus saturates char-3-gram cosine at ~0.999) also merge —
+      // the reported survivor count is the semantic-unique set
+      val emb = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.embedText(col("text"), 256).as("emb"))
+      val t0 = System.nanoTime()
+      val kept = Similarity.semDeDup(emb, "emb", "doc_id",
+        nClusters = 32, dim = 256, eps = 0.01).filter(col("keep")).count()
+      println(f"[stress] embedText -> semDeDup (50k docs, k=32): " +
+        f"$kept survivors in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPath = args.headOption.getOrElse("/tmp/sf1_documents.parquet")
     val embPath = args.lift(1).getOrElse("/tmp/sf1_embeddings.parquet")
@@ -248,6 +383,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+    if (sys.env.contains("STRESS_R13_ONLY")) { r13(docs, embs); spark.stop(); return }
     if (sys.env.contains("STRESS_R12_ONLY")) { r12(docs, embs); spark.stop(); return }
     if (sys.env.contains("STRESS_R11_ONLY")) { r11(docs, embs); r11b(docs); spark.stop(); return }
 

@@ -109,6 +109,50 @@ class TextFunctionsSpec extends SparkSpec {
     assert(parts("what? really#x") == (("", "", "", "")))
   }
 
+  test("embedText: unit vectors, identical in == identical out, monotone in overlap") {
+    def embed(s: String): Seq[Float] =
+      one(TF.embedText(col("t"), dim = 64), s)
+        .asInstanceOf[scala.collection.Seq[Float]].toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val base = (0 until 20).map(i => s"word$i").mkString(" ")
+    // determinism + canonicalization: same tokens => same vector, and
+    // case/punctuation differences vanish (the MinHash convention)
+    assert(embed(base) == embed(base))
+    assert(embed(base) == embed(base.toUpperCase + "!!!"))
+    // unit norm
+    assert(math.abs(cos(embed(base), embed(base)) - 1.0) < 1e-5)
+    // cosine decreases as more words are replaced with fresh ones
+    def variant(k: Int): String =
+      ((0 until k).map(i => s"zzrep${i}qq") ++
+        (k until 20).map(i => s"word$i")).mkString(" ")
+    val sims = Seq(2, 8, 16).map(k => cos(embed(base), embed(variant(k))))
+    assert(sims == sims.sorted.reverse, s"not monotone: $sims")
+    assert(sims.head > 0.7 && sims.last < 0.5)
+    // disjoint token sets land near zero (signed hashing is zero-mean)
+    val other = (0 until 20).map(i => s"qx${i}vt").mkString(" ")
+    assert(math.abs(cos(embed(base), embed(other))) < 0.35)
+    // degenerate text embeds as the exact zero vector
+    assert(embed("!!!").forall(_ == 0.0f))
+    assert(embed("").forall(_ == 0.0f))
+  }
+
+  test("embedText composes with semDeDup: planted copies drop, originals keep") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 25).map(j => s"t${i}w$j").mkString(" "))
+    }
+    val copies = Seq(7L, 21L).map(i => (1000L + i, docs(i.toInt)._2))
+    val df = (docs ++ copies).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TF.embedText(col("text"), dim = 128).as("emb"))
+    val got = graft.operators.Similarity.semDeDup(
+      df, "emb", "doc_id", nClusters = 4, dim = 128, eps = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size == 42)
+    assert(!got(1007L) && !got(1021L)) // exact-copy texts drop
+    docs.map(_._1).foreach(id => assert(got(id), s"original $id"))
+  }
+
   test("stripHtml drops script/style/comments, spaces tags, decodes entities once") {
     def strip(s: String): String =
       one(TF.stripHtml(col("t")), s).asInstanceOf[String]
