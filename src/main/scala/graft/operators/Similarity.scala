@@ -526,10 +526,22 @@ object Similarity {
     val reps = ranked.filter(col("_gn_rn") === 1).select(col("id"), col("v"))
       .unionByName(pts.filter(zero))
     val (assigned, cents) = ivfIndex(reps, "v", nClusters, dim, sampleSize, iters)
-    val a = assigned.select(col("id"), col("v"), col("ivf_cluster").as("cluster"))
+    // norms ride the rows into the self-join: cosine(x, y) inline would
+    // recompute BOTH norms per PAIR — two thirds of the pair stage's
+    // flops for values that are per-row constants (the
+    // embeddingNearDups precompute posture). Cached: the frame is
+    // consumed by BOTH self-join sides and the reinstating join —
+    // uncached, each consumer re-derives the embed/window/assignment
+    // chain (the simhashNearDups cache rationale; Dedup's
+    // cache-ownership note applies — caller releases via clearCache)
+    val a = assigned.select(col("id"), col("v"), norm(col("v")).as("_gn_n"),
+      col("ivf_cluster").as("cluster")).cache()
+    val pairDenom = col("x._gn_n") * col("y._gn_n")
+    val pairCos = when(pairDenom === 0.0, lit(0.0))
+      .otherwise(dot(col("x.v"), col("y.v")) / pairDenom)
     val dropped = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
-      .filter(cosine(col("x.v"), col("y.v")) >= lit(1.0 - eps))
+      .filter(pairCos >= lit(1.0 - eps))
       .select(col("y.id").as("id")).distinct()
     val repOut = a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),

@@ -676,9 +676,44 @@ object Extensions {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
     val emb = corpus.select(col("doc_id"),
       graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
+    // k = 32: the oracle is clustering-independent (identical vectors
+    // co-cluster under ANY centroids; naturals never reach 1 − eps),
+    // and k is the quadratic knob — at sf0.1's 5.5k docs, k = 8 left
+    // ~700-row clusters and a 34 s pair search; k = 32 is the paper's
+    // pick-k-so-n/k-stays-pair-searchable design point. sampleSize
+    // 2000 bounds the DRIVER Lloyd's loop (iters × sample × k × dim
+    // single-threaded ops — at dim = 256 the default 10k sample costs
+    // seconds and buys nothing the oracle can see)
     graft.operators.Similarity.semDeDup(emb, "emb", "doc_id",
-        nClusters = 8, dim = 256, eps = 0.01)
+        nClusters = 32, dim = 256, eps = 0.01, sampleSize = 2000)
       .select(col("id"), col("keep"))
+      .orderBy(col("id"))
+  }
+
+  /** In-engine text→dense-embedding composed with SEMANTIC
+    * DECONTAMINATION (the q139 salt posture pointed at the
+    * contamination problem): every doc is salted uniquely, the bench
+    * set is the %13 docs THEMSELVES (exact text copies), and
+    * [[graft.operators.Similarity.semanticDecontaminate]] runs over
+    * engine-produced embeddings. A %13 doc meets its own copy at
+    * cosine 1 ≥ 0.9; every other doc's max bench cosine is bounded by
+    * the measured salted ceiling (0.679 at sf0.01 / 0.734 at sf0.1 —
+    * docs/SCALE.md round 13), so `contaminated == (doc_id % 13 = 0)`
+    * in closed form and the paraphrase-robust decontamination stage is
+    * oracle-gated from RAW TEXT with no external model.
+    */
+  def qV11TextEmbedDecontam(s: SparkSession, d: String): DataFrame = {
+    val salt = repeat(
+      regexp_replace(md5(col("doc_id").cast("string")), "(.{4})", "$1 "), 5)
+    val salted = documents(s, d)
+      .select(col("doc_id"), concat(col("text"), lit(" "), salt).as("text"))
+    val train = salted.select(col("doc_id"),
+      graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
+    val bench = salted.filter(col("doc_id") % 13 === 0)
+      .select(graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
+    graft.operators.Similarity
+      .semanticDecontaminate(train, bench, "emb", "doc_id", threshold = 0.9)
+      .select(col("id"), col("contaminated"))
       .orderBy(col("id"))
   }
 
@@ -2428,7 +2463,8 @@ object Extensions {
     "q136_remove_dup_spans" -> qC24RemoveDuplicateSpans _,
     "q137_semdedup" -> qV9SemDeDup _,
     "q138_refinedweb_minhash" -> qP3RefinedWebPipelineMinhash _,
-    "q139_text_embed_semdedup" -> qV10TextEmbedSemDeDup _)
+    "q139_text_embed_semdedup" -> qV10TextEmbedSemDeDup _,
+    "q140_text_embed_decontam" -> qV11TextEmbedDecontam _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3783,6 +3819,12 @@ object Extensions {
              UNION ALL
              SELECT doc_id + 100000 FROM documents WHERE doc_id % 7 = 0)
          SELECT id, id < 100000 AS keep FROM c ORDER BY id""",
+    // q140: same salted closed form for semantic decontamination — the
+    // bench is the %13 docs themselves (cosine 1 to their own copies;
+    // everything else bounded by the measured 0.73 ceiling << 0.9)
+    "q140_text_embed_decontam" ->
+      """SELECT doc_id AS id, doc_id % 13 = 0 AS contaminated
+         FROM documents ORDER BY id""",
     // q133: the pipeline composition — the q128 rule chain, then the
     // q132 rules over the CLEANED text, then md5 keep-first dedup,
     // summarized per source. Every fragment reuses its gate-proven SQL

@@ -552,17 +552,27 @@ object Streams {
     *
     *  1. signatures: the fused MinHash expression per doc
     *     ([[graft.operators.Dedup.minhashSignature]] — numPerms longs);
-    *  2. WITHIN-batch: banded candidates (band-slice hashes, one
-    *     self-join on (band, hash)) + the published pair rule — a doc
-    *     drops when ANY lower-id batch doc's ESTIMATED Jaccard (the
-    *     fraction of agreeing permutations — the standard streaming
-    *     estimator, E[agree] = true Jaccard; storing shingle sets for
-    *     exact verification is corpus-sized state) reaches the
-    *     threshold;
+    *  2. WITHIN-batch: banded candidates via the batch path's
+    *     bucket-capped core ([[graft.operators.Dedup.bandedCandidates]]
+    *     — buckets over `maxBand` members are dropped, so a micro-batch
+    *     full of near-identical crawl rows cannot make one band
+    *     quadratic; the batch LSH pipeline's documented one-sided
+    *     tradeoff) + the published pair rule — a doc drops when ANY
+    *     lower-id batch doc's ESTIMATED Jaccard (the fraction of
+    *     agreeing permutations — the standard streaming estimator,
+    *     E[agree] = true Jaccard; storing shingle sets for exact
+    *     verification is corpus-sized state) reaches the threshold;
     *  3. vs PRIOR: the same banded probe against the static corpus's
     *     PRECOMPUTED signatures ([[nearDupCorpusSignatures]] — persist
     *     it; see its scaladoc for the measured reason) plus the LEDGER
-    *     of previously admitted signatures;
+    *     of previously admitted signatures. The bipartite probe is
+    *     bounded by batch band rows × prior bucket size; a mass-
+    *     boilerplate prior bucket (10⁶ byte-identical pages) is the
+    *     one way it degenerates, and the cure is compositional: run
+    *     exact dedup in front (the [[curateIncrementalBatches]] chain
+    *     does), so the prior set holds at most one copy of any exact
+    *     content and hot prior buckets are genuine near-dup families,
+    *     which admission is supposed to compare against;
     *  4. survivors go to `onBatch` (original columns) and their
     *     `(id, sig)` rows land in the ledger's `batch_id=N` partition
     *     (dynamic overwrite — the [[incrementalDedupBatches]] replay
@@ -617,12 +627,13 @@ object Streams {
       onBatch: (DataFrame, Long) => Unit,
       threshold: Double = 0.7,
       numPerms: Int = 64,
-      bands: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      bands: Int = 8,
+      maxBand: Int = 500): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     requireSigCompat(corpusSigs, threshold, numPerms, bands)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val (fresh, ledgerRows) = nearAdmitBatch(
         batch, corpusSigs, textCol, idCol, ledgerDir, batchId,
-        threshold, numPerms, bands)
+        threshold, numPerms, bands, maxBand)
       fresh.persist()
       try {
         onBatch(fresh, batchId)
@@ -664,7 +675,8 @@ object Streams {
       batchId: Long,
       threshold: Double,
       numPerms: Int,
-      bands: Int): (DataFrame, DataFrame) = {
+      bands: Int,
+      maxBand: Int = 500): (DataFrame, DataFrame) = {
     val rows = numPerms / bands
     val cr = graft.ops.Cleanse.colRef _
     // zero-shingle sentinel: minhashFromString leaves every slot at
@@ -706,15 +718,25 @@ object Streams {
     val bSigs = sigOf(batch)
     val bBand = banded(bSigs)
     // within-batch pair rule: drop _gn_id when a LOWER id in the same
-    // batch shares a band and the estimated Jaccard clears threshold
-    val inBatchDropped = bBand.as("x").join(bBand.as("y"),
-        col("x._gn_bi") === col("y._gn_bi") &&
-          col("x._gn_bh") === col("y._gn_bh") &&
-          col("x._gn_id") < col("y._gn_id"))
-      .select(col("x._gn_sig").as("sa"), col("y._gn_sig").as("sb"),
-        col("y._gn_id").as("_gn_id"))
+    // batch shares a band and the estimated Jaccard clears threshold.
+    // Candidate generation reuses the batch path's bucket-capped core
+    // ([[graft.operators.Dedup.bandedCandidates]], round 13): a
+    // micro-batch full of near-identical crawl rows previously made
+    // one band quadratic in the banded self-join; the cap bounds each
+    // bucket's local pair fan-out at maxBand members — the same
+    // one-sided tradeoff the batch LSH pipeline documents (oversized
+    // buckets are dropped, never partially searched)
+    val inBatchCand = graft.operators.Dedup.bandedCandidates(
+      bBand.select(col("_gn_id").as("id"),
+        col("_gn_bi").as("band"), col("_gn_bh").as("bh")),
+      maxBand)
+    val inBatchDropped = inBatchCand
+      .join(bSigs.select(col("_gn_id").as("id_a"), col("_gn_sig").as("sa")),
+        Seq("id_a"))
+      .join(bSigs.select(col("_gn_id").as("id_b"), col("_gn_sig").as("sb")),
+        Seq("id_b"))
       .filter(estSim(col("sa"), col("sb")) >= threshold)
-      .select(col("_gn_id")).distinct()
+      .select(col("id_b").as("_gn_id")).distinct()
     val priorBand = banded(
       corpusSigs.select(col("id").as("_gn_id"), col("sig").as("_gn_sig"))
         .unionByName(ledgerSigs))
@@ -783,7 +805,8 @@ object Streams {
       numPerms: Int = 64,
       bands: Int = 8,
       benchGrams: Option[DataFrame] = None,
-      decontamN: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      decontamN: Int = 8,
+      maxBand: Int = 500): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     requireSigCompat(corpusSigs, threshold, numPerms, bands)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val curated = graft.operators.Corpus.curatePages(batch, textCol, idCol)
@@ -795,7 +818,7 @@ object Streams {
       try {
         val (near, nearLedgerRows) = nearAdmitBatch(
           exact.drop(ContentH), corpusSigs, "clean", idCol, nearLedgerDir,
-          batchId, threshold, numPerms, bands)
+          batchId, threshold, numPerms, bands, maxBand)
         val out = benchGrams match {
           case Some(bg) => graft.operators.Corpus
             .decontaminateAgainstGrams(near, bg, "clean", idCol, decontamN)

@@ -716,6 +716,35 @@ class StreamsSpec extends SparkSpec {
     assert(admitted.sorted == Seq("a", "c")) // b = near-copy via ledger
   }
 
+  test("near-dup admission: maxBand caps within-batch bucket fan-out; prior probe uncapped") {
+    implicit val sq = spark.sqlContext
+    val corpusSigs = Streams.nearDupCorpusSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_cap_ledger").toString + "/l"
+    val body = "a long enough sentence with plenty of words to shingle and compare today"
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalNearDupBatches(
+      input.toDF().toDF("doc_id", "text"), corpusSigs, "text", "doc_id", ledgerDir,
+      (fresh, _) => admitted.synchronized {
+        admitted ++= fresh.collect().map(_.getLong(0))
+      }, maxBand = 1).start()
+    try {
+      // two near-identical docs in ONE batch: with maxBand = 1 every
+      // shared bucket is oversized (2 members) and dropped, so no
+      // within-batch candidate forms — BOTH admit (the documented
+      // one-sided cap tradeoff, mirroring the batch LSH pipeline)
+      input.addData((1L, body), (2L, body + " extra"))
+      q.processAllAvailable()
+      // the cap does NOT apply to the prior/ledger probe: a later
+      // near-copy of an ADMITTED doc still drops
+      input.addData((3L, body + " more"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sorted == Seq(1L, 2L))
+  }
+
   test("near-dup admission fails fast on a corpusSigs numPerms mismatch") {
     implicit val sq = spark.sqlContext
     val corpusSigs = Streams.nearDupCorpusSignatures(
