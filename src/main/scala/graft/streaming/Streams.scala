@@ -791,7 +791,19 @@ object Streams {
     * persistable units; everything else is micro-batch-sized. The
     * stages run cheapest-first, so each store probe sees only the
     * survivors of the stage before it.
+    *
+    * Observability: pass `onStats` to receive per-batch stage counts
+    * ([[CurateStats]]) — the admission funnel a production crawl
+    * monitors (a collapsing curation rate or an exploding near-dup
+    * rate is how filter drift and crawler loops surface). Costs two
+    * extra bounded actions per micro-batch (the curated and near
+    * frames are counted from their persisted forms); None (default)
+    * pays nothing.
     */
+  final case class CurateStats(
+      nIn: Long, nCurated: Long, nExactFresh: Long, nNearFresh: Long,
+      nAdmitted: Long)
+
   def curateIncrementalBatches(
       docs: DataFrame,
       corpusHashes: DataFrame,
@@ -806,19 +818,24 @@ object Streams {
       bands: Int = 8,
       benchGrams: Option[DataFrame] = None,
       decontamN: Int = 8,
-      maxBand: Int = 500): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      maxBand: Int = 500,
+      onStats: Option[(CurateStats, Long) => Unit] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     requireSigCompat(corpusSigs, threshold, numPerms, bands)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val curated = graft.operators.Corpus.curatePages(batch, textCol, idCol)
+      val curated0 = graft.operators.Corpus.curatePages(batch, textCol, idCol)
         .filter(col("kept"))
         .select(col("id").as(idCol), col("clean"))
+      // stats mode persists the curated frame too: its count is one of
+      // the funnel numbers, and the exact stage re-reads it anyway
+      val curated = if (onStats.isDefined) curated0.persist() else curated0
       val exact = exactAdmitBatch(
         curated, corpusHashes, "clean", idCol, exactLedgerDir, batchId)
       exact.persist()
       try {
-        val (near, nearLedgerRows) = nearAdmitBatch(
+        val (near0, nearLedgerRows) = nearAdmitBatch(
           exact.drop(ContentH), corpusSigs, "clean", idCol, nearLedgerDir,
           batchId, threshold, numPerms, bands, maxBand)
+        val near = if (onStats.isDefined) near0.persist() else near0
         val out = benchGrams match {
           case Some(bg) => graft.operators.Corpus
             .decontaminateAgainstGrams(near, bg, "clean", idCol, decontamN)
@@ -827,11 +844,22 @@ object Streams {
         out.persist()
         try {
           onBatch(out, batchId)
+          onStats.foreach { f =>
+            f(CurateStats(
+              nIn = batch.count(),
+              nCurated = curated.count(),
+              nExactFresh = exact.count(),
+              nNearFresh = near.count(),
+              nAdmitted = out.count()), batchId)
+          }
           writeBatchLedger(
             exact.select(col(ContentH), lit(batchId).as("batch_id")),
             exactLedgerDir)
           writeBatchLedger(nearLedgerRows, nearLedgerDir)
-        } finally out.unpersist()
+        } finally {
+          out.unpersist()
+          if (onStats.isDefined) { curated.unpersist(); near.unpersist() }
+        }
       } finally exact.unpersist()
     }
   }

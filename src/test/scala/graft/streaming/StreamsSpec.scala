@@ -844,13 +844,15 @@ class StreamsSpec extends SparkSpec {
       .createTempDirectory("graft_curate_ledgers").toString
     val input = MemoryStream[(Long, String)]
     val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Streams.CurateStats)]
     val q = Streams.curateIncrementalBatches(
       input.toDF().toDF("doc_id", "text"), corpusHashes, corpusSigs,
       "text", "doc_id", s"$base/exact", s"$base/near",
       (out, bid) => admitted.synchronized {
         admitted ++= out.collect().map(r => (bid, r.getLong(0)))
       },
-      benchGrams = Some(benchGrams)).start()
+      benchGrams = Some(benchGrams),
+      onStats = Some((s, bid) => stats.synchronized { stats += bid -> s })).start()
     try {
       // batch 0: A admitted; F fails curation ({); 3 = exact copy of A
       // within the batch (keep-first); G exact-dropped vs the CORPUS;
@@ -882,6 +884,14 @@ class StreamsSpec extends SparkSpec {
     assert(nearLedger.filter(col("batch_id") === 1L).count() == 1)
     // the admitted stream carries (id, clean): cleaned text, not raw
     assert(admitted.size == 2)
+    // the observability funnel: per-batch stage counts
+    // batch 0: 5 in → 4 curated (F fails) → 2 exact-fresh (3 dup of A
+    // in-batch, G vs corpus) → 2 near-fresh → 1 admitted (D decontam'd)
+    // batch 1: 3 in → 3 curated → 2 exact-fresh (6 via ledger) →
+    // 1 near-fresh (7 via near ledger) → 1 admitted
+    val byBatch = stats.toMap
+    assert(byBatch(0L) == Streams.CurateStats(5, 4, 2, 2, 1))
+    assert(byBatch(1L) == Streams.CurateStats(3, 3, 2, 1, 1))
   }
 
   test("curatePages (C4 → full Gopher) streams == batch (stateless prefix)") {
