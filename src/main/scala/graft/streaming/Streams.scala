@@ -773,7 +773,14 @@ object Streams {
     *     before MinHash runs);
     *  3. MinHash near-dup admission vs the corpus signature frame and
     *     the near ledger ([[incrementalNearDupBatches]] semantics);
-    *  4. optionally, n-gram decontamination against a STATIC benchmark
+    *  4. optionally, SEMANTIC admission ([[incrementalSemanticBatches]]
+    *     semantics): the cleaned text embeds in-engine
+    *     ([[graft.functions.TextFunctions.embedText]] at `embedDim`)
+    *     and drops when its vector sits at cosine ≥ 1 − `eps` to the
+    *     [[semanticCorpusIndex]] frame, a lower-id batch doc, or the
+    *     semantic ledger — the stage that catches PARAPHRASES (word
+    *     reordering, re-rendering) whose shingle sets evade MinHash;
+    *  5. optionally, n-gram decontamination against a STATIC benchmark
     *     gram frame ([[graft.operators.Corpus.decontaminateAgainstGrams]]
     *     — the bench side never grows, so no ledger is needed).
     *
@@ -781,16 +788,20 @@ object Streams {
     * succeeds: the exact ledger records stage-2 survivors (so a
     * byte-identical copy of a page that was later near-dup-rejected
     * still dies at the cheap exact stage), the near ledger records
-    * final near-dup survivors. Replay safety is per-ledger dynamic
-    * partition overwrite, as in the single-stage deployments. The
-    * output reaching `onBatch` is `(idCol, clean)` — the curated,
+    * near-stage survivors, the semantic ledger records semantic-stage
+    * survivors. Replay safety is per-ledger dynamic partition
+    * overwrite, as in the single-stage deployments. The output
+    * reaching `onBatch` is `(idCol, clean)` — the curated,
     * deduplicated, decontaminated page stream.
     *
-    * Scale: pass PERSISTED `corpusHashes` ([[dedupCorpusHashes]]) and
-    * `corpusSigs` ([[nearDupCorpusSignatures]]) frames — the
-    * persistable units; everything else is micro-batch-sized. The
-    * stages run cheapest-first, so each store probe sees only the
-    * survivors of the stage before it.
+    * Scale: pass PERSISTED `corpusHashes` ([[dedupCorpusHashes]]),
+    * `corpusSigs` ([[nearDupCorpusSignatures]]), and (if the semantic
+    * stage is on) `semanticIndex` ([[semanticCorpusIndex]] — built
+    * from embedText of the corpus's CLEANED text at the same
+    * `embedDim`; vector length is probed at writer construction and a
+    * mismatch throws) frames — the persistable units; everything else
+    * is micro-batch-sized. The stages run cheapest-first, so each
+    * store probe sees only the survivors of the stage before it.
     *
     * Observability: pass `onStats` to receive per-batch stage counts
     * ([[CurateStats]]) — the admission funnel a production crawl
@@ -800,9 +811,14 @@ object Streams {
     * frames are counted from their persisted forms); None (default)
     * pays nothing.
     */
+  /** `nSemanticFresh` rides last (with a None default) so existing
+    * constructor calls stay valid — it is None when the semantic stage
+    * is off; in funnel order it sits between `nNearFresh` and
+    * `nAdmitted`.
+    */
   final case class CurateStats(
       nIn: Long, nCurated: Long, nExactFresh: Long, nNearFresh: Long,
-      nAdmitted: Long)
+      nAdmitted: Long, nSemanticFresh: Option[Long] = None)
 
   def curateIncrementalBatches(
       docs: DataFrame,
@@ -819,8 +835,27 @@ object Streams {
       benchGrams: Option[DataFrame] = None,
       decontamN: Int = 8,
       maxBand: Int = 500,
-      onStats: Option[(CurateStats, Long) => Unit] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      onStats: Option[(CurateStats, Long) => Unit] = None,
+      semanticIndex: Option[DataFrame] = None,
+      semanticLedgerDir: Option[String] = None,
+      embedDim: Int = 128,
+      eps: Double = 0.01): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     requireSigCompat(corpusSigs, threshold, numPerms, bands)
+    semanticIndex.foreach { idx =>
+      require(semanticLedgerDir.isDefined,
+        "semanticIndex needs semanticLedgerDir")
+      require(eps > 0 && eps < 1, "eps in (0, 1)")
+      srpMeta(idx) // fail fast: must be a semanticCorpusIndex frame
+      // embed-dim mismatch would zip truncated vectors into silently
+      // wrong cosines — probe once at writer construction (1-row job)
+      idx.select(size(col("_gs_v")).as("n")).limit(1).collect()
+        .headOption.foreach { r =>
+          require(r.getInt(0) == embedDim,
+            s"semanticIndex vector length ${r.getInt(0)} != embedDim " +
+              s"$embedDim — build the index from embedText(clean, embedDim)")
+        }
+    }
+    val SemV = "_gc_semv"
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val curated0 = graft.operators.Corpus.curatePages(batch, textCol, idCol)
         .filter(col("kept"))
@@ -835,11 +870,26 @@ object Streams {
         val (near0, nearLedgerRows) = nearAdmitBatch(
           exact.drop(ContentH), corpusSigs, "clean", idCol, nearLedgerDir,
           batchId, threshold, numPerms, bands, maxBand)
-        val near = if (onStats.isDefined) near0.persist() else near0
+        // the semantic stage consumes the near frame through several
+        // branches (bVecs, the semi-join, the ledger rows) — persist it
+        // whenever that stage is on, not only for stats
+        val near =
+          if (onStats.isDefined || semanticIndex.isDefined) near0.persist()
+          else near0
+        val (sem, semLedgerRows) = semanticIndex match {
+          case Some(idx) =>
+            val withVec = near.withColumn(SemV,
+              graft.functions.TextFunctions.embedText(col("clean"), embedDim))
+            val (f, lr) = semanticAdmitBatch(
+              withVec, idx, SemV, idCol, semanticLedgerDir.get, batchId, eps)
+            val semKept = f.drop(SemV)
+            (if (onStats.isDefined) semKept.persist() else semKept, Some(lr))
+          case None => (near, None)
+        }
         val out = benchGrams match {
           case Some(bg) => graft.operators.Corpus
-            .decontaminateAgainstGrams(near, bg, "clean", idCol, decontamN)
-          case None => near
+            .decontaminateAgainstGrams(sem, bg, "clean", idCol, decontamN)
+          case None => sem
         }
         out.persist()
         try {
@@ -850,18 +900,212 @@ object Streams {
               nCurated = curated.count(),
               nExactFresh = exact.count(),
               nNearFresh = near.count(),
-              nAdmitted = out.count()), batchId)
+              nAdmitted = out.count(),
+              nSemanticFresh =
+                if (semanticIndex.isDefined) Some(sem.count()) else None),
+              batchId)
           }
           writeBatchLedger(
             exact.select(col(ContentH), lit(batchId).as("batch_id")),
             exactLedgerDir)
           writeBatchLedger(nearLedgerRows, nearLedgerDir)
+          semLedgerRows.foreach(writeBatchLedger(_, semanticLedgerDir.get))
         } finally {
           out.unpersist()
-          if (onStats.isDefined) { curated.unpersist(); near.unpersist() }
+          if (onStats.isDefined) {
+            curated.unpersist()
+            if (semanticIndex.isDefined) sem.unpersist()
+          }
+          if (onStats.isDefined || semanticIndex.isDefined) near.unpersist()
         }
       } finally exact.unpersist()
     }
+  }
+
+  /** Corpus-side SRP index for [[incrementalSemanticBatches]]: the
+    * PRE-EXPLODED signature frame `(_gs_id, _gs_v, _gs_n, _gs_t,
+    * _gs_s)` — one row per (doc, table) — hash-repartitioned on the
+    * probe's join keys `(_gs_t, _gs_s)`. Compute ONCE and `persist()`.
+    * This, not the raw vector frame, is the persistable unit (the
+    * [[nearDupCorpusSignatures]] lesson taken one step further):
+    * persisting only `(id, v)` still re-runs the SRP projection, the
+    * `tables`-way explode, AND the corpus-side join shuffle in EVERY
+    * micro-batch's prior probe; the pre-partitioned index makes the
+    * per-batch corpus cost zero-compute and zero-exchange. For a TEXT
+    * corpus, compose with
+    * [[graft.functions.TextFunctions.embedText]] upstream. Zero
+    * vectors are excluded — cosine involving one is 0 by the engine
+    * convention, so their index rows could never drop anything.
+    * `bits`/`tables` are recorded in the `_gs_s` column metadata and
+    * read back by the stream, so a bits/tables mismatch between index
+    * and probe (which would silently band nothing) is impossible by
+    * construction.
+    */
+  def semanticCorpusIndex(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      bits: Int = 12, tables: Int = 12): DataFrame = {
+    // bits = 12 (4096 buckets/table), not the semanticDecontaminateLsh
+    // default of 8: the ADMISSION operating point is cosine ≥ 1 − eps
+    // ≈ 0.99 (θ ≈ 8°), where per-table collision is still 0.58 and the
+    // 12-table miss probability 3e-5 — while 16× more buckets cut the
+    // probe's candidate density 16× (measured: the 8-bit probe paid
+    // ~6M pair evaluations per 5k-row micro-batch on the replica).
+    // Exact copies collide in every table at any bits.
+    require(bits > 0 && bits <= 30 && tables > 0, "bits in (0,30], tables > 0")
+    val cr = graft.ops.Cleanse.colRef _
+    val norm = graft.operators.Similarity.norm _
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.srp.bits", bits.toLong)
+      .putLong("graft.srp.tables", tables.toLong).build()
+    srpExplode(
+      corpus.select(cr(idCol).as("_gs_id"),
+        cr(vecCol).cast("array<double>").as("_gs_v"))
+        .filter(norm(col("_gs_v")) > 0.0),
+      bits, tables)
+      .select(col("_gs_id"), col("_gs_v"), col("_gs_n"), col("_gs_t"),
+        col("_gs_s").as("_gs_s", sigMeta))
+      .repartition(col("_gs_t"), col("_gs_s"))
+  }
+
+  /** SRP banding shared by [[semanticCorpusIndex]] and the per-batch
+    * sides of [[incrementalSemanticBatches]]: cast/norm in their OWN
+    * select below the posexplode (the `embeddingNearDups`
+    * CollapseProject note — a fused select re-evaluates norm once per
+    * exploded table row).
+    */
+  private def srpExplode(df: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val norm = graft.operators.Similarity.norm _
+    df.select(col("_gs_id"), col("_gs_v"), norm(col("_gs_v")).as("_gs_n"))
+      .select(col("_gs_id"), col("_gs_v"), col("_gs_n"),
+        posexplode(graft.plans.HashExpressions.srpSignatures(
+          col("_gs_v"), bits, tables)).as(Seq("_gs_t", "_gs_s")))
+  }
+
+  /** Streaming incremental SEMANTIC dedup admission — the
+    * embedding-level sibling of [[incrementalNearDupBatches]]
+    * (SemDeDup's pair rule as an admission stream): a doc drops when
+    * its vector sits at cosine ≥ 1 − eps to any LOWER-id doc in its
+    * own micro-batch, to the static corpus vectors, or to the LEDGER
+    * of previously admitted vectors. Candidates come from the
+    * multi-table SRP-LSH bucket join ([[graft.operators.Similarity
+    * .embeddingNearDups]] machinery — keyed `(table, signature)`
+    * shuffles, never `|batch| × |prior|`), verified by EXACT cosine
+    * inside the join condition; recall for a pair at angle θ is
+    * 1 − (1 − (1 − θ/π)^bits)^tables (≈ 1 − 1e-12 at cosine 0.999
+    * with the defaults — and exact copies always collide).
+    *
+    * `vecCol` may be a pre-existing embedding column or composed
+    * upstream from raw text with
+    * [[graft.functions.TextFunctions.embedText]] — the whole
+    * text→vector→dedup path then runs in-engine with no external
+    * model. Zero vectors are always admitted and never dropped
+    * (cosine involving a zero vector is 0 by the engine convention);
+    * they are also never ledgered — a zero vector can never drop a
+    * later doc, so its ledger row would be dead weight. The ledger
+    * stores `(id, vector)` per admitted doc in the
+    * [[incrementalDedupBatches]] dynamic-overwrite replay posture;
+    * vectors are stored as array<double> (lossless for float inputs),
+    * so re-derived SRP signatures are bit-identical across restarts.
+    * `corpusIndex` is the [[semanticCorpusIndex]] frame — persist it;
+    * `bits`/`tables` are read from its column metadata so the batch
+    * and ledger sides band identically by construction.
+    */
+  def incrementalSemanticBatches(
+      docs: DataFrame,
+      corpusIndex: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      eps: Double = 0.01): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(eps > 0 && eps < 1, "eps in (0, 1)")
+    srpMeta(corpusIndex) // fail fast at writer construction
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (fresh, ledgerRows) = semanticAdmitBatch(
+        batch, corpusIndex, vecCol, idCol, ledgerDir, batchId, eps)
+      fresh.persist()
+      try {
+        onBatch(fresh, batchId)
+        writeBatchLedger(ledgerRows, ledgerDir)
+      } finally fresh.unpersist()
+    }
+  }
+
+  /** Read bits/tables back from a [[semanticCorpusIndex]] frame's
+    * column metadata — the construction-level guarantee that index and
+    * probe band identically.
+    */
+  private def srpMeta(corpusIndex: DataFrame): (Int, Int) = {
+    val sigMeta = corpusIndex.schema("_gs_s").metadata
+    require(sigMeta.contains("graft.srp.bits") &&
+        sigMeta.contains("graft.srp.tables"),
+      "corpusIndex must be built by semanticCorpusIndex (missing SRP metadata)")
+    (sigMeta.getLong("graft.srp.bits").toInt,
+      sigMeta.getLong("graft.srp.tables").toInt)
+  }
+
+  /** One micro-batch of SRP-bucketed semantic admission (the
+    * [[incrementalSemanticBatches]] core, shared by the chained
+    * [[curateIncrementalBatches]]). Returns `(admitted rows, ledger
+    * rows)` — the caller persists the former, sinks it, then writes
+    * the latter via the dynamic-overwrite ledger append.
+    */
+  private def semanticAdmitBatch(
+      batch: DataFrame,
+      corpusIndex: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ledgerDir: String,
+      batchId: Long,
+      eps: Double): (DataFrame, DataFrame) = {
+    val (bits, tables) = srpMeta(corpusIndex)
+    val cr = graft.ops.Cleanse.colRef _
+    val dot = graft.operators.Similarity.dot _
+    val norm = graft.operators.Similarity.norm _
+    val spark = batch.sparkSession
+    val idType = batch.select(cr(idCol)).schema.head.dataType
+    val ledgerSchema = StructType(Seq(
+      StructField("_gs_id", idType),
+      StructField("_gs_v", ArrayType(DoubleType)),
+      StructField("batch_id", LongType)))
+    val ledgerVecs = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+      .select(col("_gs_id"), col("_gs_v"))
+    val bVecs = batch.select(cr(idCol).as("_gs_id"),
+      cr(vecCol).cast("array<double>").as("_gs_v"))
+    val bSig = srpExplode(bVecs, bits, tables)
+    val denom = col("x._gs_n") * col("y._gs_n")
+    val cos = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("x._gs_v"), col("y._gs_v")) / denom)
+    // within-batch: lower-id partner in a shared bucket at cos ≥ 1−eps
+    val inBatchDropped = bSig.as("x").join(bSig.as("y"),
+        col("x._gs_t") === col("y._gs_t") &&
+          col("x._gs_s") === col("y._gs_s") &&
+          col("x._gs_id") < col("y._gs_id") &&
+          cos >= lit(1.0 - eps))
+      .select(col("y._gs_id").as("_gs_id")).distinct()
+    // vs PRIOR: corpus and ledger probed SEPARATELY — a union would
+    // discard the index's (t, s) hash partitioning and re-shuffle the
+    // whole corpus side every batch; two keyed joins keep the big
+    // static side exchange-free and the ledger side |admitted|-sized
+    def droppedVs(prior: DataFrame): DataFrame =
+      bSig.as("y").join(prior.as("x"),
+          col("x._gs_t") === col("y._gs_t") &&
+            col("x._gs_s") === col("y._gs_s") &&
+            cos >= lit(1.0 - eps))
+        .select(col("y._gs_id").as("_gs_id"))
+    val vsPriorDropped = droppedVs(corpusIndex)
+      .unionByName(droppedVs(srpExplode(ledgerVecs, bits, tables)))
+      .distinct()
+    val freshIds = bVecs.select(col("_gs_id"))
+      .join(inBatchDropped, Seq("_gs_id"), "left_anti")
+      .join(vsPriorDropped, Seq("_gs_id"), "left_anti")
+    val fresh = batch.join(
+      freshIds.withColumnRenamed("_gs_id", idCol), Seq(idCol), "left_semi")
+    // zero vectors can never drop a later doc — never ledgered
+    val ledgerRows = bVecs.filter(norm(col("_gs_v")) =!= 0.0)
+      .join(freshIds, Seq("_gs_id"), "left_semi")
+      .select(col("_gs_id"), col("_gs_v"), lit(batchId).as("batch_id"))
+    (fresh, ledgerRows)
   }
 
   /** Streaming decontamination — the one published-pipeline stage that

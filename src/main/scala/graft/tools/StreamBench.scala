@@ -28,7 +28,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
-        "decontam", "curatechain")
+        "decontam", "curatechain", "incsemantic")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -164,7 +164,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -266,6 +266,34 @@ object StreamBench {
         run("stream_curate_rows_per_sec", Seq.empty) { (s, h) =>
           Streams.foreachBatchSink(
             graft.operators.Corpus.curatePages(s, "text", "doc_id"), h)
+        }
+      case "incsemantic" =>
+        // streaming SEMANTIC admission with embedText composed on the
+        // stream. The raw replica text embeds into a COLLAPSED space
+        // (this synthetic corpus saturates char-3-gram cosine at
+        // ~0.999 between DIFFERENT docs — docs/SCALE.md r13), where
+        // every SRP bucket goes hot and the probe degenerates to
+        // near-all-pairs: semantically honest (everything IS a
+        // near-dup) but it measures the data, not the machinery. The
+        // bench therefore salts each doc by md5 OF ITS TEXT — exact
+        // copies (the replica's 10 per doc) keep identical vectors,
+        // distinct texts diversify — the q139 margin construction
+        // keyed by content instead of id. Persistable unit = the
+        // corpus SRP INDEX (pre-exploded, (t,s)-partitioned):
+        // unpersisted, the corpus re-embeds, re-projects, AND
+        // re-shuffles in every micro-batch's prior probe.
+        def salted(df: DataFrame): DataFrame = df.select(col("doc_id"),
+          graft.functions.TextFunctions.embedText(
+            concat(col("text"), lit(" "),
+              repeat(regexp_replace(md5(col("text")), "(.{4})", "$1 "), 5)),
+            128).as("emb"))
+        val corpusVecs = Streams.semanticCorpusIndex(
+          salted(docs.filter(col("doc_id") % 2 === 0)), "emb", "doc_id")
+        run("stream_incsemantic_rows_per_sec", Seq(corpusVecs)) { (s, h) =>
+          val ledger = java.nio.file.Files
+            .createTempDirectory("graft_incsem_ledger").toString + "/ledger"
+          Streams.incrementalSemanticBatches(
+            salted(s), corpusVecs, "emb", "doc_id", ledger, h)
         }
       case "decontam" =>
         // streaming decontamination: the bench gram frame is the

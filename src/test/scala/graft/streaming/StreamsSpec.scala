@@ -790,6 +790,83 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental SEMANTIC admission drops embedding copies vs corpus, batch, and ledger") {
+    implicit val sq = spark.sqlContext
+    def axis(i: Int, s: Float): Seq[Float] = {
+      val v = Array.fill(8)(0.0f); v(i) = s; v.toSeq
+    }
+    val corpus = Seq((100L, axis(0, 10f))).toDF("vec_id", "embedding")
+    val corpusVecs = Streams
+      .semanticCorpusIndex(corpus, "embedding", "vec_id").persist()
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_sem_ledger").toString + "/l"
+    val input = MemoryStream[(Long, Seq[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.incrementalSemanticBatches(
+      input.toDF().toDF("vec_id", "embedding"), corpusVecs,
+      "embedding", "vec_id", ledgerDir,
+      (fresh, bid) => admitted.synchronized {
+        admitted ++= fresh.collect().map(r => (bid, r.getLong(0)))
+      }).start()
+    try {
+      // batch 0: 1 = exact copy of the CORPUS vector (dropped); 2 =
+      // fresh direction (admitted); 5 = copy of 2's vector within the
+      // batch (dropped, keep-lower-id); 3 = another fresh direction;
+      // 6 = ZERO vector (always admitted — cosine-zero convention)
+      input.addData((1L, axis(0, 10f)), (2L, axis(1, 7f)),
+        (5L, axis(1, 7f)), (3L, axis(2, 5f)), (6L, Seq.fill(8)(0.0f)))
+      q.processAllAvailable()
+      // batch 1: 7 = copy of 2's vector — dropped via the LEDGER;
+      // 8 = fresh; 9 = another zero vector (admitted, not ledgered)
+      input.addData((7L, axis(1, 7f)), (8L, axis(3, 4f)),
+        (9L, Seq.fill(8)(0.0f)))
+      q.processAllAvailable()
+    } finally { q.stop(); corpusVecs.unpersist() }
+    assert(admitted.sortBy(_._2).toSeq == Seq(
+      (0L, 2L), (0L, 3L), (0L, 6L), (1L, 8L), (1L, 9L)))
+    // ledger: nonzero admitted vectors only, by batch
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() == 3) // 2, 3, 8 — zeros never ledgered
+    assert(ledger.filter(col("batch_id") === 0L).count() == 2)
+  }
+
+  test("incremental semantic admission composes with embedText (text in, dedup out)") {
+    implicit val sq = spark.sqlContext
+    val aText = (0 until 25).map(i => s"aw${i}ord").mkString(" ")
+    val bText = (0 until 25).map(i => s"bw${i}ord").mkString(" ")
+    val cText = (0 until 25).map(i => s"cw${i}ord").mkString(" ")
+    val corpus = Seq((100L, aText)).toDF("doc_id", "text")
+    val corpusVecs = Streams.semanticCorpusIndex(
+      corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.embedText(col("text"), 128).as("emb")),
+      "emb", "doc_id").persist()
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_semtxt_ledger").toString + "/l"
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // embedText composes INSIDE the streaming frame (narrow op), the
+    // admission writer consumes the derived vector column — the whole
+    // text→vector→semantic-dedup path in-engine
+    val stream = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.embedText(col("text"), 128).as("emb"))
+    val q = Streams.incrementalSemanticBatches(
+      stream, corpusVecs, "emb", "doc_id", ledgerDir,
+      (fresh, _) => admitted.synchronized {
+        admitted ++= fresh.collect().map(_.getLong(0))
+      }).start()
+    try {
+      // 1 = exact text copy of the corpus doc (identical embedding —
+      // dropped); 2 = fresh text (admitted); 3 = exact copy of 2
+      // (dropped within batch)
+      input.addData((1L, aText), (2L, bText), (3L, bText))
+      q.processAllAvailable()
+      input.addData((4L, bText), (5L, cText)) // 4 via ledger; 5 fresh
+      q.processAllAvailable()
+    } finally { q.stop(); corpusVecs.unpersist() }
+    assert(admitted.sorted == Seq(2L, 5L))
+  }
+
   test("decontaminateBatches streams == batch decontaminate (static bench grams)") {
     implicit val sq = spark.sqlContext
     val benchText = "the committee benchmark answer key phrase number nine follows here today"
@@ -892,6 +969,98 @@ class StreamsSpec extends SparkSpec {
     val byBatch = stats.toMap
     assert(byBatch(0L) == Streams.CurateStats(5, 4, 2, 2, 1))
     assert(byBatch(1L) == Streams.CurateStats(3, 3, 2, 1, 1))
+  }
+
+  test("curateIncrementalBatches optional SEMANTIC stage catches paraphrases MinHash misses") {
+    implicit val sq = spark.sqlContext
+    val stops = "the report has to be checked and that will hold with care."
+    val close = "and the close of day has come to rest now.\nmore closing prose lands here. yes. good. fine. done."
+    // The paraphrase shape MinHash misses: a word-order PERMUTATION of
+    // distinct 5-char words scrambles most byte-5-gram shingles (the
+    // boundary windows change with every new neighbor) but keeps the
+    // word-internal char-trigram mass, so the embedText cosine stays
+    // high. Measured on the CLEANED text (SemChainProbe, dim 64,
+    // deterministic): same-doc stride permutations estJ 0.39–0.50
+    // (near threshold 0.7 passes, margin ≥ 0.2) and cos 0.847–0.923
+    // (dies at the eps = 0.25 → 0.75 admission point, margin ≥ 0.097);
+    // cross-doc pairs estJ ≤ 0.17 and cos ≤ 0.17 (admitted, margin
+    // ≥ 0.58). Words are index-unique (i, i/26 both ride in the
+    // letters) — a periodic vocabulary would trip the Gopher
+    // repetition rules at curation instead.
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    def word(stemSeed: Int, i: Int): String = {
+      val c1 = alphabet(i % 26)
+      val c2 = alphabet((i / 26 + stemSeed * 3 + 7) % 26)
+      val c3 = alphabet((i * 3 + stemSeed * 9 + 17) % 26)
+      val c4 = alphabet((i * 5 + stemSeed * 2 + 5) % 26)
+      val c5 = alphabet((i * 9 + stemSeed * 7 + 11) % 26)
+      s"$c1$c2$c3$c4$c5"
+    }
+    def page(stemSeed: Int, order: Seq[Int]) =
+      s"$stops\n${order.map(i => word(stemSeed, i)).mkString(" ")} $close"
+    val fwd = 0 until 60
+    def stride(k: Int): Seq[Int] = fwd.map(i => (i * k) % 60)
+    val aText = page(1, fwd)
+    val aStr7 = page(1, stride(7))
+    val aStr13 = page(1, stride(13))
+    val gText = page(2, fwd)
+    val gStr7 = page(2, stride(7))
+    val cText = page(3, fwd)
+    def cleanOf(text: String): String = graft.operators.Corpus
+      .curatePages(Seq((0L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getString(1)
+    val corpus = Seq((100L, cleanOf(gText))).toDF("doc_id", "clean")
+    val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean").persist()
+    val corpusSigs = Streams
+      .nearDupCorpusSignatures(corpus, "clean", "doc_id").persist()
+    val semIndex = Streams.semanticCorpusIndex(
+      corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.embedText(col("clean"), 64).as("emb")),
+      "emb", "doc_id").persist()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate_sem_ledgers").toString
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Streams.CurateStats)]
+    val q = Streams.curateIncrementalBatches(
+      input.toDF().toDF("doc_id", "text"), corpusHashes, corpusSigs,
+      "text", "doc_id", s"$base/exact", s"$base/near",
+      (out, bid) => admitted.synchronized {
+        admitted ++= out.collect().map(r => (bid, r.getLong(0)))
+      },
+      onStats = Some((s, bid) => stats.synchronized { stats += bid -> s }),
+      semanticIndex = Some(semIndex),
+      semanticLedgerDir = Some(s"$base/sem"),
+      embedDim = 64,
+      eps = 0.25).start()
+    try {
+      // batch 0: 1 = A admitted; 2 = stride-permuted G — different
+      // bytes (passes exact), scrambled shingles (passes near, estJ
+      // 0.48) but cos 0.92 to the CORPUS INDEX → dies semantic;
+      // 3 = stride-7 A — dies semantic WITHIN-batch vs lower-id 1
+      // (cos 0.85)
+      input.addData((1L, aText), (2L, gStr7), (3L, aStr7))
+      q.processAllAvailable()
+      // batch 1: 6 = stride-13 A — passes exact + near (estJ ≤ 0.5 vs
+      // every ledgered signature) and dies via the SEMANTIC ledger
+      // (A's vector, admitted in batch 0; cos 0.87); 7 = fresh C →
+      // admitted
+      input.addData((6L, aStr13), (7L, cText))
+      q.processAllAvailable()
+    } finally {
+      q.stop(); corpusHashes.unpersist(); corpusSigs.unpersist()
+      semIndex.unpersist()
+    }
+    assert(admitted.sortBy(_._2).toSeq == Seq((0L, 1L), (1L, 7L)))
+    // the semantic ledger records semantic-stage survivors only
+    val semLedger = spark.read.parquet(s"$base/sem")
+    assert(semLedger.filter(col("batch_id") === 0L).count() == 1)
+    assert(semLedger.filter(col("batch_id") === 1L).count() == 1)
+    // funnel gains the semantic count: batch 0 = 3 in → 3 curated → 3
+    // exact-fresh → 3 near-fresh → 1 semantic-fresh → 1 admitted
+    val byBatch = stats.toMap
+    assert(byBatch(0L) == Streams.CurateStats(3, 3, 3, 3, 1, Some(1)))
+    assert(byBatch(1L) == Streams.CurateStats(2, 2, 2, 2, 1, Some(1)))
   }
 
   test("curatePages (C4 → full Gopher) streams == batch (stateless prefix)") {
