@@ -855,16 +855,38 @@ object Corpus {
       shard: Column,
       order: Column,
       tokens: Column,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    packSequencesFrom(df, idCol, shard, order, tokens, budget, None)
+
+  /** The [[packSequences]] core with an optional per-shard STARTING
+    * token count (`base`: a `(shard, _gp_base)` frame) added to every
+    * prefix sum — the single bin/off formula shared by the batch
+    * operator (base = None) and the streaming twin
+    * ([[graft.streaming.Streams.packBatches]], base = the ledger's
+    * running totals), so the two cannot drift.
+    */
+  private[graft] def packSequencesFrom(
+      df: DataFrame,
+      idCol: String,
+      shard: Column,
+      order: Column,
+      tokens: Column,
+      budget: Long,
+      base: Option[DataFrame]): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("_ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(cr(idCol).as(idCol), shard.as("shard"), order.as("_ord"),
-        tokens.cast("long").as("n_tokens"))
+    val local = df.select(cr(idCol).as(idCol), shard.as("shard"),
+        order.as("_ord"), tokens.cast("long").as("n_tokens"))
       .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col(idCol), col("shard"), col("n_tokens"),
-        floor(col("prev") / budget).as("bin"),
-        (col("prev") % budget).as("off"))
+    val withBase = base match {
+      case Some(b) => local.join(b, Seq("shard"), "left")
+        .withColumn("prev", col("prev") + coalesce(col("_gp_base"), lit(0L)))
+      case None => local
+    }
+    withBase.select(col(idCol), col("shard"), col("n_tokens"),
+      floor(col("prev") / budget).as("bin"),
+      (col("prev") % budget).as("off"))
   }
 
   /** Tokenized bigram-eligible docs `(id, _graft_toks)` behind a pinned

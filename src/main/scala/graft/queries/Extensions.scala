@@ -1675,15 +1675,71 @@ object Extensions {
         .ngramJaccardNearDups(s3, "clean", "id", threshold = 0.5, n = 3)
         .select(col("id_b").as("id")).distinct())
 
-  /** Shared body of the published-pipeline gates (q135/q138): every
-    * stage fixed except near-dup removal, pluggable as
-    * `s3 → dropped-id frame` so the oracle-provable exact PPJoin and
-    * the banded-MinHash scale path run the IDENTICAL pipeline around
-    * it.
+  /** The published pipeline composed ALL the way to training bins: the
+    * q138 five-stage curation (URL dedup → C4 → full Gopher → banded-
+    * MinHash near-dup → decontamination, the 100 TB-shaped dedup
+    * stage) feeding [[graft.operators.Corpus.packSequences]] — the
+    * admitted docs pack into 512-token bins per source shard in id
+    * order (next-fit with straddling). The one result a training run
+    * actually consumes: every surviving doc's `(shard, bin, off)`
+    * placement. Oracle: the q135 stage CTEs verbatim (LSH recall is
+    * total on the planted construction — the q138 argument) with the
+    * final summary swapped for the same window arithmetic in SQL
+    * (per-source prefix sum over id order, integer div/mod by the
+    * budget).
     */
+  def qP4RefinedWebPacked(s: SparkSession, d: String): DataFrame = {
+    val st = refinedWebStages(s, d, s3 =>
+      graft.operators.Dedup
+        .ngramJaccardNearDups(s3, "clean", "id", threshold = 0.5, n = 3)
+        .select(col("id_b").as("id")).distinct())
+    val docs = st.s5.join(
+      graft.operators.Corpus.gopherQuality(st.s5, "clean", "id")
+        .select(col("id"), col("n_words")), Seq("id"))
+    graft.operators.Corpus.packSequences(
+        docs, "id", col("source"), col("id"), col("n_words"), budget = 512L)
+      .orderBy(col("id"))
+  }
+
+  /** Stage frames of the published pipeline, shared by the summary
+    * gates (q135/q138 via [[refinedWebPipelineWith]]) and the packed
+    * gate (q141): every stage fixed except near-dup removal, pluggable
+    * as `s3 → dropped-id frame` so the oracle-provable exact PPJoin
+    * and the banded-MinHash scale path run the IDENTICAL pipeline
+    * around it.
+    */
+  private final case class RwStages(
+      messy: DataFrame, s1: DataFrame, s2: DataFrame, s3: DataFrame,
+      s4: DataFrame, s5: DataFrame)
+
   private def refinedWebPipelineWith(
       s: SparkSession, d: String,
       nearDupDropped: DataFrame => DataFrame): DataFrame = {
+    val st = refinedWebStages(s, d, nearDupDropped)
+    val s5w = graft.operators.Corpus.gopherQuality(st.s5, "clean", "id")
+      .select(col("id"), col("n_words"))
+    st.messy.select(col("doc_id").as("id"), col("source"))
+      .join(st.s1.select(col("doc_id").as("id"), lit(1L).as("u")), Seq("id"), "left")
+      .join(st.s2.select(col("id"), lit(1L).as("c")), Seq("id"), "left")
+      .join(st.s3.select(col("id"), lit(1L).as("q")), Seq("id"), "left")
+      .join(st.s4.select(col("id"), lit(1L).as("nq")), Seq("id"), "left")
+      .join(s5w.select(col("id"), lit(1L).as("cl"), col("n_words")), Seq("id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(coalesce(col("u"), lit(0L))).as("n_url"),
+        sum(coalesce(col("c"), lit(0L))).as("n_c4"),
+        sum(coalesce(col("q"), lit(0L))).as("n_quality"),
+        sum(coalesce(col("nq"), lit(0L))).as("n_unique"),
+        sum(coalesce(col("cl"), lit(0L))).as("n_clean"),
+        sum(when(col("cl").isNotNull, col("n_words")).otherwise(0L))
+          .as("sum_words"))
+      .orderBy(col("source"))
+  }
+
+  private def refinedWebStages(
+      s: SparkSession, d: String,
+      nearDupDropped: DataFrame => DataFrame): RwStages = {
     val shared = "the steady river winds to be close with the quiet " +
       "valley and that old stone wall today while morning light settles " +
       "over the far meadow and the old road bends past the mill to " +
@@ -1732,25 +1788,7 @@ object Extensions {
     val bench = documents(s, d).filter(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("id"), col("text").as("clean"))
     val s5 = graft.operators.Corpus.decontaminate(s4, bench, "clean", "id", n = 8)
-    val s5w = graft.operators.Corpus.gopherQuality(s5, "clean", "id")
-      .select(col("id"), col("n_words"))
-    messy.select(col("doc_id").as("id"), col("source"))
-      .join(s1.select(col("doc_id").as("id"), lit(1L).as("u")), Seq("id"), "left")
-      .join(s2.select(col("id"), lit(1L).as("c")), Seq("id"), "left")
-      .join(s3.select(col("id"), lit(1L).as("q")), Seq("id"), "left")
-      .join(s4.select(col("id"), lit(1L).as("nq")), Seq("id"), "left")
-      .join(s5w.select(col("id"), lit(1L).as("cl"), col("n_words")), Seq("id"), "left")
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_in"),
-        sum(coalesce(col("u"), lit(0L))).as("n_url"),
-        sum(coalesce(col("c"), lit(0L))).as("n_c4"),
-        sum(coalesce(col("q"), lit(0L))).as("n_quality"),
-        sum(coalesce(col("nq"), lit(0L))).as("n_unique"),
-        sum(coalesce(col("cl"), lit(0L))).as("n_clean"),
-        sum(when(col("cl").isNotNull, col("n_words")).otherwise(0L))
-          .as("sum_words"))
-      .orderBy(col("source"))
+    RwStages(messy, s1, s2, s3, s4, s5)
   }
 
   /** BPE subword tokenization end-to-end (rows-only gate — training is
@@ -2464,7 +2502,8 @@ object Extensions {
     "q137_semdedup" -> qV9SemDeDup _,
     "q138_refinedweb_minhash" -> qP3RefinedWebPipelineMinhash _,
     "q139_text_embed_semdedup" -> qV10TextEmbedSemDeDup _,
-    "q140_text_embed_decontam" -> qV11TextEmbedDecontam _)
+    "q140_text_embed_decontam" -> qV11TextEmbedDecontam _,
+    "q141_refinedweb_packed" -> qP4RefinedWebPacked _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2493,7 +2532,25 @@ object Extensions {
   // total on the planted construction, so its oracle is q135's SQL
   // verbatim — same pipeline, same answer.
   lazy val oracle: Map[String, String] = oracleBase +
-    ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline"))
+    ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline")) +
+    // q141 reuses q135's stage CTEs VERBATIM (sliced at its final
+    // summary SELECT — the mechanism guarantees the stages can't
+    // drift) and swaps the summary for the packing window: per-source
+    // prefix sum of n_words in doc_id order, integer div/mod by the
+    // 512-token budget — the packSequences formula in SQL.
+    ("q141_refinedweb_packed" -> {
+      val q135 = oracleBase("q135_refinedweb_pipeline")
+      q135.substring(0, q135.lastIndexOf("SELECT m.source")) +
+        """SELECT p.doc_id AS id, p.source AS shard,
+           CAST(p.n_words AS BIGINT) AS n_tokens,
+           CAST(p.prev // 512 AS BIGINT) AS bin,
+           CAST(p.prev % 512 AS BIGINT) AS "off"
+         FROM (SELECT doc_id, source, n_words,
+             coalesce(sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM s5) p
+         ORDER BY 1"""
+    })
 
   private val oracleBase: Map[String, String] = Map(
     "q21_s1_delimited_roundtrip" ->

@@ -940,10 +940,25 @@ object Streams {
     * read back by the stream, so a bits/tables mismatch between index
     * and probe (which would silently band nothing) is impossible by
     * construction.
+    *
+    * `maxBucket` drops (table, sig) buckets with more than that many
+    * corpus members from the index — the hot-bucket bound every LSH
+    * path in the engine carries ([[graft.operators.Dedup
+    * .bandedCandidates]] maxBand, the batch LSH bucket caps). Without
+    * it a semantically-collapsed corpus region (mass boilerplate, a
+    * template family) concentrates in one bucket per table and every
+    * micro-batch's probe goes |batch| × |bucket| quadratic — measured
+    * on the wrapper-page replica: the UNCAPPED probe ground >20 min on
+    * a single 5k-row micro-batch (≈10⁹ 128-dim cosines) where the
+    * capped run finishes in seconds. One-sided tradeoff, documented:
+    * a doc whose near-twin hides ONLY in oversized buckets is
+    * admitted; compose exact dedup upstream (the
+    * [[curateIncrementalBatches]] chain does) so byte-identical mass
+    * never inflates a bucket in the first place.
     */
   def semanticCorpusIndex(
       corpus: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 12, tables: Int = 12): DataFrame = {
+      bits: Int = 12, tables: Int = 12, maxBucket: Int = 1024): DataFrame = {
     // bits = 12 (4096 buckets/table), not the semanticDecontaminateLsh
     // default of 8: the ADMISSION operating point is cosine ≥ 1 − eps
     // ≈ 0.99 (θ ≈ 8°), where per-table collision is still 0.58 and the
@@ -952,19 +967,38 @@ object Streams {
     // ~6M pair evaluations per 5k-row micro-batch on the replica).
     // Exact copies collide in every table at any bits.
     require(bits > 0 && bits <= 30 && tables > 0, "bits in (0,30], tables > 0")
+    require(maxBucket > 0, "maxBucket must be positive")
     val cr = graft.ops.Cleanse.colRef _
     val norm = graft.operators.Similarity.norm _
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.srp.bits", bits.toLong)
-      .putLong("graft.srp.tables", tables.toLong).build()
-    srpExplode(
-      corpus.select(cr(idCol).as("_gs_id"),
-        cr(vecCol).cast("array<double>").as("_gs_v"))
-        .filter(norm(col("_gs_v")) > 0.0),
-      bits, tables)
+      .putLong("graft.srp.tables", tables.toLong)
+      .putLong("graft.srp.maxBucket", maxBucket.toLong).build()
+    // the cap's own window exchange leaves the frame hash-partitioned
+    // on (_gs_t, _gs_s) — exactly the probe join's required
+    // distribution, so no further repartition is needed
+    capBuckets(
+      srpExplode(
+        corpus.select(cr(idCol).as("_gs_id"),
+          cr(vecCol).cast("array<double>").as("_gs_v"))
+          .filter(norm(col("_gs_v")) > 0.0),
+        bits, tables),
+      maxBucket)
       .select(col("_gs_id"), col("_gs_v"), col("_gs_n"), col("_gs_t"),
         col("_gs_s").as("_gs_s", sigMeta))
-      .repartition(col("_gs_t"), col("_gs_s"))
+  }
+
+  /** Drop (table, sig) buckets larger than `maxBucket` from an SRP
+    * signature frame — a windowed count over the bucket key, so the
+    * cap costs one keyed shuffle at build time (index) or over a
+    * micro-batch (probe sides), never a join.
+    */
+  private def capBuckets(sig: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gs_t"), col("_gs_s"))
+    sig.withColumn("_gs_bn", count(lit(1)).over(w))
+      .filter(col("_gs_bn") <= maxBucket)
+      .drop("_gs_bn")
   }
 
   /** SRP banding shared by [[semanticCorpusIndex]] and the per-batch
@@ -1007,8 +1041,10 @@ object Streams {
     * vectors are stored as array<double> (lossless for float inputs),
     * so re-derived SRP signatures are bit-identical across restarts.
     * `corpusIndex` is the [[semanticCorpusIndex]] frame — persist it;
-    * `bits`/`tables` are read from its column metadata so the batch
-    * and ledger sides band identically by construction.
+    * `bits`/`tables`/`maxBucket` are read from its column metadata so
+    * the batch and ledger sides band identically and carry the same
+    * hot-bucket cap by construction (see the index scaladoc for the
+    * measured uncapped adversary).
     */
   def incrementalSemanticBatches(
       docs: DataFrame,
@@ -1031,17 +1067,19 @@ object Streams {
     }
   }
 
-  /** Read bits/tables back from a [[semanticCorpusIndex]] frame's
-    * column metadata — the construction-level guarantee that index and
-    * probe band identically.
+  /** Read bits/tables/maxBucket back from a [[semanticCorpusIndex]]
+    * frame's column metadata — the construction-level guarantee that
+    * index and probe band identically and cap identically.
     */
-  private def srpMeta(corpusIndex: DataFrame): (Int, Int) = {
+  private def srpMeta(corpusIndex: DataFrame): (Int, Int, Int) = {
     val sigMeta = corpusIndex.schema("_gs_s").metadata
     require(sigMeta.contains("graft.srp.bits") &&
-        sigMeta.contains("graft.srp.tables"),
+        sigMeta.contains("graft.srp.tables") &&
+        sigMeta.contains("graft.srp.maxBucket"),
       "corpusIndex must be built by semanticCorpusIndex (missing SRP metadata)")
     (sigMeta.getLong("graft.srp.bits").toInt,
-      sigMeta.getLong("graft.srp.tables").toInt)
+      sigMeta.getLong("graft.srp.tables").toInt,
+      sigMeta.getLong("graft.srp.maxBucket").toInt)
   }
 
   /** One micro-batch of SRP-bucketed semantic admission (the
@@ -1058,7 +1096,7 @@ object Streams {
       ledgerDir: String,
       batchId: Long,
       eps: Double): (DataFrame, DataFrame) = {
-    val (bits, tables) = srpMeta(corpusIndex)
+    val (bits, tables, maxBucket) = srpMeta(corpusIndex)
     val cr = graft.ops.Cleanse.colRef _
     val dot = graft.operators.Similarity.dot _
     val norm = graft.operators.Similarity.norm _
@@ -1072,7 +1110,11 @@ object Streams {
       .select(col("_gs_id"), col("_gs_v"))
     val bVecs = batch.select(cr(idCol).as("_gs_id"),
       cr(vecCol).cast("array<double>").as("_gs_v"))
-    val bSig = srpExplode(bVecs, bits, tables)
+    // the probe sides carry the index's own hot-bucket cap (metadata):
+    // a semantically-collapsed micro-batch or ledger region would
+    // otherwise make one bucket |side|² / |batch|×|ledger| quadratic —
+    // the same adversary the index cap bounds, same one-sided tradeoff
+    val bSig = capBuckets(srpExplode(bVecs, bits, tables), maxBucket)
     val denom = col("x._gs_n") * col("y._gs_n")
     val cos = when(denom === 0.0, lit(0.0))
       .otherwise(dot(col("x._gs_v"), col("y._gs_v")) / denom)
@@ -1094,7 +1136,8 @@ object Streams {
             cos >= lit(1.0 - eps))
         .select(col("y._gs_id").as("_gs_id"))
     val vsPriorDropped = droppedVs(corpusIndex)
-      .unionByName(droppedVs(srpExplode(ledgerVecs, bits, tables)))
+      .unionByName(droppedVs(
+        capBuckets(srpExplode(ledgerVecs, bits, tables), maxBucket)))
       .distinct()
     val freshIds = bVecs.select(col("_gs_id"))
       .join(inBatchDropped, Seq("_gs_id"), "left_anti")
@@ -1106,6 +1149,64 @@ object Streams {
       .join(freshIds, Seq("_gs_id"), "left_semi")
       .select(col("_gs_id"), col("_gs_v"), lit(batchId).as("batch_id"))
     (fresh, ledgerRows)
+  }
+
+  /** Streaming sequence PACKING — the production tail of the curation
+    * chain: turn the admitted document stream into `budget`-token
+    * training-bin assignments that stay CONTINUOUS across micro-batches
+    * (next-fit with straddling, the "concatenate then chunk" scheme —
+    * the [[graft.operators.Corpus.packSequences]] semantics, extended
+    * over an unbounded stream). Each doc reports the global bin its
+    * first token lands in and its offset inside that bin; bin numbering
+    * never resets at a batch boundary, so a bin that ends mid-batch is
+    * completed by the next batch's first doc exactly as the batch
+    * operator would have packed the concatenated input.
+    *
+    * State is one running token total per shard, carried as a LEDGER of
+    * per-batch DELTAS `(shard, batch_tokens, batch_id)` — summing all
+    * prior deltas reproduces the shard's base offset, and the sum is
+    * associative, so the [[incrementalDedupBatches]] replay posture
+    * (dynamic partition overwrite + exclude own batch_id) gives
+    * exactly-once packing under at-least-once delivery. The ledger is
+    * shard-count-sized — bytes per batch, never corpus-sized. The
+    * bin/off arithmetic is the batch operator's own
+    * (`packSequencesFrom` — one shared formula, so streaming ≡ batch by
+    * construction given the same arrival order); docs within a batch
+    * order by `orderCol`, batches order by arrival.
+    */
+  def packBatches(
+      docs: DataFrame,
+      idCol: String,
+      shardCol: String,
+      orderCol: String,
+      tokensCol: String,
+      budget: Long,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(budget > 0, "budget must be positive")
+    val cr = graft.ops.Cleanse.colRef _
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val shardType = batch.select(cr(shardCol)).schema.head.dataType
+      val ledgerSchema = StructType(Seq(
+        StructField("shard", shardType),
+        StructField("batch_tokens", LongType),
+        StructField("batch_id", LongType)))
+      val base = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+        .groupBy(col("shard")).agg(sum(col("batch_tokens")).as("_gp_base"))
+      val out = graft.operators.Corpus.packSequencesFrom(
+        batch, idCol, cr(shardCol), cr(orderCol), cr(tokensCol), budget,
+        Some(base))
+      out.persist()
+      try {
+        onBatch(out, batchId)
+        writeBatchLedger(
+          batch.groupBy(cr(shardCol).as("shard"))
+            .agg(sum(cr(tokensCol).cast("long")).as("batch_tokens"))
+            .withColumn("batch_id", lit(batchId)),
+          ledgerDir)
+      } finally out.unpersist()
+    }
   }
 
   /** Streaming decontamination — the one published-pipeline stage that

@@ -28,7 +28,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
-        "decontam", "curatechain", "incsemantic")
+        "decontam", "curatechain", "incsemantic", "curatesem")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -164,7 +164,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -344,6 +344,75 @@ object StreamBench {
             s, corpusHashes, corpusSigs, "text", "doc_id",
             s"$base/exact", s"$base/near", h,
             benchGrams = Some(benchGrams))
+        }
+      case "curatesem" =>
+        // the FIVE-stage chain: curatechain + the optional semantic
+        // stage. The semantic embedding happens INSIDE the stage on the
+        // CLEANED text, so the collapsed-trigram-space problem the
+        // incsemantic bench salts around (this synthetic corpus sits at
+        // cross-doc cosine ~0.999) is solved at page construction: the
+        // wrapper plants a content-keyed SALT LINE — THREE DISTINCT
+        // chained md5 blocks (a REPEATED single block is periodic text
+        // and the Gopher repetition rules kill the page at curation),
+        // digits translated to letters so Gopher's alphabetic-word rule
+        // keeps it, chunked into 4-char words, closed with a period so
+        // C4 keeps the line. Exact copies share the salt; distinct
+        // texts diversify — SaltProbe-measured on the cleaned pages:
+        // avg cross-doc cosine 0.69, p99 0.86, all kept. The hottest
+        // SRP buckets still hold ~31% of the corpus (the shared
+        // wrapper mass), which is exactly the adversary that ground
+        // the UNCAPPED first shape >20 min on one micro-batch — the
+        // index carries maxBucket=256 (docs/SCALE.md r13). Persistable
+        // units = the four model frames, semanticCorpusIndex included.
+        val shared = "the steady river winds to be close with the quiet " +
+          "valley and that old stone wall today while morning light settles " +
+          "over the far meadow and the old road bends past the mill to " +
+          "reach the stone bridge before the village square opens."
+        def saltLine(text: org.apache.spark.sql.Column) = {
+          val blocks = (0 until 3).map { i =>
+            translate(md5(concat(text, lit("#" + i))),
+              "0123456789", "ghijklmnop")
+          }
+          concat(regexp_replace(concat(blocks: _*), "(.{4})", "$1 "),
+            lit("here now."))
+        }
+        val wrapped = docs.select(col("doc_id"), concat_ws("\n",
+          lit("the report has to be checked and that will hold with care."),
+          concat(col("text"), lit(".")),
+          saltLine(col("text")),
+          when(col("doc_id") % 13 === 0, lit(shared))
+            .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+          when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+            .otherwise(lit("clean final line stands here."))).as("text"))
+        val chainDir = java.nio.file.Files
+          .createTempDirectory("graft_curatesem_stage").toString
+        wrapped.repartition(40).write.mode("overwrite").parquet(chainDir)
+        val nWrapped = wrapped.count()
+        val corpus = graft.operators.Corpus.curatePages(
+          wrapped.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+          .filter(col("kept")).select(col("id").as("doc_id"), col("clean"))
+        val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean")
+        val corpusSigs = Streams
+          .nearDupCorpusSignatures(corpus, "clean", "doc_id")
+        val semIndex = Streams.semanticCorpusIndex(
+          corpus.select(col("doc_id"),
+            graft.functions.TextFunctions.embedText(col("clean"), 128)
+              .as("emb")),
+          "emb", "doc_id", maxBucket = 256)
+        val benchGrams = graft.operators.Corpus.decontaminationGrams(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+        run("stream_curatesem_rows_per_sec",
+          Seq(corpusHashes, corpusSigs, semIndex, benchGrams),
+          chainDir, wrapped.schema, nWrapped) { (s, h) =>
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_curatesem_ledgers").toString
+          Streams.curateIncrementalBatches(
+            s, corpusHashes, corpusSigs, "text", "doc_id",
+            s"$base/exact", s"$base/near", h,
+            benchGrams = Some(benchGrams),
+            semanticIndex = Some(semIndex),
+            semanticLedgerDir = Some(s"$base/sem"),
+            embedDim = 128)
         }
       case "incdedup" =>
         // the "model" here is the static corpus whose hash projection

@@ -830,6 +830,41 @@ class StreamsSpec extends SparkSpec {
     assert(ledger.filter(col("batch_id") === 0L).count() == 2)
   }
 
+  test("semantic admission hot-bucket cap drops oversized buckets from every probe side") {
+    implicit val sq = spark.sqlContext
+    def vec(s: Float): Seq[Float] = Seq(s, 2 * s, 3 * s, 4 * s)
+    // 3 identical corpus vectors land in ONE bucket per table; with
+    // maxBucket = 2 every such bucket is dropped at index build — the
+    // documented one-sided tradeoff (a twin hiding only in oversized
+    // buckets is ADMITTED; exact dedup upstream is the cure)
+    val corpus = Seq((100L, vec(1f)), (101L, vec(1f)), (102L, vec(1f)))
+      .toDF("vec_id", "embedding")
+    val idx = Streams.semanticCorpusIndex(
+      corpus, "embedding", "vec_id", maxBucket = 2).persist()
+    assert(idx.count() == 0) // all buckets oversized
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_semcap_ledger").toString + "/l"
+    val input = MemoryStream[(Long, Seq[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalSemanticBatches(
+      input.toDF().toDF("vec_id", "embedding"), idx,
+      "embedding", "vec_id", ledgerDir,
+      (fresh, _) => admitted.synchronized {
+        admitted ++= fresh.collect().map(_.getLong(0))
+      }).start()
+    try {
+      // 1 = copy of the corpus vector: admitted (its bucket was capped
+      // out of the index). 2/3/4 = three in-batch copies of another
+      // vector: the BATCH side carries the same cap from metadata, so
+      // their oversized bucket never self-joins — all three admitted
+      // (uncapped semantics would keep only id 2)
+      input.addData((1L, vec(1f)), (2L, vec(5f)), (3L, vec(5f)),
+        (4L, vec(5f)))
+      q.processAllAvailable()
+    } finally { q.stop(); idx.unpersist() }
+    assert(admitted.sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("incremental semantic admission composes with embedText (text in, dedup out)") {
     implicit val sq = spark.sqlContext
     val aText = (0 until 25).map(i => s"aw${i}ord").mkString(" ")
@@ -865,6 +900,47 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally { q.stop(); corpusVecs.unpersist() }
     assert(admitted.sorted == Seq(2L, 5L))
+  }
+
+  test("packBatches streams == batch packSequences (bins continue across micro-batches)") {
+    implicit val sq = spark.sqlContext
+    // (id, shard, ord, n_tokens) — ord globally increasing across
+    // batches, so the batch twin over the union IS the stream's order
+    val b0 = Seq((1L, "a", 1L, 4L), (2L, "a", 2L, 5L), (3L, "b", 3L, 12L))
+    val b1 = Seq((4L, "a", 4L, 3L), (5L, "a", 5L, 2L), (6L, "b", 6L, 1L))
+    val b2 = Seq((7L, "a", 7L, 10L))
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_pack_ledger").toString + "/l"
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val packed = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    val q = Streams.packBatches(
+      input.toDF().toDF("doc_id", "shard", "ord", "n_tokens"),
+      "doc_id", "shard", "ord", "n_tokens", budget = 10L, ledgerDir,
+      (out, _) => packed.synchronized {
+        packed ++= out.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+      }).start()
+    try {
+      Seq(b0, b1, b2).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchTwin = graft.operators.Corpus.packSequences(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "shard", "ord", "n_tokens"),
+      "doc_id", col("shard"), col("ord"), col("n_tokens"), budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(packed.toSet == batchTwin)
+    // spot-pin the cross-batch continuation: doc 4 (shard a, batch 1)
+    // starts at global offset 9 — bin 0, one token before the cut
+    assert(packed.find(_._1 == 4L).get == ((4L, "a", 3L, 0L, 9L)))
+    // doc 7 (batch 2) continues shard a at global offset 14 → bin 1
+    assert(packed.find(_._1 == 7L).get == ((7L, "a", 10L, 1L, 4L)))
+    // ledger = per-batch per-shard token deltas
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() == 5) // (a,b) in batches 0,1; (a) in batch 2
+    assert(ledger.filter(col("shard") === "a" && col("batch_id") === 0L)
+      .select("batch_tokens").collect()(0).getLong(0) == 9L)
   }
 
   test("decontaminateBatches streams == batch decontaminate (static bench grams)") {
