@@ -1209,6 +1209,195 @@ object Streams {
     }
   }
 
+  /** Streaming sequence MATERIALIZATION — [[packBatches]] carried to
+    * the artifact a trainer actually reads: per micro-batch, emit every
+    * training bin that can no longer grow as `(shard, bin, n_docs,
+    * seq_text)` ([[graft.operators.Corpus.packMaterialize]] semantics —
+    * a doc belongs to the bin its FIRST token lands in, bins
+    * concatenate doc texts in `orderCol` order). Because start offsets
+    * only ever grow, a bin is CLOSED the moment the shard's running
+    * total passes its end boundary — so emission is deterministic and
+    * each bin is emitted exactly once, in the batch that closes it,
+    * with its member docs possibly spanning several micro-batches.
+    *
+    * State, both ledgers bytes-to-kilobytes per shard:
+    *  - `<ledgerDir>/deltas`: the [[packBatches]] per-batch token-sum
+    *    deltas (associative — any subset sums to a valid base);
+    *  - `<ledgerDir>/open`: the still-OPEN bins' member docs `(shard,
+    *    ord, text, bin)`, rewritten in full each batch (latest-batch
+    *    state, not a sum — the read takes the max prior `batch_id`
+    *    partition, so an at-least-once replay reconstructs the same
+    *    state and re-emits the same bins; exactly-once delivery is the
+    *    sink's `batchId` contract, as in every other deployment). Open
+    *    state is bounded by one `budget` of straddle per shard plus
+    *    the open bin's members — never corpus-sized.
+    *
+    * The stream never ends, so the final open bin per shard never
+    * closes; [[flushOpenBins]] drains it after the query stops.
+    * `orderCol` must be globally monotone with arrival (a crawl
+    * sequence number, an event time) — the same contract the batch
+    * operator's shard ordering carries.
+    */
+  def packMaterializeBatches(
+      docs: DataFrame,
+      idCol: String,
+      shardCol: String,
+      orderCol: String,
+      tokensCol: String,
+      textCol: String,
+      budget: Long,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      sep: String = " "): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(budget > 0, "budget must be positive")
+    val cr = graft.ops.Cleanse.colRef _
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val shardType = batch.select(cr(shardCol)).schema.head.dataType
+      val ordType = batch.select(cr(orderCol)).schema.head.dataType
+      val deltaSchema = StructType(Seq(
+        StructField("shard", shardType),
+        StructField("batch_tokens", LongType),
+        StructField("batch_id", LongType)))
+      val openSchema = StructType(Seq(
+        StructField("shard", shardType),
+        StructField("_ord", ordType),
+        StructField("text", StringType),
+        StructField("bin", LongType),
+        StructField("batch_id", LongType)))
+      val deltas = readLedger(spark, s"$ledgerDir/deltas", deltaSchema, batchId)
+      val base = deltas.groupBy(col("shard"))
+        .agg(sum(col("batch_tokens")).as("_gp_base"))
+      // latest-state anchor = the DELTAS ledger's max batch_id, which
+      // every non-empty batch writes: an open partition can be
+      // legitimately ABSENT for a batch in which every bin closed, and
+      // anchoring on the open ledger's own max would then resurrect
+      // the previous batch's already-emitted state
+      val carried = stateAt(
+        readLedger(spark, s"$ledgerDir/open", openSchema, batchId),
+        maxBatchId(deltas))
+      // assign the NEW docs (batch-local window + the ledger base —
+      // the packBatches arithmetic), then re-attach ord + text
+      val assigned = graft.operators.Corpus.packSequencesFrom(
+          batch, idCol, cr(shardCol), cr(orderCol), cr(tokensCol), budget,
+          Some(base))
+        .select(col(idCol), col("bin"))
+      val newRows = batch.select(cr(idCol).as(idCol),
+          cr(shardCol).as("shard"), cr(orderCol).as("_ord"),
+          cr(textCol).cast("string").as("text"),
+          cr(tokensCol).cast("long").as("n_tokens"))
+        .join(assigned, Seq(idCol))
+      val union = carried.select(col("shard"), col("_ord"), col("text"),
+          col("bin"))
+        .unionByName(newRows.select(col("shard"), col("_ord"), col("text"),
+          col("bin")))
+      // a shard's OPEN bin = the bin holding its post-batch total;
+      // everything below it can never receive another doc
+      val openBin = base
+        .join(newRows.groupBy(col("shard"))
+          .agg(sum(col("n_tokens")).as("_gp_new")), Seq("shard"), "full")
+        .select(col("shard"),
+          (floor((coalesce(col("_gp_base"), lit(0L)) +
+            coalesce(col("_gp_new"), lit(0L))) / budget)).as("_gp_open"))
+      val flagged = union.join(openBin, Seq("shard"), "left")
+        .withColumn("_gp_closed",
+          col("bin") < coalesce(col("_gp_open"), lit(0L)))
+      flagged.persist()
+      try {
+        val emitted = materializeBins(
+          flagged.filter(col("_gp_closed")), sep)
+        emitted.persist()
+        try {
+          onBatch(emitted, batchId)
+          writeBatchLedger(
+            batch.groupBy(cr(shardCol).as("shard"))
+              .agg(sum(cr(tokensCol).cast("long")).as("batch_tokens"))
+              .withColumn("batch_id", lit(batchId)),
+            s"$ledgerDir/deltas")
+          writeBatchLedger(
+            flagged.filter(!col("_gp_closed"))
+              .select(col("shard"), col("_ord"), col("text"), col("bin"),
+                lit(batchId).as("batch_id")),
+            s"$ledgerDir/open")
+        } finally emitted.unpersist()
+      } finally flagged.unpersist()
+    }
+  }
+
+  /** Drain the still-open bins after a [[packMaterializeBatches]] query
+    * stops: materializes `<ledgerDir>/open`'s latest state (anchored on
+    * the deltas ledger's max batch_id — see the state-read note in the
+    * stream) with the same grouping the stream emits — the
+    * end-of-stream flush.
+    */
+  def flushOpenBins(
+      spark: SparkSession, ledgerDir: String, sep: String = " "): DataFrame = {
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // a never-written open ledger (stream never ran, or no doc ever
+    // stayed open) flushes to an empty frame in the output shape; the
+    // shard type is unknowable without data, so it defaults to string
+    if (!exists(s"$ledgerDir/open"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("shard", StringType), StructField("bin", LongType),
+          StructField("n_docs", LongType),
+          StructField("seq_text", StringType))))
+    else {
+      val deltas =
+        if (exists(s"$ledgerDir/deltas"))
+          spark.read.parquet(s"$ledgerDir/deltas")
+        else spark.read.parquet(s"$ledgerDir/open").filter(lit(false))
+      materializeBins(
+        stateAt(spark.read.parquet(s"$ledgerDir/open"), maxBatchId(deltas)),
+        sep)
+    }
+  }
+
+  /** Max `batch_id` present in a ledger frame, as one bounded scalar
+    * probe; None when the ledger is empty or the column absent (a
+    * never-written ledger's empty fallback drops it).
+    */
+  private def maxBatchId(ledger: DataFrame): Option[Long] =
+    if (!ledger.columns.contains("batch_id")) None
+    else {
+      // raw-parquet partition-column inference may type batch_id as int
+      val r = ledger.agg(max(col("batch_id").cast("long"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+
+  /** Snapshot-state read: the ledger rows written at exactly `at` (a
+    * batch whose snapshot may be legitimately empty — then no rows).
+    * Used where ledger content is a STATE SNAPSHOT rather than an
+    * associative delta.
+    */
+  private def stateAt(ledger: DataFrame, at: Option[Long]): DataFrame = {
+    val withB = ledger.columns.contains("batch_id")
+    at match {
+      case Some(b) if withB =>
+        ledger.filter(col("batch_id") === b).drop("batch_id")
+      case _ =>
+        (if (withB) ledger.drop("batch_id") else ledger).filter(lit(false))
+    }
+  }
+
+  /** `(shard, bin, n_docs, seq_text)` from `(shard, _ord, text, bin)`
+    * rows — the [[graft.operators.Corpus.packMaterialize]] output
+    * shape, shared by per-batch emission and the end-of-stream flush.
+    */
+  private def materializeBins(rows: DataFrame, sep: String): DataFrame =
+    rows.groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_ord"), col("text")))),
+            x => x.getField("text")),
+          sep).as("seq_text"))
+
   /** Streaming decontamination — the one published-pipeline stage that
     * previously had no streaming twin: per micro-batch, drop every doc
     * sharing an `n`-gram with the STATIC benchmark gram frame

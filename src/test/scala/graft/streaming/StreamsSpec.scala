@@ -943,6 +943,55 @@ class StreamsSpec extends SparkSpec {
       .select("batch_tokens").collect()(0).getLong(0) == 9L)
   }
 
+  test("packMaterializeBatches emits each closed bin once; flush drains the open ones") {
+    implicit val sq = spark.sqlContext
+    // (id, shard, ord, n_tokens, text); budget 10. Shard a's bin 0
+    // spans batches 0 and 1 (doc 4 starts at offset 9 — still bin 0),
+    // closing only when doc 5 pushes the total past 10.
+    val b0 = Seq((1L, "a", 1L, 4L, "t1"), (2L, "a", 2L, 5L, "t2"),
+      (3L, "b", 3L, 12L, "t3"))
+    val b1 = Seq((4L, "a", 4L, 3L, "t4"), (5L, "a", 5L, 2L, "t5"),
+      (6L, "b", 6L, 1L, "t6"))
+    val b2 = Seq((7L, "a", 7L, 10L, "t7"))
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_packmat_ledger").toString
+    val input = MemoryStream[(Long, String, Long, Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, String)]
+    val q = Streams.packMaterializeBatches(
+      input.toDF().toDF("doc_id", "shard", "ord", "n_tokens", "text"),
+      "doc_id", "shard", "ord", "n_tokens", "text", budget = 10L,
+      ledgerDir,
+      (out, bid) => emitted.synchronized {
+        emitted ++= out.collect().map(r => (bid, r.getString(0),
+          r.getLong(1), r.getLong(2), r.getString(3)))
+      }).start()
+    try {
+      Seq(b0, b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch 0 closes b/0 (12 tokens past the 10 boundary); batch 1
+    // closes a/0 — its seq_text MIXES docs from batches 0 AND 1;
+    // batch 2 closes a/1
+    assert(emitted.sortBy(t => (t._2, t._3)).toList == List(
+      (1L, "a", 0L, 3L, "t1 t2 t4"),
+      (2L, "a", 1L, 2L, "t5 t7"),
+      (0L, "b", 0L, 1L, "t3")))
+    // streaming emissions + flush == batch packMaterialize over the union
+    val flushed = Streams.flushOpenBins(spark, ledgerDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val all = emitted.map(t => (t._2, t._3, t._4, t._5)).toSet ++ flushed
+    val batchTwin = graft.operators.Corpus.packMaterialize(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "shard", "ord", "n_tokens", "text"),
+      "doc_id", col("shard"), col("ord"), col("n_tokens"), "text",
+      budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(all == batchTwin)
+    // the only still-open bin is b/1 (doc 6; shard a's open bin 2 has
+    // no doc STARTING in it — doc 7 starts at offset 14, bin 1)
+    assert(flushed == Set(("b", 1L, 1L, "t6")))
+  }
+
   test("decontaminateBatches streams == batch decontaminate (static bench grams)") {
     implicit val sq = spark.sqlContext
     val benchText = "the committee benchmark answer key phrase number nine follows here today"
