@@ -565,6 +565,140 @@ object Corpus {
     main.unionByName(fallback)
   }
 
+  /** Exact largest-remainder allocation of `totalTokens` across
+    * domains proportional to `weights` — the driver-side arithmetic
+    * that turns a published mixture spec ("50% web, 30% code, ...")
+    * into the integer per-domain budgets [[domainMixture]] consumes.
+    * Floors every share, then hands the leftover tokens one-by-one to
+    * the largest fractional remainders (ties broken by domain name
+    * asc, so the allocation is deterministic); the result sums to
+    * exactly `totalTokens`.
+    */
+  def mixtureBudgets(
+      weights: Map[String, Double], totalTokens: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
+      "weights must be positive and finite")
+    require(totalTokens > 0, "totalTokens must be positive")
+    val wSum = weights.values.sum
+    val shares = weights.toSeq.map { case (d, w) =>
+      val exact = w / wSum * totalTokens
+      (d, exact.toLong, exact - exact.toLong)
+    }
+    val leftover = (totalTokens - shares.map(_._2).sum).toInt
+    val bonus = shares.sortBy { case (d, _, rem) => (-rem, d) }
+      .take(leftover).map(_._1).toSet
+    shares.map { case (d, base, _) =>
+      d -> (base + (if (bonus(d)) 1L else 0L))
+    }.toMap
+  }
+
+  /** Training-mixture construction (the DoReMi / Pile shape): each
+    * domain contributes documents in a deterministic pseudo-random
+    * order until its own token `budget` fills, and a domain whose
+    * whole corpus is SMALLER than its budget repeats it — full passes
+    * ("epochs") in the same order, up to `maxEpochs` — before giving
+    * up (published mixtures upsample under-resourced domains exactly
+    * this way; see Gao 2020 "The Pile" §2, Xie 2023 "DoReMi" §3).
+    * Semantically: replicate every doc `maxEpochs` times tagged
+    * `epoch` 0..maxEpochs-1, order each domain by
+    * `(epoch, md5(id), id)`, and admit a copy iff the domain tokens
+    * BEFORE it are under budget — the boundary doc straddles in (the
+    * [[packSequences]] / [[tokenQuotaPerGroup]] policy, so a domain's
+    * admitted mass overshoots by at most one document). Domains
+    * absent from `budgets`, and rows with null ids (no identity → no
+    * deterministic position), are dropped; null token counts read as
+    * 0. Emits `(id, domain, epoch, n_tokens, start_off)` with
+    * `start_off` the admitted copy's starting token offset — the
+    * handoff [[packSequences]] consumes.
+    *
+    * Scale shape — contrast [[tokenQuotaPerGroup]]'s pre-thin guard:
+    * mixture budgets are typically a LARGE fraction of each domain
+    * (upsampled domains keep everything, several times over), so
+    * probabilistic pre-thinning buys nothing; instead the running sum
+    * is an exact DISTRIBUTED prefix: docs bucket by their md5 key's
+    * first two hex chars (256 ordered ranges of the admission order),
+    * the in-partition window runs per `(domain, epoch, bucket)` —
+    * 256 × epochs keys per domain, so a single domain never becomes
+    * one window task — and per-bucket token totals (a KB-sized frame:
+    * domains × epochs × 256 rows) get one tiny cross-bucket prefix
+    * window whose bases broadcast back. Epochs never replicate
+    * wastefully: a one-row-per-domain aggregate bounds the copies at
+    * `ceil(budget / domainTokens)` — copies beyond it start at or
+    * past the budget and can admit nothing, so the bound is exact,
+    * not a heuristic. Only id/domain/token columns move; column
+    * pruning keeps document bodies out of every exchange.
+    */
+  def domainMixture(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokens: Column,
+      budgets: Map[String, Long],
+      maxEpochs: Int = 1): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(!df.columns.exists(_.startsWith("_graft_dm_")),
+      "input already has _graft_dm_* columns — rename them first")
+    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+      case (els, (d, b)) => when(col("domain") === d, lit(b)).otherwise(els)
+    }
+    val base = df
+      .filter(cr(idCol).isNotNull &&
+        cr(domainCol).isin(budgets.keys.toSeq: _*))
+      .select(
+        cr(idCol).as("id"),
+        cr(domainCol).as("domain"),
+        coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"),
+        md5(cr(idCol).cast("string")).as("_graft_dm_key"))
+      .withColumn("_graft_dm_bkt",
+        conv(substring(col("_graft_dm_key"), 1, 2), 16, 10).cast("int"))
+    // exact epoch bound: copies at e >= ceil(budget/total) start at
+    // e*total >= budget and admit nothing (all-zero-token domains have
+    // no such bound — every copy starts at 0 — so maxEpochs rules).
+    // One ≤|budgets|-row collect (caller-bounded — the budgets map is
+    // a literal) turns the bound into a literal CASE: no join, and the
+    // totals aggregate subtree runs once instead of once per consumer.
+    val epochsNeeded: Map[String, Long] = base.groupBy(col("domain"))
+      .agg(sum(col("n_tokens")).as("_graft_dm_total"))
+      .collect().map { r =>
+        val d = r.getString(0)
+        val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+        d -> (if (total <= 0L) maxEpochs.toLong
+              else math.min(maxEpochs.toLong,
+                (budgets(d) + total - 1L) / total))
+      }.toMap
+    val epochsOf = epochsNeeded.foldLeft(lit(1L)) {
+      case (els, (d, e)) => when(col("domain") === d, lit(e)).otherwise(els)
+    }
+    val replicated = base
+      .select(col("id"), col("domain"), col("n_tokens"),
+        col("_graft_dm_key"), col("_graft_dm_bkt"),
+        explode(sequence(lit(0L), epochsOf - 1L)).as("epoch"))
+    val wLocal = Window
+      .partitionBy(col("domain"), col("epoch"), col("_graft_dm_bkt"))
+      .orderBy(col("_graft_dm_key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBase = Window.partitionBy(col("domain"))
+      .orderBy(col("epoch"), col("_graft_dm_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = replicated
+      .groupBy(col("domain"), col("epoch"), col("_graft_dm_bkt"))
+      .agg(sum(col("n_tokens")).as("_graft_dm_bt"))
+      .withColumn("_graft_dm_base",
+        coalesce(sum(col("_graft_dm_bt")).over(wBase), lit(0L)))
+      .drop("_graft_dm_bt")
+    replicated
+      .withColumn("_graft_dm_local",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(bases), Seq("domain", "epoch", "_graft_dm_bkt"))
+      .withColumn("start_off", col("_graft_dm_base") + col("_graft_dm_local"))
+      .filter(col("start_off") < budgetOf)
+      .select(col("id").as(idCol), col("domain"), col("epoch"),
+        col("n_tokens"), col("start_off"))
+  }
+
   /** Keep-decision column for a deterministic Bernoulli(frac) sample:
     * true iff the first 8 hex chars of md5(id) sort below the quantized
     * threshold (fractions quantize to 1/2³²). Same engine-portable

@@ -1959,6 +1959,23 @@ object Extensions {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Training-mixture construction: per-lang token budgets sized so
+    * every admission path fires at once — en (30k < its 64k tokens)
+    * and es (10k) truncate inside epoch 0; de (25k) exhausts epoch 0
+    * and truncates inside the upsampled epoch 1; fr (50k > 2 passes)
+    * keeps both epochs whole under the maxEpochs=2 cap; zh is absent
+    * from the mixture and drops. Oracle = the semantic single-window
+    * form (replicate × 2, order by (epoch, md5(id), id), running sum
+    * under budget) — the operator's bucketed distributed prefix must
+    * reproduce it exactly.
+    */
+  def qC25DomainMixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.domainMixture(
+      documents(s, d), "doc_id", "lang", col("n_chars"),
+      Map("en" -> 30000L, "de" -> 25000L, "fr" -> 50000L, "es" -> 10000L),
+      maxEpochs = 2)
+      .orderBy(col("domain"), col("epoch"), col("start_off"), col("doc_id"))
+
   /** Stratified hash sampling: per-lang keep fractions rebalancing the
     * en-heavy corpus via the engine-portable md5 threshold.
     */
@@ -2503,7 +2520,8 @@ object Extensions {
     "q138_refinedweb_minhash" -> qP3RefinedWebPipelineMinhash _,
     "q139_text_embed_semdedup" -> qV10TextEmbedSemDeDup _,
     "q140_text_embed_decontam" -> qV11TextEmbedDecontam _,
-    "q141_refinedweb_packed" -> qP4RefinedWebPacked _)
+    "q141_refinedweb_packed" -> qP4RefinedWebPacked _,
+    "q142_domain_mixture" -> qC25DomainMixture _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -4293,6 +4311,32 @@ object Extensions {
          ORDER BY media_id, frame_idx""",
     // same prefix-sum bin assignment as q91, then an ordered string_agg
     // per (shard, bin) — the concat order is the pack order, total.
+    // the SEMANTIC single-window form of the mixture: replicate every
+    // doc maxEpochs(=2) times, order each domain by (epoch, md5, id),
+    // admit while the running token sum before the copy is under the
+    // domain's budget — the operator's bucketed distributed prefix
+    // must reproduce this set and every start_off exactly.
+    "q142_domain_mixture" ->
+      """WITH e AS (SELECT * FROM range(0, 2) t(epoch)),
+         sel AS (
+           SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_tokens,
+                  e.epoch AS epoch, md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 25000
+                            WHEN 'fr' THEN 50000 WHEN 'es' THEN 10000
+                  END AS budget
+           FROM documents CROSS JOIN e
+           WHERE lang IN ('en','de','fr','es')),
+         off AS (
+           SELECT doc_id, lang, epoch, n_tokens, budget,
+                  coalesce(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY epoch, k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS start_off
+           FROM sel)
+         SELECT doc_id, lang AS domain, CAST(epoch AS BIGINT) AS epoch,
+                n_tokens, CAST(start_off AS BIGINT) AS start_off
+         FROM off WHERE start_off < budget
+         ORDER BY domain, epoch, start_off, doc_id""",
     "q105_pack_materialize" ->
       """WITH x AS (SELECT doc_id, text, doc_id % 8 AS shard,
              CAST(n_chars AS BIGINT) AS n_tokens FROM documents),

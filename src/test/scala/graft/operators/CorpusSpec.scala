@@ -313,6 +313,87 @@ class CorpusSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("domainMixture matches the naive single-window semantics exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 domains with deliberately lumpy token counts; ids interleave
+    // domains so md5 order differs from id order
+    val d = (0L until 240L).map(i =>
+      (i, Seq("web", "code", "wiki")(i.toInt % 3), 5L + i % 23))
+      .toDF("id", "dom", "toks")
+    val budgets = Map("web" -> 300L, "code" -> 2000L, "wiki" -> 10000L)
+    val maxEpochs = 3
+    val got = Corpus.domainMixture(d, "id", "dom", col("toks"), budgets, maxEpochs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // naive reference: replicate maxEpochs times, ONE window per domain
+    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+      case (els, (k, v)) => when(col("dom") === k, lit(v)).otherwise(els)
+    }
+    val w = Window.partitionBy(col("dom"))
+      .orderBy(col("epoch"), md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = d
+      .select(col("id"), col("dom"), col("toks"),
+        explode(sequence(lit(0L), lit(maxEpochs - 1L))).as("epoch"))
+      .withColumn("start_off", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .filter(col("start_off") < budgetOf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(2), r.getLong(4))).toSet
+    assert(got == want)
+    // wiki's budget exceeds maxEpochs full passes → every copy kept
+    assert(got.count(_._2 == "wiki") == 80 * maxEpochs)
+    // code needs its upsampled epoch 1 (total ≈ 1240 < 2000 budget)
+    assert(got.exists(t => t._2 == "code" && t._3 == 1L))
+    // web truncates inside epoch 0
+    assert(got.filter(_._2 == "web").map(_._3).max == 0L)
+    // stable under repartitioning (the distributed-prefix claim)
+    val again = Corpus.domainMixture(
+      d.repartition(17), "id", "dom", col("toks"), budgets, maxEpochs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(again == got)
+  }
+
+  test("domainMixture edges: null ids drop, zero-token domains, unknown domains") {
+    val d = Seq(
+      (Some(1L), "a", Some(10L)), (Some(2L), "a", None), // null toks → 0
+      (None, "a", Some(99L)),                            // null id → dropped
+      (Some(3L), "z", Some(50L)),                        // not in budgets
+      (Some(4L), "b", Some(0L)), (Some(5L), "b", Some(0L))) // all-zero domain
+      .toDF("id", "dom", "toks")
+    val got = Corpus.domainMixture(
+      d, "id", "dom", col("toks"), Map("a" -> 100L, "b" -> 7L), maxEpochs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!got.exists(_._2 == "z"))
+    assert(got.count(_._2 == "a") == 4) // ids 1,2 × both epochs (24 < 100)
+    assert(got.filter(_._1 == 2L).forall(_._4 == 0L)) // null toks read 0
+    // zero-token domain: every copy starts at 0 → all maxEpochs admitted
+    assert(got.count(_._2 == "b") == 4)
+    assert(got.filter(_._2 == "b").forall(_._5 == 0L))
+    intercept[IllegalArgumentException] {
+      Corpus.domainMixture(d, "id", "dom", col("toks"), Map("a" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.domainMixture(d, "id", "dom", col("toks"), Map("a" -> 1L), 0)
+    }
+  }
+
+  test("mixtureBudgets: exact largest-remainder allocation") {
+    val b = Corpus.mixtureBudgets(
+      Map("web" -> 0.5, "code" -> 0.3, "wiki" -> 0.2), 1000L)
+    assert(b == Map("web" -> 500L, "code" -> 300L, "wiki" -> 200L))
+    // 1/3 splits don't sum via floors alone — remainders hand out the rest
+    val c = Corpus.mixtureBudgets(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 100L)
+    assert(c.values.sum == 100L)
+    assert(c.values.forall(v => v == 33L || v == 34L))
+    // deterministic tie-break: equal remainders resolve by name asc
+    assert(c("a") == 34L)
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureBudgets(Map("a" -> -1.0), 10L)
+    }
+  }
+
   test("hashSample matches fraction and is partition-independent") {
     val df = spark.range(20000).toDF("id")
     val a = Corpus.hashSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
