@@ -1384,6 +1384,83 @@ object Streams {
     }
   }
 
+  /** Streaming ingestion-budget admission — the arrival-order twin of
+    * [[graft.operators.Corpus.domainMixture]]: each micro-batch admits
+    * a doc iff its domain's running token total (all prior batches +
+    * the docs before it in this batch, `orderCol` order) is still
+    * under the domain's budget — the boundary doc straddles in (the
+    * [[graft.operators.Corpus.tokenQuotaPerGroup]] policy), after
+    * which the domain is FULL and admits nothing more. Use it to cap
+    * what a continuous crawl ingests per domain; the batch operator
+    * remains the right tool when the corpus already exists and a
+    * deterministic pseudo-random (md5) admission order is wanted —
+    * a stream cannot reorder what has not arrived, so its admission
+    * order is arrival order, and epochs (re-reading the corpus) have
+    * no streaming meaning. `onBatch` receives the admitted rows with
+    * their original columns plus `start_off` (the doc's starting
+    * token offset in its domain — the [[packBatches]] handoff).
+    *
+    * State = one running ADMITTED-token total per domain, carried as
+    * an associative per-batch-delta ledger (bytes per domain; same
+    * replay posture as every other deployment: a replayed batch
+    * overwrites its own partition and filters its own prior rows from
+    * the read). Ledgering admitted rather than arrived tokens changes
+    * no decision — the two totals agree until the budget boundary is
+    * crossed, and both sit at/above budget forever after — and keeps
+    * the ledger from growing with rejected-traffic volume. The
+    * within-batch window partitions by domain: a micro-batch is
+    * bounded by construction (the documented within-batch posture),
+    * so a hot domain cannot become an unbounded sort task.
+    */
+  def domainQuotaBatches(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      orderCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    val cr = graft.ops.Cleanse.colRef _
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.expressions.Window
+      val spark = batch.sparkSession
+      val ledgerSchema = StructType(Seq(
+        StructField("domain", StringType),
+        StructField("batch_tokens", LongType),
+        StructField("batch_id", LongType)))
+      val base = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+        .groupBy(col("domain")).agg(sum(col("batch_tokens")).as("_gq_base"))
+      val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+        case (els, (d, b)) =>
+          when(col("_gq_dom") === d, lit(b)).otherwise(els)
+      }
+      val w = Window.partitionBy(col("_gq_dom")).orderBy(cr(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val admitted = batch
+        .withColumn("_gq_dom", cr(domainCol).cast("string"))
+        .filter(col("_gq_dom").isin(budgets.keys.toSeq: _*))
+        .withColumn("_gq_tok", coalesce(cr(tokensCol).cast("long"), lit(0L)))
+        .withColumn("_gq_prev", coalesce(sum(col("_gq_tok")).over(w), lit(0L)))
+        .join(base, col("_gq_dom") === col("domain"), "left")
+        .withColumn("start_off",
+          col("_gq_prev") + coalesce(col("_gq_base"), lit(0L)))
+        .filter(col("start_off") < budgetOf)
+        .drop("domain", "_gq_prev", "_gq_base")
+      admitted.persist()
+      try {
+        onBatch(admitted.drop("_gq_dom", "_gq_tok"), batchId)
+        writeBatchLedger(
+          admitted.groupBy(col("_gq_dom").as("domain"))
+            .agg(sum(col("_gq_tok")).as("batch_tokens"))
+            .withColumn("batch_id", lit(batchId)),
+          ledgerDir)
+      } finally admitted.unpersist()
+    }
+  }
+
   /** `(shard, bin, n_docs, seq_text)` from `(shard, _ord, text, bin)`
     * rows — the [[graft.operators.Corpus.packMaterialize]] output
     * shape, shared by per-batch emission and the end-of-stream flush.
@@ -1423,4 +1500,5 @@ object Streams {
           batch, benchGrams, textCol, idCol, n),
         batchId)
     }
+
 }

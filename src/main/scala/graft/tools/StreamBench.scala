@@ -28,7 +28,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
-        "decontam", "curatechain", "incsemantic", "curatesem")
+        "decontam", "curatechain", "incsemantic", "curatesem", "domquota")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -164,7 +164,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -413,6 +413,22 @@ object StreamBench {
             semanticIndex = Some(semIndex),
             semanticLedgerDir = Some(s"$base/sem"),
             embedDim = 128)
+        }
+      case "domquota" =>
+        // streaming ingestion-budget admission: per-domain running token
+        // totals against the replica's lang mix (en 6.1M chars, others
+        // ~2.1M), budgets set at roughly half of each domain's total so
+        // the stream crosses every boundary mid-run — the bench covers
+        // both the admit-everything and the reject-everything regimes.
+        // Stateless-model: the only state is the per-domain ledger the
+        // deployment itself maintains (a handful of rows per batch).
+        val budgets = Map("en" -> 3000000L, "zh" -> 1000000L,
+          "es" -> 1000000L, "fr" -> 1000000L, "de" -> 1000000L)
+        run("stream_domquota_rows_per_sec", Seq.empty) { (s, h) =>
+          val ledger = java.nio.file.Files
+            .createTempDirectory("graft_domquota_ledger").toString + "/ledger"
+          Streams.domainQuotaBatches(
+            s, "doc_id", "lang", "doc_id", "n_chars", budgets, ledger, h)
         }
       case "incdedup" =>
         // the "model" here is the static corpus whose hash projection

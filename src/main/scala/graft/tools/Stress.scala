@@ -361,6 +361,33 @@ object Stress {
       println(f"[stress] embedText -> semDeDup (50k docs, k=32): " +
         f"$kept survivors in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    locally {
+      // domainMixture under the dominant-domain adversary: 99% of rows
+      // collapse into ONE domain ("web") — the shape that makes a naive
+      // PARTITION BY domain window a single sort task. The bucketed
+      // prefix runs 256 window keys per (domain, epoch) regardless, so
+      // the wall should track corpus size, not the largest domain; the
+      // rare domains exercise the epoch-upsampling branch at the same
+      // time (tiny totals, generous budgets, maxEpochs=3).
+      val mixed = docs.select(col("doc_id"),
+        when(col("doc_id") % 100 === 0, col("lang"))
+          .otherwise(lit("web")).as("dom"),
+        col("n_chars"))
+      val budgets = Map("web" -> 10000000L, "en" -> 500000L,
+        "de" -> 500000L, "fr" -> 500000L, "es" -> 500000L, "zh" -> 500000L)
+      val t0 = System.nanoTime()
+      val out = Corpus.domainMixture(
+        mixed, "doc_id", "dom", col("n_chars"), budgets, maxEpochs = 3)
+      out.write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val perDom = out.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"),
+          max(col("epoch")).as("maxep"))
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}rows/" +
+          s"${r.getLong(2)}tok/ep${r.getLong(3)}").sorted.mkString(" ")
+      println(f"[stress] domainMixture (hot 99%% domain, 3 epochs): " +
+        f"$dt%.1fs  $perDom")
+    }
   }
 
   def main(args: Array[String]): Unit = {

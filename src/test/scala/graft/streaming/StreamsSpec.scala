@@ -992,6 +992,48 @@ class StreamsSpec extends SparkSpec {
     assert(flushed == Set(("b", 1L, 1L, "t6")))
   }
 
+  test("domainQuotaBatches admits per-domain budget prefixes across batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    // (id, dom, ord, toks); budgets a=10, b=25. Batch 0 leaves a at 8;
+    // batch 1's doc 4 straddles a (start 8 < 10), doc 6 then rejects;
+    // b admits everything (total 24 < 25); dom 'z' is not in the mix.
+    val b0 = Seq((1L, "a", 1L, 5L), (2L, "a", 2L, 3L), (3L, "b", 3L, 12L),
+      (9L, "z", 4L, 1L))
+    val b1 = Seq((4L, "a", 5L, 6L), (6L, "a", 6L, 2L), (5L, "b", 7L, 12L))
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_domquota_ledger").toString
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = Streams.domainQuotaBatches(
+      input.toDF().toDF("doc_id", "dom", "ord", "toks"),
+      "doc_id", "dom", "ord", "toks", Map("a" -> 10L, "b" -> 25L),
+      ledgerDir,
+      (out, _) => got.synchronized {
+        got ++= out.select("doc_id", "dom", "start_off").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      }).start()
+    try {
+      Seq(b0, b1).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.sortBy(_._1).toList == List(
+      (1L, "a", 0L), (2L, "a", 5L), (3L, "b", 0L), (4L, "a", 8L),
+      (5L, "b", 12L)))
+    // streaming == the batch single-window quota over the union in
+    // arrival (ord) order
+    val all = (b0 ++ b1).toDF("doc_id", "dom", "ord", "toks")
+    val w = Window.partitionBy(col("dom")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetOf = when(col("dom") === "a", 10L)
+      .when(col("dom") === "b", 25L).otherwise(lit(null).cast("long"))
+    val twin = all
+      .withColumn("start_off", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .filter(col("start_off") < budgetOf)
+      .select("doc_id", "dom", "start_off").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.toSet == twin)
+  }
+
   test("decontaminateBatches streams == batch decontaminate (static bench grams)") {
     implicit val sq = spark.sqlContext
     val benchText = "the committee benchmark answer key phrase number nine follows here today"
