@@ -1717,7 +1717,24 @@ object Corpus {
     * aggregate — doc-sized, never corpus-sized.
     */
   def removeDuplicateSpans(
-      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame =
+    removeSpansWhere(df, textCol, idCol, n) { spans =>
+      spans.select(col("id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("h"))
+    }
+
+  /** Span-level surgery core shared by [[removeDuplicateSpans]] and
+    * [[decontaminateSpans]]: window the raw whitespace words, classify
+    * windows via `hitHashes` (spans `(id, pos, h)` → the `h` frame to
+    * cut), remove every covered word position, rebuild. The output
+    * shape, null-text/null-id conventions, and the pinned
+    * id-partitioned exchange posture are [[removeDuplicateSpans]]'s —
+    * see its scaladoc.
+    */
+  private def removeSpansWhere(
+      df: DataFrame, textCol: String, idCol: String, n: Int)(
+      hitHashes: DataFrame => DataFrame): DataFrame = {
     require(n >= 2, "span windows need n >= 2")
     val spark = df.sparkSession
     val words = df
@@ -1737,10 +1754,7 @@ object Corpus {
               .as("h"))))
         .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("s"))
       .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
-    val dupHashes = spans.select(col("id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2).select(col("h"))
-    val covered = spans.join(dupHashes, Seq("h"), "left_semi")
+    val covered = spans.join(hitHashes(spans), Seq("h"), "left_semi")
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
@@ -1776,6 +1790,64 @@ object Corpus {
           size(col("_graft_w")).cast("long").as("n_tokens"),
           lit(0L).as("n_removed_tokens")))
   }
+
+  /** The distinct benchmark span-hash frame [[decontaminateSpans]]
+    * cuts against — xxhash64 of every raw `n`-consecutive-whitespace-
+    * word window in the benchmark corpus, one `h` BIGINT column. The
+    * PERSISTABLE unit for repeated surgical decontamination (same
+    * role as [[decontaminationGrams]] for the drop-the-doc filter);
+    * raw-word windows, NOT canonical tokens, because surgery must map
+    * hits back to exact word positions in the original text — the
+    * [[removeDuplicateSpans]] convention. `n` must match the
+    * [[decontaminateSpans]] call's n: windows of a different order
+    * never collide and the surgery silently cuts nothing.
+    */
+  def decontaminationSpanHashes(
+      bench: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "span windows need n >= 2")
+    bench
+      .select(filter(split(coalesce(cr(textCol), lit("")), "\\s+"),
+        w => length(w) > 0).as("_graft_words"))
+      .select(explode(
+        when(size(col("_graft_words")) >= n,
+          transform(sequence(lit(1), size(col("_graft_words")) - (n - 1)),
+            i => xxhash64(concat_ws(" ",
+              slice(col("_graft_words"), i, lit(n))))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+      .distinct()
+  }
+
+  /** SURGICAL decontamination — cut benchmark-overlapping spans out of
+    * training documents instead of dropping the documents
+    * ([[decontaminate]]'s whole-doc policy). A window of `n`
+    * consecutive raw whitespace words is contaminated when its content
+    * appears ANYWHERE in the benchmark corpus; every word position
+    * covered by a contaminated window is removed — the
+    * [[removeDuplicateSpans]] surgery with the benchmark span set as
+    * the cut rule instead of cross-doc frequency. Keeps the ~whole
+    * document's training value when the overlap is one quoted question
+    * or answer line; the GPT-3 appendix-C posture of excising overlap
+    * windows rather than discarding pages. Output shape and null
+    * conventions are [[removeDuplicateSpans]]'s: `(id, clean_text,
+    * n_tokens, n_removed_tokens)`, whitespace-normalized.
+    *
+    * Scale shape: the corpus side is ONE word-split feeding spans and
+    * reconstruction behind the pinned id-partitioned exchange; the
+    * bench span-hash frame is eval-suite-sized (thousands of docs →
+    * millions of 8-byte hashes), so the covered probe is a BROADCAST
+    * semi-join — no corpus-sized shuffle joins at all, strictly
+    * cheaper than the cross-doc surgery (whose span-frequency count
+    * shuffles the corpus span stream).
+    */
+  def decontaminateSpans(
+      train: DataFrame,
+      benchSpanHashes: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame =
+    removeSpansWhere(train, textCol, idCol, n)(_ =>
+      benchSpanHashes.select(col("h")))
 
   // ------------------------------------------------------------------
   // C4 page/line cleaning (Raffel et al., JMLR 2020 §2.2)

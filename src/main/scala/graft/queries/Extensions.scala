@@ -1701,6 +1701,48 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** The published pipeline with SURGICAL decontamination: the q138
+    * five-stage shape (URL dedup → C4 → full Gopher → banded-MinHash
+    * near-dup — the 100 TB dedup stage), but the final stage CUTS the
+    * benchmark-overlapping spans out of the surviving pages
+    * ([[graft.operators.Corpus.decontaminateSpans]], 8-word windows vs
+    * the %17 raw bench corpus) instead of dropping whole documents —
+    * the curation variant that keeps a page's training value when the
+    * contamination is one quoted line. Per-source summary over every
+    * s4 survivor: doc count, token totals, removed-token totals, how
+    * many docs were actually cut, and the reconstructed-text char sum
+    * (sensitive to the full surgery, not just the counts). Oracle:
+    * q135's stage CTEs verbatim (sliced before its summary — the q141
+    * mechanism) plus the surgery recomputed with STRING windows (the
+    * q143 posture) over s4.
+    */
+  def qP5RefinedWebSurgical(s: SparkSession, d: String): DataFrame = {
+    val st = refinedWebStages(s, d, s3 =>
+      graft.operators.Dedup
+        .ngramJaccardNearDups(s3, "clean", "id", threshold = 0.5, n = 3)
+        .select(col("id_b").as("id")).distinct())
+    // the surgery consumes s4 four times (word split, token rebuild,
+    // id reinstatement, the summary's source join) and s4 is the one
+    // stage frame refinedWebStages does NOT persist — the q135 persist
+    // rationale applies (Bench clears cache between reps)
+    val s4 = st.s4.persist()
+    val bench = documents(s, d).filter(col("doc_id") % 17 === 0)
+    val spans = graft.operators.Corpus.decontaminationSpanHashes(
+      bench, "text", "doc_id", n = 8)
+    val cut = graft.operators.Corpus.decontaminateSpans(
+      s4, spans, "clean", "id", n = 8)
+    s4.select(col("id"), col("source")).join(cut, Seq("id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_removed_tokens")).as("sum_removed_tokens"),
+        sum(when(col("n_removed_tokens") > 0L, 1L).otherwise(0L))
+          .as("n_surgical"),
+        sum(length(col("clean_text")).cast("long")).as("sum_clean_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Stage frames of the published pipeline, shared by the summary
     * gates (q135/q138 via [[refinedWebPipelineWith]]) and the packed
     * gate (q141): every stage fixed except near-dup removal, pluggable
@@ -1898,6 +1940,37 @@ object Extensions {
           .otherwise(concat(lit("unique closing run number "),
             col("doc_id").cast("string"), lit(" ends page")))).as("text"))
     graft.operators.Corpus.removeDuplicateSpans(messy, "text", "doc_id", n = 5)
+      .orderBy(col("id"))
+  }
+
+  /** Surgical decontamination: a benchmark sentence planted inside %6
+    * docs must be CUT (all 10 of its words — every one is covered by a
+    * fully-internal 5-gram window), a 4-word FRAGMENT of it planted in
+    * %7 docs must survive (sub-n overlap: no 5-window of the train doc
+    * exists inside the bench text), and every other doc passes through
+    * whitespace-normalized with zero removals. The oracle recomputes
+    * the surgery with STRING windows (q136's collision-free posture)
+    * against the bench windows derived in SQL from the same literal.
+    */
+  def qC26DecontaminateSpans(s: SparkSession, d: String): DataFrame = {
+    val phrase =
+      "the benchmark answer span appears inside this page body today"
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" "),
+        when(col("doc_id") % 6 === 0, lit(phrase))
+          .otherwise(when(col("doc_id") % 7 === 0,
+            lit("benchmark answer span appears"))
+            .otherwise(concat(lit("unique trailing run number "),
+              col("doc_id").cast("string"), lit(" closes page")))))
+        .as("text"))
+    val bench = s.range(1)
+      .select(lit(phrase).as("text"), col("id").as("bench_id"))
+    graft.operators.Corpus.decontaminateSpans(
+      messy,
+      graft.operators.Corpus.decontaminationSpanHashes(
+        bench, "text", "bench_id", n = 5),
+      "text", "doc_id", n = 5)
       .orderBy(col("id"))
   }
 
@@ -2521,7 +2594,9 @@ object Extensions {
     "q139_text_embed_semdedup" -> qV10TextEmbedSemDeDup _,
     "q140_text_embed_decontam" -> qV11TextEmbedDecontam _,
     "q141_refinedweb_packed" -> qP4RefinedWebPacked _,
-    "q142_domain_mixture" -> qC25DomainMixture _)
+    "q142_domain_mixture" -> qC25DomainMixture _,
+    "q143_decontaminate_spans" -> qC26DecontaminateSpans _,
+    "q144_refinedweb_surgical" -> qP5RefinedWebSurgical _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2568,6 +2643,43 @@ object Extensions {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
            FROM s5) p
          ORDER BY 1"""
+    }) +
+    // q144 reuses q135's stage CTEs verbatim through s4 (same slicing
+    // mechanism as q141) and swaps the drop-the-doc decontamination
+    // stage for the q143-style STRING-window surgery over s4's clean
+    // text vs the %17 raw bench corpus, summarized per source.
+    ("q144_refinedweb_surgical" -> {
+      val q135 = oracleBase("q135_refinedweb_pipeline")
+      // the slice ends after the final CTE (no trailing comma), so the
+      // appended surgery CTE list reopens the WITH with its own comma
+      q135.substring(0, q135.lastIndexOf("SELECT m.source"))
+        .replaceFirst("(?s)\\s*$", ",\n         ") +
+        """xbw AS (SELECT list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+             FROM documents WHERE doc_id % 17 = 0),
+         xbg AS (SELECT DISTINCT array_to_string(w[pos:pos+7], ' ') AS g FROM
+             (SELECT w, unnest(generate_series(1, len(w) - 7)) AS pos FROM xbw)),
+         xw AS (SELECT doc_id AS id, source,
+             list_filter(string_split_regex(clean, '\s+'), w -> len(w) > 0) AS w FROM s4),
+         xsp AS (SELECT id, pos, array_to_string(w[pos:pos+7], ' ') AS g FROM
+             (SELECT id, w, unnest(generate_series(1, len(w) - 7)) AS pos FROM xw)),
+         xcov AS (SELECT DISTINCT id, pos2 FROM
+             (SELECT id, unnest(generate_series(pos, pos + 7)) AS pos2 FROM xsp
+              WHERE g IN (SELECT g FROM xbg))),
+         xtk AS (SELECT id, pos, w[pos] AS tok FROM
+             (SELECT id, w, unnest(generate_series(1, len(w))) AS pos FROM xw)),
+         xka AS (SELECT xtk.id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+            FROM xtk LEFT JOIN xcov ON xcov.id = xtk.id AND xcov.pos2 = xtk.pos
+            WHERE xcov.id IS NULL GROUP BY xtk.id),
+         xtot AS (SELECT id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM xw)
+         SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(t.n_tokens - coalesce(k.n_kept, 0)) AS BIGINT) AS sum_removed_tokens,
+           CAST(sum(CASE WHEN t.n_tokens - coalesce(k.n_kept, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_surgical,
+           CAST(sum(len(coalesce(k.clean_text, ''))) AS BIGINT) AS sum_clean_chars
+         FROM xtot t LEFT JOIN xka k ON k.id = t.id
+         GROUP BY 1 ORDER BY 1"""
     })
 
   private val oracleBase: Map[String, String] = Map(
@@ -4337,6 +4449,38 @@ object Extensions {
                 n_tokens, CAST(start_off AS BIGINT) AS start_off
          FROM off WHERE start_off < budget
          ORDER BY domain, epoch, start_off, doc_id""",
+    // q143: surgical decontamination recomputed with STRING windows
+    // (q136's collision-free posture); the bench window set derives in
+    // SQL from the same planted literal the gate hands the engine.
+    "q143_decontaminate_spans" ->
+      """WITH msy AS (SELECT doc_id, text || ' ' ||
+           (CASE WHEN doc_id % 6 = 0 THEN 'the benchmark answer span appears inside this page body today'
+            WHEN doc_id % 7 = 0 THEN 'benchmark answer span appears'
+            ELSE 'unique trailing run number ' || CAST(doc_id AS VARCHAR) || ' closes page' END) AS text FROM documents),
+         bws AS (SELECT list_filter(string_split_regex(
+             'the benchmark answer span appears inside this page body today',
+             '\s+'), w -> len(w) > 0) AS w),
+         bg AS (SELECT DISTINCT array_to_string(w[pos:pos+4], ' ') AS g FROM
+             (SELECT w, unnest(generate_series(1, len(w) - 4)) AS pos FROM bws)),
+         ws AS (SELECT doc_id AS id, list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w FROM msy),
+         sp0 AS (SELECT id, w, unnest(generate_series(1, len(w) - 4)) AS pos FROM ws),
+         sp AS (SELECT id, pos, array_to_string(w[pos:pos+4], ' ') AS g FROM sp0),
+         cov AS (SELECT DISTINCT id, pos2 FROM
+             (SELECT id, unnest(generate_series(pos, pos + 4)) AS pos2 FROM sp WHERE g IN (SELECT g FROM bg))),
+         tk0 AS (SELECT id, w, unnest(generate_series(1, len(w))) AS pos FROM ws),
+         tk AS (SELECT id, pos, w[pos] AS tok FROM tk0),
+         ka AS (SELECT tk.id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                CAST(count(*) AS BIGINT) AS n_kept
+            FROM tk LEFT JOIN cov ON cov.id = tk.id AND cov.pos2 = tk.pos
+            WHERE cov.id IS NULL GROUP BY tk.id),
+         tot AS (SELECT id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws)
+         SELECT m.doc_id AS id,
+           coalesce(ka.clean_text, '') AS clean_text,
+           coalesce(tot.n_tokens, 0) AS n_tokens,
+           coalesce(tot.n_tokens, 0) - coalesce(ka.n_kept, 0) AS n_removed_tokens
+         FROM msy m LEFT JOIN tot ON tot.id = m.doc_id
+                    LEFT JOIN ka ON ka.id = m.doc_id
+         ORDER BY id""",
     "q105_pack_materialize" ->
       """WITH x AS (SELECT doc_id, text, doc_id % 8 AS shard,
              CAST(n_chars AS BIGINT) AS n_tokens FROM documents),

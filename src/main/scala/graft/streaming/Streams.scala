@@ -1501,4 +1501,29 @@ object Streams {
         batchId)
     }
 
+  /** Streaming SURGICAL decontamination — [[decontaminateBatches]]'s
+    * cut-the-span sibling: per micro-batch, excise every word position
+    * covered by a benchmark `n`-word window
+    * ([[graft.operators.Corpus.decontaminateSpans]] inside foreachBatch
+    * — the handler IS the batch operator, so streaming ≡ batch by
+    * construction; the surgery is per-doc, so batching cannot change
+    * it). Like its drop-the-doc sibling: the bench side is STATIC, no
+    * ledger; build `benchSpanHashes` once with
+    * [[graft.operators.Corpus.decontaminationSpanHashes]] and persist
+    * it (unpersisted, every micro-batch re-windows the benchmark
+    * corpus).
+    */
+  def decontaminateSpansBatches(
+      docs: DataFrame,
+      benchSpanHashes: DataFrame,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      n: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.decontaminateSpans(
+          batch, benchSpanHashes, textCol, idCol, n),
+        batchId)
+    }
 }

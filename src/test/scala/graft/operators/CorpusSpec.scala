@@ -887,6 +887,55 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSpans cuts bench windows, keeps sub-n fragments") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("bid", "text")
+    val hashes = Corpus.decontaminationSpanHashes(bench, "text", "bid", n = 3)
+    val docs = Seq(
+      // full bench run inside: windows 2..4 internal to the phrase hit;
+      // words alpha..epsilon all covered, lead/tail survive
+      (1L, "lead1 alpha beta gamma delta epsilon tail1"),
+      // 2-word fragment: no 3-window of this doc exists in bench text
+      (2L, "lead2 beta gamma tail2 closes here"),
+      // 3-word INTERNAL window of the phrase hits on its own
+      (3L, "beta gamma delta"),
+      (4L, "Totally unrelated, words HERE!"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Corpus.decontaminateSpans(docs, hashes, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("lead1 tail1", 7L, 5L)))
+    assert(got(2L) == (("lead2 beta gamma tail2 closes here", 6L, 0L)))
+    assert(got(3L) == (("", 3L, 3L)))
+    assert(got(4L) == (("Totally unrelated, words HERE!", 4L, 0L)))
+    assert(got(5L) == (("", 0L, 0L)))
+  }
+
+  test("decontaminateSpans: no cross-doc effect, n-mismatch cuts nothing") {
+    // two train docs SHARING a run that is absent from the bench: the
+    // cross-doc duplicate machinery must NOT fire here — only bench
+    // membership cuts
+    val bench = Seq((0L, "completely separate benchmark phrase lives here"))
+      .toDF("bid", "text")
+    val hashes3 = Corpus.decontaminationSpanHashes(bench, "text", "bid", n = 3)
+    val docs = Seq(
+      (1L, "shared run one two three tail1"),
+      (2L, "shared run one two three tail2"))
+      .toDF("doc_id", "text")
+    val got = Corpus.decontaminateSpans(docs, hashes3, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+    // bench hashed at n=4 probed at n=3: different-order windows never
+    // collide — the scaladoc's silent-no-op contract
+    val hashes4 = Corpus.decontaminationSpanHashes(
+      Seq((0L, "alpha beta gamma delta epsilon")).toDF("bid", "text"),
+      "text", "bid", n = 4)
+    val planted = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val none = Corpus.decontaminateSpans(planted, hashes4, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(3)).sum
+    assert(none == 0L)
+  }
+
   // ------------------------------------------------------------ C4 clean
 
   test("c4Clean applies each line rule independently") {

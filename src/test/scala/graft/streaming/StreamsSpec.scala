@@ -1061,6 +1061,43 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == Set(1L, 3L))
   }
 
+  test("decontaminateSpansBatches streams == batch decontaminateSpans (surgical)") {
+    implicit val sq = spark.sqlContext
+    val benchText = "the committee benchmark answer key phrase number nine follows here today"
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a clean document with its very own words standing free of any benchmark"),
+      (2L, s"dirty one because $benchText rides inside it"),
+      (3L, "another clean body of plain words"))
+    val benchSpans = graft.operators.Corpus
+      .decontaminationSpanHashes(bench, "text", "doc_id", n = 8).persist()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q = Streams.decontaminateSpansBatches(
+      input.toDF().toDF("doc_id", "text"), benchSpans, "text", "doc_id",
+      (clean, _) => got.synchronized {
+        got ++= clean.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+    } finally { q.stop(); benchSpans.unpersist() }
+    val batch = graft.operators.Corpus.decontaminateSpans(
+      docs.toDF("doc_id", "text"), benchSpans, "text", "doc_id", n = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.toSet == batch)
+    // the dirty doc keeps its own words and loses exactly the bench
+    // span's 11 words — surgical, not dropped
+    val dirty = got.find(_._1 == 2L).get
+    assert(dirty._4 == 11L)
+    assert(dirty._2.startsWith("dirty one because"))
+    assert(dirty._2.endsWith("rides inside it"))
+    assert(!dirty._2.contains("committee"))
+    assert(got.filter(_._1 != 2L).forall(_._4 == 0L))
+  }
+
   test("curateIncrementalBatches chains clean→filter→exact→near→decontam with both ledgers") {
     implicit val sq = spark.sqlContext
     val stops = "the report has to be checked and that will hold with care."
