@@ -2391,6 +2391,58 @@ object Corpus {
     (qualityKept(q.getField), repetitionKept(r.getField))
   }
 
+  /** The full quality-SIGNAL frame — RedPajama-v2's "signals, not
+    * decisions" design (Together AI, 2023: ship every per-document
+    * quality measurement; let the consumer pick thresholds): ONE
+    * zero-shuffle projection emitting, per doc, the complete integer
+    * signal surface of every heuristic family the engine implements —
+    * the C4 line/page counts ([[c4Clean]]'s fields, `c4_`-prefixed),
+    * both Gopher A1.1 halves' raw counts ([[gopherQuality]]'s nine and
+    * [[gopherRepetition]]'s sixteen; the repetition line count lands
+    * as `rep_n_lines` — trimmed NON-EMPTY lines, a different
+    * convention from the quality half's raw split), the language guess
+    * and whitespace token count — plus the three published half-flags
+    * (`c4_kept`/`quality_kept`/`repetition_kept`; the conjunction is
+    * the caller's one-liner, deliberately NOT decided here). Filters
+    * become audits: the same frame answers "what would C4 alone have
+    * dropped" and "how close is this page to the Gopher floor"
+    * without re-running anything.
+    *
+    * Scale shape: three fused one-pass expressions plus two scalar
+    * text functions over the same text column in one projection —
+    * narrow, codegen'd, zero shuffle, zero joins (the [[c4Clean]] /
+    * [[gopherQualityFull]] posture; at 100 TB this is scan-bound by
+    * construction).
+    */
+  def qualitySignals(
+      df: DataFrame, textCol: String, idCol: String,
+      badPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    val t = coalesce(cr(textCol), lit(""))
+    val c4 = graft.plans.C4StatsExpr(t)
+    val q = graft.plans.GopherStatsExpr(t)
+    val r = graft.plans.GopherRepStatsExpr(t)
+    val badHit = badPhrases
+      .map(p => lower(t).contains(p.toLowerCase(java.util.Locale.ROOT)))
+      .foldLeft(lit(false))(_ || _)
+    df.select((Seq(
+      cr(idCol).as("id"),
+      c4.getField("n_lines").cast("long").as("c4_n_lines"),
+      c4.getField("n_lines_kept").cast("long").as("c4_n_lines_kept"),
+      c4.getField("n_sentences").cast("long").as("c4_n_sentences"),
+      (c4.getField("n_sentences").cast("long") >= 5L &&
+        !badHit && !t.contains("{")).as("c4_kept")) ++
+      graft.plans.GopherStatsExpr.schema.fieldNames.toSeq
+        .map(n => q.getField(n).as(n)) ++
+      Seq(qualityKept(q.getField).as("quality_kept")) ++
+      graft.plans.GopherRepStatsExpr.schema.fieldNames.toSeq
+        .map(n => r.getField(n)
+          .as(if (n == "n_lines") "rep_n_lines" else n)) ++
+      Seq(
+        repetitionKept(r.getField).as("repetition_kept"),
+        TextFunctions.langId(t).as("lang"),
+        TextFunctions.tokenCount(t).cast("long").as("n_tokens"))): _*)
+  }
+
   /** The STATELESS prefix of the published curation pipeline — C4
     * line/page cleaning then the complete Gopher filter (both A1.1
     * halves) over the cleaned text — as one narrow per-doc transform:

@@ -1743,6 +1743,57 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  /** The full quality-SIGNAL frame end-to-end: the q134 repetition
+    * construction extended with quality-half plants (hash flood %4,
+    * ellipsis lines %6, bullets %9) and C4 plants (javascript %8,
+    * lorem %10, curly %12) so every one of the 33 columns varies
+    * across docs; the oracle recomputes ALL of them — the q128 + q132
+    * + q134 + q24 + q25 fragments over ONE shared msy — and the gate
+    * proves the combined one-projection frame equals the per-family
+    * gate results field for field.
+    */
+  def qC27QualitySignals(s: SparkSession, d: String): DataFrame = {
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat_ws("\n\n",
+        when(col("doc_id") % 7 === 0, substring(col("text"), 1, 40))
+          .otherwise(col("text")),
+        when(col("doc_id") % 3 === 0,
+          lit("the same exact line repeats here\nthe same exact line repeats here"))
+          .otherwise(lit("one line stands alone here\nanother distinct line follows")),
+        when(col("doc_id") % 5 === 0,
+          lit("this paragraph body is repeated verbatim across the page"))
+          .otherwise(lit("a unique paragraph body closes the page")),
+        when(col("doc_id") % 5 === 0,
+          lit("this paragraph body is repeated verbatim across the page"))
+          .otherwise(lit("and a distinct final paragraph follows it")),
+        when(col("doc_id") % 11 === 0,
+          lit("the quick brown fox jumps over the quick brown fox jumps over the quick brown fox jumps over"))
+          .otherwise(lit("steady prose continues to the end of the record")),
+        lit("the data has to be checked with care and that will hold."),
+        when(col("doc_id") % 4 === 0,
+          lit("#### ### ## # ########## ## ### #### # ## ### # # ## ###"))
+          .otherwise(lit("a plain closing line stands here.")),
+        when(col("doc_id") % 6 === 0,
+          lit("wait for it... and more... and more... and more... so on..."))
+          .otherwise(lit("steady text without trailing dots")),
+        when(col("doc_id") % 9 === 0,
+          lit("- item one\n- item two\n* item three"))
+          .otherwise(lit("no bullets in this part")),
+        when(col("doc_id") % 8 === 0,
+          lit("Please enable JavaScript to view this page."))
+          .otherwise(lit("one more sentence lands here! does a question count? yes it does.")),
+        when(col("doc_id") % 10 === 0,
+          lit("filler begins with lorem ipsum dolor sit amet."))
+          .otherwise(lit("clean final line stands here.")),
+        when(col("doc_id") % 12 === 0,
+          lit("template artifact { left behind."))
+          .otherwise(lit("the page closes in an orderly fashion today.")))
+        .as("text"))
+    graft.operators.Corpus.qualitySignals(messy, "text", "doc_id")
+      .orderBy(col("id"))
+  }
+
   /** Stage frames of the published pipeline, shared by the summary
     * gates (q135/q138 via [[refinedWebPipelineWith]]) and the packed
     * gate (q141): every stage fixed except near-dup removal, pluggable
@@ -2596,7 +2647,8 @@ object Extensions {
     "q141_refinedweb_packed" -> qP4RefinedWebPacked _,
     "q142_domain_mixture" -> qC25DomainMixture _,
     "q143_decontaminate_spans" -> qC26DecontaminateSpans _,
-    "q144_refinedweb_surgical" -> qP5RefinedWebSurgical _)
+    "q144_refinedweb_surgical" -> qP5RefinedWebSurgical _,
+    "q145_quality_signals" -> qC27QualitySignals _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3985,6 +4037,193 @@ object Extensions {
          FROM msy m LEFT JOIN tot ON tot.id = m.doc_id
                     LEFT JOIN ka ON ka.id = m.doc_id
          ORDER BY id""",
+    // q145: the combined signal frame — every family's proven oracle
+    // fragment (q128 c4, q132 quality, q134 repetition, q24 tokens,
+    // q25 lang) recomputed over ONE shared msy and joined per id.
+    "q145_quality_signals" ->
+      raw"""WITH msy AS (SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0 THEN left(text, 40) ELSE text END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'the same exact line repeats here' || chr(10) || 'the same exact line repeats here'
+               ELSE 'one line stands alone here' || chr(10) || 'another distinct line follows' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 5 = 0 THEN 'this paragraph body is repeated verbatim across the page'
+               ELSE 'a unique paragraph body closes the page' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 5 = 0 THEN 'this paragraph body is repeated verbatim across the page'
+               ELSE 'and a distinct final paragraph follows it' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 11 = 0 THEN 'the quick brown fox jumps over the quick brown fox jumps over the quick brown fox jumps over'
+               ELSE 'steady prose continues to the end of the record' END)
+             || chr(10) || chr(10) ||
+             'the data has to be checked with care and that will hold.'
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '#### ### ## # ########## ## ### #### # ## ### # # ## ###'
+               ELSE 'a plain closing line stands here.' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 6 = 0 THEN 'wait for it... and more... and more... and more... so on...'
+               ELSE 'steady text without trailing dots' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 9 = 0 THEN '- item one' || chr(10) || '- item two' || chr(10) || '* item three'
+               ELSE 'no bullets in this part' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 8 = 0 THEN 'Please enable JavaScript to view this page.'
+               ELSE 'one more sentence lands here! does a question count? yes it does.' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 10 = 0 THEN 'filler begins with lorem ipsum dolor sit amet.'
+               ELSE 'clean final line stands here.' END)
+             || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 12 = 0 THEN 'template artifact { left behind.'
+               ELSE 'the page closes in an orderly fashion today.' END) AS text
+           FROM documents),
+         cr0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS al,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                 w -> len(w) > 0)) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kl
+           FROM msy),
+         cq AS (SELECT doc_id AS id,
+             CAST(len(al) AS BIGINT) AS c4_n_lines,
+             CAST(len(kl) AS BIGINT) AS c4_n_lines_kept,
+             CAST(len(array_to_string(kl, chr(10)))
+               - len(regexp_replace(array_to_string(kl, chr(10)), '[.!?]', '', 'g')) AS BIGINT) AS c4_n_sentences,
+             (len(array_to_string(kl, chr(10)))
+               - len(regexp_replace(array_to_string(kl, chr(10)), '[.!?]', '', 'g')) >= 5
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')) AS c4_kept
+           FROM cr0),
+         qm AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words,
+             string_split(text, chr(10)) AS lines,
+             $toks AS toks
+           FROM msy),
+         qc AS (SELECT doc_id AS id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3
+               + (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS n_ellipsis,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l ->
+               left(trim(l), 1) = '-' OR left(trim(l), 1) = '*' OR left(trim(l), 1) = '•')) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(lines, l ->
+               right(trim(l), 3) = '...' OR right(trim(l), 1) = '…')) AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+               s -> list_contains(toks, s))) AS BIGINT) AS n_stop_hits
+           FROM qm),
+         rb AS (SELECT doc_id AS id, text, CAST(len(text) AS BIGINT) AS text_chars,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM msy),
+         rle AS (SELECT id, trim(l, ' ') AS lt FROM
+             (SELECT id, unnest(string_split(text, chr(10))) AS l FROM rb)
+           WHERE len(trim(l, ' ')) > 0),
+         rlc AS (SELECT id, lt, count(*) AS c FROM rle GROUP BY 1, 2),
+         rla AS (SELECT id, CAST(sum(c) AS BIGINT) AS rep_n_lines,
+             CAST(coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_lines,
+             CAST(coalesce(sum(len(lt) * (c - 1)) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_line_chars
+           FROM rlc GROUP BY 1),
+         rpe AS (SELECT id, trim(p, ' ') AS pt FROM
+             (SELECT id, unnest(string_split_regex(text, '\n{2,}')) AS p FROM rb)
+           WHERE len(trim(p, ' ')) > 0),
+         rpc AS (SELECT id, pt, count(*) AS c FROM rpe GROUP BY 1, 2),
+         rpa AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_paras,
+             CAST(coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_paras,
+             CAST(coalesce(sum(len(pt) * (c - 1)) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_para_chars
+           FROM rpc GROUP BY 1),
+         rns AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+         rge AS (SELECT id, n, unnest(list_transform(
+                 generate_series(1, len(ws) - n + 1),
+                 i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+           FROM rb CROSS JOIN rns),
+         rgc AS (SELECT id, n, g, count(*) AS c FROM rge GROUP BY 1, 2, 3),
+         rgw AS (SELECT id, n, g, c, max(c) OVER (PARTITION BY id, n) AS mc FROM rgc),
+         rga AS (SELECT id, n,
+             CAST(any_value(mc) * coalesce(max(len(g)) FILTER (WHERE c = mc AND c >= 2), 0) AS BIGINT) AS topc,
+             CAST(coalesce(sum(len(g) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dupc
+           FROM rgw GROUP BY 1, 2),
+         rgp AS (SELECT id,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 2), 0) AS BIGINT) AS top2_chars,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 3), 0) AS BIGINT) AS top3_chars,
+             CAST(coalesce(max(topc) FILTER (WHERE n = 4), 0) AS BIGINT) AS top4_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 5), 0) AS BIGINT) AS dup5_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 6), 0) AS BIGINT) AS dup6_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 7), 0) AS BIGINT) AS dup7_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 8), 0) AS BIGINT) AS dup8_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 9), 0) AS BIGINT) AS dup9_chars,
+             CAST(coalesce(max(dupc) FILTER (WHERE n = 10), 0) AS BIGINT) AS dup10_chars
+           FROM rga GROUP BY 1),
+         lg AS (SELECT doc_id AS id,
+             ${hits(TextFunctions.stopwords("en"))} AS s_en,
+             ${hits(TextFunctions.stopwords("es"))} AS s_es,
+             ${hits(TextFunctions.stopwords("fr"))} AS s_fr,
+             ${hits(TextFunctions.stopwords("de"))} AS s_de,
+             ${hits(TextFunctions.stopwords("zh"))} AS s_zh
+           FROM msy),
+         lp AS (SELECT id,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                  ELSE 'zh' END AS lang
+           FROM lg),
+         tk AS (SELECT doc_id AS id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM msy)
+         SELECT cq.id, cq.c4_n_lines, cq.c4_n_lines_kept, cq.c4_n_sentences, cq.c4_kept,
+           qc.n_words, qc.sum_word_len, qc.n_alpha_words, qc.n_hash, qc.n_ellipsis,
+           qc.n_lines, qc.n_bullet_lines, qc.n_ellipsis_lines, qc.n_stop_hits,
+           (qc.n_words >= 50 AND qc.n_words <= 100000
+            AND 3 * qc.n_words <= qc.sum_word_len
+            AND qc.sum_word_len <= 10 * qc.n_words
+            AND 10 * qc.n_hash <= qc.n_words
+            AND 10 * qc.n_ellipsis <= qc.n_words
+            AND 10 * qc.n_bullet_lines <= 9 * qc.n_lines
+            AND 10 * qc.n_ellipsis_lines <= 3 * qc.n_lines
+            AND 5 * qc.n_alpha_words >= 4 * qc.n_words
+            AND qc.n_stop_hits >= 2) AS quality_kept,
+           coalesce(rla.rep_n_lines, 0) AS rep_n_lines,
+           coalesce(rla.dup_lines, 0) AS dup_lines,
+           coalesce(rla.dup_line_chars, 0) AS dup_line_chars,
+           coalesce(rpa.n_paras, 0) AS n_paras,
+           coalesce(rpa.dup_paras, 0) AS dup_paras,
+           coalesce(rpa.dup_para_chars, 0) AS dup_para_chars,
+           rb.text_chars,
+           coalesce(rgp.top2_chars, 0) AS top2_chars,
+           coalesce(rgp.top3_chars, 0) AS top3_chars,
+           coalesce(rgp.top4_chars, 0) AS top4_chars,
+           coalesce(rgp.dup5_chars, 0) AS dup5_chars,
+           coalesce(rgp.dup6_chars, 0) AS dup6_chars,
+           coalesce(rgp.dup7_chars, 0) AS dup7_chars,
+           coalesce(rgp.dup8_chars, 0) AS dup8_chars,
+           coalesce(rgp.dup9_chars, 0) AS dup9_chars,
+           coalesce(rgp.dup10_chars, 0) AS dup10_chars,
+           (10 * coalesce(rla.dup_lines, 0) <= 3 * coalesce(rla.rep_n_lines, 0)
+            AND 10 * coalesce(rpa.dup_paras, 0) <= 3 * coalesce(rpa.n_paras, 0)
+            AND 5 * coalesce(rla.dup_line_chars, 0) <= rb.text_chars
+            AND 5 * coalesce(rpa.dup_para_chars, 0) <= rb.text_chars
+            AND 5 * coalesce(rgp.top2_chars, 0) <= rb.text_chars
+            AND 50 * coalesce(rgp.top3_chars, 0) <= 9 * rb.text_chars
+            AND 25 * coalesce(rgp.top4_chars, 0) <= 4 * rb.text_chars
+            AND 20 * coalesce(rgp.dup5_chars, 0) <= 3 * rb.text_chars
+            AND 50 * coalesce(rgp.dup6_chars, 0) <= 7 * rb.text_chars
+            AND 100 * coalesce(rgp.dup7_chars, 0) <= 13 * rb.text_chars
+            AND 25 * coalesce(rgp.dup8_chars, 0) <= 3 * rb.text_chars
+            AND 100 * coalesce(rgp.dup9_chars, 0) <= 11 * rb.text_chars
+            AND 10 * coalesce(rgp.dup10_chars, 0) <= rb.text_chars) AS repetition_kept,
+           lp.lang, tk.n_tokens
+         FROM cq
+         JOIN qc ON qc.id = cq.id
+         JOIN rb ON rb.id = cq.id
+         LEFT JOIN rla ON rla.id = cq.id
+         LEFT JOIN rpa ON rpa.id = cq.id
+         LEFT JOIN rgp ON rgp.id = cq.id
+         JOIN lp ON lp.id = cq.id
+         JOIN tk ON tk.id = cq.id
+         ORDER BY cq.id""",
     // q137: closed-form planted truth (the q30/q31 posture): identical
     // vectors co-cluster under any centroids, cosine(v,v) ~ 1, and the
     // max natural pairwise cosine here is 0.513 << 0.99 — so exactly

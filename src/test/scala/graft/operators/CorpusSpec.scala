@@ -936,6 +936,49 @@ class CorpusSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("qualitySignals equals the per-family operators field for field") {
+    val docs = Seq(
+      (1L, "the same line\nthe same line\n\nwait... so on...\n- item\nthe data" +
+        " to be checked # with care and that will hold of course.\nlorem ipsum here"),
+      (2L, "a plain page of steady prose that simply carries on. it ends here."),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sig = Corpus.qualitySignals(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // C4 half vs c4Clean
+    val c4 = Corpus.c4Clean(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // quality half vs gopherQuality, repetition half vs gopherRepetition
+    val gq = Corpus.gopherQuality(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val gr = Corpus.gopherRepetition(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val s = sig(id)
+      assert(s.getAs[Long]("c4_n_lines") == c4(id).getAs[Long]("n_lines"))
+      assert(s.getAs[Long]("c4_n_lines_kept") == c4(id).getAs[Long]("n_lines_kept"))
+      assert(s.getAs[Long]("c4_n_sentences") == c4(id).getAs[Long]("n_sentences"))
+      assert(s.getAs[Boolean]("c4_kept") == c4(id).getAs[Boolean]("kept"))
+      Seq("n_words", "sum_word_len", "n_alpha_words", "n_hash", "n_ellipsis",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_stop_hits")
+        .foreach(f => assert(s.getAs[Long](f) == gq(id).getAs[Long](f), s"$f @$id"))
+      assert(s.getAs[Boolean]("quality_kept") == gq(id).getAs[Boolean]("kept"))
+      assert(s.getAs[Long]("rep_n_lines") == gr(id).getAs[Long]("n_lines"))
+      Seq("dup_lines", "dup_line_chars", "n_paras", "dup_paras",
+        "dup_para_chars", "text_chars", "top2_chars", "top3_chars",
+        "top4_chars", "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
+        "dup9_chars", "dup10_chars")
+        .foreach(f => assert(s.getAs[Long](f) == gr(id).getAs[Long](f), s"$f @$id"))
+      assert(s.getAs[Boolean]("repetition_kept") == gr(id).getAs[Boolean]("kept"))
+    }
+    // null text reads as empty everywhere: zero counts, false flags, und
+    assert(sig(4L).getAs[Long]("n_tokens") == 0L)
+    assert(sig(4L).getAs[String]("lang") == "und")
+    assert(sig(1L).getAs[String]("lang") == "en")
+    assert(sig(1L).getAs[Long]("n_tokens") > 0L)
+  }
+
   // ------------------------------------------------------------ C4 clean
 
   test("c4Clean applies each line rule independently") {
