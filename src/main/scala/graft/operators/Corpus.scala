@@ -699,6 +699,41 @@ object Corpus {
         col("n_tokens"), col("start_off"))
   }
 
+  /** Deterministic TRAINING ORDER over the [[domainMixture]] output —
+    * the mixture's last mile: chunk each domain's admission stream
+    * into `budget`-token bins (bin/off directly from `start_off`, the
+    * [[packSequences]] formula — the mixture already computed the
+    * prefix sum, no second window), then give every bin a seeded
+    * GLOBAL position and shard: `ord_key = md5(salt:domain:bin)` — the
+    * global sequence shuffle every pretraining run applies so
+    * consecutive training sequences interleave domains instead of
+    * replaying one domain block, reproducible and re-seedable via
+    * `salt`; `shard` = first hex nibble of the same key mod `nShards`.
+    * A training job reads shard files ordered by `(ord_key, off)`.
+    *
+    * Scale shape: one narrow projection over the mixture frame — the
+    * key is a per-row md5, the bin a division; no joins, no windows.
+    * The materializing sort by `ord_key` (the caller's write) is a
+    * range-partitioned global sort, the one shuffle this stage pays.
+    */
+  def trainingOrder(
+      mix: DataFrame, idCol: String, budget: Long, nShards: Int,
+      salt: String = "order"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards >= 1 && nShards <= 16,
+      "nShards in [1,16] — shard is one hex nibble of the order key")
+    val bin = floor(col("start_off") / budget).cast("long")
+    val key = md5(concat_ws(":",
+      lit(salt), col("domain"), bin.cast("string")))
+    mix.select(
+      cr(idCol).as(idCol), col("domain"), col("epoch"), col("n_tokens"),
+      bin.as("bin"),
+      (col("start_off") % budget).as("off"),
+      key.as("ord_key"),
+      (conv(substring(key, 1, 1), 16, 10).cast("long") % nShards)
+        .as("shard"))
+  }
+
   /** Keep-decision column for a deterministic Bernoulli(frac) sample:
     * true iff the first 8 hex chars of md5(id) sort below the quantized
     * threshold (fractions quantize to 1/2³²). Same engine-portable

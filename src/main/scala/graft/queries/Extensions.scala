@@ -2100,6 +2100,24 @@ object Extensions {
       maxEpochs = 2)
       .orderBy(col("domain"), col("epoch"), col("start_off"), col("doc_id"))
 
+  /** The mixture's last mile: q142's domainMixture feeding
+    * [[graft.operators.Corpus.trainingOrder]] — every admitted copy
+    * placed into a 2048-token bin with a seeded global order key and
+    * a shard. Oracle: q142's SQL verbatim (sliced at its ORDER BY)
+    * plus the bin arithmetic and the same md5 expressions in DuckDB
+    * (md5 hex strings are engine-portable; shard derives from the
+    * first nibble via a position scan, no hex→int cast needed).
+    */
+  def qC28TrainingOrder(s: SparkSession, d: String): DataFrame = {
+    val mix = graft.operators.Corpus.domainMixture(
+      documents(s, d), "doc_id", "lang", col("n_chars"),
+      Map("en" -> 30000L, "de" -> 25000L, "fr" -> 50000L, "es" -> 10000L),
+      maxEpochs = 2)
+    graft.operators.Corpus.trainingOrder(
+      mix, "doc_id", budget = 2048L, nShards = 8)
+      .orderBy(col("ord_key"), col("off"), col("doc_id"))
+  }
+
   /** Stratified hash sampling: per-lang keep fractions rebalancing the
     * en-heavy corpus via the engine-portable md5 threshold.
     */
@@ -2648,7 +2666,8 @@ object Extensions {
     "q142_domain_mixture" -> qC25DomainMixture _,
     "q143_decontaminate_spans" -> qC26DecontaminateSpans _,
     "q144_refinedweb_surgical" -> qP5RefinedWebSurgical _,
-    "q145_quality_signals" -> qC27QualitySignals _)
+    "q145_quality_signals" -> qC27QualitySignals _,
+    "q146_training_order" -> qC28TrainingOrder _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2732,6 +2751,22 @@ object Extensions {
            CAST(sum(len(coalesce(k.clean_text, ''))) AS BIGINT) AS sum_clean_chars
          FROM xtot t LEFT JOIN xka k ON k.id = t.id
          GROUP BY 1 ORDER BY 1"""
+    }) +
+    // q146 reuses q142's mixture SQL verbatim (sliced at its final
+    // ORDER BY) and adds the bin arithmetic + the identical md5 order
+    // key; shard = first-nibble position scan (hex chars are engine-
+    // portable, no hex->int cast needed).
+    ("q146_training_order" -> {
+      val q142 = oracleBase("q142_domain_mixture")
+      s"""WITH mix AS (${q142.substring(0, q142.lastIndexOf("ORDER BY"))})
+         SELECT doc_id, domain, epoch, n_tokens,
+           CAST(start_off // 2048 AS BIGINT) AS bin,
+           CAST(start_off % 2048 AS BIGINT) AS "off",
+           md5('order:' || domain || ':' || CAST(start_off // 2048 AS VARCHAR)) AS ord_key,
+           CAST((strpos('0123456789abcdef',
+             substr(md5('order:' || domain || ':' || CAST(start_off // 2048 AS VARCHAR)), 1, 1)) - 1) % 8
+             AS BIGINT) AS shard
+         FROM mix ORDER BY ord_key, "off", doc_id"""
     })
 
   private val oracleBase: Map[String, String] = Map(

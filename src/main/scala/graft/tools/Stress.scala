@@ -362,6 +362,39 @@ object Stress {
         f"$kept survivors in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     locally {
+      // SURGICAL decontamination at replica scale vs the drop-the-doc
+      // path, same bench (the %17 raw slice): the surgery pays the
+      // word-split + rebuild where the drop path pays only a gram
+      // semi-join, but keeps ~all docs — both walls and both kept/cut
+      // masses printed so the tradeoff is a measured fact. Bench side
+      // built once and persisted (the persistable-unit discipline).
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val spans = Corpus.decontaminationSpanHashes(
+        bench, "text", "doc_id", n = 8).persist()
+      spans.count()
+      val grams = Corpus.decontaminationGrams(
+        bench, "text", "doc_id", n = 8).persist()
+      grams.count()
+      val t0 = System.nanoTime()
+      val cut = Corpus.decontaminateSpans(docs, spans, "text", "doc_id", n = 8)
+      cut.write.mode("overwrite").format("noop").save()
+      val tCut = (System.nanoTime() - t0) / 1e9
+      val stats = cut.agg(
+        count(lit(1)), sum(col("n_removed_tokens")),
+        sum(when(col("n_removed_tokens") > 0, 1L).otherwise(0L))).collect()(0)
+      val t1 = System.nanoTime()
+      val kept = Corpus.decontaminateAgainstGrams(
+        docs, grams, "text", "doc_id", n = 8)
+      kept.write.mode("overwrite").format("noop").save()
+      val tDrop = (System.nanoTime() - t1) / 1e9
+      val nKept = kept.count()
+      println(f"[stress] decontaminate 50k vs %%17 bench — surgical: " +
+        f"$tCut%.1fs (${stats.getLong(0)} docs kept, ${stats.getLong(2)} cut, " +
+        f"${stats.getLong(1)} tokens removed); drop-path: $tDrop%.1fs " +
+        f"($nKept docs kept)")
+      spans.unpersist(); grams.unpersist()
+    }
+    locally {
       // domainMixture under the dominant-domain adversary: 99% of rows
       // collapse into ONE domain ("web") — the shape that makes a naive
       // PARTITION BY domain window a single sort task. The bucketed

@@ -936,6 +936,44 @@ class CorpusSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("trainingOrder: packSequences bin arithmetic + md5 order key, re-seedable") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val mix = Seq(
+      (1L, "a", 0L, 5L, 0L), (2L, "a", 0L, 5L, 5L), (3L, "a", 0L, 5L, 10L),
+      (4L, "b", 0L, 7L, 0L), (5L, "b", 1L, 7L, 7L))
+      .toDF("doc_id", "domain", "epoch", "n_tokens", "start_off")
+    val got = Corpus.trainingOrder(mix, "doc_id", budget = 8L, nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toMap
+    // bin = start_off div 8, off = start_off mod 8 (doc 2 straddles INTO
+    // bin 0 at off 5 — the packSequences convention)
+    assert(got(1L)._1 == 0L && got(1L)._2 == 0L)
+    assert(got(2L)._1 == 0L && got(2L)._2 == 5L)
+    assert(got(3L)._1 == 1L && got(3L)._2 == 2L)
+    assert(got(4L)._1 == 0L && got(4L)._2 == 0L)
+    assert(got(5L)._1 == 0L && got(5L)._2 == 7L)
+    // order key = md5("order:<domain>:<bin>") — independent Java replica;
+    // same (domain, bin) shares a key (docs 1+2), epochs do not split it
+    // (docs 4+5: same domain AND bin via offsets, same key)
+    assert(got(1L)._3 == md5hex("order:a:0"))
+    assert(got(1L)._3 == got(2L)._3)
+    assert(got(3L)._3 == md5hex("order:a:1"))
+    assert(got(4L)._3 == md5hex("order:b:0"))
+    assert(got(4L)._3 == got(5L)._3)
+    // shard = first nibble mod nShards, and within [0, nShards)
+    got.values.foreach { case (_, _, k, sh) =>
+      assert(sh == java.lang.Long.parseLong(k.substring(0, 1), 16) % 8)
+      assert(sh >= 0 && sh < 8)
+    }
+    // re-seed changes the global order, not the bin placement
+    val reseeded = Corpus.trainingOrder(mix, "doc_id", 8L, 8, salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(reseeded(1L) == md5hex("s2:a:0"))
+    assert(reseeded(1L) != got(1L)._3)
+  }
+
   test("qualitySignals equals the per-family operators field for field") {
     val docs = Seq(
       (1L, "the same line\nthe same line\n\nwait... so on...\n- item\nthe data" +
