@@ -28,7 +28,8 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
-        "decontam", "curatechain", "incsemantic", "curatesem", "domquota")
+        "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
+        "decontamsurg")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -164,7 +165,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -413,6 +414,16 @@ object StreamBench {
             semanticIndex = Some(semIndex),
             semanticLedgerDir = Some(s"$base/sem"),
             embedDim = 128)
+        }
+      case "decontamsurg" =>
+        // streaming SURGICAL decontamination: same stream/bench shape
+        // as decontam, but the contaminated spans are cut out instead
+        // of the docs dropped; persistable unit = the span-hash frame
+        // (unpersisted, every micro-batch re-windows the benchmark)
+        val benchSpans = graft.operators.Corpus.decontaminationSpanHashes(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+        run("stream_decontamsurg_rows_per_sec", Seq(benchSpans)) { (s, h) =>
+          Streams.decontaminateSpansBatches(s, benchSpans, "text", "doc_id", h)
         }
       case "domquota" =>
         // streaming ingestion-budget admission: per-domain running token

@@ -1034,6 +1034,55 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == twin)
   }
 
+  test("domainQuotaBatches -> trainingOrder closes the streaming ingest loop") {
+    implicit val sq = spark.sqlContext
+    // the admitted rows carry start_off, so the handler can hand them
+    // straight to trainingOrder (epoch = 0: a stream has no epochs —
+    // the domainQuotaBatches scaladoc's documented posture) and the
+    // bin/key placement equals the batch path over the same admissions
+    val b0 = Seq((1L, "a", 1L, 5L), (2L, "a", 2L, 3L), (3L, "b", 3L, 6L))
+    val b1 = Seq((4L, "a", 4L, 6L), (5L, "b", 5L, 6L))
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_domquota_to_order").toString
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String, Long)]
+    val q = Streams.domainQuotaBatches(
+      input.toDF().toDF("doc_id", "dom", "ord", "toks"),
+      "doc_id", "dom", "ord", "toks", Map("a" -> 12L, "b" -> 20L),
+      ledgerDir,
+      (out, _) => got.synchronized {
+        val mix = out
+          .withColumnRenamed("dom", "domain")
+          .withColumn("epoch", lit(0L))
+          .withColumnRenamed("toks", "n_tokens")
+        got ++= graft.operators.Corpus
+          .trainingOrder(mix, "doc_id", budget = 8L, nShards = 8)
+          .select("doc_id", "bin", "off", "ord_key", "shard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getLong(4)))
+      }).start()
+    try {
+      Seq(b0, b1).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch twin: the same quota admissions (all of a's 14 tokens start
+    // under 12 — doc 4 straddles; b admits both) ordered and binned
+    val twinMix = Seq(
+      (1L, "a", 0L, 5L, 0L), (2L, "a", 0L, 3L, 5L), (4L, "a", 0L, 6L, 8L),
+      (3L, "b", 0L, 6L, 0L), (5L, "b", 0L, 6L, 6L))
+      .toDF("doc_id", "domain", "epoch", "n_tokens", "start_off")
+    val twin = graft.operators.Corpus
+      .trainingOrder(twinMix, "doc_id", budget = 8L, nShards = 8)
+      .select("doc_id", "bin", "off", "ord_key", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got.toSet == twin)
+    // cross-batch continuity: doc 4 (batch 1) lands in bin 1 at off 0
+    // because batch 0 left domain a at 8 tokens
+    assert(got.find(_._1 == 4L).get._2 == 1L)
+    assert(got.find(_._1 == 4L).get._3 == 0L)
+  }
+
   test("decontaminateBatches streams == batch decontaminate (static bench grams)") {
     implicit val sq = spark.sqlContext
     val benchText = "the committee benchmark answer key phrase number nine follows here today"
