@@ -699,6 +699,109 @@ object Corpus {
         col("n_tokens"), col("start_off"))
   }
 
+  /** EXACT `ntile(n)` per group WITHOUT a per-group window — the
+    * distributed form of `ntile(n) OVER (PARTITION BY grp ORDER BY
+    * ord, tie)`, safe when one group holds most of the corpus (the
+    * dominant-domain adversary: a naive window makes that group ONE
+    * sort task). Two-pass range bucketing: per-group min/max splits
+    * the order key's value range into 256 buckets, per-(group, bucket)
+    * counts prefix-sum into bucket bases (a 256-key window per group —
+    * the [[domainMixture]] posture), and the within-bucket
+    * `row_number` rides on top for the exact global rank; the
+    * SQL-standard tile formula (first `count % n` tiles take the
+    * ceiling size) maps rank → tile. Results are EXACTLY the window
+    * ntile's — q147 pins it against DuckDB's native `ntile` — and
+    * deterministic under any partitioning (ties broken by `tie`).
+    *
+    * Caveat, stated not hidden: range buckets are uniform over the
+    * VALUE span, so a degenerate distribution (99% of one group's
+    * rows sharing one value) re-concentrates into one bucket and the
+    * within-bucket window degrades toward the naive shape; the md5
+    * trick that fixes [[domainMixture]] cannot apply because this
+    * order is semantic. For scores (LM perplexity, quality blends)
+    * value spread is the normal case.
+    */
+  def exactNtile(
+      df: DataFrame, groupCol: String, order: Column, tie: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    // null order keys sit OUTSIDE the ranking (a window ntile would
+    // sort them first/last by engine whim): routed around the machinery
+    // and emitted with ntile = null, so every input row is accounted for
+    val withOrd = df.withColumn("_gnt_ord", order.cast("double"))
+    val nullOrd = withOrd.filter(col("_gnt_ord").isNull)
+      .drop("_gnt_ord").withColumn("ntile", lit(null).cast("long"))
+    val base = withOrd.filter(col("_gnt_ord").isNotNull)
+      .withColumn("_gnt_grp", cr(groupCol).cast("string"))
+      .withColumn("_gnt_tie", tie)
+    val span = base.groupBy(col("_gnt_grp"))
+      .agg(min(col("_gnt_ord")).as("_gnt_lo"), max(col("_gnt_ord")).as("_gnt_hi"),
+        count(lit(1)).as("_gnt_cnt"))
+    val bucketed = base.join(span, Seq("_gnt_grp"))
+      .withColumn("_gnt_bkt",
+        when(col("_gnt_hi") === col("_gnt_lo"), lit(0))
+          .otherwise(least(lit(255), floor(
+            (col("_gnt_ord") - col("_gnt_lo")) /
+              (col("_gnt_hi") - col("_gnt_lo")) * 256).cast("int"))))
+    val wBase = Window.partitionBy(col("_gnt_grp")).orderBy(col("_gnt_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col("_gnt_grp"), col("_gnt_bkt"))
+      .agg(count(lit(1)).as("_gnt_bc"))
+      .withColumn("_gnt_base",
+        coalesce(sum(col("_gnt_bc")).over(wBase), lit(0L)))
+      .drop("_gnt_bc")
+    val wLocal = Window.partitionBy(col("_gnt_grp"), col("_gnt_bkt"))
+      .orderBy(col("_gnt_ord"), col("_gnt_tie"))
+    // no explicit broadcast hint: bases is (groups x <= 256) rows —
+    // tiny for the language/domain use this serves, where AQE
+    // broadcasts it anyway; with millions of groups it grows past
+    // broadcastability and the keyed join is the correct fallback
+    val ranked = bucketed
+      .join(bases, Seq("_gnt_grp", "_gnt_bkt"))
+      .withColumn("_gnt_rank",
+        col("_gnt_base") + row_number().over(wLocal))
+    // SQL-standard ntile: with c rows and q = c div n, rem = c mod n,
+    // the first rem tiles hold q+1 rows; q == 0 means tile = rank.
+    // Integer division via floor over doubles — counts sit far below
+    // 2^53 per group before any other machinery would have melted.
+    val c = col("_gnt_cnt"); val q = floor(c / n).cast("long")
+    val rem = c % n
+    val big = q + 1L; val r0 = col("_gnt_rank") - 1L
+    val tileCol = when(lit(n) === 1, lit(1L))
+      .when(q === 0L, col("_gnt_rank"))
+      .when(r0 < rem * big, floor(r0 / big).cast("long") + 1L)
+      .otherwise(rem + floor((r0 - rem * big) / q).cast("long") + 1L)
+    ranked.withColumn("ntile", tileCol.cast("long"))
+      .drop("_gnt_grp", "_gnt_ord", "_gnt_tie", "_gnt_lo", "_gnt_hi",
+        "_gnt_cnt", "_gnt_bkt", "_gnt_base", "_gnt_rank")
+      .unionByName(nullOrd)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §3.3:
+    * score every page with a reference-domain LM, split each language
+    * into head/middle/tail perplexity TERCILES, keep head+middle for
+    * training): [[exactNtile]] per language over a perplexity-like
+    * score column where LOWER = better (the engine's
+    * `avg_neg_logscore` convention), ascending — tile 1 is `head`.
+    * Emits the input plus `bucket` ∈ {head, middle, tail}; rows with a
+    * null score (no n-grams) bucket as `tail` — a scoreless page is
+    * not reference-like, and silently dropping it would break the
+    * every-input-accounted contract. Composes from gate-proven parts
+    * (langId → [[ngramBackoffScore]] → exactNtile); the composition
+    * gate is rows-only because the score is transcendental (the
+    * q130/q131 posture) — bucket SEMANTICS are oracle-pinned through
+    * q147's integer-ordered ntile.
+    */
+  def perplexityBuckets(
+      scored: DataFrame, langCol: String, scoreCol: String,
+      tie: Column): DataFrame =
+    exactNtile(scored, langCol, cr(scoreCol), tie, n = 3)
+      .withColumn("bucket",
+        when(col("ntile") === 1L, lit("head"))
+          .when(col("ntile") === 2L, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("ntile")
+
   /** Deterministic TRAINING ORDER over the [[domainMixture]] output —
     * the mixture's last mile: chunk each domain's admission stream
     * into `budget`-token bins (bin/off directly from `start_off`, the

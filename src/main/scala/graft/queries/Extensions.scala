@@ -2118,6 +2118,42 @@ object Extensions {
       .orderBy(col("ord_key"), col("off"), col("doc_id"))
   }
 
+  /** Distributed exact ntile vs the SQL-standard window form: tercile
+    * of n_chars per language, ties by doc_id — DuckDB's native
+    * `ntile(3)` is the oracle, so the two-pass range-bucketed rank
+    * (no per-group window) must reproduce the window semantics row
+    * for row, remainder distribution included.
+    */
+  def qC29ExactNtile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.exactNtile(
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", col("n_chars"), col("doc_id"), n = 3)
+      .orderBy(col("doc_id"))
+
+  /** The CCNet pipeline shape (Wenzek et al. 2020): language-ID every
+    * page, score with a reference-domain 3-gram backoff LM (trained on
+    * the %10 split — the "clean reference" stand-in), split each
+    * language into head/middle/tail perplexity terciles. Rows-only:
+    * the LM score is transcendental (q130/q131 posture); the pieces
+    * are individually gate-proven (q25 langId, q123 LM masses, q147
+    * ntile semantics) and CorpusSpec pins the bucket rule on planted
+    * scores.
+    */
+  def qP6CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val docsDf = documents(s, d)
+    val scored = graft.operators.Corpus.ngramBackoffScore(
+        docsDf.filter(col("doc_id") % 10 === 0),
+        docsDf.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", n = 3)
+      .join(docsDf.select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang")),
+        Seq("id"))
+    graft.operators.Corpus.perplexityBuckets(
+        scored, "lang", "avg_neg_logscore", col("id"))
+      .select(col("id"), col("lang"), col("bucket"))
+      .orderBy(col("id"))
+  }
+
   /** Stratified hash sampling: per-lang keep fractions rebalancing the
     * en-heavy corpus via the engine-portable md5 threshold.
     */
@@ -2667,7 +2703,9 @@ object Extensions {
     "q143_decontaminate_spans" -> qC26DecontaminateSpans _,
     "q144_refinedweb_surgical" -> qP5RefinedWebSurgical _,
     "q145_quality_signals" -> qC27QualitySignals _,
-    "q146_training_order" -> qC28TrainingOrder _)
+    "q146_training_order" -> qC28TrainingOrder _,
+    "q147_exact_ntile" -> qC29ExactNtile _,
+    "q148_ccnet_buckets" -> qP6CcnetBuckets _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -4072,6 +4110,14 @@ object Extensions {
          FROM msy m LEFT JOIN tot ON tot.id = m.doc_id
                     LEFT JOIN ka ON ka.id = m.doc_id
          ORDER BY id""",
+    // q147: the two-pass range-bucketed exact ntile must reproduce the
+    // native window ntile row for row (remainder-to-first-tiles rule
+    // included) — DuckDB's own ntile IS the oracle.
+    "q147_exact_ntile" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(ntile(3) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             AS BIGINT) AS ntile
+         FROM documents ORDER BY doc_id""",
     // q145: the combined signal frame — every family's proven oracle
     // fragment (q128 c4, q132 quality, q134 repetition, q24 tokens,
     // q25 lang) recomputed over ONE shared msy and joined per id.

@@ -936,6 +936,60 @@ class CorpusSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("exactNtile == the window ntile on random data; null keys route out") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // group sizes straddling every remainder case (c mod n in 0..n-1),
+    // plus a constant-value group (degenerate single range bucket) and
+    // duplicate order values (ties broken by id)
+    val rows = (0 until 7).flatMap { g =>
+      val size = Seq(1, 2, 3, 4, 5, 17, 100)(g)
+      (0 until size).map { i =>
+        (g.toLong * 1000 + i, s"g$g",
+          if (g == 3) 42L else rnd.nextInt(20).toLong)
+      }
+    }
+    val df = rows.toDF("id", "grp", "v")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val got = Corpus.exactNtile(df, "grp", col("v"), col("id"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val want = df.withColumn("ntile",
+          ntile(n).over(Window.partitionBy(col("grp"))
+            .orderBy(col("v"), col("id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == want, s"n=$n")
+      // partitioning invariance
+      val re = Corpus.exactNtile(df.repartition(13), "grp", col("v"), col("id"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(re == want, s"n=$n repartitioned")
+    }
+    // null order keys: emitted with ntile null, others unaffected
+    val withNull = Seq((1L, "a", java.lang.Long.valueOf(5L)),
+      (2L, "a", null.asInstanceOf[java.lang.Long]),
+      (3L, "a", java.lang.Long.valueOf(9L)))
+      .toDF("id", "grp", "v")
+    val nres = Corpus.exactNtile(withNull, "grp", col("v"), col("id"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(nres == Map(1L -> Some(1L), 2L -> None, 3L -> Some(2L)))
+  }
+
+  test("perplexityBuckets: ascending terciles per lang, null score -> tail") {
+    val scored = Seq(
+      (1L, "en", java.lang.Double.valueOf(1.0)),
+      (2L, "en", java.lang.Double.valueOf(2.0)),
+      (3L, "en", java.lang.Double.valueOf(3.0)),
+      (4L, "en", null.asInstanceOf[java.lang.Double]),
+      (5L, "de", java.lang.Double.valueOf(9.0)))
+      .toDF("id", "lang", "avg_neg_logscore")
+    val got = Corpus.perplexityBuckets(
+        scored, "lang", "avg_neg_logscore", col("id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    // lower avg_neg_logscore = closer to the reference = head
+    assert(got == Map(1L -> "head", 2L -> "middle", 3L -> "tail",
+      4L -> "tail", 5L -> "head"))
+  }
+
   test("trainingOrder: packSequences bin arithmetic + md5 order key, re-seedable") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
