@@ -828,13 +828,17 @@ object Corpus {
     val bin = floor(col("start_off") / budget).cast("long")
     val key = md5(concat_ws(":",
       lit(salt), col("domain"), bin.cast("string")))
-    mix.select(
-      cr(idCol).as(idCol), col("domain"), col("epoch"), col("n_tokens"),
-      bin.as("bin"),
-      (col("start_off") % budget).as("off"),
-      key.as("ord_key"),
-      (conv(substring(key, 1, 1), 16, 10).cast("long") % nShards)
-        .as("shard"))
+    // pass-through: only `domain` and `start_off` are consumed (the
+    // latter folds into bin/off: start_off == bin * budget + off);
+    // every other input column — mixture epochs, carried text — rides
+    // along, so the streaming composition keeps its payload
+    mix
+      .withColumn("bin", bin)
+      .withColumn("off", col("start_off") % budget)
+      .withColumn("ord_key", key)
+      .withColumn("shard",
+        conv(substring(key, 1, 1), 16, 10).cast("long") % nShards)
+      .drop("start_off")
   }
 
   /** Keep-decision column for a deterministic Bernoulli(frac) sample:

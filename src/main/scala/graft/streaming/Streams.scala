@@ -839,7 +839,8 @@ object Streams {
       semanticIndex: Option[DataFrame] = None,
       semanticLedgerDir: Option[String] = None,
       embedDim: Int = 128,
-      eps: Double = 0.01): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      eps: Double = 0.01,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     requireSigCompat(corpusSigs, threshold, numPerms, bands)
     semanticIndex.foreach { idx =>
       require(semanticLedgerDir.isDefined,
@@ -857,9 +858,20 @@ object Streams {
     }
     val SemV = "_gc_semv"
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val curated0 = graft.operators.Corpus.curatePages(batch, textCol, idCol)
+      val curatedBase = graft.operators.Corpus
+        .curatePages(batch, textCol, idCol)
         .filter(col("kept"))
         .select(col("id").as(idCol), col("clean"))
+      // carryCols re-join the caller's payload columns (domain, url,
+      // …) onto the curated frame — curatePages projects them away;
+      // one micro-batch-sized keyed join, and every downstream stage
+      // passes extras through (they filter/anti-join, never project)
+      val curated0 =
+        if (carryCols.isEmpty) curatedBase
+        else curatedBase.join(
+          batch.select((graft.ops.Cleanse.colRef(idCol).as(idCol) +:
+            carryCols.map(c => graft.ops.Cleanse.colRef(c))): _*),
+          Seq(idCol))
       // stats mode persists the curated frame too: its count is one of
       // the funnel numbers, and the exact stage re-reads it anyway
       val curated = if (onStats.isDefined) curated0.persist() else curated0
@@ -1423,42 +1435,127 @@ object Streams {
       onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.values.forall(_ > 0), "budgets must be positive")
-    val cr = graft.ops.Cleanse.colRef _
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      import org.apache.spark.sql.expressions.Window
-      val spark = batch.sparkSession
-      val ledgerSchema = StructType(Seq(
-        StructField("domain", StringType),
-        StructField("batch_tokens", LongType),
-        StructField("batch_id", LongType)))
-      val base = readLedger(spark, ledgerDir, ledgerSchema, batchId)
-        .groupBy(col("domain")).agg(sum(col("batch_tokens")).as("_gq_base"))
-      val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
-        case (els, (d, b)) =>
-          when(col("_gq_dom") === d, lit(b)).otherwise(els)
-      }
-      val w = Window.partitionBy(col("_gq_dom")).orderBy(cr(orderCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val admitted = batch
-        .withColumn("_gq_dom", cr(domainCol).cast("string"))
-        .filter(col("_gq_dom").isin(budgets.keys.toSeq: _*))
-        .withColumn("_gq_tok", coalesce(cr(tokensCol).cast("long"), lit(0L)))
-        .withColumn("_gq_prev", coalesce(sum(col("_gq_tok")).over(w), lit(0L)))
-        .join(base, col("_gq_dom") === col("domain"), "left")
-        .withColumn("start_off",
-          col("_gq_prev") + coalesce(col("_gq_base"), lit(0L)))
-        .filter(col("start_off") < budgetOf)
-        .drop("domain", "_gq_prev", "_gq_base")
-      admitted.persist()
+      val (admitted0, ledgerRows) = domainQuotaBatch(
+        batch, batchId, domainCol, orderCol, tokensCol, budgets, ledgerDir)
+      val admitted = admitted0.persist()
       try {
         onBatch(admitted.drop("_gq_dom", "_gq_tok"), batchId)
-        writeBatchLedger(
-          admitted.groupBy(col("_gq_dom").as("domain"))
-            .agg(sum(col("_gq_tok")).as("batch_tokens"))
-            .withColumn("batch_id", lit(batchId)),
-          ledgerDir)
+        writeBatchLedger(ledgerRows, ledgerDir)
       } finally admitted.unpersist()
     }
+  }
+
+  /** Per-batch core of [[domainQuotaBatches]], shared with
+    * [[ingestToBins]] (the exactAdmitBatch/nearAdmitBatch pattern):
+    * returns (admitted rows still carrying `_gq_dom`/`_gq_tok`, the
+    * ledger delta rows) — the CALLER persists the frame, sinks it, and
+    * writes the ledger after the sink succeeds.
+    */
+  private def domainQuotaBatch(
+      batch: DataFrame,
+      batchId: Long,
+      domainCol: String,
+      orderCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      ledgerDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val cr = graft.ops.Cleanse.colRef _
+    val spark = batch.sparkSession
+    val ledgerSchema = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("batch_tokens", LongType),
+      StructField("batch_id", LongType)))
+    val base = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+      .groupBy(col("domain")).agg(sum(col("batch_tokens")).as("_gq_base"))
+    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+      case (els, (d, b)) =>
+        when(col("_gq_dom") === d, lit(b)).otherwise(els)
+    }
+    val w = Window.partitionBy(col("_gq_dom")).orderBy(cr(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val admitted = batch
+      .withColumn("_gq_dom", cr(domainCol).cast("string"))
+      .filter(col("_gq_dom").isin(budgets.keys.toSeq: _*))
+      .withColumn("_gq_tok", coalesce(cr(tokensCol).cast("long"), lit(0L)))
+      .withColumn("_gq_prev", coalesce(sum(col("_gq_tok")).over(w), lit(0L)))
+      .join(base, col("_gq_dom") === col("domain"), "left")
+      .withColumn("start_off",
+        col("_gq_prev") + coalesce(col("_gq_base"), lit(0L)))
+      .filter(col("start_off") < budgetOf)
+      .drop("domain", "_gq_prev", "_gq_base")
+    val ledgerRows = admitted.groupBy(col("_gq_dom").as("domain"))
+      .agg(sum(col("_gq_tok")).as("batch_tokens"))
+      .withColumn("batch_id", lit(batchId))
+    (admitted, ledgerRows)
+  }
+
+  /** CRAWL STREAM → TRAINING BINS, one deployment — the engine's full
+    * production ingest composed end-to-end per micro-batch of raw
+    * pages: [[curateIncrementalBatches]]' chain (C4 → full Gopher →
+    * exact-dedup admission → MinHash near-dup admission → optional
+    * n-gram decontamination, each stateful stage with its own
+    * replay-safe ledger), then per-domain ingestion-budget admission
+    * ([[domainQuotaBatches]] semantics over the CLEANED text's token
+    * count, third ledger), then [[graft.operators.Corpus.trainingOrder]]
+    * placement — so `onBins` receives, for every admitted page,
+    * `(idCol, clean, domain, n_tokens, bin, off, ord_key, shard)`: the
+    * curated text plus its exact training-bin coordinates and the
+    * seeded global order key a trainer reads by. Admission order is
+    * arrival order (the streaming posture throughout); the quota
+    * ledger is written after `onBins` returns, and the curation
+    * ledgers after that — every store write sits downstream of the
+    * sink, so a replayed batch reproduces its own decisions.
+    *
+    * Scale: pass PERSISTED `corpusHashes`/`corpusSigs` (and
+    * `benchGrams` if decontaminating) — the persistable units; the
+    * quota/placement tail adds only micro-batch-sized work (one
+    * bounded per-domain window + narrow projections) on top of the
+    * measured chain throughput.
+    */
+  def ingestToBins(
+      pages: DataFrame,
+      corpusHashes: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      domainCol: String,
+      budgets: Map[String, Long],
+      binBudget: Long,
+      nShards: Int,
+      ledgerBase: String,
+      onBins: (DataFrame, Long) => Unit,
+      benchGrams: Option[DataFrame] = None,
+      orderSalt: String = "order"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    curateIncrementalBatches(
+      pages, corpusHashes, corpusSigs, textCol, idCol,
+      s"$ledgerBase/exact", s"$ledgerBase/near",
+      onBatch = { (admitted: DataFrame, batchId: Long) =>
+        val withTok = admitted.withColumn("_gi_tok",
+          graft.functions.TextFunctions.tokenCount(col("clean"))
+            .cast("long"))
+        val (quota0, quotaLedger) = domainQuotaBatch(
+          withTok, batchId, domainCol, idCol, "_gi_tok", budgets,
+          s"$ledgerBase/quota")
+        val quota = quota0.persist()
+        try {
+          val dropCols = Seq("_gq_dom", "_gq_tok") ++
+            (if (domainCol == "domain") Nil else Seq(domainCol))
+          val placed = graft.operators.Corpus.trainingOrder(
+            quota
+              .withColumn("domain", col("_gq_dom"))
+              .withColumnRenamed("_gi_tok", "n_tokens")
+              .drop(dropCols: _*),
+            idCol, binBudget, nShards, orderSalt)
+          onBins(placed, batchId)
+          writeBatchLedger(quotaLedger, s"$ledgerBase/quota")
+        } finally quota.unpersist()
+      },
+      benchGrams = benchGrams,
+      carryCols = Seq(domainCol))
   }
 
   /** `(shard, bin, n_docs, seq_text)` from `(shard, _ord, text, bin)`

@@ -29,7 +29,7 @@ object StreamBench {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
-        "decontamsurg")
+        "decontamsurg", "ingestbins")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -165,7 +165,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -189,12 +189,17 @@ object StreamBench {
     def run(metric: String, persistables: Seq[DataFrame],
         streamDir: String = stageDir,
         streamSchema: org.apache.spark.sql.types.StructType = schema,
-        nInput: Long = inputRows)(
+        nInput: Long = inputRows,
+        persistedOnly: Boolean = false)(
         mk: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit) =>
           org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
-      // stateless modes have no model members: one variant, labeled so
+      // stateless modes have no model members: one variant, labeled so;
+      // persistedOnly skips the unpersisted run when a sibling mode has
+      // already quantified that cliff (ingestbins vs curatechain)
       val variants =
-        if (persistables.isEmpty) Seq(false) else Seq(false, true)
+        if (persistables.isEmpty) Seq(false)
+        else if (persistedOnly) Seq(true)
+        else Seq(false, true)
       for (persisted <- variants) {
         if (persisted) persistables.foreach { m => m.persist(); m.count() }
         val stream = spark.readStream.schema(streamSchema)
@@ -338,13 +343,61 @@ object StreamBench {
           docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
         run("stream_curatechain_rows_per_sec",
           Seq(corpusHashes, corpusSigs, benchGrams),
-          chainDir, wrapped.schema, nWrapped) { (s, h) =>
+          chainDir, wrapped.schema, nWrapped,
+          persistedOnly = sys.env.contains("GRAFT_PERSISTED_ONLY")) { (s, h) =>
           val base = java.nio.file.Files
             .createTempDirectory("graft_curatechain_ledgers").toString
           Streams.curateIncrementalBatches(
             s, corpusHashes, corpusSigs, "text", "doc_id",
             s"$base/exact", s"$base/near", h,
             benchGrams = Some(benchGrams))
+        }
+      case "ingestbins" =>
+        // the FULL production ingest: the curatechain construction plus
+        // a domain column (the replica's source), flowing through
+        // ingestToBins — curation chain + per-source token budgets at
+        // roughly half of each source's curated mass (so quota
+        // boundaries cross mid-run) + training-bin placement. The delta
+        // vs the curatechain row IS the price of the quota/placement
+        // tail (expected ~free: one bounded per-domain window + narrow
+        // projections per micro-batch).
+        val shared = "the steady river winds to be close with the quiet " +
+          "valley and that old stone wall today while morning light settles " +
+          "over the far meadow and the old road bends past the mill to " +
+          "reach the stone bridge before the village square opens."
+        val wrapped = docs.select(col("doc_id"), col("source"),
+          concat_ws("\n",
+            lit("the report has to be checked and that will hold with care."),
+            concat(col("text"), lit(".")),
+            when(col("doc_id") % 13 === 0, lit(shared))
+              .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+            when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+              .otherwise(lit("clean final line stands here."))).as("text"))
+        val chainDir = java.nio.file.Files
+          .createTempDirectory("graft_ingestbins_stage").toString
+        wrapped.repartition(40).write.mode("overwrite").parquet(chainDir)
+        val nWrapped = wrapped.count()
+        val corpus = graft.operators.Corpus.curatePages(
+          wrapped.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+          .filter(col("kept")).select(col("id").as("doc_id"), col("clean"))
+        val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean")
+        val corpusSigs = Streams
+          .nearDupCorpusSignatures(corpus, "clean", "doc_id")
+        val benchGrams = graft.operators.Corpus.decontaminationGrams(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+        val budgets = (0 until 20).map(i => s"src$i" -> 40000L).toMap
+        // persisted-only: the unpersisted cliff for this chain is the
+        // curatechain row's (the added quota/placement tail holds no
+        // re-derivable model state — its ledger is rows-per-domain)
+        run("stream_ingestbins_rows_per_sec",
+          Seq(corpusHashes, corpusSigs, benchGrams),
+          chainDir, wrapped.schema, nWrapped, persistedOnly = true) { (s, h) =>
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_ingestbins_ledgers").toString
+          Streams.ingestToBins(
+            s, corpusHashes, corpusSigs, "text", "doc_id", "source",
+            budgets, binBudget = 2048L, nShards = 8, ledgerBase = base,
+            onBins = h, benchGrams = Some(benchGrams))
         }
       case "curatesem" =>
         // the FIVE-stage chain: curatechain + the optional semantic

@@ -1110,6 +1110,83 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == Set(1L, 3L))
   }
 
+  test("ingestToBins: crawl stream -> curated, quota-capped training-bin placements") {
+    implicit val sq = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stops = "the report has to be checked and that will hold with care."
+    def pageText(stem: String) =
+      s"$stops\n${(0 until 60).map(i => s"$stem${i}ord").mkString(" ")} and the close of day has come to rest now.\nmore closing prose lands here. yes. good. fine. done."
+    val aText = pageText("aw")
+    val cText = pageText("cw")
+    val bText = pageText("bw")
+    val eText = pageText("ew")
+    val fText = s"$stops\ntemplate { artifact. one. two. three. four. five."
+    def cleanOf(text: String): String = graft.operators.Corpus
+      .curatePages(Seq((0L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getString(1)
+    def tokOf(text: String): Long = cleanOf(text).trim
+      .split("\\s+").count(_.nonEmpty).toLong
+    val (tA, tB, tC, tE) = (tokOf(aText), tokOf(bText), tokOf(cText), tokOf(eText))
+    // empty prior corpus; budgets: domain x fills EXACTLY with page A
+    // (page C then starts at tA, not < tA -> rejected); y is generous
+    val corpus = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("clean",
+            org.apache.spark.sql.types.StringType))))
+    val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean").persist()
+    val corpusSigs = Streams
+      .nearDupCorpusSignatures(corpus, "clean", "doc_id").persist()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_bins").toString
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, String, Long, String)]
+    val q = Streams.ingestToBins(
+      input.toDF().toDF("doc_id", "dom", "text"),
+      corpusHashes, corpusSigs, "text", "doc_id", "dom",
+      budgets = Map("x" -> tA, "y" -> 1000L),
+      binBudget = 16L, nShards = 8, ledgerBase = base,
+      onBins = (out, _) => got.synchronized {
+        got ++= out.collect().map(r => (
+          r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"),
+          r.getAs[Long]("off"), r.getAs[String]("ord_key"),
+          r.getAs[Long]("shard"), r.getAs[String]("clean")))
+      }).start()
+    try {
+      // batch 0: A admits (x: 0 < tA); F dies at curation; B admits (y)
+      input.addData((1L, "x", aText), (2L, "x", fText), (9L, "y", bText))
+      q.processAllAvailable()
+      // batch 1: C rejected by the x quota (starts AT tA); E admits (y,
+      // starting where B left off — cross-batch quota continuity)
+      input.addData((8L, "x", cText), (10L, "y", eText))
+      q.processAllAvailable()
+    } finally { q.stop(); corpusHashes.unpersist(); corpusSigs.unpersist() }
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId.keySet == Set(1L, 9L, 10L))
+    assert(byId(1L) == ((1L, "x", tA, 0L, 0L, md5hex("order:x:0"),
+      java.lang.Long.parseLong(md5hex("order:x:0").substring(0, 1), 16) % 8,
+      cleanOf(aText))))
+    assert(byId(9L)._4 == 0L && byId(9L)._5 == 0L)
+    assert(byId(10L)._3 == tE)
+    assert(byId(10L)._4 == tB / 16 && byId(10L)._5 == tB % 16)
+    assert(byId(10L)._6 == md5hex(s"order:y:${tB / 16}"))
+    // quota ledger: batch 0 = x:tA + y:tB, batch 1 = y:tE only
+    val ledger = spark.read.parquet(s"$base/quota")
+    val l0 = ledger.filter(col("batch_id") === 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val l1 = ledger.filter(col("batch_id") === 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(l0 == Map("x" -> tA, "y" -> tB))
+    assert(l1 == Map("y" -> tE))
+  }
+
   test("decontaminateSpansBatches streams == batch decontaminateSpans (surgical)") {
     implicit val sq = spark.sqlContext
     val benchText = "the committee benchmark answer key phrase number nine follows here today"
