@@ -395,6 +395,28 @@ object Stress {
       spans.unpersist(); grams.unpersist()
     }
     locally {
+      // exactNtile under the dominant-group adversary (its reason to
+      // exist): 99% of rows in ONE group — a window ntile sorts that
+      // group in a single task; the range-bucketed rank spreads it
+      // over 256 value buckets. Order key = n_chars + a doc_id jitter
+      // so the value range actually spreads (the operator's documented
+      // normal case for scores).
+      val grouped = docs.select(col("doc_id"),
+        when(col("doc_id") % 100 === 0, col("lang"))
+          .otherwise(lit("web")).as("grp"),
+        (col("n_chars") * 1000 + col("doc_id") % 997).as("v"))
+      val t0 = System.nanoTime()
+      val out = Corpus.exactNtile(grouped, "grp", col("v"), col("doc_id"), 3)
+      out.write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val sizes = out.groupBy(col("grp"), col("ntile"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val web = sizes.filter(_._1 == "web").sortBy(_._2)
+        .map(t => s"t${t._2}:${t._3}").mkString(" ")
+      println(f"[stress] exactNtile (hot 99%% group, n=3): $dt%.1fs  web $web")
+    }
+    locally {
       // domainMixture under the dominant-domain adversary: 99% of rows
       // collapse into ONE domain ("web") — the shape that makes a naive
       // PARTITION BY domain window a single sort task. The bucketed
