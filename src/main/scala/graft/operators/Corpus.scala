@@ -1875,7 +1875,8 @@ object Corpus {
     * see its scaladoc.
     */
   private def removeSpansWhere(
-      df: DataFrame, textCol: String, idCol: String, n: Int)(
+      df: DataFrame, textCol: String, idCol: String, n: Int,
+      spanPreFilter: Option[Column => Column] = None)(
       hitHashes: DataFrame => DataFrame): DataFrame = {
     require(n >= 2, "span windows need n >= 2")
     val spark = df.sparkSession
@@ -1896,7 +1897,12 @@ object Corpus {
               .as("h"))))
         .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("s"))
       .select(col("id"), col("s.pos").as("pos"), col("s.h").as("h"))
-    val covered = spans.join(hitHashes(spans), Seq("h"), "left_semi")
+    // spanPreFilter (a per-row probe, e.g. a bloom) thins the
+    // corpus-sized span stream BEFORE the exact semi-join; hitHashes
+    // always sees the UNfiltered spans (cross-doc counting needs them)
+    val probed = spanPreFilter
+      .map(f => spans.filter(f(col("h")))).getOrElse(spans)
+    val covered = probed.join(hitHashes(spans), Seq("h"), "left_semi")
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
@@ -1990,6 +1996,37 @@ object Corpus {
       n: Int = 8): DataFrame =
     removeSpansWhere(train, textCol, idCol, n)(_ =>
       benchSpanHashes.select(col("h")))
+
+  /** [[decontaminateSpans]] with a bloom-filter pre-pass — the same
+    * 100 TB move [[bloomDecontaminate]] makes for the drop-the-doc
+    * filter: when the benchmark span-hash set outgrows comfortable
+    * broadcast (tens of millions of 8-byte keys → hundreds of MB as a
+    * per-executor hash relation), fold it into one driver-built
+    * [[org.apache.spark.util.sketch.BloomFilter]] (~12 MB per 10M keys
+    * at 1% fpp), probe it as a codegen'd per-row expression on the
+    * corpus span stream, and send only the ~(contaminated + fpp·N)
+    * survivors to the exact semi-join that removes false positives.
+    * No false negatives + exact verify ⇒ output IDENTICAL to
+    * [[decontaminateSpans]] for any `fpp` — the gate asserts that
+    * against the same SQL oracle.
+    */
+  def decontaminateSpansBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp in (0,1)")
+    val spanH = decontaminationSpanHashes(bench, textCol, idCol, n)
+    // one scalar to size the sketch (a sizing decision, not data motion)
+    val expected = math.max(spanH.count(), 1L)
+    val bloom = spanH.stat.bloomFilter("h", expected, fpp)
+    removeSpansWhere(train, textCol, idCol, n,
+      spanPreFilter = Some(h =>
+        graft.plans.BloomExpressions.mightContainLong(h, bloom)))(_ =>
+      spanH.select(col("h")))
+  }
 
   // ------------------------------------------------------------------
   // C4 page/line cleaning (Raffel et al., JMLR 2020 §2.2)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -50,8 +50,39 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
     copy(child = newChild)
 }
 
+/** [[BloomMightContain]]'s LONG sibling — probes a filter built over a
+  * BIGINT column (`stat.bloomFilter` on longs uses `putLong`, whose
+  * hash differs from the string/binary path, so the probe must match).
+  * One `mightContainLong` per row, codegen'd.
+  */
+case class BloomMightContainLong(child: Expression, filter: BloomFilter)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint child, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomL", filter, classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 object BloomExpressions {
   /** Column form: true iff `c` might be in `filter`. */
   def mightContain(c: Column, filter: BloomFilter): Column =
     ExprColumn(BloomMightContain(ExprColumn.exprOf(c), filter))
+
+  /** Long-column form — for filters built over BIGINT keys. */
+  def mightContainLong(c: Column, filter: BloomFilter): Column =
+    ExprColumn(BloomMightContainLong(ExprColumn.exprOf(c), filter))
 }

@@ -1743,6 +1743,31 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  /** q143's construction through the BLOOM-staged surgical path: the
+    * bloom pre-pass has no false negatives and the exact semi-join
+    * removes every false positive, so the output is IDENTICAL to
+    * [[qC26DecontaminateSpans]] for any fpp — the oracle is q143's
+    * SQL verbatim (the q138-reuses-q135 mechanism).
+    */
+  def qC30DecontaminateSpansBloom(s: SparkSession, d: String): DataFrame = {
+    val phrase =
+      "the benchmark answer span appears inside this page body today"
+    val messy = documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" "),
+        when(col("doc_id") % 6 === 0, lit(phrase))
+          .otherwise(when(col("doc_id") % 7 === 0,
+            lit("benchmark answer span appears"))
+            .otherwise(concat(lit("unique trailing run number "),
+              col("doc_id").cast("string"), lit(" closes page")))))
+        .as("text"))
+    val bench = s.range(1)
+      .select(lit(phrase).as("text"), col("id").as("bench_id"))
+    graft.operators.Corpus.decontaminateSpansBloom(
+      messy, bench, "text", "doc_id", n = 5, fpp = 0.01)
+      .orderBy(col("id"))
+  }
+
   /** The full quality-SIGNAL frame end-to-end: the q134 repetition
     * construction extended with quality-half plants (hash flood %4,
     * ellipsis lines %6, bullets %9) and C4 plants (javascript %8,
@@ -2705,7 +2730,8 @@ object Extensions {
     "q145_quality_signals" -> qC27QualitySignals _,
     "q146_training_order" -> qC28TrainingOrder _,
     "q147_exact_ntile" -> qC29ExactNtile _,
-    "q148_ccnet_buckets" -> qP6CcnetBuckets _)
+    "q148_ccnet_buckets" -> qP6CcnetBuckets _,
+    "q149_decontaminate_spans_bloom" -> qC30DecontaminateSpansBloom _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2790,6 +2816,11 @@ object Extensions {
          FROM xtot t LEFT JOIN xka k ON k.id = t.id
          GROUP BY 1 ORDER BY 1"""
     }) +
+    // q149 = the bloom-staged surgical path; bloom-then-exact-verify is
+    // IDENTICAL to the exact path for any fpp, so the oracle is q143's
+    // SQL verbatim.
+    ("q149_decontaminate_spans_bloom" ->
+      oracleBase("q143_decontaminate_spans")) +
     // q146 reuses q142's mixture SQL verbatim (sliced at its final
     // ORDER BY) and adds the bin arithmetic + the identical md5 order
     // key; shard = first-nibble position scan (hex chars are engine-

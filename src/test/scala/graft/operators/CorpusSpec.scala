@@ -911,6 +911,32 @@ class CorpusSpec extends SparkSpec {
     assert(got(5L) == (("", 0L, 0L)))
   }
 
+  test("decontaminateSpansBloom == decontaminateSpans for any fpp") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(0, 20).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    (0 until 10).foreach { seed =>
+      val texts = Gen.listOfN(6, docGen)
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val train = texts.take(4).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = texts.drop(4).zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val exact = Corpus.decontaminateSpans(train,
+        Corpus.decontaminationSpanHashes(bench, "text", "doc_id", n = 3),
+        "text", "doc_id", n = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      // fpp = 0.5: aggressively false-positive-prone sketch — the exact
+      // semi-join must still erase every difference
+      val bloomed = Corpus.decontaminateSpansBloom(
+        train, bench, "text", "doc_id", n = 3, fpp = 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(bloomed == exact, s"seed $seed diverged")
+    }
+  }
+
   test("decontaminateSpans: no cross-doc effect, n-mismatch cuts nothing") {
     // two train docs SHARING a run that is absent from the bench: the
     // cross-doc duplicate machinery must NOT fire here — only bench
