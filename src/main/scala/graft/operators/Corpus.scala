@@ -593,6 +593,26 @@ object Corpus {
     }.toMap
   }
 
+  /** Temperature-smoothed mixture weights — the multilingual-sampling
+    * formula (Conneau & Lample 2019 §3.1; mT5, Xue et al. 2021 §3.2):
+    * `p_d ∝ n_d^alpha` over the observed per-domain token totals.
+    * `alpha = 1` reproduces the natural distribution, `alpha → 0`
+    * approaches uniform, the published sweet spots sit at 0.2–0.7
+    * (mT5 uses 0.3). Returns WEIGHTS for [[mixtureBudgets]] — the
+    * composition `mixtureBudgets(temperatureWeights(totals, a), T)`
+    * yields per-domain budgets that sum to T exactly (the
+    * largest-remainder step). Driver-side pure math over a
+    * domains-sized map (the budgets map is a literal by construction
+    * everywhere the engine consumes it).
+    */
+  def temperatureWeights(
+      totals: Map[String, Long], alpha: Double): Map[String, Double] = {
+    require(totals.nonEmpty, "totals must be non-empty")
+    require(totals.values.forall(_ > 0), "totals must be positive")
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    totals.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }
+  }
+
   /** Training-mixture construction (the DoReMi / Pile shape): each
     * domain contributes documents in a deterministic pseudo-random
     * order until its own token `budget` fills, and a domain whose

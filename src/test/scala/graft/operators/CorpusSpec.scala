@@ -962,6 +962,25 @@ class CorpusSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("temperatureWeights: alpha=1 natural, alpha->0 flattens, budgets sum exactly") {
+    val totals = Map("en" -> 8000000L, "de" -> 1000000L, "sw" -> 10000L)
+    // alpha = 1: proportions equal the natural shares
+    val w1 = Corpus.temperatureWeights(totals, 1.0)
+    val b1 = Corpus.mixtureBudgets(w1, 9010000L)
+    assert(b1 == Map("en" -> 8000000L, "de" -> 1000000L, "sw" -> 10000L))
+    // alpha = 0.3 (the mT5 point): low-resource share grows, order keeps
+    val w3 = Corpus.mixtureBudgets(Corpus.temperatureWeights(totals, 0.3), 1000000L)
+    assert(w3.values.sum == 1000000L)
+    assert(w3("sw") > 10000L / 9L) // far above its natural ~0.11% share
+    assert(w3("en") > w3("de") && w3("de") > w3("sw")) // order preserved
+    // closed form: shares ∝ n^alpha — check one ratio to 1e-9
+    val exp = math.pow(8000000.0, 0.3) / math.pow(1000000.0, 0.3)
+    assert(math.abs(w3("en").toDouble / w3("de") - exp) < exp * 1e-3)
+    // alpha near 0 approaches uniform
+    val w0 = Corpus.mixtureBudgets(Corpus.temperatureWeights(totals, 0.01), 300L)
+    assert(w0.values.forall(v => v >= 95 && v <= 105))
+  }
+
   test("exactNtile == the window ntile on random data; null keys route out") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
