@@ -747,10 +747,17 @@ object Corpus {
     require(n >= 1, "n >= 1")
     // null order keys sit OUTSIDE the ranking (a window ntile would
     // sort them first/last by engine whim): routed around the machinery
-    // and emitted with ntile = null, so every input row is accounted for
-    val withOrd = df.withColumn("_gnt_ord", order.cast("double"))
+    // and emitted with ntile = null, so every input row is accounted
+    // for. The RAW key orders the within-bucket window; the double cast
+    // only BUCKETS (long→double is monotone non-decreasing, so two
+    // raws collapsing to one double land in the same bucket and the
+    // raw ordering inside stays exact — no 2^53 precision hole).
+    val withOrd = df
+      .withColumn("_gnt_ordraw", order)
+      .withColumn("_gnt_ord", order.cast("double"))
     val nullOrd = withOrd.filter(col("_gnt_ord").isNull)
-      .drop("_gnt_ord").withColumn("ntile", lit(null).cast("long"))
+      .drop("_gnt_ordraw", "_gnt_ord")
+      .withColumn("ntile", lit(null).cast("long"))
     val base = withOrd.filter(col("_gnt_ord").isNotNull)
       .withColumn("_gnt_grp", cr(groupCol).cast("string"))
       .withColumn("_gnt_tie", tie)
@@ -771,7 +778,7 @@ object Corpus {
         coalesce(sum(col("_gnt_bc")).over(wBase), lit(0L)))
       .drop("_gnt_bc")
     val wLocal = Window.partitionBy(col("_gnt_grp"), col("_gnt_bkt"))
-      .orderBy(col("_gnt_ord"), col("_gnt_tie"))
+      .orderBy(col("_gnt_ordraw"), col("_gnt_tie"))
     // no explicit broadcast hint: bases is (groups x <= 256) rows —
     // tiny for the language/domain use this serves, where AQE
     // broadcasts it anyway; with millions of groups it grows past
@@ -792,8 +799,8 @@ object Corpus {
       .when(r0 < rem * big, floor(r0 / big).cast("long") + 1L)
       .otherwise(rem + floor((r0 - rem * big) / q).cast("long") + 1L)
     ranked.withColumn("ntile", tileCol.cast("long"))
-      .drop("_gnt_grp", "_gnt_ord", "_gnt_tie", "_gnt_lo", "_gnt_hi",
-        "_gnt_cnt", "_gnt_bkt", "_gnt_base", "_gnt_rank")
+      .drop("_gnt_grp", "_gnt_ordraw", "_gnt_ord", "_gnt_tie", "_gnt_lo",
+        "_gnt_hi", "_gnt_cnt", "_gnt_bkt", "_gnt_base", "_gnt_rank")
       .unionByName(nullOrd)
   }
 

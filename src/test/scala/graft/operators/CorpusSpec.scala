@@ -1017,6 +1017,16 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(nres == Map(1L -> Some(1L), 2L -> None, 3L -> Some(2L)))
+    // keys above 2^53: adjacent longs collapse to ONE double under the
+    // bucket cast, but the within-bucket window orders by the RAW key —
+    // id 3 (MaxValue-2) must out-rank id 2 (MaxValue-1) must out-rank
+    // id 1 (MaxValue); a double-ordered rank would fall back to the id
+    // tie-break and split the tiles wrong
+    val big = Seq((1L, "g", Long.MaxValue), (2L, "g", Long.MaxValue - 1),
+      (3L, "g", Long.MaxValue - 2), (4L, "g", 0L)).toDF("id", "grp", "v")
+    val bres = Corpus.exactNtile(big, "grp", col("v"), col("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bres == Map(4L -> 1L, 3L -> 1L, 2L -> 2L, 1L -> 2L))
   }
 
   test("perplexityBuckets: ascending terciles per lang, null score -> tail") {
