@@ -764,12 +764,18 @@ object Corpus {
     val span = base.groupBy(col("_gnt_grp"))
       .agg(min(col("_gnt_ord")).as("_gnt_lo"), max(col("_gnt_ord")).as("_gnt_hi"),
         count(lit(1)).as("_gnt_cnt"))
+    // clamp in DOUBLE space before the int cast: a NaN/±Inf order key
+    // (scores can degenerate) would otherwise throw under ANSI at the
+    // cast. Spark's NaN-is-greatest ordering makes least() resolve NaN
+    // to 255 — the same "sorts last" slot the window ntile gives it —
+    // and greatest() floors -Inf to bucket 0; ordering INSIDE the
+    // bucket is by the raw key either way.
     val bucketed = base.join(span, Seq("_gnt_grp"))
       .withColumn("_gnt_bkt",
         when(col("_gnt_hi") === col("_gnt_lo"), lit(0))
-          .otherwise(least(lit(255), floor(
+          .otherwise(least(lit(255.0), greatest(lit(0.0), floor(
             (col("_gnt_ord") - col("_gnt_lo")) /
-              (col("_gnt_hi") - col("_gnt_lo")) * 256).cast("int"))))
+              (col("_gnt_hi") - col("_gnt_lo")) * 256))).cast("int")))
     val wBase = Window.partitionBy(col("_gnt_grp")).orderBy(col("_gnt_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = bucketed.groupBy(col("_gnt_grp"), col("_gnt_bkt"))

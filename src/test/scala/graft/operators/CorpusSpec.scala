@@ -1027,6 +1027,14 @@ class CorpusSpec extends SparkSpec {
     val bres = Corpus.exactNtile(big, "grp", col("v"), col("id"), 2)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(bres == Map(4L -> 1L, 3L -> 1L, 2L -> 2L, 1L -> 2L))
+    // degenerate doubles: NaN ranks LAST (the window's NaN-is-greatest
+    // slot), ±Inf clamp to the edge buckets — no ANSI cast crash
+    val weird = Seq((1L, "w", 1.0), (2L, "w", Double.NaN),
+      (3L, "w", Double.PositiveInfinity), (4L, "w", Double.NegativeInfinity))
+      .toDF("id", "grp", "v")
+    val wres = Corpus.exactNtile(weird, "grp", col("v"), col("id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(wres == Map(4L -> 1L, 1L -> 2L, 3L -> 3L, 2L -> 4L))
   }
 
   test("perplexityBuckets: ascending terciles per lang, null score -> tail") {
