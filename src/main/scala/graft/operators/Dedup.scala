@@ -104,6 +104,45 @@ object Dedup {
     *                up the pair volume (and the collect_list buffer).
     *                Dropped buckets are observable via [[lshBucketStats]].
     */
+  /** Pick the (bands, rowsPerBand) split of `numPerms` whose S-curve
+    * best matches a target Jaccard `threshold` — the datasketch
+    * `_optimal_param` optimization, in-engine: for a split (b, r) the
+    * candidate probability at similarity s is `1 - (1 - s^r)^b`; the
+    * false-POSITIVE area is its integral below the threshold and the
+    * false-NEGATIVE area the complement's integral above, and the
+    * returned split minimizes `fpWeight·FP + fnWeight·FN` over every
+    * divisor split of `numPerms` (numeric integration, 1000 steps —
+    * the reference tool's method and granularity). Driver-side pure
+    * math; feed the result to [[minhashCandidates]] /
+    * [[graft.streaming.Streams.nearDupCorpusSignatures]] so the
+    * banding matches the corpus's intended threshold instead of the
+    * 8×8 default (tuned for ~0.77 — see the scaladoc above).
+    */
+  def lshPlan(
+      threshold: Double, numPerms: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(numPerms >= 2, "numPerms >= 2")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    val steps = 1000
+    def curve(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val splits = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b))
+    splits.minBy { case (b, r) =>
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        if (s < threshold) fp += curve(s, b, r) / steps
+        else fn += (1.0 - curve(s, b, r)) / steps
+        i += 1
+      }
+      fpWeight * fp + fnWeight * fn
+    }
+  }
+
   def minhashCandidates(
       df: DataFrame,
       textCol: String,

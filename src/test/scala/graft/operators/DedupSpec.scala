@@ -214,4 +214,34 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.minhashCandidates(many, "text", "doc_id", maxBucket = 1000)
     assert(uncapped.count() == 60L * 59 / 2)
   }
+
+  test("lshPlan picks the S-curve-optimal divisor split") {
+    // brute-force replica over all divisor splits with independent
+    // integration (trapezoid at 10x granularity) — the chosen split
+    // must minimize the weighted error within integration tolerance
+    def errOf(b: Int, r: Int, t: Double, wFp: Double, wFn: Double): Double = {
+      val steps = 10000
+      (0 until steps).map { i =>
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        (if (s < t) wFp * p else wFn * (1.0 - p)) / steps
+      }.sum
+    }
+    for (t <- Seq(0.3, 0.5, 0.77, 0.9); n <- Seq(16, 64, 128)) {
+      val (b, r) = Dedup.lshPlan(t, n)
+      assert(b * r == n)
+      val mine = errOf(b, r, t, 0.5, 0.5)
+      val best = (1 to n).filter(n % _ == 0)
+        .map(bb => errOf(bb, n / bb, t, 0.5, 0.5)).min
+      assert(mine <= best + 1e-4, s"t=$t n=$n got ($b,$r)")
+    }
+    // the documented near-dup operating point: 64 perms at ~0.77 should
+    // land near the engine's tuned 8x8 default
+    val (b77, r77) = Dedup.lshPlan(0.77, 64)
+    assert(b77 * r77 == 64 && r77 >= 4 && r77 <= 16)
+    // asymmetric weights move the knee: punishing false negatives
+    // (recall-hungry dedup) never DECREASES band count
+    val (bFn, _) = Dedup.lshPlan(0.77, 64, fpWeight = 0.1, fnWeight = 0.9)
+    assert(bFn >= b77)
+  }
 }
