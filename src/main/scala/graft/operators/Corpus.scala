@@ -752,9 +752,22 @@ object Corpus {
     // only BUCKETS (long→double is monotone non-decreasing, so two
     // raws collapsing to one double land in the same bucket and the
     // raw ordering inside stays exact — no 2^53 precision hole).
-    val withOrd = df
-      .withColumn("_gnt_ordraw", order)
-      .withColumn("_gnt_ord", order.cast("double"))
+    val withOrd0 = df.withColumn("_gnt_ordraw", order)
+    // fail fast on non-numeric order types: for a string score column,
+    // cast("double") nulls out every non-numeric-LOOKING value, which
+    // would silently route REAL keys into the null-ntile branch (a
+    // window ntile would rank them). Numeric/timestamp casts are total
+    // — null out only from null in — so the null branch stays exactly
+    // "genuinely null order key".
+    withOrd0.schema("_gnt_ordraw").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.NullType => ()
+      case other => throw new IllegalArgumentException(
+        s"exactNtile order column must be numeric or timestamp " +
+          s"(cast-to-double must be null-preserving), got ${other.catalogString}")
+    }
+    val withOrd = withOrd0
+      .withColumn("_gnt_ord", col("_gnt_ordraw").cast("double"))
     val nullOrd = withOrd.filter(col("_gnt_ord").isNull)
       .drop("_gnt_ordraw", "_gnt_ord")
       .withColumn("ntile", lit(null).cast("long"))

@@ -515,7 +515,16 @@ object Similarity {
       sampleSize: Int = 10000,
       iters: Int = 10): DataFrame = {
     require(eps > 0 && eps < 1, "eps in (0, 1)")
-    val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val allPts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // NULL vectors route through explicitly (keep = true, null
+    // cluster): norm(null) is null, so they'd fail BOTH the zero and
+    // nonzero identity-guard filters and silently vanish. A null
+    // embedding carries no similarity evidence — like the zero-vector
+    // exemption, it can never drop (or be dropped by) anything.
+    val nullOut = allPts.filter(col("v").isNull)
+      .select(col("id"), lit(null).cast("int").as("cluster"),
+        lit(true).as("keep"))
+    val pts = allPts.filter(col("v").isNotNull)
     val zero = norm(col("v")) === 0.0
     // identity groups among nonzero vectors: ONE window over the vector
     // value; rank 1 is the min-id representative
@@ -554,6 +563,6 @@ object Similarity {
     val copyOut = ranked.filter(col("_gn_rn") > 1).select(col("id"),
       graft.plans.HashExpressions.nearestCentroid(col("v"), cents).as("cluster"),
       lit(false).as("keep"))
-    repOut.unionByName(copyOut)
+    repOut.unionByName(copyOut).unionByName(nullOut)
   }
 }

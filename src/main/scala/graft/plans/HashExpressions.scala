@@ -591,6 +591,16 @@ case class TextEmbed(child: Expression, dim: Int, n: Int)
   require(dim > 0, "embedding dim must be positive")
   require(n > 0, "gram length must be positive")
 
+  // manual type check (the BloomMightContain posture — ExpectsInputTypes'
+  // AbstractDataType is private[sql] in Spark 4): a non-string child
+  // must fail at analysis time, not as a codegen ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string child, got ${child.dataType.catalogString}")
+  override def prettyName: String = "graft_text_embed"
+
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

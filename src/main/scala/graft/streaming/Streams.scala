@@ -1467,8 +1467,14 @@ object Streams {
       StructField("domain", StringType),
       StructField("batch_tokens", LongType),
       StructField("batch_id", LongType)))
+    // The ledger-base key is renamed away from "domain" BEFORE the
+    // join: a batch whose domainCol is literally "domain" (the natural
+    // name) would otherwise make `col("domain")` ambiguous at analysis
+    // time, and the post-join drop would silently eat the user's
+    // payload column of that name.
     val base = readLedger(spark, ledgerDir, ledgerSchema, batchId)
       .groupBy(col("domain")).agg(sum(col("batch_tokens")).as("_gq_base"))
+      .withColumnRenamed("domain", "_gq_basedom")
     val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
       case (els, (d, b)) =>
         when(col("_gq_dom") === d, lit(b)).otherwise(els)
@@ -1480,11 +1486,11 @@ object Streams {
       .filter(col("_gq_dom").isin(budgets.keys.toSeq: _*))
       .withColumn("_gq_tok", coalesce(cr(tokensCol).cast("long"), lit(0L)))
       .withColumn("_gq_prev", coalesce(sum(col("_gq_tok")).over(w), lit(0L)))
-      .join(base, col("_gq_dom") === col("domain"), "left")
+      .join(base, col("_gq_dom") === col("_gq_basedom"), "left")
       .withColumn("start_off",
         col("_gq_prev") + coalesce(col("_gq_base"), lit(0L)))
       .filter(col("start_off") < budgetOf)
-      .drop("domain", "_gq_prev", "_gq_base")
+      .drop("_gq_basedom", "_gq_prev", "_gq_base")
     val ledgerRows = admitted.groupBy(col("_gq_dom").as("domain"))
       .agg(sum(col("_gq_tok")).as("batch_tokens"))
       .withColumn("batch_id", lit(batchId))

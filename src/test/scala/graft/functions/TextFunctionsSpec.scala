@@ -137,6 +137,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(embed("").forall(_ == 0.0f))
   }
 
+  test("hashedNgramEmbedding rejects a non-string child at analysis time") {
+    // TextEmbed.checkInputDataTypes: an int column must fail as a
+    // clean AnalysisException, not a codegen ClassCastException
+    // (embedText itself always canonicalizes through array_join, so
+    // the raw expression entry point is where the type check bites)
+    val df = Seq((1, 10), (2, 20)).toDF("id", "n")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.HashExpressions
+        .hashedNgramEmbedding(col("n"), dim = 16)).collect()
+    }
+    assert(ex.getMessage.contains("string"))
+  }
+
   test("embedText composes with semDeDup: planted copies drop, originals keep") {
     val docs = (0 until 40).map { i =>
       (i.toLong, (0 until 25).map(j => s"t${i}w$j").mkString(" "))

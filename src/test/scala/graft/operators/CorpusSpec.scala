@@ -1037,6 +1037,24 @@ class CorpusSpec extends SparkSpec {
     assert(wres == Map(4L -> 1L, 1L -> 2L, 3L -> 3L, 2L -> 4L))
   }
 
+  test("exactNtile fails fast on a non-numeric order column") {
+    // a string score column's cast("double") nulls out non-numeric
+    // VALUES, which would silently route real keys into the null-ntile
+    // branch while a window ntile ranks them — so reject the type
+    val df = Seq((1L, "g", "low"), (2L, "g", "high")).toDF("id", "grp", "s")
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.exactNtile(df, "grp", col("s"), col("id"), 2)
+    }
+    assert(ex.getMessage.contains("numeric or timestamp"))
+    // timestamps stay accepted (cast-to-double is total on them)
+    val ts = Seq((1L, "g", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "g", java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("id", "grp", "t")
+    val got = Corpus.exactNtile(ts, "grp", col("t"), col("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("perplexityBuckets: ascending terciles per lang, null score -> tail") {
     val scored = Seq(
       (1L, "en", java.lang.Double.valueOf(1.0)),

@@ -165,6 +165,25 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._2 })
   }
 
+  test("semDeDup routes null-vector rows through with keep = true") {
+    // norm(null) is null: without the explicit null branch these rows
+    // fail BOTH identity-guard filters and vanish from the output
+    def axis(i: Int): Seq[Float] = {
+      val v = Array.fill(8)(0.0f); v(i) = 10.0f; v.toSeq
+    }
+    val withVec = Seq((1L, axis(0)), (2L, axis(1)), (3L, axis(0)))
+      .toDF("vec_id", "embedding")
+    val nulls = Seq(50L, 51L).toDF("vec_id")
+      .withColumn("embedding",
+        lit(null).cast("array<float>"))
+    val got = Similarity.semDeDup(withVec.unionByName(nulls),
+      "embedding", "vec_id", nClusters = 2, dim = 8, eps = 0.01)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getBoolean(2))).toMap
+    assert(got.size == 5) // every input row accounted, nulls included
+    assert(got(50L) == (true, true) && got(51L) == (true, true))
+    assert(got(1L)._2 && got(2L)._2 && !got(3L)._2) // dedup unaffected
+  }
+
   test("semDeDup keep-first: the LOWER id of a duplicate pair survives") {
     val v = Seq.fill(8)(1.0f)
     val df = Seq((5L, v), (2L, v), (9L, v), (7L, Seq.fill(8)(0.0f) :+ 1.0f))

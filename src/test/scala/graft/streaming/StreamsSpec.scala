@@ -1034,6 +1034,35 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == twin)
   }
 
+  test("domainQuotaBatches works when domainCol is literally \"domain\"") {
+    implicit val sq = spark.sqlContext
+    // the natural column name collides with the quota ledger's own
+    // "domain" key: the ledger-base key must be renamed before the
+    // join (AMBIGUOUS_REFERENCE otherwise), and the user's "domain"
+    // payload column must survive to the handler un-dropped
+    val b0 = Seq((1L, "a", 1L, 5L), (2L, "a", 2L, 7L), (3L, "b", 3L, 4L))
+    val b1 = Seq((4L, "a", 4L, 6L), (5L, "b", 5L, 4L))
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_domquota_domaincol").toString
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = Streams.domainQuotaBatches(
+      input.toDF().toDF("doc_id", "domain", "ord", "toks"),
+      "doc_id", "domain", "ord", "toks", Map("a" -> 10L, "b" -> 25L),
+      ledgerDir,
+      (out, _) => got.synchronized {
+        got ++= out.select("doc_id", "domain", "start_off").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      }).start()
+    try {
+      Seq(b0, b1).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // a: 5 + 7 = 12 > 10 admits both (straddle), then 4 rejects at
+    // start 12; b admits everything
+    assert(got.sortBy(_._1).toList == List(
+      (1L, "a", 0L), (2L, "a", 5L), (3L, "b", 0L), (5L, "b", 4L)))
+  }
+
   test("domainQuotaBatches -> trainingOrder closes the streaming ingest loop") {
     implicit val sq = spark.sqlContext
     // the admitted rows carry start_off, so the handler can hand them
