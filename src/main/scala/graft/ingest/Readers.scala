@@ -157,6 +157,7 @@ object Readers {
       case Sniffer.Excel => ExcelReader.read(spark, path)
       case Sniffer.Jsonl => jsonl(spark, path)
       case Sniffer.Parquet => spark.read.parquet(path)
+      case Sniffer.Wet => WetReader.read(spark, path)
       case Sniffer.Access =>
         // S3: native Jet4/ACE reader (first user table, strings-only —
         // reference semantics, index.js:66-74). Jet3/encrypted/unknown

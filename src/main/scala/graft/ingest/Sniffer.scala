@@ -49,6 +49,7 @@ object Sniffer {
   case object Access extends Format
   case object Jsonl extends Format
   case object Parquet extends Format
+  case object Wet extends Format
 
   /** Extension dispatch, same accept list as the reference UI
     * (App.jsx:172) and backend dispatch (index.js:88-97): Access and Excel
@@ -59,6 +60,11 @@ object Sniffer {
     * accept list).
     */
   def formatOf(path: String): Format = {
+    val lower = path.toLowerCase
+    // crawl archives carry compound extensions (.wet.gz) — match on the
+    // suffix, not the last dot segment
+    if (lower.endsWith(".wet") || lower.endsWith(".wet.gz") ||
+      lower.endsWith(".warc") || lower.endsWith(".warc.gz")) return Wet
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
     if (AccessExts(ext)) Access
     else if (ExcelExts(ext)) Excel

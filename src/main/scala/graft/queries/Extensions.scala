@@ -1575,8 +1575,16 @@ object Extensions {
     * against an independent SQL recomputation of the whole pipeline.
     * Input is the q128 planted construction (mixed keeps guaranteed).
     */
-  def qP1CurationPipeline(s: SparkSession, d: String): DataFrame = {
-    val messy = documents(s, d).select(
+  def qP1CurationPipeline(s: SparkSession, d: String): DataFrame =
+    curationSummaryFrom(messyPages(s, d))
+
+  /** The q133 planted messy-page construction, shared with the WET
+    * ingest gate (q150) so the two cannot drift: (doc_id, source,
+    * text) where the text plants C4 kills, Gopher mass, and %13
+    * cross-source exact duplicates.
+    */
+  private def messyPages(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).select(
       col("doc_id"), col("source"),
       concat_ws("\n",
         concat(lit("the daily "), col("source"),
@@ -1598,6 +1606,15 @@ object Extensions {
         when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
           .otherwise(lit("clean final line stands here.")))
         .as("text"))
+  }
+
+  /** The q133 curation summary over a `(doc_id, source, text)` page
+    * frame — C4 clean → Gopher quality → exact dedup, aggregated per
+    * source. Shared by q133 (pages straight from the construction) and
+    * q150 (the same pages round-tripped through fixture WET archives),
+    * so both hit the one oracle SQL.
+    */
+  private def curationSummaryFrom(messy: DataFrame): DataFrame = {
     val c4 = graft.operators.Corpus.c4Clean(messy, "text", "doc_id")
       .select(col("id"), col("text").as("clean"), col("kept").as("c4_kept"))
     val pages = messy.select(col("doc_id").as("id"), col("source"))
@@ -1627,6 +1644,45 @@ object Extensions {
         sum(when(coalesce(col("g_kept"), lit(false)), col("n_words"))
           .otherwise(0L)).as("sum_words"))
       .orderBy(col("source"))
+  }
+
+  /** Crawl-native ingestion end-to-end (the format every published web
+    * pipeline actually starts from): the q133 planted pages are
+    * rendered as MULTI-MEMBER-GZIP WET segments by the independent
+    * byte-level fixture writer ([[graft.ingest.WetFixture]] — the
+    * MdbFixture posture: the reader is tested against bytes it did not
+    * produce), read back through the distributed
+    * [[graft.ingest.WetReader]] (one task per `.wet.gz` segment — the
+    * gzip non-splittability unit, exactly how Common Crawl shards),
+    * identity recovered from the WARC-Target-URI, then the SAME
+    * curation summary as q133 — so the oracle SQL is q133's VERBATIM
+    * and any transport loss (framing, UTF-8, newline fidelity,
+    * multi-member gzip) breaks the hash.
+    */
+  def qS6WetIngest(s: SparkSession, d: String): DataFrame = {
+    val pages = messyPages(s, d)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dir = Files.createTempDirectory("graft_wet_gate").toString
+    val perSeg = math.max(1, math.ceil(pages.length / 4.0).toInt)
+    pages.grouped(perSeg).zipWithIndex.foreach { case (seg, i) =>
+      graft.ingest.WetFixture.writeWet(
+        f"$dir/segment-$i%05d.warc.wet.gz",
+        seg.map { case (id, src, text) =>
+          (s"https://crawl.test/$src/$id",
+            f"2024-01-${1 + id % 28}%02dT00:00:00Z", text)
+        }.toSeq)
+    }
+    val parsed = graft.ingest.WetReader
+      .read(s, dir, globFilter = Some("*.warc.wet.gz"))
+      .select(
+        regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 2)
+          .cast("bigint").as("doc_id"),
+        regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 1)
+          .as("source"),
+        col("text"))
+    curationSummaryFrom(parsed)
   }
 
   /** The FULL published curation pipeline (the RefinedWeb/C4 shape):
@@ -2731,7 +2787,8 @@ object Extensions {
     "q146_training_order" -> qC28TrainingOrder _,
     "q147_exact_ntile" -> qC29ExactNtile _,
     "q148_ccnet_buckets" -> qP6CcnetBuckets _,
-    "q149_decontaminate_spans_bloom" -> qC30DecontaminateSpansBloom _)
+    "q149_decontaminate_spans_bloom" -> qC30DecontaminateSpansBloom _,
+    "q150_wet_ingest" -> qS6WetIngest _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2760,6 +2817,10 @@ object Extensions {
   // total on the planted construction, so its oracle is q135's SQL
   // verbatim — same pipeline, same answer.
   lazy val oracle: Map[String, String] = oracleBase +
+    // q150 routes q133's pages through fixture WET archives and reruns
+    // the identical curation summary — lossless transport means q133's
+    // oracle SQL answers it verbatim.
+    ("q150_wet_ingest" -> oracleBase("q133_curation_pipeline")) +
     ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline")) +
     // q141 reuses q135's stage CTEs VERBATIM (sliced at its final
     // summary SELECT — the mechanism guarantees the stages can't

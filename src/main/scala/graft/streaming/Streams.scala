@@ -97,6 +97,41 @@ object Streams {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** Streaming WET source: watch `dir` for newly landed crawl segments
+    * (`.wet` / `.wet.gz`, the Common Crawl delivery unit) and emit one
+    * row per conversion record — [[graft.ingest.WetReader.schema]],
+    * parsed by the same record splitter as the batch reader (shared
+    * code: streaming ≡ batch by construction). The unit of both
+    * discovery and parallelism is the FILE (gzip is not splittable),
+    * exactly the production shape: a crawler drops finished segments
+    * into the directory and each micro-batch picks up whole new files.
+    * Compose with [[curateIncrementalBatches]] / [[ingestToBins]] for
+    * the full crawl → curated-training-bins pipeline.
+    */
+  def readWetStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*.wet.gz",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val r = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(binarySchema)
+    val files = maxFilesPerTrigger
+      .fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .load(dir)
+      .select("path", "content")
+    val enc = org.apache.spark.sql.Encoders.row(graft.ingest.WetReader.schema)
+    files.flatMap { row: org.apache.spark.sql.Row =>
+      graft.ingest.WetReader.recordsOf(
+        row.getString(0), row.getAs[Array[Byte]](1), keepAll = false)
+    }(enc)
+  }
+
   /** Tumbling-window aggregation with a watermark: per (window, type)
     * counts and value sums. Append-mode compatible (closed windows only).
     */

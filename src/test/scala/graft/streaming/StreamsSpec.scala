@@ -1216,6 +1216,81 @@ class StreamsSpec extends SparkSpec {
     assert(l1 == Map("y" -> tE))
   }
 
+  test("readWetStream -> ingestToBins: crawl segments land as training-bin placements") {
+    // the full crawl-native path: WET segment files (written by the
+    // independent byte-level fixture) drop into a watched directory,
+    // each micro-batch parses whole new files, identity comes from the
+    // Target-URI, and the curated pages place into quota'd bins — the
+    // end-to-end composition VERDICT r13 asked for
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stops = "the report has to be checked and that will hold with care."
+    def pageText(stem: String) =
+      s"$stops\n${(0 until 60).map(i => s"$stem${i}ord").mkString(" ")} and the close of day has come to rest now.\nmore closing prose lands here. yes. good. fine. done."
+    val aText = pageText("aw"); val bText = pageText("bw")
+    val fText = s"$stops\ntemplate { artifact. one. two. three. four. five."
+    def cleanOf(text: String): String = graft.operators.Corpus
+      .curatePages(Seq((0L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getString(1)
+    def tokOf(text: String): Long = cleanOf(text).trim
+      .split("\\s+").count(_.nonEmpty).toLong
+    val (tA, tB) = (tokOf(aText), tokOf(bText))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("clean",
+          org.apache.spark.sql.types.StringType))))
+    val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean").persist()
+    val corpusSigs = Streams
+      .nearDupCorpusSignatures(corpus, "clean", "doc_id").persist()
+    val watched = java.nio.file.Files
+      .createTempDirectory("graft_wet_watch").toString
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_wet_bins").toString
+    def writeSeg(name: String, rows: Seq[(Long, String, String)]): Unit =
+      graft.ingest.WetFixture.writeWet(s"$watched/$name",
+        rows.map { case (id, dom, text) =>
+          (s"https://crawl.test/$dom/$id", "2024-04-01T00:00:00Z", text)
+        })
+    // segment 0 exists BEFORE the stream starts
+    writeSeg("seg-00000.warc.wet.gz", Seq((1L, "x", aText), (2L, "x", fText)))
+    val pages = Streams.readWetStream(spark, watched)
+      .select(
+        regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 2)
+          .cast("bigint").as("doc_id"),
+        regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 1)
+          .as("dom"),
+        col("text"))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long)]
+    val q = Streams.ingestToBins(
+      pages, corpusHashes, corpusSigs, "text", "doc_id", "dom",
+      budgets = Map("x" -> 1000L, "y" -> 1000L),
+      binBudget = 16L, nShards = 8, ledgerBase = base,
+      onBins = (out, _) => got.synchronized {
+        got ++= out.collect().map(r => (
+          r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"),
+          r.getAs[Long]("off")))
+      }).start()
+    try {
+      q.processAllAvailable()
+      // a SECOND crawl segment lands while the stream runs: picked up
+      // as its own micro-batch, quota/dedup state carrying over
+      writeSeg("seg-00001.warc.wet.gz",
+        Seq((9L, "y", bText), (11L, "x", aText))) // 11 = exact dup of 1
+      q.processAllAvailable()
+    } finally { q.stop(); corpusHashes.unpersist(); corpusSigs.unpersist() }
+    val byId = got.map(r => r._1 -> r).toMap
+    // F dies at curation; the duplicate of A dies at exact admission
+    assert(byId.keySet == Set(1L, 9L))
+    assert(byId(1L) == ((1L, "x", tA, 0L, 0L)))
+    assert(byId(9L) == ((9L, "y", tB, 0L, 0L)))
+  }
+
   test("decontaminateSpansBatches streams == batch decontaminateSpans (surgical)") {
     implicit val sq = spark.sqlContext
     val benchText = "the committee benchmark answer key phrase number nine follows here today"
