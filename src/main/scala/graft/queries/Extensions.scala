@@ -1757,6 +1757,44 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** TOKENIZER-EXACT training bins — the q141 pipeline with the packing
+    * budget counted in REAL BPE tokens instead of whitespace words: the
+    * five published stages ([[refinedWebStages]], the q138 banded-
+    * MinHash dedup), then [[graft.operators.Corpus.bpeTrain]] learns a
+    * merge table ON THE SURVIVORS (train-on-what-you-pack, the
+    * production posture), [[graft.operators.Corpus.bpeEncode]] counts
+    * each page's actual subword tokens, and
+    * [[graft.operators.Corpus.packSequences]] cuts 2048-TOKEN bins.
+    * This closes the r13 gap where every budgeted operator took
+    * whitespace-word counts: a trainer's sequence budget is tokenizer
+    * tokens, and a 10%-over-budget bin from the word approximation is
+    * a truncated training sequence. Rows-only gate (greedy merge
+    * application is not SQL-expressible — the q131 posture); the
+    * composition's arithmetic is oracle-pinned through q141 (identical
+    * packing window) and the encode itself through the CorpusSpec
+    * plain-Scala replica + the planted-merge packing spec.
+    */
+  def qP7BpePacked(s: SparkSession, d: String): DataFrame = {
+    val st = refinedWebStages(s, d, s3 =>
+      graft.operators.Dedup
+        .ngramJaccardNearDups(s3, "clean", "id", threshold = 0.5, n = 3)
+        .select(col("id_b").as("id")).distinct())
+    // persisted: consumed by BOTH the bpeTrain scan (an action inside
+    // this builder) and the returned packing plan — the q135 stage-
+    // persist posture (Bench clears cache between reps)
+    val survivors = st.s5.persist()
+    val merges = graft.operators.Corpus.bpeTrain(
+      survivors, "clean", numMerges = 200)
+    val enc = graft.operators.Corpus.bpeEncode(survivors, "clean", merges)
+    // 256-token bins: small enough that every source spans several
+    // bins at sf0.01 (the bin/off arithmetic does real work), large
+    // enough that most docs straddle-pack rather than 1:1
+    graft.operators.Corpus.packSequences(
+        enc, "id", col("source"), col("id"), col("n_bpe_tokens"),
+        budget = 256L)
+      .orderBy(col("id"))
+  }
+
   /** The published pipeline with SURGICAL decontamination: the q138
     * five-stage shape (URL dedup → C4 → full Gopher → banded-MinHash
     * near-dup — the 100 TB dedup stage), but the final stage CUTS the
@@ -2788,7 +2826,8 @@ object Extensions {
     "q147_exact_ntile" -> qC29ExactNtile _,
     "q148_ccnet_buckets" -> qP6CcnetBuckets _,
     "q149_decontaminate_spans_bloom" -> qC30DecontaminateSpansBloom _,
-    "q150_wet_ingest" -> qS6WetIngest _)
+    "q150_wet_ingest" -> qS6WetIngest _,
+    "q151_bpe_packed" -> qP7BpePacked _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).

@@ -1483,6 +1483,39 @@ class CorpusSpec extends SparkSpec {
     assert(enc(1L)._1.isEmpty && enc(1L)._2 == 0L)
   }
 
+  test("bpeEncode -> packSequences: bins cut at exact BPE-token boundaries") {
+    // PLANTED merge table — token counts are hand-computable, so the
+    // whole tokenizer-exact packing composition (the q151 shape) pins
+    // against closed-form bins. With merges (a,b),(ab,c),(abc,</w>):
+    //   "abc"  -> [abc</w>]                      = 1 token
+    //   "abcd" -> [abc, d, </w>]                 = 3 tokens
+    //   "ab"   -> [ab, </w>]                     = 2 tokens
+    val merges = Seq(("a", "b"), ("ab", "c"), ("abc", "</w>"))
+    val docs = Seq(
+      (1L, "s", "abc abc abc"), // 3 tokens
+      (2L, "s", "abcd ab"), // 5 tokens
+      (3L, "s", "abc"), // 1 token
+      (4L, "t", "ab ab ab")) // 6 tokens
+      .toDF("doc_id", "shard", "text")
+    val enc = Corpus.bpeEncode(docs, "text", merges)
+    val counts = enc.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 5L, 3L -> 1L, 4L -> 6L))
+    // budget 4 BPE tokens: shard s prefix sums 0,3,8 -> bins 0,0,2 with
+    // offsets 0,3,0; shard t starts its own bin space
+    val packed = Corpus.packSequences(
+        enc, "doc_id", col("shard"), col("doc_id"), col("n_bpe_tokens"),
+        budget = 4L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("shard"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bin"), r.getAs[Long]("off"))).toMap
+    assert(packed == Map(
+      1L -> (("s", 3L, 0L, 0L)),
+      2L -> (("s", 5L, 0L, 3L)),
+      3L -> (("s", 1L, 2L, 0L)),
+      4L -> (("t", 6L, 0L, 0L))))
+  }
+
   test("bpeTrain is partitioning-invariant (integer argmax, no ties to luck)") {
     val d = docs.filter(col("doc_id") =!= 5L)
     val a = Corpus.bpeTrain(d, "text", numMerges = 8)
