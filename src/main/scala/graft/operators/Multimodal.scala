@@ -84,6 +84,99 @@ object Multimodal {
       img
     }
 
+    /** dHash (difference hash): the standard perceptual image
+      * fingerprint for near-dup detection (LAION-style multimodal
+      * curation dedups crawled images exactly this way) — decode,
+      * box-average the luma plane onto a 9×8 grid, and emit one bit
+      * per horizontally adjacent cell pair: bit `y*8+x` is set iff
+      * `cell(x,y) < cell(x+1,y)`. Gradient structure survives
+      * re-encoding, resizing, and mild noise, so near-identical images
+      * land within a few bits of hamming distance; 64 bits feed the
+      * same pigeonhole banding machinery as text simhash.
+      *
+      * The downscale is an explicit integer box average (NOT
+      * Graphics2D, whose interpolation is hint/platform-dependent):
+      * deterministic everywhere, and exact on block-constant images —
+      * the fixture/oracle lever. Images narrower than the grid sample
+      * nearest pixels. Undecodable/empty bytes → null (the quarantine
+      * convention).
+      */
+    def dHash64(bytes: Array[Byte]): java.lang.Long = {
+      val img = readImage(bytes)
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val cells = new Array[Double](9 * 8)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 9) {
+            val x0 = math.min(cx * w / 9, w - 1)
+            val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+            val y0 = math.min(cy * h / 8, h - 1)
+            val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = px(y * w + x)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            cells(cy * 9 + cx) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
+            cx += 1
+          }
+          cy += 1
+        }
+        var fp = 0L
+        var i = 0
+        while (i < 64) {
+          val cyy = i / 8; val cxx = i % 8
+          if (cells(cyy * 9 + cxx) < cells(cyy * 9 + cxx + 1))
+            fp |= 1L << i
+          i += 1
+        }
+        java.lang.Long.valueOf(fp)
+      }
+    }
+
+    /** Render a 64-bit code as a PNG whose [[dHash64]] is exactly that
+      * code — the fixture side of the perceptual-dedup oracle gate
+      * (the BiffFixture posture: bytes the reader didn't produce).
+      * Each grid row walks luma from 128 by ±8 per planted bit
+      * (set = brighter to the right = the dHash bit), rendered as
+      * `sx`×`sy` constant blocks so the box average recovers cell
+      * values exactly at any block scale.
+      */
+    def encodeCodedPng(code: Long, sx: Int, sy: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9 * sx, 8 * sy, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var cy = 0
+      while (cy < 8) {
+        var luma = 128
+        var cx = 0
+        while (cx < 9) {
+          val rgb = (luma << 16) | (luma << 8) | luma
+          var y = cy * sy
+          while (y < (cy + 1) * sy) {
+            var x = cx * sx
+            while (x < (cx + 1) * sx) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          if (cx < 8)
+            luma += (if (((code >>> (cy * 8 + cx)) & 1L) == 1L) 8 else -8)
+          cx += 1
+        }
+        cy += 1
+      }
+      encodePng(img)
+    }
+
     def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       ImageIO.write(img, "jpg", bos)
@@ -374,6 +467,47 @@ object Multimodal {
         }
       }(enc)
   }
+
+  private val fingerprintSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("fp", LongType, nullable = true)))
+
+  /** Perceptual fingerprint pass: `(media_id, content)` →
+    * `(id, fp)` 64-bit [[JdkCodec.dHash64]] per image; undecodable
+    * bytes fingerprint as null (quarantine — they join nothing
+    * downstream). Narrow scan-bound work, one decode per image.
+    */
+  def imageFingerprints(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(fingerprintSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), JdkCodec.dHash64(r.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
+  /** Image near-dup pairs — the LAION-style multimodal dedup step:
+    * [[imageFingerprints]] (dHash) + the SAME pigeonhole hamming
+    * banding as text simhash ([[Dedup.simhashPairs]]: fingerprints
+    * within hamming `maxHamming` must share one of `maxHamming + 1`
+    * equal 64/(k+1)-bit chunks — exact, never all-pairs). Emits
+    * `(id_a, id_b, hamming)`; compose with [[Dedup.clusters]] for
+    * transitive survivor selection. Undecodable images never pair.
+    *
+    * Scale: one decode scan + the banded self-join on chunk buckets —
+    * the identical shuffle shape as simhash text dedup, so the same
+    * hot-bucket reasoning applies (near-constant images concentrate in
+    * few buckets; the chunked join spreads the quadratic work across
+    * tasks).
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      // cache: both sides of the banded self-join re-read the
+      // fingerprints; uncached, every image decodes twice (the
+      // simhashNearDups rationale — caller releases via clearCache)
+      imageFingerprints(media).filter(col("fp").isNotNull).cache(),
+      maxHamming)
 
   private val audioSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

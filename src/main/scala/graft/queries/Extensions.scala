@@ -961,6 +961,48 @@ object Extensions {
     * not SQL-expressible; constant-gray fixtures make many exact cosine
     * ties, so row membership (not order) is the stable property.
     */
+  /** Image perceptual near-dup dedup end-to-end (the LAION multimodal
+    * curation step): every document gets a REAL PNG rendered from a
+    * planted 64-bit code (doc_id's 16 bits repeated ×4 — distinct ids
+    * sit ≥ 4 bits apart) plus a near-duplicate twin at +100000 with
+    * exactly bits {0,21,42} flipped (hamming 3, the same flip set for
+    * every twin so twins of different ids stay ≥ 4 apart). The engine
+    * decodes the pixels, dHashes the luma grid, and hamming-bands the
+    * fingerprints ([[graft.operators.Multimodal.imageNearDups]]); the
+    * oracle recomputes the brute-force hamming join over the planted
+    * codes in SQL (the q31 posture — here the decode→dHash roundtrip
+    * is part of what the hash check proves, since dHash must recover
+    * the planted code EXACTLY from the rendered pixels at three block
+    * scales). Block scales vary by id so the box-average downscale
+    * path does real work.
+    */
+  def qM5ImageNearDups(s: SparkSession, d: String): DataFrame = {
+    val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
+    val flips = 1L | (1L << 21) | (1L << 42)
+    val base = documents(s, d).filter(col("doc_id") < 16384)
+      .select(col("doc_id"), (col("doc_id") * unit).as("code"))
+    val both = base.select(col("doc_id").as("media_id"), col("code"))
+      .unionByName(base.select((col("doc_id") + 100000L).as("media_id"),
+        col("code").bitwiseXOR(lit(flips)).as("code")))
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val media = both.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          graft.operators.Multimodal.JdkCodec.encodeCodedPng(
+            r.getLong(1),
+            sx = 1 + (id % 3).toInt, sy = 1 + (id % 2).toInt))
+      }
+    }(enc)
+    graft.operators.Multimodal.imageNearDups(media, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def qM2MediaKnn(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.syntheticImages(s, documents(s, d), "doc_id")
     val feats = Multimodal.featurize(media, dim = 16)
@@ -2827,7 +2869,8 @@ object Extensions {
     "q148_ccnet_buckets" -> qP6CcnetBuckets _,
     "q149_decontaminate_spans_bloom" -> qC30DecontaminateSpansBloom _,
     "q150_wet_ingest" -> qS6WetIngest _,
-    "q151_bpe_packed" -> qP7BpePacked _)
+    "q151_bpe_packed" -> qP7BpePacked _,
+    "q152_image_near_dups" -> qM5ImageNearDups _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2860,6 +2903,21 @@ object Extensions {
     // the identical curation summary — lossless transport means q133's
     // oracle SQL answers it verbatim.
     ("q150_wet_ingest" -> oracleBase("q133_curation_pipeline")) +
+    // q152: the engine decodes rendered PNGs and dHashes the pixels;
+    // the oracle recomputes the brute-force hamming join over the
+    // PLANTED codes (doc_id's 16 bits ×4 + the fixed {0,21,42} twin
+    // flip) — exact equality proves decode→dHash recovered every code.
+    ("q152_image_near_dups" ->
+      """WITH c AS (SELECT doc_id, doc_id * 281479271743489 AS code
+             FROM documents WHERE doc_id < 16384),
+           f AS (SELECT doc_id AS id, code AS fp FROM c
+                 UNION ALL
+                 SELECT doc_id + 100000, xor(code, 4398048608257) FROM c)
+         SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+         FROM f a JOIN f b ON a.id < b.id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY id_a, id_b""") +
     ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline")) +
     // q141 reuses q135's stage CTEs VERBATIM (sliced at its final
     // summary SELECT — the mechanism guarantees the stages can't

@@ -252,4 +252,62 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq((1L, 0, truncated)).toDF("media_id", "frame_idx", "frame")
     assert(Multimodal.decodeFrameDims(rows).count() == 0)
   }
+
+  test("dHash64 recovers a planted code from rendered pixels at every block scale") {
+    val codes = Seq(0L, -1L, 0x5a5a5a5a5a5a5a5aL, 0x0123456789abcdefL,
+      1L | (1L << 21) | (1L << 42))
+    for (code <- codes; sx <- 1 to 3; sy <- 1 to 3) {
+      val png = Multimodal.JdkCodec.encodeCodedPng(code, sx, sy)
+      val got = Multimodal.JdkCodec.dHash64(png)
+      assert(got != null && got.longValue == code, s"code=$code sx=$sx sy=$sy")
+    }
+    // undecodable / empty bytes fingerprint as null (quarantine)
+    assert(Multimodal.JdkCodec.dHash64(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.JdkCodec.dHash64(Array.emptyByteArray) == null)
+  }
+
+  test("dHash survives perceptual perturbation but separates distinct images") {
+    import spark.implicits._
+    // a smooth 2-D gradient photo-alike, its mildly noised re-render,
+    // and a structurally different (transposed-gradient) image
+    def render(seed: Int, noise: Int, stripes: Boolean): Array[Byte] = {
+      val w = 45; val h = 40
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until h; x <- 0 until w) {
+        // dHash reads HORIZONTAL luma sign structure, so "different"
+        // must mean different left-right shape: a monotone ramp vs
+        // alternating stripes (a transposed ramp is still monotone in
+        // x and correctly hashes as the SAME gradient)
+        val base = if (stripes) (if ((x / 5) % 2 == 0) 60 else 190)
+          else (x * 4 + y)
+        val g = math.min(255, math.max(0,
+          base + (if (noise > 0) rnd.nextInt(2 * noise + 1) - noise else 0)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      Multimodal.JdkCodec.encodePng(img)
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val clean = Multimodal.JdkCodec.dHash64(render(1, 0, stripes = false))
+    val noisy = Multimodal.JdkCodec.dHash64(render(2, 3, stripes = false))
+    val other = Multimodal.JdkCodec.dHash64(render(3, 0, stripes = true))
+    assert(ham(clean, noisy) <= 3, s"noise moved ${ham(clean, noisy)} bits")
+    assert(ham(clean, other) > 10, s"distinct only ${ham(clean, other)} bits apart")
+    // the DataFrame pairing finds exactly the perceptual pair, skips
+    // the corrupt row, and clusters compose for survivor selection
+    val media = Seq(
+      (1L, render(1, 0, stripes = false)),
+      (2L, render(2, 3, stripes = false)),
+      (3L, render(3, 0, stripes = true)),
+      (4L, Array[Byte](9, 9, 9))) // undecodable
+      .toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    val comp = graft.operators.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(2L))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
