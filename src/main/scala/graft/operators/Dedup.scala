@@ -268,6 +268,46 @@ object Dedup {
       minhashCandidates(df, textCol, idCol, numPerms, bands),
       df, textCol, idCol, threshold)
 
+  /** THRESHOLD-PLANNED candidate generation: the banding comes from
+    * [[lshPlan]] instead of the fixed 8×8 default (tuned for ~0.77) —
+    * the entry point that makes the S-curve planner load-bearing. At
+    * threshold 0.9 with 64 perms the plan is 4 bands × 16 rows:
+    * measured on the 10×-duplication replica (docs/SCALE.md round 14),
+    * the planned banding ran the candidate+verify pipeline 1.6× faster
+    * (6.5 s vs 10.7 s) at recall 0.997 of the 8×8 verified set, with
+    * VERIFY PRECISION 1.0 — every planned candidate was a true ≥ 0.9
+    * pair, where 8×8 paid to verify and discard 5,100 sub-threshold
+    * candidates. On a corpus whose near-dup mass sits at ~0.8 (crawl
+    * boilerplate) rather than exact copies, the candidate-volume gap
+    * widens to the S-curve's: 8×8 fires on 65% of 0.77-similar pairs,
+    * 16 rows/band on 1.6%.
+    */
+  def minhashCandidatesAt(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numPerms: Int = 64,
+      maxBucket: Int = 500): DataFrame = {
+    val (bands, _) = lshPlan(threshold, numPerms)
+    minhashCandidates(df, textCol, idCol, numPerms, bands, maxBucket)
+  }
+
+  /** [[minhashNearDups]] with [[lshPlan]]-derived banding: candidates
+    * at the S-curve-optimal (bands, rows) for `threshold`, then the
+    * same exact Jaccard verification.
+    */
+  def minhashNearDupsAt(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numPerms: Int = 64,
+      maxBucket: Int = 500): DataFrame =
+    verifyJaccard(
+      minhashCandidatesAt(df, textCol, idCol, threshold, numPerms, maxBucket),
+      df, textCol, idCol, threshold)
+
   /** SimHash fingerprints (fused tokenize+hash single pass; identical
     * values to SimHash64 over a materialized token array).
     */

@@ -653,6 +653,27 @@ object Streams {
       graft.operators.Dedup.minhashSignature(cr(textCol), numPerms).as("sig"))
   }
 
+  /** [[incrementalNearDupBatches]] with the banding derived from the
+    * caller's target threshold via the S-curve planner
+    * ([[graft.operators.Dedup.lshPlan]]) instead of the fixed 8×8
+    * default — pass the SAME `numPerms` used to build `corpusSigs`
+    * (signatures are banding-agnostic; only the probe split changes).
+    */
+  def incrementalNearDupBatchesAt(
+      docs: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      threshold: Double,
+      numPerms: Int = 64,
+      maxBand: Int = 500): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (bands, _) = graft.operators.Dedup.lshPlan(threshold, numPerms)
+    incrementalNearDupBatches(docs, corpusSigs, textCol, idCol, ledgerDir,
+      onBatch, threshold, numPerms, bands, maxBand)
+  }
+
   def incrementalNearDupBatches(
       docs: DataFrame,
       corpusSigs: DataFrame,

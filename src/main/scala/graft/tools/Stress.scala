@@ -236,6 +236,104 @@ object Stress {
     * and the in-engine text embedding throughput + its semDeDup
     * composition at replica scale.
     */
+  /** Round-14 operators: WET read throughput, the lshPlan threshold-0.9
+    * A/B (candidate volume + recall vs the 8×8 default), and the image
+    * perceptual-dedup replica (docs/SCALE.md round 14).
+    */
+  private def r14(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    locally {
+      // WET read+parse throughput: the replica corpus rendered as 32
+      // multi-member-gzip segments (the Common Crawl shard shape), read
+      // back through the distributed reader. count() cannot prune the
+      // parse — record splitting happens inside the flatMap.
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_wet")
+        .toString
+      val rows = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (s"https://crawl.test/d/${r.getLong(0)}",
+          "2024-05-01T00:00:00Z", r.getString(1)))
+      val per = math.max(1, math.ceil(rows.length / 32.0).toInt)
+      rows.grouped(per).zipWithIndex.foreach { case (seg, i) =>
+        graft.ingest.WetFixture.writeWet(
+          f"$dir/seg-$i%05d.warc.wet.gz", seg.toSeq)
+      }
+      val bytes = new java.io.File(dir).listFiles().map(_.length()).sum
+      val t0 = System.nanoTime()
+      val n = graft.ingest.WetReader.read(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] wet read+parse: $n%d records, " +
+        f"${bytes / 1e6}%.1f MB gz in $secs%.1fs " +
+        f"(${n / secs}%.0f rows/s, ${bytes / 1e6 / secs}%.1f MB/s)")
+    }
+    locally {
+      // lshPlan A/B at threshold 0.9: the planned banding vs the 8×8
+      // default on the 10-copy replica — candidate volume, verified
+      // pairs >= 0.9, and recall of the planned path against the 8×8
+      // verified set (8×8 at 0.9 is near-exhaustive per-pair: S-curve
+      // 0.989 at s = 0.9, 1.0 on the exact copies that dominate here)
+      val (bP, rP) = Dedup.lshPlan(0.9, 64)
+      println(s"[stress] lshPlan(0.9, 64) = ${bP}x$rP bands")
+      def run(tag: String, bands: Int): Set[(Long, Long)] = {
+        val t0 = System.nanoTime()
+        val cand = Dedup.minhashCandidates(docs, "text", "doc_id", 64, bands)
+          .persist()
+        val nCand = cand.count()
+        val tCand = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pairs = Dedup.verifyJaccard(cand, docs, "text", "doc_id", 0.9)
+          .select(col("id_a"), col("id_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val tVer = (System.nanoTime() - t1) / 1e9
+        cand.unpersist()
+        println(f"[stress] lsh@0.9 $tag: $nCand%d candidates in $tCand%.1fs, " +
+          f"${pairs.size}%d verified pairs in $tVer%.1fs")
+        pairs
+      }
+      val p88 = run("8x8 default", 8)
+      val pPl = run(s"planned ${bP}x$rP", bP)
+      val recall = if (p88.isEmpty) 1.0
+        else pPl.intersect(p88).size.toDouble / p88.size
+      println(f"[stress] lsh@0.9 planned recall vs 8x8 verified set: $recall%.4f")
+    }
+    locally {
+      // image perceptual dedup replica: 20k coded PNGs + a 10% twin set
+      // (3-bit flips), decode → dHash → hamming banding end-to-end
+      val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
+      val flips = 1L | (1L << 21) | (1L << 42)
+      val enc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType))))
+      val media = spark.range(16384).toDF("id")
+        .select(col("id"), (col("id") * unit).as("code"))
+        .unionByName(spark.range(16384).toDF("id")
+          .filter(col("id") % 10 === 0)
+          .select((col("id") + 100000L).as("id"),
+            (col("id") * unit).bitwiseXOR(lit(flips)).as("code")))
+        .repartition(32)
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            org.apache.spark.sql.Row(id,
+              graft.operators.Multimodal.JdkCodec.encodeCodedPng(
+                r.getLong(1), sx = 1 + (id % 3).toInt, sy = 1 + (id % 2).toInt))
+          }
+        }(enc)
+        .persist()
+      val nImg = media.count() // materialize renders OUTSIDE the timing
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Multimodal.imageNearDups(media, maxHamming = 3)
+        .count()
+      println(f"[stress] image dHash dedup: $nImg%d images -> $pairs%d pairs " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1fs (decode+hash+band)")
+      media.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   private def r13(docs: DataFrame, embs: DataFrame): Unit = {
     val spark = docs.sparkSession
     locally {
@@ -465,6 +563,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+    if (sys.env.contains("STRESS_R14_ONLY")) { r14(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R13_ONLY")) { r13(docs, embs); spark.stop(); return }
     if (sys.env.contains("STRESS_R12_ONLY")) { r12(docs, embs); spark.stop(); return }
     if (sys.env.contains("STRESS_R11_ONLY")) { r11(docs, embs); r11b(docs); spark.stop(); return }

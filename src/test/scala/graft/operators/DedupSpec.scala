@@ -244,4 +244,28 @@ class DedupSpec extends SparkSpec {
     val (bFn, _) = Dedup.lshPlan(0.77, 64, fpWeight = 0.1, fnWeight = 0.9)
     assert(bFn >= b77)
   }
+
+  test("minhashNearDupsAt wires lshPlan banding into the LSH pipeline") {
+    import spark.implicits._
+    // planted EXACT duplicates (identical signatures share EVERY band —
+    // found under ANY banding, so the assertion is deterministic) among
+    // structurally distinct filler docs
+    def doc(stem: String): String =
+      (0 until 40).map(i => s"$stem${i}word").mkString(" ")
+    val rows = (0 until 30).map(i => (i.toLong, doc(s"u$i"))) ++
+      Seq((100L, doc("u3")), (101L, doc("u7"))) // copies of 3 and 7
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAt(df, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 100L), (7L, 101L)))
+    // the planned path IS minhashNearDups at lshPlan's split — one
+    // body, two spellings
+    val (bands, rows9) = Dedup.lshPlan(0.9, 64)
+    assert(bands * rows9 == 64 && rows9 > 8) // 0.9 plans STRICTER than 8x8
+    val explicit = Dedup
+      .minhashNearDups(df, "text", "doc_id", threshold = 0.9,
+        numPerms = 64, bands = bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicit == got)
+  }
 }
