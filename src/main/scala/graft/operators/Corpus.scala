@@ -733,18 +733,37 @@ object Corpus {
     * ntile's — q147 pins it against DuckDB's native `ntile` — and
     * deterministic under any partitioning (ties broken by `tie`).
     *
-    * Caveat, stated not hidden: range buckets are uniform over the
-    * VALUE span, so a degenerate distribution (99% of one group's
-    * rows sharing one value) re-concentrates into one bucket and the
-    * within-bucket window degrades toward the naive shape; the md5
-    * trick that fixes [[domainMixture]] cannot apply because this
-    * order is semantic. For scores (LM perplexity, quality blends)
-    * value spread is the normal case.
+    * DEGENERATE-VALUE GUARD (round 14): range buckets are uniform over
+    * the VALUE span, so a distribution where one group's rows mostly
+    * share ONE order value re-concentrates into one bucket — and no
+    * function of the order key can split equal values. But ordering
+    * INSIDE one order value IS the tie key (that's its definition), so
+    * buckets holding a hot value are sub-bucketed by a monotone double
+    * image of the tie: each hot bucket's rows section into
+    * (below-hot / at-hot / above-hot) intervals per hot value, and the
+    * at-hot sections range-split 256 ways over the tie span. Detection
+    * is one (group, bucket) count pass (reused as the rank bases when
+    * nothing is hot, so the normal case pays ~nothing) plus, only when
+    * a hot bucket exists, one per-value stats pass whose bounded
+    * result compiles into literal codegen'd case expressions.
+    * Semantics are unchanged — the spec pins equality with the window
+    * ntile under 99% single-value concentration.
+    *
+    * `hotBucket` trades a FIXED two-extra-passes cost against the
+    * single-task window sort: measured on local[32] (docs/SCALE.md
+    * round 14) the serial sort is actually CHEAPER up through ~10⁸
+    * rows-per-value (175 s vs 220 s at 10⁸ — one in-memory sort runs
+    * at full memory bandwidth), so the default engages only at 2²²
+    * rows, where the real-cluster failure mode it exists for —
+    * one task sorting an executor-memory-sized value mass while the
+    * cluster idles, spilling serially — is the operative risk, not
+    * local wall time.
     */
   def exactNtile(
       df: DataFrame, groupCol: String, order: Column, tie: Column,
-      n: Int): DataFrame = {
+      n: Int, hotBucket: Int = 1 << 22): DataFrame = {
     require(n >= 1, "n >= 1")
+    require(hotBucket >= 1, "hotBucket >= 1")
     // null order keys sit OUTSIDE the ranking (a window ntile would
     // sort them first/last by engine whim): routed around the machinery
     // and emitted with ntile = null, so every input row is accounted
@@ -789,21 +808,118 @@ object Corpus {
           .otherwise(least(lit(255.0), greatest(lit(0.0), floor(
             (col("_gnt_ord") - col("_gnt_lo")) /
               (col("_gnt_hi") - col("_gnt_lo")) * 256))).cast("int")))
-    val wBase = Window.partitionBy(col("_gnt_grp")).orderBy(col("_gnt_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = bucketed.groupBy(col("_gnt_grp"), col("_gnt_bkt"))
+    // ---- hot-value tie sub-bucketing (the degenerate-value guard) ----
+    // a monotone double image of the tie key, by STATIC type: numeric/
+    // timestamp casts are order-preserving; strings map through their
+    // first 13 hex chars (52 bits — UTF-8 byte order IS Spark's string
+    // order, and prefix collisions just share a sub-bucket); anything
+    // else collapses to one sub-bucket (correct, merely unsplit).
+    val tieDouble: Column = base.schema("_gnt_tie").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        col("_gnt_tie").cast("double")
+      case org.apache.spark.sql.types.TimestampType =>
+        col("_gnt_tie").cast("double")
+      case org.apache.spark.sql.types.DateType =>
+        col("_gnt_tie").cast("timestamp").cast("double")
+      case org.apache.spark.sql.types.StringType =>
+        conv(rpad(substring(hex(col("_gnt_tie")), 1, 13), 13, "0"), 16, 10)
+          .cast("double")
+      case _ => lit(null).cast("double")
+    }
+    val bktCounts = bucketed.groupBy(col("_gnt_grp"), col("_gnt_bkt"))
       .agg(count(lit(1)).as("_gnt_bc"))
+    val hotB = bktCounts.filter(col("_gnt_bc") > hotBucket)
+      .select(col("_gnt_grp"), col("_gnt_bkt"))
+    // one bounded probe decides the path: the NORMAL (value-spread)
+    // case pays one small (group × 256) aggregation + this emptiness
+    // check and NONE of the guard machinery — the guard's extra
+    // full-data aggregations only run when a hot bucket actually
+    // exists (measured: unconditional guard wiring cost the normal
+    // shape two full shuffles for nothing)
+    val noHot = hotB.isEmpty
+    val enriched = if (noHot) {
+      bucketed.withColumn("_gnt_sec", lit(0)).withColumn("_gnt_sub", lit(0))
+    } else {
+      // rows inside hot buckets only; ONE aggregation yields both the
+      // hot VALUES (count above the floor) and their tie spans. The
+      // result is BOUNDED by construction (≤ total rows / hotBucket
+      // values can exceed the floor), so it collects to the driver —
+      // the requireSigCompat bounded-probe posture — and sections/
+      // sub-buckets compile into LITERAL case expressions: pure
+      // codegen'd per-row work, no broadcast joins, no interpreted
+      // higher-order lambdas (the join+lambda formulation measured
+      // SLOWER than the one-task sort it replaces at 20M rows).
+      val hotRows = bucketed.join(broadcast(hotB),
+        Seq("_gnt_grp", "_gnt_bkt"), "left_semi")
+      val hotStats = hotRows.withColumn("_gnt_td", tieDouble)
+        .groupBy(col("_gnt_grp"), col("_gnt_bkt"), col("_gnt_ordraw"))
+        .agg(count(lit(1)).as("_gnt_vc"),
+          min(col("_gnt_td")).as("_gnt_tlo"),
+          max(col("_gnt_td")).as("_gnt_thi"))
+        .filter(col("_gnt_vc") > hotBucket)
+        .orderBy(col("_gnt_grp"), col("_gnt_bkt"), col("_gnt_ordraw"))
+        .collect() // bounded: ≤ n/hotBucket rows, Spark-sorted (NaN last)
+      // section = 2·(hot values below) + (at a hot value ? 1 : 0): hot
+      // values become their own odd sections, the non-hot rows between
+      // them the even ones — monotone in the order key by construction.
+      // Spark's NaN-is-greatest comparison semantics keep a hot NaN
+      // value's section last, matching its window sort slot.
+      val byBucket = hotStats.groupBy(r => (r.getString(0), r.getInt(1)))
+      val inBkt: ((String, Int)) => Column = { case (g, b) =>
+        col("_gnt_grp") === g && col("_gnt_bkt") === b }
+      val sec = byBucket.foldLeft(lit(0)) { case (els, (gb, rows)) =>
+        // per hot bucket: when(ord < v1, 0).when(ord === v1, 1)
+        //   .when(ord < v2, 2)... .otherwise(2k) — rows are sorted
+        val chain = rows.zipWithIndex.foldRight(lit(2 * rows.length): Column) {
+          case ((r, i), rest) =>
+            val v = lit(r.get(2))
+            when(col("_gnt_ordraw") < v, 2 * i)
+              .when(col("_gnt_ordraw") === v, 2 * i + 1)
+              .otherwise(rest)
+        }
+        when(inBkt(gb), chain).otherwise(els)
+      }
+      val sub = hotStats.foldLeft(lit(0)) { (els, r) =>
+        // row layout: (grp, bkt, ordraw, vc, tlo, thi)
+        val (tlo, thi) = (r.get(4), r.get(5))
+        val span =
+          if (tlo == null || thi == null || tlo == thi) lit(0)
+          else least(lit(255.0), greatest(lit(0.0), floor(
+            (tieDouble - lit(tlo)) /
+              (lit(thi).cast("double") - lit(tlo)) * 256))).cast("int")
+        when(col("_gnt_grp") === r.getString(0) &&
+          col("_gnt_bkt") === r.getInt(1) &&
+          col("_gnt_ordraw") === lit(r.get(2)), span).otherwise(els)
+      }
+      bucketed.withColumn("_gnt_sec", sec).withColumn("_gnt_sub", sub)
+    }
+    val wBase = Window.partitionBy(col("_gnt_grp"))
+      .orderBy(col("_gnt_bkt"), col("_gnt_sec"), col("_gnt_sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // normal path: sec/sub are constant 0, so the (grp, bkt) counts the
+    // hot probe already aggregated ARE the bases — reusing them keeps
+    // the guard's normal-case overhead at exactly one small aggregation
+    val baseCounts =
+      if (noHot) bktCounts
+        .withColumn("_gnt_sec", lit(0)).withColumn("_gnt_sub", lit(0))
+      else enriched
+        .groupBy(col("_gnt_grp"), col("_gnt_bkt"), col("_gnt_sec"),
+          col("_gnt_sub"))
+        .agg(count(lit(1)).as("_gnt_bc"))
+    val bases = baseCounts
       .withColumn("_gnt_base",
         coalesce(sum(col("_gnt_bc")).over(wBase), lit(0L)))
       .drop("_gnt_bc")
-    val wLocal = Window.partitionBy(col("_gnt_grp"), col("_gnt_bkt"))
+    val wLocal = Window
+      .partitionBy(col("_gnt_grp"), col("_gnt_bkt"), col("_gnt_sec"),
+        col("_gnt_sub"))
       .orderBy(col("_gnt_ordraw"), col("_gnt_tie"))
-    // no explicit broadcast hint: bases is (groups x <= 256) rows —
-    // tiny for the language/domain use this serves, where AQE
-    // broadcasts it anyway; with millions of groups it grows past
-    // broadcastability and the keyed join is the correct fallback
-    val ranked = bucketed
-      .join(bases, Seq("_gnt_grp", "_gnt_bkt"))
+    // no explicit broadcast hint: bases is (groups x <= 256 x few
+    // sections) rows — tiny for the language/domain use this serves,
+    // where AQE broadcasts it anyway; with millions of groups it grows
+    // past broadcastability and the keyed join is the correct fallback
+    val ranked = enriched
+      .join(bases, Seq("_gnt_grp", "_gnt_bkt", "_gnt_sec", "_gnt_sub"))
       .withColumn("_gnt_rank",
         col("_gnt_base") + row_number().over(wLocal))
     // SQL-standard ntile: with c rows and q = c div n, rem = c mod n,
@@ -819,7 +935,8 @@ object Corpus {
       .otherwise(rem + floor((r0 - rem * big) / q).cast("long") + 1L)
     ranked.withColumn("ntile", tileCol.cast("long"))
       .drop("_gnt_grp", "_gnt_ordraw", "_gnt_ord", "_gnt_tie", "_gnt_lo",
-        "_gnt_hi", "_gnt_cnt", "_gnt_bkt", "_gnt_base", "_gnt_rank")
+        "_gnt_hi", "_gnt_cnt", "_gnt_bkt", "_gnt_base", "_gnt_rank",
+        "_gnt_hot", "_gnt_tlo", "_gnt_thi", "_gnt_sec", "_gnt_sub")
       .unionByName(nullOrd)
   }
 

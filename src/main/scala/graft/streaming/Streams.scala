@@ -570,6 +570,54 @@ object Streams {
       StructType(schema.filterNot(_.name == "batch_id")))
   }
 
+  /** Driver-side running-total cache for the QUOTA ledger (ledgerDir →
+    * (last batch id folded in, per-domain admitted-token sums)): the
+    * ledger is a handful of rows per batch, but re-reading it as
+    * parquet every micro-batch pays a fixed file-listing + read-job
+    * latency (part of the measured ~4.5 s/batch [[ingestToBins]] tail —
+    * docs/SCALE.md). The cache is an OPTIMIZATION ONLY: it is updated
+    * after the ledger write succeeds, a replayed batch (batchId ≤
+    * cached last id) falls back to the parquet read that filters its
+    * own partition out, and a fresh JVM starts empty — so every path
+    * reproduces the exact parquet-derived base. foreachBatch handlers
+    * run single-threaded per query; the map is concurrent only for
+    * multi-query sessions with distinct ledger dirs.
+    */
+  private val quotaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, Long])]()
+
+  /** Test/ops hook: drop cached quota totals (e.g. after deleting a
+    * ledger directory out from under a session).
+    */
+  private[graft] def clearQuotaCache(): Unit = quotaCache.clear()
+
+  /** Quota-ledger commit: ONE bounded collect materializes the batch's
+    * per-domain deltas, the parquet write goes out from those local
+    * rows (no second evaluation of the delta plan), and the driver
+    * cache folds them in — so the next batch's base is a map lookup
+    * instead of a parquet read. Cache folding happens strictly AFTER
+    * the write returns; an out-of-sequence batch id just invalidates
+    * the cache and the next batch re-seeds from parquet.
+    */
+  private def commitQuotaLedger(
+      ledgerRows: DataFrame, ledgerDir: String, batchId: Long): Unit = {
+    val spark = ledgerRows.sparkSession
+    val local = ledgerRows.collect() // bounded: one row per admitted domain
+    writeBatchLedger(
+      spark.createDataFrame(
+        java.util.Arrays.asList(local: _*), ledgerRows.schema),
+      ledgerDir)
+    Option(quotaCache.get(ledgerDir)) match {
+      case Some((through, sums)) if through == batchId - 1 =>
+        val merged = local.foldLeft(sums) { (m, r) =>
+          val d = r.getString(0)
+          m.updated(d, m.getOrElse(d, 0L) + r.getLong(1))
+        }
+        quotaCache.put(ledgerDir, (batchId, merged))
+      case _ => quotaCache.remove(ledgerDir)
+    }
+  }
+
   /** Dynamic-partition-overwrite ledger append: a replayed micro-batch
     * OVERWRITES its own `batch_id=N` partition, so at-least-once
     * delivery still yields an exactly-once ledger (the
@@ -1497,7 +1545,7 @@ object Streams {
       val admitted = admitted0.persist()
       try {
         onBatch(admitted.drop("_gq_dom", "_gq_tok"), batchId)
-        writeBatchLedger(ledgerRows, ledgerDir)
+        commitQuotaLedger(ledgerRows, ledgerDir, batchId)
       } finally admitted.unpersist()
     }
   }
@@ -1528,9 +1576,30 @@ object Streams {
     // name) would otherwise make `col("domain")` ambiguous at analysis
     // time, and the post-join drop would silently eat the user's
     // payload column of that name.
-    val base = readLedger(spark, ledgerDir, ledgerSchema, batchId)
-      .groupBy(col("domain")).agg(sum(col("batch_tokens")).as("_gq_base"))
-      .withColumnRenamed("domain", "_gq_basedom")
+    val baseSchema = StructType(Seq(
+      StructField("_gq_basedom", StringType),
+      StructField("_gq_base", LongType)))
+    def localBase(sums: Map[String, Long]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(sums.toSeq.map { case (d, t) =>
+          org.apache.spark.sql.Row(d, t)
+        }: _*),
+        baseSchema)
+    val base = Option(quotaCache.get(ledgerDir)) match {
+      case Some((through, sums)) if batchId > through =>
+        // steady state: the handful-of-domains running totals come from
+        // the driver cache — no parquet listing/read job per batch
+        localBase(sums)
+      case _ =>
+        // cold start or replay: the parquet ledger is the truth; seed
+        // the cache with the pre-batch totals (bounded collect — one
+        // row per domain)
+        val sums = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+          .groupBy(col("domain")).agg(sum(col("batch_tokens")).as("_gq_base"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        quotaCache.put(ledgerDir, (batchId - 1, sums))
+        localBase(sums)
+    }
     val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
       case (els, (d, b)) =>
         when(col("_gq_dom") === d, lit(b)).otherwise(els)
@@ -1613,7 +1682,7 @@ object Streams {
               .drop(dropCols: _*),
             idCol, binBudget, nShards, orderSalt)
           onBins(placed, batchId)
-          writeBatchLedger(quotaLedger, s"$ledgerBase/quota")
+          commitQuotaLedger(quotaLedger, s"$ledgerBase/quota", batchId)
         } finally quota.unpersist()
       },
       benchGrams = benchGrams,

@@ -332,6 +332,30 @@ object Stress {
       media.unpersist()
       spark.sharedState.cacheManager.clearCache()
     }
+    locally {
+      // exactNtile 99%-one-VALUE adversary (the r13 verdict's flagged
+      // degenerate): 2M rows, one group, 99% sharing order value 5.0 —
+      // every one of them lands in ONE range bucket. A/B: guard off
+      // (hotBucket = MaxValue, the pre-r14 shape where that bucket is
+      // one window sort task) vs the default guard (hot-value sections
+      // + 256 tie sub-buckets).
+      val adversary = spark.range(100000000L)
+        .select(col("id"), lit("g").as("grp"),
+          when(col("id") % 100 =!= 0, lit(5.0))
+            .otherwise(col("id").cast("double") / 1000).as("v"))
+        .persist()
+      adversary.count()
+      def run(tag: String, hot: Int): Unit = {
+        val t0 = System.nanoTime()
+        val n = Corpus.exactNtile(adversary, "grp", col("v"), col("id"),
+          n = 3, hotBucket = hot).filter(col("ntile") === 2L).count()
+        println(f"[stress] exactNtile 99%%-one-value $tag: " +
+          f"$n%d mid-tile rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      run("guard OFF (one-task window)", Int.MaxValue)
+      run("guard ON (sections + tie subs)", 1 << 16)
+      adversary.unpersist()
+    }
   }
 
   private def r13(docs: DataFrame, embs: DataFrame): Unit = {

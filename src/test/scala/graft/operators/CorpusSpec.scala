@@ -1037,6 +1037,51 @@ class CorpusSpec extends SparkSpec {
     assert(wres == Map(4L -> 1L, 1L -> 2L, 3L -> 3L, 2L -> 4L))
   }
 
+  test("exactNtile degenerate-value guard: 99% one order value stays exact") {
+    import org.apache.spark.sql.expressions.Window
+    // 500 rows in one group, 490 sharing ONE order value (the adversary
+    // the round-13 verdict flagged): with hotBucket = 8 the guard
+    // engages — hot-value sections + 256 tie sub-buckets — and the
+    // result must STILL equal the window ntile exactly, ties included.
+    // A second untouched group and a second hot value in the same
+    // bucket ride along.
+    val rows = (1L to 500L).map { i =>
+      val v = if (i <= 350) 5.0 else if (i <= 490) 5.5 else i.toDouble / 50
+      (i, "big", v)
+    } ++ (1L to 30L).map(i => (1000L + i, "small", i.toDouble))
+    val df = rows.toDF("id", "grp", "v")
+    for (n <- Seq(1, 3, 4, 7)) {
+      val got = Corpus.exactNtile(df, "grp", col("v"), col("id"), n,
+          hotBucket = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val want = df.withColumn("ntile",
+          ntile(n).over(Window.partitionBy(col("grp"))
+            .orderBy(col("v"), col("id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == want, s"n=$n")
+      val re = Corpus.exactNtile(df.repartition(13), "grp", col("v"),
+          col("id"), n, hotBucket = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(re == want, s"n=$n repartitioned")
+    }
+    // STRING tie keys through the hex-prefix monotone map: mixed
+    // lengths and shared prefixes ("a" < "aa" < "b") must sub-bucket
+    // consistently with Spark's string order
+    val srows = (1L to 200L).map { i =>
+      val tie = ("a" * (1 + (i % 4)).toInt) + ('a' + (i % 26)).toChar + i
+      (i, tie, 7.0)
+    }
+    val sdf = srows.toDF("id", "tie", "v")
+    val sgot = Corpus.exactNtile(sdf, "v", col("v"), col("tie"), 4,
+        hotBucket = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val swant = sdf.withColumn("ntile",
+        ntile(4).over(Window.partitionBy(col("v"))
+          .orderBy(col("v"), col("tie"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sgot == swant)
+  }
+
   test("exactNtile fails fast on a non-numeric order column") {
     // a string score column's cast("double") nulls out non-numeric
     // VALUES, which would silently route real keys into the null-ntile
