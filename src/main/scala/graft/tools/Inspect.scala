@@ -38,6 +38,27 @@ object Inspect {
       case Array("time", q) =>
         val n = timed(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
         println(s"[inspect] $q rows: $n")
+      case Array("timen", q) =>
+        // noop-write timing — the Bench action. count() lets
+        // ColumnPruning drop projection-only work and eliminate left
+        // joins against unique-keyed model tables (the q130-shaped
+        // trap); use THIS mode for anything scoring-shaped.
+        timed(q)(graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+      case Array("timen5", q) =>
+        // 5 warm in-JVM reps (cache cleared between, the Bench
+        // discipline) + the median — the standalone twin of a driver
+        // bench number for one query.
+        val times = (1 to 5).map { i =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[inspect] $q rep $i: $s%.2fs")
+          s
+        }
+        println(f"[inspect] $q median-of-5: ${times.sorted.apply(2)}%.2fs")
       case Array("show", q) =>
         graft.SparkEntry.queries(q)(spark, sfDir).show(100, truncate = false)
       case Array("scans", q) =>
