@@ -1297,6 +1297,70 @@ object Corpus {
       budget: Long): DataFrame =
     packSequencesFrom(df, idCol, shard, order, tokens, budget, None)
 
+  /** NO-SPLIT sequence packing — the PADDING variant of
+    * [[packSequences]] (the other published scheme: when sequences
+    * must hold whole documents — contrastive batches, document-level
+    * objectives, RAG chunk stores — a doc that doesn't fit the open
+    * bin's remainder closes that bin, the remainder is padding, and
+    * the doc opens the next bin at offset 0; next-fit). A doc LARGER
+    * than the budget occupies a bin alone at offset 0 (the caller's
+    * truncation policy applies — dropping it silently would break the
+    * every-input-accounted contract). Output shape = packSequences':
+    * `(idCol, shard, n_tokens, bin, off)`.
+    *
+    * Unlike the straddling scheme — a pure prefix sum — this
+    * recurrence is inherently SEQUENTIAL per shard (each placement
+    * depends on the running remainder AND each earlier close
+    * decision), which no window/prefix formulation expresses. So it
+    * runs as the explicit per-partition walk the engine otherwise
+    * avoids: hash-repartition on the shard key (a shard never spans
+    * partitions), sort within partitions by (shard, order), carry
+    * (bin, used) per shard. Parallelism = shards, exactly
+    * packSequences' contract (callers pick shards ≈ cluster cores),
+    * and the walk is a zero-allocation iterator — scan-bound.
+    * Correctness: the q154 oracle replays the recurrence as a DuckDB
+    * RECURSIVE CTE; the spec adds closed-form planted cases.
+    */
+  def packSequencesNoSplit(
+      df: DataFrame,
+      idCol: String,
+      shard: Column,
+      order: Column,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val proj = df.select(cr(idCol).as(idCol), shard.as("shard"),
+      order.as("_ord"), tokens.cast("long").as("n_tokens"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      proj.schema(0), proj.schema(1),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("off",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    proj.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
+      .mapPartitions { it =>
+        var curShard: Any = null
+        var started = false
+        var bin = 0L
+        var used = 0L
+        it.map { r =>
+          val sh = r.get(1)
+          val n = if (r.isNullAt(3)) 0L else r.getLong(3)
+          if (!started || sh != curShard) {
+            curShard = sh; started = true; bin = 0L; used = 0L
+          }
+          if (used + n > budget && used > 0L) { bin += 1L; used = 0L }
+          val off = used
+          used += n
+          org.apache.spark.sql.Row(r.get(0), sh, n, bin, off)
+        }
+      }(enc)
+  }
+
   /** The [[packSequences]] core with an optional per-shard STARTING
     * token count (`base`: a `(shard, _gp_base)` frame) added to every
     * prefix sum — the single bin/off formula shared by the batch
@@ -2246,6 +2310,54 @@ object Corpus {
       st.getField("n_sentences").cast("long").as("n_sentences"),
       (st.getField("n_sentences").cast("long") >= 5L &&
         !badHit && !text.contains("{")).as("kept"))
+  }
+
+  /** C4's page-level WORD blocklist (Raffel et al. 2020 §2.2: "removed
+    * any page that contained any word on the 'List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words'"), with the list's real matching
+    * semantics: WORD-BOUNDARY, not substring — `class` must not die for
+    * containing `ass`, which is exactly what [[c4Clean]]'s
+    * `badPhrases`-as-`contains` would do (that knob models C4's
+    * lorem-ipsum PHRASE rule; this operator is the word rule). Terms
+    * are canonicalized through the same tokenizer as the page
+    * (lowercase, `[^a-z0-9']` boundaries); multi-word terms match as a
+    * consecutive canonical-token run.
+    *
+    * Emits every page: `(id, n_term_hits, phrase_hit, kept)` —
+    * n_term_hits counts tokens matching single-word terms (one fused
+    * hash-set pass, [[graft.plans.StopwordHits]] — a per-term
+    * `array_contains` chain rescans the token array per term),
+    * phrase_hit flags any multi-word term, kept = no hit of either
+    * kind. Pure narrow scan-bound work, zero shuffle; the blocklist
+    * ships inside the expression (hundreds of terms — never a join).
+    */
+  def blockedWordsFilter(
+      df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    def canonTerm(t: String): Seq[String] = t.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val canon = terms.map(canonTerm).filter(_.nonEmpty).distinct
+    require(canon.nonEmpty, "terms must contain at least one word")
+    val (multi, single) = canon.partition(_.length > 1)
+    val text = coalesce(cr(textCol), lit(""))
+    val toks = TextFunctions.tokens(text)
+    val hits =
+      if (single.isEmpty) lit(0L)
+      else element_at(graft.plans.HashExpressions.stopwordHits(
+        toks, Seq(single.map(_.head))), 1)
+    // multi-word terms: consecutive canonical tokens — matched on the
+    // space-joined canonical string with space padding (token
+    // boundaries are exact there by construction)
+    val joined = concat(lit(" "), array_join(toks, " "), lit(" "))
+    val phraseHit = multi
+      .map(ws => joined.contains(" " + ws.mkString(" ") + " "))
+      .foldLeft(lit(false))(_ || _)
+    df.select(
+      cr(idCol).as("id"),
+      hits.as("n_term_hits"),
+      phraseHit.as("phrase_hit"),
+      (hits === 0L && !phraseHit).as("kept"))
   }
 
   // ------------------------------------------------------------------

@@ -2482,6 +2482,32 @@ object Extensions {
       tokens = col("n_chars"), budget = 2048L)
       .orderBy(col("doc_id"))
 
+  /** C4's word blocklist with the list's real WORD-BOUNDARY semantics:
+    * `art` must not flag pages containing `part` (the substring trap a
+    * `contains` formulation falls into — planted here as a term), and
+    * multi-word terms match as consecutive canonical-token runs. The
+    * oracle recomputes hits over the same token list in SQL.
+    */
+  def qC31BlockedWords(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.blockedWordsFilter(
+      documents(s, d), "text", "doc_id",
+      terms = Seq("vector", "art", "merge batch", "Hash"))
+      .orderBy(col("id"))
+
+  /** NO-SPLIT sequence packing (the padding scheme: docs never
+    * straddle; a doc that doesn't fit closes the open bin). The
+    * placement recurrence is sequential per shard — each decision
+    * depends on the running remainder — so the oracle replays it as a
+    * DuckDB RECURSIVE CTE over row_number-chained rows: the one gate
+    * family where the SQL oracle is itself an iteration.
+    */
+  def qC32PackNoSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Corpus.packSequencesNoSplit(
+      documents(s, d), "doc_id",
+      shard = col("doc_id") % 8, order = col("doc_id"),
+      tokens = col("n_chars"), budget = 2048L)
+      .orderBy(col("doc_id"))
+
   /** Gap-filled hourly resample of the event stream per type: every
     * bucket in each key's observed span materializes, zero-count when
     * empty. Emitted stats (count/min/max) are order-independent, so the
@@ -2870,7 +2896,9 @@ object Extensions {
     "q149_decontaminate_spans_bloom" -> qC30DecontaminateSpansBloom _,
     "q150_wet_ingest" -> qS6WetIngest _,
     "q151_bpe_packed" -> qP7BpePacked _,
-    "q152_image_near_dups" -> qM5ImageNearDups _)
+    "q152_image_near_dups" -> qM5ImageNearDups _,
+    "q153_blocked_words" -> qC31BlockedWords _,
+    "q154_pack_nosplit" -> qC32PackNoSplit _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2907,6 +2935,43 @@ object Extensions {
     // the oracle recomputes the brute-force hamming join over the
     // PLANTED codes (doc_id's 16 bits ×4 + the fixed {0,21,42} twin
     // flip) — exact equality proves decode→dHash recovered every code.
+    // q153: word-boundary hits recomputed over the same canonical token
+    // list; 'art' (a substring of the corpus word 'part') must hit
+    // nothing, multi-word terms match on the space-joined canonical
+    // string with boundary padding — identical construction both sides.
+    ("q153_blocked_words" ->
+      s"""WITH t AS (SELECT doc_id AS id, $toks AS tk,
+             ' ' || array_to_string($toks, ' ') || ' ' AS joined
+           FROM documents)
+         SELECT id,
+           CAST(len(list_filter(tk, x -> x = 'vector' OR x = 'art'
+             OR x = 'hash')) AS BIGINT) AS n_term_hits,
+           contains(joined, ' merge batch ') AS phrase_hit,
+           (len(list_filter(tk, x -> x = 'vector' OR x = 'art'
+             OR x = 'hash')) = 0
+            AND NOT contains(joined, ' merge batch ')) AS kept
+         FROM t ORDER BY id""") +
+    // q154: the no-split placement recurrence replayed as a RECURSIVE
+    // CTE — rn-chained rows per shard carry (bin, off) forward exactly
+    // like the engine's per-partition walk.
+    ("q154_pack_nosplit" ->
+      """WITH RECURSIVE x AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(n_chars AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn FROM documents),
+         rec AS (
+           SELECT doc_id, shard, n, rn,
+             CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS "off"
+           FROM x WHERE rn = 1
+           UNION ALL
+           SELECT s.doc_id, s.shard, s.n, s.rn,
+             CASE WHEN r."off" + r.n + s.n > 2048 AND r."off" + r.n > 0
+               THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r."off" + r.n + s.n > 2048 AND r."off" + r.n > 0
+               THEN CAST(0 AS BIGINT) ELSE r."off" + r.n END
+           FROM rec r JOIN x s ON s.shard = r.shard AND s.rn = r.rn + 1)
+         SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tokens, bin, "off"
+         FROM rec ORDER BY doc_id""") +
     ("q152_image_near_dups" ->
       """WITH c AS (SELECT doc_id, doc_id * 281479271743489 AS code
              FROM documents WHERE doc_id < 16384),

@@ -1561,6 +1561,68 @@ class CorpusSpec extends SparkSpec {
       4L -> (("t", 6L, 0L, 0L))))
   }
 
+  test("blockedWordsFilter: word boundaries, multi-word runs, case, nulls") {
+    val docs = Seq(
+      (1L, "this part has a class discussion"), // 'art'/'ass' must NOT hit
+      (2L, "modern Art reshaped the museum"), // word 'art' hits (cased)
+      (3L, "the merge batch runs nightly"), // multi-word run hits
+      (4L, "merge the batch separately"), // words present, run broken
+      (5L, "it's an art-house film"), // tokenizer splits art-house -> art hits
+      (6L, null.asInstanceOf[String]), // null text -> kept
+      (7L, "ART ART art")) // three hits counted
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .blockedWordsFilter(docs, "text", "doc_id",
+        terms = Seq("Art", "merge batch"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((0L, false, true)))
+    assert(got(2L) == ((1L, false, false)))
+    assert(got(3L) == ((0L, true, false)))
+    assert(got(4L) == ((0L, false, true)))
+    assert(got(5L) == ((1L, false, false)))
+    assert(got(6L) == ((0L, false, true)))
+    assert(got(7L) == ((3L, false, false)))
+  }
+
+  test("packSequencesNoSplit: closed-form bins, oversize, exact-fit, invariance") {
+    // budget 10; shard s: docs 4,4,4 -> third doc can't straddle: bins
+    // 0,0,1; then 10 (exact fit of bin 1? no: used=4 -> 4+10>10 closes
+    // -> bin 2 alone, exactly full), then 3 -> bin 3; shard t: 12
+    // (oversized: own bin 0, off 0), then 5 -> bin 1
+    val docs = Seq(
+      (1L, "s", 1L, 4L), (2L, "s", 2L, 4L), (3L, "s", 3L, 4L),
+      (4L, "s", 4L, 10L), (5L, "s", 5L, 3L),
+      (10L, "t", 1L, 12L), (11L, "t", 2L, 5L))
+      .toDF("doc_id", "shard", "ord", "n")
+    val got = graft.operators.Corpus.packSequencesNoSplit(
+        docs, "doc_id", col("shard"), col("ord"), col("n"), budget = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 4L)), 3L -> ((1L, 0L)),
+      4L -> ((2L, 0L)), 5L -> ((3L, 0L)),
+      10L -> ((0L, 0L)), 11L -> ((1L, 0L))))
+    // a doc NEVER straddles: off + n <= budget unless it sits alone
+    val all = graft.operators.Corpus.packSequencesNoSplit(
+        spark.read.parquet(sf() + "/documents.parquet"),
+        "doc_id", col("doc_id") % 4, col("doc_id"),
+        col("n_chars") % 50, budget = 64L)
+      .collect()
+    all.foreach { r =>
+      val (n, off) = (r.getLong(2), r.getLong(4))
+      assert(off + n <= 64L || off == 0L, s"straddle at ${r.getLong(0)}")
+    }
+    // partitioning invariance (the walk is per-shard; input partitioning
+    // must not matter)
+    val a = graft.operators.Corpus.packSequencesNoSplit(
+        docs, "doc_id", col("shard"), col("ord"), col("n"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    val b = graft.operators.Corpus.packSequencesNoSplit(
+        docs.repartition(7), "doc_id", col("shard"), col("ord"), col("n"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(a == b)
+  }
+
   test("bpeTrain is partitioning-invariant (integer argmax, no ties to luck)") {
     val d = docs.filter(col("doc_id") =!= 5L)
     val a = Corpus.bpeTrain(d, "text", numMerges = 8)
