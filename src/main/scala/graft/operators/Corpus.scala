@@ -2941,6 +2941,51 @@ object Corpus {
     * meaningful missing-URL fraction would otherwise funnel every
     * null row through one planted hot key on both join sides.
     */
+  /** RefinedWeb-style URL blocklist filtering (Penedo et al. 2023
+    * §3.1 filter a crawl against a 4.6M-entry adult/fraud DOMAIN
+    * blocklist — the UT1 lists — before any content runs): a page is
+    * blocked when its host or ANY parent domain is listed
+    * (`ads.bad.example` is blocked by a `bad.example` entry — the UT1
+    * matching convention). The blocklist is a DataFrame, because at
+    * its real size it is corpus-joinable data, not an expression:
+    * each page's host expands to its last-`maxLevels` label suffixes
+    * and LEFT SEMI joins the list — Catalyst broadcasts a small list
+    * and falls back to the keyed shuffle at 4.6M (both correct; the
+    * suffix explode is ≤ maxLevels rows per page, narrow).
+    *
+    * Emits every row: `(id, host, blocked, kept)` — null / non-URL
+    * values have an empty host and are never blocked (a missing URL
+    * is not evidence of a bad domain; drop-if-unknown is one
+    * `filter(col("host") =!= "")` away).
+    */
+  def blockedUrlFilter(
+      df: DataFrame, urlCol: String, idCol: String,
+      domains: DataFrame, maxLevels: Int = 5): DataFrame = {
+    require(maxLevels >= 1, "maxLevels >= 1")
+    // coalesce: a NULL url must surface as the documented empty host,
+    // not a null that vanishes from both filter(kept) and filter(!kept)
+    val host = lower(TextFunctions.urlParts(
+      coalesce(cr(urlCol), lit(""))).getField("host"))
+    val withHost = df.select(cr(idCol).as("id"),
+      regexp_replace(host, ":[0-9]+$", "").as("host"))
+    val labels = split(col("host"), "\\.")
+    val sufs = withHost.filter(col("host") =!= "")
+      .select(col("id"), explode(transform(
+        sequence(lit(1), least(size(labels), lit(maxLevels))),
+        k => array_join(slice(labels, -k, k), "."))).as("_gbu_suffix"))
+    val dom = domains.select(
+      lower(domains.columns.headOption.map(col)
+        .getOrElse(col("domain"))).as("_gbu_domain"))
+    val hits = sufs
+      .join(dom, col("_gbu_suffix") === col("_gbu_domain"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("_gbu_blk", lit(true))
+    withHost.join(hits, Seq("id"), "left")
+      .select(col("id"), col("host"),
+        coalesce(col("_gbu_blk"), lit(false)).as("blocked"),
+        (!coalesce(col("_gbu_blk"), lit(false))).as("kept"))
+  }
+
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     // the split predicate tests the RAW column (canonicalizeUrl is
     // null in ⟺ null out), so the null branch pays no regex chain and

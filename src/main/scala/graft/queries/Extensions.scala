@@ -2494,6 +2494,31 @@ object Extensions {
       terms = Seq("vector", "art", "merge batch", "Hash"))
       .orderBy(col("id"))
 
+  /** RefinedWeb's first stage — URL/domain blocklist filtering with
+    * the UT1 parent-domain convention: hosts synthesized from doc_id
+    * (an `ads.` sublabel on %3, a non-URL value on %17), a 3-entry
+    * blocklist with one exact host, one PARENT domain (must catch the
+    * ads-prefixed subdomains), and one never-matching entry. The
+    * construction is closed-form, so the oracle states which ids block
+    * directly from the arithmetic — a wrong suffix expansion or a
+    * substring-style match breaks the hash.
+    */
+  def qC33BlockedUrls(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = when(col("doc_id") % 17 === 0, lit("not a url"))
+      .otherwise(concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("ads.")).otherwise(lit("")),
+        lit("s"), (col("doc_id") % 20).cast("string"),
+        lit(".zone"), (col("doc_id") % 4).cast("string"),
+        lit(".test/p/"), col("doc_id").cast("string")))
+    val dom = Seq("s7.zone3.test", "zone2.test", "nomatch.test")
+      .toDF("domain")
+    graft.operators.Corpus.blockedUrlFilter(
+      documents(s, d).select(col("doc_id"), url.as("url")),
+      "url", "doc_id", dom)
+      .orderBy(col("id"))
+  }
+
   /** NO-SPLIT sequence packing (the padding scheme: docs never
     * straddle; a doc that doesn't fit closes the open bin). The
     * placement recurrence is sequential per shard — each decision
@@ -2898,7 +2923,8 @@ object Extensions {
     "q151_bpe_packed" -> qP7BpePacked _,
     "q152_image_near_dups" -> qM5ImageNearDups _,
     "q153_blocked_words" -> qC31BlockedWords _,
-    "q154_pack_nosplit" -> qC32PackNoSplit _)
+    "q154_pack_nosplit" -> qC32PackNoSplit _,
+    "q155_blocked_urls" -> qC33BlockedUrls _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2931,6 +2957,23 @@ object Extensions {
     // the identical curation summary — lossless transport means q133's
     // oracle SQL answers it verbatim.
     ("q150_wet_ingest" -> oracleBase("q133_curation_pipeline")) +
+    // q155: blocked iff the host (or any parent suffix) is listed —
+    // with this construction that's exactly %20 = 7 (the exact host,
+    // zone implied by CRT) or %4 = 2 (the parent entry, catching the
+    // ads. subdomains); %17 rows are non-URLs (empty host, never
+    // blocked).
+    ("q155_blocked_urls" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 17 = 0 THEN ''
+             ELSE (CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE '' END)
+               || 's' || CAST(doc_id % 20 AS VARCHAR)
+               || '.zone' || CAST(doc_id % 4 AS VARCHAR) || '.test'
+           END AS host,
+           (doc_id % 17 <> 0 AND (doc_id % 20 = 7 OR doc_id % 4 = 2))
+             AS blocked,
+           NOT (doc_id % 17 <> 0 AND (doc_id % 20 = 7 OR doc_id % 4 = 2))
+             AS kept
+         FROM documents ORDER BY id""") +
     // q152: the engine decodes rendered PNGs and dHashes the pixels;
     // the oracle recomputes the brute-force hamming join over the
     // PLANTED codes (doc_id's 16 bits ×4 + the fixed {0,21,42} twin

@@ -1585,6 +1585,35 @@ class CorpusSpec extends SparkSpec {
     assert(got(7L) == ((3L, false, false)))
   }
 
+  test("blockedUrlFilter: parent-domain matching, ports, non-URLs, case") {
+    val rows = Seq(
+      (1L, "https://bad.example/x"), // exact entry
+      (2L, "https://ads.tracker.bad.example/y"), // matches parent 2 up
+      (3L, "https://BAD.EXAMPLE:8443/z"), // case + port stripped
+      (4L, "https://notbad.example/a"), // 'bad.example' is NOT a suffix
+      (5L, "https://good.example/b"),
+      (6L, null.asInstanceOf[String]), // null -> empty host, kept
+      (7L, "no url here")) // non-URL -> empty host, kept
+      .toDF("doc_id", "url")
+    val dom = Seq("bad.example").toDF("domain")
+    val got = graft.operators.Corpus
+      .blockedUrlFilter(rows, "url", "doc_id", dom)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == (("bad.example", true)))
+    assert(got(2L) == (("ads.tracker.bad.example", true)))
+    assert(got(3L) == (("bad.example", true)))
+    assert(got(4L) == (("notbad.example", false))) // label-boundary, not substring
+    assert(got(5L)._2 == false)
+    assert(got(6L) == (("", false)))
+    assert(got(7L) == (("", false)))
+    // maxLevels bounds how deep a parent can reach: with 1 level only
+    // the TLD-ish last label is probed and nothing matches
+    val shallow = graft.operators.Corpus
+      .blockedUrlFilter(rows, "url", "doc_id", dom, maxLevels = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(shallow.values.forall(_ == false))
+  }
+
   test("packSequencesNoSplit: closed-form bins, oversize, exact-fit, invariance") {
     // budget 10; shard s: docs 4,4,4 -> third doc can't straddle: bins
     // 0,0,1; then 10 (exact fit of bin 1? no: used=4 -> 4+10>10 closes
