@@ -29,7 +29,7 @@ object StreamBench {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
-        "decontamsurg", "ingestbins")
+        "decontamsurg", "ingestbins", "wetingest")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -399,6 +399,72 @@ object StreamBench {
             budgets, binBudget = 2048L, nShards = 8, ledgerBase = base,
             onBins = h, benchGrams = Some(benchGrams))
         }
+      case "wetingest" =>
+        // CRAWL-NATIVE end-to-end: the ingestbins pipeline fed from WET
+        // SEGMENT FILES through readWetStream — file discovery →
+        // multi-member-gzip record parse → identity from Target-URI →
+        // curation chain → quota → bin placement, the full path a real
+        // crawl ingest runs. The delta vs the ingestbins row is the
+        // price of the WET transport (parse is narrow per-file work).
+        val shared = "the steady river winds to be close with the quiet " +
+          "valley and that old stone wall today while morning light settles " +
+          "over the far meadow and the old road bends past the mill to " +
+          "reach the stone bridge before the village square opens."
+        val wrapped = docs.select(col("doc_id"), col("source"),
+          concat_ws("\n",
+            lit("the report has to be checked and that will hold with care."),
+            concat(col("text"), lit(".")),
+            when(col("doc_id") % 13 === 0, lit(shared))
+              .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+            when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+              .otherwise(lit("clean final line stands here."))).as("text"))
+        val wetDir = java.nio.file.Files
+          .createTempDirectory("graft_wetingest_stage").toString
+        val staged = wrapped
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val perSeg = math.max(1, math.ceil(staged.length / 40.0).toInt)
+        staged.grouped(perSeg).zipWithIndex.foreach { case (seg, i) =>
+          graft.ingest.WetFixture.writeWet(
+            f"$wetDir/seg-$i%05d.warc.wet.gz",
+            seg.map { case (id, src, text) =>
+              (s"https://crawl.test/$src/$id", "2024-06-01T00:00:00Z", text)
+            }.toSeq)
+        }
+        val nStaged = staged.length.toLong
+        val corpus = graft.operators.Corpus.curatePages(
+          wrapped.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+          .filter(col("kept")).select(col("id").as("doc_id"), col("clean"))
+        val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean").persist()
+        val corpusSigs = Streams
+          .nearDupCorpusSignatures(corpus, "clean", "doc_id").persist()
+        val benchGrams = graft.operators.Corpus.decontaminationGrams(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+          .persist()
+        Seq(corpusHashes, corpusSigs, benchGrams).foreach(_.count())
+        val budgets = (0 until 20).map(i => s"src$i" -> 40000L).toMap
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_wetingest_ledgers").toString
+        val urlRe = "^https://crawl\\.test/([^/]+)/(\\d+)$"
+        val pages = Streams
+          .readWetStream(spark, wetDir, maxFilesPerTrigger = Some(perTrigger))
+          .select(
+            regexp_extract(col("url"), urlRe, 2).cast("bigint").as("doc_id"),
+            regexp_extract(col("url"), urlRe, 1).as("source"),
+            col("text"))
+        var placed = 0L
+        val t0 = System.nanoTime()
+        val q = Streams.ingestToBins(
+          pages, corpusHashes, corpusSigs, "text", "doc_id", "source",
+          budgets, binBudget = 2048L, nShards = 8, ledgerBase = base,
+          onBins = { (batch, _) =>
+            batch.persist(); placed += batch.count(); batch.unpersist(); ()
+          },
+          benchGrams = Some(benchGrams)).start()
+        q.processAllAvailable()
+        q.stop(); q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"""{"metric":"stream_wetingest_rows_per_sec","model":"persisted","rows_per_sec":${placed / wall}%.0f,"input_rows_per_sec":${nStaged / wall}%.0f,"scored_rows":$placed,"input_rows":$nStaged,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+        Seq(corpusHashes, corpusSigs, benchGrams).foreach(_.unpersist())
       case "curatesem" =>
         // the FIVE-stage chain: curatechain + the optional semantic
         // stage. The semantic embedding happens INSIDE the stage on the
