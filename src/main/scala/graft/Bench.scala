@@ -153,11 +153,22 @@ object Bench {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    // 2 decimals in the compact line: at 139 queries the 3-decimal form
-    // brushed the 1800-char stdout budget; full 3-decimal detail stays
-    // on stderr below
-    val qs = meds.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
-      .mkString("{", ",", "}")
+    // ADAPTIVE precision in the compact line (the 1800-char stdout
+    // budget): 2 decimals while the suite fits (139 queries did), then
+    // 1 decimal for values >= 1 s (155 queries crossed the budget at
+    // uniform 2 decimals — round 14), then 0 decimals for >= 10 s.
+    // Resolution loss is bounded (±0.05 s on >= 1 s medians, far under
+    // the cross-run noise band) and the full 3-decimal detail is
+    // always on stderr below.
+    def qsAt(level: Int): String = meds.map { case (k, v) =>
+      val s = level match {
+        case 0 => f"$v%.2f"
+        case 1 => if (v >= 1) f"$v%.1f" else f"$v%.2f"
+        case _ =>
+          if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
+      }
+      "\"" + shortKey(k) + "\":" + s
+    }.mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
       "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"
     }.mkString("{", ",", "}")
@@ -172,8 +183,10 @@ object Bench {
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption).getOrElse(-1.0)
     System.err.println(
       f"""[bench-detail] {"queries":$longQs,"spread":$spread,"n":$repCounts,"reps":$reps,"sf":"$sfDir"}""")
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":$sfNum%.3f}"""
+    def lineAt(level: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsAt(level)},"reps":$reps,"sf":$sfNum%.3f}"""
+    val line = (0 to 2).map(lineAt).find(_.length < 1800)
+      .getOrElse(lineAt(2))
     require(line.length < 1800, s"bench JSON line too long: ${line.length}")
     println(line)
     active.stop()

@@ -785,8 +785,17 @@ object Corpus {
         s"exactNtile order column must be numeric or timestamp " +
           s"(cast-to-double must be null-preserving), got ${other.catalogString}")
     }
+    // cached: the machinery fans out into SEVERAL independent plan
+    // branches over this frame (null split, group span, bucket counts /
+    // hot probe, rank bases, the ranked join) — uncached, EACH branch
+    // re-derives the caller's upstream (a transcendental LM-scoring
+    // chain in the CCNet gate: measured 1.38× on q148 when round 14
+    // added the probe branch; cached, the upstream runs once and q148
+    // came back BELOW its r13 wall). The simhashNearDups cache
+    // convention: caller releases via clearCache.
     val withOrd = withOrd0
       .withColumn("_gnt_ord", col("_gnt_ordraw").cast("double"))
+      .cache()
     val nullOrd = withOrd.filter(col("_gnt_ord").isNull)
       .drop("_gnt_ordraw", "_gnt_ord")
       .withColumn("ntile", lit(null).cast("long"))
