@@ -244,6 +244,84 @@ object Multimodal {
         } catch { case _: Exception => (0L, 0, 0L, 0.0) }
     }
 
+    /** Audio perceptual fingerprint — the waveform sibling of
+      * [[dHash64]] (the chromaprint/echoprint family's core move:
+      * hash the SIGN of energy deltas, not the energies): decode
+      * PCM16 WAV, box-average the |sample| envelope onto 65 equal
+      * windows, and emit one bit per adjacent window pair — bit `i`
+      * is set iff `env(i) < env(i+1)`. Sign-of-delta is invariant to
+      * uniform gain and robust to mild noise, so re-encoded /
+      * re-leveled copies land within a few hamming bits; 64 bits feed
+      * the same pigeonhole banding as text simhash and image dHash.
+      * Non-PCM16/undecodable/too-short (< 65 samples) audio → null
+      * (the quarantine convention).
+      */
+    def audioHash64(bytes: Array[Byte]): java.lang.Long = {
+      if (bytes == null || bytes.length < 44) return null
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return null
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          if (n < 65) return null
+          val env = new Array[Double](65)
+          var w = 0
+          while (w < 65) {
+            val i0 = (w.toLong * n / 65).toInt
+            val i1 = math.max(i0 + 1, ((w + 1).toLong * n / 65).toInt)
+            var sum = 0L
+            var i = i0
+            while (i < i1) {
+              val s = (((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toInt
+              sum += math.abs(s)
+              i += 1
+            }
+            env(w) = sum.toDouble / (i1 - i0)
+            w += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 64) {
+            if (env(b) < env(b + 1)) fp |= 1L << b
+            b += 1
+          }
+          java.lang.Long.valueOf(fp)
+        } finally in.close()
+      } catch { case _: Exception => null }
+    }
+
+    /** Render a 64-bit code as a WAV whose [[audioHash64]] is exactly
+      * that code (the [[encodeCodedPng]] posture for audio): 65
+      * windows of `winLen` samples, each a ±A square wave whose
+      * amplitude walks ×/÷1.05 per planted bit from 1000 — a
+      * MULTIPLICATIVE walk, because 64 additive steps either overflow
+      * int16 or cross zero (where the |sample| envelope stops tracking
+      * the bits); 1000·1.05^±64 stays in [44, 22800] and each step
+      * moves the envelope by ≥ 2 counts, far above rounding.
+      */
+    def encodeCodedWav(code: Long, sampleRate: Int, winLen: Int): Array[Byte] = {
+      val samples = new Array[Short](65 * winLen)
+      var amp = 1000.0
+      var w = 0
+      while (w < 65) {
+        val a = math.round(amp).toInt
+        var i = 0
+        while (i < winLen) {
+          // alternate sign every 4 samples: a square wave, not DC
+          val sign = if ((i / 4) % 2 == 0) 1 else -1
+          samples(w * winLen + i) = (a * sign).toShort
+          i += 1
+        }
+        if (w < 64) amp *= (if (((code >>> w) & 1L) == 1L) 1.05 else 1 / 1.05)
+        w += 1
+      }
+      encodeWav(sampleRate, samples)
+    }
+
     /** Real feature extraction: a d-bin luma histogram of the decoded
       * image, L1-normalized — the classic pre-neural image descriptor.
       * Undecodable bytes yield the zero vector.
@@ -507,6 +585,31 @@ object Multimodal {
       // fingerprints; uncached, every image decodes twice (the
       // simhashNearDups rationale — caller releases via clearCache)
       imageFingerprints(media).filter(col("fp").isNotNull).cache(),
+      maxHamming)
+
+  /** Audio perceptual fingerprint pass — [[JdkCodec.audioHash64]] per
+    * clip; non-PCM16/undecodable audio fingerprints as null.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(fingerprintSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), JdkCodec.audioHash64(r.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
+  /** Audio near-dup pairs — [[imageNearDups]]' waveform sibling: one
+    * decode scan + the SAME pigeonhole hamming banding
+    * ([[Dedup.simhashPairs]]); re-encoded / re-leveled copies of a
+    * clip pair, structurally different audio doesn't. Emits
+    * `(id_a, id_b, hamming)`; compose [[Dedup.clusters]] for
+    * survivors.
+    */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      audioFingerprints(media).filter(col("fp").isNotNull).cache(),
       maxHamming)
 
   private val audioSchema = StructType(Seq(

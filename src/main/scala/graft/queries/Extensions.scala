@@ -2494,6 +2494,45 @@ object Extensions {
       terms = Seq("vector", "art", "merge batch", "Hash"))
       .orderBy(col("id"))
 
+  /** Audio perceptual near-dup dedup end-to-end — q152's construction
+    * with the modality swapped: the SAME planted codes (doc_id's 16
+    * bits ×4, twins at +100000 with bits {0,21,42} flipped) rendered
+    * as REAL WAV files whose windowed |sample| envelope walks the
+    * bits, decoded → windowed-energy sign hash → hamming banding.
+    * Because the codes are identical to q152's, the ORACLE IS q152's
+    * SQL verbatim — the planted truth doesn't care which modality
+    * carried it; what changes is the decode path under test. Window
+    * lengths vary by id (40/56/72 samples) so the envelope
+    * box-average does real work; sample rates vary by id%3.
+    */
+  def qM6AudioNearDups(s: SparkSession, d: String): DataFrame = {
+    val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
+    val flips = 1L | (1L << 21) | (1L << 42)
+    val base = documents(s, d).filter(col("doc_id") < 16384)
+      .select(col("doc_id"), (col("doc_id") * unit).as("code"))
+    val both = base.select(col("doc_id").as("media_id"), col("code"))
+      .unionByName(base.select((col("doc_id") + 100000L).as("media_id"),
+        col("code").bitwiseXOR(lit(flips)).as("code")))
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val media = both.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          graft.operators.Multimodal.JdkCodec.encodeCodedWav(
+            r.getLong(1),
+            sampleRate = Seq(8000, 16000, 44100)((id % 3).toInt),
+            winLen = 40 + 16 * (id % 3).toInt))
+      }
+    }(enc)
+    graft.operators.Multimodal.audioNearDups(media, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** RefinedWeb's first stage — URL/domain blocklist filtering with
     * the UT1 parent-domain convention: hosts synthesized from doc_id
     * (an `ads.` sublabel on %3, a non-URL value on %17), a 3-entry
@@ -2924,7 +2963,8 @@ object Extensions {
     "q152_image_near_dups" -> qM5ImageNearDups _,
     "q153_blocked_words" -> qC31BlockedWords _,
     "q154_pack_nosplit" -> qC32PackNoSplit _,
-    "q155_blocked_urls" -> qC33BlockedUrls _)
+    "q155_blocked_urls" -> qC33BlockedUrls _,
+    "q156_audio_near_dups" -> qM6AudioNearDups _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -2952,6 +2992,23 @@ object Extensions {
   // near-dup stage (see qP3RefinedWebPipelineMinhash): LSH recall is
   // total on the planted construction, so its oracle is q135's SQL
   // verbatim — same pipeline, same answer.
+  /** The planted-code hamming truth shared by the image (q152) and
+    * audio (q156) perceptual-dedup gates: codes = doc_id's 16 bits ×4
+    * (unit 1+2^16+2^32+2^48), twins at +100000 with bits {0,21,42}
+    * flipped; expected pairs = the brute-force ≤3-hamming join.
+    */
+  private val plantedCodeHammingSql: String =
+    """WITH c AS (SELECT doc_id, doc_id * 281479271743489 AS code
+           FROM documents WHERE doc_id < 16384),
+         f AS (SELECT doc_id AS id, code AS fp FROM c
+               UNION ALL
+               SELECT doc_id + 100000, xor(code, 4398048608257) FROM c)
+       SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+       FROM f a JOIN f b ON a.id < b.id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       ORDER BY id_a, id_b"""
+
   lazy val oracle: Map[String, String] = oracleBase +
     // q150 routes q133's pages through fixture WET archives and reruns
     // the identical curation summary — lossless transport means q133's
@@ -3015,17 +3072,12 @@ object Extensions {
            FROM rec r JOIN x s ON s.shard = r.shard AND s.rn = r.rn + 1)
          SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tokens, bin, "off"
          FROM rec ORDER BY doc_id""") +
-    ("q152_image_near_dups" ->
-      """WITH c AS (SELECT doc_id, doc_id * 281479271743489 AS code
-             FROM documents WHERE doc_id < 16384),
-           f AS (SELECT doc_id AS id, code AS fp FROM c
-                 UNION ALL
-                 SELECT doc_id + 100000, xor(code, 4398048608257) FROM c)
-         SELECT a.id AS id_a, b.id AS id_b,
-           bit_count(xor(a.fp, b.fp)) AS hamming
-         FROM f a JOIN f b ON a.id < b.id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 3
-         ORDER BY id_a, id_b""") +
+    ("q152_image_near_dups" -> plantedCodeHammingSql) +
+    // q156 plants the SAME codes through the AUDIO decode path (coded
+    // WAV envelopes instead of coded PNG pixels): the planted truth
+    // doesn't care which modality carried it, so the oracle is shared
+    // VERBATIM — what differs is the decode+hash path under test.
+    ("q156_audio_near_dups" -> plantedCodeHammingSql) +
     ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline")) +
     // q141 reuses q135's stage CTEs VERBATIM (sliced at its final
     // summary SELECT — the mechanism guarantees the stages can't

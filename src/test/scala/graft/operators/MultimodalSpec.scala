@@ -266,6 +266,56 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JdkCodec.dHash64(Array.emptyByteArray) == null)
   }
 
+  test("audioHash64 recovers planted codes; gain-invariant; quarantines junk") {
+    val codes = Seq(0L, -1L, 0x5a5a5a5a5a5a5a5aL, 0x0123456789abcdefL)
+    for (code <- codes; winLen <- Seq(40, 56, 72); rate <- Seq(8000, 44100)) {
+      val wav = Multimodal.JdkCodec.encodeCodedWav(code, rate, winLen)
+      val got = Multimodal.JdkCodec.audioHash64(wav)
+      assert(got != null && got.longValue == code,
+        s"code=$code winLen=$winLen rate=$rate")
+    }
+    // uniform GAIN invariance: the hash reads sign-of-delta, so a
+    // re-leveled copy (every sample x2) hashes identically
+    def reGain(wav: Array[Byte], num: Int, den: Int): Array[Byte] = {
+      val out = wav.clone()
+      var i = 44
+      while (i + 1 < out.length) {
+        val s = (((out(i) & 0xff) | (out(i + 1) << 8)).toShort).toInt
+        val g = s * num / den
+        out(i) = (g & 0xff).toByte; out(i + 1) = ((g >> 8) & 0xff).toByte
+        i += 2
+      }
+      out
+    }
+    val base = Multimodal.JdkCodec.encodeCodedWav(0x0123456789abcdefL, 8000, 40)
+    val doubled = Multimodal.JdkCodec.audioHash64(reGain(base, 2, 1))
+    val halved = Multimodal.JdkCodec.audioHash64(reGain(base, 1, 2))
+    assert(doubled.longValue == 0x0123456789abcdefL)
+    assert(halved.longValue == 0x0123456789abcdefL)
+    // quarantine: garbage, too-short, and the degenerate empty
+    assert(Multimodal.JdkCodec.audioHash64(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.JdkCodec.audioHash64(
+      Multimodal.JdkCodec.encodeWav(8000, Array.fill(10)(100.toShort))) == null)
+  }
+
+  test("audioNearDups pairs re-leveled copies, separates distinct clips") {
+    import spark.implicits._
+    def clip(code: Long): Array[Byte] =
+      Multimodal.JdkCodec.encodeCodedWav(code, 8000, 40)
+    val a = clip(0x00ff00ff00ff00ffL)
+    // a 2-bit-perturbed twin (below maxHamming) and a far code
+    val aTwin = clip(0x00ff00ff00ff00ffL ^ (1L | (1L << 33)))
+    val other = clip(0x5a5a5a5a5a5a5a5aL)
+    val media = Seq(
+      (1L, a), (2L, aTwin), (3L, other),
+      (4L, Array[Byte](7, 7, 7))) // undecodable quarantines
+      .toDF("media_id", "content")
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("dHash survives perceptual perturbation but separates distinct images") {
     import spark.implicits._
     // a smooth 2-D gradient photo-alike, its mildly noised re-render,
