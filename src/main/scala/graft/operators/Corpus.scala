@@ -844,8 +844,11 @@ object Corpus {
     // check and NONE of the guard machinery — the guard's extra
     // full-data aggregations only run when a hot bucket actually
     // exists (measured: unconditional guard wiring cost the normal
-    // shape two full shuffles for nothing)
-    val noHot = hotB.isEmpty
+    // shape two full shuffles for nothing). hotBucket = Int.MaxValue
+    // is the STATIC opt-out: no count can exceed it, so the probe
+    // action itself is skipped (the bktCounts plan is still reused as
+    // the rank bases below — lazily, no extra pass).
+    val noHot = hotBucket == Int.MaxValue || hotB.isEmpty
     val enriched = if (noHot) {
       bucketed.withColumn("_gnt_sec", lit(0)).withColumn("_gnt_sub", lit(0))
     } else {
