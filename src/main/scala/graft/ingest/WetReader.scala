@@ -148,7 +148,7 @@ object WetReader {
   private[graft] def recordsOf(
       file: String, raw: Array[Byte], keepAll: Boolean): Iterator[Row] =
     parseWarc(inflate(raw)).iterator
-      .filter(r => keepAll || r.warcType == "conversion")
+      .filter(r => keepAll || r.warcType.equalsIgnoreCase("conversion"))
       .map { r =>
         Row(
           file,

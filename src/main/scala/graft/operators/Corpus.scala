@@ -758,6 +758,13 @@ object Corpus {
     * one task sorting an executor-memory-sized value mass while the
     * cluster idles, spilling serially — is the operative risk, not
     * local wall time.
+    *
+    * LIFECYCLE: unless `hotBucket = Int.MaxValue`, CALLING this method
+    * is not lazy — the hot-bucket probe (and, when hot, the bounded
+    * stats collect) runs Spark jobs at plan-construction time, and the
+    * input-derived frame is cached for the duration (operator-owned;
+    * release via [[graft.ops.Caches.release]]). Callers that need a
+    * purely lazy plan builder pass `hotBucket = Int.MaxValue`.
     */
   def exactNtile(
       df: DataFrame, groupCol: String, order: Column, tie: Column,
@@ -792,10 +799,9 @@ object Corpus {
     // chain in the CCNet gate: measured 1.38× on q148 when round 14
     // added the probe branch; cached, the upstream runs once and q148
     // came back BELOW its r13 wall). The simhashNearDups cache
-    // convention: caller releases via clearCache.
-    val withOrd = withOrd0
-      .withColumn("_gnt_ord", col("_gnt_ordraw").cast("double"))
-      .cache()
+    // convention: caller releases via Caches.release().
+    val withOrd = graft.ops.Caches.owned(withOrd0
+      .withColumn("_gnt_ord", col("_gnt_ordraw").cast("double")))
     val nullOrd = withOrd.filter(col("_gnt_ord").isNull)
       .drop("_gnt_ordraw", "_gnt_ord")
       .withColumn("ntile", lit(null).cast("long"))

@@ -29,9 +29,10 @@ import graft.plans.HashExpressions
   * Cache ownership: the pipelines persist small intermediates (banded
   * keys, candidate pairs, fingerprints) that both self-join sides and the
   * verify stage reuse; blocks remain in the session's CacheManager until
-  * the caller releases them. Batch jobs over many corpora should call
-  * `spark.catalog.clearCache()` (or unpersist via the cached plans)
-  * between runs.
+  * released. Every such frame is registered with [[graft.ops.Caches]] —
+  * long-lived sessions call `Caches.release()` between runs to drop
+  * exactly the operator-owned frames (a global
+  * `spark.catalog.clearCache()` also works but nukes user persists).
   */
 object Dedup {
 
@@ -237,15 +238,14 @@ object Dedup {
     // Restrict set materialization to docs that appear in a candidate
     // pair (semi-join restriction): candidates are a vanishing fraction
     // of the corpus, so the expensive array never touches the rest.
-    val cached = candidates.cache()
+    val cached = graft.ops.Caches.owned(candidates)
     val ids = cached
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val sh = sets
-      .join(ids, Seq("id"), "left_semi")
-      // referenced by BOTH pair-side joins below: uncached, the whole
-      // set-building pass (and its semi-join) would run twice
-      .cache()
+    // referenced by BOTH pair-side joins below: uncached, the whole
+    // set-building pass (and its semi-join) would run twice
+    val sh = graft.ops.Caches.owned(sets
+      .join(ids, Seq("id"), "left_semi"))
     val withA = cached
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
     val withB = withA
@@ -327,10 +327,9 @@ object Dedup {
       // cache: the fingerprint expression would otherwise be inlined
       // into every chunk lambda (CollapseProject) and recomputed per
       // chunk row
-      df.select(
+      graft.ops.Caches.owned(df.select(
         col(idCol).as("id"),
-        simhashFingerprint(col(textCol)).as("fp"))
-        .cache(),
+        simhashFingerprint(col(textCol)).as("fp"))),
       maxHamming)
 
   /** Pigeonhole-banded hamming join over a PRECOMPUTED fingerprint frame
@@ -671,16 +670,15 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.5,
       n: Int = 3): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol).cache()
+    val cand = graft.ops.Caches.owned(minhashCandidates(df, textCol, idCol))
     val ids = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val ng = df.select(
+    // both pair-side joins read it — cache to run the n-gram pass once
+    val ng = graft.ops.Caches.owned(df.select(
       col(idCol).as("id"),
       HashExpressions.ngramHashSet(tokens(col(textCol)), n).as("ng"))
-      .join(ids, Seq("id"), "left_semi")
-      // both pair-side joins read it — cache to run the n-gram pass once
-      .cache()
+      .join(ids, Seq("id"), "left_semi"))
     cand
       .join(ng.select(col("id").as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
       .join(ng.select(col("id").as("id_b"), col("ng").as("ng_b")), Seq("id_b"))

@@ -583,8 +583,10 @@ object Multimodal {
     Dedup.simhashPairs(
       // cache: both sides of the banded self-join re-read the
       // fingerprints; uncached, every image decodes twice (the
-      // simhashNearDups rationale — caller releases via clearCache)
-      imageFingerprints(media).filter(col("fp").isNotNull).cache(),
+      // simhashNearDups rationale — caller releases via
+      // Caches.release())
+      graft.ops.Caches.owned(
+        imageFingerprints(media).filter(col("fp").isNotNull)),
       maxHamming)
 
   /** Audio perceptual fingerprint pass — [[JdkCodec.audioHash64]] per
@@ -609,7 +611,8 @@ object Multimodal {
     */
   def audioNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(
-      audioFingerprints(media).filter(col("fp").isNotNull).cache(),
+      graft.ops.Caches.owned(
+        audioFingerprints(media).filter(col("fp").isNotNull)),
       maxHamming)
 
   private val audioSchema = StructType(Seq(

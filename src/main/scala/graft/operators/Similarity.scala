@@ -515,7 +515,14 @@ object Similarity {
       sampleSize: Int = 10000,
       iters: Int = 10): DataFrame = {
     require(eps > 0 && eps < 1, "eps in (0, 1)")
-    val allPts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Cached: this projection feeds THREE branches (null routing, the
+    // zero-vector pass-through, and the identity-guard window). Uncached,
+    // each branch re-derives the caller's full upstream — for an
+    // embedText input that is an extra full embedding scan per branch
+    // (the r14 q139 regression: 8.7→14 s). Operator-owned: caller
+    // releases via Caches.release(), matching the `a` frame below.
+    val allPts = graft.ops.Caches.owned(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
     // NULL vectors route through explicitly (keep = true, null
     // cluster): norm(null) is null, so they'd fail BOTH the zero and
     // nonzero identity-guard filters and silently vanish. A null
@@ -542,9 +549,11 @@ object Similarity {
     // consumed by BOTH self-join sides and the reinstating join —
     // uncached, each consumer re-derives the embed/window/assignment
     // chain (the simhashNearDups cache rationale; Dedup's
-    // cache-ownership note applies — caller releases via clearCache)
-    val a = assigned.select(col("id"), col("v"), norm(col("v")).as("_gn_n"),
-      col("ivf_cluster").as("cluster")).cache()
+    // cache-ownership note applies — caller releases via
+    // Caches.release())
+    val a = graft.ops.Caches.owned(
+      assigned.select(col("id"), col("v"), norm(col("v")).as("_gn_n"),
+        col("ivf_cluster").as("cluster")))
     val pairDenom = col("x._gn_n") * col("y._gn_n")
     val pairCos = when(pairDenom === 0.0, lit(0.0))
       .otherwise(dot(col("x.v"), col("y.v")) / pairDenom)

@@ -1585,8 +1585,14 @@ object Streams {
           org.apache.spark.sql.Row(d, t)
         }: _*),
         baseSchema)
+    // Cache hit requires batchId == through + 1, not just > through: a
+    // batch-id GAP (e.g. a ledger dir reused under a different
+    // checkpoint lineage) means intermediate batches' tokens are
+    // missing from the running totals — the parquet ledger is the only
+    // truth there. Spark batch ids are contiguous per checkpoint, so
+    // the tighter guard costs nothing in steady state.
     val base = Option(quotaCache.get(ledgerDir)) match {
-      case Some((through, sums)) if batchId > through =>
+      case Some((through, sums)) if batchId == through + 1 =>
         // steady state: the handful-of-domains running totals come from
         // the driver cache — no parquet listing/read job per batch
         localBase(sums)

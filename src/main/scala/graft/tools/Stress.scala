@@ -334,7 +334,7 @@ object Stress {
     }
     locally {
       // exactNtile 99%-one-VALUE adversary (the r13 verdict's flagged
-      // degenerate): 2M rows, one group, 99% sharing order value 5.0 —
+      // degenerate): 100M rows, one group, 99% sharing order value 5.0 —
       // every one of them lands in ONE range bucket. A/B: guard off
       // (hotBucket = MaxValue, the pre-r14 shape where that bucket is
       // one window sort task) vs the default guard (hot-value sections

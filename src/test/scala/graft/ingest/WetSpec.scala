@@ -72,6 +72,16 @@ class WetSpec extends SparkSpec {
     assert(got(0).getAs[String]("text") == "hi")
   }
 
+  test("WARC-Type value matches case-insensitively (a 'Conversion' writer surfaces)") {
+    val dir = Files.createTempDirectory("graft_wet_case").toString
+    val p = s"$dir/c.wet"
+    val rec = "WARC/1.0\r\nWARC-Type: Conversion\r\nWARC-Target-URI: https://case.example.com/\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(p), rec.getBytes("UTF-8"))
+    val got = WetReader.read(spark, p).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("url") == "https://case.example.com/")
+  }
+
   test("truncated payload and non-WARC bytes raise typed parse errors") {
     def parse(s: String) = WetReader.parseWarc(s.getBytes("UTF-8"))
     val ex1 = intercept[Exception] {

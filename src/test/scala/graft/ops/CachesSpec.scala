@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped operator-cache ownership: Caches.release() drops exactly the
+  * operator-owned frames and never a user persist.
+  */
+class CachesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("release() unpersists owned frames but leaves user persists cached") {
+    val user = spark.range(10).toDF("id").persist(StorageLevel.MEMORY_ONLY)
+    user.count()
+
+    val owned = Caches.owned(spark.range(5).toDF("x"))
+    owned.count()
+    assert(owned.storageLevel.useMemory, "owned frame should be cached")
+    assert(Caches.ownedCount >= 1)
+
+    Caches.release()
+    assert(owned.storageLevel == StorageLevel.NONE,
+      "owned frame should be released")
+    assert(user.storageLevel.useMemory,
+      "user persist must survive Caches.release()")
+    assert(Caches.ownedCount == 0)
+    user.unpersist()
+  }
+
+  test("operator-internal caches register and release end-to-end") {
+    Caches.release() // start clean
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with nothing shared at all here"))
+      .toDF("id", "text")
+    val pairs = graft.operators.Dedup.simhashNearDups(docs, "text", "id")
+    assert(pairs.count() >= 1)
+    assert(Caches.ownedCount >= 1,
+      "simhashNearDups should register its fingerprint cache")
+    Caches.release()
+    assert(Caches.ownedCount == 0)
+    // results remain correct after release (plan re-derives if re-run)
+    assert(pairs.count() >= 1)
+  }
+
+  test("semDeDup identical-vector drop still holds after release") {
+    Caches.release()
+    val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val v2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq((1L, v1), (2L, v1), (3L, v2))
+      .toDF("id", "vec")
+    val out = graft.operators.Similarity
+      .semDeDup(df, "vec", "id", nClusters = 2, dim = 4, eps = 0.01)
+      .orderBy("id").collect()
+    assert(out.map(_.getBoolean(2)).toSeq == Seq(true, false, true))
+    assert(Caches.ownedCount >= 1, "semDeDup should register its caches")
+    Caches.release()
+    assert(Caches.ownedCount == 0)
+  }
+}
