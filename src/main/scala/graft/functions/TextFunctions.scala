@@ -56,6 +56,22 @@ object TextFunctions {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Line-preserving HTML → text: [[stripHtml]] per input LINE, empty
+    * results dropped, survivors rejoined with `\n`. [[stripHtml]]
+    * collapses ALL whitespace (newlines included) — correct for
+    * flat-text quality signals, but the curation chain (C4 line rules,
+    * Gopher line stats) is LINE-oriented, so a raw-WARC page must keep
+    * its line structure through the HTML strip. Per-line semantics:
+    * multi-line constructs (a comment or script block spanning lines)
+    * are NOT stripped — this targets line-structured HTML like the
+    * fixture writer's (one block element per text line); full-page
+    * minified HTML belongs to [[stripHtml]].
+    */
+  def stripHtmlLines(c: Column): Column =
+    array_join(
+      filter(transform(split(c, "\n"), l => stripHtml(l)), l => l =!= ""),
+      "\n")
+
   /** Token-windowed document chunks — the training-pipeline splitter:
     * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
     * stride = chunkTokens − overlap, the last chunk is length-capped,

@@ -70,4 +70,132 @@ object WetFixture {
       fo.write(if (gzipPerRecord) gzipMember(r) else r)
     } finally fo.close()
   }
+
+  /** Per-response HTTP transfer shape for [[writeWarc]] — the capture
+    * variations a crawler stores verbatim and [[WarcHttp]] must undo.
+    */
+  final case class HttpShape(
+      chunked: Boolean = false,
+      gzipBody: Boolean = false,
+      headerCase: Boolean = false,
+      status: Int = 200,
+      reason: String = "OK",
+      charset: String = "utf-8")
+
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Render page text as an HTML document, one `<p>` line per text
+    * line, with chrome (doctype, empty title, a single-line script)
+    * that strips to nothing — so `stripHtmlLines` inverts this exactly
+    * for text whose lines have no leading/trailing/doubled whitespace
+    * and no empty lines.
+    */
+  def wrapHtml(text: String): String = {
+    val body = text.split("\n", -1)
+      .map(l => "<p>" + escapeHtml(l) + "</p>").mkString("\n")
+    "<!DOCTYPE html>\n<html>\n<head><title></title>" +
+      "<script type=\"text/javascript\">var x = 1 < 2; // not content</script>" +
+      "</head>\n<body>\n" + body + "\n<!-- comment stripped -->\n</body>\n</html>\n"
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = gzipMember(b)
+
+  /** Chunked transfer framing: ~48-byte chunks, one carrying a chunk
+    * extension (readers must ignore it), terminal 0-chunk + trailer.
+    */
+  private def chunkBody(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 128)
+    val size = 48
+    var pos = 0
+    var i = 0
+    while (pos < b.length) {
+      val n = math.min(size, b.length - pos)
+      val ext = if (i == 1) ";x=why" else ""
+      out.write((Integer.toHexString(n) + ext + CRLF).getBytes("US-ASCII"))
+      out.write(b, pos, n)
+      out.write(CRLF.getBytes("US-ASCII"))
+      pos += n
+      i += 1
+    }
+    out.write(("0" + CRLF + "X-Trailer: t" + CRLF + CRLF).getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** One captured HTTP/1.1 response message for `html` under `shape`:
+    * Content-Encoding applies before Transfer-Encoding (gzip then
+    * chunk), matching what a crawler stores byte-verbatim.
+    */
+  private[graft] def httpResponse(html: String, shape: HttpShape): Array[Byte] = {
+    val raw = html.getBytes(shape.charset)
+    val enc = if (shape.gzipBody) gzipBytes(raw) else raw
+    val framed = if (shape.chunked) chunkBody(enc) else enc
+    def h(k: String): String =
+      if (shape.headerCase) k.toUpperCase(java.util.Locale.ROOT) else k
+    val sb = new StringBuilder
+    sb.append("HTTP/1.1 ").append(shape.status).append(' ')
+      .append(shape.reason).append(CRLF)
+    sb.append(h("Content-Type")).append(": text/html; charset=")
+      .append(shape.charset).append(CRLF)
+    sb.append(h("Server")).append(": graft-fixture/1.0").append(CRLF)
+    if (shape.gzipBody)
+      sb.append(h("Content-Encoding")).append(": gzip").append(CRLF)
+    if (shape.chunked)
+      sb.append(h("Transfer-Encoding")).append(": chunked").append(CRLF)
+    else
+      sb.append(h("Content-Length")).append(": ").append(framed.length).append(CRLF)
+    sb.append(CRLF)
+    val head = sb.toString.getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream(head.length + framed.length)
+    out.write(head)
+    out.write(framed)
+    out.toByteArray
+  }
+
+  /** Write `rows = (url, isoDate, html, shape)` as a full `.warc.gz`
+    * archive of captured `response` records (each preceded by its
+    * `request` record when `withRequests` — readers must skip those),
+    * after a `warcinfo` record. The [[writeWet]] posture: an
+    * independent byte-level writer of the PUBLISHED layout (ISO 28500
+    * + HTTP/1.1 framing), so [[WarcHttp]] is tested against bytes it
+    * did not produce.
+    */
+  def writeWarc(
+      path: String,
+      rows: Seq[(String, String, String, HttpShape)],
+      gzipPerRecord: Boolean = true,
+      withRequests: Boolean = true): Unit = {
+    val info = record(
+      Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> rows.headOption.map(_._2).getOrElse("2024-01-01T00:00:00Z"),
+        "WARC-Filename" -> new java.io.File(path).getName,
+        "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+        "Content-Type" -> "application/warc-fields"),
+      ("software: graft-warc-fixture" + CRLF +
+        "format: WARC File Format 1.0" + CRLF).getBytes("UTF-8"))
+    val recs = rows.zipWithIndex.flatMap { case ((url, date, html, shape), i) =>
+      val req = record(
+        Seq(
+          "WARC-Type" -> "request",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> date,
+          "WARC-Record-ID" -> f"<urn:uuid:20000000-0000-0000-0000-${i + 1}%012x>",
+          "Content-Type" -> "application/http; msgtype=request"),
+        ("GET / HTTP/1.1" + CRLF + "Host: fixture" + CRLF + CRLF).getBytes("ISO-8859-1"))
+      val resp = record(
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> date,
+          "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0000-${i + 1}%012x>",
+          "Content-Type" -> "application/http; msgtype=response"),
+        httpResponse(html, shape))
+      if (withRequests) Seq(req, resp) else Seq(resp)
+    }
+    val fo = new FileOutputStream(path)
+    try (info +: recs).foreach { r =>
+      fo.write(if (gzipPerRecord) gzipMember(r) else r)
+    } finally fo.close()
+  }
 }
