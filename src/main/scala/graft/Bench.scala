@@ -153,22 +153,6 @@ object Bench {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    // ADAPTIVE precision in the compact line (the 1800-char stdout
-    // budget): 2 decimals while the suite fits (139 queries did), then
-    // 1 decimal for values >= 1 s (155 queries crossed the budget at
-    // uniform 2 decimals — round 14), then 0 decimals for >= 10 s.
-    // Resolution loss is bounded (±0.05 s on >= 1 s medians, far under
-    // the cross-run noise band) and the full 3-decimal detail is
-    // always on stderr below.
-    def qsAt(level: Int): String = meds.map { case (k, v) =>
-      val s = level match {
-        case 0 => f"$v%.2f"
-        case 1 => if (v >= 1) f"$v%.1f" else f"$v%.2f"
-        case _ =>
-          if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
-      }
-      "\"" + shortKey(k) + "\":" + s
-    }.mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
       "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"
     }.mkString("{", ",", "}")
@@ -183,12 +167,72 @@ object Bench {
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption).getOrElse(-1.0)
     System.err.println(
       f"""[bench-detail] {"queries":$longQs,"spread":$spread,"n":$repCounts,"reps":$reps,"sf":"$sfDir"}""")
-    def lineAt(level: Int): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qsAt(level)},"reps":$reps,"sf":$sfNum%.3f}"""
-    val line = (0 to 2).map(lineAt).find(_.length < 1800)
-      .getOrElse(lineAt(2))
-    require(line.length < 1800, s"bench JSON line too long: ${line.length}")
+    val line = renderLine(meds.map { case (k, v) => shortKey(k) -> v },
+      total, reps, sfNum)
+    require(line.length < StdoutBudget, s"bench JSON line too long: ${line.length}")
     println(line)
     active.stop()
+  }
+
+  /** The stdout budget: the harness that collects this output keeps only
+    * the TAIL of stdout (observed: last 2000 chars), so the single JSON
+    * line must stay well under that even with sbt's trailing "[success]"
+    * line after it.
+    */
+  val StdoutBudget = 1800
+
+  /** Renders the ONE stdout JSON line, provably under [[StdoutBudget]]
+    * for any number of queries.
+    *
+    * Round 15 post-mortem: the previous precision-only fallback (2 → 1 →
+    * 0 decimals) bottomed out at 1801–1802 chars for 156 queries — one
+    * character over budget — and the `require` crashed the driver's bench
+    * after 25 minutes of measurement. Precision tweaks shrink each entry
+    * but the per-query floor (`"qNNN":N,` = 9+ chars) still grows
+    * linearly, so no precision level is bounded in the query count.
+    *
+    * The fix adds FOLD levels: queries whose median falls under a cutoff
+    * collapse into two aggregate fields `"fast_n"` (count) and
+    * `"fast_total"` (summed seconds), and all-reps failures collapse into
+    * `"fail_n"`. Cutoffs escalate (0.5 s → 1 → 2 → 5 → 10 → ∞); the final
+    * level folds EVERY query, leaving a fixed-size line (~130 chars)
+    * regardless of suite size — the bound is structural, not empirical.
+    * Slow queries (the ones the 2× bar is graded on) stay individually
+    * visible at every level that fits; full 3-decimal per-query detail is
+    * always on stderr as `[bench-detail]`.
+    *
+    * @param meds short-key → median seconds; -1 marks an all-reps failure
+    */
+  def renderLine(meds: Seq[(String, Double)], total: Double,
+                 reps: Int, sfNum: Double): String = {
+    def fmt(v: Double): String =
+      if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
+    // precision-only levels first (keep full per-query detail while it fits)
+    def qsAt(level: Int): String = meds.map { case (k, v) =>
+      val s = level match {
+        case 0 => f"$v%.2f"
+        case 1 => if (v >= 1) f"$v%.1f" else f"$v%.2f"
+        case _ => fmt(v)
+      }
+      "\"" + k + "\":" + s
+    }.mkString("{", ",", "}")
+    def foldedAt(cutoff: Double): String = {
+      val (failed, ok) = meds.partition(_._2 < 0)
+      val (fast, slow) = ok.partition(_._2 < cutoff)
+      val slowEntries = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val aggEntries = Seq(
+        "\"fast_n\":" + fast.size,
+        f""""fast_total":${fast.map(_._2).sum}%.1f""") ++
+        (if (failed.nonEmpty) Seq("\"fail_n\":" + failed.size) else Nil)
+      (slowEntries ++ aggEntries).mkString("{", ",", "}")
+    }
+    def lineWith(qs: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":$sfNum%.3f}"""
+    val candidates =
+      (0 to 2).iterator.map(l => lineWith(qsAt(l))) ++
+        Seq(0.5, 1.0, 2.0, 5.0, 10.0, Double.MaxValue).iterator
+          .map(c => lineWith(foldedAt(c)))
+    candidates.find(_.length < StdoutBudget)
+      .getOrElse(lineWith(foldedAt(Double.MaxValue)))
   }
 }

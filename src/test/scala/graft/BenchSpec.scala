@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout line must stay under the harness tail budget for ANY
+  * suite size — round 15's driver bench crashed one character over the
+  * 1800-char budget at 156 queries because every fallback level was
+  * per-query (linear in the count). These tests pin the structural bound
+  * of the fold levels, not an empirical near-miss.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def synth(n: Int): Seq[(String, Double)] =
+    (1 to n).map { i =>
+      // mix of regimes: sub-0.5s (foldable), 1-10s, >10s, and failures
+      val v = (i % 10) match {
+        case 0 => -1.0          // all-reps failure
+        case 1 => 14.37         // slow
+        case 2 | 3 => 3.2 + i % 5
+        case _ => 0.08 + (i % 4) * 0.1
+      }
+      (f"q$i%d", v)
+    }
+
+  test("156-query suite (the round-15 crash size) fits the budget") {
+    val meds = synth(156)
+    val line = Bench.renderLine(meds, meds.map(_._2).filter(_ >= 0).sum, 3, 0.1)
+    assert(line.length < Bench.StdoutBudget, s"len=${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\""))
+  }
+
+  test("300 synthetic queries render under the budget") {
+    val meds = synth(300)
+    val line = Bench.renderLine(meds, meds.map(_._2).filter(_ >= 0).sum, 3, 0.1)
+    assert(line.length < Bench.StdoutBudget, s"len=${line.length}")
+  }
+
+  test("pathological suite: 3000 queries, all slow, still bounded") {
+    // every query >10s so no precision level and no finite cutoff below
+    // MaxValue can fold them — the terminal fold-everything level must fire
+    val meds = (1 to 3000).map(i => (s"q$i", 42.0 + i % 7))
+    val line = Bench.renderLine(meds, meds.map(_._2).sum, 3, 0.1)
+    assert(line.length < Bench.StdoutBudget, s"len=${line.length}")
+    assert(line.contains("\"fast_n\":3000"), "terminal level folds everything")
+  }
+
+  test("small suite keeps full 2-decimal per-query detail") {
+    val meds = Seq(("q1", 1.234), ("q2", 0.056))
+    val line = Bench.renderLine(meds, 1.29, 3, 0.001)
+    assert(line.contains("\"q1\":1.23"))
+    assert(line.contains("\"q2\":0.06"))
+    assert(!line.contains("fast_n"), "no folding when detail fits")
+  }
+
+  test("folded levels keep slow queries individually visible and count failures") {
+    // force past precision levels: enough sub-0.5s queries to overflow
+    // uniform rendering but fold cleanly at the 0.5s cutoff
+    val fast = (1 to 250).map(i => (s"q$i", 0.12))
+    val meds = fast ++ Seq(("qslow", 12.7), ("qdead", -1.0))
+    val line = Bench.renderLine(meds, fast.size * 0.12 + 12.7, 3, 0.1)
+    assert(line.length < Bench.StdoutBudget)
+    assert(line.contains("\"qslow\":13"), s"slow query visible: $line")
+    assert(line.contains("\"fast_n\":250"))
+    assert(line.contains("\"fail_n\":1"))
+    // fast_total ~= 30.0
+    assert(line.contains("\"fast_total\":30.0"))
+  }
+
+  test("the line is valid single-line JSON shape") {
+    val meds = synth(200)
+    val line = Bench.renderLine(meds, 100.0, 3, 0.1)
+    assert(!line.contains("\n"))
+    // braces balance (no nested objects beyond "queries")
+    assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
+  }
+}
