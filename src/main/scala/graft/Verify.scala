@@ -38,6 +38,11 @@ object Verify {
         }
         fn(active, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // gate boundary: drop operator-owned caches (banded keys,
+        // fingerprint projections) so 157 queries in one session don't
+        // accumulate cached blocks; user/gate-level persists (q135's
+        // stage frames) are NOT registry-owned and survive untouched
+        graft.ops.Caches.release()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -43,11 +43,19 @@ object Caches {
     * call between pipeline runs in a long-lived session; results
     * already materialized are unaffected (released plans simply
     * re-derive if re-run).
+    *
+    * Each unpersist is individually guarded: a handle whose session has
+    * since stopped (multi-session test runs) must not abort the drain
+    * and leak the entries behind it. The registry is process-global, so
+    * concurrent pipelines share it — a release() here can drop another
+    * in-flight pipeline's operator caches (correctness holds, the plan
+    * re-derives; only the cache hit is lost). Callers needing isolation
+    * release at pipeline boundaries only.
     */
   def release(): Unit = {
     var ds = registry.poll()
     while (ds != null) {
-      ds.unpersist(false)
+      try ds.unpersist(false) catch { case _: Exception => }
       ds = registry.poll()
     }
   }
