@@ -83,19 +83,31 @@ object WarcHttp {
 
   /** Inflate a `Content-Encoding: deflate` body (zlib-wrapped per the
     * HTTP spec; raw-deflate senders exist in the wild, retried bare).
+    * Stall guard: `inflate()` returning 0 while neither finished nor
+    * input-starved means the stream demands a preset dictionary (zlib
+    * FDICT bit — header like 0x78 0x20) or is otherwise stuck; without
+    * the guard that untrusted shape spins the Spark task forever. It
+    * throws instead, falling through to the raw-deflate retry and then
+    * the raw-bytes fallback — a crawl body never kills (or hangs) the
+    * scan.
     */
   private def inflateDeflate(b: Array[Byte]): Array[Byte] = {
     def run(raw: Boolean): Array[Byte] = {
       val inf = new java.util.zip.Inflater(raw)
-      inf.setInput(b)
-      val out = new ByteArrayOutputStream(b.length * 3 + 64)
-      val buf = new Array[Byte](1 << 14)
-      while (!inf.finished() && !inf.needsInput()) {
-        val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
-      }
-      inf.end()
-      out.toByteArray
+      try {
+        inf.setInput(b)
+        val out = new ByteArrayOutputStream(b.length * 3 + 64)
+        val buf = new Array[Byte](1 << 14)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (!inf.finished() && !inf.needsInput())
+            throw new java.util.zip.DataFormatException(
+              if (inf.needsDictionary()) "deflate stream requires a preset dictionary"
+              else "deflate stream made no progress")
+        }
+        out.toByteArray
+      } finally inf.end()
     }
     try run(raw = false)
     catch { case _: Exception =>
@@ -118,8 +130,13 @@ object WarcHttp {
     if (!statusLine.regionMatches(true, 0, "HTTP/", 0, 5))
       return HttpMessage(0, Map.empty, payload)
     val parts = statusLine.split("\\s+", 3)
+    // length cap: an all-digit token past Int range ("HTTP/1.1
+    // 99999999999 OK") must fall back to 0, not throw — one garbage
+    // record never fails the scan (status codes are 3 digits; 9 keeps
+    // any in-range int parseable)
     val status =
-      if (parts.length >= 2 && parts(1).forall(_.isDigit) && parts(1).nonEmpty)
+      if (parts.length >= 2 && parts(1).nonEmpty && parts(1).length <= 9 &&
+        parts(1).forall(_.isDigit))
         parts(1).toInt
       else 0
     val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -127,6 +144,7 @@ object WarcHttp {
     var lastKey: String = null
     var done = false
     while (!done && p < payload.length) {
+      val lineStart = p
       val (line, next) = lineAt(p)
       p = next
       if (line.isEmpty) done = true
@@ -134,8 +152,14 @@ object WarcHttp {
         headers(lastKey) = headers(lastKey) + " " + line.trim
       else {
         val i = line.indexOf(':')
-        if (i < 0) done = true // junk header line: body starts here? no — skip
-        else {
+        if (i < 0) {
+          // colon-less line: the header/body separator is missing or
+          // this is already body text — treat the body as starting AT
+          // this line (not after it: consuming it would silently drop
+          // the first body line of a capture missing its blank line)
+          p = lineStart
+          done = true
+        } else {
           val k = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
           headers(k) = line.substring(i + 1).trim
           lastKey = k
@@ -186,38 +210,59 @@ object WarcHttp {
     StructField("http_content_type", StringType, nullable = true),
     StructField("body", StringType, nullable = true)))
 
-  private[graft] def responsesOf(file: String, raw: Array[Byte]): Iterator[Row] =
-    WetReader.parseWarc(WetReader.inflate(raw)).iterator
+  private def rowOf(file: String, r: WetReader.WarcRecord): Row = {
+    val msg = parseHttp(r.payload)
+    val ct = msg.headers.get("content-type")
+    Row(
+      file,
+      r.headers.get("warc-target-uri").orNull,
+      r.headers.get("warc-date").orNull,
+      r.headers.get("warc-record-id").orNull,
+      msg.status,
+      ct.orNull,
+      decode(msg.body, charsetOf(ct)))
+  }
+
+  /** Rows from an already-in-memory (possibly gzip) archive image —
+    * test/fixture surface; parses record-at-a-time (shared splitter
+    * with the distributed scan), so peak memory past the raw bytes is
+    * one record.
+    */
+  private[graft] def responsesOf(file: String, raw: Array[Byte]): Iterator[Row] = {
+    val in = new java.io.ByteArrayInputStream(raw)
+    val decoded =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(in, 1 << 16)
+      else in
+    WetReader.parseWarcStream(decoded)
       .filter(_.warcType.equalsIgnoreCase("response"))
-      .map { r =>
-        val msg = parseHttp(r.payload)
-        val ct = msg.headers.get("content-type")
-        Row(
-          file,
-          r.headers.get("warc-target-uri").orNull,
-          r.headers.get("warc-date").orNull,
-          r.headers.get("warc-record-id").orNull,
-          msg.status,
-          ct.orNull,
-          decode(msg.body, charsetOf(ct)))
-      }
+      .map(rowOf(file, _))
+  }
 
   /** Distributed raw-WARC response scan: one row per `response` record
     * with the HTTP envelope split off and the body transfer/content
     * decoding undone. Same parallelism contract as [[WetReader.read]]:
     * one task per (gzip non-splittable) file, narrow flatMap, zero
-    * shuffle. `request`/`metadata`/`warcinfo` records are skipped —
-    * read them via `WetReader.read(keepAll = true)` if needed.
+    * shuffle — and the same record-at-a-time streaming parse, so peak
+    * task memory is O(largest record): a real ~1 GB `.warc.gz` segment
+    * (3–5 GB raw) streams through where a whole-file inflate would
+    * break the 2 GiB array limit. `request`/`metadata`/`warcinfo`
+    * records are skipped — read them via `WetReader.read(keepAll =
+    * true)` if needed.
     */
   def readResponses(
       spark: SparkSession,
       path: String,
       globFilter: Option[String] = None): DataFrame = {
-    val files = Readers.binaryFiles(spark, path, globFilter)
-      .select("path", "content")
+    val files = Readers.binaryFiles(spark, path, globFilter).select("path")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val enc = Encoders.row(schema)
     files.flatMap { row: Row =>
-      responsesOf(row.getString(0), row.getAs[Array[Byte]](1))
+      val file = row.getString(0)
+      WetReader.streamRecords(file, hconf.value)
+        .filter(_.warcType.equalsIgnoreCase("response"))
+        .map(rowOf(file, _))
     }(enc)
   }
 }

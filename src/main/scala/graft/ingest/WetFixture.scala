@@ -73,10 +73,12 @@ object WetFixture {
 
   /** Per-response HTTP transfer shape for [[writeWarc]] — the capture
     * variations a crawler stores verbatim and [[WarcHttp]] must undo.
+    * `encoding` is the Content-Encoding: "" (identity), "gzip", or
+    * "deflate" (zlib-wrapped per the HTTP spec).
     */
   final case class HttpShape(
       chunked: Boolean = false,
-      gzipBody: Boolean = false,
+      encoding: String = "",
       headerCase: Boolean = false,
       status: Int = 200,
       reason: String = "OK",
@@ -100,6 +102,17 @@ object WetFixture {
   }
 
   private def gzipBytes(b: Array[Byte]): Array[Byte] = gzipMember(b)
+
+  /** zlib-wrapped deflate — what `Content-Encoding: deflate` means per
+    * the HTTP spec (RFC 9110 §8.4.1.1).
+    */
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length / 2 + 64)
+    val d = new java.util.zip.DeflaterOutputStream(out)
+    d.write(b)
+    d.close()
+    out.toByteArray
+  }
 
   /** Chunked transfer framing: ~48-byte chunks, one carrying a chunk
     * extension (readers must ignore it), terminal 0-chunk + trailer.
@@ -128,7 +141,11 @@ object WetFixture {
     */
   private[graft] def httpResponse(html: String, shape: HttpShape): Array[Byte] = {
     val raw = html.getBytes(shape.charset)
-    val enc = if (shape.gzipBody) gzipBytes(raw) else raw
+    val enc = shape.encoding match {
+      case "gzip" => gzipBytes(raw)
+      case "deflate" => deflateBytes(raw)
+      case _ => raw
+    }
     val framed = if (shape.chunked) chunkBody(enc) else enc
     def h(k: String): String =
       if (shape.headerCase) k.toUpperCase(java.util.Locale.ROOT) else k
@@ -138,8 +155,8 @@ object WetFixture {
     sb.append(h("Content-Type")).append(": text/html; charset=")
       .append(shape.charset).append(CRLF)
     sb.append(h("Server")).append(": graft-fixture/1.0").append(CRLF)
-    if (shape.gzipBody)
-      sb.append(h("Content-Encoding")).append(": gzip").append(CRLF)
+    if (shape.encoding.nonEmpty)
+      sb.append(h("Content-Encoding")).append(": ").append(shape.encoding).append(CRLF)
     if (shape.chunked)
       sb.append(h("Transfer-Encoding")).append(": chunked").append(CRLF)
     else

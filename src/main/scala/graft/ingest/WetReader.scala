@@ -123,6 +123,11 @@ object WetReader {
   /** Decompress a (possibly multi-member) gzip byte array; plain bytes
     * pass through. `GZIPInputStream` reads concatenated members
     * transparently — the per-record-member layout Common Crawl uses.
+    * Whole-buffer inflate: ONLY for already-in-memory payloads (an HTTP
+    * entity body, a fixture round-trip) — file-sized inputs go through
+    * [[parseWarcStream]], which never materializes the decompressed
+    * stream (a ~1 GB `.warc.gz` segment is 3–5 GB raw, past the 2 GiB
+    * JVM array limit this method would hit).
     */
   private[graft] def inflate(bytes: Array[Byte]): Array[Byte] =
     if (!isGzip(bytes)) bytes
@@ -136,6 +141,117 @@ object WetReader {
       out.toByteArray
     }
 
+  /** Record-at-a-time streaming WARC parse — the scale path: memory is
+    * O(largest record), not O(file), so a ~1 GB `.warc.gz` segment
+    * (3–5 GB raw — past the 2 GiB JVM array limit) parses in one pass.
+    * Content-Length framing admits single-pass streaming: read the
+    * version line + header block line-by-line, then exactly
+    * Content-Length payload bytes, then the inter-record blanks.
+    * Same strict/lenient posture as [[parseWarc]] (version line,
+    * Content-Length, and header shape enforced; truncated final
+    * payloads throw EOFException; missing trailing `\r\n\r\n` at EOF
+    * tolerated). The input stream is closed at EOF or parse failure;
+    * callers abandoning the iterator early close it themselves.
+    */
+  private[graft] def parseWarcStream(in0: java.io.InputStream): Iterator[WarcRecord] = {
+    val in = new java.io.BufferedInputStream(in0, 1 << 16)
+    // line = bytes to '\n' (trailing CR stripped); null at clean EOF
+    def readLine(): String = {
+      var c = in.read()
+      if (c < 0) return null
+      val buf = new java.io.ByteArrayOutputStream(128)
+      while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+      val b = buf.toByteArray
+      val stop = if (b.length > 0 && b(b.length - 1) == '\r') b.length - 1 else b.length
+      new String(b, 0, stop, "UTF-8")
+    }
+    def readFully(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(out, off, n - off)
+        if (r < 0) throw new EOFException(
+          s"WARC payload truncated: need $n bytes, got $off")
+        off += r
+      }
+      out
+    }
+    new Iterator[WarcRecord] {
+      private var pending: WarcRecord = _
+      private var eof = false
+      private def closeQuietly(): Unit =
+        try in.close() catch { case _: Exception => }
+      private def advance(): Unit = {
+        if (pending != null || eof) return
+        try {
+          var line = readLine()
+          while (line != null && line.isEmpty) line = readLine() // inter-record blanks
+          if (line == null) { eof = true; closeQuietly(); return }
+          if (!line.startsWith("WARC/"))
+            throw new IllegalArgumentException(
+              s"Not a WARC stream: expected a WARC/ version line, got '${line.take(40)}'")
+          val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var lastKey: String = null
+          var done = false
+          while (!done) {
+            val l = readLine()
+            if (l == null) throw new EOFException("WARC header block truncated")
+            if (l.isEmpty) done = true
+            else if ((l.head == ' ' || l.head == '\t') && lastKey != null)
+              headers(lastKey) = headers(lastKey) + " " + l.trim
+            else {
+              val i = l.indexOf(':')
+              if (i < 0) throw new IllegalArgumentException(
+                s"Malformed WARC header line: '${l.take(60)}'")
+              val k = l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+              headers(k) = l.substring(i + 1).trim
+              lastKey = k
+            }
+          }
+          val len = headers.getOrElse("content-length",
+            throw new IllegalArgumentException("WARC record missing Content-Length")).toLong
+          if (len > Int.MaxValue - 8)
+            throw new IllegalArgumentException(s"WARC record payload too large: $len")
+          pending = WarcRecord(
+            headers.getOrElse("warc-type", ""), headers.toMap, readFully(len.toInt))
+        } catch { case e: Throwable => closeQuietly(); throw e }
+      }
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): WarcRecord = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("end of WARC stream")
+        val r = pending; pending = null; r
+      }
+    }
+  }
+
+  /** Open `path` (any Hadoop-visible URI) as a decoded WARC byte
+    * stream: gzip-sniffed by magic bytes (multi-member transparent),
+    * plain streams pass through.
+    */
+  private[graft] def openDecoded(
+      path: String, conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.BufferedInputStream(hPath.getFileSystem(conf).open(hPath), 1 << 16)
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(in, 1 << 16) else in
+  }
+
+  /** Streaming per-file record scan used inside tasks: opens, decodes,
+    * and parses `path` record-at-a-time; the stream closes at EOF and
+    * (belt-and-braces for early-terminated plans like limits) at task
+    * completion.
+    */
+  private[graft] def streamRecords(
+      path: String, conf: org.apache.hadoop.conf.Configuration): Iterator[WarcRecord] = {
+    val in = openDecoded(path, conf)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => try in.close() catch { case _: Exception => }))
+    parseWarcStream(in)
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("warc_type", StringType, nullable = true),
@@ -145,38 +261,56 @@ object WetReader {
     StructField("content_length", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
 
+  private def rowOf(file: String, r: WarcRecord): Row =
+    Row(
+      file,
+      if (r.warcType.isEmpty) null else r.warcType,
+      r.headers.get("warc-target-uri").orNull,
+      r.headers.get("warc-date").orNull,
+      r.headers.get("warc-record-id").orNull,
+      r.payload.length.toLong,
+      new String(r.payload, "UTF-8"))
+
+  /** Rows from an already-in-memory (possibly gzip) file image — the
+    * streaming-source path, where the binaryFile stream source has the
+    * bytes anyway. Parses record-at-a-time over the buffer (shared code
+    * with the batch scan: streaming ≡ batch by construction), so peak
+    * memory past the raw bytes is one record, not the inflated file.
+    */
   private[graft] def recordsOf(
-      file: String, raw: Array[Byte], keepAll: Boolean): Iterator[Row] =
-    parseWarc(inflate(raw)).iterator
+      file: String, raw: Array[Byte], keepAll: Boolean): Iterator[Row] = {
+    val in = new ByteArrayInputStream(raw)
+    val decoded = if (isGzip(raw)) new GZIPInputStream(in, 1 << 16) else in
+    parseWarcStream(decoded)
       .filter(r => keepAll || r.warcType.equalsIgnoreCase("conversion"))
-      .map { r =>
-        Row(
-          file,
-          if (r.warcType.isEmpty) null else r.warcType,
-          r.headers.get("warc-target-uri").orNull,
-          r.headers.get("warc-date").orNull,
-          r.headers.get("warc-record-id").orNull,
-          r.payload.length.toLong,
-          new String(r.payload, "UTF-8"))
-      }
+      .map(rowOf(file, _))
+  }
 
   /** Distributed WET scan: `path` is a file, directory, or glob of
     * `.wet` / `.wet.gz` files (any WARC works; non-conversion records
     * are skipped unless `keepAll`). One task per file — the gzip
-    * non-splittability unit — via the binaryFile source; the parse is
-    * a narrow flatMap, so filters/projections on the result run before
-    * any shuffle.
+    * non-splittability unit. Listing comes from the binaryFile source
+    * pruned to `path` ONLY (content is never read into a row); each
+    * task opens its file and parses record-at-a-time via
+    * [[parseWarcStream]], so peak task memory is O(largest record) —
+    * a 1 GB `.warc.gz` segment (3–5 GB raw) streams through where a
+    * whole-file inflate would break the 2 GiB array limit. The parse
+    * is a narrow flatMap: filters/projections run before any shuffle.
     */
   def read(
       spark: SparkSession,
       path: String,
       globFilter: Option[String] = None,
       keepAll: Boolean = false): DataFrame = {
-    val files = Readers.binaryFiles(spark, path, globFilter)
-      .select("path", "content")
+    val files = Readers.binaryFiles(spark, path, globFilter).select("path")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val enc = Encoders.row(schema)
     files.flatMap { row: Row =>
-      recordsOf(row.getString(0), row.getAs[Array[Byte]](1), keepAll)
+      val file = row.getString(0)
+      streamRecords(file, hconf.value)
+        .filter(r => keepAll || r.warcType.equalsIgnoreCase("conversion"))
+        .map(rowOf(file, _))
     }(enc)
   }
 }

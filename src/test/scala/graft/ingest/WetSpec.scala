@@ -123,4 +123,70 @@ class WetSpec extends SparkSpec {
     assert(df.select("url").collect().map(_.getString(0)).sorted.toSeq ==
       (0 until 3).map(i => s"https://seg.com/$i"))
   }
+
+  test("parseWarcStream yields the records parseWarc does, byte-identically") {
+    val dir = Files.createTempDirectory("graft_wet_equiv").toString
+    val p = s"$dir/e.wet"
+    WetFixture.writeWet(p, rows3, gzipPerRecord = false)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val old = WetReader.parseWarc(bytes)
+    val streamed = WetReader.parseWarcStream(
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(streamed.size == old.size)
+    streamed.zip(old).foreach { case (a, b) =>
+      assert(a.warcType == b.warcType)
+      assert(a.headers == b.headers)
+      assert(a.payload.sameElements(b.payload))
+    }
+    // and the strict error surface matches
+    val trunc = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 50\r\n\r\nshort"
+    val ex = intercept[Exception] {
+      WetReader.parseWarcStream(new java.io.ByteArrayInputStream(
+        trunc.getBytes("UTF-8"))).toSeq
+    }
+    assert(ex.getMessage.contains("truncated"))
+  }
+
+  test("streaming parse handles a multi-member segment past the 2 GiB raw limit") {
+    // the round-15 scale ceiling: WHOLE-FILE inflate needs one byte
+    // array of the decompressed size — a real ~1 GB .warc.gz segment
+    // is 3-5 GB raw, past Int.MaxValue. The record-at-a-time path must
+    // stream it with O(largest record) memory. 580 x 4 MiB = ~2.27 GiB
+    // raw (> Int.MaxValue) in per-record gzip members; the file itself
+    // stays ~3 MB because the payloads compress away.
+    val dir = Files.createTempDirectory("graft_wet_big").toString
+    val p = s"$dir/big.warc.gz"
+    val payload = new Array[Byte](4 << 20)
+    java.util.Arrays.fill(payload, 'a'.toByte)
+    val nRecs = 580
+    val fo = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(p), 1 << 16)
+    try {
+      (0 until nRecs).foreach { i =>
+        val head = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          s"WARC-Target-URI: https://big.test/$i\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8")
+        val gz = new java.util.zip.GZIPOutputStream(fo, 1 << 16) {
+          `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+        }
+        gz.write(head)
+        gz.write(payload)
+        gz.write("\r\n\r\n".getBytes("UTF-8"))
+        gz.finish() // member boundary; do NOT close the shared stream
+      }
+    } finally fo.close()
+    assert(nRecs.toLong * payload.length > Int.MaxValue.toLong,
+      "construction must exceed the single-array limit")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    var bytes = 0L
+    val it = WetReader.parseWarcStream(WetReader.openDecoded(p, hconf))
+    it.foreach { r =>
+      n += 1
+      bytes += r.payload.length
+      assert(r.warcType == "conversion")
+    }
+    assert(n == nRecs)
+    assert(bytes == nRecs.toLong * payload.length)
+  }
 }
