@@ -383,6 +383,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** BIPARTITE pigeonhole-banded hamming join: probe `(id, fp)` rows
+    * against a PRIOR fingerprint frame `(id, fp)` — the two-frame
+    * sibling of [[simhashPairs]] for incremental admission (a
+    * micro-batch probing the corpus + ledger) and any
+    * probe-versus-reference matching. Same machinery: fingerprints
+    * within `maxHamming` must share one of `maxHamming + 1` equal
+    * 64/(k+1)-bit chunks (exact, never all-pairs), each qualifying
+    * pair emitted exactly once via the first-agreeing-chunk filter (a
+    * codegen'd filter, no distinct shuffle). Emits `(id_a, id_b,
+    * hamming)` with `id_a` from `probe`, `id_b` from `prior` — no
+    * `id_a < id_b` constraint (the frames are different populations;
+    * self-pairs are the caller's semantics to exclude if the frames
+    * overlap). The scale shape is the [[simhashPairs]] one: the join
+    * spreads hot chunk buckets across tasks, bounded by probe band
+    * rows × prior bucket size — run exact dedup upstream so prior
+    * buckets hold genuine near-dup families, not mass boilerplate.
+    */
+  def simhashCrossPairs(
+      probe: DataFrame,
+      prior: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
+    def banded(fp: DataFrame): DataFrame = fp.select(
+      col("id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftrightunsigned", col("fp"), c * lit(bitsPer))
+            .bitwiseAND(lit(mask)).as("ch")))).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"),
+        col("id"), col("fp"))
+    val xor = col("fp_a").bitwiseXOR(col("fp_b"))
+    val firstEqualChunk = (0 until chunks).foldRight(lit(-1): Column) { (c, els) =>
+      when(call_function("shiftrightunsigned", xor, lit(c * bitsPer))
+        .bitwiseAND(lit(mask)) === 0L, lit(c)).otherwise(els)
+    }
+    val l = banded(probe)
+      .select(col("chunk"), col("ch"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val rj = banded(prior)
+      .select(col("chunk"), col("ch"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(rj, Seq("chunk", "ch"))
+      .withColumn("hamming", bit_count(xor))
+      .filter(col("hamming") <= maxHamming)
+      .filter(firstEqualChunk === col("chunk"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over near-dup pairs: min-label propagation
     * with POINTER COMPRESSION to a fixed point. The standard Spark
     * pattern for transitive dup closure without GraphX — near-dup pairs

@@ -746,6 +746,103 @@ object Streams {
     }
   }
 
+  /** Perceptual-fingerprint projection of a static MEDIA corpus —
+    * `(id, fp)`, one 64-bit dHash (images) or energy-hash (audio) per
+    * decodable item — the persistable unit for
+    * [[incrementalMediaNearDupBatches]] (8 bytes per item; unpersisted,
+    * every micro-batch re-decodes the whole corpus — the
+    * [[nearDupCorpusSignatures]] lesson, and decode dwarfs signature
+    * hashing). Undecodable items are dropped: they carry no perceptual
+    * identity to probe against.
+    */
+  def mediaCorpusFingerprints(
+      corpus: DataFrame, mediaType: String = "image"): DataFrame = {
+    val fps = mediaType match {
+      case "image" => graft.operators.Multimodal.imageFingerprints(corpus)
+      case "audio" => graft.operators.Multimodal.audioFingerprints(corpus)
+      case other => throw new IllegalArgumentException(
+        s"mediaType must be image|audio, got '$other'")
+    }
+    fps.filter(col("fp").isNotNull).select(col("id"), col("fp"))
+  }
+
+  /** Streaming incremental MEDIA near-dup admission — the perceptual
+    * sibling of [[incrementalNearDupBatches]] for image/audio streams
+    * (the LAION-style crawl shape: re-encoded, re-leveled, resized
+    * copies of already-held media must not be admitted twice). Each
+    * micro-batch of canonical media rows (`media_id`, `content`, ...):
+    *
+    *  1. fingerprints: one 64-bit perceptual hash per item
+    *     ([[graft.operators.Multimodal.imageFingerprints]] dHash /
+    *     [[graft.operators.Multimodal.audioFingerprints]] energy hash)
+    *     — one decode scan, the only pass that touches bytes;
+    *  2. WITHIN-batch: pigeonhole-banded hamming pairs
+    *     ([[graft.operators.Dedup.simhashPairs]]) + the pair rule — an
+    *     item drops when ANY lower-id batch item is within
+    *     `maxHamming`;
+    *  3. vs PRIOR: the bipartite banding
+    *     ([[graft.operators.Dedup.simhashCrossPairs]]) against the
+    *     static corpus's PRECOMPUTED fingerprints
+    *     ([[mediaCorpusFingerprints]] — persist it) plus the ledger of
+    *     previously admitted fingerprints;
+    *  4. survivors go to `onBatch` (original columns) and their
+    *     `(media_id, fp)` land in the ledger's `batch_id=N` partition
+    *     (dynamic overwrite — the [[incrementalDedupBatches]] replay
+    *     posture: at-least-once delivery, exactly-once ledger).
+    *
+    * UNDECODABLE items (null fingerprint) are admitted but never
+    * ledgered — the degenerate-text routing: a null carries no
+    * perceptual identity, and banding sentinel values would collapse
+    * every undecodable item into one false dup family. Ledger rows are
+    * 8 bytes of fingerprint per admitted item — the cheapest ledger of
+    * the admission family (vs 16-byte md5, numPerms×8-byte MinHash).
+    */
+  def incrementalMediaNearDupBatches(
+      media: DataFrame,
+      corpusFps: DataFrame,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      maxHamming: Int = 3,
+      mediaType: String = "image"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (64-bit pigeonhole chunks), got $maxHamming")
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val fps = (mediaType match {
+        case "image" => graft.operators.Multimodal.imageFingerprints(batch)
+        case "audio" => graft.operators.Multimodal.audioFingerprints(batch)
+        case other => throw new IllegalArgumentException(
+          s"mediaType must be image|audio, got '$other'")
+      }).persist() // consumed by both probes + freshIds + ledger rows
+      try {
+        val ledgerSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("fp", LongType),
+          StructField("batch_id", LongType)))
+        val ledgerFps = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+          .select(col("media_id").as("id"), col("fp"))
+        val nn = fps.filter(col("fp").isNotNull).select(col("id"), col("fp"))
+        val inBatchDropped = graft.operators.Dedup.simhashPairs(nn, maxHamming)
+          .select(col("id_b").as("media_id")).distinct()
+        val vsPriorDropped = graft.operators.Dedup.simhashCrossPairs(
+          nn, corpusFps.unionByName(ledgerFps), maxHamming)
+          .select(col("id_a").as("media_id")).distinct()
+        val freshIds = fps.select(col("id").as("media_id"))
+          .join(inBatchDropped, Seq("media_id"), "left_anti")
+          .join(vsPriorDropped, Seq("media_id"), "left_anti")
+        val fresh = batch.join(freshIds, Seq("media_id"), "left_semi").persist()
+        try {
+          onBatch(fresh, batchId)
+          val ledgerRows = fps.filter(col("fp").isNotNull)
+            .select(col("id").as("media_id"), col("fp"))
+            .join(freshIds, Seq("media_id"), "left_semi")
+            .select(col("media_id"), col("fp"), lit(batchId).as("batch_id"))
+          writeBatchLedger(ledgerRows, ledgerDir)
+        } finally fresh.unpersist()
+      } finally fps.unpersist()
+    }
+  }
+
   /** Fail-fast parameter checks shared by the near-dup deployments:
     * corpusSigs built with a different numPerms would silently band
     * nothing on the corpus side (mismatched slice lengths), so

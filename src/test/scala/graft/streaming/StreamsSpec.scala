@@ -691,6 +691,62 @@ class StreamsSpec extends SparkSpec {
     assert(ledger.count() == 1)
   }
 
+  test("incremental MEDIA admission drops perceptual near-copies vs corpus, batch, and ledger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal.JdkCodec
+    // planted 64-bit codes rendered as REAL PNGs (dHash recovers them
+    // exactly); pairwise distances >= 32 except the designed near-copies
+    val A = 0L
+    val aNear = A ^ (1L | (1L << 21) | (1L << 42)) //       hamming 3 vs A
+    val Z = -1L
+    val zNear = Z ^ (1L << 5) //                             hamming 1 vs Z
+    val zNear2 = Z ^ ((1L << 9) | (1L << 30)) //             hamming 2 vs Z
+    val W = 0x00000000FFFFFFFFL
+    val V = 0xFFFF0000FFFF0000L
+    def png(code: Long) = JdkCodec.encodeCodedPng(code, 1, 1)
+    val corpus = Seq((100L, png(A)), (101L, png(0x0F0F0F0F0F0F0F0FL)))
+      .toDF("media_id", "content")
+    val corpusFps = Streams.mediaCorpusFingerprints(corpus, "image")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_media_ledger").toString + "/l"
+    val input = MemoryStream[(Long, Array[Byte])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.incrementalMediaNearDupBatches(
+      input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+      (fresh, bid) => admitted.synchronized {
+        admitted ++= fresh.collect().map(r => (bid, r.getLong(0)))
+      }, maxHamming = 3, mediaType = "image").start()
+    try {
+      // batch 0: near-copy of corpus A dropped; Z admitted; Z's
+      // near-copy dropped within batch (2 < 5); unrelated W admitted;
+      // undecodable bytes admitted (quarantine: no perceptual identity)
+      input.addData((1L, png(aNear)), (2L, png(Z)), (5L, png(zNear)),
+        (3L, png(W)), (4L, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+      // batch 1: near-copy of Z dropped via the LEDGER; fresh V
+      // admitted; another undecodable admitted, never ledgered
+      input.addData((7L, png(zNear2)), (8L, png(V)), (9L, Array[Byte](9)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sortBy(_._2).toSeq == Seq(
+      (0L, 2L), (0L, 3L), (0L, 4L), (1L, 8L), (1L, 9L)))
+    // ledger: one 8-byte fingerprint per DECODABLE admitted item
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() == 3)
+    assert(ledger.filter(col("batch_id") === 0L).count() == 2)
+    // replay posture: a near-copy of ledgered V in a later batch drops
+    val q2 = Streams.incrementalMediaNearDupBatches(
+      input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+      (fresh, bid) => admitted.synchronized {
+        admitted ++= fresh.collect().map(r => (bid, r.getLong(0)))
+      }, maxHamming = 3, mediaType = "image").start()
+    try {
+      input.addData((18L, png(V ^ (1L << 50))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(!admitted.exists(_._2 == 18L))
+  }
+
   test("near-dup admission: string id columns round-trip through the ledger") {
     implicit val sq = spark.sqlContext
     val corpusSigs = Streams.nearDupCorpusSignatures(
