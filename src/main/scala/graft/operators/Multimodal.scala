@@ -769,4 +769,94 @@ object Multimodal {
       }
     }(enc)
   }
+
+  private val videoFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = true)))
+
+  /** Per-video perceptual fingerprint pass: demux ([[MjpegAvi.frames]])
+    * → sample k evenly spaced frames (the [[sampleFrames]] positions)
+    * → [[JdkCodec.dHash64]] per frame → `(media_id, frame_idx, fp)`.
+    * One narrow scan: demux + decode + hash fuse into a single
+    * mapPartitions pass; no intermediate frame blobs shuffle anywhere.
+    *
+    * QUARANTINE posture (deliberately unlike [[sampleFrames]]' typed
+    * non-AVI error): this feeds DEDUP, where the correct treatment of
+    * an undemuxable container or undecodable frame is "no perceptual
+    * identity — never pairs, always admitted", same as null text /
+    * undecodable images. A crawl shard with one broken file must not
+    * kill the scan. `allowStandIn = true` substitutes the documented
+    * byte-slice stand-in frames for non-AVI bytes (synthetic
+    * pipelines/tests only).
+    */
+  def videoFingerprints(
+      media: DataFrame, k: Int = 8, allowStandIn: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    val enc = Encoders.row(videoFpSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val sampled: Seq[Array[Byte]] =
+          if (MjpegAvi.isAvi(bytes)) {
+            val all = MjpegAvi.frames(bytes)
+            val n = all.length
+            if (n <= k) all
+            else (0 until k).map(i => all((n.toLong * i / k).toInt))
+          } else if (allowStandIn) FakeCodec.sampleFrames(bytes, k)
+          else Seq.empty // quarantine: no frames, no pairs
+        sampled.iterator.zipWithIndex.flatMap { case (f, i) =>
+          Option(JdkCodec.dHash64(f)).map(fp => Row(id, i, fp.longValue()))
+        }
+      }
+    }(enc)
+  }
+
+  /** Video perceptual near-dup pairs — the frame-evidence composition
+    * of the image path: two videos pair when at least `minMatches` of
+    * their sampled frames pair within `maxHamming` (re-encodes,
+    * rescales, and re-containered copies share most frames; unrelated
+    * videos share none). Pipeline: [[videoFingerprints]] → the SAME
+    * pigeonhole hamming banding as image/text
+    * ([[Dedup.simhashPairs]] over composite `media_id·k + frame_idx`
+    * keys — exact, never all-pairs) → per-video-pair evidence count.
+    * Emits `(id_a, id_b, n_matched)`, `id_a < id_b`; compose
+    * [[Dedup.clusters]] for transitive survivor selection.
+    *
+    * Scale: one demux+decode+hash scan, the chunk-bucket self-join
+    * (the simhash hot-bucket reasoning applies per FRAME), then a
+    * groupBy on video pairs whose input is already pair-pruned by the
+    * banding — the evidence aggregation shuffles only qualifying
+    * frame pairs, never the frame population. Requires non-negative
+    * `media_id` (the composite key is `media_id * k + frame_idx`).
+    */
+  def videoNearDups(
+      media: DataFrame,
+      k: Int = 8,
+      maxHamming: Int = 3,
+      minMatches: Int = 2,
+      allowStandIn: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minMatches > 0, "minMatches must be positive")
+    val kL = k.toLong
+    // cache: both sides of the banded self-join re-read the frame
+    // fingerprints; uncached, every video demuxes + decodes twice
+    // (caller releases via Caches.release())
+    val composite = graft.ops.Caches.owned(
+      videoFingerprints(media, k, allowStandIn)
+        .select((col("media_id") * kL + col("frame_idx")).as("id"), col("fp")))
+    val framePairs = Dedup.simhashPairs(composite, maxHamming)
+    framePairs
+      .select(
+        expr(s"id_a DIV $kL").as("vid_a"),
+        expr(s"id_b DIV $kL").as("vid_b"))
+      // same-video frame matches are container structure, not dups
+      .filter(col("vid_a") =!= col("vid_b"))
+      // id_a < id_b on composite keys + vid_a != vid_b ⇒ vid_a < vid_b
+      .groupBy(col("vid_a").as("id_a"), col("vid_b").as("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
+      .select(col("id_a"), col("id_b"), col("n_matched"))
+  }
 }

@@ -360,4 +360,48 @@ class MultimodalSpec extends SparkSpec {
     assert(comp(1L) == comp(2L))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("videoNearDups pairs videos by frame evidence, not single-frame luck") {
+    import spark.implicits._
+    // three 3-frame MJPEG-AVI videos of coded-PNG frames: B twins A on
+    // frames {0,1} (hamming 3 and 1) but NOT frame 2 (9 bits); C twins
+    // A on frame 0 ONLY — below the minMatches = 2 evidence floor.
+    // Frame codes within a video sit >= 16 bits apart (lane masks).
+    val lanes = Array(0L, 0xFFFFL, 0xFFFFFFFFL)
+    val baseA = 0x0101010101010101L
+    def codesOf(base: Long, flips: Array[Long]) =
+      lanes.zip(flips).map { case (m, fl) => base ^ m ^ fl }
+    val aCodes = codesOf(baseA, Array(0L, 0L, 0L))
+    val bCodes = codesOf(baseA,
+      Array(1L | (1L << 21) | (1L << 42), 1L << 5, 0x0404040404040404L | (1L << 62)))
+    val cCodes = codesOf(baseA,
+      Array(1L << 7, 0x0202020202020202L, 0x4040404040404040L))
+    def avi(codes: Array[Long]) = MjpegAvi.encode(
+      codes.map(c => Multimodal.JdkCodec.encodeCodedPng(c, 1, 1)).toSeq, 9, 8)
+    val media = Seq(
+      (1L, avi(aCodes)), (2L, avi(bCodes)), (3L, avi(cCodes)),
+      (4L, Array[Byte](1, 2, 3))) // non-AVI: zero frames, never pairs
+      .toDF("media_id", "content")
+    val got = Multimodal.videoNearDups(media, k = 3, maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L)), s"got $got")
+    // at minMatches = 1 the single-frame C pair surfaces too
+    val loose = Multimodal.videoNearDups(media, k = 3, maxHamming = 3, minMatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 2L, 2L), (1L, 3L, 1L)), s"got $loose")
+    // fingerprints: 3 decodable videos x 3 frames, junk contributes none
+    assert(Multimodal.videoFingerprints(media, k = 3).count() == 9)
+    graft.ops.Caches.release()
+  }
+
+  test("simhashCrossPairs matches probe-vs-prior without self-pair semantics") {
+    import spark.implicits._
+    val probe = Seq((1L, 0L), (2L, -1L), (3L, 0x00000000FFFFFFFFL))
+      .toDF("id", "fp")
+    val prior = Seq((10L, 1L | (1L << 21)), (11L, -1L ^ (1L << 5)),
+      (12L, 0x0F0F0F0F0F0F0F0FL)).toDF("id", "fp")
+    val got = graft.operators.Dedup.simhashCrossPairs(probe, prior, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 10L, 2), (2L, 11L, 1)), s"got $got")
+  }
 }
