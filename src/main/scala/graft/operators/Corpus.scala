@@ -2738,6 +2738,62 @@ object Corpus {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** Persist a trained BPE merge table as a VERSIONED snapshot
+    * ([[graft.sink.Snapshots]] posture — staged write, manifest with
+    * row count + content hash, atomic pointer flip), so a production
+    * deployment trains ONCE and every later batch run / streaming
+    * scorer / replica session LOADS the artifact instead of
+    * retraining (a [[bpeTrain]] re-run costs a full corpus scan and,
+    * worse, a corpus that has since grown yields a DIFFERENT merge
+    * sequence — token counts silently shift between runs). Rank is
+    * stored explicitly: merges are ordered (first learned = applied
+    * first) and parquet row order is not a contract. Returns the
+    * published version.
+    */
+  def saveBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      merges: Seq[(String, String)]): Int = {
+    require(merges.nonEmpty, "refusing to publish an empty merge table")
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("left",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("right",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        org.apache.spark.sql.Row(i, l, r): org.apache.spark.sql.Row
+      }.asJava
+    graft.sink.Snapshots.publish(
+      spark, warehouse, table, spark.createDataFrame(rows, schema))
+  }
+
+  /** Load a persisted BPE merge table (the current snapshot version,
+    * or a pinned `version` for reproducible re-tokenization of an old
+    * training run) back into the rank-ordered form [[bpeEncode]] and
+    * the streaming scorers consume. The collect is bounded by the
+    * vocabulary's merge count (32k rows for published tokenizers),
+    * never corpus-sized.
+    */
+  def loadBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      version: Int = -1): Seq[(String, String)] = {
+    val df =
+      if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
+      else graft.sink.Snapshots.version(spark, warehouse, table, version)
+    df.orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+  }
+
   /** The Gopher document-quality rules (Rae et al. 2021, Appendix
     * A1.1 — the non-repetition family; [[q76]]'s repetition signals are
     * the other half), as one declarative pass over the fused

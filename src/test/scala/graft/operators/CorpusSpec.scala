@@ -1528,6 +1528,42 @@ class CorpusSpec extends SparkSpec {
     assert(enc(1L)._1.isEmpty && enc(1L)._2 == 0L)
   }
 
+  test("BPE merge table persists as a snapshot: save -> load -> encode ≡ in-session") {
+    val texts = Seq(
+      "low low low low low lower lower newest newest newest newest newest newest",
+      "widest widest widest new new")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, "text", numMerges = 10)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_bpe_snap").toString
+    val v1 = Corpus.saveBpeMerges(spark, warehouse, "bpe_merges", merges)
+    assert(v1 == 1)
+    val loaded = Corpus.loadBpeMerges(spark, warehouse, "bpe_merges")
+    assert(loaded == merges, "rank order must survive the round-trip")
+    // encode with the LOADED table ≡ encode with the in-session one
+    val probe = Seq((0L, "low lowering newest unseen"), (1L, ""))
+      .toDF("doc_id", "text")
+    val a = Corpus.bpeEncode(probe, "text", merges)
+      .select("doc_id", "bpe_tokens", "n_bpe_tokens").collect().toSeq
+    val b = Corpus.bpeEncode(probe, "text", loaded)
+      .select("doc_id", "bpe_tokens", "n_bpe_tokens").collect().toSeq
+    assert(a == b)
+    // retrain on a GROWN corpus publishes v2; v1 stays pinned-loadable
+    // (the reproducible-re-tokenization posture)
+    val grown = docs.unionByName(
+      Seq((9L, "brand new words widest widest lower")).toDF("doc_id", "text"))
+    val merges2 = Corpus.bpeTrain(grown, "text", numMerges = 10)
+    val v2 = Corpus.saveBpeMerges(spark, warehouse, "bpe_merges", merges2)
+    assert(v2 == 2)
+    assert(Corpus.loadBpeMerges(spark, warehouse, "bpe_merges") == merges2)
+    assert(Corpus.loadBpeMerges(spark, warehouse, "bpe_merges", version = 1)
+      == merges)
+    intercept[IllegalArgumentException] {
+      Corpus.saveBpeMerges(spark, warehouse, "bpe_merges", Seq.empty)
+    }
+  }
+
   test("bpeEncode -> packSequences: bins cut at exact BPE-token boundaries") {
     // PLANTED merge table — token counts are hand-computable, so the
     // whole tokenizer-exact packing composition (the q151 shape) pins
