@@ -717,33 +717,61 @@ object Extensions {
       .orderBy(col("id"))
   }
 
-  /** SRP-LSH ANN for the same query (rows-only: recall depends on
-    * bucketing). Gate config = the DOCUMENTED operating point from the
+  /** PLANTED ANN truth shared by q35/q36 (the q152 closed-form trick,
+    * upgrading both from rows-only to full oracle gates): the query is
+    * a fixed integer-component vector (component 0 odd, the rest even,
+    * so every ±1-plane projection is an odd integer — EXACT in double
+    * arithmetic and never zero, making the corpus-side codegen'd
+    * signature/assignment provably agree with the driver-side probe
+    * computation regardless of float fold order), and ten EXACT COPIES
+    * of it are unioned into the natural corpus under ids ≥ 10^9.
+    * Identical vectors get the identical SRP bucket / identical
+    * first-minimum IVF centroid as the query itself, so the index
+    * provably retrieves all ten no matter what the (sample-trained,
+    * order-sensitive) centroids or (hash-derived) planes are; their
+    * cosine is dot/(√dot·√dot) with dot = 2757 exactly, while the
+    * structureless natural vectors top out near 0.55 (docs/SCALE.md) —
+    * the top-10 is the ten copies in id order, in closed form. What
+    * the hash now pins: signature/assignment parity between the fused
+    * expressions and the driver probe, bucket/cluster probe selection,
+    * the exact-cosine re-rank, and tie-breaking — recall on NATURAL
+    * data remains characterized in docs/SCALE.md's tables.
+    */
+  private[queries] val plantedAnnVec: Seq[Float] =
+    (0 until 64).map(j => if (j == 0) 1f else (2 * ((j % 5) + 1)).toFloat)
+
+  private def plantedAnnCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val copies = s.range(1, 11).select(
+      (col("id") + 1000000000L).as("vec_id"),
+      array(plantedAnnVec.map(lit): _*).cast("array<float>").as("embedding"))
+    e.unionByName(copies)
+  }
+
+  /** SRP-LSH ANN, oracle-gated on the planted-copy truth (above).
+    * Index config = the DOCUMENTED operating point from the
     * docs/SCALE.md recall table: bits=8, probes=32 → recall@10 0.43 at
     * ~13% scan fraction on structureless sf0.1 vectors (the floor
     * case; ≥0.91 on the clustered 10× replica) — not the probes=4
     * corner whose 0.13 recall demonstrated the knob but no production
     * setting.
     */
-  def qV3KnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val query = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).collect()(0)
-      .getSeq[Float](0)
+  def qV3KnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(
-      e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
-      query, k = 10, dim = 64, bits = 8, probes = 32)
-  }
+      plantedAnnCorpus(s, d), "embedding", "vec_id",
+      plantedAnnVec, k = 10, dim = 64, bits = 8, probes = 32)
 
-  /** IVF ANN (rows-only): centroid index probe path. */
+  /** IVF ANN (centroid index probe path), oracle-gated on the same
+    * planted-copy truth: the copies share one first-minimum centroid
+    * with the query under ANY trained centroid table, so nprobe ≥ 1
+    * provably reaches them.
+    */
   def qV4KnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val query = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).collect()(0)
-      .getSeq[Float](0)
     val (assigned, cents) = Similarity.ivfIndex(
-      e.filter(col("vec_id") =!= 0), "embedding", nClusters = 16, dim = 64)
-    Similarity.ivfTopK(assigned, cents, "embedding", "vec_id", query, k = 10, nprobe = 4)
+      plantedAnnCorpus(s, d), "embedding", nClusters = 16, dim = 64)
+    Similarity.ivfTopK(
+      assigned, cents, "embedding", "vec_id", plantedAnnVec, k = 10, nprobe = 4)
   }
 
   // ------------------------------------------------------------- sessionize
@@ -1000,6 +1028,66 @@ object Extensions {
       }
     }(enc)
     graft.operators.Multimodal.imageNearDups(media, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Video perceptual near-dup dedup end-to-end (q152's moving-picture
+    * sibling): every document becomes a REAL MJPEG-AVI container of 4
+    * frames, each frame a coded PNG whose dHash is a PLANTED 64-bit
+    * code — per-frame lane masks (0 / 0xFFFF / 0xFFFF0000 / 0xFFFFFFFF
+    * xor'd onto doc_id×unit) keep frames of the SAME video ≥ 16 bits
+    * apart, and a near-duplicate twin at +100000 flips frame 0 by 3
+    * bits, frame 1 by 1 bit, frame 2 by 2 bits on doc_id%3==0 (8 bits
+    * otherwise), frame 3 by 9 bits — so twins match on exactly 2
+    * frames (3 on the %3 class) and nothing else reaches the
+    * `minMatches = 2` evidence floor. The engine demuxes the RIFF
+    * container ([[graft.operators.MjpegAvi.frames]]), decodes + dHashes
+    * each sampled frame, hamming-bands the frame fingerprints, and
+    * counts per-video-pair evidence
+    * ([[graft.operators.Multimodal.videoNearDups]]); the oracle
+    * recomputes the brute-force frame-level hamming join + evidence
+    * count over the planted codes in SQL.
+    */
+  def qM7VideoNearDups(s: SparkSession, d: String): DataFrame = {
+    val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
+    val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
+    def flipOf(baseId: Long, f: Int): Long = f match {
+      case 0 => 1L | (1L << 21) | (1L << 42) // hamming 3: matches
+      case 1 => 1L << 5 //                      hamming 1: matches
+      case 2 => if (baseId % 3 == 0) (1L << 7) | (1L << 28) // 2: matches
+        else 0x0202020202020202L //              8 bits: no match
+      case _ => 0x0404040404040404L | (1L << 62) // 9 bits: no match
+    }
+    val base = documents(s, d).filter(col("doc_id") < 16384)
+      .select(col("doc_id"))
+    val both = base.select(col("doc_id").as("media_id"),
+        col("doc_id").as("base_id"), lit(false).as("twin"))
+      .unionByName(base.select((col("doc_id") + 100000L).as("media_id"),
+        col("doc_id").as("base_id"), lit(true).as("twin")))
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val media = both.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val baseId = r.getLong(1)
+        val twin = r.getBoolean(2)
+        val sx = 1 + (id % 3).toInt
+        val sy = 1 + (id % 2).toInt
+        val frames = (0 until 4).map { f =>
+          val code = (baseId * unit) ^ lanes(f) ^
+            (if (twin) flipOf(baseId, f) else 0L)
+          graft.operators.Multimodal.JdkCodec.encodeCodedPng(code, sx, sy)
+        }
+        org.apache.spark.sql.Row(id,
+          graft.operators.MjpegAvi.encode(frames, 9 * sx, 8 * sy))
+      }
+    }(enc)
+    graft.operators.Multimodal
+      .videoNearDups(media, k = 4, maxHamming = 3, minMatches = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1724,6 +1812,60 @@ object Extensions {
         regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 1)
           .as("source"),
         col("text"))
+    curationSummaryFrom(parsed)
+  }
+
+  /** Raw-crawl ingestion end-to-end — the step BEFORE q150's WET stage
+    * (the format C4/RefinedWeb/CCNet variants that do their own text
+    * extraction actually start from): the q133 planted pages are
+    * rendered as HTML ([[graft.ingest.WetFixture.wrapHtml]]), wrapped
+    * in captured HTTP/1.1 response messages across the four transfer
+    * shapes a crawler stores verbatim (chunked; gzip content-coding;
+    * deflate content-coding UNDER chunked framing — coding applies
+    * before transfer per RFC 9112; upper-cased headers + declared
+    * ISO-8859-1 charset), framed as multi-member-gzip `.warc.gz`
+    * archives with interleaved `request` records by the independent
+    * byte-level fixture writer, read back through the streaming
+    * [[graft.ingest.WarcHttp.readResponses]] scan (record-at-a-time —
+    * the 100 TB path), un-HTML'd line-preserving via
+    * [[graft.functions.TextFunctions.stripHtmlLines]], and pushed
+    * through the SAME curation summary as q133 — so the oracle SQL is
+    * q133's VERBATIM and any envelope-split, de-chunk,
+    * content-decode, charset, or HTML-strip loss breaks the hash.
+    */
+  def qS9WarcIngest(s: SparkSession, d: String): DataFrame = {
+    val pages = messyPages(s, d)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dir = Files.createTempDirectory("graft_warc_gate").toString
+    val perSeg = math.max(1, math.ceil(pages.length / 4.0).toInt)
+    pages.grouped(perSeg).zipWithIndex.foreach { case (seg, i) =>
+      graft.ingest.WetFixture.writeWarc(
+        f"$dir/segment-$i%05d.warc.gz",
+        seg.map { case (id, src, text) =>
+          val shape = (id % 4) match {
+            case 0 => graft.ingest.WetFixture.HttpShape(chunked = true)
+            case 1 => graft.ingest.WetFixture.HttpShape(encoding = "gzip")
+            case 2 => graft.ingest.WetFixture.HttpShape(
+              encoding = "deflate", chunked = true)
+            case _ => graft.ingest.WetFixture.HttpShape(
+              headerCase = true, charset = "ISO-8859-1")
+          }
+          (s"https://crawl.test/$src/$id",
+            f"2024-01-${1 + id % 28}%02dT00:00:00Z",
+            graft.ingest.WetFixture.wrapHtml(text), shape)
+        }.toSeq)
+    }
+    val parsed = graft.ingest.WarcHttp
+      .readResponses(s, dir, globFilter = Some("*.warc.gz"))
+      .filter(col("http_status") === 200)
+      .select(
+        regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 2)
+          .cast("bigint").as("doc_id"),
+        regexp_extract(col("url"), "^https://crawl\\.test/([^/]+)/(\\d+)$", 1)
+          .as("source"),
+        graft.functions.TextFunctions.stripHtmlLines(col("body")).as("text"))
     curationSummaryFrom(parsed)
   }
 
@@ -2964,7 +3106,9 @@ object Extensions {
     "q153_blocked_words" -> qC31BlockedWords _,
     "q154_pack_nosplit" -> qC32PackNoSplit _,
     "q155_blocked_urls" -> qC33BlockedUrls _,
-    "q156_audio_near_dups" -> qM6AudioNearDups _)
+    "q156_audio_near_dups" -> qM6AudioNearDups _,
+    "q157_warc_ingest" -> qS9WarcIngest _,
+    "q158_video_near_dups" -> qM7VideoNearDups _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3014,6 +3158,12 @@ object Extensions {
     // the identical curation summary — lossless transport means q133's
     // oracle SQL answers it verbatim.
     ("q150_wet_ingest" -> oracleBase("q133_curation_pipeline")) +
+    // q157 routes q133's pages through HTML + captured-HTTP + raw-WARC
+    // archives and reruns the identical curation summary — envelope
+    // split, transfer/content decode, charset decode, and the
+    // line-preserving HTML strip are all lossless on this construction,
+    // so q133's oracle SQL answers it verbatim.
+    ("q157_warc_ingest" -> oracleBase("q133_curation_pipeline")) +
     // q155: blocked iff the host (or any parent suffix) is listed —
     // with this construction that's exactly %20 = 7 (the exact host,
     // zone implied by CRT) or %4 = 2 (the parent entry, catching the
@@ -3078,6 +3228,35 @@ object Extensions {
     // doesn't care which modality carried it, so the oracle is shared
     // VERBATIM — what differs is the decode+hash path under test.
     ("q156_audio_near_dups" -> plantedCodeHammingSql) +
+    // q158: the video sibling — per-frame planted codes (lane masks
+    // spread same-video frames ≥ 16 bits apart; twin flips put frames
+    // {0,1} and — on the %3 class — {2} within hamming 3), then the
+    // brute-force frame-level hamming join + the ≥2-matched-frames
+    // evidence rule, all in closed form.
+    ("q158_video_near_dups" ->
+      """WITH b AS (SELECT doc_id
+             FROM documents WHERE doc_id < 16384),
+           lanes(f, lane) AS (VALUES (0, 0), (1, 65535),
+             (2, 4294901760), (3, 4294967295)),
+           frames AS (
+             SELECT doc_id AS vid, f,
+               xor(doc_id * 281479271743489, lane) AS code
+             FROM b CROSS JOIN lanes
+             UNION ALL
+             SELECT doc_id + 100000 AS vid, f,
+               xor(xor(doc_id * 281479271743489, lane),
+                 CASE f WHEN 0 THEN 4398048608257
+                        WHEN 1 THEN 32
+                        WHEN 2 THEN CASE WHEN doc_id % 3 = 0
+                          THEN 268435584 ELSE 144680345676153346 END
+                        ELSE 4901046709779694596 END) AS code
+             FROM b CROSS JOIN lanes)
+         SELECT a.vid AS id_a, c.vid AS id_b, COUNT(*) AS n_matched
+         FROM frames a JOIN frames c
+           ON a.vid < c.vid AND bit_count(xor(a.code, c.code)) <= 3
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 2
+         ORDER BY id_a, id_b""") +
     ("q138_refinedweb_minhash" -> oracleBase("q135_refinedweb_pipeline")) +
     // q141 reuses q135's stage CTEs VERBATIM (sliced at its final
     // summary SELECT — the mechanism guarantees the stages can't
@@ -3436,6 +3615,22 @@ object Extensions {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
          WHERE rk <= 3 ORDER BY query_id, rk""",
+    // q35/q36: the PLANTED-copy ANN truth (qV3/qV4 scaladoc) — ten
+    // exact copies of the integer-component query under ids 1e9+1..10
+    // provably share its SRP bucket / first-min IVF centroid, and
+    // their cosine dot/(√dot·√dot) with dot = Σv² = 2757 EXACTLY (odd
+    // integer projections, exact in doubles) beats the structureless
+    // natural corpus's ≈0.55 ceiling, so top-10 = the copies in id
+    // order in closed form. Same constant expression both engines:
+    // identical correctly-rounded sqrt/divide.
+    "q35_knn_lsh" ->
+      """SELECT 1000000000 + i AS vec_id,
+           2757.0 / (sqrt(2757.0) * sqrt(2757.0)) AS sim
+         FROM range(1, 11) t(i) ORDER BY vec_id""",
+    "q36_knn_ivf" ->
+      """SELECT 1000000000 + i AS vec_id,
+           2757.0 / (sqrt(2757.0) * sqrt(2757.0)) AS sim
+         FROM range(1, 11) t(i) ORDER BY vec_id""",
     // q122: max-benchmark-cosine per train vector. Gate-safe floats —
     // sequential array-order dot fold + correctly-rounded sqrt/divide
     // (the q33/q34 argument) and order-insensitive max(). The CASE
