@@ -29,7 +29,7 @@ object StreamBench {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
-        "decontamsurg", "ingestbins", "wetingest")
+        "decontamsurg", "ingestbins", "wetingest", "mediaadmit", "bpescore")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -165,7 +165,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins|wetingest|mediaadmit|bpescore> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -571,6 +571,77 @@ object StreamBench {
             .createTempDirectory("graft_incdedup_ledger").toString + "/ledger"
           Streams.incrementalDedupBatches(
             s, corpus, "text", "doc_id", ledger, h)
+        }
+      case "mediaadmit" =>
+        // streaming perceptual IMAGE admission: synthetic coded PNGs
+        // (decode + dHash recovers the planted 64-bit code exactly, so
+        // the decode path does real ImageIO work), odd ids hamming-1
+        // near-copies of the even sibling already held in the corpus —
+        // the LAION re-encode arrival shape, ~half of each batch
+        // dropped vs corpus. The persistable unit is the corpus
+        // FINGERPRINT frame (8 bytes/item — mediaCorpusFingerprints):
+        // unpersisted, the whole corpus re-decodes in every micro-batch.
+        import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+        val mediaSchema = StructType(Seq(
+          StructField("media_id", LongType, nullable = false),
+          StructField("content", BinaryType, nullable = true)))
+        def mediaOf(ids: DataFrame): DataFrame = {
+          val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+          ids.select(col("doc_id")).mapPartitions { it =>
+            it.map { r =>
+              val id = r.getLong(0)
+              // splitmix64 of the PAIR id: even/odd siblings share a
+              // base code; odd flips one bit (hamming 1 — a near-copy)
+              var x = (id >>> 1) + 0x9e3779b97f4a7c15L
+              x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+              x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+              val code = (x ^ (x >>> 31)) ^ (if ((id & 1L) == 1L) 1L << 17 else 0L)
+              org.apache.spark.sql.Row(id,
+                graft.operators.Multimodal.JdkCodec.encodeCodedPng(code, 2, 2))
+            }
+          }(enc)
+        }
+        val mediaDir = java.nio.file.Files
+          .createTempDirectory("graft_mediaadmit_stage").toString
+        mediaOf(docs).repartition(40).write.mode("overwrite").parquet(mediaDir)
+        val nMedia = spark.read.parquet(mediaDir).count()
+        // corpus holds only the EVEN pairs' base image: stream items
+        // from even pairs drop vs corpus (~50%), odd pairs' even member
+        // admits and its hamming-1 sibling then drops within-batch or
+        // vs the ledger — both admission outcomes on the hot path
+        val corpusFps = Streams.mediaCorpusFingerprints(
+          mediaOf(docs.filter(col("doc_id") % 4 === 0)), "image")
+        run("stream_mediaadmit_rows_per_sec", Seq(corpusFps),
+          streamDir = mediaDir, streamSchema = mediaSchema,
+          nInput = nMedia) { (s, h) =>
+          val ledger = java.nio.file.Files
+            .createTempDirectory("graft_mediaadmit_ledger").toString + "/ledger"
+          Streams.incrementalMediaNearDupBatches(
+            s, corpusFps, ledger, h, maxHamming = 3, mediaType = "image")
+        }
+      case "bpescore" =>
+        // tokenizer-artifact streaming encode, the production posture:
+        // train ONCE on the corpus, PUBLISH via saveBpeMerges, and the
+        // stream encodes with the LOADED artifact — the printed
+        // train-vs-load contrast is the artifact's value (a per-deploy
+        // retrain costs the full corpus scan + merge loop below AND
+        // drifts with corpus growth). Stateless throughput: the merge
+        // table is a driver-side literal inside the codegen'd encode.
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Corpus.bpeTrain(
+          docs, "text", numMerges = 512)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft_bpescore_wh").toString
+        graft.operators.Corpus.saveBpeMerges(spark, wh, "bpe_merges", merges)
+        val t1 = System.nanoTime()
+        val loaded = graft.operators.Corpus.loadBpeMerges(spark, wh, "bpe_merges")
+        val loadSec = (System.nanoTime() - t1) / 1e9
+        require(loaded == merges, "snapshot round-trip must preserve rank order")
+        println(f"""{"metric":"bpe_artifact_train_vs_load_sec","train_sec":$trainSec%.1f,"load_sec":$loadSec%.2f,"merges":${merges.length}}""")
+        run("stream_bpescore_rows_per_sec", Seq.empty) { (s, h) =>
+          Streams.foreachBatchSink(
+            graft.operators.Corpus.bpeEncode(s, "text", loaded), h)
         }
     }
     spark.stop()
