@@ -843,6 +843,124 @@ object Streams {
     }
   }
 
+  /** Per-frame fingerprint frame of a static VIDEO corpus —
+    * `(media_id, frame_idx, fp)` via
+    * [[graft.operators.Multimodal.videoFingerprints]] (demux → k
+    * evenly-spaced frames → dHash64, one fused scan) — the persistable
+    * unit for [[incrementalVideoNearDupBatches]]: ≤ k longs per video;
+    * unpersisted, every micro-batch re-demuxes and re-decodes the
+    * whole corpus. Undemuxable/undecodable corpus items contribute no
+    * frames (quarantine — nothing to probe against). Build it with the
+    * SAME `k` the admission writer uses: frame composite keys are
+    * `media_id·k + frame_idx`, so a mismatched k mis-buckets nothing
+    * silently — it shifts every composite id.
+    */
+  def videoCorpusFingerprints(corpus: DataFrame, k: Int = 8): DataFrame =
+    graft.operators.Multimodal.videoFingerprints(corpus, k)
+
+  /** Streaming incremental VIDEO near-dup admission — the
+    * frame-evidence sibling of [[incrementalMediaNearDupBatches]]:
+    * a re-encoded / rescaled / re-containered copy of an already-held
+    * video must not be admitted twice, and — unlike single-fingerprint
+    * media — one coincidentally matching frame must not drop an
+    * unrelated video. Each micro-batch of `(media_id, content, ...)`:
+    *
+    *  1. [[graft.operators.Multimodal.videoFingerprints]]: demux →
+    *     k sampled frames → dHash64, ONE decode scan;
+    *  2. WITHIN-batch: the exact pigeonhole banding over composite
+    *     `media_id·k + frame_idx` keys
+    *     ([[graft.operators.Dedup.simhashPairs]]) → per-video-pair
+    *     evidence count — a video drops when ≥ `minMatches` of its
+    *     frames pair with a LOWER-id batch video (composite id order
+    *     implies video id order for frame_idx < k);
+    *  3. vs PRIOR: the bipartite banding
+    *     ([[graft.operators.Dedup.simhashCrossPairs]]) against the
+    *     corpus frame table ([[videoCorpusFingerprints]] — persist it)
+    *     plus the ledger of previously admitted frames, same
+    *     ≥ `minMatches` evidence rule (a batch video re-using a held
+    *     media_id with identical frames self-pairs and drops — that IS
+    *     a duplicate);
+    *  4. survivors go to `onBatch`; their per-frame `(media_id,
+    *     frame_idx, fp)` rows land in the ledger's `batch_id=N`
+    *     partition (dynamic overwrite — the at-least-once delivery /
+    *     exactly-once ledger replay posture).
+    *
+    * ZERO-FRAME videos (undemuxable container, no decodable frame) are
+    * admitted but never ledgered — the undecodable-media routing: no
+    * perceptual identity, and any sentinel would collapse them into one
+    * false dup family. Evidence counts qualifying frame PAIRS (like
+    * [[graft.operators.Multimodal.videoNearDups]]), so a prior video
+    * with near-identical repeated frames can reach the floor against
+    * one batch frame — acceptable for admission (such a video is
+    * boilerplate-still anyway). Requires non-negative `media_id` in
+    * both stream and corpus (the composite key contract).
+    *
+    * Scale: one demux+decode scan per batch; both probes are the
+    * banded joins (never all-pairs), their outputs already pair-pruned
+    * before the tiny evidence groupBy; ledger rows are ≤ k longs per
+    * admitted video.
+    */
+  def incrementalVideoNearDupBatches(
+      media: DataFrame,
+      corpusFps: DataFrame,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      k: Int = 8,
+      maxHamming: Int = 3,
+      minMatches: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(k > 0, "k must be positive")
+    require(minMatches > 0, "minMatches must be positive")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (64-bit pigeonhole chunks), got $maxHamming")
+    val kL = k.toLong
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val fps = graft.operators.Multimodal.videoFingerprints(batch, k)
+        .persist() // consumed by both probes + the ledger rows
+      try {
+        val ledgerSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("frame_idx", IntegerType),
+          StructField("fp", LongType),
+          StructField("batch_id", LongType)))
+        val ledgerFps = readLedger(spark, ledgerDir, ledgerSchema, batchId)
+          .select(col("media_id"), col("frame_idx"), col("fp"))
+        def composite(frames: DataFrame): DataFrame = frames.select(
+          (col("media_id") * kL + col("frame_idx")).as("id"), col("fp"))
+        val batchFrames = composite(fps)
+        def evidenced(pairs: DataFrame, dropSide: String): DataFrame = pairs
+          .select(
+            expr(s"id_a DIV $kL").as("vid_a"),
+            expr(s"id_b DIV $kL").as("vid_b"))
+          .groupBy(col("vid_a"), col("vid_b"))
+          .agg(count(lit(1)).as("n_matched"))
+          .filter(col("n_matched") >= minMatches)
+          .select(col(dropSide).as("media_id")).distinct()
+        val inBatchDropped = evidenced(
+          graft.operators.Dedup.simhashPairs(batchFrames, maxHamming)
+            .filter(expr(s"id_a DIV $kL") =!= expr(s"id_b DIV $kL")),
+          dropSide = "vid_b") // composite id_a < id_b ⇒ vid_a < vid_b
+        val vsPriorDropped = evidenced(
+          graft.operators.Dedup.simhashCrossPairs(
+            batchFrames, composite(corpusFps.unionByName(ledgerFps)),
+            maxHamming),
+          dropSide = "vid_a") // id_a = the probing batch video
+        val freshIds = batch.select(col("media_id"))
+          .join(inBatchDropped, Seq("media_id"), "left_anti")
+          .join(vsPriorDropped, Seq("media_id"), "left_anti")
+        val fresh = batch.join(freshIds, Seq("media_id"), "left_semi").persist()
+        try {
+          onBatch(fresh, batchId)
+          val ledgerRows = fps
+            .join(freshIds, Seq("media_id"), "left_semi")
+            .select(col("media_id"), col("frame_idx"), col("fp"),
+              lit(batchId).as("batch_id"))
+          writeBatchLedger(ledgerRows, ledgerDir)
+        } finally fresh.unpersist()
+      } finally fps.unpersist()
+    }
+  }
+
   /** Fail-fast parameter checks shared by the near-dup deployments:
     * corpusSigs built with a different numPerms would silently band
     * nothing on the corpus side (mismatched slice lengths), so

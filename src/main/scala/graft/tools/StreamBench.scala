@@ -29,7 +29,8 @@ object StreamBench {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
-        "decontamsurg", "ingestbins", "wetingest", "mediaadmit", "bpescore")
+        "decontamsurg", "ingestbins", "wetingest", "mediaadmit", "videoadmit",
+        "bpescore")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -165,7 +166,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins|wetingest|mediaadmit|bpescore> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins|wetingest|mediaadmit|videoadmit|bpescore> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -618,6 +619,56 @@ object StreamBench {
             .createTempDirectory("graft_mediaadmit_ledger").toString + "/ledger"
           Streams.incrementalMediaNearDupBatches(
             s, corpusFps, ledger, h, maxHamming = 3, mediaType = "image")
+        }
+      case "videoadmit" =>
+        // streaming perceptual VIDEO admission: 4-frame MJPEG-AVIs of
+        // coded PNGs (real demux + 4 ImageIO decodes per item); odd ids
+        // flip 2 frames of the even sibling within hamming 3 (evidence
+        // 2 = a near-copy), corpus holds only even pairs — both drop
+        // and admit outcomes run. Persistable = the corpus FRAME
+        // fingerprint table (<= 4 longs/video).
+        import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+        val mediaSchema = StructType(Seq(
+          StructField("media_id", LongType, nullable = false),
+          StructField("content", BinaryType, nullable = true)))
+        val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
+        def videosOf(ids: DataFrame): DataFrame = {
+          val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+          ids.select(col("doc_id")).mapPartitions { it =>
+            it.map { r =>
+              val id = r.getLong(0)
+              var x = (id >>> 1) + 0x9e3779b97f4a7c15L
+              x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+              x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+              val base = x ^ (x >>> 31)
+              val odd = (id & 1L) == 1L
+              val frames = (0 until 4).map { f =>
+                val flip =
+                  if (odd && f == 0) 1L | (1L << 21)
+                  else if (odd && f == 1) 1L << 42
+                  else if (odd) 0x0202020202020202L // far: not a match
+                  else 0L
+                graft.operators.Multimodal.JdkCodec
+                  .encodeCodedPng(base ^ lanes(f) ^ flip, 1, 1)
+              }
+              org.apache.spark.sql.Row(
+                id, graft.operators.MjpegAvi.encode(frames, 9, 8))
+            }
+          }(enc)
+        }
+        val mediaDir = java.nio.file.Files
+          .createTempDirectory("graft_videoadmit_stage").toString
+        videosOf(docs).repartition(40).write.mode("overwrite").parquet(mediaDir)
+        val nMedia = spark.read.parquet(mediaDir).count()
+        val corpusFps = Streams.videoCorpusFingerprints(
+          videosOf(docs.filter(col("doc_id") % 4 === 0)), k = 4)
+        run("stream_videoadmit_rows_per_sec", Seq(corpusFps),
+          streamDir = mediaDir, streamSchema = mediaSchema,
+          nInput = nMedia) { (s, h) =>
+          val ledger = java.nio.file.Files
+            .createTempDirectory("graft_videoadmit_ledger").toString + "/ledger"
+          Streams.incrementalVideoNearDupBatches(
+            s, corpusFps, ledger, h, k = 4, maxHamming = 3, minMatches = 2)
         }
       case "bpescore" =>
         // tokenizer-artifact streaming encode, the production posture:

@@ -236,6 +236,112 @@ object Stress {
     * and the in-engine text embedding throughput + its semDeDup
     * composition at replica scale.
     */
+  /** Round-16 operators: raw-WARC (HTTP envelope) read throughput, the
+    * streaming-vs-whole-file-inflate parse A/B, and the video
+    * perceptual-dedup replica (docs/SCALE.md round 16).
+    */
+  private def r16(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    locally {
+      // raw-WARC read+parse+decode throughput: the replica corpus
+      // rendered as HTML inside captured HTTP responses across the
+      // transfer-shape matrix (identity / chunked / gzip /
+      // deflate-under-chunked rotating), framed as 32 .warc.gz
+      // segments, read back through the streaming distributed scan.
+      // count() cannot prune the work — envelope split, de-chunk,
+      // content-decode, and charset decode all happen inside the
+      // flatMap.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stress_warc").toString
+      val rows = docs.select(col("doc_id"), col("text")).collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val shape = (id % 4) match {
+            case 0 => graft.ingest.WetFixture.HttpShape(chunked = true)
+            case 1 => graft.ingest.WetFixture.HttpShape(encoding = "gzip")
+            case 2 => graft.ingest.WetFixture.HttpShape(
+              encoding = "deflate", chunked = true)
+            case _ => graft.ingest.WetFixture.HttpShape()
+          }
+          (s"https://crawl.test/d/$id", "2024-05-01T00:00:00Z",
+            graft.ingest.WetFixture.wrapHtml(r.getString(1)), shape)
+        }
+      val per = math.max(1, math.ceil(rows.length / 32.0).toInt)
+      rows.grouped(per).zipWithIndex.foreach { case (seg, i) =>
+        graft.ingest.WetFixture.writeWarc(
+          f"$dir/seg-$i%05d.warc.gz", seg.toSeq)
+      }
+      val bytes = new java.io.File(dir).listFiles().map(_.length()).sum
+      val t0 = System.nanoTime()
+      val n = graft.ingest.WarcHttp.readResponses(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] warc read+parse+decode: $n%d responses, " +
+        f"${bytes / 1e6}%.1f MB gz in $secs%.1fs " +
+        f"(${n / secs}%.0f rows/s, ${bytes / 1e6 / secs}%.1f MB/s)")
+      // streaming-vs-whole-file-inflate parse A/B on one segment: the
+      // record-at-a-time path must not pay for its O(largest record)
+      // memory bound in wall time (JVM-local, no Spark)
+      val segPath = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).minBy(_.getName)
+      val raw = java.nio.file.Files.readAllBytes(segPath.toPath)
+      def timeIt(f: => Int): (Int, Double) = {
+        val t = System.nanoTime()
+        val n0 = f
+        (n0, (System.nanoTime() - t) / 1e9)
+      }
+      (1 to 3).foreach { rep =>
+        val (nI, sI) = timeIt(
+          graft.ingest.WetReader.parseWarc(
+            graft.ingest.WetReader.inflate(raw)).size)
+        val (nS, sS) = timeIt(
+          graft.ingest.WetReader.parseWarcStream(
+            new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw), 1 << 16)).size)
+        require(nI == nS, s"record count parity: $nI != $nS")
+        println(f"[stress] parse A/B rep$rep: inflate-whole $sI%.2fs vs " +
+          f"streaming $sS%.2fs (${segPath.length() / 1e6}%.1f MB gz, $nI records)")
+      }
+    }
+    locally {
+      // video perceptual dedup at replica scale: every doc becomes a
+      // 4-frame MJPEG-AVI of coded PNGs; doc_id % 10 == 1 gets a twin
+      // (+10^7) matching on exactly 2 frames — the q158 shape at
+      // corpus size. One demux+decode scan + banded frame join.
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
+      val media = docs.select(col("doc_id")).flatMap { r =>
+        val id = r.getLong(0)
+        def avi(twin: Boolean): Array[Byte] = {
+          val frames = (0 until 4).map { f =>
+            val flip =
+              if (!twin) 0L
+              else if (f == 0) 1L | (1L << 21)
+              else if (f == 1) 1L << 42
+              else 0x0202020202020202L
+            graft.operators.Multimodal.JdkCodec
+              .encodeCodedPng((id * 0x9E3779B97F4A7C15L) ^ lanes(f) ^ flip, 1, 1)
+          }
+          graft.operators.MjpegAvi.encode(frames, 9, 8)
+        }
+        val base = Seq(org.apache.spark.sql.Row(id, avi(twin = false)))
+        if (id % 10 == 1)
+          base :+ org.apache.spark.sql.Row(id + 10000000L, avi(twin = true))
+        else base
+      }(enc)
+      val nMedia = media.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Multimodal
+        .videoNearDups(media, k = 4, maxHamming = 3, minMatches = 2).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.ops.Caches.release()
+      println(f"[stress] video near-dup: $nMedia%d videos -> $pairs%d pairs " +
+        f"in $secs%.1fs (${nMedia / secs}%.0f videos/s)")
+    }
+  }
+
   /** Round-14 operators: WET read throughput, the lshPlan threshold-0.9
     * A/B (candidate volume + recall vs the 8×8 default), and the image
     * perceptual-dedup replica (docs/SCALE.md round 14).
@@ -587,6 +693,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+    if (sys.env.contains("STRESS_R16_ONLY")) { r16(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R14_ONLY")) { r14(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R13_ONLY")) { r13(docs, embs); spark.stop(); return }
     if (sys.env.contains("STRESS_R12_ONLY")) { r12(docs, embs); spark.stop(); return }

@@ -691,6 +691,64 @@ class StreamsSpec extends SparkSpec {
     assert(ledger.count() == 1)
   }
 
+  test("incremental VIDEO admission: frame evidence vs corpus, batch, and ledger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Multimodal, MjpegAvi}
+    // 4-frame MJPEG-AVIs of coded PNGs; lane masks keep same-video
+    // frames >= 16 bits apart, video bases >= 8 bits apart, and only
+    // the designed frames sit within maxHamming = 3 of their original
+    val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
+    def avi(base: Long, flips: Array[Long]): Array[Byte] = MjpegAvi.encode(
+      (0 until 4).map(f => Multimodal.JdkCodec.encodeCodedPng(
+        base ^ lanes(f) ^ flips(f), 1, 1)), 9, 8)
+    val far = 0x0202020202020202L //                      8 bits: no match
+    val far2 = 0x2020202020202020L //                     8 bits, disjoint
+    val A = 0x0101010101010101L
+    val Z = 0x4040404040404040L
+    val W = 0x1111111111111111L
+    val none = Array(0L, 0L, 0L, 0L)
+    val corpus = Seq((100L, avi(A, none))).toDF("media_id", "content")
+    val corpusFps = Streams.videoCorpusFingerprints(corpus, k = 4)
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_video_ledger").toString + "/l"
+    val input = MemoryStream[(Long, Array[Byte])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.incrementalVideoNearDupBatches(
+      input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+      (fresh, bid) => admitted.synchronized {
+        admitted ++= fresh.collect().map(r => (bid, r.getLong(0)))
+      }, k = 4, maxHamming = 3, minMatches = 2).start()
+    try {
+      // batch 0: id1 matches corpus A on frames {0,1} (hamming 3, 1) —
+      // evidence 2, drops; id2 matches A on frame 0 ONLY — below the
+      // floor, admitted; id3 = fresh Z admitted; id4 near-copies Z on
+      // frames {0,1} — drops WITHIN batch (lower-id Z wins); id5 is not
+      // an AVI — zero frames, admitted, never ledgered
+      input.addData(
+        (1L, avi(A, Array(1L | (1L << 21) | (1L << 42), 1L << 5, far, far))),
+        (2L, avi(A, Array(1L << 7, far, far2, far2 ^ far))),
+        (3L, avi(Z, none)),
+        (4L, avi(Z, Array(3L, 1L | (1L << 9) | (1L << 33), far, far2))),
+        (5L, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+      // batch 1: id7 matches LEDGERED Z on frames {0,2} — drops via
+      // ledger; id8 copies admitted id2's frames {0,1} exactly —
+      // evidence 2 vs the LEDGER (only 1 vs corpus A) — drops; id9
+      // fresh W admitted
+      input.addData(
+        (7L, avi(Z, Array(1L << 3, far, 1L | (1L << 50), far2))),
+        (8L, avi(A, Array(1L << 7, far, far2 ^ far, far2))),
+        (9L, avi(W, none)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sortBy(_._2).toSeq == Seq(
+      (0L, 2L), (0L, 3L), (0L, 5L), (1L, 9L)))
+    // ledger: k frame rows per DECODABLE admitted video
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() == 12)
+    assert(ledger.filter(col("batch_id") === 0L).count() == 8)
+  }
+
   test("incremental MEDIA admission drops perceptual near-copies vs corpus, batch, and ledger") {
     implicit val sq = spark.sqlContext
     import graft.operators.Multimodal.JdkCodec
