@@ -132,6 +132,43 @@ object Streams {
     }(enc)
   }
 
+  /** Streaming twin of [[graft.ingest.WarcHttp.readResponses]]: new
+    * raw `.warc.gz` segments appearing under `dir` become one row per
+    * HTTP `response` record per micro-batch — the crawl-native arrival
+    * shape one step BEFORE [[readWetStream]] (no WET extraction run).
+    * Same parse machinery as the batch scan (streaming ≡ batch by
+    * construction): record-at-a-time over the segment buffer, envelope
+    * split, de-chunk, content-decode, charset decode. Composes into
+    * the curation/admission chains via
+    * [[graft.functions.TextFunctions.stripHtmlLines]] on `body`.
+    * The binaryFile stream source holds each segment's bytes in the
+    * task (its contract) — for archives past a few GB raw, run the
+    * batch scan on a schedule instead; it streams records off disk.
+    */
+  def readWarcStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*.warc.gz",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val r = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(binarySchema)
+    val files = maxFilesPerTrigger
+      .fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .load(dir)
+      .select("path", "content")
+    val enc = org.apache.spark.sql.Encoders.row(graft.ingest.WarcHttp.schema)
+    files.flatMap { row: org.apache.spark.sql.Row =>
+      graft.ingest.WarcHttp.responsesOf(
+        row.getString(0), row.getAs[Array[Byte]](1))
+    }(enc)
+  }
+
   /** Tumbling-window aggregation with a watermark: per (window, type)
     * counts and value sums. Append-mode compatible (closed windows only).
     */

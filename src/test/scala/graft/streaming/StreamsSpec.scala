@@ -691,6 +691,51 @@ class StreamsSpec extends SparkSpec {
     assert(ledger.count() == 1)
   }
 
+  test("readWarcStream: raw .warc.gz segments stream as the batch scan's rows") {
+    import graft.ingest.WetFixture
+    import WetFixture.HttpShape
+    val watched = java.nio.file.Files
+      .createTempDirectory("graft_warc_watch").toString
+    def seg(name: String, ids: Seq[Int]): Unit =
+      WetFixture.writeWarc(s"$watched/$name", ids.map { i =>
+        val shape = (i % 4) match {
+          case 0 => HttpShape(chunked = true)
+          case 1 => HttpShape(encoding = "gzip")
+          case 2 => HttpShape(encoding = "deflate", chunked = true)
+          case _ => HttpShape(headerCase = true, charset = "ISO-8859-1")
+        }
+        (s"https://crawl.test/s/$i", f"2024-03-${i + 1}%02dT00:00:00Z",
+          WetFixture.wrapHtml(s"Warc stream page $i.\nSecond line $i."), shape)
+      }, withRequests = true)
+    seg("seg-00000.warc.gz", Seq(0, 1)) // exists BEFORE the stream starts
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+    val q = Streams.foreachBatchSink(
+      Streams.readWarcStream(spark, watched),
+      (batch, _) => got.synchronized {
+        got ++= batch.collect().map(r => (
+          r.getAs[String]("url"), r.getAs[Int]("http_status"),
+          r.getAs[String]("body")))
+      }).start()
+    try {
+      q.processAllAvailable()
+      seg("seg-00001.warc.gz", Seq(2, 3)) // lands while the stream runs
+      q.processAllAvailable()
+    } finally q.stop()
+    // streaming ≡ batch: same rows as the batch scan over the same dir
+    val batchRows = graft.ingest.WarcHttp
+      .readResponses(spark, watched, Some("*.warc.gz"))
+      .collect().map(r => (
+        r.getAs[String]("url"), r.getAs[Int]("http_status"),
+        r.getAs[String]("body"))).toSet
+    assert(got.toSet == batchRows)
+    assert(got.size == 4) // request + warcinfo records skipped
+    assert(got.forall(_._2 == 200))
+    (0 until 4).foreach { i =>
+      assert(got.exists(_._3 ==
+        WetFixture.wrapHtml(s"Warc stream page $i.\nSecond line $i.")))
+    }
+  }
+
   test("incremental VIDEO admission: frame evidence vs corpus, batch, and ledger") {
     implicit val sq = spark.sqlContext
     import graft.operators.{Multimodal, MjpegAvi}
