@@ -29,8 +29,8 @@ object StreamBench {
     if (args.headOption.contains("lm")) { lmBench(args); return }
     if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
-        "decontamsurg", "ingestbins", "wetingest", "mediaadmit", "videoadmit",
-        "bpescore")
+        "decontamsurg", "ingestbins", "wetingest", "warcingest", "mediaadmit",
+        "videoadmit", "bpescore")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -166,7 +166,7 @@ object StreamBench {
     * both ledgers live; stream staged with the q135-style page wrapper
     * so every stage does real work).
     *
-    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins|wetingest|mediaadmit|videoadmit|bpescore> [docsParquet] [filesPerTrigger]
+    * Usage: StreamBench <lmn|dsir|clf|incdedup|incneardup|curate|decontam|curatechain|incsemantic|curatesem|domquota|decontamsurg|ingestbins|wetingest|warcingest|mediaadmit|videoadmit|bpescore> [docsParquet] [filesPerTrigger]
     */
   private def scoredBenches(args: Array[String]): Unit = {
     val mode = args(0)
@@ -465,6 +465,82 @@ object StreamBench {
         q.stop(); q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
         println(f"""{"metric":"stream_wetingest_rows_per_sec","model":"persisted","rows_per_sec":${placed / wall}%.0f,"input_rows_per_sec":${nStaged / wall}%.0f,"scored_rows":$placed,"input_rows":$nStaged,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
+        Seq(corpusHashes, corpusSigs, benchGrams).foreach(_.unpersist())
+      case "warcingest" =>
+        // CRAWL-NATIVE end-to-end, one step EARLIER than wetingest: raw
+        // .warc.gz segments (HTML bodies inside captured HTTP envelopes
+        // across the transfer-shape matrix) through readWarcStream →
+        // envelope split + de-chunk + content-decode + charset decode →
+        // line-preserving HTML strip → the same curation/quota/bin
+        // chain. The delta vs the wetingest row is the price of the
+        // HTTP transport + HTML strip (both narrow per-file work).
+        val shared = "the steady river winds to be close with the quiet " +
+          "valley and that old stone wall today while morning light settles " +
+          "over the far meadow and the old road bends past the mill to " +
+          "reach the stone bridge before the village square opens."
+        val wrapped = docs.select(col("doc_id"), col("source"),
+          concat_ws("\n",
+            lit("the report has to be checked and that will hold with care."),
+            concat(col("text"), lit(".")),
+            when(col("doc_id") % 13 === 0, lit(shared))
+              .otherwise(lit("one more sentence lands here! does a question count? yes it does. the paragraph closes now.")),
+            when(col("doc_id") % 11 === 0, lit("template artifact { left behind."))
+              .otherwise(lit("clean final line stands here."))).as("text"))
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft_warcingest_stage").toString
+        val staged = wrapped
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val perSeg = math.max(1, math.ceil(staged.length / 40.0).toInt)
+        staged.grouped(perSeg).zipWithIndex.foreach { case (seg, i) =>
+          graft.ingest.WetFixture.writeWarc(
+            f"$warcDir/seg-$i%05d.warc.gz",
+            seg.map { case (id, src, text) =>
+              val shape = (id % 4) match {
+                case 0 => graft.ingest.WetFixture.HttpShape(chunked = true)
+                case 1 => graft.ingest.WetFixture.HttpShape(encoding = "gzip")
+                case 2 => graft.ingest.WetFixture.HttpShape(
+                  encoding = "deflate", chunked = true)
+                case _ => graft.ingest.WetFixture.HttpShape()
+              }
+              (s"https://crawl.test/$src/$id", "2024-06-01T00:00:00Z",
+                graft.ingest.WetFixture.wrapHtml(text), shape)
+            }.toSeq)
+        }
+        val nStaged = staged.length.toLong
+        val corpus = graft.operators.Corpus.curatePages(
+          wrapped.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+          .filter(col("kept")).select(col("id").as("doc_id"), col("clean"))
+        val corpusHashes = Streams.dedupCorpusHashes(corpus, "clean").persist()
+        val corpusSigs = Streams
+          .nearDupCorpusSignatures(corpus, "clean", "doc_id").persist()
+        val benchGrams = graft.operators.Corpus.decontaminationGrams(
+          docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 8)
+          .persist()
+        Seq(corpusHashes, corpusSigs, benchGrams).foreach(_.count())
+        val budgets = (0 until 20).map(i => s"src$i" -> 40000L).toMap
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_warcingest_ledgers").toString
+        val urlRe = "^https://crawl\\.test/([^/]+)/(\\d+)$"
+        val pages = Streams
+          .readWarcStream(spark, warcDir, maxFilesPerTrigger = Some(perTrigger))
+          .filter(col("http_status") === 200)
+          .select(
+            regexp_extract(col("url"), urlRe, 2).cast("bigint").as("doc_id"),
+            regexp_extract(col("url"), urlRe, 1).as("source"),
+            graft.functions.TextFunctions.stripHtmlLines(col("body")).as("text"))
+        var placed = 0L
+        val t0 = System.nanoTime()
+        val q = Streams.ingestToBins(
+          pages, corpusHashes, corpusSigs, "text", "doc_id", "source",
+          budgets, binBudget = 2048L, nShards = 8, ledgerBase = base,
+          onBins = { (batch, _) =>
+            batch.persist(); placed += batch.count(); batch.unpersist(); ()
+          },
+          benchGrams = Some(benchGrams)).start()
+        q.processAllAvailable()
+        q.stop(); q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"""{"metric":"stream_warcingest_rows_per_sec","model":"persisted","rows_per_sec":${placed / wall}%.0f,"input_rows_per_sec":${nStaged / wall}%.0f,"scored_rows":$placed,"input_rows":$nStaged,"wall_sec":$wall%.1f,"files_per_trigger":$perTrigger}""")
         Seq(corpusHashes, corpusSigs, benchGrams).foreach(_.unpersist())
       case "curatesem" =>
         // the FIVE-stage chain: curatechain + the optional semantic
