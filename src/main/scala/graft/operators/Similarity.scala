@@ -232,6 +232,72 @@ object Similarity {
   private def nearestCentroidCol(vec: Column, cents: Array[Array[Double]]): Column =
     graft.plans.HashExpressions.nearestCentroid(vec, cents)
 
+  /** Assign a corpus to an EXISTING centroid table (a loaded index) —
+    * the inference half of [[ivfIndex]] without the training scan, so
+    * a production deployment trains once and every later session
+    * assigns + probes from the persisted artifact.
+    */
+  def ivfAssign(
+      corpus: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroid table must be non-empty")
+    corpus.withColumn("ivf_cluster", nearestCentroidCol(col(vecCol), centroids))
+  }
+
+  /** Persist a trained IVF centroid table as a VERSIONED snapshot
+    * ([[graft.sink.Snapshots]] posture — staged write, manifest,
+    * atomic pointer flip): index training ([[ivfIndex]]'s sampled
+    * Lloyd's) is order-sensitive and corpus-sensitive, so a retrain on
+    * a since-grown corpus silently re-shapes every cluster and every
+    * probe route — production trains ONCE, later batch runs /
+    * streaming probes / replica sessions LOAD. `cluster_id` is stored
+    * explicitly: [[ivfTopK]]'s probe ranking and
+    * [[graft.plans.HashExpressions.nearestCentroid]]'s first-minimum
+    * tie-break both depend on centroid ORDER, and parquet row order is
+    * not a contract. Returns the published version.
+    */
+  def saveIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      centroids: Array[Array[Double]]): Int = {
+    require(centroids.nonEmpty, "refusing to publish an empty centroid table")
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq): org.apache.spark.sql.Row
+      }.toSeq.asJava
+    graft.sink.Snapshots.publish(
+      spark, warehouse, table, spark.createDataFrame(rows, schema))
+  }
+
+  /** Load a persisted IVF centroid table (current version, or a pinned
+    * `version` for reproducing an old run's probe routes) back into the
+    * order-faithful form [[ivfAssign]]/[[ivfTopK]] consume. The collect
+    * is bounded by nClusters (16–65k for real indexes), never
+    * corpus-sized.
+    */
+  def loadIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      version: Int = -1): Array[Array[Double]] = {
+    val df =
+      if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
+      else graft.sink.Snapshots.version(spark, warehouse, table, version)
+    df.orderBy(col("cluster_id"))
+      .select(col("centroid"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
   /** IVF query: probe the nprobe nearest clusters only. */
   def ivfTopK(
       assigned: DataFrame,

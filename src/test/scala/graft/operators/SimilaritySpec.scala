@@ -87,6 +87,41 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(1L))
   }
 
+  test("IVF centroids persist as a snapshot: save -> load -> assign/topK ≡ in-session") {
+    val (assigned, cents) = Similarity.ivfIndex(corpus, "embedding", nClusters = 2, dim = 4)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_ivf_snap").toString
+    val v1 = Similarity.saveIvfCentroids(spark, warehouse, "ivf_cents", cents)
+    assert(v1 == 1)
+    val loaded = Similarity.loadIvfCentroids(spark, warehouse, "ivf_cents")
+    assert(loaded.length == cents.length)
+    loaded.zip(cents).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // assignment + probe from the LOADED table ≡ in-session (ORDER of
+    // the centroid rows is load-bearing: first-minimum tie-break and
+    // probe ranking both index into it)
+    val reassigned = Similarity.ivfAssign(corpus, "embedding", loaded)
+    val a0 = assigned.select("vec_id", "ivf_cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a1 = reassigned.select("vec_id", "ivf_cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a0 == a1)
+    val top = Similarity.ivfTopK(
+      reassigned, loaded, "embedding", "vec_id", vec(1, 0, 0, 0), k = 1, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L))
+    // a retrain publishes v2; v1 stays pinned-loadable
+    val v2 = Similarity.saveIvfCentroids(
+      spark, warehouse, "ivf_cents", cents.map(_.map(_ + 1.0)))
+    assert(v2 == 2)
+    assert(Similarity.loadIvfCentroids(spark, warehouse, "ivf_cents")
+      .head.head == cents.head.head + 1.0)
+    assert(Similarity.loadIvfCentroids(spark, warehouse, "ivf_cents", version = 1)
+      .head.sameElements(cents.head))
+    intercept[IllegalArgumentException] {
+      Similarity.saveIvfCentroids(spark, warehouse, "ivf_cents", Array.empty)
+    }
+  }
+
   test("multi-table SRP: table 0 equals the single-table signature") {
     import graft.plans.HashExpressions
     val got = corpus.select(
