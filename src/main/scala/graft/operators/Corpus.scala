@@ -2738,6 +2738,58 @@ object Corpus {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** Persist a trained [[LinearModel]] (quality classifier) as a
+    * VERSIONED snapshot ([[graft.sink.Snapshots]] posture): GD training
+    * is iterative, corpus-sensitive, and float-reduction-ordered, so a
+    * per-deployment retrain silently shifts every page's quality score
+    * and keep/drop decision — production trains ONCE and every later
+    * batch run / streaming scorer LOADS. The bias and feature-space
+    * width ride in the same table under reserved `__`-prefixed bucket
+    * keys (real buckets are pure hex, so no collision is possible).
+    * Returns the published version.
+    */
+  def saveClassifier(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      model: LinearModel): Int = {
+    val meta = Seq(
+      ("__bias__", model.bias),
+      ("__hex_chars__", model.hexChars.toDouble))
+    import spark.implicits._
+    val rows = model.weights
+      .select(col("bucket").cast("string"), col("w").cast("double"))
+      .unionByName(meta.toDF("bucket", "w"))
+    graft.sink.Snapshots.publish(spark, warehouse, table, rows)
+  }
+
+  /** Load a persisted classifier (current snapshot version, or a pinned
+    * `version` for reproducing an old run's keep/drop decisions) back
+    * into the [[LinearModel]] form [[scoreWithClassifier]] and the
+    * streaming scorer consume. The weight frame stays a DataFrame (a
+    * bounded parquet scan, broadcast at score time) — nothing
+    * corpus-sized is collected.
+    */
+  def loadClassifier(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      version: Int = -1): LinearModel = {
+    val df =
+      if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
+      else graft.sink.Snapshots.version(spark, warehouse, table, version)
+    val meta = df.filter(col("bucket").startsWith("__"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bias = meta.getOrElse("__bias__",
+      throw new IllegalStateException(s"$table: missing __bias__ row"))
+    val hexChars = meta.getOrElse("__hex_chars__",
+      throw new IllegalStateException(
+        s"$table: missing __hex_chars__ row")).toInt
+    LinearModel(
+      df.filter(!col("bucket").startsWith("__")).select("bucket", "w"),
+      bias, hexChars)
+  }
+
   /** Persist a trained BPE merge table as a VERSIONED snapshot
     * ([[graft.sink.Snapshots]] posture — staged write, manifest with
     * row count + content hash, atomic pointer flip), so a production

@@ -1528,6 +1528,39 @@ class CorpusSpec extends SparkSpec {
     assert(enc(1L)._1.isEmpty && enc(1L)._2 == 0L)
   }
 
+  test("classifier persists as a snapshot: save -> load -> score ≡ in-session") {
+    val pos = (0 until 20).map(i =>
+      (i.toLong, "the fine report holds steady value and reads with care " + i))
+      .toDF("doc_id", "text")
+    val neg = (20 until 40).map(i =>
+      (i.toLong, "zzz spam spam buy now xx " + i)).toDF("doc_id", "text")
+    val model = Corpus.trainQualityClassifier(
+      pos, neg, "text", "doc_id", hexChars = 1, iters = 5)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_clf_snap").toString
+    val v1 = Corpus.saveClassifier(spark, warehouse, "quality_clf", model)
+    assert(v1 == 1)
+    val loaded = Corpus.loadClassifier(spark, warehouse, "quality_clf")
+    assert(loaded.bias == model.bias)
+    assert(loaded.hexChars == model.hexChars)
+    val probe = Seq((100L, "the fine report holds steady value"),
+      (101L, "zzz spam buy now"), (102L, "")).toDF("doc_id", "text")
+    def scores(m: Corpus.LinearModel) =
+      Corpus.scoreWithClassifier(probe, m, "text", "doc_id")
+        .select("id", "quality", "keep").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(scores(loaded) == scores(model))
+    // retrain publishes v2; v1 stays pinned-loadable and still scores
+    // identically (the reproducible keep/drop posture)
+    val model2 = Corpus.trainQualityClassifier(
+      pos, neg, "text", "doc_id", hexChars = 1, iters = 9)
+    assert(Corpus.saveClassifier(spark, warehouse, "quality_clf", model2) == 2)
+    assert(Corpus.loadClassifier(spark, warehouse, "quality_clf").bias
+      == model2.bias)
+    assert(scores(Corpus.loadClassifier(
+      spark, warehouse, "quality_clf", version = 1)) == scores(model))
+  }
+
   test("BPE merge table persists as a snapshot: save -> load -> encode ≡ in-session") {
     val texts = Seq(
       "low low low low low lower lower newest newest newest newest newest newest",
