@@ -2790,6 +2790,117 @@ object Corpus {
       bias, hexChars)
   }
 
+  /** Persist a fitted [[DsirModel]] as ONE versioned snapshot table
+    * ([[graft.sink.Snapshots]] posture): the model's three frames +
+    * feature width pack into `(kind, bucket, c)` rows — `t`/`r` rows
+    * carry the target/raw bucket counts, reserved `__`-prefixed kinds
+    * carry the totals and `hexChars` — so a version is ATOMIC (a
+    * multi-table layout could publish components at mismatched
+    * versions and silently mix two models' statistics). Reference
+    * importance-sampling statistics are corpus-snapshots by nature:
+    * fit once against the frozen target, load in every later batch run
+    * / streaming scorer; a refit against a moved corpus re-weights
+    * every document. Returns the published version.
+    */
+  def saveDsirModel(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      model: DsirModel): Int = {
+    import spark.implicits._
+    val packed = model.targetCounts
+      .select(lit("t").as("kind"), col("bucket"), col("tc").cast("long").as("c"))
+      .unionByName(model.rawCounts.select(
+        lit("r").as("kind"), col("bucket"), col("rc").cast("long").as("c")))
+      .unionByName(model.totals.select(
+        lit("__t_tot__").as("kind"), lit(null).cast("string").as("bucket"),
+        col("t_tot").cast("long").as("c")))
+      .unionByName(model.totals.select(
+        lit("__r_tot__").as("kind"), lit(null).cast("string").as("bucket"),
+        col("r_tot").cast("long").as("c")))
+      .unionByName(Seq(("__hex_chars__", null: String, model.hexChars.toLong))
+        .toDF("kind", "bucket", "c"))
+    graft.sink.Snapshots.publish(spark, warehouse, table, packed)
+  }
+
+  /** Load a persisted DSIR model (current version, or pinned) back into
+    * the [[DsirModel]] form [[scoreWithDsirModel]] and the streaming
+    * scorer consume — frames stay bounded parquet scans, only the two
+    * totals and the width are collected.
+    */
+  def loadDsirModel(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      version: Int = -1): DsirModel = {
+    val df =
+      if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
+      else graft.sink.Snapshots.version(spark, warehouse, table, version)
+    val meta = df.filter(col("kind").startsWith("__"))
+      .select(col("kind"), col("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def need(k: String): Long = meta.getOrElse(k,
+      throw new IllegalStateException(s"$table: missing $k row"))
+    DsirModel(
+      df.filter(col("kind") === "t").select(col("bucket"), col("c").as("tc")),
+      df.filter(col("kind") === "r").select(col("bucket"), col("c").as("rc")),
+      df.sparkSession.range(1).select(
+        lit(need("__t_tot__")).as("t_tot"), lit(need("__r_tot__")).as("r_tot")),
+      need("__hex_chars__").toInt)
+  }
+
+  /** Persist a trained [[LmNModel]] (stupid-backoff n-gram LM) as ONE
+    * versioned snapshot table: every order's counts pack into
+    * `(k, grams, c)` rows — order-k grams as a k-element array, the
+    * k = 0 row carrying the total token count — so a version is atomic
+    * across all orders (the multi-table alternative can mix two
+    * trainings). The reference LM is the canonical load-don't-retrain
+    * artifact: CCNet-style scoring depends on the REFERENCE corpus
+    * staying fixed while the scored stream moves. Returns the
+    * published version.
+    */
+  def saveLmNModel(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      model: LmNModel): Int = {
+    val packed = (1 to model.n).map { k =>
+      model.orders(k - 1).select(
+        lit(k).as("k"),
+        array((1 to k).map(j => col(s"g$j")): _*).as("grams"),
+        col("c").cast("long").as("c"))
+    }.reduce(_.unionByName(_))
+      .unionByName(model.totals.select(
+        lit(0).as("k"),
+        array().cast("array<string>").as("grams"),
+        col("n_tokens").cast("long").as("c")))
+    graft.sink.Snapshots.publish(spark, warehouse, table, packed)
+  }
+
+  /** Load a persisted n-gram LM (current version, or pinned) back into
+    * the [[LmNModel]] form [[scoreWithLmNModel]] and
+    * [[graft.streaming.Streams.scoreLmNBatches]] consume. Only the
+    * order `n` is collected; every count frame stays a parquet scan.
+    */
+  def loadLmNModel(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      version: Int = -1): LmNModel = {
+    val df =
+      if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
+      else graft.sink.Snapshots.version(spark, warehouse, table, version)
+    val n = df.agg(max(col("k"))).head().getInt(0)
+    require(n >= 1, s"$table: no order rows found")
+    val orders = (1 to n).map { k =>
+      df.filter(col("k") === k).select(
+        (1 to k).map(j => element_at(col("grams"), j).as(s"g$j")) :+
+          col("c"): _*)
+    }.toIndexedSeq
+    val totals = df.filter(col("k") === 0).select(col("c").as("n_tokens"))
+    LmNModel(n, orders, totals)
+  }
+
   /** Persist a trained BPE merge table as a VERSIONED snapshot
     * ([[graft.sink.Snapshots]] posture — staged write, manifest with
     * row count + content hash, atomic pointer flip), so a production

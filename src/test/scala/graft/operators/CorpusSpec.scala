@@ -1528,6 +1528,53 @@ class CorpusSpec extends SparkSpec {
     assert(enc(1L)._1.isEmpty && enc(1L)._2 == 0L)
   }
 
+  test("DSIR model persists as a snapshot: save -> load -> score ≡ in-session") {
+    val raw = (0 until 30).map(i =>
+      (i.toLong, s"common words everywhere plus filler $i")).toDF("doc_id", "text")
+    val target = (0 until 10).map(i =>
+      (100L + i, s"rare quality prose with care $i")).toDF("doc_id", "text")
+    val model = Corpus.dsirModel(raw, target, "text", "doc_id", hexChars = 1)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_dsir_snap").toString
+    assert(Corpus.saveDsirModel(spark, warehouse, "dsir", model) == 1)
+    val loaded = Corpus.loadDsirModel(spark, warehouse, "dsir")
+    assert(loaded.hexChars == model.hexChars)
+    val probe = Seq((200L, "rare quality prose"), (201L, "common filler"),
+      (202L, "")).toDF("doc_id", "text")
+    def scores(m: Corpus.DsirModel) =
+      Corpus.scoreWithDsirModel(probe, m, "text", "doc_id")
+        .orderBy(col("id")).select("id", "log_weight").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scores(loaded) == scores(model))
+    // refit on a different target publishes v2; v1 stays pinned
+    val model2 = Corpus.dsirModel(raw, raw.limit(5), "text", "doc_id", hexChars = 1)
+    assert(Corpus.saveDsirModel(spark, warehouse, "dsir", model2) == 2)
+    assert(scores(Corpus.loadDsirModel(spark, warehouse, "dsir", version = 1))
+      == scores(model))
+  }
+
+  test("n-gram LM persists as a snapshot: save -> load -> score ≡ in-session") {
+    val ref = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again " + (i % 3)))
+      .toDF("doc_id", "text")
+    val model = Corpus.ngramBackoffModel(ref, "text", "doc_id", n = 3)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_lmn_snap").toString
+    assert(Corpus.saveLmNModel(spark, warehouse, "lm3", model) == 1)
+    val loaded = Corpus.loadLmNModel(spark, warehouse, "lm3")
+    assert(loaded.n == 3)
+    val probe = Seq((100L, "the quick brown fox"), (101L, "unseen gibberish zz"),
+      (102L, "")).toDF("doc_id", "text")
+    def scores(m: Corpus.LmNModel) =
+      Corpus.scoreWithLmNModel(probe, m, "text", "doc_id")
+        .orderBy(col("id")).select("id", "avg_neg_logscore").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scores(loaded) == scores(model))
+    // the totals row round-trips (k = 0 carries token count, not grams)
+    val t0 = model.totals.head().getLong(0)
+    assert(loaded.totals.head().getLong(0) == t0)
+  }
+
   test("classifier persists as a snapshot: save -> load -> score ≡ in-session") {
     val pos = (0 until 20).map(i =>
       (i.toLong, "the fine report holds steady value and reads with care " + i))
