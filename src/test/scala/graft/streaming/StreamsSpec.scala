@@ -481,6 +481,37 @@ class StreamsSpec extends SparkSpec {
     assert(!acc.exists(_._1 == 2L)) // 2-token doc scores in neither mode
   }
 
+  test("streaming LM scoring from a LOADED snapshot model equals in-session") {
+    // the artifact posture's streaming payoff: a production scorer
+    // loads the published LM instead of retraining per deployment —
+    // and the loaded model (parquet scans) must score micro-batches
+    // identically to the just-trained one (local frames)
+    implicit val sq = spark.sqlContext
+    val ref = Seq((10L, "a b a b a"), (11L, "b c"), (12L, "b c a d"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Corpus.ngramBackoffModel(ref, "text", "doc_id", n = 2)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_lmn_stream_snap").toString
+    graft.operators.Corpus.saveLmNModel(spark, warehouse, "lm2", model)
+    val loaded = graft.operators.Corpus.loadLmNModel(spark, warehouse, "lm2")
+    def run(m: graft.operators.Corpus.LmNModel): Seq[(Long, Double)] = {
+      val input = MemoryStream[(Long, String)]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val q = Streams.scoreLmNBatches(
+        input.toDF().toDF("doc_id", "text"), m, "text", "doc_id",
+        (scored, _) => acc.synchronized {
+          acc ++= scored.select("id", "avg_neg_logscore").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+        }).start()
+      try {
+        input.addData((0L, "a b a c"), (1L, "c b c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      acc.sortBy(_._1).toSeq
+    }
+    assert(run(loaded) == run(model))
+  }
+
   test("DSIR micro-batch scoring equals the batch operator over the same docs") {
     implicit val sq = spark.sqlContext
     val raw = Seq(
