@@ -257,6 +257,14 @@ object Multimodal {
       * (the quarantine convention).
       */
     def audioHash64(bytes: Array[Byte]): java.lang.Long = {
+      val data = pcm16Samples(bytes)
+      if (data == null) null else envHash64(data, 0, data.length / 2)
+    }
+
+    /** Decode to raw little-endian PCM16 sample bytes, or null for
+      * non-PCM16/undecodable input (the quarantine convention).
+      */
+    private def pcm16Samples(bytes: Array[Byte]): Array[Byte] = {
       if (bytes == null || bytes.length < 44) return null
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -265,33 +273,67 @@ object Multimodal {
           val fmt = in.getFormat
           if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
             fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return null
-          val data = in.readAllBytes()
-          val n = data.length / 2
-          if (n < 65) return null
-          val env = new Array[Double](65)
-          var w = 0
-          while (w < 65) {
-            val i0 = (w.toLong * n / 65).toInt
-            val i1 = math.max(i0 + 1, ((w + 1).toLong * n / 65).toInt)
-            var sum = 0L
-            var i = i0
-            while (i < i1) {
-              val s = (((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toInt
-              sum += math.abs(s)
-              i += 1
-            }
-            env(w) = sum.toDouble / (i1 - i0)
-            w += 1
-          }
-          var fp = 0L
-          var b = 0
-          while (b < 64) {
-            if (env(b) < env(b + 1)) fp |= 1L << b
-            b += 1
-          }
-          java.lang.Long.valueOf(fp)
+          in.readAllBytes()
         } finally in.close()
       } catch { case _: Exception => null }
+    }
+
+    /** The 65-window sign-of-delta energy hash over samples
+      * `[sampleOff, sampleOff + n)` of a PCM16 byte array; null when
+      * the range is too short to carry 65 windows.
+      */
+    private def envHash64(
+        data: Array[Byte], sampleOff: Int, n: Int): java.lang.Long = {
+      if (n < 65) return null
+      val env = new Array[Double](65)
+      var w = 0
+      while (w < 65) {
+        val i0 = sampleOff + (w.toLong * n / 65).toInt
+        val i1 = math.max(i0 + 1, sampleOff + ((w + 1).toLong * n / 65).toInt)
+        var sum = 0L
+        var i = i0
+        while (i < i1) {
+          val s = (((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toInt
+          sum += math.abs(s)
+          i += 1
+        }
+        env(w) = sum.toDouble / (i1 - i0)
+        w += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (env(b) < env(b + 1)) fp |= 1L << b
+        b += 1
+      }
+      java.lang.Long.valueOf(fp)
+    }
+
+    /** Windowed variant of [[audioHash64]] for LONG clips: one energy
+      * hash per FIXED-length segment of `segSamples` samples (first
+      * `maxSegments` full segments; a clip shorter than one segment
+      * but ≥ 65 samples yields a single whole-clip segment, so short
+      * clips keep an identity). Fixed-duration anchoring is the point:
+      * a copy with an appended/padded tail shares every complete
+      * leading segment, where the whole-clip hash (65 windows
+      * stretched over the new length) shifts entirely. Returns
+      * (segment index, fp) pairs; empty for quarantined audio.
+      */
+    def audioHash64Windows(
+        bytes: Array[Byte], segSamples: Int,
+        maxSegments: Int): Seq[(Int, Long)] = {
+      require(segSamples >= 65, "segSamples must be >= 65")
+      require(maxSegments > 0, "maxSegments must be positive")
+      val data = pcm16Samples(bytes)
+      if (data == null) return Seq.empty
+      val n = data.length / 2
+      val full = math.min(maxSegments, n / segSamples)
+      if (full == 0)
+        Option(envHash64(data, 0, n)).map(fp => (0, fp.longValue())).toSeq
+      else (0 until full).flatMap { s =>
+        Option(envHash64(data, s * segSamples, segSamples))
+          .map(fp => (s, fp.longValue()))
+      }
     }
 
     /** Render a 64-bit code as a WAV whose [[audioHash64]] is exactly
@@ -318,6 +360,34 @@ object Multimodal {
         }
         if (w < 64) amp *= (if (((code >>> w) & 1L) == 1L) 1.05 else 1 / 1.05)
         w += 1
+      }
+      encodeWav(sampleRate, samples)
+    }
+
+    /** Render a SEQUENCE of 64-bit codes as one WAV of concatenated
+      * equal-length coded segments (65·`winLen` samples each), so
+      * [[audioHash64Windows]] at `segSamples = 65 * winLen` recovers
+      * exactly `codes(i)` for segment `i` — the planted-truth fixture
+      * for windowed audio dedup.
+      */
+    def encodeCodedWavSegments(
+        codes: Seq[Long], sampleRate: Int, winLen: Int): Array[Byte] = {
+      val seg = 65 * winLen
+      val samples = new Array[Short](codes.length * seg)
+      codes.zipWithIndex.foreach { case (code, s) =>
+        var amp = 1000.0
+        var w = 0
+        while (w < 65) {
+          val a = math.round(amp).toInt
+          var i = 0
+          while (i < winLen) {
+            val sign = if ((i / 4) % 2 == 0) 1 else -1
+            samples(s * seg + w * winLen + i) = (a * sign).toShort
+            i += 1
+          }
+          if (w < 64) amp *= (if (((code >>> w) & 1L) == 1L) 1.05 else 1 / 1.05)
+          w += 1
+        }
       }
       encodeWav(sampleRate, samples)
     }
@@ -838,25 +908,87 @@ object Multimodal {
       minMatches: Int = 2,
       allowStandIn: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
+    frameEvidencePairs(
+      videoFingerprints(media, k, allowStandIn), k.toLong,
+      maxHamming, minMatches)
+  }
+
+  /** The shared frame/segment-evidence near-dup core: `(media_id,
+    * frame_idx, fp)` rows → pigeonhole-banded hamming pairs over
+    * composite `media_id·stride + frame_idx` keys → per-media-pair
+    * evidence count ≥ `minMatches`. `stride` must exceed every
+    * `frame_idx`; composite `id_a < id_b` with distinct media ids
+    * implies `id_a < id_b` on the media ids (frame_idx < stride), so
+    * the emitted pairs keep the `id_a < id_b` convention. Requires
+    * non-negative `media_id`.
+    */
+  private def frameEvidencePairs(
+      frames: DataFrame,
+      stride: Long,
+      maxHamming: Int,
+      minMatches: Int): DataFrame = {
     require(minMatches > 0, "minMatches must be positive")
-    val kL = k.toLong
-    // cache: both sides of the banded self-join re-read the frame
-    // fingerprints; uncached, every video demuxes + decodes twice
-    // (caller releases via Caches.release())
+    // cache: both sides of the banded self-join re-read the
+    // fingerprints; uncached, every item decodes twice (caller
+    // releases via Caches.release())
     val composite = graft.ops.Caches.owned(
-      videoFingerprints(media, k, allowStandIn)
-        .select((col("media_id") * kL + col("frame_idx")).as("id"), col("fp")))
-    val framePairs = Dedup.simhashPairs(composite, maxHamming)
-    framePairs
+      frames.select(
+        (col("media_id") * stride + col("frame_idx")).as("id"), col("fp")))
+    Dedup.simhashPairs(composite, maxHamming)
       .select(
-        expr(s"id_a DIV $kL").as("vid_a"),
-        expr(s"id_b DIV $kL").as("vid_b"))
-      // same-video frame matches are container structure, not dups
+        expr(s"id_a DIV $stride").as("vid_a"),
+        expr(s"id_b DIV $stride").as("vid_b"))
+      // same-media frame matches are internal structure, not dups
       .filter(col("vid_a") =!= col("vid_b"))
-      // id_a < id_b on composite keys + vid_a != vid_b ⇒ vid_a < vid_b
       .groupBy(col("vid_a").as("id_a"), col("vid_b").as("id_b"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatches)
       .select(col("id_a"), col("id_b"), col("n_matched"))
   }
+
+  /** Per-segment energy fingerprints of LONG audio —
+    * [[JdkCodec.audioHash64Windows]] over the `(media_id, content)`
+    * frame, one decode pass, emitting `(media_id, frame_idx, fp)`
+    * rows. Fixed-duration segments (not an equal split of the clip)
+    * are the point: a copy with an appended or padded tail shares
+    * every complete leading segment, where [[audioFingerprints]]'
+    * whole-clip hash shifts entirely. Quarantined (non-PCM16) audio
+    * emits no rows.
+    */
+  def audioFingerprintWindows(
+      media: DataFrame,
+      segSamples: Int = 65536,
+      maxSegments: Int = 64): DataFrame = {
+    require(segSamples >= 65, "segSamples must be >= 65")
+    require(maxSegments > 0, "maxSegments must be positive")
+    val enc = Encoders.row(videoFpSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        JdkCodec.audioHash64Windows(
+          r.getAs[Array[Byte]](1), segSamples, maxSegments)
+          .iterator.map { case (s, fp) => Row(id, s, fp) }
+      }
+    }(enc)
+  }
+
+  /** Windowed audio near-dup pairs — the segment-evidence composition
+    * for long clips: two clips pair when ≥ `minMatches` of their
+    * fixed-length segments pair within `maxHamming`
+    * ([[audioFingerprintWindows]] → the SAME evidence core as
+    * [[videoNearDups]]), so tail-edited / padded / concatenated copies
+    * pair on their shared leading segments while one coincidental
+    * segment cannot pair unrelated clips. Emits `(id_a, id_b,
+    * n_matched)`, `id_a < id_b`; compose [[Dedup.clusters]] for
+    * survivors. Requires non-negative `media_id`.
+    */
+  def audioNearDupsWindowed(
+      media: DataFrame,
+      segSamples: Int = 65536,
+      maxSegments: Int = 64,
+      maxHamming: Int = 3,
+      minMatches: Int = 2): DataFrame =
+    frameEvidencePairs(
+      audioFingerprintWindows(media, segSamples, maxSegments),
+      maxSegments.toLong, maxHamming, minMatches)
 }

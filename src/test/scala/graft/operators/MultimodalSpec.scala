@@ -394,6 +394,52 @@ class MultimodalSpec extends SparkSpec {
     graft.ops.Caches.release()
   }
 
+  test("audioNearDupsWindowed pairs clips by segment evidence; tail-appends still pair") {
+    import spark.implicits._
+    // planted per-segment codes rendered as real concatenated coded-WAV
+    // segments (audioHash64Windows recovers each exactly at
+    // segSamples = 65 * winLen); lane masks keep same-clip segments
+    // >= 16 bits apart
+    val winLen = 16
+    val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL,
+      0xFFFF00000000L, 0xFFFF0000FFFFL)
+    val baseA = 0x0101010101010101L
+    val far = 0x0202020202020202L
+    def codes(flips: Array[Long]): Seq[Long] =
+      flips.zipWithIndex.map { case (fl, s) => baseA ^ lanes(s) ^ fl }.toSeq
+    def wav(flips: Array[Long]) = Multimodal.JdkCodec
+      .encodeCodedWavSegments(codes(flips), 8000, winLen)
+    val aFlips = Array(0L, 0L, 0L, 0L)
+    val media = Seq(
+      (1L, wav(aFlips)),                               // A: 4 segments
+      (2L, wav(Array(1L | (1L << 21) | (1L << 42),     // B: twins A on
+        1L << 5, far, far ^ (1L << 60)))),             //    segments {0,1}
+      (3L, wav(Array(1L << 7, 0x2020202020202020L ^ (1L << 3), // C: segment 0
+        0x2020202020202020L ^ (1L << 30), 0x2020202020202020L))), // only
+      (4L, wav(Array(0L, 0L, 0L, 0L, far, far ^ 1L))), // D: A + 2-seg tail
+      (5L, Array[Byte](9, 9, 9)))                      // quarantine: no segs
+      .toDF("media_id", "content")
+    val seg = 65 * winLen
+    val pairs = Multimodal.audioNearDupsWindowed(
+      media, segSamples = seg, maxSegments = 8, maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // D (a tail-appended copy of A) pairs with A on ALL 4 shared
+    // segments — the case the fixed-duration anchoring exists for —
+    // and with B on B's two near segments; C's single match is below
+    // the evidence floor everywhere
+    assert(pairs == Set((1L, 2L, 2L), (1L, 4L, 4L), (2L, 4L, 2L)), s"got $pairs")
+    // segment counts: 4 + 4 + 4 + 6 decodable segments, junk none
+    assert(Multimodal.audioFingerprintWindows(
+      media, segSamples = seg, maxSegments = 8).count() == 18)
+    // a clip shorter than one segment still carries one whole-clip
+    // identity (segment 0)
+    val short = Multimodal.JdkCodec.encodeCodedWav(baseA, 8000, 4)
+    val fps = Multimodal.JdkCodec.audioHash64Windows(
+      short, segSamples = 100000, maxSegments = 8)
+    assert(fps == Seq((0, baseA)))
+    graft.ops.Caches.release()
+  }
+
   test("simhashCrossPairs matches probe-vs-prior without self-pair semantics") {
     import spark.implicits._
     val probe = Seq((1L, 0L), (2L, -1L), (3L, 0x00000000FFFFFFFFL))
