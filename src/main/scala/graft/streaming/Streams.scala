@@ -946,13 +946,53 @@ object Streams {
       maxHamming: Int = 3,
       minMatches: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(k > 0, "k must be positive")
+    incrementalFrameEvidenceBatches(
+      media, corpusFps, ledgerDir, onBatch, k.toLong, maxHamming, minMatches,
+      graft.operators.Multimodal.videoFingerprints(_, k))
+  }
+
+  /** Streaming windowed-AUDIO near-dup admission — the long-clip
+    * sibling: [[graft.operators.Multimodal.audioFingerprintWindows]]
+    * per micro-batch (fixed-length segments, so tail-appended / padded
+    * copies of held clips drop on their shared leading segments),
+    * through the same frame-evidence admission core as video. Corpus
+    * frame = [[graft.operators.Multimodal.audioFingerprintWindows]]
+    * over the held clips with the SAME `segSamples`/`maxSegments`;
+    * zero-segment (non-PCM16) items are admitted, never ledgered.
+    */
+  def incrementalAudioWindowedNearDupBatches(
+      media: DataFrame,
+      corpusFps: DataFrame,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      segSamples: Int = 65536,
+      maxSegments: Int = 64,
+      maxHamming: Int = 3,
+      minMatches: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(segSamples >= 65, "segSamples must be >= 65")
+    require(maxSegments > 0, "maxSegments must be positive")
+    incrementalFrameEvidenceBatches(
+      media, corpusFps, ledgerDir, onBatch, maxSegments.toLong,
+      maxHamming, minMatches,
+      graft.operators.Multimodal
+        .audioFingerprintWindows(_, segSamples, maxSegments))
+  }
+
+  private def incrementalFrameEvidenceBatches(
+      media: DataFrame,
+      corpusFps: DataFrame,
+      ledgerDir: String,
+      onBatch: (DataFrame, Long) => Unit,
+      kL: Long,
+      maxHamming: Int,
+      minMatches: Int,
+      fingerprint: DataFrame => DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(minMatches > 0, "minMatches must be positive")
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (64-bit pigeonhole chunks), got $maxHamming")
-    val kL = k.toLong
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val fps = graft.operators.Multimodal.videoFingerprints(batch, k)
+      val fps = fingerprint(batch)
         .persist() // consumed by both probes + the ledger rows
       try {
         val ledgerSchema = StructType(Seq(

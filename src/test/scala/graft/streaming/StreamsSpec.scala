@@ -825,6 +825,59 @@ class StreamsSpec extends SparkSpec {
     assert(ledger.filter(col("batch_id") === 0L).count() == 8)
   }
 
+  test("incremental windowed-AUDIO admission: tail-appends drop, evidence floor holds") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    val winLen = 16
+    val seg = 65 * winLen
+    val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL,
+      0xFFFF00000000L, 0xFFFF0000FFFFL)
+    val A = 0x0101010101010101L
+    val Z = 0x4040404040404040L
+    val W = 0x1111111111111111L
+    val far = 0x0202020202020202L
+    def wav(base: Long, flips: Array[Long]) = Multimodal.JdkCodec
+      .encodeCodedWavSegments(
+        flips.zipWithIndex.map { case (fl, s) => base ^ lanes(s) ^ fl }.toSeq,
+        8000, winLen)
+    val none4 = Array(0L, 0L, 0L, 0L)
+    val corpus = Seq((100L, wav(A, none4))).toDF("media_id", "content")
+    val corpusFps = Multimodal.audioFingerprintWindows(
+      corpus, segSamples = seg, maxSegments = 8)
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_audiow_ledger").toString + "/l"
+    val input = MemoryStream[(Long, Array[Byte])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = Streams.incrementalAudioWindowedNearDupBatches(
+      input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+      (fresh, bid) => admitted.synchronized {
+        admitted ++= fresh.collect().map(r => (bid, r.getLong(0)))
+      }, segSamples = seg, maxSegments = 8,
+      maxHamming = 3, minMatches = 2).start()
+    try {
+      // batch 0: id1 = A with a 2-segment appended tail — its 4 leading
+      // segments match held A exactly, drops; id2 matches A on segment
+      // 0 only (below the floor), admits; id3 = fresh Z admits; id4 is
+      // not PCM16 — zero segments, admits, never ledgered
+      input.addData(
+        (1L, wav(A, Array(0L, 0L, 0L, 0L, far, far ^ 1L))),
+        (2L, wav(A, Array(1L << 7, far, far ^ (1L << 9), far ^ (1L << 44)))),
+        (3L, wav(Z, none4)),
+        (4L, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+      // batch 1: id7 matches LEDGERED Z on segments {0,2} — drops via
+      // the ledger; id8 = fresh W admits
+      input.addData(
+        (7L, wav(Z, Array(1L << 3, far, 1L | (1L << 50), far ^ (1L << 17)))),
+        (8L, wav(W, none4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sortBy(_._2).toSeq == Seq(
+      (0L, 2L), (0L, 3L), (0L, 4L), (1L, 8L)))
+    // ledger: one row per decodable admitted SEGMENT (4 + 4 + 4)
+    assert(spark.read.parquet(ledgerDir).count() == 12)
+  }
+
   test("incremental MEDIA admission drops perceptual near-copies vs corpus, batch, and ledger") {
     implicit val sq = spark.sqlContext
     import graft.operators.Multimodal.JdkCodec
