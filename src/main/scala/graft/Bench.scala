@@ -153,25 +153,45 @@ object Bench {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    val spread = results.map { case (k, ts) =>
-      "\"" + k + f"\":${if (ts.isEmpty) -1.0 else ts.max - ts.min}%.3f"
-    }.mkString("{", ",", "}")
-    val repCounts = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.size
-    }.mkString("{", ",", "}")
-    val longQs = meds.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = meds.map(_._2).filter(_ >= 0).sum
     // numeric sf parsed from the dir name ("sf0.1" -> 0.1); -1 if unparseable
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption).getOrElse(-1.0)
-    System.err.println(
-      f"""[bench-detail] {"queries":$longQs,"spread":$spread,"n":$repCounts,"reps":$reps,"sf":"$sfDir"}""")
+    System.err.println(detailLine(results, reps, sfDir))
     val line = renderLine(meds.map { case (k, v) => shortKey(k) -> v },
       total, reps, sfNum)
     require(line.length < StdoutBudget, s"bench JSON line too long: ${line.length}")
     println(line)
     active.stop()
+  }
+
+  /** The full-precision per-query detail line, printed to STDERR (the
+    * harness parses only the bounded stdout line — this one is for
+    * humans and round-over-round adjudication). Carries, per query:
+    * `queries` (3-decimal median), `min` (3-decimal min — the
+    * noise-robust comparator: three r16 same-code series spread 17%
+    * on medians while min-over-runs landed within ~1.1×, so
+    * cross-round "regression vs drift" calls read min first),
+    * `spread` (max−min), and `n` (successful rep count). -1 marks an
+    * all-reps failure.
+    */
+  def detailLine(results: Seq[(String, Vector[Double])], reps: Int,
+                 sfDir: String): String = {
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def field(f: Vector[Double] => Double): String =
+      results.map { case (k, ts) =>
+        "\"" + k + "\":" + f"${if (ts.isEmpty) -1.0 else f(ts)}%.3f"
+      }.mkString("{", ",", "}")
+    val longQs = field(median)
+    val mins = field(_.min)
+    val spread = field(ts => ts.max - ts.min)
+    val repCounts = results.map { case (k, ts) => "\"" + k + "\":" + ts.size }
+      .mkString("{", ",", "}")
+    s"""[bench-detail] {"queries":$longQs,"min":$mins,"spread":$spread,""" +
+      s""""n":$repCounts,"reps":$reps,"sf":"$sfDir"}"""
   }
 
   /** The stdout budget: the harness that collects this output keeps only

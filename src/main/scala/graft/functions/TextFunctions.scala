@@ -72,6 +72,57 @@ object TextFunctions {
       filter(transform(split(c, "\n"), l => stripHtml(l)), l => l =!= ""),
       "\n")
 
+  /** Block-level MAIN-CONTENT extraction — the trafilatura/jusText
+    * family reduced to integer-exact rules, as one codegen'd expression
+    * chain (no DOM, no UDF): [[stripHtml]] alone keeps nav bars,
+    * footers and sidebars, and line-frequency boilerplate removal only
+    * catches text repeated across the corpus sample — this operator
+    * judges each PAGE's blocks on their own structure.
+    *
+    *  1. page-level removals first (script/style/comments can span
+    *     block boundaries and must not leak into blocks);
+    *  2. block segmentation: every opening OR closing block-level tag
+    *     (div, p, h1-6, li/ul/ol/dl, table parts, section, article,
+    *     header, footer, nav, aside, main, blockquote, pre, form,
+    *     figure, hr, br, html/head/body/title) becomes a U+0001 separator;
+    *  3. per block: the [[stripHtml]]-normalized text and the SAME
+    *     normalization of the block's `<a>…</a>` inner text (so both
+    *     sides of the density ratio measure identical units);
+    *  4. keep a block iff its text carries at least `minChars` chars
+    *     AND `link_chars · 100 ≤ maxLinkPct · text_chars` — the link-
+    *     density rule (nav/footer blocks are mostly anchor text; body
+    *     prose is not). Integer comparisons only, so the DuckDB oracle
+    *     replays the chain verbatim (q160).
+    *
+    * Survivor blocks re-join with `\n` (one line per block — feeds the
+    * line-oriented curation chain directly). Scale: a scalar
+    * projection inside WholeStageCodegen over the scan — one pass, no
+    * shuffle, no decode state.
+    */
+  def extractMainContent(
+      html: Column, minChars: Int = 25, maxLinkPct: Int = 33): Column = {
+    require(minChars >= 1, "minChars must be positive")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100, "maxLinkPct in [0,100]")
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val marked = regexp_replace(noComment,
+      "(?is)</?(?:div|p|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+        "section|article|header|footer|nav|aside|main|blockquote|pre|form|" +
+        "fieldset|figure|figcaption|hr|br|html|head|body|title)\\b[^>]*>", "\u0001")
+    val blocks = split(marked, "\u0001")
+    val scored = transform(blocks, b =>
+      struct(
+        stripHtml(b).as("t"),
+        length(stripHtml(array_join(
+          regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
+          " "))).as("lc")))
+    val kept = filter(scored, s =>
+      length(s.getField("t")) >= minChars &&
+        s.getField("lc") * 100 <= lit(maxLinkPct) * length(s.getField("t")))
+    array_join(transform(kept, s => s.getField("t")), "\n")
+  }
+
   /** Token-windowed document chunks — the training-pipeline splitter:
     * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
     * stride = chunkTokens − overlap, the last chunk is length-capped,

@@ -2515,6 +2515,221 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // Trained language ID (multinomial LR over hashed features)
+  // ------------------------------------------------------------------
+
+  /** A trained multinomial language-ID model: per-(lang, bucket)
+    * weights (≤ |langs|·16^hexChars rows — broadcast-sized at any
+    * realistic language count) plus per-language biases. The trained
+    * successor of [[graft.functions.TextFunctions.langId]]'s
+    * 5-language stopword heuristic: CCNet-style curation runs 100+
+    * languages, and a linear model over hashed token features IS the
+    * published recipe (fastText langid = multinomial LR over hashed
+    * n-gram features).
+    */
+  final case class LangIdModel(
+      langs: Seq[String],
+      weights: DataFrame /* (lang, bucket, w) */,
+      biases: Map[String, Double],
+      hexChars: Int)
+
+  /** Train multinomial (softmax) logistic regression over the SAME
+    * hashed unigram+bigram feature space as the quality classifier
+    * ([[trainQualityClassifier]] — md5-prefix buckets, L1-normalized
+    * per doc), one weight vector per language, batch gradient descent.
+    *
+    * Distribution contract (the [[trainQualityClassifier]] posture,
+    * widened per class): the labeled feature frame is computed ONCE
+    * and persisted; each iteration fans features across languages via
+    * ONE broadcast join against the weight table, runs the per-doc
+    * softmax in a window over the doc id, and reduces gradients per
+    * (lang, bucket). The ONLY driver round-trips are the bounded
+    * gradient tables (≤ |langs|·16^hexChars weight rows + |langs|
+    * bias rows per iteration) and the one-time language inventory.
+    * Token-less docs carry no gradient. Floating-point reductions ⇒
+    * weights deterministic to reduction order, not bit-pinned — the
+    * gate is rows-only (q161) with the code-independent plain-Scala
+    * replica spec pinning the math (the q130 posture).
+    */
+  def trainLangId(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      idCol: String,
+      hexChars: Int = 2,
+      iters: Int = 30,
+      lr: Double = 2.0): LangIdModel = {
+    require(iters >= 1 && lr > 0)
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    // bounded collect: the label inventory IS the language set
+    val langs = labeled.select(col(labelCol).cast("string").as("lang"))
+      .filter(col("lang").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    require(langs.size >= 2, "trainLangId: need at least two languages")
+    val langsDf = langs.toDF("lang")
+    val labels = labeled.select(
+      cr(idCol).as("id"), col(labelCol).cast("string").as("y"))
+      .filter(col("y").isNotNull)
+    val normW = Window.partitionBy(col("id"))
+    val f = featureBuckets(labeled, textCol, idCol, hexChars)
+      .withColumn("x", col("m") / sum(col("m")).over(normW))
+      .join(labels, Seq("id"))
+      .select(col("id"), col("y"), col("bucket"), col("x"))
+      .persist()
+    val docs = f.select(col("id"), col("y")).distinct().persist()
+    val n = docs.count().toDouble
+    require(n > 0,
+      "trainLangId: no featured training documents — every labeled " +
+        "doc is token-less (a 0-doc gradient would 0/0 the updates)")
+    var biases = langs.map(_ -> 0.0).toMap
+    var weights = Map.empty[(String, String), Double] // (lang, bucket) -> w
+    for (_ <- 1 to iters) {
+      val wDf =
+        if (weights.isEmpty)
+          spark.createDataFrame(Seq.empty[(String, String, Double)])
+            .toDF("lang", "bucket", "w")
+        else weights.toSeq.map { case ((l, b), w) => (l, b, w) }
+          .toDF("lang", "bucket", "w")
+      val dots = f.join(broadcast(wDf), Seq("bucket"))
+        .groupBy(col("id"), col("lang"))
+        .agg(sum(col("x") * col("w")).as("dot"))
+      val biasCol = langs.foldLeft(lit(0.0)) { (acc, l) =>
+        when(col("lang") === l, lit(biases(l))).otherwise(acc)
+      }
+      // full (doc × lang) grid: iteration 1 has NO weight rows, and a
+      // language with all-zero dots must still get its softmax share
+      val z = docs.crossJoin(broadcast(langsDf))
+        .join(dots, Seq("id", "lang"), "left")
+        .select(col("id"), col("y"), col("lang"),
+          (coalesce(col("dot"), lit(0.0)) + biasCol).as("z"))
+      // softmax per doc, max-subtracted for numeric stability (exact:
+      // softmax is shift-invariant)
+      val errs = z
+        .withColumn("p",
+          exp(col("z") - max(col("z")).over(normW)) /
+            sum(exp(col("z") - max(col("z")).over(normW))).over(normW))
+        .select(col("id"), col("lang"),
+          (col("p") - when(col("y") === col("lang"), 1.0).otherwise(0.0))
+            .as("err"))
+        .persist()
+      // bounded driver handoffs: ≤ |langs|·16^hexChars + |langs| rows
+      val grads = f.join(errs, Seq("id"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg((sum(col("x") * col("err")) / n).as("g"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val biasGrads = errs.groupBy(col("lang"))
+        .agg((sum(col("err")) / n).as("g"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      errs.unpersist()
+      weights = (weights.keySet ++ grads.keySet).map { k =>
+        k -> (weights.getOrElse(k, 0.0) - lr * grads.getOrElse(k, 0.0))
+      }.toMap
+      biases = biases.map { case (l, b) =>
+        l -> (b - lr * biasGrads.getOrElse(l, 0.0))
+      }
+    }
+    f.unpersist(); docs.unpersist()
+    LangIdModel(
+      langs,
+      weights.toSeq.map { case ((l, b), w) => (l, b, w) }
+        .toDF("lang", "bucket", "w"),
+      biases, hexChars)
+  }
+
+  /** Identify each doc's language with a trained [[LangIdModel]]:
+    * per doc the softmax argmax over languages — `(id, lang, confidence)`
+    * with a deterministic tie-break (language ascending). One feature
+    * pass, one broadcast join against the capped weight table, one
+    * per-doc window — the [[scoreWithClassifier]] shape, streaming-
+    * deployable the same way. Token-less docs get the bias-only
+    * argmax (the prior), never a dropped row.
+    */
+  def langIdWith(
+      docs: DataFrame,
+      model: LangIdModel,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langsDf = broadcast(model.langs.toDF("lang"))
+    val biasCol = model.langs.foldLeft(lit(0.0)) { (acc, l) =>
+      when(col("lang") === l, lit(model.biases(l))).otherwise(acc)
+    }
+    val normW = Window.partitionBy(col("id"))
+    val dots = featureBuckets(docs, textCol, idCol, model.hexChars)
+      .withColumn("x", col("m") / sum(col("m")).over(normW))
+      .join(broadcast(model.weights), Seq("bucket"))
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("x") * col("w")).as("dot"))
+    val z = docs.select(cr(idCol).as("id")).crossJoin(langsDf)
+      .join(dots, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"),
+        (coalesce(col("dot"), lit(0.0)) + biasCol).as("z"))
+    val p = exp(col("z") - max(col("z")).over(normW)) /
+      sum(exp(col("z") - max(col("z")).over(normW))).over(normW)
+    val rk = Window.partitionBy(col("id"))
+      .orderBy(col("confidence").desc, col("lang"))
+    z.withColumn("confidence", p)
+      .withColumn("_rk", row_number().over(rk))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("lang"), col("confidence"))
+  }
+
+  /** Persist a trained [[LangIdModel]] as ONE versioned snapshot table
+    * (the [[saveClassifier]] posture, keyed per language): weight rows
+    * `(lang, bucket, w)` plus reserved `__bias__` rows per language
+    * and one `__hex_chars__` row — a version is ATOMIC across every
+    * language's components. Returns the published version.
+    */
+  def saveLangIdModel(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      model: LangIdModel): Int = {
+    import spark.implicits._
+    val rows = model.weights
+      .select(col("lang").cast("string"), col("bucket").cast("string"),
+        col("w").cast("double"))
+      .unionByName(model.biases.toSeq
+        .map { case (l, b) => (l, "__bias__", b) }
+        .toDF("lang", "bucket", "w"))
+      .unionByName(Seq(("__meta__", "__hex_chars__", model.hexChars.toDouble))
+        .toDF("lang", "bucket", "w"))
+    graft.sink.Snapshots.publish(spark, warehouse, table, rows)
+  }
+
+  /** Load a persisted language-ID model (current version, or pinned)
+    * back into the [[LangIdModel]] form [[langIdWith]] consumes. Only
+    * the bounded bias/meta rows are collected; the weight frame stays
+    * a parquet scan broadcast at score time.
+    */
+  def loadLangIdModel(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String,
+      table: String,
+      version: Int = -1): LangIdModel = {
+    val df =
+      if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
+      else graft.sink.Snapshots.version(spark, warehouse, table, version)
+    val meta = df.filter(col("bucket").startsWith("__")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val hexChars = meta.getOrElse(("__meta__", "__hex_chars__"),
+      throw new IllegalStateException(
+        s"$table: missing __hex_chars__ row")).toInt
+    val biases = meta.collect {
+      case ((l, "__bias__"), b) => l -> b
+    }
+    require(biases.nonEmpty, s"$table: no __bias__ rows found")
+    LangIdModel(
+      biases.keys.toIndexedSeq.sorted,
+      df.filter(!col("bucket").startsWith("__"))
+        .select("lang", "bucket", "w"),
+      biases, hexChars)
+  }
+
+  // ------------------------------------------------------------------
   // Byte-pair encoding (Sennrich et al., ACL 2016)
   // ------------------------------------------------------------------
 
@@ -2890,7 +3105,10 @@ object Corpus {
     val df =
       if (version < 0) graft.sink.Snapshots.current(spark, warehouse, table)
       else graft.sink.Snapshots.version(spark, warehouse, table, version)
-    val n = df.agg(max(col("k"))).head().getInt(0)
+    // max(k) over an EMPTY snapshot is null — fold that into the
+    // friendly error instead of letting getInt throw an NPE
+    val maxK = df.agg(max(col("k"))).head()
+    val n = if (maxK.isNullAt(0)) 0 else maxK.getInt(0)
     require(n >= 1, s"$table: no order rows found")
     val orders = (1 to n).map { k =>
       df.filter(col("k") === k).select(

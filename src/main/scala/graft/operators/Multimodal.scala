@@ -644,19 +644,17 @@ object Multimodal {
     * transitive survivor selection. Undecodable images never pair.
     *
     * Scale: one decode scan + the banded self-join on chunk buckets —
-    * the identical shuffle shape as simhash text dedup, so the same
-    * hot-bucket reasoning applies (near-constant images concentrate in
-    * few buckets; the chunked join spreads the quadratic work across
-    * tasks).
+    * the identical shuffle shape as text simhash dedup, with the same
+    * flood guards ([[Dedup.simhashPairs]]'s identity pre-collapse and
+    * bucket valve): distinct solid-color images all dHash to one
+    * constant, so identical-fingerprint floods are endemic on natural
+    * crawls — oversized identity groups emit star edges instead of the
+    * clique, hot chunk buckets drop. No cache here: simhashPairs
+    * caches its identity-annotated frame, so each image decodes once.
     */
   def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(
-      // cache: both sides of the banded self-join re-read the
-      // fingerprints; uncached, every image decodes twice (the
-      // simhashNearDups rationale — caller releases via
-      // Caches.release())
-      graft.ops.Caches.owned(
-        imageFingerprints(media).filter(col("fp").isNotNull)),
+      imageFingerprints(media).filter(col("fp").isNotNull),
       maxHamming)
 
   /** Audio perceptual fingerprint pass — [[JdkCodec.audioHash64]] per
@@ -677,12 +675,14 @@ object Multimodal {
     * ([[Dedup.simhashPairs]]); re-encoded / re-leveled copies of a
     * clip pair, structurally different audio doesn't. Emits
     * `(id_a, id_b, hamming)`; compose [[Dedup.clusters]] for
-    * survivors.
+    * survivors. Flood guards apply (the [[imageNearDups]] note): every
+    * silent / near-silent clip energy-hashes to the sign-of-zero-delta
+    * constant, so the identity pre-collapse is what keeps a quiet-clip
+    * flood linear.
     */
   def audioNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(
-      graft.ops.Caches.owned(
-        audioFingerprints(media).filter(col("fp").isNotNull)),
+      audioFingerprints(media).filter(col("fp").isNotNull),
       maxHamming)
 
   private val audioSchema = StructType(Seq(
@@ -898,43 +898,74 @@ object Multimodal {
     * (the simhash hot-bucket reasoning applies per FRAME), then a
     * groupBy on video pairs whose input is already pair-pruned by the
     * banding — the evidence aggregation shuffles only qualifying
-    * frame pairs, never the frame population. Requires non-negative
-    * `media_id` (the composite key is `media_id * k + frame_idx`).
+    * frame pairs, never the frame population. `maxFrameDf` is the
+    * boilerplate-frame guard (see [[frameEvidencePairs]]): fade-to-
+    * black and solid-color frames are shared by unbounded numbers of
+    * DISTINCT videos on natural crawls and carry no dup evidence.
+    * Requires `0 ≤ media_id ≤ Long.MaxValue / k` (the composite key is
+    * `media_id * k + frame_idx`; out-of-range ids raise).
     */
   def videoNearDups(
       media: DataFrame,
       k: Int = 8,
       maxHamming: Int = 3,
       minMatches: Int = 2,
-      allowStandIn: Boolean = false): DataFrame = {
+      allowStandIn: Boolean = false,
+      maxFrameDf: Int = 100): DataFrame = {
     require(k > 0, "k must be positive")
     frameEvidencePairs(
       videoFingerprints(media, k, allowStandIn), k.toLong,
-      maxHamming, minMatches)
+      maxHamming, minMatches, maxFrameDf)
   }
 
   /** The shared frame/segment-evidence near-dup core: `(media_id,
-    * frame_idx, fp)` rows → pigeonhole-banded hamming pairs over
-    * composite `media_id·stride + frame_idx` keys → per-media-pair
-    * evidence count ≥ `minMatches`. `stride` must exceed every
-    * `frame_idx`; composite `id_a < id_b` with distinct media ids
-    * implies `id_a < id_b` on the media ids (frame_idx < stride), so
-    * the emitted pairs keep the `id_a < id_b` convention. Requires
-    * non-negative `media_id`.
+    * frame_idx, fp)` rows → document-frequency frame cap →
+    * pigeonhole-banded hamming pairs over composite
+    * `media_id·stride + frame_idx` keys → per-media-pair evidence
+    * count ≥ `minMatches`. `stride` must exceed every `frame_idx`;
+    * composite `id_a < id_b` with distinct media ids implies
+    * `id_a < id_b` on the media ids (frame_idx < stride), so the
+    * emitted pairs keep the `id_a < id_b` convention.
+    *
+    * COMPOSITE-KEY CONTRACT: requires `0 ≤ media_id ≤
+    * Long.MaxValue / stride` — a larger id would overflow the
+    * composite key and silently scramble the banding and the
+    * `id_a < id_b` / media-division invariants, so out-of-range ids
+    * RAISE (a codegen'd guard in the composite projection, not a
+    * silent wrap).
+    *
+    * BOILERPLATE-FRAME GUARD (`maxFrameDf`): a fingerprint carried by
+    * more than `maxFrameDf` DISTINCT media is structure, not dup
+    * evidence — fade-to-black frames, solid title cards, silence
+    * segments appear across unbounded numbers of unrelated items, and
+    * counting them as evidence both floods the pair join (quadratic in
+    * the flood size) and mis-links unrelated media. Frames over the
+    * cap are dropped before banding (the stopword rationale of
+    * [[Dedup.minhashCandidates]]' `maxBucket`). Below the cap the
+    * evidence count stays EXACT: the df bound caps every identity
+    * group at `maxFrameDf · stride` rows, so [[Dedup.simhashPairs]]'
+    * identity pre-collapse (which would undercount evidence) is
+    * DISABLED here (`maxIdentity = Int.MaxValue` — it could never
+    * engage on surviving frames, so its window shuffle would be pure
+    * overhead). Pass `Int.MaxValue` to disable the df cap itself.
     */
   private def frameEvidencePairs(
       frames: DataFrame,
       stride: Long,
       maxHamming: Int,
-      minMatches: Int): DataFrame = {
+      minMatches: Int,
+      maxFrameDf: Int = 100): DataFrame = {
     require(minMatches > 0, "minMatches must be positive")
-    // cache: both sides of the banded self-join re-read the
-    // fingerprints; uncached, every item decodes twice (caller
+    // cache: the frame table feeds both the df aggregation and the
+    // pair path; uncached, every item demuxes+decodes twice (caller
     // releases via Caches.release())
-    val composite = graft.ops.Caches.owned(
-      frames.select(
-        (col("media_id") * stride + col("frame_idx")).as("id"), col("fp")))
-    Dedup.simhashPairs(composite, maxHamming)
+    val f = graft.ops.Caches.owned(
+      frames.select(col("media_id"), col("frame_idx"), col("fp")))
+    val composite = compositeFrameKeys(frameDfCap(f, maxFrameDf), stride)
+    // Int.MaxValue = skip the identity window entirely: the df cap
+    // bounds every surviving identity group at maxFrameDf·stride, so
+    // the pre-collapse could never engage — don't pay its shuffle
+    Dedup.simhashPairs(composite, maxHamming, maxIdentity = Int.MaxValue)
       .select(
         expr(s"id_a DIV $stride").as("vid_a"),
         expr(s"id_b DIV $stride").as("vid_b"))
@@ -944,6 +975,46 @@ object Multimodal {
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatches)
       .select(col("id_a"), col("id_b"), col("n_matched"))
+  }
+
+  /** The boilerplate-frame guard shared by the batch
+    * ([[frameEvidencePairs]]) and streaming
+    * ([[graft.streaming.Streams]] frame-evidence admission) paths:
+    * drops `(media_id, frame_idx, fp)` rows whose fingerprint is
+    * carried by more than `maxFrameDf` DISTINCT media (see the
+    * [[frameEvidencePairs]] scaladoc for why such frames are structure,
+    * not evidence). One groupBy + semi-join on `fp`.
+    */
+  private[graft] def frameDfCap(frames: DataFrame, maxFrameDf: Int): DataFrame = {
+    require(maxFrameDf >= 1, "maxFrameDf must be positive")
+    val kept = frames.groupBy(col("fp"))
+      .agg(count_distinct(col("media_id")).as("_df"))
+      .filter(col("_df") <= maxFrameDf)
+      .select(col("fp"))
+    frames.join(kept, Seq("fp"), "left_semi")
+  }
+
+  /** Guarded composite-key projection shared by the batch and
+    * streaming frame-evidence paths: `(media_id, frame_idx, fp)` →
+    * `(id = media_id·stride + frame_idx, fp)`, RAISING on any
+    * `media_id` outside `[0, Long.MaxValue / stride]` — an
+    * out-of-range id would overflow the composite key and silently
+    * scramble the banding and the `id_a < id_b` / media-division
+    * invariants, so the contract is enforced in the projection itself
+    * (a codegen'd `when`/`raise_error`, zero cost on valid rows).
+    */
+  private[graft] def compositeFrameKeys(frames: DataFrame, stride: Long): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val maxId = Long.MaxValue / stride
+    frames.select(
+      when(col("media_id") < 0 || col("media_id") > maxId,
+        raise_error(concat(
+          lit(s"media_id out of composite-key range [0, $maxId] " +
+            s"for stride $stride: "), col("media_id").cast("string"))
+        ).cast("long"))
+        .otherwise(col("media_id") * stride + col("frame_idx"))
+        .as("id"),
+      col("fp"))
   }
 
   /** Per-segment energy fingerprints of LONG audio —
@@ -980,15 +1051,32 @@ object Multimodal {
     * pair on their shared leading segments while one coincidental
     * segment cannot pair unrelated clips. Emits `(id_a, id_b,
     * n_matched)`, `id_a < id_b`; compose [[Dedup.clusters]] for
-    * survivors. Requires non-negative `media_id`.
+    * survivors. Requires `0 ≤ media_id ≤ Long.MaxValue / maxSegments`
+    * (the composite-key contract; out-of-range ids raise).
+    * `maxFrameDf` drops segments shared by more media than the cap —
+    * silence segments are the audio boilerplate
+    * ([[frameEvidencePairs]]).
+    *
+    * SHORT-CLIP LIMIT: a clip yielding fewer than `minMatches`
+    * complete segments (shorter than `minMatches · segSamples`
+    * samples) can NEVER accumulate enough evidence on this path — an
+    * EXACT duplicate of a one-segment clip reaches evidence 1 < the
+    * default floor of 2 and is admitted. That is the deliberate flip
+    * side of "one coincidental segment cannot pair unrelated clips":
+    * the evidence floor cannot distinguish a short clip's only segment
+    * from a long clip's coincidental one. Route short clips through
+    * the whole-clip [[audioNearDups]] (one fingerprint over ALL
+    * samples — exact-length identity, no floor) and reserve this path
+    * for clips of at least `minMatches` full segments.
     */
   def audioNearDupsWindowed(
       media: DataFrame,
       segSamples: Int = 65536,
       maxSegments: Int = 64,
       maxHamming: Int = 3,
-      minMatches: Int = 2): DataFrame =
+      minMatches: Int = 2,
+      maxFrameDf: Int = 100): DataFrame =
     frameEvidencePairs(
       audioFingerprintWindows(media, segSamples, maxSegments),
-      maxSegments.toLong, maxHamming, minMatches)
+      maxSegments.toLong, maxHamming, minMatches, maxFrameDf)
 }

@@ -528,6 +528,46 @@ object Extensions {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The hamming-banding FLOOD GUARDS, oracle-checked end-to-end (the
+    * q31 posture, over guard-ENGAGING planted fingerprints): identity
+    * pre-collapse (doc_id%5==0 plants one constant fingerprint on N/5
+    * docs — far over maxIdentity=16, so the engine must emit min-id
+    * STAR EDGES, not the clique), small-group cliques (%5==1: groups
+    * of 10 identical fps per doc_id÷50, under the cap — the exact
+    * enumeration survives wherever the group's chunk-0 bucket stays
+    * cold), cold-first-chunk near pairs (%5==2:
+    * each decade's {2,7} pair differs in chunk-0 bit 0 and first
+    * agrees in the cold per-decade chunk-1 bucket — emitted at
+    * hamming 1), and a hot near-miss bucket (%5==3: N/5 docs share
+    * chunk-0 value 0xBEEF > maxBucket=16; each decade's {3,8} pair
+    * differs by 3 bits of chunk 1 and FIRST agrees in the hot chunk-0
+    * bucket — lost under the strict first-agreeing-chunk rule).
+    * %5==4 plants spread singletons. The oracle replays the GENERAL
+    * rules in SQL — identity groups, stars, 16-bit banding, bucket
+    * census, first-equal-chunk + survival — so every cross-class
+    * coincidence is computed identically on both sides.
+    */
+  def qD11SimhashGuards(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val m = col("doc_id") % 5
+    val fp =
+      when(m === 0, lit(72340172838076673L)) // 0x0101010101010101
+        .when(m === 1, lit(0x4000000000000000L) +
+          expr("doc_id div 50") * 65537L)
+        .when(m === 2, lit(0x2000000000000000L) +
+          expr("doc_id div 10") * 65536L +
+          when(col("doc_id") % 10 === 7, 1L).otherwise(0L))
+        .when(m === 3, lit(0x1000000000000000L) + lit(48879L) +
+          expr("doc_id div 10").bitwiseXOR(
+            when(col("doc_id") % 10 === 8, 7L).otherwise(0L)) * 65536L)
+        .otherwise(lit(0x0800000000000000L) +
+          col("doc_id") * 65536L + col("doc_id"))
+    Dedup.simhashPairs(
+      docs.select(col("doc_id").as("id"), fp.as("fp")),
+      maxHamming = 3, maxIdentity = 16, maxBucket = 16)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash near-dups over the real document TEXT (rows-only: the
     * text→fingerprint step is Spark-Murmur3-based, not SQL-expressible;
     * the pair machinery is oracle-checked by q31 and the fingerprint
@@ -1091,6 +1131,17 @@ object Extensions {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Media kNN over REAL decoded luma histograms, ORACLE-checked (the
+    * planted-closed-form posture, upgraded from rows-only): every
+    * synthetic image is solid gray g = id%256, so its 16-bucket
+    * normalized luma histogram is EXACTLY the one-hot vector at bucket
+    * g/16 — cosine against the id=0 query (bucket 0) is exactly 1.0
+    * for same-bucket ids and 0.0 otherwise, float-exact in both
+    * engines, and the (sim desc, id asc) tie-break makes the top-10
+    * closed-form in doc_id. Exact equality proves the decode →
+    * histogram → normalize → cosine → top-k chain recovered every
+    * one-hot identity.
+    */
   def qM2MediaKnn(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.syntheticImages(s, documents(s, d), "doc_id")
     val feats = Multimodal.featurize(media, dim = 16)
@@ -2350,6 +2401,74 @@ object Extensions {
         TextFunctions.stripHtml(col("html")).as("text"))
       .orderBy(col("doc_id"))
 
+  /** Block-level MAIN-CONTENT extraction, ORACLE-checked end-to-end
+    * (the q113 posture, upgraded from tag-strip to block scoring):
+    * every doc renders as a full page with a link-saturated nav, a
+    * short heading, the real text in a content div, a sub-minChars
+    * stub, a sponsored aside, and a linky footer. extractMainContent
+    * must keep exactly the blocks whose text mass and link density
+    * clear the integer thresholds (the body div; nav/aside/footer die
+    * on link density, heading/stub on minChars — except where a doc's
+    * own text is under minChars, which the oracle reproduces since it
+    * replays the GENERAL rules, not the intent). The DuckDB replica
+    * runs the character-identical regex chain per block.
+    */
+  def qT17MainContent(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><title>Page</title><script>nav(); var x = 1 < 2;" +
+          "</script><style>nav { color: blue }</style></head><body>" +
+          "<nav><a href=\"/\">Homepage and Welcome</a> " +
+          "<a href=\"/about\">About the Project Team</a> " +
+          "<a href=\"/contact\">Contact and Support</a></nav><h1>"),
+        col("source"),
+        lit(" bulletin</h1><div class=\"content\">"),
+        col("text"),
+        lit("</div><p>Tiny.</p><aside><a href=\"/ads\">Sponsored offers " +
+          "and deals</a> click now</aside>" +
+          "<footer><a href=\"/privacy\">Privacy Policy</a> " +
+          "<a href=\"/tos\">Terms of Service</a> (c) Example Corp</footer>" +
+          "</body></html>")).as("html"))
+      .select(col("doc_id"),
+        TextFunctions.extractMainContent(col("html")).as("main"))
+      .orderBy(col("doc_id"))
+
+  /** TRAINED language ID end-to-end (rows-only: iterative multinomial
+    * gradient descent is driver-side control flow, not one SQL query,
+    * and softmax confidences are transcendental — the q130 posture;
+    * the GD math is pinned by CorpusSpec's code-independent
+    * plain-Scala replica and the planted-vocabulary closed-form
+    * cases). Plants a three-language corpus with doc_id-keyed
+    * vocabularies, trains on the even half, identifies the odd half —
+    * exercising train → argmax-score over held-out docs, the exact
+    * CCNet-shaped deployment the stopword heuristic (q25) cannot
+    * reach beyond its five hardcoded languages.
+    */
+  def qC27LangIdTrained(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val lang = expr(
+      "CASE doc_id % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc' END")
+    def vocab(words: Seq[String]): Column =
+      concat_ws(" ", (0 until 8).map(i =>
+        element_at(
+          array(words.map(lit): _*),
+          ((col("doc_id") * 7 + i * 3) % words.size + 1).cast("int"))): _*)
+    val text = when(col("doc_id") % 3 === 0,
+      vocab(Seq("alpha", "arbor", "anchor", "amber", "apex", "argon")))
+      .when(col("doc_id") % 3 === 1,
+        vocab(Seq("birch", "basalt", "beacon", "bramble", "bisque", "borax")))
+      .otherwise(
+        vocab(Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress")))
+    val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
+    val model = graft.operators.Corpus.trainLangId(
+      corpus.filter(col("doc_id") % 2 === 0), "text", "lang", "doc_id",
+      iters = 12)
+    graft.operators.Corpus.langIdWith(
+      corpus.filter(col("doc_id") % 2 =!= 0), model, "text", "doc_id")
+      .orderBy(col("id"))
+  }
+
   /** Per-source quota cap: at most 10 docs per source, chosen by md5
     * order — deterministic and stable under corpus growth.
     */
@@ -3108,7 +3227,10 @@ object Extensions {
     "q155_blocked_urls" -> qC33BlockedUrls _,
     "q156_audio_near_dups" -> qM6AudioNearDups _,
     "q157_warc_ingest" -> qS9WarcIngest _,
-    "q158_video_near_dups" -> qM7VideoNearDups _)
+    "q158_video_near_dups" -> qM7VideoNearDups _,
+    "q159_simhash_guards" -> qD11SimhashGuards _,
+    "q160_main_content" -> qT17MainContent _,
+    "q161_langid_trained" -> qC27LangIdTrained _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3222,6 +3344,131 @@ object Extensions {
            FROM rec r JOIN x s ON s.shard = r.shard AND s.rn = r.rn + 1)
          SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tokens, bin, "off"
          FROM rec ORDER BY doc_id""") +
+    // q159: the flood-guard machinery replayed as GENERAL SQL rules —
+    // planted fps from doc_id, identity groups via min/count, star
+    // edges for groups over maxIdentity=16, 16-bit chunk census,
+    // brute-force candidate pairs annotated with their FIRST agreeing
+    // chunk, kept iff that chunk's bucket holds <= maxBucket=16 rows.
+    // Any construction coincidence lands identically on both sides
+    // because both implement the rules, not the intent.
+    ("q159_simhash_guards" ->
+      """WITH fp AS (
+           SELECT doc_id AS id,
+             CASE doc_id % 5
+               WHEN 0 THEN 72340172838076673
+               WHEN 1 THEN 4611686018427387904 + (doc_id // 50) * 65537
+               WHEN 2 THEN 2305843009213693952 + (doc_id // 10) * 65536
+                 + CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END
+               WHEN 3 THEN 1152921504606846976 + 48879
+                 + xor(doc_id // 10,
+                     CASE WHEN doc_id % 10 = 8 THEN 7 ELSE 0 END) * 65536
+               ELSE 576460752303423488 + doc_id * 65536 + doc_id
+             END AS fp
+           FROM documents),
+         g AS (SELECT fp, min(id) AS rep, count(*) AS n FROM fp GROUP BY fp),
+         star AS (
+           SELECT g.rep AS id_a, f.id AS id_b, 0 AS hamming
+           FROM fp f JOIN g ON f.fp = g.fp
+           WHERE g.n > 16 AND f.id <> g.rep),
+         band_in AS (
+           SELECT f.id, f.fp FROM fp f JOIN g ON f.fp = g.fp
+           WHERE g.n <= 16 OR f.id = g.rep),
+         ch AS (
+           SELECT id, (fp >> (16 * c)) & 65535 AS v, c
+           FROM band_in CROSS JOIN (VALUES (0), (1), (2), (3)) t(c)),
+         bs AS (SELECT c, v, count(*) AS n FROM ch GROUP BY 1, 2),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.fp, b.fp)) AS hamming,
+             CASE WHEN (xor(a.fp, b.fp) & 65535) = 0 THEN 0
+                  WHEN ((xor(a.fp, b.fp) >> 16) & 65535) = 0 THEN 1
+                  WHEN ((xor(a.fp, b.fp) >> 32) & 65535) = 0 THEN 2
+                  ELSE 3 END AS fc,
+             a.fp AS fpa
+           FROM band_in a JOIN band_in b ON a.id < b.id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+       SELECT id_a, id_b, hamming FROM (
+         SELECT c2.id_a, c2.id_b, c2.hamming
+         FROM cand c2 JOIN bs
+           ON bs.c = c2.fc AND bs.v = (c2.fpa >> (16 * c2.fc)) & 65535
+         WHERE bs.n <= 16
+         UNION ALL
+         SELECT id_a, id_b, hamming FROM star)
+       ORDER BY id_a, id_b""") +
+    // q39: the solid-gray construction makes each decoded 16-bucket
+    // luma histogram the one-hot vector at (id%256)//16, so cosine vs
+    // the id=0 query is exactly 1.0 (same bucket) or 0.0 — the top-10
+    // under the (sim desc, id asc) tie-break is closed-form.
+    ("q39_media_knn" ->
+      """SELECT doc_id AS media_id,
+           CAST(CASE WHEN (doc_id % 256) // 16 = 0 THEN 1.0 ELSE 0.0 END
+             AS DOUBLE) AS sim
+         FROM documents WHERE doc_id <> 0
+         ORDER BY sim DESC, media_id
+         LIMIT 10""") +
+    // q160: the block scorer's whole chain — page-level removals, the
+    // chr(1) block segmentation, the per-block stripHtml chain (text
+    // AND anchor-text sides), and the integer minChars/link-density
+    // keep rule — replayed character-identically in DuckDB.
+    ("q160_main_content" -> {
+      // the q113 stripHtml chain around an arbitrary SQL expression
+      def strip(e: String): String = {
+        val steps = Seq(
+          ("""(?is)<script\b[^>]*>.*?</script\s*>""", " "),
+          ("""(?is)<style\b[^>]*>.*?</style\s*>""", " "),
+          ("""(?s)<!--.*?-->""", " "),
+          ("""(?s)<[^>]*>""", " "),
+          ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+          ("&quot;", "\""), ("&#39;", "''"), ("&amp;", "&"),
+          ("""\s+""", " "))
+        val chain = steps.foldLeft(e) { case (acc, (pat, rep)) =>
+          s"regexp_replace($acc, '$pat', '$rep', 'g')"
+        }
+        s"trim($chain)"
+      }
+      val blockPat = """(?is)</?(?:div|p|h[1-6]|li|ul|ol|dl|dt|dd|table|""" +
+        """thead|tbody|tr|td|th|section|article|header|footer|nav|aside|""" +
+        """main|blockquote|pre|form|fieldset|figure|figcaption|hr|br|""" +
+        """html|head|body|title)\b[^>]*>"""
+      val pre =
+        """regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g')"""
+      // coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+      // where Spark's array_join is '' — normalize to Spark's
+      val linkJoin =
+        """coalesce(array_to_string(regexp_extract_all(b, """ +
+          """'(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ' '), '')"""
+      s"""WITH h AS (SELECT doc_id,
+             '<html><head><title>Page</title><script>nav(); var x = 1 < 2;' ||
+             '</script><style>nav { color: blue }</style></head><body>' ||
+             '<nav><a href="/">Homepage and Welcome</a> ' ||
+             '<a href="/about">About the Project Team</a> ' ||
+             '<a href="/contact">Contact and Support</a></nav><h1>' ||
+             source || ' bulletin</h1><div class="content">' || text ||
+             '</div><p>Tiny.</p><aside><a href="/ads">Sponsored offers ' ||
+             'and deals</a> click now</aside>' ||
+             '<footer><a href="/privacy">Privacy Policy</a> ' ||
+             '<a href="/tos">Terms of Service</a> (c) Example Corp</footer>' ||
+             '</body></html>' AS html
+           FROM documents),
+         blk AS (SELECT doc_id,
+             string_split(regexp_replace($pre, '$blockPat', chr(1), 'g'),
+               chr(1)) AS bs
+           FROM h),
+         sc AS (SELECT doc_id,
+             list_transform(bs, b -> struct_pack(
+               t := ${strip("b")},
+               lc := len(${strip(linkJoin)}))) AS scored
+           FROM blk)
+       SELECT doc_id,
+         coalesce(array_to_string(list_transform(
+           list_filter(scored, s -> len(s.t) >= 25 AND
+             s.lc * 100 <= 33 * len(s.t)),
+           s -> s.t), chr(10)), '') AS main
+       FROM sc ORDER BY doc_id"""
+    }) +
     ("q152_image_near_dups" -> plantedCodeHammingSql) +
     // q156 plants the SAME codes through the AUDIO decode path (coded
     // WAV envelopes instead of coded PNG pixels): the planted truth

@@ -143,7 +143,27 @@ object Snapshots {
       warehouse: String,
       table: String,
       df: DataFrame,
-      batchId: Long): Int = {
+      batchId: Long): Int =
+    publishBatch(spark, warehouse, table, df, batchId, retain = 0)
+
+  /** [[publishBatch]] with a RETENTION CAP: after a successful (non-
+    * replay) publish, prune to the newest `retain` versions via
+    * [[keepLast]]. A long-running stream publishes a version PER
+    * MICRO-BATCH — unbounded, that is unbounded version-dir and
+    * parquet growth; `retain` bounds it at the source. `retain = 0`
+    * keeps everything (the historical behavior). [[keepLast]]'s
+    * safety set applies: `_CURRENT`, pinned versions, and the batch
+    * chain's head are never dropped, so replay detection and the
+    * moving head survive any cap.
+    */
+  def publishBatch(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      df: DataFrame,
+      batchId: Long,
+      retain: Int): Int = {
+    require(retain >= 0, "retain must be >= 0 (0 = keep everything)")
     val fs = fsOf(spark, warehouse)
     val dir = tableDir(warehouse, table)
     val vs = versions(spark, warehouse, table)
@@ -162,7 +182,71 @@ object Snapshots {
         (!fs.exists(cur) || currentVersion(spark, warehouse, table) != v))
         flipPointer(fs, dir, table, v)
       v
-    } else publish(spark, warehouse, table, df, Some(batchId))
+    } else {
+      val v = publish(spark, warehouse, table, df, Some(batchId))
+      if (retain > 0) keepLast(spark, warehouse, table, retain)
+      v
+    }
+  }
+
+  /** Mark a version retained regardless of any retention policy (a
+    * `_PINNED` marker in the version dir — "this is the corpus model X
+    * trained on"). Idempotent.
+    */
+  def pin(spark: SparkSession, warehouse: String, table: String, v: Int): Unit = {
+    val fs = fsOf(spark, warehouse)
+    val vdir = new Path(tableDir(warehouse, table), s"v=$v")
+    require(fs.exists(vdir), s"$table v$v does not exist")
+    val out = fs.create(new Path(vdir, "_PINNED"), true)
+    try out.write(Array.empty[Byte]) finally out.close()
+  }
+
+  /** Remove a version's `_PINNED` marker. Idempotent. */
+  def unpin(spark: SparkSession, warehouse: String, table: String, v: Int): Unit = {
+    val fs = fsOf(spark, warehouse)
+    fs.delete(new Path(tableDir(warehouse, table), s"v=$v/_PINNED"), false)
+  }
+
+  /** Whether a version carries the `_PINNED` marker. */
+  def isPinned(spark: SparkSession, warehouse: String, table: String, v: Int): Boolean =
+    fsOf(spark, warehouse)
+      .exists(new Path(tableDir(warehouse, table), s"v=$v/_PINNED"))
+
+  /** Delete published versions strictly older than `before`, EXCEPT the
+    * protected set — `_CURRENT`'s target (readers of the moving head
+    * must never lose their data under them), any `_PINNED` version, and
+    * the batch chain's head (the newest `_BATCH`-bearing version:
+    * dropping it would blind [[publishBatch]]'s replay detection and a
+    * restarted stream would republish its last batch as a duplicate
+    * version). Protected versions are SKIPPED, not errors — retention
+    * is a sweep, not a transaction. Returns the versions deleted.
+    */
+  def pruneBefore(
+      spark: SparkSession, warehouse: String, table: String, before: Int): Seq[Int] = {
+    val fs = fsOf(spark, warehouse)
+    val dir = tableDir(warehouse, table)
+    val vs = versions(spark, warehouse, table)
+    if (vs.isEmpty) return Seq.empty
+    val cur = currentVersion(spark, warehouse, table)
+    val chainHead = vs.reverseIterator
+      .find(v => batchOf(fs, dir, v).isDefined)
+    val victims = vs.filter(v => v < before && v != cur &&
+      !chainHead.contains(v) && !isPinned(spark, warehouse, table, v))
+    victims.foreach(v => fs.delete(new Path(dir, s"v=$v"), true))
+    victims
+  }
+
+  /** Retain the newest `n` versions (plus [[pruneBefore]]'s protected
+    * set); delete the rest. The `publishBatch(retain = n)` cap calls
+    * this after every publish, so a long-running stream holds a
+    * bounded version history. Returns the versions deleted.
+    */
+  def keepLast(
+      spark: SparkSession, warehouse: String, table: String, n: Int): Seq[Int] = {
+    require(n >= 1, "must keep at least one version")
+    val vs = versions(spark, warehouse, table)
+    if (vs.size <= n) Seq.empty
+    else pruneBefore(spark, warehouse, table, vs(vs.size - n))
   }
 
   /** Published version numbers, ascending. */

@@ -843,14 +843,19 @@ object Streams {
       mediaType: String = "image"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (64-bit pigeonhole chunks), got $maxHamming")
+    // validated at writer construction, not inside the first
+    // micro-batch: a typo'd mediaType must fail here, not as a
+    // streaming-query error minutes later
+    val fingerprint: DataFrame => DataFrame = mediaType match {
+      case "image" => graft.operators.Multimodal.imageFingerprints _
+      case "audio" => graft.operators.Multimodal.audioFingerprints _
+      case other => throw new IllegalArgumentException(
+        s"mediaType must be image|audio, got '$other'")
+    }
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val fps = (mediaType match {
-        case "image" => graft.operators.Multimodal.imageFingerprints(batch)
-        case "audio" => graft.operators.Multimodal.audioFingerprints(batch)
-        case other => throw new IllegalArgumentException(
-          s"mediaType must be image|audio, got '$other'")
-      }).persist() // consumed by both probes + freshIds + ledger rows
+      val fps = fingerprint(batch)
+        .persist() // consumed by both probes + freshIds + ledger rows
       try {
         val ledgerSchema = StructType(Seq(
           StructField("media_id", LongType),
@@ -859,10 +864,20 @@ object Streams {
         val ledgerFps = readLedger(spark, ledgerDir, ledgerSchema, batchId)
           .select(col("media_id").as("id"), col("fp"))
         val nn = fps.filter(col("fp").isNotNull).select(col("id"), col("fp"))
+        // the drop rule is pure existence ("does a lower-id batch item /
+        // ANY prior item sit within maxHamming"), so the flood guards
+        // are exact here: simhashPairs' identity star edges preserve
+        // the within-batch rule, and collapsing equal PRIOR
+        // fingerprints to one representative (a mass-duplicated corpus
+        // would otherwise be a permanent hot bucket probed every
+        // micro-batch) cannot change whether a probe matches
         val inBatchDropped = graft.operators.Dedup.simhashPairs(nn, maxHamming)
           .select(col("id_b").as("media_id")).distinct()
         val vsPriorDropped = graft.operators.Dedup.simhashCrossPairs(
-          nn, corpusFps.unionByName(ledgerFps), maxHamming)
+          nn,
+          graft.operators.Dedup.collapseIdentityFps(
+            corpusFps.unionByName(ledgerFps)),
+          maxHamming)
           .select(col("id_a").as("media_id")).distinct()
         val freshIds = fps.select(col("id").as("media_id"))
           .join(inBatchDropped, Seq("media_id"), "left_anti")
@@ -986,10 +1001,12 @@ object Streams {
       kL: Long,
       maxHamming: Int,
       minMatches: Int,
-      fingerprint: DataFrame => DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      fingerprint: DataFrame => DataFrame,
+      maxFrameDf: Int = 100): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(minMatches > 0, "minMatches must be positive")
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (64-bit pigeonhole chunks), got $maxHamming")
+    val M = graft.operators.Multimodal
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val fps = fingerprint(batch)
@@ -1002,9 +1019,19 @@ object Streams {
           StructField("batch_id", LongType)))
         val ledgerFps = readLedger(spark, ledgerDir, ledgerSchema, batchId)
           .select(col("media_id"), col("frame_idx"), col("fp"))
-        def composite(frames: DataFrame): DataFrame = frames.select(
-          (col("media_id") * kL + col("frame_idx")).as("id"), col("fp"))
-        val batchFrames = composite(fps)
+        // the boilerplate-frame guard (Multimodal.frameEvidencePairs'
+        // df cap) applies per side: batch frames by batch-local df,
+        // the prior (corpus + ledger) by its own df — a fade-to-black
+        // frame held by thousands of corpus videos must not be probed
+        // by every micro-batch forever. The prior-side cap costs one
+        // groupBy over a frame table the cross-banding already scans
+        // per batch. maxIdentity = Int.MaxValue skips the identity
+        // pre-collapse (which would undercount evidence): the df cap
+        // already bounds every surviving identity group.
+        val batchFrames = M.compositeFrameKeys(
+          M.frameDfCap(fps, maxFrameDf), kL)
+        val priorFrames = M.compositeFrameKeys(
+          M.frameDfCap(corpusFps.unionByName(ledgerFps), maxFrameDf), kL)
         def evidenced(pairs: DataFrame, dropSide: String): DataFrame = pairs
           .select(
             expr(s"id_a DIV $kL").as("vid_a"),
@@ -1014,13 +1041,13 @@ object Streams {
           .filter(col("n_matched") >= minMatches)
           .select(col(dropSide).as("media_id")).distinct()
         val inBatchDropped = evidenced(
-          graft.operators.Dedup.simhashPairs(batchFrames, maxHamming)
+          graft.operators.Dedup.simhashPairs(batchFrames, maxHamming,
+            maxIdentity = Int.MaxValue)
             .filter(expr(s"id_a DIV $kL") =!= expr(s"id_b DIV $kL")),
           dropSide = "vid_b") // composite id_a < id_b ⇒ vid_a < vid_b
         val vsPriorDropped = evidenced(
           graft.operators.Dedup.simhashCrossPairs(
-            batchFrames, composite(corpusFps.unionByName(ledgerFps)),
-            maxHamming),
+            batchFrames, priorFrames, maxHamming),
           dropSide = "vid_a") // id_a = the probing batch video
         val freshIds = batch.select(col("media_id"))
           .join(inBatchDropped, Seq("media_id"), "left_anti")

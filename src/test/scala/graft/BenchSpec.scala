@@ -66,6 +66,22 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"fast_total\":30.0"))
   }
 
+  test("stderr detail line carries median, MIN, spread, and rep count per query") {
+    // min is the noise-robust cross-round comparator (r16: medians
+    // spread 17% between same-code runs, mins landed within ~1.1x)
+    val results = Seq(
+      ("q1_alpha", Vector(2.0, 1.5, 3.0)),
+      ("q2_beta", Vector(0.5)),
+      ("q3_dead", Vector.empty[Double]))
+    val line = Bench.detailLine(results, 3, "/root/testdata/sf0.1")
+    assert(line.startsWith("[bench-detail] {"))
+    assert(line.contains("\"queries\":{\"q1_alpha\":2.000,\"q2_beta\":0.500,\"q3_dead\":-1.000}"))
+    assert(line.contains("\"min\":{\"q1_alpha\":1.500,\"q2_beta\":0.500,\"q3_dead\":-1.000}"))
+    assert(line.contains("\"spread\":{\"q1_alpha\":1.500,\"q2_beta\":0.000,\"q3_dead\":-1.000}"))
+    assert(line.contains("\"n\":{\"q1_alpha\":3,\"q2_beta\":1,\"q3_dead\":0}"))
+    assert(!line.contains("\n"))
+  }
+
   test("the line is valid single-line JSON shape") {
     val meds = synth(200)
     val line = Bench.renderLine(meds, 100.0, 3, 0.1)

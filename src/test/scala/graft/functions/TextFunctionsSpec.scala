@@ -166,6 +166,40 @@ class TextFunctionsSpec extends SparkSpec {
     docs.map(_._1).foreach(id => assert(got(id), s"original $id"))
   }
 
+  test("extractMainContent keeps body prose, kills nav/footer/aside/stubs") {
+    val page =
+      "<html><head><title>T</title><script>var n = '<div>trap</div>';</script>" +
+        "<style>p { color: red }</style></head><body>" +
+        "<nav><a href=\"/\">Homepage and Welcome</a> " +
+        "<a href=\"/about\">About the Project Team</a></nav>" +
+        "<h1>Short heading</h1>" +
+        "<div>This paragraph carries the actual long-form body prose of " +
+        "the page, with no anchors at all inside it.</div>" +
+        "<p>An article block that mentions <a href=\"/ref\">one source</a> " +
+        "among plenty of surrounding prose survives the density rule.</p>" +
+        "<p>Tiny.</p>" +
+        "<aside><a href=\"/ads\">Sponsored offers and deals</a> click</aside>" +
+        "<footer><a href=\"/p\">Privacy Policy</a> <a href=\"/t\">Terms of " +
+        "Service</a> (c) Corp</footer></body></html>"
+    val got = one(TF.extractMainContent(col("t")), page).asInstanceOf[String]
+    val lines = got.split("\n").toSeq
+    assert(lines.size == 2, s"got $lines")
+    assert(lines(0).startsWith("This paragraph carries"))
+    assert(lines(1).contains("one source among plenty"))
+    assert(!got.contains("Homepage") && !got.contains("Privacy") &&
+      !got.contains("Sponsored") && !got.contains("Tiny") &&
+      !got.contains("Short heading") && !got.contains("trap"))
+    // thresholds are caller-tunable: a permissive link cap keeps the nav
+    val loose = one(TF.extractMainContent(col("t"), minChars = 10,
+      maxLinkPct = 100), page).asInstanceOf[String]
+    assert(loose.contains("Homepage and Welcome"))
+    // degenerate inputs: no blocks -> empty string, never an error
+    assert(one(TF.extractMainContent(col("t")), "").asInstanceOf[String] == "")
+    assert(one(TF.extractMainContent(col("t")), "plain text with no tags " +
+      "but enough characters to clear the floor").asInstanceOf[String]
+      .startsWith("plain text"))
+  }
+
   test("stripHtml drops script/style/comments, spaces tags, decodes entities once") {
     def strip(s: String): String =
       one(TF.stripHtml(col("t")), s).asInstanceOf[String]

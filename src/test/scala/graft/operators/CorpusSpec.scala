@@ -1878,6 +1878,130 @@ class CorpusSpec extends SparkSpec {
     assert(got.contains(1002L)) // every doc emitted
   }
 
+  /** Code-independent plain-Scala replica of the multinomial langid
+    * training: same md5-prefix features, same L1 normalization, same
+    * max-subtracted softmax, same batch GD.
+    */
+  private def langIdOracle(
+      docs: Seq[(Long, String, String)], // (id, text, lang)
+      hexChars: Int, iters: Int, lr: Double)
+      : (Map[(String, String), Double], Map[String, Double]) = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(t: String): Map[String, Double] = {
+      val w = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+      val grams = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val m = grams.map(g => md5hex(g).take(hexChars))
+        .groupBy(identity).map { case (b, v) => b -> v.size.toDouble }
+      val tot = m.values.sum
+      m.map { case (b, v) => b -> v / tot }
+    }
+    val langs = docs.map(_._3).distinct.sorted
+    val ex = docs.map(d => (feats(d._2), d._3)).filter(_._1.nonEmpty)
+    val n = ex.size.toDouble
+    var w = Map.empty[(String, String), Double]
+    var b = langs.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val errs = ex.map { case (x, y) =>
+        val z = langs.map(l => l ->
+          (x.map { case (bk, v) => v * w.getOrElse((l, bk), 0.0) }.sum + b(l)))
+        val m = z.map(_._2).max
+        val e = z.map { case (l, zl) => l -> math.exp(zl - m) }
+        val s = e.map(_._2).sum
+        (x, e.map { case (l, el) =>
+          l -> (el / s - (if (y == l) 1.0 else 0.0)) }.toMap)
+      }
+      val g = errs.flatMap { case (x, e) =>
+        for ((bk, v) <- x.toSeq; l <- langs) yield (l, bk) -> v * e(l)
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / n }
+      w = (w.keySet ++ g.keySet).map(k =>
+        k -> (w.getOrElse(k, 0.0) - lr * g.getOrElse(k, 0.0))).toMap
+      b = b.map { case (l, bl) =>
+        l -> (bl - lr * errs.map(_._2(l)).sum / n) }
+    }
+    (w, b)
+  }
+
+  test("trainLangId matches the plain-Scala multinomial gradient descent") {
+    val docs = Seq(
+      (0L, "alpha arbor anchor amber", "aa"),
+      (1L, "amber apex alpha arbor anchor", "aa"),
+      (2L, "birch basalt beacon bramble", "bb"),
+      (3L, "bramble birch beacon basalt bisque", "bb"),
+      (4L, "cedar cobalt cairn crimson", "cc"),
+      (5L, "crimson cumin cedar cobalt cairn", "cc"))
+    val model = Corpus.trainLangId(
+      docs.toDF("doc_id", "text", "lang"), "text", "lang", "doc_id",
+      hexChars = 2, iters = 8, lr = 2.0)
+    val (ww, wb) = langIdOracle(docs, hexChars = 2, iters = 8, lr = 2.0)
+    val got = model.weights.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == ww.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ww(k)) < 1e-7, s"w($k): $v vs ${ww(k)}") }
+    model.biases.foreach { case (l, v) =>
+      assert(math.abs(v - wb(l)) < 1e-7, s"bias($l)") }
+    assert(model.langs == Seq("aa", "bb", "cc"))
+  }
+
+  test("trained langid classifies held-out disjoint-vocabulary docs; featureless gets the prior") {
+    val train = (0L to 29L).map { i =>
+      val l = (i % 3).toInt
+      val t = l match {
+        case 0 => s"alpha arbor anchor amber apex argon alpha arbor"
+        case 1 => s"birch basalt beacon bramble bisque borax birch basalt"
+        case _ => s"cedar cobalt cairn crimson cumin cypress cedar cobalt"
+      }
+      (i, t, Seq("aa", "bb", "cc")(l))
+    }
+    val model = Corpus.trainLangId(
+      train.toDF("doc_id", "text", "lang"), "text", "lang", "doc_id")
+    val held = Seq(
+      (100L, "anchor apex alpha argon amber"),
+      (101L, "borax bisque bramble beacon"),
+      (102L, "cypress cumin crimson cairn cedar"),
+      (103L, "")) // token-less: bias-only argmax, still emitted
+    val got = Corpus.langIdWith(
+      held.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(100L)._1 == "aa", s"got ${got(100L)}")
+    assert(got(101L)._1 == "bb", s"got ${got(101L)}")
+    assert(got(102L)._1 == "cc", s"got ${got(102L)}")
+    assert(got.contains(103L))
+    // confidence clearly above the 3-class uniform prior (softmax over
+    // a 30-iteration batch-GD fit is separating, not saturated)
+    assert(got(100L)._2 > 0.37 && got(101L)._2 > 0.37 && got(102L)._2 > 0.37,
+      s"confidences ${got(100L)._2}, ${got(101L)._2}, ${got(102L)._2}")
+  }
+
+  test("langid model save -> load -> identify equals in-session; pinned version survives refit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_langid_wh").toString
+    val train = Seq(
+      (0L, "alpha arbor anchor amber apex", "aa"),
+      (1L, "apex alpha amber arbor anchor", "aa"),
+      (2L, "birch basalt beacon bramble bisque", "bb"),
+      (3L, "bisque birch bramble basalt beacon", "bb"))
+    val model = Corpus.trainLangId(
+      train.toDF("doc_id", "text", "lang"), "text", "lang", "doc_id", iters = 6)
+    val v1 = Corpus.saveLangIdModel(spark, wh, "lid", model)
+    val held = Seq((10L, "anchor alpha apex"), (11L, "beacon birch bisque"))
+      .toDF("doc_id", "text")
+    def ident(m: Corpus.LangIdModel) =
+      Corpus.langIdWith(held, m, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val inSession = ident(model)
+    val loaded = ident(Corpus.loadLangIdModel(spark, wh, "lid"))
+    assert(loaded == inSession)
+    // refit on swapped labels; the PINNED v1 still reproduces the old run
+    val refit = Corpus.trainLangId(
+      train.map(t => (t._1, t._2, if (t._3 == "aa") "bb" else "aa"))
+        .toDF("doc_id", "text", "lang"), "text", "lang", "doc_id", iters = 6)
+    Corpus.saveLangIdModel(spark, wh, "lid", refit)
+    assert(ident(Corpus.loadLangIdModel(spark, wh, "lid", version = v1)) == inSession)
+    assert(ident(Corpus.loadLangIdModel(spark, wh, "lid")) != inSession)
+  }
+
   test("quality classifier is partitioning-invariant within float tolerance") {
     val pos = docs.filter(col("doc_id") < 3).toDF()
     val neg = docs.filter(col("doc_id") >= 3).toDF()

@@ -199,6 +199,117 @@ class DedupSpec extends SparkSpec {
     assert(all.length == all.distinct.length)
   }
 
+  test("identity flood: 10k equal fingerprints emit star edges, not the 50M-pair clique") {
+    // the silent-clip / black-frame degenerate: identical fingerprints
+    // are endemic on natural media. Output must be LINEAR group
+    // membership (rep, member, 0), not the |g|²/2 enumeration.
+    val flood = (1L to 10000L).map(i => (i, 42L)).toDF("id", "fp")
+    val got = Dedup.simhashPairs(flood, maxHamming = 3)
+    assert(got.count() == 9999L)
+    val sample = got.filter(col("id_b").isin(2L, 777L, 10000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sample == Set((1L, 2L, 0), (1L, 777L, 0), (1L, 10000L, 0)))
+    graft.ops.Caches.release()
+  }
+
+  test("identity groups within maxIdentity keep the exact clique semantics") {
+    // group {1,2,3} at fp=8, plus id 9 one bit away: clique pairs AND
+    // every member-to-neighbor pair must appear, exactly as before the
+    // guards existed
+    val fps = Seq((1L, 8L), (2L, 8L), (3L, 8L), (9L, 9L)).toDF("id", "fp")
+    val got = Dedup.simhashPairs(fps, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (1L, 9L, 1), (2L, 9L, 1), (3L, 9L, 1)))
+    graft.ops.Caches.release()
+  }
+
+  test("star edges keep transitive closure: clusters match the brute-force components") {
+    // a 300-member identity group (over maxIdentity=256) plus a
+    // near-miss neighbor of the group fp: stars + the rep-level pair
+    // must yield ONE component containing all 301 ids
+    val fps = ((1L to 300L).map(i => (i, 1024L)) :+ (400L, 1025L))
+      .toDF("id", "fp")
+    val pairs = Dedup.simhashPairs(fps, maxHamming = 3)
+    val comp = Dedup.clusters(pairs)
+    assert(comp.select(col("label")).distinct().count() == 1L)
+    assert(comp.count() == 301L)
+    graft.ops.Caches.release()
+  }
+
+  test("bucket valve: hot chunk buckets drop; first-agreeing-chunk rule is strict") {
+    // chunk 0 bucket 0x1111 is flooded (14 members > maxBucket=10).
+    // A,B agree ONLY there -> lost. E,F ALSO agree in cold chunks 2,3
+    // but their FIRST agreeing chunk is the hot one -> still lost (the
+    // documented strict rule). C,D's first agreeing chunk is cold -> kept.
+    val a = 0xA00AC00CB00B1111L
+    val b = a ^ 0x0002000200020000L // one bit in each of chunks 1..3
+    val c = 0x0055004400330001L
+    val d = 0x0055004400330002L // c0 differs by 2 bits; chunks 1-3 agree
+    val e = 0x00E3999900E11111L
+    val f = 0x00E3999900E21111L // chunk 1 differs by 2 bits; 0,2,3 agree
+    // fillers: weight-2 16-bit codes, pairwise hamming >= 6 across the
+    // three high chunks; all share the hot chunk-0 value
+    val fillerCodes = Seq(3L, 5L, 6L, 9L, 10L, 12L, 17L, 18L, 20L, 24L)
+    val fillers = fillerCodes.zipWithIndex.map { case (v, i) =>
+      (7L + i, (v << 48) | (v << 32) | (v << 16) | 0x1111L)
+    }
+    val fps = (Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, e), (6L, f)) ++
+      fillers).toDF("id", "fp")
+    val valved = Dedup.simhashPairs(fps, maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(valved == Set((3L, 4L, 2)))
+    val open = Dedup.simhashPairs(fps, maxHamming = 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(open == Set((1L, 2L, 3), (3L, 4L, 2), (5L, 6L, 2)))
+    graft.ops.Caches.release()
+  }
+
+  test("hammingBucketStats surfaces the buckets the valve would drop") {
+    // all 12 rows share chunk 0 = 0x1111 AND chunks 2,3 = 0; id 99
+    // adds one more member to (2, 0) and (1, 0) — top bucket (2, 0)
+    // has 13, then (3, 0) with 12 (id 99's chunk 3 is 0x7777)
+    val fps = ((1L to 12L).map(i => (i, (i << 16) | 0x1111L)) :+
+      (99L, 0x7777000000000000L)).toDF("id", "fp")
+    val top = Dedup.hammingBucketStats(fps, maxHamming = 3)
+      .limit(3).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(top == Set((2, 0L, 13L), (0, 0x1111L, 12L), (3, 0L, 12L)))
+  }
+
+  test("crossPairs: valve drops shared hot buckets; collapseIdentityFps keeps existence") {
+    // prior holds 12 distinct fps sharing chunk-0 value 0x2222 (hot at
+    // maxBucket=10) plus one isolated fp; a probe matching only
+    // through the hot bucket is lost, a probe matching the isolated fp
+    // through a cold first chunk is kept
+    val fillerCodes = Seq(3L, 5L, 6L, 9L, 10L, 12L, 17L, 18L, 20L, 24L, 33L, 34L)
+    val prior = (fillerCodes.zipWithIndex.map { case (v, i) =>
+      (100L + i, (v << 48) | (v << 32) | (v << 16) | 0x2222L)
+    } :+ (200L, 0x00550044003300F0L)).toDF("id", "fp")
+    val probe = Seq(
+      // hits prior 100 at hamming 2, agreeing ONLY in the hot chunk-0
+      // bucket -> lost under the valve
+      (1L, (3L << 48) | (3L << 32) | (5L << 16) | 0x2222L),
+      // hits prior 200 at hamming 2 (chunk 0: 0xF0^0xF3); first
+      // agreeing chunk is the cold (1, 0x0033) bucket -> kept
+      (2L, 0x00550044003300F3L))
+      .toDF("id", "fp")
+    val got = Dedup.simhashCrossPairs(probe, prior, maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 200L, 2)))
+    // identity collapse on the prior: 500 copies of one fp collapse to
+    // the min id; an exact-match probe still reports existence
+    val dupPrior = (1L to 500L).map(i => (1000L + i, 0x1234123412341234L))
+      .toDF("id", "fp")
+    val collapsed = Dedup.collapseIdentityFps(dupPrior)
+    assert(collapsed.count() == 1L)
+    val hit = Dedup.simhashCrossPairs(
+      Seq((7L, 0x1234123412341234L)).toDF("id", "fp"), collapsed, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hit == Set((7L, 1001L, 0)))
+    graft.ops.Caches.release()
+  }
+
   test("ngram jaccard verifies on LSH candidates") {
     val pairs = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", threshold = 0.5, n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -440,6 +440,52 @@ class MultimodalSpec extends SparkSpec {
     graft.ops.Caches.release()
   }
 
+  test("boilerplate frames (df over maxFrameDf) carry no dup evidence") {
+    import spark.implicits._
+    // videos 1-4 consist ENTIRELY of the same two title-card frames
+    // (the fade-to-black shape); 5 and 6 are genuine twins on two
+    // UNIQUE frames. Under the df cap the title cards are structure,
+    // not evidence — only the genuine pair survives.
+    val x = 0x0101010101010101L
+    val p = 0x4040404040404040L
+    def avi(codes: Seq[Long]) = MjpegAvi.encode(
+      codes.map(c => Multimodal.JdkCodec.encodeCodedPng(c, 1, 1)), 9, 8)
+    val media = Seq(
+      (1L, avi(Seq(x, x ^ 0xFFFFL))),
+      (2L, avi(Seq(x, x ^ 0xFFFFL))),
+      (3L, avi(Seq(x, x ^ 0xFFFFL))),
+      (4L, avi(Seq(x, x ^ 0xFFFFL))),
+      (5L, avi(Seq(p, p ^ 0xFFFF0000L))),
+      (6L, avi(Seq(p ^ 1L, p ^ 0xFFFF0000L ^ (1L << 20)))))
+      .toDF("media_id", "content")
+    val capped = Multimodal.videoNearDups(
+      media, k = 2, maxHamming = 3, minMatches = 2, maxFrameDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((5L, 6L, 2L)), s"got $capped")
+    // cap lifted: the title-card videos all pair with each other
+    val open = Multimodal.videoNearDups(
+      media, k = 2, maxHamming = 3, minMatches = 2, maxFrameDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clique = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 2L)).toSet
+    assert(open == clique + ((5L, 6L, 2L)), s"got $open")
+    graft.ops.Caches.release()
+  }
+
+  test("composite frame keys raise on out-of-range media_id instead of wrapping") {
+    import spark.implicits._
+    val bad = Seq((Long.MaxValue / 8 + 1, 0, 1L), (-1L, 0, 2L))
+      .toDF("media_id", "frame_idx", "fp")
+    val err = intercept[Exception] {
+      Multimodal.compositeFrameKeys(bad, 8L).collect()
+    }
+    assert(err.getMessage.contains("composite-key range") ||
+      Option(err.getCause).exists(_.getMessage.contains("composite-key range")))
+    val ok = Multimodal.compositeFrameKeys(
+      Seq((3L, 1, 9L)).toDF("media_id", "frame_idx", "fp"), 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((25L, 9L)))
+  }
+
   test("simhashCrossPairs matches probe-vs-prior without self-pair semantics") {
     import spark.implicits._
     val probe = Seq((1L, 0L), (2L, -1L), (3L, 0x00000000FFFFFFFFL))

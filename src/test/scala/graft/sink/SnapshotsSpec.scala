@@ -91,6 +91,58 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, wh, "s") == 3)
   }
 
+  test("retention: keepLast/pruneBefore never drop _CURRENT, pins, or the batch-chain head") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    (1 to 6).foreach(i =>
+      Snapshots.publish(spark, wh, "r", Seq((i, s"v$i")).toDF("k", "v")))
+    // pin v2; point _CURRENT back at v3 (publish flips it to 6, so
+    // re-flip by republishing is not possible — use prune protection
+    // of the live pointer instead: current = 6 here)
+    Snapshots.pin(spark, wh, "r", 2)
+    assert(Snapshots.isPinned(spark, wh, "r", 2))
+    val dropped = Snapshots.keepLast(spark, wh, "r", 2)
+    // newest 2 = {5, 6}; protected: 2 (pinned), 6 (_CURRENT, also in window)
+    assert(dropped == Seq(1, 3, 4))
+    assert(Snapshots.versions(spark, wh, "r") == Seq(2, 5, 6))
+    assert(Snapshots.currentVersion(spark, wh, "r") == 6)
+    // unpin -> a later prune may sweep it
+    Snapshots.unpin(spark, wh, "r", 2)
+    assert(Snapshots.pruneBefore(spark, wh, "r", 6) == Seq(2, 5))
+    assert(Snapshots.versions(spark, wh, "r") == Seq(6))
+    // pruning everything before a future version still keeps _CURRENT
+    assert(Snapshots.pruneBefore(spark, wh, "r", 99) == Seq.empty)
+    assert(Snapshots.current(spark, wh, "r").count() == 1)
+  }
+
+  test("retention protects the batch-chain head: replay detection survives pruning") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    Snapshots.publishBatch(spark, wh, "bc", Seq((1, "a")).toDF("k", "v"), batchId = 0L)
+    Snapshots.publishBatch(spark, wh, "bc", Seq((2, "b")).toDF("k", "v"), batchId = 1L)
+    // a plain publish takes the head; the newest _BATCH version (2) is
+    // the chain head and must survive any prune
+    Snapshots.publish(spark, wh, "bc", Seq((3, "c")).toDF("k", "v"))
+    assert(Snapshots.pruneBefore(spark, wh, "bc", 99) == Seq(1))
+    assert(Snapshots.versions(spark, wh, "bc") == Seq(2, 3))
+    // the replayed batch still detects as a replay (no duplicate version)
+    val v = Snapshots.publishBatch(
+      spark, wh, "bc", Seq((2, "b")).toDF("k", "v"), batchId = 1L)
+    assert(v == 2)
+    assert(Snapshots.versions(spark, wh, "bc") == Seq(2, 3))
+  }
+
+  test("publishBatch retain caps a stream's version history") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    (0L to 9L).foreach(b => Snapshots.publishBatch(
+      spark, wh, "cap", Seq((b, s"b$b")).toDF("k", "v"), b, retain = 3))
+    val vs = Snapshots.versions(spark, wh, "cap")
+    assert(vs == Seq(8, 9, 10), s"got $vs")
+    assert(Snapshots.currentVersion(spark, wh, "cap") == 10)
+    // replay of the last batch after the cap: still idempotent
+    assert(Snapshots.publishBatch(
+      spark, wh, "cap", Seq((9L, "b9")).toDF("k", "v"), 9L, retain = 3) == 10)
+    assert(Snapshots.versions(spark, wh, "cap") == Seq(8, 9, 10))
+  }
+
   test("content hash distinguishes different frames") {
     val a = Snapshots.contentHash(spark.range(100).toDF("v"))
     val b = Snapshots.contentHash(spark.range(101).toDF("v"))

@@ -303,6 +303,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("long-running publishBatch stream with retain holds a bounded version history") {
+    implicit val sq = spark.sqlContext
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_retain_wh").toString
+    val input = MemoryStream[Event]
+    val q = Streams.foreachBatchSink(
+      input.toDF(),
+      (batch, id) => {
+        graft.sink.Snapshots.publishBatch(
+          batch.sparkSession, warehouse, "evcap", batch, id, retain = 2)
+        ()
+      }).start()
+    try {
+      (1 to 8).foreach { i =>
+        input.addData(ev(i, f"2024-01-01 10:00:$i%02d", i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 8 micro-batches published, but the table never holds more than
+    // retain + the protected set; the head keeps moving
+    val vs = graft.sink.Snapshots.versions(spark, warehouse, "evcap")
+    assert(vs.size <= 3, s"unbounded history: $vs")
+    assert(vs.max == 8)
+    assert(graft.sink.Snapshots.currentVersion(spark, warehouse, "evcap") == 8)
+    assert(graft.sink.Snapshots.current(spark, warehouse, "evcap").count() == 1)
+  }
+
   test("restart from checkpoint: replayed batch publishes nothing, snapshot byte-identical") {
     // the end-to-end exactly-once evidence: run a checkpointed
     // foreachBatch → publishBatch query, stop it, FORCE the next start
@@ -932,6 +959,68 @@ class StreamsSpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(!admitted.exists(_._2 == 18L))
+  }
+
+  test("media admission flood guards: mass-duplicated corpus collapses; boilerplate frames admit nothing") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Multimodal, MjpegAvi}
+    import graft.operators.Multimodal.JdkCodec
+    // 1) single-fp path: 400 corpus copies of one code would be a
+    // permanent hot identity bucket probed every micro-batch; the
+    // prior-side collapse keeps the probe exact — a near-copy still
+    // drops, an unrelated item still admits
+    val A = 0x0101010101010101L
+    def png(code: Long) = JdkCodec.encodeCodedPng(code, 1, 1)
+    val floodCorpus = (1L to 400L).map(i => (100L + i, png(A)))
+      .toDF("media_id", "content")
+    val corpusFps = Streams.mediaCorpusFingerprints(floodCorpus, "image")
+      .persist()
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_flood_ledger").toString + "/l"
+    val input = MemoryStream[(Long, Array[Byte])]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.incrementalMediaNearDupBatches(
+      input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+      (fresh, _) => admitted.synchronized {
+        admitted ++= fresh.collect().map(_.getLong(0))
+      }, maxHamming = 3, mediaType = "image").start()
+    try {
+      input.addData(
+        (1L, png(A ^ (1L | (1L << 21)))), // near-copy of the flood: drops
+        (2L, png(0x4040404040404040L))) // unrelated: admits
+      q.processAllAvailable()
+    } finally { q.stop(); corpusFps.unpersist() }
+    assert(admitted.toSeq == Seq(2L))
+    // a typo'd mediaType fails at writer construction, not mid-stream
+    val err = intercept[IllegalArgumentException] {
+      Streams.incrementalMediaNearDupBatches(
+        input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+        (_, _) => (), maxHamming = 3, mediaType = "img")
+    }
+    assert(err.getMessage.contains("image|audio"))
+    // 2) frame-evidence path: every corpus video carries the same two
+    // title-card frames (df = 200 > the cap); a batch video sharing
+    // ONLY those frames is NOT a duplicate and must admit
+    def avi(codes: Seq[Long]) = MjpegAvi.encode(
+      codes.map(c => JdkCodec.encodeCodedPng(c, 1, 1)), 9, 8)
+    val cards = Seq(A, A ^ 0xFFFFL) // 16-bit lane keeps frames apart
+    val vidCorpus = (1L to 200L).map(i => (500L + i, avi(cards)))
+      .toDF("media_id", "content")
+    val vidFps = Streams.videoCorpusFingerprints(vidCorpus, k = 2).persist()
+    val vLedger = java.nio.file.Files
+      .createTempDirectory("graft_floodv_ledger").toString + "/l"
+    val vInput = MemoryStream[(Long, Array[Byte])]
+    val vAdmitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vq = Streams.incrementalVideoNearDupBatches(
+      vInput.toDF().toDF("media_id", "content"), vidFps, vLedger,
+      (fresh, _) => vAdmitted.synchronized {
+        vAdmitted ++= fresh.collect().map(_.getLong(0))
+      }, k = 2, maxHamming = 3, minMatches = 2).start()
+    try {
+      vInput.addData((7L, avi(cards))) // title cards only: admits
+      vq.processAllAvailable()
+    } finally { vq.stop(); vidFps.unpersist() }
+    assert(vAdmitted.toSeq == Seq(7L))
   }
 
   test("near-dup admission: string id columns round-trip through the ledger") {
