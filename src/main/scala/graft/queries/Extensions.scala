@@ -1789,6 +1789,35 @@ object Extensions {
         .as("text"))
   }
 
+  /** The q133 curation pipeline over MAIN-CONTENT-extracted pages —
+    * the q150/q157 lossless-roundtrip posture applied to the block
+    * scorer: every messy page's lines wrap as `<p>` blocks between
+    * link-only nav/aside/footer boilerplate, and
+    * [[TextFunctions.extractMainContent]] must recover each original
+    * line EXACTLY (any extraction loss — a dropped body line, leaked
+    * boilerplate, altered whitespace — breaks the hash) while the
+    * boilerplate blocks die on link density. The curation summary then
+    * equals q133's, so its oracle SQL answers VERBATIM. This is the
+    * production deployment shape: crawl page → main-content extraction
+    * → C4 → Gopher → dedup, one narrow projection ahead of the chain.
+    */
+  def qP8ContentPipeline(s: SparkSession, d: String): DataFrame = {
+    val pages = messyPages(s, d)
+    val html = concat(
+      lit("<html><head><script>x();</script></head><body>" +
+        "<nav><a href=\"/\">Site Navigation Menu Links</a> " +
+        "<a href=\"/m\">More Site Links Here</a></nav>"),
+      array_join(transform(split(col("text"), "\n"),
+        l => concat(lit("<p>"), l, lit("</p>"))), ""),
+      lit("<aside><a href=\"/ads\">Sponsored Partner Offers</a></aside>" +
+        "<footer><a href=\"/p\">Privacy Terms Contact Pages</a></footer>" +
+        "</body></html>"))
+    val extracted = pages.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.extractMainContent(html, minChars = 1)
+        .as("text"))
+    curationSummaryFrom(extracted)
+  }
+
   /** The q133 curation summary over a `(doc_id, source, text)` page
     * frame — C4 clean → Gopher quality → exact dedup, aggregated per
     * source. Shared by q133 (pages straight from the construction) and
@@ -3230,7 +3259,8 @@ object Extensions {
     "q158_video_near_dups" -> qM7VideoNearDups _,
     "q159_simhash_guards" -> qD11SimhashGuards _,
     "q160_main_content" -> qT17MainContent _,
-    "q161_langid_trained" -> qC27LangIdTrained _)
+    "q161_langid_trained" -> qC27LangIdTrained _,
+    "q162_content_pipeline" -> qP8ContentPipeline _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3286,6 +3316,11 @@ object Extensions {
     // line-preserving HTML strip are all lossless on this construction,
     // so q133's oracle SQL answers it verbatim.
     ("q157_warc_ingest" -> oracleBase("q133_curation_pipeline")) +
+    // q162 routes q133's pages through the block scorer (lines wrapped
+    // as <p> blocks amid link-only boilerplate) and reruns the
+    // identical curation summary — lossless extraction means q133's
+    // oracle SQL answers it verbatim.
+    ("q162_content_pipeline" -> oracleBase("q133_curation_pipeline")) +
     // q155: blocked iff the host (or any parent suffix) is listed —
     // with this construction that's exactly %20 = 7 (the exact host,
     // zone implied by CRT) or %4 = 2 (the parent entry, catching the

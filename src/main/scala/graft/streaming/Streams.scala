@@ -488,6 +488,28 @@ object Streams {
         batchId)
     }
 
+  /** Streaming deployment of the trained language-ID model
+    * ([[graft.operators.Corpus.langIdWith]]): identify each
+    * micro-batch's documents against a batch-trained
+    * [[graft.operators.Corpus.LangIdModel]] — train offline on a
+    * labeled inventory (any language count), route the crawl online.
+    * Same foreachBatch rationale and streaming ≡ batch guarantee as
+    * [[scoreClassifierBatches]]; persist the model
+    * ([[graft.operators.Corpus.saveLangIdModel]]) before long runs and
+    * load it once at writer construction.
+    */
+  def langIdBatches(
+      docs: DataFrame,
+      model: graft.operators.Corpus.LangIdModel,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(
+        graft.operators.Corpus.langIdWith(batch, model, textCol, idCol),
+        batchId)
+    }
+
   /** Streaming incremental exact dedup of a document stream against a
     * STATIC corpus AND against everything the stream itself has already
     * admitted — the production crawl-ingest shape

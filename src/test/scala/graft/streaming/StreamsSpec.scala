@@ -580,6 +580,46 @@ class StreamsSpec extends SparkSpec {
     assert(acc.exists(t => t._1 == 2L && t._2 == 0L))
   }
 
+  test("langid micro-batch identification from a LOADED model equals the batch operator") {
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_slid_wh").toString
+    val train = (0L to 17L).map { i =>
+      val l = (i % 3).toInt
+      val t = l match {
+        case 0 => "alpha arbor anchor amber apex argon"
+        case 1 => "birch basalt beacon bramble bisque borax"
+        case _ => "cedar cobalt cairn crimson cumin cypress"
+      }
+      (i, t, Seq("aa", "bb", "cc")(l))
+    }.toDF("doc_id", "text", "lang")
+    val trained = graft.operators.Corpus.trainLangId(
+      train, "text", "lang", "doc_id", iters = 10)
+    graft.operators.Corpus.saveLangIdModel(spark, wh, "slid", trained)
+    val model = graft.operators.Corpus.loadLangIdModel(spark, wh, "slid")
+    val docs = Seq((10L, "apex anchor alpha"), (11L, "bisque beacon borax"),
+      (12L, "cypress cairn cedar"), (13L, ""))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val q = Streams.langIdBatches(
+      input.toDF().toDF("doc_id", "text"), model, "text", "doc_id",
+      (ident, _) => acc.synchronized {
+        acc ++= ident.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2)))
+      }).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Corpus.langIdWith(
+      docs.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(acc.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    assert(acc.find(_._1 == 10L).get._2 == "aa")
+    assert(acc.find(_._1 == 11L).get._2 == "bb")
+    assert(acc.find(_._1 == 12L).get._2 == "cc")
+    assert(acc.exists(_._1 == 13L)) // featureless doc still routed
+  }
+
   test("classifier micro-batch scoring equals the batch operator") {
     implicit val sq = spark.sqlContext
     val pos = (0L to 9L).map(i => (i, s"informative careful article number $i"))
