@@ -389,29 +389,34 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    // identity pre-collapse: one window over the fingerprint value
-    // annotates each row with its group size and min-id representative
-    // (the semDeDup identity-guard shape). Cached: three branches (star
-    // edges, band input, and both self-join sides downstream) read it —
-    // uncached, the window shuffle re-runs per consumer and the
-    // caller's fingerprint scan (often a full media decode) re-runs
-    // with it. Operator-owned: callers release via Caches.release().
-    // maxIdentity == Int.MaxValue SKIPS the window entirely (exact: no
+    // identity pre-collapse: the OVERSIZED groups are found by one
+    // aggregate over the fingerprint frame and joined back as a
+    // BROADCAST — the flooded-fp set is tiny by construction (at most
+    // rows/maxIdentity distinct values; the minhash hot-bucket-stats
+    // bound argument), so the big frame never shuffles or sorts for
+    // the guard (a partitionBy(fp) window formulation measured +1.3 s
+    // of exchange+sort on a 10k frame). Cached: star edges, band
+    // input, and both self-join sides downstream all read the
+    // projection — uncached, the caller's fingerprint scan (often a
+    // full media decode) re-runs per consumer. Operator-owned:
+    // callers release via Caches.release().
+    // maxIdentity == Int.MaxValue SKIPS the guard entirely (exact: no
     // group can exceed it) — the frame-evidence paths take this branch
     // because their df cap already bounds every identity group.
+    val base = graft.ops.Caches.owned(fp.select(col("id"), col("fp")))
     val (bandInput, star) =
-      if (maxIdentity == Int.MaxValue)
-        (graft.ops.Caches.owned(fp.select(col("id"), col("fp"))), None)
+      if (maxIdentity == Int.MaxValue) (base, None)
       else {
-        val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-        val annotated = graft.ops.Caches.owned(fp.select(col("id"), col("fp"))
-          .withColumn("_g", count(lit(1)).over(wFp))
-          .withColumn("_rep", min(col("id")).over(wFp)))
+        val big = broadcast(base.groupBy(col("fp"))
+          .agg(min(col("id")).as("_rep"), count(lit(1)).as("_g"))
+          .filter(col("_g") > maxIdentity)
+          .select(col("fp"), col("_rep")))
+        val annotated = base.join(big, Seq("fp"), "left")
         (annotated
-          .filter(col("_g") <= maxIdentity || col("id") === col("_rep"))
+          .filter(col("_rep").isNull || col("id") === col("_rep"))
           .select(col("id"), col("fp")),
           Some(annotated
-            .filter(col("_g") > maxIdentity && col("id") =!= col("_rep"))
+            .filter(col("_rep").isNotNull && col("id") =!= col("_rep"))
             .select(col("_rep").as("id_a"), col("id").as("id_b"),
               lit(0).cast("int").as("hamming"))))
       }

@@ -949,7 +949,7 @@ object Multimodal {
     * engage on surviving frames, so its window shuffle would be pure
     * overhead). Pass `Int.MaxValue` to disable the df cap itself.
     */
-  private def frameEvidencePairs(
+  private[graft] def frameEvidencePairs(
       frames: DataFrame,
       stride: Long,
       maxHamming: Int,

@@ -240,6 +240,90 @@ object Stress {
     * streaming-vs-whole-file-inflate parse A/B, and the video
     * perceptual-dedup replica (docs/SCALE.md round 16).
     */
+  /** Round-17 flood-guard A/Bs — the degenerates the q159 oracle
+    * proves semantically, measured at flood size: identical-fp floods
+    * (the silent-clip / solid-frame shape), near-miss chunk floods,
+    * and title-card frame floods. Each guarded leg must stay flat
+    * while the unguarded leg shows the quadratic it replaced.
+    */
+  private def r17(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $label: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    // codegen/classload warmup so the first timed leg isn't the cold one
+    graft.operators.Dedup.simhashPairs(
+      spark.range(1, 100).select(col("id"), col("id").as("fp")), 3).count()
+    graft.operators.Dedup.simhashPairs(
+      spark.range(1, 100).select(col("id"), col("id").as("fp")), 3,
+      maxIdentity = Int.MaxValue, maxBucket = Int.MaxValue).count()
+    graft.ops.Caches.release()
+    // 1) identity flood: 20k items, ONE fingerprint (every silent clip
+    //    energy-hashes identically). Guarded = 19,999 star edges;
+    //    unguarded = the 200M-pair clique. The ROWS column is the
+    //    scale story: output is quadratic in flood size unguarded
+    //    (2M identical fps -> 2e12 pairs downstream must ingest),
+    //    linear guarded — local wall at 20k hides it because the
+    //    clique generation is codegen-cheap; the downstream consumer
+    //    (clusters, admission anti-joins) is what drowns.
+    // the timed action is the ADMISSION CONSUMER (drop-set distinct over
+    // id_b — incrementalMediaNearDupBatches' exact shape), not a bare
+    // count. Run BOTH legs at 20k and 100k: the guarded leg's work is
+    // LINEAR in flood size (star edges) while the unguarded clique is
+    // QUADRATIC — 5× the flood is 25× the pairs, and no local
+    // constant-factor cleverness survives that curve (2M identical fps
+    // at the 100 TB design point is 2×10¹² pairs).
+    def dropSet(pairs: DataFrame): Long =
+      pairs.select(col("id_b")).distinct().count()
+    for (n <- Seq(20000, 100000)) {
+      val flood = spark.range(1, n + 1).select(col("id"), lit(42L).as("fp"))
+      time(s"identity flood n=$n GUARDED (star edges -> drop set)")(
+        dropSet(graft.operators.Dedup.simhashPairs(flood, 3)))
+      graft.ops.Caches.release()
+      time(s"identity flood n=$n UNGUARDED (clique -> drop set)")(
+        dropSet(graft.operators.Dedup.simhashPairs(flood, 3,
+          maxIdentity = Int.MaxValue, maxBucket = Int.MaxValue)))
+      graft.ops.Caches.release()
+    }
+    // 2) near-miss flood: 20k DISTINCT fps sharing one 16-bit chunk
+    //    value (identity collapse can't help; only the bucket valve
+    //    can). Guarded drops the bucket; the hypothetical unguarded
+    //    join would emit ~2e8 raw candidate pairs before filtering —
+    //    run the census instead of paying it.
+    val near = spark.range(1, 20001)
+      .select(col("id"), (col("id") * 65536L + 0x1111L).as("fp"))
+    time("near-miss flood GUARDED (valve)")(
+      graft.operators.Dedup.simhashPairs(near, 3).count())
+    graft.ops.Caches.release()
+    val top = graft.operators.Dedup.hammingBucketStats(near, 3).head()
+    println(s"[stress] near-miss hot bucket: chunk=${top.getInt(0)} " +
+      s"ch=${top.getLong(1)} n=${top.getLong(2)} (valve cap 2000)")
+    // 3) title-card frame flood: 1500 videos all carrying the same two
+    //    boilerplate frames (1500 stays under the bucket valve so the
+    //    UNCAPPED leg shows the df-cap's own failure mode, not the
+    //    valve's rescue). df-capped: frames drop, nothing pairs.
+    //    Uncapped: two 1500-member identity groups -> ~2.2M frame
+    //    pairs -> ~1.1M bogus video pairs, every video "a dup" of
+    //    every other.
+    val cards = spark.range(0, 1500).select(col("id").as("media_id"))
+      .select(col("media_id"), explode(array(
+        struct(lit(0).as("frame_idx"), lit(0x0101010101010101L).as("fp")),
+        struct(lit(1).as("frame_idx"), lit(0x0101010101010101L ^ 0xFFFFL).as("fp"))))
+        .as("f"))
+      .select(col("media_id"), col("f.frame_idx"), col("f.fp"))
+    time("title-card flood DF-CAPPED (boilerplate dropped)")(
+      graft.operators.Multimodal.frameEvidencePairs(
+        cards, stride = 2L, maxHamming = 3, minMatches = 2).count())
+    graft.ops.Caches.release()
+    time("title-card flood UNCAPPED (bogus dup cliques)")(
+      graft.operators.Multimodal.frameEvidencePairs(
+        cards, stride = 2L, maxHamming = 3, minMatches = 2,
+        maxFrameDf = Int.MaxValue).count())
+    graft.ops.Caches.release()
+  }
+
   private def r16(docs: DataFrame): Unit = {
     val spark = docs.sparkSession
     locally {
@@ -693,6 +777,7 @@ object Stress {
     }
 
     println(s"[stress] docs=${docs.count()} embs=${embs.count()}")
+    if (sys.env.contains("STRESS_R17_ONLY")) { r17(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R16_ONLY")) { r16(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R14_ONLY")) { r14(docs); spark.stop(); return }
     if (sys.env.contains("STRESS_R13_ONLY")) { r13(docs, embs); spark.stop(); return }
