@@ -2645,6 +2645,20 @@ object Corpus {
     * per-doc window — the [[scoreWithClassifier]] shape, streaming-
     * deployable the same way. Token-less docs get the bias-only
     * argmax (the prior), never a dropped row.
+    *
+    * Scale: the (doc × language) grid materializes ONLY for docs with
+    * at least one known feature bucket — and for those the weight join
+    * produces it naturally, since training touches every (lang,
+    * bucket) pair it sees. A corpus-wide `crossJoin(langs)` (100× the
+    * corpus at a CCNet-scale language inventory) is paid only by the
+    * FEATURELESS remainder, which collapses to one bias-only argmax
+    * constant anyway. Per-doc cost is |features|·|langs|
+    * multiply-adds riding the feature partitioning — compute-parallel,
+    * no extra shuffle beyond the per-doc aggregation. Langs missing
+    * from a doc's dot rows (a bucket never seen under that language —
+    * possible only for model/corpus drift) default to their bias via
+    * the softmax over present rows; drift that large warrants a refit,
+    * not a 100× grid.
     */
   def langIdWith(
       docs: DataFrame,
@@ -2653,7 +2667,6 @@ object Corpus {
       idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val langsDf = broadcast(model.langs.toDF("lang"))
     val biasCol = model.langs.foldLeft(lit(0.0)) { (acc, l) =>
       when(col("lang") === l, lit(model.biases(l))).otherwise(acc)
     }
@@ -2663,18 +2676,27 @@ object Corpus {
       .join(broadcast(model.weights), Seq("bucket"))
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("x") * col("w")).as("dot"))
-    val z = docs.select(cr(idCol).as("id")).crossJoin(langsDf)
-      .join(dots, Seq("id", "lang"), "left")
-      .select(col("id"), col("lang"),
-        (coalesce(col("dot"), lit(0.0)) + biasCol).as("z"))
+      .select(col("id"), col("lang"), (col("dot") + biasCol).as("z"))
     val p = exp(col("z") - max(col("z")).over(normW)) /
       sum(exp(col("z") - max(col("z")).over(normW))).over(normW)
     val rk = Window.partitionBy(col("id"))
       .orderBy(col("confidence").desc, col("lang"))
-    z.withColumn("confidence", p)
+    val featured = dots.withColumn("confidence", p)
       .withColumn("_rk", row_number().over(rk))
       .filter(col("_rk") === 1)
       .select(col("id"), col("lang"), col("confidence"))
+    // bias-only prior for docs with NO scored features: one constant
+    // (argmax_l bias_l, softmax at the biases), no per-doc grid
+    val priorLang = model.langs.minBy(l => (-model.biases(l), l))
+    val priorExp = model.langs.map(l => math.exp(model.biases(l) -
+      model.langs.map(model.biases).max))
+    val priorConf = math.exp(model.biases(priorLang) -
+      model.langs.map(model.biases).max) / priorExp.sum
+    docs.select(cr(idCol).as("id"))
+      .join(featured.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(priorLang).as("lang"),
+        lit(priorConf).as("confidence"))
+      .unionByName(featured)
   }
 
   /** Persist a trained [[LangIdModel]] as ONE versioned snapshot table

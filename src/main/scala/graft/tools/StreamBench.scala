@@ -27,7 +27,7 @@ import graft.streaming.Streams
 object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("lm")) { lmBench(args); return }
-    if (Seq("lmn", "dsir", "clf", "incdedup", "incneardup", "curate",
+    if (Seq("lmn", "dsir", "clf", "lid", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
         "decontamsurg", "ingestbins", "wetingest", "warcingest", "mediaadmit",
         "videoadmit", "bpescore")
@@ -252,6 +252,26 @@ object StreamBench {
           "text", "doc_id", iters = 8)
         run("stream_clf_score_rows_per_sec", Seq(model.weights)) { (s, h) =>
           Streams.scoreClassifierBatches(s, model, "text", "doc_id", h)
+        }
+      case "lid" =>
+        // trained language routing: a 3-way label planted by doc_id
+        // (vocab tags appended so the classes are separable), then the
+        // stream identified against the trained model — the
+        // scoreClassifierBatches shape with a per-doc softmax window
+        val tag = when(col("doc_id") % 3 === 0,
+          lit(" alpha arbor anchor amber apex argon"))
+          .when(col("doc_id") % 3 === 1,
+            lit(" birch basalt beacon bramble bisque borax"))
+          .otherwise(lit(" cedar cobalt cairn crimson cumin cypress"))
+        val lang = when(col("doc_id") % 3 === 0, "aa")
+          .when(col("doc_id") % 3 === 1, "bb").otherwise("cc")
+        val model = graft.operators.Corpus.trainLangId(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), concat(col("text"), tag).as("text"),
+              lang.as("lang")),
+          "text", "lang", "doc_id", iters = 8)
+        run("stream_lid_rows_per_sec", Seq(model.weights)) { (s, h) =>
+          Streams.langIdBatches(s, model, "text", "doc_id", h)
         }
       case "incneardup" =>
         // MinHash near-dup admission: the replica's 10 exact copies are
