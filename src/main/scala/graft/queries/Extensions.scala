@@ -2492,7 +2492,7 @@ object Extensions {
     val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
     val model = graft.operators.Corpus.trainLangId(
       corpus.filter(col("doc_id") % 2 === 0), "text", "lang", "doc_id",
-      iters = 12)
+      iters = 8)
     graft.operators.Corpus.langIdWith(
       corpus.filter(col("doc_id") % 2 =!= 0), model, "text", "doc_id")
       .orderBy(col("id"))
