@@ -35,13 +35,30 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // "" means no filter, not "match nothing"
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // WALL-CLOCK DEADLINE (round-18: the round-17 driver bench was
+    // KILLED on time — rc 124, no scoreboard — the second bench loss in
+    // three rounds after r15's stdout overflow; the stdout budget got a
+    // structural defense in r16, this is the TIME budget's). Elapsed is
+    // measured from main entry (what the external kill clock sees).
+    // Degradation order past the deadline: remaining WARMUPS are
+    // skipped first (the warmup loop shares the clock and stops at 25%
+    // of the budget), then adaptive top-up passes stop, then base
+    // passes skip any query that already carries >= 1 successful rep —
+    // a query with ZERO reps always runs (one real rep beats a -1 that
+    // reads as a failure), so the stdout line ALWAYS prints with full
+    // query coverage. Degraded queries are counted in the visible
+    // "deadline_hit" field.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1200").toDouble
+    val startNs = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => }
+        if (elapsedSec < deadlineSec * 0.25)
+          try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
     // INTERLEAVED passes + adaptive reps: the host shows heavy
@@ -77,6 +94,12 @@ object Bench {
     // earns top-up passes regardless of speed (1.25 < the 1.3x
     // reproducibility bar, so certified medians carry margin)
     val spreadRatio = sys.env.getOrElse("SPARK_GRAFT_SPREAD_RATIO", "1.25").toDouble
+    // queries at or above this median are EXEMPT from spread-triggered
+    // top-ups: their spread is host tenancy, not measurement noise a
+    // 5th rep can fix, and 7 reps of an 11 s gate is 77 s of the time
+    // budget (the round-17 post-mortem — adaptive passes over the
+    // heavy iterative gates were a large share of the wall overrun)
+    val heavyCutSec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_CUT_SEC", "8.0").toDouble
     // session accessor with post-failure recovery (same pattern as
     // Verify): a context-killing query must not silently void the rest
     // of the suite with near-zero "timings" of instant failures
@@ -105,34 +128,41 @@ object Bench {
     val attemptsByName = scala.collection.mutable.Map(
       queryList.map { case (name, _) => name -> 0 }: _*)
     // a failed rep reports NO timing: recording time-to-failure would
-    // let the median publish a fast "success" for a query that threw
+    // let the median publish a fast "success" for a query that threw.
+    // Past the deadline a query with >= 1 successful rep is SKIPPED
+    // (and marked degraded); a zero-rep query still runs — coverage
+    // over precision.
+    val deadlineSkipped = scala.collection.mutable.Set.empty[String]
     def runPass(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
       subset.foreach { case (name, fn) =>
-        val s = session()
-        s.catalog.clearCache()
-        attemptsByName(name) += 1
-        val t0 = System.nanoTime()
-        try {
-          fn(s, sfDir).write.mode("overwrite").format("noop").save()
-          timesByName(name) = timesByName(name) :+ (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        if (elapsedSec > deadlineSec && timesByName(name).nonEmpty)
+          deadlineSkipped += name
+        else {
+          val s = session()
+          s.catalog.clearCache()
+          attemptsByName(name) += 1
+          val t0 = System.nanoTime()
+          try {
+            fn(s, sfDir).write.mode("overwrite").format("noop").save()
+            timesByName(name) = timesByName(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
         }
       }
     (1 to reps).foreach(_ => runPass(queryList))
     // Adaptive passes for the noise-prone queries: all sub-2s queries
     // (pre-emptively — one contended rep there is a 2-4x swing), plus
-    // any query whose observed rep spread already exceeds spreadRatio.
-    // The pass cap bounds work when a query alternates success/failure
-    // and can never accumulate fastReps successful reps.
+    // any query whose observed rep spread already exceeds spreadRatio
+    // (unless it is heavy — see heavyCutSec). The pass cap bounds work
+    // when a query alternates success/failure and can never accumulate
+    // fastReps successful reps; the deadline stops top-ups outright.
     var extraPass = 0
     var pending = true
-    while (pending && extraPass < fastReps) {
+    while (pending && extraPass < fastReps && elapsedSec < deadlineSec) {
       val fast = queryList.filter { case (name, _) =>
-        val ts = timesByName(name)
-        ts.nonEmpty && ts.size < fastReps &&
-          (median(ts) < fastCutSec || ts.max > ts.min * spreadRatio)
+        needsTopUp(timesByName(name), fastReps, fastCutSec, spreadRatio, heavyCutSec)
       }
       if (fast.isEmpty) pending = false
       else { runPass(fast); extraPass += 1 }
@@ -157,12 +187,36 @@ object Bench {
     // numeric sf parsed from the dir name ("sf0.1" -> 0.1); -1 if unparseable
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption).getOrElse(-1.0)
+    if (deadlineSkipped.nonEmpty)
+      System.err.println(s"[bench] deadline ${deadlineSec}s hit -- " +
+        s"${deadlineSkipped.size} queries degraded: " +
+        deadlineSkipped.toSeq.sorted.mkString(","))
     System.err.println(detailLine(results, reps, sfDir))
     val line = renderLine(meds.map { case (k, v) => shortKey(k) -> v },
-      total, reps, sfNum)
+      total, reps, sfNum, deadlineSkipped.size)
     require(line.length < StdoutBudget, s"bench JSON line too long: ${line.length}")
     println(line)
     active.stop()
+  }
+
+  /** Whether a query's rep set earns another adaptive top-up pass:
+    * under-replicated AND (fast enough that one contended rep is a
+    * 2-4x swing, OR spread-unstable but NOT heavy — a heavy query's
+    * spread is host tenancy that more reps cannot repair, and top-ups
+    * there are what blew the round-17 time budget). Pure so the
+    * policy is unit-testable.
+    */
+  def needsTopUp(ts: Vector[Double], fastReps: Int, fastCutSec: Double,
+                 spreadRatio: Double, heavyCutSec: Double): Boolean = {
+    def median(s0: Seq[Double]): Double = {
+      val s = s0.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    ts.nonEmpty && ts.size < fastReps && {
+      val med = median(ts)
+      med < fastCutSec ||
+        (med < heavyCutSec && ts.max > ts.min * spreadRatio)
+    }
   }
 
   /** The full-precision per-query detail line, printed to STDERR (the
@@ -221,10 +275,15 @@ object Bench {
     * visible at every level that fits; full 3-decimal per-query detail is
     * always on stderr as `[bench-detail]`.
     *
+    * A non-zero `deadlineHit` (queries whose later reps were skipped by
+    * the wall-clock deadline — round 18) appends a fixed-size
+    * `"deadline_hit":N` field at every level, so a time-degraded run is
+    * visible in the official scoreboard itself, not just on stderr.
+    *
     * @param meds short-key → median seconds; -1 marks an all-reps failure
     */
   def renderLine(meds: Seq[(String, Double)], total: Double,
-                 reps: Int, sfNum: Double): String = {
+                 reps: Int, sfNum: Double, deadlineHit: Int = 0): String = {
     def fmt(v: Double): String =
       if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
     // precision-only levels first (keep full per-query detail while it fits)
@@ -246,8 +305,10 @@ object Bench {
         (if (failed.nonEmpty) Seq("\"fail_n\":" + failed.size) else Nil)
       (slowEntries ++ aggEntries).mkString("{", ",", "}")
     }
-    def lineWith(qs: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":$sfNum%.3f}"""
+    def lineWith(qs: String): String = {
+      val dl = if (deadlineHit > 0) s""","deadline_hit":$deadlineHit""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps$dl,"sf":$sfNum%.3f}"""
+    }
     val candidates =
       (0 to 2).iterator.map(l => lineWith(qsAt(l))) ++
         Seq(0.5, 1.0, 2.0, 5.0, 10.0, Double.MaxValue).iterator

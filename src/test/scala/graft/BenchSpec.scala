@@ -82,6 +82,30 @@ class BenchSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("deadline_hit renders as a fixed-size field at every fold level") {
+    val small = Seq(("q1", 1.234), ("q2", 0.056))
+    val sLine = Bench.renderLine(small, 1.29, 3, 0.1, deadlineHit = 2)
+    assert(sLine.contains("\"deadline_hit\":2"), sLine)
+    // and at the terminal fold-everything level
+    val huge = (1 to 3000).map(i => (s"q$i", 42.0))
+    val hLine = Bench.renderLine(huge, huge.map(_._2).sum, 3, 0.1, deadlineHit = 161)
+    assert(hLine.length < Bench.StdoutBudget)
+    assert(hLine.contains("\"deadline_hit\":161"), hLine)
+    // zero hits = field absent (an undegraded run reads as before)
+    assert(!Bench.renderLine(small, 1.29, 3, 0.1).contains("deadline_hit"))
+  }
+
+  test("top-up policy: fast and unstable queries earn reps; heavy and replete ones don't") {
+    def topUp(ts: Vector[Double]) = Bench.needsTopUp(ts, 7, 2.0, 1.25, 8.0)
+    assert(topUp(Vector(0.4, 0.5, 0.6)), "sub-2s queries top up pre-emptively")
+    assert(topUp(Vector(3.0, 3.1, 6.0)), "mid-speed spread-unstable tops up")
+    assert(!topUp(Vector(3.0, 3.1, 3.2)), "stable mid-speed query does not")
+    assert(!topUp(Vector(10.0, 11.0, 22.0)),
+      "heavy query (median >= heavyCutSec) never tops up — its spread is tenancy")
+    assert(!topUp(Vector.fill(7)(0.4)), "replete rep set stops")
+    assert(!topUp(Vector.empty), "all-reps-failed query cannot top up")
+  }
+
   test("the line is valid single-line JSON shape") {
     val meds = synth(200)
     val line = Bench.renderLine(meds, 100.0, 3, 0.1)
