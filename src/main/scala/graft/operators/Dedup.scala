@@ -378,6 +378,13 @@ object Dedup {
     * families are far smaller than `maxIdentity`, and chunk buckets
     * far below `maxBucket` — the defaults only bite on degenerate
     * floods. Pass `Int.MaxValue` to disable either guard.
+    *
+    * NOTE: with either guard enabled this operator is mildly EAGER —
+    * it runs one bounded guard-probe job (a driver handoff of at most
+    * rows/maxIdentity + chunks·rows/maxBucket rows, the same bound the
+    * broadcast formulation carried) at call time, so the returned
+    * frame's plan stays free of guard aggregates and collapses to the
+    * plain banding whenever the probe comes back empty.
     */
   def simhashPairs(
       fp: DataFrame,
@@ -388,30 +395,100 @@ object Dedup {
     require(maxBucket >= 1, "maxBucket must be positive")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val mask = (1L << bitsPer) - 1
-    // identity pre-collapse: the OVERSIZED groups are found by one
-    // aggregate over the fingerprint frame and joined back as a
-    // BROADCAST — the flooded-fp set is tiny by construction (at most
-    // rows/maxIdentity distinct values; the minhash hot-bucket-stats
-    // bound argument), so the big frame never shuffles or sorts for
-    // the guard (a partitionBy(fp) window formulation measured +1.3 s
-    // of exchange+sort on a 10k frame). Cached: star edges, band
-    // input, and both self-join sides downstream all read the
-    // projection — uncached, the caller's fingerprint scan (often a
-    // full media decode) re-runs per consumer. Operator-owned:
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    // Cached: the guard probe, star edges, and both self-join sides all
+    // read this projection — uncached, the caller's fingerprint scan
+    // (often a full media decode) re-runs per consumer. Operator-owned:
     // callers release via Caches.release().
-    // maxIdentity == Int.MaxValue SKIPS the guard entirely (exact: no
-    // group can exceed it) — the frame-evidence paths take this branch
-    // because their df cap already bounds every identity group.
     val base = graft.ops.Caches.owned(fp.select(col("id"), col("fp")))
-    val (bandInput, star) =
-      if (maxIdentity == Int.MaxValue) (base, None)
+    // GUARD PROBE — one bounded collect (round 18; the round-17 shape
+    // ran the identity aggregate + broadcast join-back, a separate
+    // banded census, and a shuffled anti-join as plan-side stages, a
+    // fixed ~0.5-2 s tax per call that put five bench gates >2x over
+    // their unguarded numbers). Both guard sets are tiny by
+    // construction — at most rows/maxIdentity oversized groups and
+    // chunks·rows/maxBucket hot buckets (the minhash hot-bucket-stats
+    // bound argument; the same bound the r17 broadcast relied on) — so
+    // they come from ONE single-aggregate job (every row emits its
+    // identity key plus, valve on, its `chunks` chunk keys into one
+    // groupBy — two stages total, map-side combined) and re-enter the
+    // plan as LOCAL-relation broadcast joins: on a healthy frame both
+    // sets are EMPTY and the pair plan below is exactly the unguarded
+    // banding. The probe censuses RAW (pre-collapse) buckets — a
+    // superset of post-collapse hot buckets, since collapse only
+    // shrinks counts — and corrects each candidate to its
+    // post-collapse population on the driver (raw minus g−1 for every
+    // oversized identity group landing in that bucket): identical to
+    // counting the collapsed banded rows, without a second pass.
+    val (bigGroups, hotBuckets): (Seq[(Long, Long)], Seq[(Int, Long)]) =
+      if (maxIdentity == Int.MaxValue && maxBucket == Int.MaxValue)
+        (Nil, Nil) // both guards off: zero probe jobs, exact banding
       else {
-        val big = broadcast(base.groupBy(col("fp"))
-          .agg(min(col("id")).as("_rep"), count(lit(1)).as("_g"))
-          .filter(col("_g") > maxIdentity)
-          .select(col("fp"), col("_rep")))
-        val annotated = base.join(big, Seq("fp"), "left")
+        val idKey = struct(lit(0).as("k"), lit(-1).as("c"), col("fp").as("v"))
+        val chunkKeys = (0 until chunks).map(c =>
+          struct(lit(1).as("k"), lit(c).as("c"),
+            call_function("shiftrightunsigned", col("fp"), lit(c * bitsPer))
+              .bitwiseAND(lit(mask)).as("v")))
+        val keys =
+          if (maxBucket == Int.MaxValue) Seq(idKey)
+          else if (maxIdentity == Int.MaxValue) chunkKeys
+          else idKey +: chunkKeys
+        val thresh = when(col("k") === 0, lit(maxIdentity.toLong))
+          .otherwise(lit(maxBucket.toLong))
+        val rows = base.select(col("id"), explode(array(keys: _*)).as("kk"))
+          .groupBy(col("kk.k").as("k"), col("kk.c").as("c"), col("kk.v").as("v"))
+          .agg(count(lit(1)).as("_n"), min(col("id")).as("_rep"))
+          .filter(col("_n") > thresh)
+          .collect()
+        // (fp, rep, g) of every oversized identity group
+        val big = rows.filter(_.getInt(0) == 0)
+          .map(r => (r.getLong(2), r.getLong(4), r.getLong(3))).toSeq
+        val hot = rows.filter(_.getInt(0) == 1).flatMap { r =>
+          val c = r.getInt(1); val v = r.getLong(2); val raw = r.getLong(3)
+          val collapsed = big.iterator
+            .filter { case (gfp, _, _) => ((gfp >>> (c * bitsPer)) & mask) == v }
+            .map(_._3 - 1L).sum
+          if (raw - collapsed > maxBucket) Some((c, v)) else None
+        }.toSeq
+        (big.map(t => (t._1, t._2)), hot)
+      }
+    bandedPairsFromGuards(base, maxHamming, bigGroups, hotBuckets)
+  }
+
+  /** The pair-plan half of [[simhashPairs]]: pigeonhole banding + the
+    * exactly-once self-join over a `(id, fp)` frame, with the guard
+    * sets ALREADY RESOLVED to driver-local values — `bigGroups` =
+    * `(fp, rep)` of every oversized identity group, `hotBuckets` =
+    * `(chunk, ch)` of every over-valve bucket (post-collapse counts).
+    * Callers that can compute those sets more cheaply than
+    * [[simhashPairs]]' own probe (the frame-evidence paths fuse them
+    * into their df-cap aggregate) enter here; pass empty seqs for the
+    * plain exact banding. `base` should be cached (or a cheap
+    * projection of a cached frame) — both self-join sides read it.
+    */
+  private[graft] def bandedPairsFromGuards(
+      base: DataFrame,
+      maxHamming: Int,
+      bigGroups: Seq[(Long, Long)],
+      hotBuckets: Seq[(Int, Long)]): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val spark = base.sparkSession
+    import spark.implicits._
+    def bandCols(src: Column): Column =
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftrightunsigned", src, c * lit(bitsPer))
+            .bitwiseAND(lit(mask)).as("ch"))))
+    // identity pre-collapse join-back — only when oversized groups
+    // exist, and from a LOCAL relation (no aggregate subtree in the
+    // pair plan)
+    val (bandInput, star) =
+      if (bigGroups.isEmpty) (base, None)
+      else {
+        val bigDf = broadcast(bigGroups.toDF("fp", "_rep"))
+        val annotated = base.join(bigDf, Seq("fp"), "left")
         (annotated
           .filter(col("_rep").isNull || col("id") === col("_rep"))
           .select(col("id"), col("fp")),
@@ -420,20 +497,14 @@ object Dedup {
             .select(col("_rep").as("id_a"), col("id").as("id_b"),
               lit(0).cast("int").as("hamming"))))
       }
-    val banded = bandInput.select(
-      col("id"), col("fp"),
-      explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
-        struct(c.as("chunk"),
-          call_function("shiftrightunsigned", col("fp"), c * lit(bitsPer))
-            .bitwiseAND(lit(mask)).as("ch")))).as("cc"))
+    val banded = bandInput.select(col("id"), col("fp"), bandCols(col("fp")).as("cc"))
       .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"), col("id"), col("fp"))
-    // bucket valve: the hot set is tiny (≤ rows/maxBucket buckets), and
-    // the anti-join + self-join all hash on (chunk, ch), so the valve
-    // rides the partitioning the join needs anyway (exchange reuse).
-    val hot = banded.groupBy(col("chunk"), col("ch"))
-      .agg(count(lit(1)).as("_bs")).filter(col("_bs") > maxBucket)
-      .select(col("chunk"), col("ch"))
-    val cold = banded.join(hot, Seq("chunk", "ch"), "left_anti")
+    // bucket valve — a map-side anti-join against the collected hot
+    // set; absent entirely on healthy frames
+    val cold =
+      if (hotBuckets.isEmpty) banded
+      else banded.join(broadcast(hotBuckets.toDF("chunk", "ch")),
+        Seq("chunk", "ch"), "left_anti")
     // Pair generation stays a bucket self-join (NOT collect_list +
     // local pair-gen like minhashCandidates): simhash chunk buckets are
     // hot by construction — k+1 chunks of 64/(k+1) bits each give few
@@ -536,7 +607,19 @@ object Dedup {
     require(maxBucket >= 1, "maxBucket must be positive")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val mask = (1L << bitsPer) - 1
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val spark = probe.sparkSession
+    import spark.implicits._
+    // with the valve on, each side feeds both the census probe and the
+    // join — cache so a fingerprint decode / ledger-union groupBy runs
+    // once per side, not twice (callers release via Caches.release());
+    // valve off = one consumer each, no cache
+    def sideOf(df: DataFrame): DataFrame = {
+      val p = df.select(col("id"), col("fp"))
+      if (maxBucket == Int.MaxValue) p else graft.ops.Caches.owned(p)
+    }
+    val pb = sideOf(probe)
+    val pr = sideOf(prior)
     def banded(fp: DataFrame): DataFrame = fp.select(
       col("id"), col("fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
@@ -545,23 +628,48 @@ object Dedup {
             .bitwiseAND(lit(mask)).as("ch")))).as("cc"))
       .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"),
         col("id"), col("fp"))
-    def hot(b: DataFrame): DataFrame = b.groupBy(col("chunk"), col("ch"))
-      .agg(count(lit(1)).as("_bs")).filter(col("_bs") > maxBucket)
-      .select(col("chunk"), col("ch"))
     val xor = col("fp_a").bitwiseXOR(col("fp_b"))
     val firstEqualChunk = (0 until chunks).foldRight(lit(-1): Column) { (c, els) =>
       when(call_function("shiftrightunsigned", xor, lit(c * bitsPer))
         .bitwiseAND(lit(mask)) === 0L, lit(c)).otherwise(els)
     }
-    val bl = banded(probe)
-    val br = banded(prior)
+    val bl = banded(pb)
+    val br = banded(pr)
     // one shared hot set (either side oversized drops the bucket from
     // both) keeps the first-agreeing-chunk rule symmetric and
-    // SQL-replicable
-    val sharedHot = hot(bl).unionByName(hot(br)).distinct()
-    val l = bl.join(sharedHot, Seq("chunk", "ch"), "left_anti")
+    // SQL-replicable. Collected in ONE bounded single-aggregate probe
+    // job (the simhashPairs round-18 shape: ≤ chunks·rows/maxBucket
+    // rows per side; both sides union with a side tag so per-side
+    // counts ride one groupBy) and re-applied as a local-relation
+    // map-side anti-join — empty on healthy frames, where the join
+    // below is the exact unguarded banding.
+    val sharedHot: Seq[(Int, Long)] =
+      if (maxBucket == Int.MaxValue) Nil
+      else {
+        val chunkKeys = (0 until chunks).map(c =>
+          struct(lit(c).as("c"),
+            call_function("shiftrightunsigned", col("fp"), lit(c * bitsPer))
+              .bitwiseAND(lit(mask)).as("v")))
+        pb.select(col("fp"), lit(0).as("_s"))
+          .unionByName(pr.select(col("fp"), lit(1).as("_s")))
+          .select(col("_s"), explode(array(chunkKeys: _*)).as("kk"))
+          .groupBy(col("kk.c").as("c"), col("kk.v").as("v"))
+          .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_nl"),
+            sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_nr"))
+          .filter(col("_nl") > maxBucket || col("_nr") > maxBucket)
+          .select(col("c"), col("v")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      }
+    val (coldL, coldR) =
+      if (sharedHot.isEmpty) (bl, br)
+      else {
+        val hotDf = broadcast(sharedHot.toDF("chunk", "ch"))
+        (bl.join(hotDf, Seq("chunk", "ch"), "left_anti"),
+          br.join(hotDf, Seq("chunk", "ch"), "left_anti"))
+      }
+    val l = coldL
       .select(col("chunk"), col("ch"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val rj = br.join(sharedHot, Seq("chunk", "ch"), "left_anti")
+    val rj = coldR
       .select(col("chunk"), col("ch"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(rj, Seq("chunk", "ch"))
       .withColumn("hamming", bit_count(xor))

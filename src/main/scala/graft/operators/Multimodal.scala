@@ -944,10 +944,12 @@ object Multimodal {
     * [[Dedup.minhashCandidates]]' `maxBucket`). Below the cap the
     * evidence count stays EXACT: the df bound caps every identity
     * group at `maxFrameDf · stride` rows, so [[Dedup.simhashPairs]]'
-    * identity pre-collapse (which would undercount evidence) is
-    * DISABLED here (`maxIdentity = Int.MaxValue` — it could never
-    * engage on surviving frames, so its window shuffle would be pure
-    * overhead). Pass `Int.MaxValue` to disable the df cap itself.
+    * identity pre-collapse (which would undercount evidence) stays
+    * OFF — it could never engage on surviving frames. Pass
+    * `Int.MaxValue` to disable the df cap itself. The df cap and the
+    * bucket-valve census are FUSED into one bounded probe job (see
+    * the body comment); like [[Dedup.simhashPairs]], this operator is
+    * mildly eager.
     */
   private[graft] def frameEvidencePairs(
       frames: DataFrame,
@@ -956,16 +958,63 @@ object Multimodal {
       minMatches: Int,
       maxFrameDf: Int = 100): DataFrame = {
     require(minMatches > 0, "minMatches must be positive")
-    // cache: the frame table feeds both the df aggregation and the
-    // pair path; uncached, every item demuxes+decodes twice (caller
+    require(maxFrameDf >= 1, "maxFrameDf must be positive")
+    // cache: the frame table feeds both the guard probe and the pair
+    // path; uncached, every item demuxes+decodes twice (caller
     // releases via Caches.release())
     val f = graft.ops.Caches.owned(
       frames.select(col("media_id"), col("frame_idx"), col("fp")))
-    val composite = compositeFrameKeys(frameDfCap(f, maxFrameDf), stride)
-    // Int.MaxValue = skip the identity window entirely: the df cap
-    // bounds every surviving identity group at maxFrameDf·stride, so
-    // the pre-collapse could never engage — don't pay its shuffle
-    Dedup.simhashPairs(composite, maxHamming, maxIdentity = Int.MaxValue)
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val maxBucket = 2000 // the simhashPairs default valve
+    // FUSED GUARD PROBE (round 18): the df cap and the bucket-valve
+    // census ride ONE aggregate job — each frame row emits its
+    // fingerprint key (distinct-media df) plus its `chunks` chunk keys
+    // (raw bucket census) into a single groupBy, and the driver
+    // corrects each raw-hot bucket to its post-cap population by
+    // subtracting the over-cap fingerprints' rows (removal only
+    // shrinks counts, so raw-hot is a superset — the correction is
+    // exact). Previously the cap (count_distinct + semi-join) and the
+    // census (inside simhashPairs) were separate jobs, each a fixed
+    // ~0.5-1 s of stages per call. The identity window stays OFF
+    // (maxIdentity could never engage: the df cap bounds every
+    // surviving identity group at maxFrameDf·stride).
+    val spark = f.sparkSession
+    import spark.implicits._
+    val fpKey = struct(lit(0).as("k"), lit(-1).as("c"), col("fp").as("v"))
+    val chunkKeys = (0 until chunks).map(c =>
+      struct(lit(1).as("k"), lit(c).as("c"),
+        call_function("shiftrightunsigned", col("fp"), lit(c * bitsPer))
+          .bitwiseAND(lit(mask)).as("v")))
+    val keys =
+      if (maxFrameDf == Int.MaxValue) chunkKeys else fpKey +: chunkKeys
+    val probe = f
+      .select(col("media_id"), explode(array(keys: _*)).as("kk"))
+      .groupBy(col("kk.k").as("k"), col("kk.c").as("c"), col("kk.v").as("v"))
+      .agg(count(lit(1)).as("_n"),
+        count_distinct(when(col("kk.k") === 0, col("media_id"))).as("_dm"))
+      .filter((col("k") === 0 && col("_dm") > maxFrameDf) ||
+        (col("k") === 1 && col("_n") > maxBucket))
+      .collect()
+    // (fp, total rows) of every over-cap boilerplate fingerprint
+    val overFps = probe.filter(_.getInt(0) == 0)
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val hotBuckets = probe.filter(_.getInt(0) == 1).flatMap { r =>
+      val c = r.getInt(1); val v = r.getLong(2); val raw = r.getLong(3)
+      val removed = overFps.iterator
+        .filter { case (fp, _) => ((fp >>> (c * bitsPer)) & mask) == v }
+        .map(_._2).sum
+      if (raw - removed > maxBucket) Some((c, v)) else None
+    }.toSeq
+    val capped =
+      if (overFps.isEmpty) f
+      else f.join(broadcast(overFps.map(_._1).toDF("fp")),
+        Seq("fp"), "left_anti")
+    val composite = compositeFrameKeys(capped, stride)
+    // composite is a cheap projection of the cached f — both self-join
+    // sides read through the cache, no second materialization needed
+    Dedup.bandedPairsFromGuards(composite, maxHamming, Nil, hotBuckets)
       .select(
         expr(s"id_a DIV $stride").as("vid_a"),
         expr(s"id_b DIV $stride").as("vid_b"))
@@ -983,15 +1032,32 @@ object Multimodal {
     * drops `(media_id, frame_idx, fp)` rows whose fingerprint is
     * carried by more than `maxFrameDf` DISTINCT media (see the
     * [[frameEvidencePairs]] scaladoc for why such frames are structure,
-    * not evidence). One groupBy + semi-join on `fp`.
+    * not evidence). The cap runs as one EAGER bounded probe job
+    * (round 18; previously a lazy semi-join against the kept set —
+    * but "kept" is nearly every distinct fingerprint, so that join
+    * shuffled the whole frame table per consumer, and the lazy
+    * aggregate re-ran under every downstream action): the OVER-cap
+    * set — the tiny boilerplate inventory, ≤ total-rows/maxFrameDf
+    * entries by the df bound — is collected once and re-applied as a
+    * local-relation map-side anti-join; on healthy frames it is EMPTY
+    * and the frame passes through with zero plan overhead.
+    * `Int.MaxValue` disables the cap without even the probe. Callers
+    * should hand in a cached/persisted frame (both of this file's
+    * call sites do) so the probe doesn't re-run the decode scan.
     */
   private[graft] def frameDfCap(frames: DataFrame, maxFrameDf: Int): DataFrame = {
     require(maxFrameDf >= 1, "maxFrameDf must be positive")
-    val kept = frames.groupBy(col("fp"))
-      .agg(count_distinct(col("media_id")).as("_df"))
-      .filter(col("_df") <= maxFrameDf)
-      .select(col("fp"))
-    frames.join(kept, Seq("fp"), "left_semi")
+    if (maxFrameDf == Int.MaxValue) frames
+    else {
+      val spark = frames.sparkSession
+      import spark.implicits._
+      val over = frames.groupBy(col("fp"))
+        .agg(count_distinct(col("media_id")).as("_df"))
+        .filter(col("_df") > maxFrameDf)
+        .select(col("fp")).as[Long].collect()
+      if (over.isEmpty) frames
+      else frames.join(broadcast(over.toSeq.toDF("fp")), Seq("fp"), "left_anti")
+    }
   }
 
   /** Guarded composite-key projection shared by the batch and

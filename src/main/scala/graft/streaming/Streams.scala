@@ -878,6 +878,13 @@ object Streams {
       val spark = batch.sparkSession
       val fps = fingerprint(batch)
         .persist() // consumed by both probes + freshIds + ledger rows
+      // simhashPairs/simhashCrossPairs register operator-owned caches
+      // per call; a 24/7 stream must release them per micro-batch or
+      // the registry grows one strongly-held cached frame per batch
+      // (exactly the unbounded-growth mode snapshot retention guards
+      // against). Caches.release() is process-global — a concurrent
+      // pipeline in the same session loses only cache HITS, never
+      // correctness (released plans re-derive).
       try {
         val ledgerSchema = StructType(Seq(
           StructField("media_id", LongType),
@@ -913,7 +920,7 @@ object Streams {
             .select(col("media_id"), col("fp"), lit(batchId).as("batch_id"))
           writeBatchLedger(ledgerRows, ledgerDir)
         } finally fresh.unpersist()
-      } finally fps.unpersist()
+      } finally { fps.unpersist(); graft.ops.Caches.release() }
     }
   }
 
@@ -1083,7 +1090,10 @@ object Streams {
               lit(batchId).as("batch_id"))
           writeBatchLedger(ledgerRows, ledgerDir)
         } finally fresh.unpersist()
-      } finally fps.unpersist()
+      } finally { fps.unpersist(); graft.ops.Caches.release() }
+      // ^ the per-batch operator-cache release: see
+      //   incrementalMediaNearDupBatches — same unbounded-registry
+      //   rationale, same correctness-preserving global-release trade
     }
   }
 

@@ -1001,6 +1001,35 @@ class StreamsSpec extends SparkSpec {
     assert(!admitted.exists(_._2 == 18L))
   }
 
+  test("media admission releases operator-owned caches every micro-batch") {
+    // simhashPairs/simhashCrossPairs register operator-owned caches per
+    // call; without the per-batch release a 24/7 stream accumulates one
+    // strongly-held cached frame per micro-batch — the registry must
+    // come back EMPTY after every batch
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal.JdkCodec
+    def png(code: Long) = JdkCodec.encodeCodedPng(code, 1, 1)
+    val corpus = Seq((100L, png(0x0F0F0F0F0F0F0F0FL)))
+      .toDF("media_id", "content")
+    val corpusFps = Streams.mediaCorpusFingerprints(corpus, "image")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_media_release").toString + "/l"
+    val input = MemoryStream[(Long, Array[Byte])]
+    graft.ops.Caches.release() // clean slate
+    val q = Streams.incrementalMediaNearDupBatches(
+      input.toDF().toDF("media_id", "content"), corpusFps, ledgerDir,
+      (fresh, _) => { fresh.count(); () },
+      maxHamming = 3, mediaType = "image").start()
+    try {
+      (1 to 4).foreach { b =>
+        input.addData((b.toLong, png(b.toLong * 0x1234567L)))
+        q.processAllAvailable()
+        assert(graft.ops.Caches.ownedCount == 0,
+          s"registry must drain after micro-batch $b")
+      }
+    } finally q.stop()
+  }
+
   test("media admission flood guards: mass-duplicated corpus collapses; boilerplate frames admit nothing") {
     implicit val sq = spark.sqlContext
     import graft.operators.{Multimodal, MjpegAvi}
