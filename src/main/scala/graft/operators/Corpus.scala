@@ -983,6 +983,43 @@ object Corpus {
           .otherwise(lit("tail")))
       .drop("ntile")
 
+  /** The fully MODEL-DRIVEN CCNet bucketing (Wenzek et al., LREC 2020
+    * §3.2-3.3 end to end): language comes from a TRAINED
+    * [[LangIdModel]] ([[langIdWith]] — the fastText-style multinomial
+    * LR the paper actually deploys, any language count) instead of the
+    * 5-language stopword heuristic
+    * [[graft.functions.TextFunctions.langId]], and perplexity from an
+    * already-trained reference [[LmNModel]] ([[scoreWithLmNModel]] —
+    * no reference rescan per call). Emits the scored frame plus
+    * `lang` and `bucket` ∈ {head, middle, tail}; terciles are per
+    * MODEL-assigned language ([[perplexityBuckets]] semantics —
+    * null-scored pages bucket as `tail`). Both models load from
+    * snapshots ([[loadLangIdModel]] / [[loadLmNModel]]) for the
+    * production posture; the heuristic `langId` remains the
+    * zero-dependency fallback for corpora without a labeled
+    * inventory.
+    *
+    * Scale shape: one langIdWith pass (feature projection + broadcast
+    * weight join + per-doc argmax), one scoreWithLmNModel pass (keyed
+    * model joins), one equi-join on `id` to marry them, then
+    * [[exactNtile]]'s distributed tercile machinery — no crossJoin,
+    * no reference-corpus rescan, nothing collected beyond langIdWith's
+    * bias constants.
+    */
+  def ccnetBucketsWith(
+      docs: DataFrame,
+      lm: LmNModel,
+      langModel: LangIdModel,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    val scored = scoreWithLmNModel(docs, lm, textCol, idCol, alpha)
+    val langs = langIdWith(docs, langModel, textCol, idCol)
+      .select(col("id"), col("lang"))
+    perplexityBuckets(
+      scored.join(langs, Seq("id")), "lang", "avg_neg_logscore", col("id"))
+  }
+
   /** Deterministic TRAINING ORDER over the [[domainMixture]] output —
     * the mixture's last mile: chunk each domain's admission stream
     * into `budget`-token bins (bin/off directly from `start_off`, the

@@ -2490,9 +2490,13 @@ object Extensions {
       .otherwise(
         vocab(Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress")))
     val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
+    // 4 iterations separate the disjoint vocabularies by construction
+    // (CorpusSpec pins held-out classification at 100%); 8 bought no
+    // additional gate signal at twice the suite cost (round-18 diet —
+    // this was the joint-slowest bench gate)
     val model = graft.operators.Corpus.trainLangId(
       corpus.filter(col("doc_id") % 2 === 0), "text", "lang", "doc_id",
-      iters = 8)
+      iters = 4)
     graft.operators.Corpus.langIdWith(
       corpus.filter(col("doc_id") % 2 =!= 0), model, "text", "doc_id")
       .orderBy(col("id"))
@@ -2601,6 +2605,52 @@ object Extensions {
         Seq("id"))
     graft.operators.Corpus.perplexityBuckets(
         scored, "lang", "avg_neg_logscore", col("id"))
+      .select(col("id"), col("lang"), col("bucket"))
+      .orderBy(col("id"))
+  }
+
+  /** The fully MODEL-DRIVEN CCNet pipeline (rows-only, the q148/q161
+    * posture: transcendental LM scores + GD-trained weights): planted
+    * 3-language corpus (q161's disjoint-vocabulary construction — the
+    * trained model provably separates them), langid + reference-LM
+    * models trained on the doc_id%10==0 slice, BOTH persisted via
+    * snapshots and LOADED back (the production wiring:
+    * saveLangIdModel→loadLangIdModel, saveLmNModel→loadLmNModel), then
+    * Corpus.ccnetBucketsWith buckets the held-out 90% per TRAINED
+    * language. Bucket semantics are oracle-pinned through q147's
+    * exactNtile; langid math through q161's plain-Scala GD replica;
+    * LM scoring through q130's replica — this gate pins the SEAM (a
+    * loaded model driving the CCNet path), the last heuristic handoff
+    * in the curation chain.
+    */
+  def qP9CcnetTrained(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val lang = expr(
+      "CASE doc_id % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc' END")
+    def vocab(words: Seq[String]): Column =
+      concat_ws(" ", (0 until 8).map(i =>
+        element_at(
+          array(words.map(lit): _*),
+          ((col("doc_id") * 7 + i * 3) % words.size + 1).cast("int"))): _*)
+    val text = when(col("doc_id") % 3 === 0,
+      vocab(Seq("alpha", "arbor", "anchor", "amber", "apex", "argon")))
+      .when(col("doc_id") % 3 === 1,
+        vocab(Seq("birch", "basalt", "beacon", "bramble", "bisque", "borax")))
+      .otherwise(
+        vocab(Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress")))
+    val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
+    val trainSlice = corpus.filter(col("doc_id") % 10 === 0)
+    val wh = Files.createTempDirectory("graft_ccnet_wh").toString
+    graft.operators.Corpus.saveLangIdModel(s, wh, "langid",
+      graft.operators.Corpus.trainLangId(
+        trainSlice, "text", "lang", "doc_id", iters = 4))
+    graft.operators.Corpus.saveLmNModel(s, wh, "reflm",
+      graft.operators.Corpus.ngramBackoffModel(trainSlice, "text", "doc_id", n = 3))
+    graft.operators.Corpus.ccnetBucketsWith(
+        corpus.filter(col("doc_id") % 10 =!= 0),
+        graft.operators.Corpus.loadLmNModel(s, wh, "reflm"),
+        graft.operators.Corpus.loadLangIdModel(s, wh, "langid"),
+        "text", "doc_id")
       .select(col("id"), col("lang"), col("bucket"))
       .orderBy(col("id"))
   }
@@ -3260,7 +3310,8 @@ object Extensions {
     "q159_simhash_guards" -> qD11SimhashGuards _,
     "q160_main_content" -> qT17MainContent _,
     "q161_langid_trained" -> qC27LangIdTrained _,
-    "q162_content_pipeline" -> qP8ContentPipeline _)
+    "q162_content_pipeline" -> qP8ContentPipeline _,
+    "q163_ccnet_trained" -> qP9CcnetTrained _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).

@@ -510,6 +510,38 @@ object Streams {
         batchId)
     }
 
+  /** Streaming deployment of the fully model-driven CCNet bucketing
+    * ([[graft.operators.Corpus.ccnetBucketsWith]]): per micro-batch,
+    * TRAINED language ID + persisted reference-LM perplexity +
+    * per-language terciles — the online form of the CCNet pipeline,
+    * all models LOADED once at writer construction (persist via
+    * [[graft.operators.Corpus.saveLangIdModel]] /
+    * [[graft.operators.Corpus.saveLmNModel]] before long runs). Same
+    * foreachBatch rationale as [[scoreLmNBatches]]; the handler IS the
+    * batch operator, so streaming ≡ batch PER BATCH — note the
+    * terciles are BATCH-LOCAL (each micro-batch splits its own pages
+    * head/middle/tail, the online-routing semantics; a global tercile
+    * over an unbounded stream is undefined without a second pass).
+    */
+  def ccnetBucketsBatches(
+      docs: DataFrame,
+      lm: graft.operators.Corpus.LmNModel,
+      langModel: graft.operators.Corpus.LangIdModel,
+      textCol: String,
+      idCol: String,
+      onBatch: (DataFrame, Long) => Unit,
+      alpha: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      try onBatch(
+        graft.operators.Corpus.ccnetBucketsWith(
+          batch, lm, langModel, textCol, idCol, alpha),
+        batchId)
+      finally graft.ops.Caches.release()
+      // exactNtile (inside perplexityBuckets) registers an
+      // operator-owned cache per call — drain it per micro-batch (the
+      // media-admission rationale)
+    }
+
   /** Streaming incremental exact dedup of a document stream against a
     * STATIC corpus AND against everything the stream itself has already
     * admitted — the production crawl-ingest shape

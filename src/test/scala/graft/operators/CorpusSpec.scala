@@ -1975,6 +1975,58 @@ class CorpusSpec extends SparkSpec {
       s"confidences ${got(100L)._2}, ${got(101L)._2}, ${got(102L)._2}")
   }
 
+  test("ccnetBucketsWith: loaded langid + loaded LM drive the CCNet buckets") {
+    // the q163 seam: language from the TRAINED model (at the gate's
+    // 4-iteration diet — disjoint vocabularies must classify 100%),
+    // perplexity from a LOADED reference LM, terciles per model lang.
+    // The composition must equal its oracle-pinned pieces keyed by the
+    // TRUE labels (possible exactly because classification is perfect).
+    val wh = java.nio.file.Files.createTempDirectory("graft_ccnetw_wh").toString
+    val langs = Seq("aa", "bb", "cc")
+    val vocab = Map(
+      "aa" -> Seq("alpha", "arbor", "anchor", "amber", "apex", "argon"),
+      "bb" -> Seq("birch", "basalt", "beacon", "bramble", "bisque", "borax"),
+      "cc" -> Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress"))
+    def textOf(i: Long): String = {
+      val ws = vocab(langs((i % 3).toInt))
+      (0 until 8).map(j => ws(((i * 7 + j * 3) % ws.size).toInt)).mkString(" ")
+    }
+    val corpus = (0L until 90L).map(i => (i, textOf(i), langs((i % 3).toInt)))
+      .toDF("doc_id", "text", "lang")
+    val train = corpus.filter(col("doc_id") % 10 === 0)
+    Corpus.saveLangIdModel(spark, wh, "lid",
+      Corpus.trainLangId(train, "text", "lang", "doc_id", iters = 4))
+    Corpus.saveLmNModel(spark, wh, "reflm",
+      Corpus.ngramBackoffModel(train, "text", "doc_id", n = 3))
+    val held = corpus.filter(col("doc_id") % 10 =!= 0)
+    val got = Corpus.ccnetBucketsWith(
+        held, Corpus.loadLmNModel(spark, wh, "reflm"),
+        Corpus.loadLangIdModel(spark, wh, "lid"), "text", "doc_id")
+      .select(col("id"), col("lang"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    graft.ops.Caches.release()
+    assert(got.length == 81)
+    // 4 GD iterations separate disjoint vocabularies perfectly — the
+    // claim the q161/q163 gate diet rests on
+    got.foreach { case (id, lang, _) =>
+      assert(lang == langs((id % 3).toInt), s"doc $id misclassified as $lang")
+    }
+    // composition == pieces keyed by TRUE labels
+    val want = Corpus.perplexityBuckets(
+        Corpus.scoreWithLmNModel(
+          held, Corpus.loadLmNModel(spark, wh, "reflm"), "text", "doc_id")
+          .join(held.select(col("doc_id").as("id"), col("lang")), Seq("id")),
+        "lang", "avg_neg_logscore", col("id"))
+      .select(col("id"), col("lang"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    graft.ops.Caches.release()
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    // every language contributes all three buckets (terciles engaged)
+    val byLang = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    langs.foreach(l =>
+      assert(byLang(l) == Set("head", "middle", "tail"), s"$l: ${byLang.get(l)}"))
+  }
+
   test("langid model save -> load -> identify equals in-session; pinned version survives refit") {
     val wh = java.nio.file.Files.createTempDirectory("graft_langid_wh").toString
     val train = Seq(

@@ -620,6 +620,62 @@ class StreamsSpec extends SparkSpec {
     assert(acc.exists(_._1 == 13L)) // featureless doc still routed
   }
 
+  test("model-driven CCNet micro-batch bucketing equals the batch operator per batch") {
+    // the q163 seam deployed online: LOADED langid + LOADED reference
+    // LM + per-language terciles, batch-local by design (each
+    // micro-batch routes its own pages head/middle/tail)
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sccnet_wh").toString
+    val langs = Seq("aa", "bb", "cc")
+    val vocab = Map(
+      "aa" -> Seq("alpha", "arbor", "anchor", "amber", "apex", "argon"),
+      "bb" -> Seq("birch", "basalt", "beacon", "bramble", "bisque", "borax"),
+      "cc" -> Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress"))
+    def textOf(i: Long): String = {
+      val ws = vocab(langs((i % 3).toInt))
+      (0 until 8).map(j => ws(((i * 7 + j * 3) % ws.size).toInt)).mkString(" ")
+    }
+    val train = (0L until 30L).map(i => (i, textOf(i), langs((i % 3).toInt)))
+      .toDF("doc_id", "text", "lang")
+    graft.operators.Corpus.saveLangIdModel(spark, wh, "lid",
+      graft.operators.Corpus.trainLangId(train, "text", "lang", "doc_id", iters = 4))
+    graft.operators.Corpus.saveLmNModel(spark, wh, "reflm",
+      graft.operators.Corpus.ngramBackoffModel(train, "text", "doc_id", n = 3))
+    val lid = graft.operators.Corpus.loadLangIdModel(spark, wh, "lid")
+    val lm = graft.operators.Corpus.loadLmNModel(spark, wh, "reflm")
+    val b0 = (100L until 127L).map(i => (i, textOf(i)))
+    val b1 = (200L until 218L).map(i => (i, textOf(i)))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Map.empty[Long, Seq[(Long, String, String)]]
+    val q = Streams.ccnetBucketsBatches(
+      input.toDF().toDF("doc_id", "text"), lm, lid, "text", "doc_id",
+      (bucketed, bid) => acc.synchronized {
+        acc(bid) = bucketed.select(col("id"), col("lang"), col("bucket"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      }).start()
+    try {
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def batchWant(rows: Seq[(Long, String)]) =
+      graft.operators.Corpus.ccnetBucketsWith(
+          rows.toDF("doc_id", "text"), lm, lid, "text", "doc_id")
+        .select(col("id"), col("lang"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val w0 = batchWant(b0); val w1 = batchWant(b1)
+    graft.ops.Caches.release()
+    assert(acc(0L).sortBy(_._1) == w0.sortBy(_._1))
+    assert(acc(1L).sortBy(_._1) == w1.sortBy(_._1))
+    // terciles are batch-local: batch 1 (18 docs, 6/lang) still splits
+    // every language into head/middle/tail on its own pages
+    val byLang1 = acc(1L).groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    langs.foreach(l => assert(byLang1(l) == Set("head", "middle", "tail")))
+    // the registry drains per micro-batch (exactNtile owns a cache)
+    assert(graft.ops.Caches.ownedCount == 0)
+  }
+
   test("classifier micro-batch scoring equals the batch operator") {
     implicit val sq = spark.sqlContext
     val pos = (0L to 9L).map(i => (i, s"informative careful article number $i"))
