@@ -66,7 +66,13 @@ object Snapshots {
     val dir = tableDir(warehouse, table)
     val next = versions(spark, warehouse, table).lastOption.getOrElse(0) + 1
     val vdir = new Path(dir, s"v=$next")
-    val staging = new Path(dir, s".staging_v$next")
+    // staging = hidden PARENT + non-hidden leaf: `.staging/` keeps
+    // in-flight data invisible to any reader listing the table dir,
+    // while the `v=N` leaf (the path the manifest pass reads) is a
+    // normal name — a dot-prefixed leaf made Spark's DataSource WARN
+    // "All paths were ignored" on every publish (it hidden-filters
+    // explicitly-given root paths too)
+    val staging = new Path(new Path(dir, ".staging"), s"v=$next")
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.parquet(staging.toString)
     // manifest from the staged copy (what readers will actually see);
@@ -87,6 +93,9 @@ object Snapshots {
     }
     if (!fs.rename(staging, vdir))
       throw new IllegalStateException(s"snapshot publish of $table v$next failed")
+    // drop the now-empty staging parent (non-recursive: a concurrent
+    // publish's in-flight staging keeps it alive — delete just fails)
+    try fs.delete(staging.getParent, false) catch { case _: Exception => }
     flipPointer(fs, dir, table, next)
     next
   }
@@ -219,7 +228,10 @@ object Snapshots {
     * dropping it would blind [[publishBatch]]'s replay detection and a
     * restarted stream would republish its last batch as a duplicate
     * version). Protected versions are SKIPPED, not errors — retention
-    * is a sweep, not a transaction. Returns the versions deleted.
+    * is a sweep, not a transaction. Also reclaims ORPHANED staging
+    * directories below `before` (debris of publishes that crashed
+    * before their rename; a live publish's staging is always at the
+    * head + 1 and survives). Returns the versions deleted.
     */
   def pruneBefore(
       spark: SparkSession, warehouse: String, table: String, before: Int): Seq[Int] = {
@@ -233,6 +245,29 @@ object Snapshots {
     val victims = vs.filter(v => v < before && v != cur &&
       !chainHead.contains(v) && !isPinned(spark, warehouse, table, v))
     victims.foreach(v => fs.delete(new Path(dir, s"v=$v"), true))
+    // orphaned STAGING sweep: a publish that crashed between its
+    // parquet write and its rename leaves `.staging/v=K` (or the
+    // pre-r18 `.staging_vK`) behind forever — hidden from readers but
+    // never reclaimed. Any staging strictly below `before` is provably
+    // dead (a live publish stages max(versions)+1 >= before, since
+    // callers prune at or below the published head).
+    val stagingParent = new Path(dir, ".staging")
+    if (fs.exists(stagingParent))
+      fs.listStatus(stagingParent).toIndexedSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("v=") &&
+            scala.util.Try(n.stripPrefix("v=").toInt).toOption.exists(_ < before)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(dir).toIndexedSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(".staging_v") &&
+          scala.util.Try(n.stripPrefix(".staging_v").toInt).toOption
+            .exists(_ < before)
+      }
+      .foreach(st => fs.delete(st.getPath, true))
     victims
   }
 

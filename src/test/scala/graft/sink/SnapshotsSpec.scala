@@ -114,6 +114,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.current(spark, wh, "r").count() == 1)
   }
 
+  test("publish leaves no staging debris; prune reclaims orphaned staging") {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    (1 to 3).foreach(i =>
+      Snapshots.publish(spark, wh, "sg", Seq((i, s"v$i")).toDF("k", "v")))
+    val dir = new java.io.File(wh, "sg")
+    def names = dir.listFiles.map(_.getName).toSet
+    // a clean publish renames its staging away and drops the empty
+    // staging parent — nothing hidden accumulates
+    assert(!names.exists(_.startsWith(".staging")), s"debris: $names")
+    // orphans: a crashed publish's staging (old and new layouts) plus a
+    // LIVE one at head+1 (an in-flight publish) — prune sweeps only the
+    // provably-dead ones below `before`
+    val stagingParent = new java.io.File(dir, ".staging")
+    assert(new java.io.File(stagingParent, "v=1").mkdirs())
+    assert(new java.io.File(stagingParent, "v=4").mkdirs())
+    assert(new java.io.File(dir, ".staging_v2").mkdirs())
+    Snapshots.pruneBefore(spark, wh, "sg", 3)
+    assert(!new java.io.File(stagingParent, "v=1").exists(), "dead orphan swept")
+    assert(!new java.io.File(dir, ".staging_v2").exists(), "legacy orphan swept")
+    assert(new java.io.File(stagingParent, "v=4").exists(), "live staging survives")
+    assert(Snapshots.versions(spark, wh, "sg") == Seq(3))
+  }
+
   test("retention protects the batch-chain head: replay detection survives pruning") {
     val wh = Files.createTempDirectory("graft_snap").toString
     Snapshots.publishBatch(spark, wh, "bc", Seq((1, "a")).toDF("k", "v"), batchId = 0L)
