@@ -86,13 +86,26 @@ object TextFunctions {
     *     header, footer, nav, aside, main, blockquote, pre, form,
     *     figure, hr, br, html/head/body/title) becomes a U+0001 separator;
     *  3. per block: the [[stripHtml]]-normalized text and the SAME
-    *     normalization of the block's `<a>…</a>` inner text (so both
-    *     sides of the density ratio measure identical units);
+    *     normalization of the block's anchor text — the `<a>…</a>`
+    *     inner texts PLUS, when the block ends inside an anchor (an
+    *     `<a …>` open whose close falls past a block boundary — `<a>`
+    *     wrapping block-level children is common card/nav markup),
+    *     everything after that last unclosed open (so both sides of
+    *     the density ratio measure identical units);
     *  4. keep a block iff its text carries at least `minChars` chars
     *     AND `link_chars · 100 ≤ maxLinkPct · text_chars` — the link-
     *     density rule (nav/footer blocks are mostly anchor text; body
     *     prose is not). Integer comparisons only, so the DuckDB oracle
     *     replays the chain verbatim (q160).
+    *
+    * KNOWN LIMIT: a block sitting WHOLLY inside an anchor without any
+    * `<a` marker of its own (`<a><div>card text</div></a>` — open and
+    * close both land in NEIGHBORING blocks) scores lc = 0 and passes
+    * as prose; judging it needs cross-block anchor-depth state, which
+    * belongs to a DOM pass, not this scalar chain. The unclosed-open
+    * rule above catches the `intro <a href>link text <br>` half of
+    * that family, where the anchor text shares its block with the
+    * open tag.
     *
     * Survivor blocks re-join with `\n` (one line per block — feeds the
     * line-oriented curation chain directly). Scale: a scalar
@@ -111,12 +124,20 @@ object TextFunctions {
         "section|article|header|footer|nav|aside|main|blockquote|pre|form|" +
         "fieldset|figure|figcaption|hr|br|html|head|body|title)\\b[^>]*>", "\u0001")
     val blocks = split(marked, "\u0001")
-    val scored = transform(blocks, b =>
+    val scored = transform(blocks, b => {
+      // closed anchors: each <a>...</a> inner text
+      val closedJoin = array_join(
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)), " ")
+      // unclosed trailing anchor: greedy ^.* pins the LAST <a ...> open;
+      // its tail counts as anchor text ONLY if no </a> follows (an
+      // RE2-portable formulation - no lookahead - so the DuckDB oracle
+      // replays it verbatim)
+      val rawTrail = regexp_extract(b, "(?is)^.*<a\\b[^>]*>(.*)$", 1)
+      val trail = when(rawTrail.rlike("(?is)</a"), lit("")).otherwise(rawTrail)
       struct(
         stripHtml(b).as("t"),
-        length(stripHtml(array_join(
-          regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
-          " "))).as("lc")))
+        length(stripHtml(concat_ws(" ", closedJoin, trail))).as("lc"))
+    })
     val kept = filter(scored, s =>
       length(s.getField("t")) >= minChars &&
         s.getField("lc") * 100 <= lit(maxLinkPct) * length(s.getField("t")))

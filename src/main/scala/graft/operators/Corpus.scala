@@ -2691,11 +2691,17 @@ object Corpus {
     * FEATURELESS remainder, which collapses to one bias-only argmax
     * constant anyway. Per-doc cost is |features|·|langs|
     * multiply-adds riding the feature partitioning — compute-parallel,
-    * no extra shuffle beyond the per-doc aggregation. Langs missing
-    * from a doc's dot rows (a bucket never seen under that language —
-    * possible only for model/corpus drift) default to their bias via
-    * the softmax over present rows; drift that large warrants a refit,
-    * not a 100× grid.
+    * no extra shuffle beyond the per-doc aggregation. A language with
+    * NO dot row for a doc (none of the doc's buckets was ever seen
+    * under that language — possible only under model/corpus drift) is
+    * OMITTED from that doc's softmax entirely: its bias never enters,
+    * it cannot win the argmax, and the reported confidences normalize
+    * over the present-language subset. The deliberate trade — giving
+    * absent languages their bias-only z would need the 100× (doc ×
+    * lang) grid this operator exists to avoid, and drift that large
+    * warrants a refit. (Training itself never produces such holes for
+    * its own corpus: every (lang, bucket) pair the fit saw carries a
+    * weight row.)
     */
   def langIdWith(
       docs: DataFrame,

@@ -1071,13 +1071,25 @@ object Multimodal {
     */
   private[graft] def compositeFrameKeys(frames: DataFrame, stride: Long): DataFrame = {
     require(stride > 0, "stride must be positive")
-    val maxId = Long.MaxValue / stride
+    // bound covers the WHOLE composite: media_id·stride + (stride−1)
+    // must not wrap — Long.MaxValue/stride alone still overflows when
+    // frame_idx exceeds Long.MaxValue mod stride (e.g. stride 10,
+    // media_id = Long.MaxValue/10, frame_idx 9). frame_idx is part of
+    // the same contract: outside [0, stride) it would scramble the
+    // media-division invariant even without overflow, so it raises in
+    // the same guarded projection.
+    val maxId = (Long.MaxValue - (stride - 1)) / stride
     frames.select(
       when(col("media_id") < 0 || col("media_id") > maxId,
         raise_error(concat(
           lit(s"media_id out of composite-key range [0, $maxId] " +
             s"for stride $stride: "), col("media_id").cast("string"))
         ).cast("long"))
+        .when(col("frame_idx") < 0 || col("frame_idx") >= stride,
+          raise_error(concat(
+            lit(s"frame_idx out of [0, $stride) for stride $stride: "),
+            col("frame_idx").cast("string"))
+          ).cast("long"))
         .otherwise(col("media_id") * stride + col("frame_idx"))
         .as("id"),
       col("fp"))

@@ -2456,6 +2456,12 @@ object Extensions {
         col("text"),
         lit("</div><p>Tiny.</p><aside><a href=\"/ads\">Sponsored offers " +
           "and deals</a> click now</aside>" +
+          // unclosed-anchor card (the <a>-wrapping-block-children
+          // boilerplate shape): the anchor text shares its block with
+          // the open tag, the close falls past the <br> boundary — the
+          // trailing-anchor rule must count it linky
+          "<aside><a href=\"/deals\">Todays greatest discount offers " +
+          "and clearance bargains<br></a></aside>" +
           "<footer><a href=\"/privacy\">Privacy Policy</a> " +
           "<a href=\"/tos\">Terms of Service</a> (c) Example Corp</footer>" +
           "</body></html>")).as("html"))
@@ -3526,6 +3532,13 @@ object Extensions {
       val linkJoin =
         """coalesce(array_to_string(regexp_extract_all(b, """ +
           """'(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ' '), '')"""
+      // unclosed trailing anchor (the Scala chain's rule, verbatim):
+      // greedy ^.* pins the LAST <a ...> open; its tail is anchor text
+      // only if no </a> follows
+      val rawTrail = """regexp_extract(b, '(?is)^.*<a\b[^>]*>(.*)$', 1)"""
+      val linkAll =
+        s"concat_ws(' ', $linkJoin, (CASE WHEN regexp_matches($rawTrail, " +
+          s"'(?is)</a') THEN '' ELSE $rawTrail END))"
       s"""WITH h AS (SELECT doc_id,
              '<html><head><title>Page</title><script>nav(); var x = 1 < 2;' ||
              '</script><style>nav { color: blue }</style></head><body>' ||
@@ -3535,6 +3548,8 @@ object Extensions {
              source || ' bulletin</h1><div class="content">' || text ||
              '</div><p>Tiny.</p><aside><a href="/ads">Sponsored offers ' ||
              'and deals</a> click now</aside>' ||
+             '<aside><a href="/deals">Todays greatest discount offers ' ||
+             'and clearance bargains<br></a></aside>' ||
              '<footer><a href="/privacy">Privacy Policy</a> ' ||
              '<a href="/tos">Terms of Service</a> (c) Example Corp</footer>' ||
              '</body></html>' AS html
@@ -3546,7 +3561,7 @@ object Extensions {
          sc AS (SELECT doc_id,
              list_transform(bs, b -> struct_pack(
                t := ${strip("b")},
-               lc := len(${strip(linkJoin)}))) AS scored
+               lc := len(${strip(linkAll)}))) AS scored
            FROM blk)
        SELECT doc_id,
          coalesce(array_to_string(list_transform(

@@ -198,6 +198,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TF.extractMainContent(col("t")), "plain text with no tags " +
       "but enough characters to clear the floor").asInstanceOf[String]
       .startsWith("plain text"))
+    // UNCLOSED anchor (card/nav markup where <a> wraps block children):
+    // the anchor text shares its block with the open tag, the </a>
+    // lands past the <br> boundary — the whole tail counts as linky
+    val card =
+      "<body><div>Real long-form body prose of the page stays in " +
+        "place as always here.</div>" +
+        "<aside><a href=\"/deals\">Todays greatest discount offers and " +
+        "clearance bargains<br></a></aside></body>"
+    val cardGot = one(TF.extractMainContent(col("t")), card).asInstanceOf[String]
+    assert(cardGot.startsWith("Real long-form body prose"), s"got $cardGot")
+    assert(!cardGot.contains("discount"), s"unclosed-anchor card kept: $cardGot")
+    // ...but prose FOLLOWING a properly closed anchor still counts as
+    // prose (the closed-pair rule, unchanged)
+    val closed =
+      "<body><div>Intro prose sentence <a href=\"/x\">tiny link</a> and " +
+        "then a long run of genuine article prose continuing on well " +
+        "past the link text itself.</div></body>"
+    assert(one(TF.extractMainContent(col("t")), closed).asInstanceOf[String]
+      .contains("genuine article prose"))
   }
 
   test("stripHtml drops script/style/comments, spaces tags, decodes entities once") {

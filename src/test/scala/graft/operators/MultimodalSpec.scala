@@ -484,6 +484,29 @@ class MultimodalSpec extends SparkSpec {
       Seq((3L, 1, 9L)).toDF("media_id", "frame_idx", "fp"), 8L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ok == Set((25L, 9L)))
+    // stride 10: media_id = Long.MaxValue/10 passes the naive per-id
+    // bound but media_id*10 + 9 wraps negative — the whole-composite
+    // bound must raise, not scramble
+    val wrap = Seq((Long.MaxValue / 10, 9, 3L)).toDF("media_id", "frame_idx", "fp")
+    val err2 = intercept[Exception] {
+      Multimodal.compositeFrameKeys(wrap, 10L).collect()
+    }
+    assert(err2.getMessage.contains("composite-key range") ||
+      Option(err2.getCause).exists(_.getMessage.contains("composite-key range")))
+    // frame_idx outside [0, stride) scrambles the media-division
+    // invariant even without overflow — raises in the same projection
+    val badIdx = Seq((3L, 8, 4L)).toDF("media_id", "frame_idx", "fp")
+    val err3 = intercept[Exception] {
+      Multimodal.compositeFrameKeys(badIdx, 8L).collect()
+    }
+    assert(err3.getMessage.contains("frame_idx out of") ||
+      Option(err3.getCause).exists(_.getMessage.contains("frame_idx out of")))
+    // the exact top of the tightened range still passes
+    val top = (Long.MaxValue - 7L) / 8L
+    val okTop = Multimodal.compositeFrameKeys(
+      Seq((top, 7, 5L)).toDF("media_id", "frame_idx", "fp"), 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(okTop == Set((top * 8L + 7L, 5L)))
   }
 
   test("simhashCrossPairs matches probe-vs-prior without self-pair semantics") {
