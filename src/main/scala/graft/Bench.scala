@@ -48,7 +48,7 @@ object Bench {
     // reads as a failure), so the stdout line ALWAYS prints with full
     // query coverage. Degraded queries are counted in the visible
     // "deadline_hit" field.
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1200").toDouble
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500").toDouble
     val startNs = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
     try SparkEntry.entry(spark).count()

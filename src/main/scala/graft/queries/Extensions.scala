@@ -2661,6 +2661,40 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** CCNet bucketing with a FULL oracle (the q31/q71 split: q148 keeps
+    * the natural-text composition rows-only, this gate hash-checks the
+    * same chain end-to-end over a PLANTED construction): per language,
+    * reference docs (doc_id%5==0) all share ONE reference line, so
+    * every trigram/bigram/unigram of a known doc has conditional
+    * probability exactly 1 and `avg_neg_logscore` is EXACTLY 0.0
+    * (log(1) = 0 in every IEEE libm — no transcendental risk); the
+    * other docs carry doc-unique NEVER-SEEN tokens, so they all share
+    * one strictly-positive backoff constant. Ascending-score tercile
+    * order is therefore (known first, then id) in closed form, and the
+    * DuckDB oracle replays it with native ntile (the q147-pinned
+    * equivalence) — no float ever crosses the compare.
+    */
+  def qP10CcnetPlanted(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val known = col("doc_id") % 5 === 0
+    val lang = when(col("doc_id") % 2 === 0, lit("aa")).otherwise(lit("bb"))
+    val text = when(known,
+        when(col("doc_id") % 2 === 0,
+          lit("mercury venus earth mars jupiter saturn"))
+          .otherwise(lit("lupus aquila corvus draco cygnus orion")))
+      .otherwise(concat(
+        lit("zq"), col("doc_id"), lit(" xj"), col("doc_id"),
+        lit(" vk"), col("doc_id"), lit(" wd"), col("doc_id")))
+    val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
+    val scored = graft.operators.Corpus.ngramBackoffScore(
+        corpus.filter(known), corpus, "text", "doc_id", n = 3)
+      .join(corpus.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    graft.operators.Corpus.perplexityBuckets(
+        scored, "lang", "avg_neg_logscore", col("id"))
+      .select(col("id"), col("lang"), col("bucket"))
+      .orderBy(col("id"))
+  }
+
   /** Stratified hash sampling: per-lang keep fractions rebalancing the
     * en-heavy corpus via the engine-portable md5 threshold.
     */
@@ -3317,7 +3351,8 @@ object Extensions {
     "q160_main_content" -> qT17MainContent _,
     "q161_langid_trained" -> qC27LangIdTrained _,
     "q162_content_pipeline" -> qP8ContentPipeline _,
-    "q163_ccnet_trained" -> qP9CcnetTrained _)
+    "q163_ccnet_trained" -> qP9CcnetTrained _,
+    "q164_ccnet_planted" -> qP10CcnetPlanted _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3378,6 +3413,25 @@ object Extensions {
     // identical curation summary — lossless extraction means q133's
     // oracle SQL answers it verbatim.
     ("q162_content_pipeline" -> oracleBase("q133_curation_pipeline")) +
+    // q164: the planted CCNet construction makes score ORDER closed
+    // form — known docs (one shared reference line per language) score
+    // exactly 0.0, doc-unique unknown-token docs share one positive
+    // backoff constant — so the per-language ascending-score tercile is
+    // native ntile over (known DESC, id), no float in the compare (the
+    // exactNtile ≡ SQL-ntile equivalence is q147-pinned)
+    ("q164_ccnet_planted" ->
+      """WITH c AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 2 = 0 THEN 'aa' ELSE 'bb' END AS lang,
+             (doc_id % 5 = 0) AS known
+           FROM documents),
+         r AS (SELECT id, lang,
+             ntile(3) OVER (PARTITION BY lang ORDER BY known DESC, id) AS t
+           FROM c)
+         SELECT id, lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM r ORDER BY id""") +
     // q155: blocked iff the host (or any parent suffix) is listed —
     // with this construction that's exactly %20 = 7 (the exact host,
     // zone implied by CRT) or %4 = 2 (the parent entry, catching the
