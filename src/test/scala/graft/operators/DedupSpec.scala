@@ -266,6 +266,33 @@ class DedupSpec extends SparkSpec {
     graft.ops.Caches.release()
   }
 
+  test("census correction: a bucket raw-hot only through a collapsed flood survives") {
+    // 300 identical fps (over maxIdentity=16 -> collapse to one banded
+    // representative) share chunk-0 value 0x1111 with 10 DISTINCT near
+    // fps. The raw chunk-0 census reads 310 > maxBucket=64, but the
+    // POST-collapse population is 1 + 10 = 11 -- the driver correction
+    // (raw minus g-1 per oversized group) must keep the bucket, or the
+    // rep-vs-near pairs (whose FIRST agreeing chunk is chunk 0) are
+    // silently lost. This pins the round-18 single-probe rework's
+    // trickiest step.
+    val F = 0x1111L
+    val flood = (1L to 300L).map(i => (i, F))
+    val near = (1 to 10).map(i => (1000L + i, F + (i.toLong << 16)))
+    val fps = (flood ++ near).toDF("id", "fp")
+    val got = Dedup.simhashPairs(fps, maxHamming = 3,
+        maxIdentity = 16, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.ops.Caches.release()
+    // star edges for the flood (rep = min id 1)
+    (2L to 300L).foreach(i => assert(got.contains((1L, i, 0)),
+      s"star edge to $i missing"))
+    // the rep still pairs with every near fp at hamming = popcount(i)
+    (1 to 10).foreach { i =>
+      assert(got.contains((1L, 1000L + i, java.lang.Long.bitCount(i.toLong))),
+        s"rep-near pair $i lost: the census correction failed")
+    }
+  }
+
   test("hammingBucketStats surfaces the buckets the valve would drop") {
     // all 12 rows share chunk 0 = 0x1111 AND chunks 2,3 = 0; id 99
     // adds one more member to (2, 0) and (1, 0) — top bucket (2, 0)

@@ -471,6 +471,34 @@ class MultimodalSpec extends SparkSpec {
     graft.ops.Caches.release()
   }
 
+  test("frame-evidence census correction: a bucket raw-hot only through over-cap boilerplate survives") {
+    // 2100 media carry ONE boilerplate frame fp B (df 2100 > the
+    // default maxFrameDf=100 -> removed), and B shares its chunk-0
+    // value with the fp X that 4 legit videos carry on both frames.
+    // The fused probe's RAW chunk-0 census reads 2100 + 8 > the 2000
+    // valve, but post-removal it is 8 -- the driver correction must
+    // keep the bucket, or the legit evidence pairs (identical frames,
+    // first agreeing chunk 0) silently vanish.
+    import spark.implicits._
+    val X = 0x2222L
+    val B = X | (1L << 16) // differs outside chunk 0: same chunk-0 bucket
+    val boiler = (1L to 2100L).map(m => (10000L + m, 0, B))
+    // frame 1 sits 8 bits from frame 0 (cross-frame pairs must NOT
+    // match — only same-frame evidence counts toward the 2)
+    val legit = (1L to 4L).flatMap(v =>
+      Seq((v, 0, X), (v, 1, X ^ (0xFFL << 48))))
+    val frames = (boiler ++ legit).toDF("media_id", "frame_idx", "fp")
+    val got = Multimodal.frameEvidencePairs(
+        frames, stride = 2L, maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.Caches.release()
+    // every legit video pair matches on both frames
+    val want = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b, 2L)).toSet
+    assert(got == want, s"got $got -- the raw-hot bucket was wrongly dropped")
+  }
+
   test("composite frame keys raise on out-of-range media_id instead of wrapping") {
     import spark.implicits._
     val bad = Seq((Long.MaxValue / 8 + 1, 0, 1L), (-1L, 0, 2L))
