@@ -30,7 +30,7 @@ object StreamBench {
     if (Seq("lmn", "dsir", "clf", "lid", "incdedup", "incneardup", "curate",
         "decontam", "curatechain", "incsemantic", "curatesem", "domquota",
         "decontamsurg", "ingestbins", "wetingest", "warcingest", "mediaadmit",
-        "videoadmit", "bpescore")
+        "videoadmit", "bpescore", "ccnet")
       .exists(args.headOption.contains)) { scoredBenches(args); return }
     val rate = args.headOption.map(_.toInt).getOrElse(200000)
     val secs = args.lift(1).map(_.toInt).getOrElse(20)
@@ -272,6 +272,31 @@ object StreamBench {
           "text", "lang", "doc_id", iters = 8)
         run("stream_lid_rows_per_sec", Seq(model.weights)) { (s, h) =>
           Streams.langIdBatches(s, model, "text", "doc_id", h)
+        }
+      case "ccnet" =>
+        // the fully model-driven CCNet chain online: trained langid +
+        // reference LM + batch-local terciles per micro-batch
+        // (Streams.ccnetBucketsBatches). Models train once on the 10%
+        // slice (the q163 shape); persistable units are the LM order
+        // tables + the langid weight frame — unpersisted, every
+        // micro-batch re-aggregates the reference corpus
+        val tag = when(col("doc_id") % 3 === 0,
+          lit(" alpha arbor anchor amber apex argon"))
+          .when(col("doc_id") % 3 === 1,
+            lit(" birch basalt beacon bramble bisque borax"))
+          .otherwise(lit(" cedar cobalt cairn crimson cumin cypress"))
+        val lang = when(col("doc_id") % 3 === 0, "aa")
+          .when(col("doc_id") % 3 === 1, "bb").otherwise("cc")
+        val slice = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(col("text"), tag).as("text"),
+            lang.as("lang"))
+        val lidModel = graft.operators.Corpus.trainLangId(
+          slice, "text", "lang", "doc_id", iters = 4)
+        val lmModel = graft.operators.Corpus.ngramBackoffModel(
+          slice, "text", "doc_id", n = 3)
+        run("stream_ccnet_rows_per_sec",
+          lmModel.orders :+ lmModel.totals :+ lidModel.weights) { (s, h) =>
+          Streams.ccnetBucketsBatches(s, lmModel, lidModel, "text", "doc_id", h)
         }
       case "incneardup" =>
         // MinHash near-dup admission: the replica's 10 exact copies are
