@@ -15,47 +15,6 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.{Dedup, Multimodal, MjpegAvi}
-
-    // qM7's synthetic video corpus
-    def media(s: SparkSession, d: String): DataFrame = {
-      val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
-      val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
-      def flipOf(baseId: Long, f: Int): Long = f match {
-        case 0 => 1L | (1L << 21) | (1L << 42)
-        case 1 => 1L << 5
-        case 2 => if (baseId % 3 == 0) (1L << 7) | (1L << 28)
-          else 0x0202020202020202L
-        case _ => 0x0404040404040404L | (1L << 62)
-      }
-      val base = graft.queries.Tables.documents(s, d).filter(col("doc_id") < 16384)
-        .select(col("doc_id"))
-      val both = base.select(col("doc_id").as("media_id"),
-          col("doc_id").as("base_id"), lit(false).as("twin"))
-        .unionByName(base.select((col("doc_id") + 100000L).as("media_id"),
-          col("doc_id").as("base_id"), lit(true).as("twin")))
-      val enc = org.apache.spark.sql.Encoders.row(
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("media_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("content",
-            org.apache.spark.sql.types.BinaryType))))
-      both.mapPartitions { it =>
-        it.map { r =>
-          val id = r.getLong(0)
-          val baseId = r.getLong(1)
-          val twin = r.getBoolean(2)
-          val sx = 1 + (id % 3).toInt
-          val sy = 1 + (id % 2).toInt
-          val frames = (0 until 4).map { f =>
-            val code = (baseId * unit) ^ lanes(f) ^
-              (if (twin) flipOf(baseId, f) else 0L)
-            Multimodal.JdkCodec.encodeCodedPng(code, sx, sy)
-          }
-          org.apache.spark.sql.Row(id, MjpegAvi.encode(frames, 9 * sx, 8 * sy))
-        }
-      }(enc)
-    }
 
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -67,17 +26,93 @@ object Prof {
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val m = media(spark, sfDir)
-    def vfp = Multimodal.videoFingerprints(m, 4)
-    def full = Multimodal.videoNearDups(m, k = 4, maxHamming = 3, minMatches = 2)
-    def noCaps = Multimodal.frameEvidencePairs(vfp, 4L, 3, 2, Int.MaxValue)
-    // warmup
-    noop(full); graft.ops.Caches.release(); spark.catalog.clearCache()
-    noop(noCaps); graft.ops.Caches.release(); spark.catalog.clearCache()
-    for (_ <- 1 to 3) {
-      time("vfp scan only")(noop(vfp))
-      time("q158 full (df cap + census)")(noop(full))
-      time("q158 df-cap OFF (census only)")(noop(noCaps))
+    def q163(scoreFilter: org.apache.spark.sql.Column): DataFrame = {
+      val docs = graft.queries.Tables.documents(spark, sfDir)
+      val lang = expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc' END")
+      def vocab(words: Seq[String]): org.apache.spark.sql.Column =
+        concat_ws(" ", (0 until 8).map(i =>
+          element_at(
+            array(words.map(lit): _*),
+            ((col("doc_id") * 7 + i * 3) % words.size + 1).cast("int"))): _*)
+      val text = when(col("doc_id") % 3 === 0,
+        vocab(Seq("alpha", "arbor", "anchor", "amber", "apex", "argon")))
+        .when(col("doc_id") % 3 === 1,
+          vocab(Seq("birch", "basalt", "beacon", "bramble", "bisque", "borax")))
+        .otherwise(
+          vocab(Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress")))
+      val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
+      val trainSlice = corpus.filter(col("doc_id") % 10 === 0)
+      val wh = java.nio.file.Files.createTempDirectory("graft_prof_wh").toString
+      graft.operators.Corpus.saveLangIdModel(spark, wh, "langid",
+        graft.operators.Corpus.trainLangId(
+          trainSlice, "text", "lang", "doc_id", iters = 4))
+      graft.operators.Corpus.saveLmNModel(spark, wh, "reflm",
+        graft.operators.Corpus.ngramBackoffModel(trainSlice, "text", "doc_id", n = 3))
+      graft.operators.Corpus.ccnetBucketsWith(
+          corpus.filter(scoreFilter),
+          graft.operators.Corpus.loadLmNModel(spark, wh, "reflm"),
+          graft.operators.Corpus.loadLangIdModel(spark, wh, "langid"),
+          "text", "doc_id")
+        .select(col("id"), col("lang"), col("bucket"))
+        .orderBy(col("id"))
+    }
+
+    // train-only leg: how much of the gate is model build + persist?
+    def trainOnly(): Unit = {
+      val docs = graft.queries.Tables.documents(spark, sfDir)
+      val corpus = docs.select(col("doc_id"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc' END").as("lang"),
+        concat(lit("alpha arbor anchor amber apex argon x"), col("doc_id")).as("text"))
+      val trainSlice = corpus.filter(col("doc_id") % 10 === 0)
+      val wh = java.nio.file.Files.createTempDirectory("graft_prof_wh2").toString
+      graft.operators.Corpus.saveLangIdModel(spark, wh, "langid",
+        graft.operators.Corpus.trainLangId(
+          corpus.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("lang"),
+              concat(col("text"), lit(" "), col("lang")).as("text")),
+          "text", "lang", "doc_id", iters = 4))
+      graft.operators.Corpus.saveLmNModel(spark, wh, "reflm",
+        graft.operators.Corpus.ngramBackoffModel(trainSlice, "text", "doc_id", n = 3))
+    }
+
+    noop(q163(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 3)) // warmup
+    val docs0 = graft.queries.Tables.documents(spark, sfDir)
+    val lang0 = expr(
+      "CASE doc_id % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb' ELSE 'cc' END")
+    def vocab0(words: Seq[String]): org.apache.spark.sql.Column =
+      concat_ws(" ", (0 until 8).map(i =>
+        element_at(
+          array(words.map(lit): _*),
+          ((col("doc_id") * 7 + i * 3) % words.size + 1).cast("int"))): _*)
+    val text0 = when(col("doc_id") % 3 === 0,
+      vocab0(Seq("alpha", "arbor", "anchor", "amber", "apex", "argon")))
+      .when(col("doc_id") % 3 === 1,
+        vocab0(Seq("birch", "basalt", "beacon", "bramble", "bisque", "borax")))
+      .otherwise(
+        vocab0(Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress")))
+    val corpus0 = docs0.select(col("doc_id"), lang0.as("lang"), text0.as("text"))
+    val train0 = corpus0.filter(col("doc_id") % 50 === 0)
+    for (_ <- 1 to 2) {
+      var lid: graft.operators.Corpus.LangIdModel = null
+      var lm: graft.operators.Corpus.LmNModel = null
+      val wh = java.nio.file.Files.createTempDirectory("graft_prof_ph").toString
+      time("phase trainLangId(4 iters, 2%)")(
+        { lid = graft.operators.Corpus.trainLangId(train0, "text", "lang", "doc_id", iters = 4) })
+      time("phase saveLangIdModel")(
+        graft.operators.Corpus.saveLangIdModel(spark, wh, "langid", lid))
+      time("phase ngramBackoffModel+save")(
+        { lm = graft.operators.Corpus.ngramBackoffModel(train0, "text", "doc_id", n = 3)
+          graft.operators.Corpus.saveLmNModel(spark, wh, "reflm", lm) })
+      time("phase load both")(
+        { graft.operators.Corpus.loadLmNModel(spark, wh, "reflm")
+          graft.operators.Corpus.loadLangIdModel(spark, wh, "langid"); () })
+      time("phase score+ntile (30%)")(
+        noop(graft.operators.Corpus.ccnetBucketsWith(
+          corpus0.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 3),
+          graft.operators.Corpus.loadLmNModel(spark, wh, "reflm"),
+          graft.operators.Corpus.loadLangIdModel(spark, wh, "langid"),
+          "text", "doc_id").select(col("id"), col("lang"), col("bucket"))))
     }
     spark.stop()
   }

@@ -2650,15 +2650,22 @@ object Corpus {
           (col("p") - when(col("y") === col("lang"), 1.0).otherwise(0.0))
             .as("err"))
         .persist()
-      // bounded driver handoffs: ≤ |langs|·16^hexChars + |langs| rows
-      val grads = f.join(errs, Seq("id"))
+      // bounded driver handoff: ≤ |langs|·16^hexChars + |langs| rows.
+      // Weight and bias gradients ride ONE collect (bias rows under a
+      // reserved bucket sentinel; errs is cached so both branches read
+      // it) — two actions per iteration was half the training wall on
+      // small slices, where per-job overhead dominates (round 18).
+      val gradRows = f.join(errs, Seq("id"))
         .groupBy(col("lang"), col("bucket"))
         .agg((sum(col("x") * col("err")) / n).as("g"))
+        .unionByName(errs.groupBy(col("lang"))
+          .agg((sum(col("err")) / n).as("g"))
+          .select(col("lang"), lit("__bias__").as("bucket"), col("g")))
         .collect()
+      val grads = gradRows.filter(_.getString(1) != "__bias__")
         .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-      val biasGrads = errs.groupBy(col("lang"))
-        .agg((sum(col("err")) / n).as("g"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val biasGrads = gradRows.filter(_.getString(1) == "__bias__")
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
       errs.unpersist()
       weights = (weights.keySet ++ grads.keySet).map { k =>
         k -> (weights.getOrElse(k, 0.0) - lr * grads.getOrElse(k, 0.0))

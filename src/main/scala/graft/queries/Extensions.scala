@@ -2645,15 +2645,23 @@ object Extensions {
       .otherwise(
         vocab(Seq("cedar", "cobalt", "cairn", "crimson", "cumin", "cypress")))
     val corpus = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
-    val trainSlice = corpus.filter(col("doc_id") % 10 === 0)
+    // 2% training slice: the disjoint vocabularies separate at ANY
+    // sample size (the spec's 4-iter/100% proof runs on dozens of
+    // docs), and GD training is the gate's dominant cost — a bigger
+    // slice buys bench seconds, not signal (round-18 suite diet)
+    val trainSlice = corpus.filter(col("doc_id") % 50 === 0)
     val wh = Files.createTempDirectory("graft_ccnet_wh").toString
     graft.operators.Corpus.saveLangIdModel(s, wh, "langid",
       graft.operators.Corpus.trainLangId(
         trainSlice, "text", "lang", "doc_id", iters = 4))
     graft.operators.Corpus.saveLmNModel(s, wh, "reflm",
       graft.operators.Corpus.ngramBackoffModel(trainSlice, "text", "doc_id", n = 3))
+    // held-out slice kept at 30% (doc_id%10 in 1..3): the gate pins the
+    // SEAM (loaded models driving the CCNet path), which a third of the
+    // corpus exercises exactly as well as 90% did — at a third of the
+    // bench cost (round-18 suite diet; this is a q130-class gate)
     graft.operators.Corpus.ccnetBucketsWith(
-        corpus.filter(col("doc_id") % 10 =!= 0),
+        corpus.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 3),
         graft.operators.Corpus.loadLmNModel(s, wh, "reflm"),
         graft.operators.Corpus.loadLangIdModel(s, wh, "langid"),
         "text", "doc_id")
