@@ -901,7 +901,9 @@ object Multimodal {
     * frame pairs, never the frame population. `maxFrameDf` is the
     * boilerplate-frame guard (see [[frameEvidencePairs]]): fade-to-
     * black and solid-color frames are shared by unbounded numbers of
-    * DISTINCT videos on natural crawls and carry no dup evidence.
+    * DISTINCT videos on natural crawls and carry no dup evidence;
+    * `maxBucket` is the chunk-bucket flood valve of the banding (the
+    * [[Dedup.simhashPairs]] knob and default).
     * Requires `0 ≤ media_id ≤ Long.MaxValue / k` (the composite key is
     * `media_id * k + frame_idx`; out-of-range ids raise).
     */
@@ -911,11 +913,12 @@ object Multimodal {
       maxHamming: Int = 3,
       minMatches: Int = 2,
       allowStandIn: Boolean = false,
-      maxFrameDf: Int = 100): DataFrame = {
+      maxFrameDf: Int = 100,
+      maxBucket: Int = 2000): DataFrame = {
     require(k > 0, "k must be positive")
     frameEvidencePairs(
       videoFingerprints(media, k, allowStandIn), k.toLong,
-      maxHamming, minMatches, maxFrameDf)
+      maxHamming, minMatches, maxFrameDf, maxBucket)
   }
 
   /** The shared frame/segment-evidence near-dup core: `(media_id,
@@ -941,7 +944,11 @@ object Multimodal {
     * counting them as evidence both floods the pair join (quadratic in
     * the flood size) and mis-links unrelated media. Frames over the
     * cap are dropped before banding (the stopword rationale of
-    * [[Dedup.minhashCandidates]]' `maxBucket`). Below the cap the
+    * [[Dedup.minhashCandidates]]' `maxBucket`). `maxBucket` is the
+    * chunk-bucket flood valve, the same knob (and default) as
+    * [[Dedup.simhashPairs]] — a corpus with unusual frame-fingerprint
+    * concentration tunes it here instead of editing code. Below the
+    * df cap the
     * evidence count stays EXACT: the df bound caps every identity
     * group at `maxFrameDf · stride` rows, so [[Dedup.simhashPairs]]'
     * identity pre-collapse (which would undercount evidence) stays
@@ -956,9 +963,11 @@ object Multimodal {
       stride: Long,
       maxHamming: Int,
       minMatches: Int,
-      maxFrameDf: Int = 100): DataFrame = {
+      maxFrameDf: Int = 100,
+      maxBucket: Int = 2000): DataFrame = {
     require(minMatches > 0, "minMatches must be positive")
     require(maxFrameDf >= 1, "maxFrameDf must be positive")
+    require(maxBucket >= 1, "maxBucket must be positive")
     // cache: the frame table feeds both the guard probe and the pair
     // path; uncached, every item demuxes+decodes twice (caller
     // releases via Caches.release())
@@ -967,7 +976,6 @@ object Multimodal {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
-    val maxBucket = 2000 // the simhashPairs default valve
     // FUSED GUARD PROBE (round 18): the df cap and the bucket-valve
     // census ride ONE aggregate job — each frame row emits its
     // fingerprint key (distinct-media df) plus its `chunks` chunk keys
@@ -1040,8 +1048,13 @@ object Multimodal {
     * set — the tiny boilerplate inventory, ≤ total-rows/maxFrameDf
     * entries by the df bound — is collected once and re-applied as a
     * local-relation map-side anti-join; on healthy frames it is EMPTY
-    * and the frame passes through with zero plan overhead.
-    * `Int.MaxValue` disables the cap without even the probe. Callers
+    * and the frame passes through with zero plan overhead. NULL-fp
+    * rows are DROPPED when the cap is enabled (the pre-r18 semi-join
+    * form did this implicitly — null never matches a semi-join — and
+    * the anti-join form would silently flip it to "kept", so the drop
+    * is now explicit; no internal producer emits null fp, this pins
+    * the contract against future ones). `Int.MaxValue` disables the
+    * cap without even the probe. Callers
     * should hand in a cached/persisted frame (both of this file's
     * call sites do) so the probe doesn't re-run the decode scan.
     */
@@ -1051,12 +1064,13 @@ object Multimodal {
     else {
       val spark = frames.sparkSession
       import spark.implicits._
-      val over = frames.groupBy(col("fp"))
+      val nonNull = frames.filter(col("fp").isNotNull)
+      val over = nonNull.groupBy(col("fp"))
         .agg(count_distinct(col("media_id")).as("_df"))
         .filter(col("_df") > maxFrameDf)
         .select(col("fp")).as[Long].collect()
-      if (over.isEmpty) frames
-      else frames.join(broadcast(over.toSeq.toDF("fp")), Seq("fp"), "left_anti")
+      if (over.isEmpty) nonNull
+      else nonNull.join(broadcast(over.toSeq.toDF("fp")), Seq("fp"), "left_anti")
     }
   }
 
@@ -1133,7 +1147,8 @@ object Multimodal {
     * (the composite-key contract; out-of-range ids raise).
     * `maxFrameDf` drops segments shared by more media than the cap —
     * silence segments are the audio boilerplate
-    * ([[frameEvidencePairs]]).
+    * ([[frameEvidencePairs]]); `maxBucket` is the banding's
+    * chunk-bucket flood valve (the [[Dedup.simhashPairs]] knob).
     *
     * SHORT-CLIP LIMIT: a clip yielding fewer than `minMatches`
     * complete segments (shorter than `minMatches · segSamples`
@@ -1153,8 +1168,9 @@ object Multimodal {
       maxSegments: Int = 64,
       maxHamming: Int = 3,
       minMatches: Int = 2,
-      maxFrameDf: Int = 100): DataFrame =
+      maxFrameDf: Int = 100,
+      maxBucket: Int = 2000): DataFrame =
     frameEvidencePairs(
       audioFingerprintWindows(media, segSamples, maxSegments),
-      maxSegments.toLong, maxHamming, minMatches, maxFrameDf)
+      maxSegments.toLong, maxHamming, minMatches, maxFrameDf, maxBucket)
 }

@@ -231,7 +231,10 @@ object Snapshots {
     * is a sweep, not a transaction. Also reclaims ORPHANED staging
     * directories below `before` (debris of publishes that crashed
     * before their rename; a live publish's staging is always at the
-    * head + 1 and survives). Returns the versions deleted.
+    * head + 1 and survives — `before` is CLAMPED to head + 1, so a
+    * caller passing an arbitrarily large cutoff cannot sweep an
+    * in-flight publish's staging out from under it). Returns the
+    * versions deleted.
     */
   def pruneBefore(
       spark: SparkSession, warehouse: String, table: String, before: Int): Seq[Int] = {
@@ -239,16 +242,21 @@ object Snapshots {
     val dir = tableDir(warehouse, table)
     val vs = versions(spark, warehouse, table)
     if (vs.isEmpty) return Seq.empty
+    // clamp to the published head + 1: the orphaned-staging sweep's
+    // "provably dead" argument (a live publish stages head+1) only
+    // holds when the cutoff is at or below head+1 — keepLast
+    // guarantees that, the public method must too
+    val before0 = math.min(before, vs.last + 1)
     val cur = currentVersion(spark, warehouse, table)
     val chainHead = vs.reverseIterator
       .find(v => batchOf(fs, dir, v).isDefined)
-    val victims = vs.filter(v => v < before && v != cur &&
+    val victims = vs.filter(v => v < before0 && v != cur &&
       !chainHead.contains(v) && !isPinned(spark, warehouse, table, v))
     victims.foreach(v => fs.delete(new Path(dir, s"v=$v"), true))
     // orphaned STAGING sweep: a publish that crashed between its
     // parquet write and its rename leaves `.staging/v=K` (or the
     // pre-r18 `.staging_vK`) behind forever — hidden from readers but
-    // never reclaimed. Any staging strictly below `before` is provably
+    // never reclaimed. Any staging strictly below the clamped cutoff is provably
     // dead (a live publish stages max(versions)+1 >= before, since
     // callers prune at or below the published head).
     val stagingParent = new Path(dir, ".staging")
@@ -257,7 +265,7 @@ object Snapshots {
         .filter { st =>
           val n = st.getPath.getName
           n.startsWith("v=") &&
-            scala.util.Try(n.stripPrefix("v=").toInt).toOption.exists(_ < before)
+            scala.util.Try(n.stripPrefix("v=").toInt).toOption.exists(_ < before0)
         }
         .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(dir).toIndexedSeq
@@ -265,7 +273,7 @@ object Snapshots {
         val n = st.getPath.getName
         n.startsWith(".staging_v") &&
           scala.util.Try(n.stripPrefix(".staging_v").toInt).toOption
-            .exists(_ < before)
+            .exists(_ < before0)
       }
       .foreach(st => fs.delete(st.getPath, true))
     victims

@@ -499,6 +499,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want, s"got $got -- the raw-hot bucket was wrongly dropped")
   }
 
+  test("frameEvidencePairs maxBucket is a live knob: a tiny valve drops flood-bucket pairs") {
+    // 3 videos carry IDENTICAL frames -> with the default valve the
+    // full clique pairs; with maxBucket=1 every chunk bucket (3 rows
+    // each) is over the valve and the boilerplate-suspect pairs are
+    // dropped (the documented simhashPairs recall trade) -- proving
+    // the r19 knob reaches the banding instead of the old hardcoded
+    // 2000.
+    import spark.implicits._
+    val frames = (1L to 3L).flatMap(v =>
+      Seq((v, 0, 0x1234L), (v, 1, 0xABCD0000L)))
+      .toDF("media_id", "frame_idx", "fp")
+    val open = Multimodal.frameEvidencePairs(
+        frames, stride = 2L, maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Caches.release()
+    assert(open == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $open")
+    val valved = Multimodal.frameEvidencePairs(
+        frames, stride = 2L, maxHamming = 3, minMatches = 2,
+        maxFrameDf = 100, maxBucket = 1)
+      .collect()
+    graft.ops.Caches.release()
+    assert(valved.isEmpty, s"valve ignored: ${valved.toSeq}")
+  }
+
+  test("frameDfCap drops null-fp rows when the cap is enabled (the pre-r18 semi-join contract)") {
+    import spark.implicits._
+    val frames = Seq(
+      (1L, 0, Some(7L)), (2L, 0, Some(7L)), (3L, 0, None: Option[Long]))
+      .toDF("media_id", "frame_idx", "fp")
+    val capped = Multimodal.frameDfCap(frames, maxFrameDf = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 2L), s"null fp row must be dropped: $capped")
+    // cap disabled: pure passthrough, null included
+    assert(Multimodal.frameDfCap(frames, Int.MaxValue).count() == 3)
+  }
+
   test("composite frame keys raise on out-of-range media_id instead of wrapping") {
     import spark.implicits._
     val bad = Seq((Long.MaxValue / 8 + 1, 0, 1L), (-1L, 0, 2L))

@@ -135,6 +135,12 @@ class SnapshotsSpec extends SparkSpec {
     assert(!new java.io.File(dir, ".staging_v2").exists(), "legacy orphan swept")
     assert(new java.io.File(stagingParent, "v=4").exists(), "live staging survives")
     assert(Snapshots.versions(spark, wh, "sg") == Seq(3))
+    // the cutoff is CLAMPED to head+1: a direct caller passing an
+    // arbitrarily large `before` while a publish is in flight (its
+    // staging at head+1) must NOT sweep the live staging mid-publish
+    Snapshots.pruneBefore(spark, wh, "sg", 99)
+    assert(new java.io.File(stagingParent, "v=4").exists(),
+      "live staging survives a clamped over-large cutoff")
   }
 
   test("retention protects the batch-chain head: replay detection survives pruning") {
