@@ -2495,24 +2495,34 @@ object Corpus {
         .select(col("y"), col("id"),
           (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(bias)))) - col("y"))
             .as("err"))
-        // persisted: two consumers (bucket gradients + bias gradient).
-        // Measured alternatives both LOSE: unpersisted single-action
-        // fusion recomputes the dot-product aggregate per union branch
-        // (16.1 s vs 8.7 s at sf0.1), and persisted fusion still pays
-        // the union shuffle + cache writes inside one job (11.7 s) —
-        // two small actions over a cached 1-row-per-doc frame win.
+        // persisted: two consumers (bucket gradients + bias gradient)
         .persist()
-      val grads = feats
+      // weight + bias gradients ride ONE collect (the round-18
+      // trainLangId treatment, applied here in round 19): the bias
+      // branch joins the bucket aggregate under a "__bias__" sentinel
+      // (impossible as a bucket — buckets are md5 hex chars), both
+      // branches reading the persisted errs. Training cost at the
+      // gate's r19 diet size (hundreds of docs) is ACTION-count
+      // dominated — 2 jobs/iter of driver scheduling was half the
+      // wall — so halving the actions halves the gate. (The r13
+      // measurement that two small actions beat persisted fusion was
+      // taken at the old 4,500-doc training size, where the union
+      // shuffle was real work; at the diet size it is noise.)
+      // bounded driver handoff: <= 16^hexChars + 1 rows
+      val rows = feats
         .join(errs, Seq("y", "id"))
         .groupBy(col("bucket"))
         .agg((sum(col("x") * col("err")) / n).as("g"))
-        // bounded driver handoff: <= 16^hexChars rows
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val gBias =
-        errs.agg(sum(col("err")).as("s")).head().getDouble(0) / n
+        .unionByName(
+          errs.agg((sum(col("err")) / n).as("g"))
+            .select(lit("__bias__").as("bucket"), col("g")))
+        .collect()
       errs.unpersist()
-      weights = (weights.keySet ++ grads.keySet).map { b =>
-        b -> (weights.getOrElse(b, 0.0) - lr * grads.getOrElse(b, 0.0))
+      val grads = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val gBias = grads("__bias__")
+      val wGrads = grads - "__bias__"
+      weights = (weights.keySet ++ wGrads.keySet).map { b =>
+        b -> (weights.getOrElse(b, 0.0) - lr * wGrads.getOrElse(b, 0.0))
       }.toMap
       bias -= lr * gBias
     }
