@@ -53,12 +53,20 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }
+    // warmup times double as the pass-1 COST ESTIMATES (round 19):
+    // they're sf0.001 numbers, useless as absolute sf0.1 predictions,
+    // but their ORDERING is what pass scheduling needs — see
+    // orderCheapestFirst below.
+    val warmEst = scala.collection.mutable.Map.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (_, fn) =>
+      .foreach { case (name, fn) =>
         if (elapsedSec < deadlineSec * 0.25)
-          try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-          catch { case _: Throwable => }
+          try {
+            val w0 = System.nanoTime()
+            fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+            warmEst(name) = (System.nanoTime() - w0) / 1e9
+          } catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
     // INTERLEAVED passes + adaptive reps: the host shows heavy
@@ -125,8 +133,6 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val timesByName = scala.collection.mutable.LinkedHashMap(
       queryList.map { case (name, _) => name -> Vector.empty[Double] }: _*)
-    val attemptsByName = scala.collection.mutable.Map(
-      queryList.map { case (name, _) => name -> 0 }: _*)
     // a failed rep reports NO timing: recording time-to-failure would
     // let the median publish a fast "success" for a query that threw.
     // Past the deadline a query with >= 1 successful rep is SKIPPED
@@ -140,7 +146,6 @@ object Bench {
         else {
           val s = session()
           s.catalog.clearCache()
-          attemptsByName(name) += 1
           val t0 = System.nanoTime()
           try {
             fn(s, sfDir).write.mode("overwrite").format("noop").save()
@@ -151,7 +156,46 @@ object Bench {
           }
         }
       }
-    (1 to reps).foreach(_ => runPass(queryList))
+    // CHEAPEST-FIRST passes + a PLANNED rep budget (round 19 — the
+    // round-18 post-mortem: BENCH_r18.json printed, but pass 1 alone
+    // blew the deadline on a ~5-30x contended host, so all 164 queries
+    // degraded to ONE unordered rep and the medians were unusable for
+    // round-over-round comparison). Two fixes:
+    //   1. EVERY pass runs cheapest-first (pass 1 by warmup-time order,
+    //      later passes by running median): when the budget dies
+    //      mid-pass, it is the heavies that stay under-replicated —
+    //      not every query alphabetically after the point of death,
+    //      and the cheap majority has already banked its reps.
+    //   2. After pass 1 the suite's REAL per-pass cost is known
+    //      exactly; planReps decides how many base passes fit the
+    //      remaining budget BEFORE starting pass 2 (3 -> 2 -> 1,
+    //      announced in the visible "planned_reps" field) instead of
+    //      discovering mid-pass that none do. Each later pass re-checks
+    //      against the latest pass's actual cost, so a degrading host
+    //      sheds passes early rather than stranding a pass half-run.
+    runPass(orderCheapestFirst(queryList.map(_._1), warmEst.toMap)
+      .map(n => queryList.find(_._1 == n).get))
+    def passCostNow: Double = {
+      val ts = timesByName.values.filter(_.nonEmpty)
+      if (ts.isEmpty) 0.0 else ts.map(_.min).sum
+    }
+    var plannedReps = planReps(reps, elapsedSec, passCostNow, deadlineSec)
+    if (plannedReps < reps)
+      System.err.println(f"[bench] rep budget planned down to " +
+        f"$plannedReps/$reps base passes (pass 1 cost $passCostNow%.1f s, " +
+        f"elapsed $elapsedSec%.1f s of $deadlineSec%.0f s)")
+    var basePass = 1
+    while (basePass < plannedReps) {
+      if (elapsedSec + passCostNow > deadlineSec) plannedReps = basePass
+      else {
+        val medEst = timesByName.map { case (n, ts) =>
+          n -> (if (ts.isEmpty) Double.MaxValue else ts.sorted.apply(ts.size / 2))
+        }.toMap
+        runPass(orderCheapestFirst(queryList.map(_._1), medEst)
+          .map(n => queryList.find(_._1 == n).get))
+        basePass += 1
+      }
+    }
     // Adaptive passes for the noise-prone queries: all sub-2s queries
     // (pre-emptively — one contended rep there is a 2-4x swing), plus
     // any query whose observed rep spread already exceeds spreadRatio
@@ -171,6 +215,9 @@ object Bench {
     // -1 marks an all-reps failure; spread = max-min over successful reps
     val meds = results.map { case (k, ts) =>
       k -> (if (ts.isEmpty) -1.0 else median(ts))
+    }
+    val mins = results.map { case (k, ts) =>
+      k -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     // The harness that collects this output keeps only the TAIL of stdout
     // (observed: last 2000 chars), so the stdout line must stay well under
@@ -193,11 +240,39 @@ object Bench {
         deadlineSkipped.toSeq.sorted.mkString(","))
     System.err.println(detailLine(results, reps, sfDir))
     val line = renderLine(meds.map { case (k, v) => shortKey(k) -> v },
-      total, reps, sfNum, deadlineSkipped.size)
+      total, reps, sfNum, deadlineSkipped.size,
+      plannedReps = plannedReps,
+      mins = mins.map { case (k, v) => shortKey(k) -> v })
     require(line.length < StdoutBudget, s"bench JSON line too long: ${line.length}")
     println(line)
     active.stop()
   }
+
+  /** How many base passes fit the remaining wall budget, decided AFTER
+    * pass 1 when the suite's real per-pass cost is known (round 19 —
+    * the official r18 scoreboard printed single-rep values because
+    * every pass was attempted and the deadline machinery degraded them
+    * one query at a time). Never below 1 (pass 1 already ran), never
+    * above the configured `reps`. Pure so the policy is unit-testable.
+    */
+  def planReps(reps: Int, elapsed: Double, passCost: Double,
+               deadline: Double): Int = {
+    val fit =
+      if (passCost <= 0) reps
+      else 1 + math.floor((deadline - elapsed) / passCost).toInt
+    math.max(1, math.min(reps, fit))
+  }
+
+  /** Pass order: cheapest estimate first, missing estimates LAST
+    * (alphabetical within ties) — when the wall budget dies mid-pass,
+    * the cheap majority has already banked the rep and only the
+    * heavies stay under-replicated. Pass 1 orders by warmup seconds
+    * (sf0.001 numbers — wrong in absolute terms, right in ORDER),
+    * later passes by the running median. Pure for unit tests.
+    */
+  def orderCheapestFirst(names: Seq[String],
+                         est: Map[String, Double]): Seq[String] =
+    names.sortBy(n => (est.getOrElse(n, Double.MaxValue), n))
 
   /** Whether a query's rep set earns another adaptive top-up pass:
     * under-replicated AND (fast enough that one contended rep is a
@@ -280,21 +355,40 @@ object Bench {
     * `"deadline_hit":N` field at every level, so a time-degraded run is
     * visible in the official scoreboard itself, not just on stderr.
     *
+    * Round 19 adds three scoreboard-fidelity fields:
+    *   - `"planned_reps":K` (fixed-size, only when K differs from the
+    *     configured reps) — the rep budget the post-pass-1 planner
+    *     settled on, so a degraded run SAYS how many base passes its
+    *     medians carry instead of leaving it to forensics;
+    *   - `"min_total":N` (fixed-size, when any query succeeded) — the
+    *     suite total over per-query MINS, the noise-robust comparator
+    *     (three r16 same-code series spread 17% on medians while mins
+    *     landed within ~1.1×), so round-over-round calls don't need
+    *     the stderr detail line;
+    *   - a per-query `"min":{...}` object when reps >= 2 AND it fits
+    *     the budget alongside the medians (it folds away first — the
+    *     median map always wins the space contest).
+    *
     * @param meds short-key → median seconds; -1 marks an all-reps failure
+    * @param mins short-key → min seconds (same keys); Nil omits the
+    *             per-query min object entirely
     */
   def renderLine(meds: Seq[(String, Double)], total: Double,
-                 reps: Int, sfNum: Double, deadlineHit: Int = 0): String = {
+                 reps: Int, sfNum: Double, deadlineHit: Int = 0,
+                 plannedReps: Int = -1,
+                 mins: Seq[(String, Double)] = Nil): String = {
     def fmt(v: Double): String =
       if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
     // precision-only levels first (keep full per-query detail while it fits)
-    def qsAt(level: Int): String = meds.map { case (k, v) =>
-      val s = level match {
-        case 0 => f"$v%.2f"
-        case 1 => if (v >= 1) f"$v%.1f" else f"$v%.2f"
-        case _ => fmt(v)
-      }
-      "\"" + k + "\":" + s
-    }.mkString("{", ",", "}")
+    def mapAt(level: Int, kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) =>
+        val s = level match {
+          case 0 => f"$v%.2f"
+          case 1 => if (v >= 1) f"$v%.1f" else f"$v%.2f"
+          case _ => fmt(v)
+        }
+        "\"" + k + "\":" + s
+      }.mkString("{", ",", "}")
     def foldedAt(cutoff: Double): String = {
       val (failed, ok) = meds.partition(_._2 < 0)
       val (fast, slow) = ok.partition(_._2 < cutoff)
@@ -305,12 +399,31 @@ object Bench {
         (if (failed.nonEmpty) Seq("\"fail_n\":" + failed.size) else Nil)
       (slowEntries ++ aggEntries).mkString("{", ",", "}")
     }
-    def lineWith(qs: String): String = {
+    val okMins = mins.filter(_._2 >= 0)
+    val minTotal =
+      if (okMins.isEmpty) ""
+      else f""","min_total":${okMins.map(_._2).sum}%.3f"""
+    val planned =
+      if (plannedReps > 0 && plannedReps != reps)
+        s""","planned_reps":$plannedReps"""
+      else ""
+    def lineWith(qs: String, minObj: String = ""): String = {
       val dl = if (deadlineHit > 0) s""","deadline_hit":$deadlineHit""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps$dl,"sf":$sfNum%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs""" +
+        f"""$minObj,"reps":$reps$planned$minTotal$dl,"sf":$sfNum%.3f}"""
     }
+    // richest-first: per-query min rides along at each precision level
+    // when reps carry one and the line still fits; it is the first
+    // thing dropped, the median map the last
+    val withMin = reps >= 2 && mins.nonEmpty
     val candidates =
-      (0 to 2).iterator.map(l => lineWith(qsAt(l))) ++
+      (0 to 2).iterator.flatMap { l =>
+        val base = lineWith(mapAt(l, meds))
+        if (withMin)
+          Iterator(lineWith(mapAt(l, meds), s""","min":${mapAt(l, mins)}"""),
+            base)
+        else Iterator(base)
+      } ++
         Seq(0.5, 1.0, 2.0, 5.0, 10.0, Double.MaxValue).iterator
           .map(c => lineWith(foldedAt(c)))
     candidates.find(_.length < StdoutBudget)

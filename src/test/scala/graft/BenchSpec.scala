@@ -106,6 +106,64 @@ class BenchSpec extends AnyFunSuite {
     assert(!topUp(Vector.empty), "all-reps-failed query cannot top up")
   }
 
+  test("rep-budget planning: a slow host drops to 2 then 1 base passes BEFORE starting them") {
+    // the r18 failure shape: pass 1 alone cost ~1500s on a contended
+    // host and every query degraded to one unordered rep mid-pass —
+    // the planner must decide 3 -> 2 -> 1 from pass-1's real cost
+    // instead of discovering it one query at a time
+    assert(Bench.planReps(3, elapsed = 200.0, passCost = 150.0,
+      deadline = 1500.0) == 3, "plenty of budget keeps all passes")
+    assert(Bench.planReps(3, elapsed = 700.0, passCost = 600.0,
+      deadline = 1500.0) == 2, "tight budget plans 2 passes")
+    assert(Bench.planReps(3, elapsed = 1400.0, passCost = 600.0,
+      deadline = 1500.0) == 1, "blown budget plans the 1 pass already run")
+    assert(Bench.planReps(3, elapsed = 2000.0, passCost = 600.0,
+      deadline = 1500.0) == 1, "never below 1 — pass 1 already happened")
+    assert(Bench.planReps(3, elapsed = 10.0, passCost = 0.0,
+      deadline = 1500.0) == 3, "zero cost (all queries failed) keeps the plan")
+    assert(Bench.planReps(7, elapsed = 100.0, passCost = 100.0,
+      deadline = 1500.0) == 7, "capped at the configured reps")
+  }
+
+  test("cheapest-first pass order: known-cheap queries run first, unknown estimates last") {
+    val est = Map("qheavy" -> 400.0, "qcheap" -> 0.5, "qmid" -> 12.0)
+    val got = Bench.orderCheapestFirst(
+      Seq("qheavy", "qunknown_b", "qcheap", "qmid", "qunknown_a"), est)
+    assert(got == Seq("qcheap", "qmid", "qheavy", "qunknown_a", "qunknown_b"),
+      s"got $got")
+  }
+
+  test("planned_reps and min_total render as fixed-size scoreboard fields") {
+    val meds = Seq(("q1", 1.234), ("q2", 0.056))
+    val mins = Seq(("q1", 1.100), ("q2", 0.050))
+    val line = Bench.renderLine(meds, 1.29, 3, 0.1,
+      plannedReps = 1, mins = mins)
+    assert(line.contains("\"planned_reps\":1"), line)
+    assert(line.contains("\"min_total\":1.150"), line)
+    // an undegraded plan (planned == configured) leaves the field off
+    val full = Bench.renderLine(meds, 1.29, 3, 0.1,
+      plannedReps = 3, mins = mins)
+    assert(!full.contains("planned_reps"), full)
+    assert(full.contains("\"min_total\""), full)
+  }
+
+  test("per-query min rides the stdout line when it fits and folds away first") {
+    val meds = Seq(("q1", 1.234), ("q2", 0.056))
+    val mins = Seq(("q1", 1.100), ("q2", 0.050))
+    val small = Bench.renderLine(meds, 1.29, 3, 0.1, mins = mins)
+    assert(small.contains("\"min\":{\"q1\":1.10,\"q2\":0.05}"), small)
+    // a suite too big for two per-query maps keeps the MEDIAN map and
+    // drops the min map (medians win the space contest), min_total stays
+    val bigM = (1 to 200).map(i => (s"q$i", 3.2 + i % 5))
+    val big = Bench.renderLine(bigM, bigM.map(_._2).sum, 3, 0.1, mins = bigM)
+    assert(big.length < Bench.StdoutBudget)
+    assert(!big.contains("\"min\":{"), big.take(200))
+    assert(big.contains("\"min_total\""), big.take(200))
+    // reps = 1 carries no meaningful min — object omitted
+    val one = Bench.renderLine(meds, 1.29, 1, 0.1, mins = mins)
+    assert(!one.contains("\"min\":{"), one)
+  }
+
   test("the line is valid single-line JSON shape") {
     val meds = synth(200)
     val line = Bench.renderLine(meds, 100.0, 3, 0.1)
