@@ -28,14 +28,53 @@ object Caches {
   private val registry =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
+  // scoped-collection stack, per CONSTRUCTING thread (round 19):
+  // inside a `scoped` block, owned() registers to the innermost scope
+  // instead of the global registry, and the scope's exit unpersists
+  // exactly what the block registered. Operator plan construction and
+  // foreachBatch handler bodies run on one driver thread, so a
+  // thread-local is the right key; nested scopes stack.
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[Dataset[_]]]] {
+      override def initialValue
+          : List[scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
+    }
+
   /** Cache `ds` and register it as operator-owned. Returns the same
     * (now cached) handle — call sites read `Caches.owned(frame)` where
-    * they previously read `frame.cache()`.
+    * they previously read `frame.cache()`. Inside a [[scoped]] block
+    * the registration is scope-local; otherwise it lands in the global
+    * registry that [[release]] drains.
     */
   def owned[T](ds: Dataset[T]): Dataset[T] = {
     ds.cache()
-    registry.add(ds)
+    scopes.get() match {
+      case buf :: _ => buf += ds
+      case Nil => registry.add(ds)
+    }
     ds
+  }
+
+  /** Run `body` with SCOPED cache ownership: operator caches
+    * registered during it (on this thread) are unpersisted when it
+    * exits — and ONLY those, so a concurrent pipeline in the same
+    * session keeps its own operator caches between registration and
+    * consumption (the process-global [[release]] would drop them,
+    * costing that pipeline a silent re-run of its cached scan). The
+    * streaming foreachBatch handlers wrap each micro-batch in a scope:
+    * per-batch release semantics, zero cross-pipeline blast radius.
+    * Everything the body's plan needs must be ACTED on inside the
+    * body — the scope exit drops the cached blocks (released plans
+    * re-derive if re-run, correctness unaffected).
+    */
+  def scoped[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(ds => try ds.unpersist(false) catch { case _: Exception => })
+    }
   }
 
   /** Unpersist every operator-owned cached frame registered since the

@@ -532,14 +532,17 @@ object Streams {
       onBatch: (DataFrame, Long) => Unit,
       alpha: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      try onBatch(
-        graft.operators.Corpus.ccnetBucketsWith(
-          batch, lm, langModel, textCol, idCol, alpha),
-        batchId)
-      finally graft.ops.Caches.release()
+      graft.ops.Caches.scoped {
+        onBatch(
+          graft.operators.Corpus.ccnetBucketsWith(
+            batch, lm, langModel, textCol, idCol, alpha),
+          batchId)
+      }
       // exactNtile (inside perplexityBuckets) registers an
-      // operator-owned cache per call — drain it per micro-batch (the
-      // media-admission rationale)
+      // operator-owned cache per call — the scope drops it per
+      // micro-batch WITHOUT draining the process-global registry, so
+      // a concurrent pipeline's operator caches survive (round 19;
+      // the global release() cost it silent cache re-runs)
     }
 
   /** Streaming incremental exact dedup of a document stream against a
@@ -908,15 +911,16 @@ object Streams {
     }
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      graft.ops.Caches.scoped {
       val fps = fingerprint(batch)
         .persist() // consumed by both probes + freshIds + ledger rows
       // simhashPairs/simhashCrossPairs register operator-owned caches
       // per call; a 24/7 stream must release them per micro-batch or
       // the registry grows one strongly-held cached frame per batch
       // (exactly the unbounded-growth mode snapshot retention guards
-      // against). Caches.release() is process-global — a concurrent
-      // pipeline in the same session loses only cache HITS, never
-      // correctness (released plans re-derive).
+      // against). The scope (round 19) drops exactly THIS batch's
+      // registrations at exit — a concurrent pipeline's operator
+      // caches are no longer collateral of the per-batch release.
       try {
         val ledgerSchema = StructType(Seq(
           StructField("media_id", LongType),
@@ -952,7 +956,8 @@ object Streams {
             .select(col("media_id"), col("fp"), lit(batchId).as("batch_id"))
           writeBatchLedger(ledgerRows, ledgerDir)
         } finally fresh.unpersist()
-      } finally { fps.unpersist(); graft.ops.Caches.release() }
+      } finally fps.unpersist()
+      }
     }
   }
 
@@ -1070,6 +1075,7 @@ object Streams {
     val M = graft.operators.Multimodal
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      graft.ops.Caches.scoped {
       val fps = fingerprint(batch)
         .persist() // consumed by both probes + the ledger rows
       try {
@@ -1122,10 +1128,11 @@ object Streams {
               lit(batchId).as("batch_id"))
           writeBatchLedger(ledgerRows, ledgerDir)
         } finally fresh.unpersist()
-      } finally { fps.unpersist(); graft.ops.Caches.release() }
-      // ^ the per-batch operator-cache release: see
+      } finally fps.unpersist()
+      }
+      // ^ the per-batch SCOPED operator-cache release: see
       //   incrementalMediaNearDupBatches — same unbounded-registry
-      //   rationale, same correctness-preserving global-release trade
+      //   rationale, zero cross-pipeline blast radius (round 19)
     }
   }
 

@@ -45,6 +45,48 @@ class CachesSpec extends SparkSpec {
     assert(pairs.count() >= 1)
   }
 
+  test("scoped blocks release their own registrations and ONLY those") {
+    Caches.release() // start clean
+    // a concurrently-registered frame OUTSIDE the scope: the old
+    // process-global release() in the streaming handlers would drop
+    // it between registration and consumption — the scope must not
+    val outside = Caches.owned(spark.range(7).toDF("y"))
+    outside.count()
+    var inside: org.apache.spark.sql.DataFrame = null
+    Caches.scoped {
+      inside = Caches.owned(spark.range(5).toDF("x"))
+      inside.count()
+      assert(inside.storageLevel.useMemory, "cached inside the scope")
+      // scope-local: the global registry never sees it
+      assert(Caches.ownedCount == 1)
+    }
+    assert(inside.storageLevel == StorageLevel.NONE,
+      "scope exit unpersists its registrations")
+    assert(outside.storageLevel.useMemory,
+      "a frame registered outside the scope survives the scope exit")
+    assert(Caches.ownedCount == 1)
+    Caches.release()
+    assert(Caches.ownedCount == 0)
+  }
+
+  test("nested scopes release innermost-first without touching the outer scope") {
+    Caches.release()
+    var outer: org.apache.spark.sql.DataFrame = null
+    Caches.scoped {
+      outer = Caches.owned(spark.range(4).toDF("a"))
+      outer.count()
+      Caches.scoped {
+        val innerDf = Caches.owned(spark.range(3).toDF("b"))
+        innerDf.count()
+        assert(innerDf.storageLevel.useMemory)
+      }
+      assert(outer.storageLevel.useMemory,
+        "inner scope exit must not release the outer scope's frame")
+    }
+    assert(outer.storageLevel == StorageLevel.NONE)
+    assert(Caches.ownedCount == 0)
+  }
+
   test("semDeDup identical-vector drop still holds after release") {
     Caches.release()
     val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
