@@ -135,15 +135,21 @@ object Bench {
       queryList.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     // a failed rep reports NO timing: recording time-to-failure would
     // let the median publish a fast "success" for a query that threw.
-    // Past the deadline a query with >= 1 successful rep is SKIPPED
-    // (and marked degraded); a zero-rep query still runs — coverage
-    // over precision.
+    // Past the deadline a query with >= 1 successful rep is SKIPPED;
+    // a zero-rep query still runs — coverage over precision.
+    // deadline_hit counts only BASE-pass skips (round 19): a query
+    // that banked every planned base rep and merely missed an
+    // OPPORTUNISTIC top-up is not degraded — the r19 shakedown run
+    // reported deadline_hit:115 with all 165 queries carrying 3 full
+    // base reps, which reads as a catastrophic run when it was a
+    // healthy one whose extras ran out of clock.
     val deadlineSkipped = scala.collection.mutable.Set.empty[String]
-    def runPass(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
+    def runPass(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                base: Boolean = false): Unit =
       subset.foreach { case (name, fn) =>
-        if (elapsedSec > deadlineSec && timesByName(name).nonEmpty)
-          deadlineSkipped += name
-        else {
+        if (elapsedSec > deadlineSec && timesByName(name).nonEmpty) {
+          if (base) deadlineSkipped += name
+        } else {
           val s = session()
           s.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -174,7 +180,7 @@ object Bench {
     //      against the latest pass's actual cost, so a degrading host
     //      sheds passes early rather than stranding a pass half-run.
     runPass(orderCheapestFirst(queryList.map(_._1), warmEst.toMap)
-      .map(n => queryList.find(_._1 == n).get))
+      .map(n => queryList.find(_._1 == n).get), base = true)
     def passCostNow: Double = {
       val ts = timesByName.values.filter(_.nonEmpty)
       if (ts.isEmpty) 0.0 else ts.map(_.min).sum
@@ -192,7 +198,7 @@ object Bench {
           n -> (if (ts.isEmpty) Double.MaxValue else ts.sorted.apply(ts.size / 2))
         }.toMap
         runPass(orderCheapestFirst(queryList.map(_._1), medEst)
-          .map(n => queryList.find(_._1 == n).get))
+          .map(n => queryList.find(_._1 == n).get), base = true)
         basePass += 1
       }
     }

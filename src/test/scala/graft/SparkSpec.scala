@@ -14,8 +14,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // fixed path, not createTempDirectory: every suite CLASS evaluates
+    // this builder config even though getOrCreate shares one session,
+    // so a per-call temp dir leaked ~36 (mostly empty) dirs per test
+    // run into /tmp; a fixed path accumulates nothing
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

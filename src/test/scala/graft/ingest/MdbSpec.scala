@@ -367,11 +367,13 @@ class MdbSpec extends SparkSpec {
     def attempt(bytes: Array[Byte]): Unit = {
       val f = Files.createTempFile("graft_fuzz", ".mdb")
       Files.write(f, bytes)
+      // delete per attempt: ~180 fuzz files per suite run otherwise
+      // accumulate in /tmp forever on a long-lived host
       try MdbReader.readRows(f.toString, 100)
       catch {
         case _: UnsupportedOperationException => ()
         case _: IllegalArgumentException => ()
-      }
+      } finally Files.deleteIfExists(f)
     }
     (0 until 60).foreach { i =>
       // valid page-0 header + random garbage pages
