@@ -726,6 +726,24 @@ object Extensions {
       .orderBy(col("id"))
   }
 
+  /** Salted-document embedding frame shared by q139/q140 (round 19,
+    * StageCache): every doc salted with its unique md5-of-id word
+    * block (×5 — the salt carries the majority of each doc's
+    * char-3-gram mass, see the gate scaladocs), embedded by
+    * [[graft.functions.TextFunctions.embedText]] at dim 256.
+    * float32 components are exact through the parquet roundtrip.
+    */
+  private def saltedEmbeddings(s: SparkSession, d: String): DataFrame =
+    StageCache(s, d, "salted_emb") {
+      val salt = repeat(
+        regexp_replace(md5(col("doc_id").cast("string")), "(.{4})", "$1 "), 5)
+      documents(s, d)
+        .select(col("doc_id"), concat(col("text"), lit(" "), salt).as("text"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.embedText(col("text"), dim = 256)
+            .as("emb"))
+    }
+
   /** In-engine text→dense-embedding composed with SemDeDup (the q137
     * posture over VECTORS THE ENGINE ITSELF PRODUCES from raw text):
     * every document is salted with a unique md5-of-id word block
@@ -744,14 +762,15 @@ object Extensions {
     * search.
     */
   def qV10TextEmbedSemDeDup(s: SparkSession, d: String): DataFrame = {
-    val salt = repeat(
-      regexp_replace(md5(col("doc_id").cast("string")), "(.{4})", "$1 "), 5)
-    val docs = documents(s, d)
-      .select(col("doc_id"), concat(col("text"), lit(" "), salt).as("text"))
-    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-    val emb = corpus.select(col("doc_id"),
-      graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
+    // the salted-doc embedding frame is shared with q140 through the
+    // StageCache (round 19): embedText over the corpus is the common
+    // prefix of both gates, and the planted copies embed IDENTICALLY
+    // to their sources (same text -> same hash-gram projection), so
+    // the copy block is a re-keyed projection of the cached frame
+    // rather than a second embedding pass
+    val base = saltedEmbeddings(s, d)
+    val emb = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("emb")))
     // k = 32: the oracle is clustering-independent (identical vectors
     // co-cluster under ANY centroids; naturals never reach 1 − eps),
     // and k is the quadratic knob — at sf0.1's 5.5k docs, k = 8 left
@@ -779,14 +798,11 @@ object Extensions {
     * oracle-gated from RAW TEXT with no external model.
     */
   def qV11TextEmbedDecontam(s: SparkSession, d: String): DataFrame = {
-    val salt = repeat(
-      regexp_replace(md5(col("doc_id").cast("string")), "(.{4})", "$1 "), 5)
-    val salted = documents(s, d)
-      .select(col("doc_id"), concat(col("text"), lit(" "), salt).as("text"))
-    val train = salted.select(col("doc_id"),
-      graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
-    val bench = salted.filter(col("doc_id") % 13 === 0)
-      .select(graft.functions.TextFunctions.embedText(col("text"), dim = 256).as("emb"))
+    // shared salted-embedding stage (see qV10TextEmbedSemDeDup); the
+    // bench set is the %13 docs THEMSELVES, so its embeddings are a
+    // filter of the same cached frame — identical values, one pass
+    val train = saltedEmbeddings(s, d)
+    val bench = train.filter(col("doc_id") % 13 === 0).select(col("emb"))
     graft.operators.Similarity
       .semanticDecontaminate(train, bench, "emb", "doc_id", threshold = 0.9)
       .select(col("id"), col("contaminated"))
