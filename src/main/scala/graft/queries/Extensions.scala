@@ -529,18 +529,62 @@ object Extensions {
     * means the signature/banding/verify chain broke; an extra pair
     * means the verify threshold broke.
     */
-  def qD12MinhashPlanted(s: SparkSession, d: String): DataFrame = {
+  def qD12MinhashPlanted(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(
+        plantedFamilies(s, d), "text", "doc_id", threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The [[qD12MinhashPlanted]] fixture: members 0–2 of each 5-doc
+    * family share one family-unique text, members 3–4 carry doc-unique
+    * digit-embedded tokens — identical trio texts make every
+    * hash-derived representation equal (structural recall, exact
+    * score 1.0 / hamming 0), and the digit embedding keeps every other
+    * pair's gram/fingerprint overlap provably negligible.
+    */
+  private def plantedFamilies(s: SparkSession, d: String): DataFrame = {
     val suffixes = Seq("a", "b", "c", "d", "e", "f", "g", "h")
     val famText = concat_ws(" ", suffixes.map(x =>
       concat(lit("fam"), expr("doc_id div 5").cast("string"), lit(x))): _*)
     val soloText = concat_ws(" ", suffixes.map(x =>
       concat(lit("solo"), col("doc_id").cast("string"), lit(x))): _*)
-    val planted = documents(s, d).select(
+    documents(s, d).select(
       col("doc_id"),
       when(col("doc_id") % 5 <= 2, famText).otherwise(soloText).as("text"))
-    Dedup.minhashNearDups(planted, "text", "doc_id", threshold = 0.7)
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The word-n-gram Jaccard chain (q32's operator —
+    * [[graft.operators.Dedup.ngramJaccardNearDups]]: MinHash-LSH
+    * blocking + exact hashed word-3-gram verification) hash-checked
+    * end-to-end over the [[plantedFamilies]] construction (round 19,
+    * the q165 pattern at q32's seam): identical trio texts have EQUAL
+    * word-3-gram sets (Jaccard exactly 1.0, an integer ratio) and
+    * collide in every LSH band; every other pair's gram sets are
+    * DISJOINT (every token embeds its family/doc number, so no word
+    * 3-gram repeats across texts), so verification kills any
+    * accidental candidate at jaccard 0 < 0.5. Expected pairs = the
+    * family trios at 1.0 — doc_id arithmetic for DuckDB.
+    */
+  def qD13NgramJaccardPlanted(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardNearDups(
+        plantedFamilies(s, d), "text", "doc_id", threshold = 0.5, n = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The simhash-over-text chain (q71's operator —
+    * [[graft.operators.Dedup.simhashNearDups]]: Murmur3 gram-sign
+    * fingerprint + pigeonhole-banded hamming pairs) hash-checked
+    * end-to-end over the [[plantedFamilies]] construction (round 19,
+    * the q165 pattern at q71's seam): identical trio texts fingerprint
+    * IDENTICALLY — hamming 0, a pair in every chunk, emitted once by
+    * the first-agreeing-chunk rule — while distinct planted texts
+    * produce effectively independent 64-bit fingerprints whose
+    * pairwise hamming sits near 32 (P[≤ 3] ≈ 2.4e-15 per pair;
+    * deterministic on this fixture and certified empirically at all
+    * three SFs). Expected pairs = the family trios at hamming 0.
+    */
+  def qD14SimhashPlanted(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(
+        plantedFamilies(s, d), "text", "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash-style hamming near-dups, ORACLE-checked end-to-end: the
     * pigeonhole banding + xor + bit_count + exactly-once emission
@@ -3444,7 +3488,9 @@ object Extensions {
     "q162_content_pipeline" -> qP8ContentPipeline _,
     "q163_ccnet_trained" -> qP9CcnetTrained _,
     "q164_ccnet_planted" -> qP10CcnetPlanted _,
-    "q165_minhash_planted" -> qD12MinhashPlanted _)
+    "q165_minhash_planted" -> qD12MinhashPlanted _,
+    "q166_ngram_jaccard_planted" -> qD13NgramJaccardPlanted _,
+    "q167_simhash_planted" -> qD14SimhashPlanted _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3531,6 +3577,27 @@ object Extensions {
     ("q165_minhash_planted" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(1.0 AS DOUBLE) AS jaccard
+         FROM documents a JOIN documents b
+           ON a.doc_id < b.doc_id
+          AND a.doc_id // 5 = b.doc_id // 5
+          AND a.doc_id % 5 <= 2 AND b.doc_id % 5 <= 2
+         ORDER BY id_a, id_b""") +
+    // q166: q165's fixture through the word-n-gram chain — equal trio
+    // gram sets verify at an integer 1.0, disjoint everything else
+    ("q166_ngram_jaccard_planted" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+         FROM documents a JOIN documents b
+           ON a.doc_id < b.doc_id
+          AND a.doc_id // 5 = b.doc_id // 5
+          AND a.doc_id % 5 <= 2 AND b.doc_id % 5 <= 2
+         ORDER BY id_a, id_b""") +
+    // q167: q165's fixture through the simhash chain — identical trio
+    // texts fingerprint identically (hamming 0), distinct planted
+    // texts sit near hamming 32 (see qD14SimhashPlanted)
+    ("q167_simhash_planted" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS INTEGER) AS hamming
          FROM documents a JOIN documents b
            ON a.doc_id < b.doc_id
           AND a.doc_id // 5 = b.doc_id // 5
