@@ -406,4 +406,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(explicit == got)
   }
+
+  test("planted-family fixture: all three Murmur3 chains emit exactly the trio pairs (the q165/q166/q167 truth)") {
+    // 4 families x 5 members: members 0-2 share one family text,
+    // members 3-4 are doc-unique — the gate fixture in miniature.
+    // Every chain must emit exactly the within-family trio pairs at
+    // its perfect score (jaccard 1.0 / hamming 0) and nothing else.
+    def famText(g: Long) = ('a' to 'h').map(x => s"fam$g$x").mkString(" ")
+    def soloText(i: Long) = ('a' to 'h').map(x => s"solo$i$x").mkString(" ")
+    val rows = (0L until 20L).map(i =>
+      (i, if (i % 5 <= 2) famText(i / 5) else soloText(i)))
+    val df = rows.toDF("doc_id", "text")
+    val want = (0L until 4L).flatMap { g =>
+      val m = Seq(5 * g, 5 * g + 1, 5 * g + 2)
+      for (a <- m; b <- m if a < b) yield (a, b)
+    }.toSet
+    val mh = Dedup.minhashNearDups(df, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mh.map(t => (t._1, t._2)).toSet == want, s"minhash: ${mh.toSeq}")
+    assert(mh.forall(_._3 == 1.0), "minhash jaccard must be exactly 1.0")
+    val ng = Dedup.ngramJaccardNearDups(df, "text", "doc_id", threshold = 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ng.map(t => (t._1, t._2)).toSet == want, s"ngram: ${ng.toSeq}")
+    assert(ng.forall(_._3 == 1.0), "ngram jaccard must be exactly 1.0")
+    val sh = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sh.map(t => (t._1, t._2)).toSet == want, s"simhash: ${sh.toSeq}")
+    assert(sh.forall(_._3 == 0), "simhash hamming must be exactly 0")
+    graft.ops.Caches.release()
+  }
 }
