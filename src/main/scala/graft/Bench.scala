@@ -69,6 +69,33 @@ object Bench {
           } catch { case _: Throwable => }
       }
     spark.catalog.clearCache()
+    // CONTENTION PROBES (round 20): the same fixed CPU-bound probe is
+    // re-run at a few points spread across the run's wall (after
+    // warmup, after each base pass, after top-ups) and the stdout line
+    // carries median(probe)/quiet-constant as "contention_index" — on
+    // a contended host (r17-r19 officials ran at ~5-30x) the absolutes
+    // are unusable and on a planned_reps:1 run min==median, so this is
+    // the one field that lets a reader separate host from code at a
+    // glance. One untimed run first: the probe's own codegen/JIT warm
+    // must not count as "contention".
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      // untimed runs until two consecutive times converge within 10%
+      // (capped at 6): the probe's codegen + JIT tiering keeps
+      // improving across several executions (measured 0.97 → 0.37 s
+      // over a 7-run series), and a probe timed mid-tier would read
+      // as phantom contention
+      var prev = contentionProbeSec(spark)
+      var warmed = 1
+      var cur = contentionProbeSec(spark)
+      while (warmed < 6 && cur < prev * 0.9) {
+        prev = cur; cur = contentionProbeSec(spark); warmed += 1
+      }
+      probeTimes += cur
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] contention probe failed: $e")
+    }
     // INTERLEAVED passes + adaptive reps: the host shows heavy
     // run-to-run contention noise (the same query measured 0.5s and
     // 4.8s in adjacent suite runs; three consecutive rounds of verdict
@@ -125,6 +152,10 @@ object Bench {
       }
       active
     }
+    def probe(): Unit =
+      if (elapsedSec < deadlineSec)
+        try probeTimes += contentionProbeSec(session())
+        catch { case _: Throwable => }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -144,6 +175,13 @@ object Bench {
     // base reps, which reads as a catastrophic run when it was a
     // healthy one whose extras ran out of clock.
     val deadlineSkipped = scala.collection.mutable.Set.empty[String]
+    // queries any of whose timed reps were SERVED a StageCache frame
+    // (round 20, advice): those reps time a local parquet scan of a
+    // stage an earlier gate/rep built, so their numbers must not be
+    // naively compared against uncached rounds — the scoreboard says
+    // which ones ("stage_cached"). SPARK_GRAFT_STAGE_CACHE=off times
+    // the full recompute instead.
+    val stageServed = scala.collection.mutable.Set.empty[String]
     def runPass(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                 base: Boolean = false): Unit =
       subset.foreach { case (name, fn) =>
@@ -152,10 +190,12 @@ object Bench {
         } else {
           val s = session()
           s.catalog.clearCache()
+          val served0 = graft.queries.StageCache.serveCount
           val t0 = System.nanoTime()
           try {
             fn(s, sfDir).write.mode("overwrite").format("noop").save()
             timesByName(name) = timesByName(name) :+ (System.nanoTime() - t0) / 1e9
+            if (graft.queries.StageCache.serveCount > served0) stageServed += name
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -181,9 +221,14 @@ object Bench {
     //      sheds passes early rather than stranding a pass half-run.
     runPass(orderCheapestFirst(queryList.map(_._1), warmEst.toMap)
       .map(n => queryList.find(_._1 == n).get), base = true)
+    probe()
+    // next-pass estimate = sum of each query's LATEST rep (round 20,
+    // advice): the min systematically underestimates on a degrading
+    // host — the whole reason later passes re-check — while the most
+    // recent rep tracks what the host costs NOW.
     def passCostNow: Double = {
       val ts = timesByName.values.filter(_.nonEmpty)
-      if (ts.isEmpty) 0.0 else ts.map(_.min).sum
+      if (ts.isEmpty) 0.0 else ts.map(_.last).sum
     }
     var plannedReps = planReps(reps, elapsedSec, passCostNow, deadlineSec)
     if (plannedReps < reps)
@@ -200,6 +245,7 @@ object Bench {
         runPass(orderCheapestFirst(queryList.map(_._1), medEst)
           .map(n => queryList.find(_._1 == n).get), base = true)
         basePass += 1
+        probe()
       }
     }
     // Adaptive passes for the noise-prone queries: all sub-2s queries
@@ -217,6 +263,11 @@ object Bench {
       if (fast.isEmpty) pending = false
       else { runPass(fast); extraPass += 1 }
     }
+    probe()
+    val cIdx = contentionIndex(probeTimes.toSeq, ProbeQuietSec)
+    System.err.println("[bench] contention probes " +
+      probeTimes.map(t => f"$t%.2f").mkString("[", ",", "]") +
+      f" s, quiet const $ProbeQuietSec%.2f s, index $cIdx%.2f")
     val results = queryList.map { case (name, _) => name -> timesByName(name) }
     // -1 marks an all-reps failure; spread = max-min over successful reps
     val meds = results.map { case (k, ts) =>
@@ -248,11 +299,57 @@ object Bench {
     val line = renderLine(meds.map { case (k, v) => shortKey(k) -> v },
       total, reps, sfNum, deadlineSkipped.size,
       plannedReps = plannedReps,
-      mins = mins.map { case (k, v) => shortKey(k) -> v })
+      mins = mins.map { case (k, v) => shortKey(k) -> v },
+      contention = cIdx,
+      stageCached = stageServed.toSeq.map(shortKey).distinct.sorted)
     require(line.length < StdoutBudget, s"bench JSON line too long: ${line.length}")
     println(line)
     active.stop()
   }
+
+  /** Wall seconds of ONE fixed CPU-bound probe: 1.6e9 codegen'd
+    * xxhash64 evaluations over exactly 32 partitions, no IO, no
+    * shuffle reads beyond the single-row aggregate. Deterministic and
+    * data-independent, so its quiet-host time is a stable constant —
+    * which makes its measured/quiet ratio a direct read of how
+    * contended the host's CPUs are during the run (the r19 official
+    * scoreboard carried 5-30x inflated absolutes with no way to tell
+    * host from code without a judge re-run).
+    */
+  def contentionProbeSec(s: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    s.range(0, 1600000000L, 1, 32)
+      .select(bit_xor(xxhash64(col("id")))) // xor: ANSI-safe (sum overflows)
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The probe's quiet-host constant: the median probe time on this
+    * container (local[32], load < 2) across five quiet JVMs measured
+    * 0.42–0.52 s with occasional 1 s outliers, so quiet runs read an
+    * index of ~0.7–1.5. The index is a RATIO for reading a scoreboard
+    * — ~1 means the absolutes are comparable round-over-round, >>1
+    * (the r17–r19 official hosts would have read ~5–30) means host
+    * tenancy inflated them and only minima should be compared. It is
+    * a coarse instrument by design; re-calibrate only if the
+    * container's CPU generation changes.
+    */
+  val ProbeQuietSec = 0.45
+
+  /** Median probe time over the run's spread-out probes, divided by
+    * the quiet constant; -1 when no probe completed. Pure for
+    * BenchSpec.
+    */
+  def contentionIndex(probes: Seq[Double], quietSec: Double): Double =
+    if (probes.isEmpty || quietSec <= 0) -1.0
+    else {
+      val s = probes.sorted
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      med / quietSec
+    }
 
   /** How many base passes fit the remaining wall budget, decided AFTER
     * pass 1 when the suite's real per-pass cost is known (round 19 —
@@ -375,14 +472,27 @@ object Bench {
     *     the budget alongside the medians (it folds away first — the
     *     median map always wins the space contest).
     *
+    * Round 20 adds two more fixed-or-bounded-size fields:
+    * `"contention_index"` (median of the spread-out CPU probes over
+    * the quiet constant — present whenever a probe ran, so a degraded
+    * run's absolutes carry their own host-tenancy disclaimer) and
+    * `"stage_cached":[...]` (short keys of queries whose timed reps
+    * read a pre-built StageCache frame — bounded by the count of
+    * caching gates, not the suite size — so cache-served numbers are
+    * never mistaken for full recomputes).
+    *
     * @param meds short-key → median seconds; -1 marks an all-reps failure
     * @param mins short-key → min seconds (same keys); Nil omits the
     *             per-query min object entirely
+    * @param contention median-probe/quiet ratio; negative omits the field
+    * @param stageCached short keys of StageCache-served queries; Nil omits
     */
   def renderLine(meds: Seq[(String, Double)], total: Double,
                  reps: Int, sfNum: Double, deadlineHit: Int = 0,
                  plannedReps: Int = -1,
-                 mins: Seq[(String, Double)] = Nil): String = {
+                 mins: Seq[(String, Double)] = Nil,
+                 contention: Double = -1.0,
+                 stageCached: Seq[String] = Nil): String = {
     def fmt(v: Double): String =
       if (v >= 10) f"$v%.0f" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
     // precision-only levels first (keep full per-query detail while it fits)
@@ -413,10 +523,22 @@ object Bench {
       if (plannedReps > 0 && plannedReps != reps)
         s""","planned_reps":$plannedReps"""
       else ""
+    // contention_index: fixed-size, always present when a probe ran —
+    // ~1 means the absolutes are round-over-round comparable, >>1
+    // means host tenancy inflated them and only minima should be read
+    val cIdxField =
+      if (contention >= 0) f""","contention_index":$contention%.2f""" else ""
+    // stage_cached: short keys of queries whose timed reps were served
+    // a pre-built StageCache frame — bounded by the count of caching
+    // gates (7 today), not the suite size
+    val cachedField =
+      if (stageCached.isEmpty) ""
+      else stageCached.map("\"" + _ + "\"")
+        .mkString(""","stage_cached":[""", ",", "]")
     def lineWith(qs: String, minObj: String = ""): String = {
       val dl = if (deadlineHit > 0) s""","deadline_hit":$deadlineHit""" else ""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs""" +
-        f"""$minObj,"reps":$reps$planned$minTotal$dl,"sf":$sfNum%.3f}"""
+        f"""$minObj,"reps":$reps$planned$minTotal$cIdxField$cachedField$dl,"sf":$sfNum%.3f}"""
     }
     // richest-first: per-query min rides along at each precision level
     // when reps carry one and the line still fits; it is the first

@@ -74,6 +74,36 @@ object Caches {
     finally {
       scopes.set(scopes.get().tail)
       buf.foreach(ds => try ds.unpersist(false) catch { case _: Exception => })
+      if (scopes.get().isEmpty) leakBackstop()
+    }
+  }
+
+  /** How many GLOBAL registrations may accumulate while scopes are in
+    * use before the backstop drains them (round 20, advice). Inside a
+    * pure-streaming process the per-batch scopes release everything
+    * and nothing ever drains the global registry — so an `owned()`
+    * that ESCAPES its scope (a helper invoked outside the scoped
+    * block, or plan construction on a different thread than the
+    * handler) accumulates one strongly-held cached frame per batch
+    * forever, the exact unbounded-growth mode the old per-batch
+    * global `release()` was the backstop for. The outermost scope
+    * exit now checks the global registry: past this bound it WARNS
+    * (the leak is a bug worth naming) and drains. On healthy streams
+    * the registry stays empty and the check is a size() read;
+    * draining can cost a concurrent pipeline's operator caches a
+    * re-derive (the documented `release()` blast radius), but only
+    * once per `LeakBound` leaked batches instead of every batch.
+    */
+  private[graft] val LeakBound = 256
+
+  private def leakBackstop(): Unit = {
+    val n = registry.size()
+    if (n > LeakBound) {
+      System.err.println(s"[caches] $n operator-owned frames have " +
+        "accumulated in the GLOBAL registry while scoped ownership is " +
+        "in use — some owned() call escapes its scope (wrong thread " +
+        "or outside the scoped block); draining as backstop")
+      release()
     }
   }
 

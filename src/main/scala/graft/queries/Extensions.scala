@@ -586,6 +586,45 @@ object Extensions {
         plantedFamilies(s, d), "text", "doc_id", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The BPE train→encode chain (q131's operators —
+    * [[graft.operators.Corpus.bpeTrain]] + `bpeEncode`) hash-checked
+    * end-to-end over a FORCED-merge-sequence fixture (round 20, the
+    * q165 pattern at q131's seam — greedy merge application itself is
+    * not SQL, so the natural-text gate stays rows-only; this sibling
+    * makes the learned sequence a provable constant). The word
+    * multiset {aaaa×16, bbbb×8, abab×4, cc×2} — exact counts pinned
+    * by `doc_id < 30`, constant across SFs — forces, by hand-checked
+    * integer pair counts and the (count desc, l, r) unsigned-UTF-8
+    * argmax, EXACTLY the 6-merge sequence
+    * `(a,a)(b,b)(aa,</w>)(aa,aa</w>)(a,b)(bb,</w>)`, engaging both
+    * tie-break arms: `</w>` sorts BEFORE letters (merges 3/6 pick the
+    * `</w>` pair over the letter pair at equal count) and `a < bb`
+    * picks `(a,b)` at the three-way count-8 tie (merge 5). Greedy
+    * lowest-rank-first encoding of the four distinct words under that
+    * table is then closed form: aaaa→[aaaa</w>], bbbb→[bb, bb</w>],
+    * abab→[ab, ab, </w>], cc→[c, c, </w>] — so any deviation in pair
+    * counting, argmax order, merge splice, or encode rank priority
+    * changes the hashed output. DuckDB's oracle derives the same four
+    * words from the table and joins the expected tokenizations as
+    * literals.
+    */
+  def qC34BpePlanted(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        when(col("doc_id") < 16, "aaaa")
+          .when(col("doc_id") < 24, "bbbb")
+          .when(col("doc_id") < 28, "abab")
+          .otherwise("cc").as("text"))
+    val merges = graft.operators.Corpus.bpeTrain(
+      base, "text", numMerges = 6, minFreq = 2L)
+    val evalWords = base.select(col("text").as("word")).distinct()
+    graft.operators.Corpus.bpeEncode(evalWords, "word", merges)
+      .select(col("word"),
+        array_join(col("bpe_tokens"), " ").as("toks"),
+        col("n_bpe_tokens"))
+      .orderBy(col("word"))
+  }
+
   /** SimHash-style hamming near-dups, ORACLE-checked end-to-end: the
     * pigeonhole banding + xor + bit_count + exactly-once emission
     * machinery (Dedup.simhashPairs) runs over PLANTED 56-bit
@@ -3490,7 +3529,8 @@ object Extensions {
     "q164_ccnet_planted" -> qP10CcnetPlanted _,
     "q165_minhash_planted" -> qD12MinhashPlanted _,
     "q166_ngram_jaccard_planted" -> qD13NgramJaccardPlanted _,
-    "q167_simhash_planted" -> qD14SimhashPlanted _)
+    "q167_simhash_planted" -> qD14SimhashPlanted _,
+    "q168_bpe_planted" -> qC34BpePlanted _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3603,6 +3643,27 @@ object Extensions {
           AND a.doc_id // 5 = b.doc_id // 5
           AND a.doc_id % 5 <= 2 AND b.doc_id % 5 <= 2
          ORDER BY id_a, id_b""") +
+    // q168: the forced word multiset pins the learned merge sequence
+    // (hand-checked integer pair counts — see qC34BpePlanted), so the
+    // greedy encoding of the four distinct words is a closed-form
+    // lookup joined against the table-derived word set
+    ("q168_bpe_planted" ->
+      """WITH w AS (
+           SELECT DISTINCT
+             CASE WHEN doc_id < 16 THEN 'aaaa'
+               WHEN doc_id < 24 THEN 'bbbb'
+               WHEN doc_id < 28 THEN 'abab'
+               ELSE 'cc' END AS word
+           FROM documents WHERE doc_id < 30)
+         SELECT w.word, e.toks, e.n_bpe_tokens
+         FROM w JOIN (VALUES
+             ('aaaa', 'aaaa</w>', CAST(1 AS BIGINT)),
+             ('abab', 'ab ab </w>', CAST(3 AS BIGINT)),
+             ('bbbb', 'bb bb</w>', CAST(2 AS BIGINT)),
+             ('cc', 'c c </w>', CAST(3 AS BIGINT)))
+           AS e(word, toks, n_bpe_tokens)
+           ON e.word = w.word
+         ORDER BY w.word""") +
     // q155: blocked iff the host (or any parent suffix) is listed —
     // with this construction that's exactly %20 = 7 (the exact host,
     // zone implied by CRT) or %4 = 2 (the parent entry, catching the

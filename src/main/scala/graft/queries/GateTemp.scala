@@ -31,6 +31,14 @@ private[graft] object GateTemp {
   /** A fixed per-tag dir under the process root, WIPED at each call:
     * rep N's tree replaces rep N−1's, and the shutdown hook sweeps
     * whatever the last rep left.
+    *
+    * CONTRACT: at most one live invocation per tag at a time. The
+    * wipe-on-call design trades concurrency for bounded debris — two
+    * concurrent invocations of the SAME gate in one JVM would delete
+    * each other's live fixture mid-query. The in-repo drivers (Bench,
+    * Verify, the specs) run gates sequentially by construction;
+    * library callers embedding gates in a parallel harness must give
+    * each thread its own tag (e.g. suffix the thread name).
     */
   def fresh(tag: String): String = {
     val d = new File(root, tag)
@@ -78,16 +86,54 @@ private[graft] object StageCache {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def keyOf(dir: String, stage: String): String =
-    stage + "__" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** `SPARK_GRAFT_STAGE_CACHE=off` disables reuse entirely: every
+    * call computes its stage fresh (the pre-round-19 plan shape) — the
+    * honest "time the recompute" mode for per-gate profiling runs,
+    * since under the default the first consumer pays the stage build
+    * and later reps/gates time a parquet scan (Bench marks those
+    * queries in its scoreboard; see `stage_cached`).
+    */
+  private val enabled = sys.env.get("SPARK_GRAFT_STAGE_CACHE").forall(_ != "off")
+
+  private val serves = new java.util.concurrent.atomic.AtomicLong
+
+  /** Number of cache-SERVED reads so far (reads that did not build).
+    * Bench snapshots this around each timed rep to mark cache-served
+    * queries on the scoreboard.
+    */
+  def serveCount: Long = serves.get
+
+  /** Key = stage + sanitized dir + a short content fingerprint of the
+    * input dir (top-level file names/sizes/mtimes + the UNSANITIZED
+    * path). The fingerprint closes two stale-read holes the plain
+    * sanitized key had: two distinct dirs whose sanitizations collide
+    * ("/a/b" vs "/a_b"), and data regenerated at the same path within
+    * one JVM. The contract is still one fixed dataset per (dir, stage)
+    * per process — the fingerprint turns a contract violation into a
+    * rebuild instead of a silently wrong oracle hash.
+    */
+  private def keyOf(dir: String, stage: String): String = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted
+    val fp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(dir +: files.toSeq) & 0xffffffffL)
+    stage + "__" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
+  }
 
   def apply(s: SparkSession, dir: String, stage: String)
       (build: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(keyOf(dir, stage), k => {
-      val p = new File(GateTemp.stable("stage_cache"), k).toString
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    if (!enabled) build
+    else {
+      val k0 = keyOf(dir, stage)
+      var builtNow = false
+      val path = built.computeIfAbsent(k0, k => {
+        val p = new File(GateTemp.stable("stage_cache"), k).toString
+        build.write.mode("overwrite").parquet(p)
+        builtNow = true
+        p
+      })
+      if (!builtNow) serves.incrementAndGet(): Unit
+      s.read.parquet(path)
+    }
   }
 }

@@ -164,6 +164,51 @@ class BenchSpec extends AnyFunSuite {
     assert(!one.contains("\"min\":{"), one)
   }
 
+  test("contention index: median probe over quiet constant; -1 without probes") {
+    // quiet host: probes near the constant read ~1
+    assert(math.abs(Bench.contentionIndex(Seq(0.45, 0.44, 0.46), 0.45) - 1.0) < 0.05)
+    // contended host (the r17-r19 official shape): reads >> 1
+    assert(Bench.contentionIndex(Seq(2.7, 13.5, 4.5), 0.45) == 10.0)
+    // the median discards one outlier probe — a single contended
+    // window must not brand a whole quiet run
+    assert(Bench.contentionIndex(Seq(0.45, 0.45, 9.0), 0.45) == 1.0)
+    assert(Bench.contentionIndex(Nil, 0.45) == -1.0, "no probes -> -1")
+    assert(Bench.contentionIndex(Seq(0.5), 0.0) == -1.0, "bad constant -> -1")
+  }
+
+  test("contention_index and stage_cached render on the line; omitted when absent") {
+    val meds = Seq(("q1", 1.234), ("q2", 0.056))
+    val line = Bench.renderLine(meds, 1.29, 3, 0.1,
+      contention = 7.375, stageCached = Seq("q135", "q138"))
+    assert(line.contains("\"contention_index\":7.38"), line)
+    assert(line.contains("\"stage_cached\":[\"q135\",\"q138\"]"), line)
+    val bare = Bench.renderLine(meds, 1.29, 3, 0.1)
+    assert(!bare.contains("contention_index"), bare)
+    assert(!bare.contains("stage_cached"), bare)
+    // both fields survive every fold level (a huge suite still says
+    // how contended/cached it was)
+    val big = (1 to 400).map(i => (s"q$i", 3.2 + i % 5))
+    val folded = Bench.renderLine(big, big.map(_._2).sum, 3, 0.1,
+      contention = 2.5, stageCached = Seq("q135"))
+    assert(folded.length < Bench.StdoutBudget)
+    assert(folded.contains("\"contention_index\":2.50"), folded.take(200))
+    assert(folded.contains("\"stage_cached\":[\"q135\"]"), folded.take(200))
+  }
+
+  test("passCost planning reads the LATEST rep, not the min (degrading host)") {
+    // planReps itself is policy-pure; this pins the shape the caller
+    // feeds it: a host that degraded 100s -> 300s must plan from 300
+    val latest = Seq(Vector(100.0, 300.0), Vector(50.0, 150.0)).map(_.last).sum
+    assert(latest == 450.0)
+    assert(Bench.planReps(3, elapsed = 700.0, passCost = latest,
+      deadline = 1500.0) == 2, "latest-cost planning sheds the third pass")
+    // min-based cost (the old estimate) would have kept all 3 and
+    // blown the deadline mid-pass
+    val minCost = Seq(Vector(100.0, 300.0), Vector(50.0, 150.0)).map(_.min).sum
+    assert(Bench.planReps(3, elapsed = 700.0, passCost = minCost,
+      deadline = 1500.0) == 3)
+  }
+
   test("the line is valid single-line JSON shape") {
     val meds = synth(200)
     val line = Bench.renderLine(meds, 100.0, 3, 0.1)

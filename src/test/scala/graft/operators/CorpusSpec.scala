@@ -1508,6 +1508,31 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty && got.size <= 12)
   }
 
+  test("q168 fixture: the forced word multiset pins the exact merge sequence") {
+    // the qC34BpePlanted construction in miniature: {aaaa×16, bbbb×8,
+    // abab×4, cc×2} forces, via hand-checked integer pair counts and
+    // the (count desc, l, r) unsigned-UTF-8 argmax, exactly this
+    // 6-merge sequence — including both tie-break arms ("</w>" sorts
+    // before letters at merges 3/6; "a" < "bb" at the count-8 tie of
+    // merge 5). If this ever fails, q168's oracle literals are stale.
+    val words = Seq.fill(16)("aaaa") ++ Seq.fill(8)("bbbb") ++
+      Seq.fill(4)("abab") ++ Seq.fill(2)("cc")
+    val merges = Corpus.bpeTrain(
+      words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "text", numMerges = 6, minFreq = 2L)
+    assert(merges == Seq(("a", "a"), ("b", "b"), ("aa", "</w>"),
+      ("aa", "aa</w>"), ("a", "b"), ("bb", "</w>")), merges)
+    val enc = Corpus.bpeEncode(
+      Seq((0L, "aaaa"), (1L, "bbbb"), (2L, "abab"), (3L, "cc"))
+        .toDF("doc_id", "text"), "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(enc(0L) == Seq("aaaa</w>"))
+    assert(enc(1L) == Seq("bb", "bb</w>"))
+    assert(enc(2L) == Seq("ab", "ab", "</w>"))
+    assert(enc(3L) == Seq("c", "c", "</w>"))
+  }
+
   test("bpeEncode applies merges greedily by rank and counts real tokens") {
     val texts = Seq("low low low lower lowest", "low low lower")
     val merges = Corpus.bpeTrain(

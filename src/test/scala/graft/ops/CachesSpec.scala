@@ -87,6 +87,30 @@ class CachesSpec extends SparkSpec {
     assert(Caches.ownedCount == 0)
   }
 
+  test("leak backstop: escaped global registrations drain at outermost scope exit") {
+    Caches.release()
+    // registrations that ESCAPE the scope (another thread — the leak
+    // mode the backstop exists for): pile up past LeakBound, then one
+    // scoped block's exit must drain them
+    val t = new Thread(() => {
+      (0 to Caches.LeakBound).foreach { i =>
+        Caches.owned(spark.range(i + 1).toDF("a"))
+      }
+    })
+    t.start(); t.join()
+    assert(Caches.ownedCount > Caches.LeakBound)
+    Caches.scoped { spark.range(1).count() }
+    assert(Caches.ownedCount == 0,
+      "outermost scope exit past LeakBound must drain the global registry")
+    // under the bound, scope exits leave global registrations alone
+    val kept = Caches.owned(spark.range(2).toDF("a"))
+    kept.count()
+    Caches.scoped { spark.range(1).count() }
+    assert(Caches.ownedCount == 1 && kept.storageLevel.useMemory,
+      "a healthy global registration must survive scope exits")
+    Caches.release()
+  }
+
   test("semDeDup identical-vector drop still holds after release") {
     Caches.release()
     val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
