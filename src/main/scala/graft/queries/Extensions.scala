@@ -1223,16 +1223,16 @@ object Extensions {
     * recomputes the brute-force frame-level hamming join + evidence
     * count over the planted codes in SQL.
     */
-  def qM7VideoNearDups(s: SparkSession, d: String): DataFrame = {
-    val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
-    val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
-    def flipOf(baseId: Long, f: Int): Long = f match {
-      case 0 => 1L | (1L << 21) | (1L << 42) // hamming 3: matches
-      case 1 => 1L << 5 //                      hamming 1: matches
-      case 2 => if (baseId % 3 == 0) (1L << 7) | (1L << 28) // 2: matches
-        else 0x0202020202020202L //              8 bits: no match
-      case _ => 0x0404040404040404L | (1L << 62) // 9 bits: no match
-    }
+  def qM7VideoNearDups(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal
+      .videoNearDups(q158Media(s, d), k = 4, maxHamming = 3, minMatches = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The q158 synthetic video corpus (planted per-frame codes; see
+    * [[qM7VideoNearDups]]) — factored out so tools can profile the
+    * generation stage separately from the dedup.
+    */
+  private[graft] def q158Media(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).filter(col("doc_id") < 16384)
       .select(col("doc_id"))
     val both = base.select(col("doc_id").as("media_id"),
@@ -1245,7 +1245,74 @@ object Extensions {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
-    val media = both.mapPartitions { it =>
+    both.mapPartitions(Q158Encode)(enc)
+  }
+
+  /** The trained-quality-classifier keep/drop seam (q130's operators —
+    * [[graft.operators.Corpus.trainQualityClassifier]] +
+    * `scoreWithClassifier`) hash-checked end-to-end over a
+    * SYMMETRIC-CLASS construction (round 20, the q165 pattern at the
+    * last rows-only seam without a planted sibling). Training floats
+    * are reduction-ordered — the gate class q130 belongs to — but the
+    * thresholded DECISION is provably forced here: the two marker
+    * phrases ("crystal mountain river sunrise" vs "thunder velvet
+    * canyon whisper") hash to DISJOINT md5 feature-bucket sets at
+    * hexChars 3 (7 vs 7 buckets, zero overlap — a fixed property of
+    * the phrases, pinned by CorpusSpec), every doc of a class carries
+    * the identical 1/7-normalized feature vector, and the classes are
+    * exactly balanced (32 even vs 32 odd train ids) — so gradient
+    * descent from zero init moves the two bucket groups
+    * antisymmetrically (positive-class weights up, negative down, the
+    * bias pinned at ~0 by the same symmetry), giving every
+    * pure-phrase eval doc a score margin of O(0.1) per iteration
+    * around the 0.5 threshold. The ~1e-12 reduction-order noise that
+    * keeps q130 rows-only is twelve orders of magnitude below that
+    * margin, so `keep` = id parity is a closed-form boolean the
+    * DuckDB oracle states directly — and any regression in feature
+    * hashing, normalization, the gradient step, or the sigmoid
+    * threshold flips a bit the hash check catches.
+    */
+  def qC35ClassifierPlanted(s: SparkSession, d: String): DataFrame = {
+    val qual = lit("crystal mountain river sunrise")
+    val spam = lit("thunder velvet canyon whisper")
+    val base = documents(s, d).filter(col("doc_id") < 64).select(col("doc_id"))
+    val model = graft.operators.Corpus.trainQualityClassifier(
+      base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), qual.as("text")),
+      base.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), spam.as("text")),
+      "text", "doc_id", hexChars = 3, iters = 4, lr = 8.0)
+    val eval = documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, qual).otherwise(spam).as("text"))
+    graft.operators.Corpus.scoreWithClassifier(eval, model, "text", "doc_id")
+      .select(col("id"), col("keep"))
+      .orderBy(col("id"))
+  }
+
+  /** q158Media's encoder as a stable function INSTANCE (round 20): a
+    * per-call lambda capturing locals makes every invocation's
+    * `MapPartitions` node compare UNEQUAL (plan equality includes the
+    * function reference), which defeats `ProbeMemo`/CacheManager
+    * reuse across bench reps — the planted-code arithmetic lives in
+    * the singleton instead, so repeated gate constructions share one
+    * plan identity.
+    */
+  private object Q158Encode
+      extends (Iterator[org.apache.spark.sql.Row] =>
+        Iterator[org.apache.spark.sql.Row])
+      with Serializable {
+    private val unit = 1L + (1L << 16) + (1L << 32) + (1L << 48)
+    private val lanes = Array(0L, 0xFFFFL, 0xFFFF0000L, 0xFFFFFFFFL)
+    private def flipOf(baseId: Long, f: Int): Long = f match {
+      case 0 => 1L | (1L << 21) | (1L << 42) // hamming 3: matches
+      case 1 => 1L << 5 //                      hamming 1: matches
+      case 2 => if (baseId % 3 == 0) (1L << 7) | (1L << 28) // 2: matches
+        else 0x0202020202020202L //              8 bits: no match
+      case _ => 0x0404040404040404L | (1L << 62) // 9 bits: no match
+    }
+    def apply(it: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] =
       it.map { r =>
         val id = r.getLong(0)
         val baseId = r.getLong(1)
@@ -1260,10 +1327,6 @@ object Extensions {
         org.apache.spark.sql.Row(id,
           graft.operators.MjpegAvi.encode(frames, 9 * sx, 8 * sy))
       }
-    }(enc)
-    graft.operators.Multimodal
-      .videoNearDups(media, k = 4, maxHamming = 3, minMatches = 2)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Media kNN over REAL decoded luma histograms, ORACLE-checked (the
@@ -3530,7 +3593,8 @@ object Extensions {
     "q165_minhash_planted" -> qD12MinhashPlanted _,
     "q166_ngram_jaccard_planted" -> qD13NgramJaccardPlanted _,
     "q167_simhash_planted" -> qD14SimhashPlanted _,
-    "q168_bpe_planted" -> qC34BpePlanted _)
+    "q168_bpe_planted" -> qC34BpePlanted _,
+    "q169_classifier_planted" -> qC35ClassifierPlanted _)
 
   /** DuckDB token-list expression shared by the text oracles (same regex
     * + empty filter as TextFunctions.tokens).
@@ -3664,6 +3728,11 @@ object Extensions {
            AS e(word, toks, n_bpe_tokens)
            ON e.word = w.word
          ORDER BY w.word""") +
+    // q169: disjoint-bucket symmetric classes force the trained
+    // decision (see qC35ClassifierPlanted) — keep IS id parity
+    ("q169_classifier_planted" ->
+      """SELECT doc_id AS id, doc_id % 2 = 0 AS keep
+         FROM documents WHERE doc_id < 200 ORDER BY id""") +
     // q155: blocked iff the host (or any parent suffix) is listed —
     // with this construction that's exactly %20 = 7 (the exact host,
     // zone implied by CRT) or %4 = 2 (the parent entry, catching the

@@ -1948,6 +1948,44 @@ class CorpusSpec extends SparkSpec {
     (w, b)
   }
 
+  test("q169 fixture: disjoint buckets + symmetric classes force the decision") {
+    // the qC35ClassifierPlanted preconditions, pinned: (1) the two
+    // marker phrases hash to DISJOINT md5 feature-bucket sets at
+    // hexChars 3 (unigrams + bigrams — if a phrase edit ever collides
+    // them, the symmetry argument and q169's oracle are both stale);
+    // (2) training on balanced pure-phrase classes separates every
+    // pure-phrase eval doc with a margin far above float-reduction
+    // noise, so keep == class is forced, not empirical.
+    val qual = "crystal mountain river sunrise"
+    val spam = "thunder velvet canyon whisper"
+    def bucketsOf(phrase: String): Set[String] = {
+      val ws = phrase.split(" ").toSeq
+      val grams = ws ++ ws.zip(ws.tail).map { case (a, b) => s"$a $b" }
+      grams.map { g =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 3)
+      }.toSet
+    }
+    val (qb, sb) = (bucketsOf(qual), bucketsOf(spam))
+    assert(qb.size == 7 && sb.size == 7 && (qb & sb).isEmpty,
+      s"bucket sets must be disjoint: $qb vs $sb")
+    val pos = (0L until 16L).map(i => (i * 2, qual)).toDF("doc_id", "text")
+    val neg = (0L until 16L).map(i => (i * 2 + 1, spam)).toDF("doc_id", "text")
+    val model = Corpus.trainQualityClassifier(
+      pos, neg, "text", "doc_id", hexChars = 3, iters = 4, lr = 8.0)
+    val scored = Corpus.scoreWithClassifier(
+      (0L until 40L).map(i => (i, if (i % 2 == 0) qual else spam))
+        .toDF("doc_id", "text"),
+      model, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    scored.foreach { case (id, q, keep) =>
+      assert(keep == (id % 2 == 0), s"doc $id keep=$keep quality=$q")
+      assert(math.abs(q - 0.5) > 0.01,
+        s"doc $id margin too thin for a forced decision: $q")
+    }
+  }
+
   test("trainLangId matches the plain-Scala multinomial gradient descent") {
     val docs = Seq(
       (0L, "alpha arbor anchor amber", "aa"),
