@@ -2473,49 +2473,73 @@ object Corpus {
         featureBuckets(neg, textCol, idCol, hexChars).withColumn("y", lit(0.0)))
     // L1-normalize: x_b = m_b / Σ_b m_b (doc length is not the signal)
     val norm = Window.partitionBy(col("y"), col("id"))
-    val feats = labeled
+    val feats0 = labeled
       .withColumn("x", col("m") / sum(col("m")).over(norm))
       .select(col("y"), col("id"), col("bucket"), col("x"))
       .persist()
-    val n = feats.select(col("y"), col("id")).distinct().count().toDouble
+    val n = feats0.select(col("y"), col("id")).distinct().count().toDouble
     require(n > 0,
       "trainQualityClassifier: no featured training documents — both " +
         "example sets are empty or token-less (a 0-doc gradient would " +
         "NPE on the null sum and 0/0 the bias step)")
+    // Scale-adaptive cache layout (round 20, guide §2.5/§2.2 —
+    // partitioning derived from measured size, not the session
+    // constant): at the gates' diet training sizes (hundreds of docs)
+    // every iteration stage over a shuffle.partitions-wide cached
+    // frame schedules one near-empty task wave per stage — measured
+    // ~5 stage-jobs × 32 tasks per iteration with ~0.5 ms of real work
+    // each. Re-lay the cached features at ~1000 featured docs per
+    // partition, capped at defaultParallelism; when the formula lands
+    // AT the cap (any realistically large corpus) the repartition is
+    // skipped outright, so the scale path pays no extra shuffle.
+    val featParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, math.ceil(n / 1000.0).toInt))
+    val feats =
+      if (featParts >= spark.sparkContext.defaultParallelism) feats0
+      else {
+        val f2 = feats0
+          .repartition(featParts, col("y"), col("id")).persist()
+        f2.count() // materialize before dropping the wide layout
+        feats0.unpersist()
+        f2
+      }
     var bias = 0.0
     var weights = Map.empty[String, Double]
     for (_ <- 1 to iters) {
-      val wDf = if (weights.isEmpty)
-        spark.createDataFrame(Seq.empty[(String, Double)]).toDF("bucket", "w")
-      else weights.toSeq.toDF("bucket", "w")
+      // Round-20 iteration shape (guide §2.4, the trainLangId treatment
+      // applied to the binary case): the weight vector rides the plan
+      // as a codegen'd hash-lookup expression (weightOf, ≤ 16^hexChars
+      // entries by construction), so
+      // the per-doc dot is one aggregate over the cached
+      // (y,id)-partitioned feature frame — no per-iteration broadcast
+      // join. Same math; float reduction order is the documented
+      // ~1e-12 non-pin.
       val errs = feats
-        .join(broadcast(wDf), Seq("bucket"), "left")
         .groupBy(col("y"), col("id"))
-        .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("dot"))
+        .agg(sum(col("x") *
+          graft.plans.HashExpressions.weightOf(col("bucket"), weights))
+          .as("dot"))
         .select(col("y"), col("id"),
           (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(bias)))) - col("y"))
             .as("err"))
-        // persisted: two consumers (bucket gradients + bias gradient)
+        // persisted: two consumers (bucket gradients + bias sentinel)
         .persist()
-      // weight + bias gradients ride ONE collect (the round-18
-      // trainLangId treatment, applied here in round 19): the bias
-      // branch joins the bucket aggregate under a "__bias__" sentinel
-      // (impossible as a bucket — buckets are md5 hex chars), both
-      // branches reading the persisted errs. Training cost at the
-      // gate's r19 diet size (hundreds of docs) is ACTION-count
-      // dominated — 2 jobs/iter of driver scheduling was half the
-      // wall — so halving the actions halves the gate. (The r13
-      // measurement that two small actions beat persisted fusion was
-      // taken at the old 4,500-doc training size, where the union
-      // shuffle was real work; at the diet size it is noise.)
+      // weight + bias gradients ride ONE collect AND one per-bucket
+      // aggregation (round 20): the bias contribution enters as
+      // sentinel rows (bucket = "__bias__" — impossible as a real
+      // bucket, buckets are md5 hex chars — with x = 1) unioned BELOW
+      // the shared groupBy instead of a second aggregate branch, so
+      // each iteration is exactly one exchange. Training cost at the
+      // gate's r19 diet size (hundreds of docs) is ACTION/stage-count
+      // dominated — see OPTIMIZATION_r20.md.
       // bounded driver handoff: <= 16^hexChars + 1 rows
       val rows = feats
         .join(errs, Seq("y", "id"))
+        .select(col("bucket"), col("x"), col("err"))
+        .unionByName(errs.select(
+          lit("__bias__").as("bucket"), lit(1.0).as("x"), col("err")))
         .groupBy(col("bucket"))
         .agg((sum(col("x") * col("err")) / n).as("g"))
-        .unionByName(
-          errs.agg((sum(col("err")) / n).as("g"))
-            .select(lit("__bias__").as("bucket"), col("g")))
         .collect()
       errs.unpersist()
       val grads = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -2545,11 +2569,19 @@ object Corpus {
       threshold: Double = 0.5): DataFrame = {
     val perDoc = featureBuckets(docs, textCol, idCol, model.hexChars)
     val normW = Window.partitionBy(col("id"))
+    // Round 20 (guide §2.4): the bounded weight table (≤ 16^hexChars
+    // rows by the model contract) is collected once and rides the plan
+    // as a codegen'd hash-lookup expression — the broadcast left join
+    // it replaces fanned every feature row through a join for the same
+    // lookup. weightOf misses yield 0.0, the old coalesce contract.
+    val wMap = model.weights
+      .select(col("bucket").cast("string"), col("w").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scored = perDoc
       .withColumn("x", col("m") / sum(col("m")).over(normW))
-      .join(broadcast(model.weights), Seq("bucket"), "left")
       .groupBy(col("id"))
-      .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("dot"))
+      .agg(sum(col("x") *
+        graft.plans.HashExpressions.weightOf(col("bucket"), wMap)).as("dot"))
       .select(col("id"),
         (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(model.bias)))))
           .as("quality"))
@@ -2614,69 +2646,99 @@ object Corpus {
       .filter(col("lang").isNotNull).distinct()
       .collect().map(_.getString(0)).sorted.toIndexedSeq
     require(langs.size >= 2, "trainLangId: need at least two languages")
-    val langsDf = langs.toDF("lang")
     val labels = labeled.select(
       cr(idCol).as("id"), col(labelCol).cast("string").as("y"))
       .filter(col("y").isNotNull)
     val normW = Window.partitionBy(col("id"))
-    val f = featureBuckets(labeled, textCol, idCol, hexChars)
+    val f0 = featureBuckets(labeled, textCol, idCol, hexChars)
       .withColumn("x", col("m") / sum(col("m")).over(normW))
       .join(labels, Seq("id"))
       .select(col("id"), col("y"), col("bucket"), col("x"))
       .persist()
-    val docs = f.select(col("id"), col("y")).distinct().persist()
-    val n = docs.count().toDouble
+    val n = f0.select(col("id")).distinct().count().toDouble
     require(n > 0,
       "trainLangId: no featured training documents — every labeled " +
         "doc is token-less (a 0-doc gradient would 0/0 the updates)")
+    // Scale-adaptive cache layout (round 20 — the trainQualityClassifier
+    // treatment): ~1000 featured docs per partition, capped at
+    // defaultParallelism; at the cap (any real corpus) the repartition
+    // is skipped, so the scale path pays no extra shuffle.
+    val featParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, math.ceil(n / 1000.0).toInt))
+    val f =
+      if (featParts >= spark.sparkContext.defaultParallelism) f0
+      else {
+        val f2 = f0.repartition(featParts, col("id")).persist()
+        f2.count() // materialize before dropping the wide layout
+        f0.unpersist()
+        f2
+      }
     var biases = langs.map(_ -> 0.0).toMap
     var weights = Map.empty[(String, String), Double] // (lang, bucket) -> w
     for (_ <- 1 to iters) {
-      val wDf =
-        if (weights.isEmpty)
-          spark.createDataFrame(Seq.empty[(String, String, Double)])
-            .toDF("lang", "bucket", "w")
-        else weights.toSeq.map { case ((l, b), w) => (l, b, w) }
-          .toDF("lang", "bucket", "w")
-      val dots = f.join(broadcast(wDf), Seq("bucket"))
-        .groupBy(col("id"), col("lang"))
-        .agg(sum(col("x") * col("w")).as("dot"))
-      val biasCol = langs.foldLeft(lit(0.0)) { (acc, l) =>
-        when(col("lang") === l, lit(biases(l))).otherwise(acc)
+      // Round-20 iteration shape (guide §2.4 — remove shuffles outright):
+      // the per-language weight vectors ride the plan as codegen'd
+      // hash-lookup expressions ([[graft.plans.HashExpressions.weightOf]],
+      // bounded ≤ 16^hexChars entries each by construction), so the
+      // per-doc dot products are L aggregate columns over the cached
+      // id-partitioned feature frame — no per-iteration broadcast join,
+      // no (doc × lang) grid crossJoin, and the softmax runs across the
+      // L columns of one row instead of two windows over an (id, lang)
+      // frame. Same math, same L1-normalized x, same shift-invariant
+      // max-subtracted softmax; only float reduction order moves (the
+      // documented ~1e-12 non-pin). Measured: the old shape paid ~13
+      // AQE stage-jobs per iteration, this one pays ~3 (q161 6.7 →
+      // ~4 s, q163 the same shape).
+      val wMaps = langs.map { l =>
+        weights.iterator.collect {
+          case ((l2, b), w) if l2 == l => b -> w
+        }.toMap
       }
-      // full (doc × lang) grid: iteration 1 has NO weight rows, and a
-      // language with all-zero dots must still get its softmax share
-      val z = docs.crossJoin(broadcast(langsDf))
-        .join(dots, Seq("id", "lang"), "left")
-        .select(col("id"), col("y"), col("lang"),
-          (coalesce(col("dot"), lit(0.0)) + biasCol).as("z"))
+      val dotCols = langs.indices.map { i =>
+        sum(col("x") *
+          graft.plans.HashExpressions.weightOf(col("bucket"), wMaps(i)))
+          .as(s"_dot_$i")
+      }
+      val perDoc = f.groupBy(col("id"), col("y"))
+        .agg(dotCols.head, dotCols.tail: _*)
+      val zCols = langs.indices.map(i =>
+        col(s"_dot_$i") + lit(biases(langs(i))))
       // softmax per doc, max-subtracted for numeric stability (exact:
       // softmax is shift-invariant)
-      val errs = z
-        .withColumn("p",
-          exp(col("z") - max(col("z")).over(normW)) /
-            sum(exp(col("z") - max(col("z")).over(normW))).over(normW))
-        .select(col("id"), col("lang"),
-          (col("p") - when(col("y") === col("lang"), 1.0).otherwise(0.0))
-            .as("err"))
-        .persist()
-      // bounded driver handoff: ≤ |langs|·16^hexChars + |langs| rows.
-      // Weight and bias gradients ride ONE collect (bias rows under a
-      // reserved bucket sentinel; errs is cached so both branches read
-      // it) — two actions per iteration was half the training wall on
-      // small slices, where per-job overhead dominates (round 18).
+      val mx = greatest(zCols: _*)
+      val sumExp = zCols.map(z => exp(z - mx)).reduce(_ + _)
+      val errCols = langs.indices.map { i =>
+        (exp(zCols(i) - mx) / sumExp -
+          when(col("y") === langs(i), 1.0).otherwise(0.0)).as(s"_err_$i")
+      }
+      // persisted: consumed by the weight-gradient join AND the
+      // sentinel bias branch below within the one collect action
+      val errs = perDoc.select(col("id") +: errCols: _*).persist()
+      // bounded driver handoff: ≤ 16^hexChars + 1 rows × |langs| grad
+      // columns. Weight and bias gradients ride ONE collect and ONE
+      // per-bucket aggregation: bias contributions enter as sentinel
+      // rows (bucket = "__bias__", x = 1) unioned below the same
+      // groupBy instead of a second aggregate branch.
+      val gCols = langs.indices.map(i =>
+        (sum(col("x") * col(s"_err_$i")) / n).as(s"_g_$i"))
       val gradRows = f.join(errs, Seq("id"))
-        .groupBy(col("lang"), col("bucket"))
-        .agg((sum(col("x") * col("err")) / n).as("g"))
-        .unionByName(errs.groupBy(col("lang"))
-          .agg((sum(col("err")) / n).as("g"))
-          .select(col("lang"), lit("__bias__").as("bucket"), col("g")))
+        .select(col("bucket") +: col("x") +:
+          langs.indices.map(i => col(s"_err_$i")): _*)
+        .unionByName(errs.select(
+          lit("__bias__").as("bucket") +: lit(1.0).as("x") +:
+            langs.indices.map(i => col(s"_err_$i")): _*))
+        .groupBy(col("bucket"))
+        .agg(gCols.head, gCols.tail: _*)
         .collect()
-      val grads = gradRows.filter(_.getString(1) != "__bias__")
-        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-      val biasGrads = gradRows.filter(_.getString(1) == "__bias__")
-        .map(r => r.getString(0) -> r.getDouble(2)).toMap
       errs.unpersist()
+      val grads = gradRows.iterator
+        .filter(_.getString(0) != "__bias__")
+        .flatMap(r => langs.indices.map(i =>
+          (langs(i), r.getString(0)) -> r.getDouble(i + 1)))
+        .toMap
+      val biasGrads = gradRows.find(_.getString(0) == "__bias__")
+        .map(r => langs.indices.map(i => langs(i) -> r.getDouble(i + 1)).toMap)
+        .getOrElse(Map.empty[String, Double])
       weights = (weights.keySet ++ grads.keySet).map { k =>
         k -> (weights.getOrElse(k, 0.0) - lr * grads.getOrElse(k, 0.0))
       }.toMap
@@ -2684,7 +2746,7 @@ object Corpus {
         l -> (b - lr * biasGrads.getOrElse(l, 0.0))
       }
     }
-    f.unpersist(); docs.unpersist()
+    f.unpersist()
     LangIdModel(
       langs,
       weights.toSeq.map { case ((l, b), w) => (l, b, w) }
@@ -2700,25 +2762,18 @@ object Corpus {
     * deployable the same way. Token-less docs get the bias-only
     * argmax (the prior), never a dropped row.
     *
-    * Scale: the (doc × language) grid materializes ONLY for docs with
-    * at least one known feature bucket — and for those the weight join
-    * produces it naturally, since training touches every (lang,
-    * bucket) pair it sees. A corpus-wide `crossJoin(langs)` (100× the
-    * corpus at a CCNet-scale language inventory) is paid only by the
-    * FEATURELESS remainder, which collapses to one bias-only argmax
-    * constant anyway. Per-doc cost is |features|·|langs|
-    * multiply-adds riding the feature partitioning — compute-parallel,
-    * no extra shuffle beyond the per-doc aggregation. A language with
-    * NO dot row for a doc (none of the doc's buckets was ever seen
-    * under that language — possible only under model/corpus drift) is
-    * OMITTED from that doc's softmax entirely: its bias never enters,
-    * it cannot win the argmax, and the reported confidences normalize
-    * over the present-language subset. The deliberate trade — giving
-    * absent languages their bias-only z would need the 100× (doc ×
-    * lang) grid this operator exists to avoid, and drift that large
-    * warrants a refit. (Training itself never produces such holes for
-    * its own corpus: every (lang, bucket) pair the fit saw carries a
-    * weight row.)
+    * Scale: no (doc × language) grid ever materializes — the per-doc
+    * dots are |langs| aggregate columns over the id-partitioned feature
+    * frame, each feature row paying one hash probe per language
+    * (round 20; the prior broadcast-join form fanned every feature row
+    * |matched langs| ways and ran two per-doc windows on the result).
+    * Per-doc cost is |features|·|langs| multiply-adds riding the
+    * feature partitioning — compute-parallel, no extra shuffle beyond
+    * the per-doc aggregation. A language none of whose (lang, bucket)
+    * pairs match a doc (possible only under model/corpus drift —
+    * training writes a weight row for every pair it sees) scores its
+    * bias-only z and competes in the softmax at the prior, which is
+    * also exactly what featureless docs receive.
     */
   def langIdWith(
       docs: DataFrame,
@@ -2727,24 +2782,51 @@ object Corpus {
       idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val biasCol = model.langs.foldLeft(lit(0.0)) { (acc, l) =>
-      when(col("lang") === l, lit(model.biases(l))).otherwise(acc)
+    // Round 20 (guide §2.4 — the trainLangId iteration treatment at
+    // inference): the bounded weight table (≤ |langs|·16^hexChars rows
+    // by the model contract) is collected once and rides the plan as
+    // per-language codegen'd hash-lookup expressions; the per-doc
+    // softmax/argmax computes across L aggregate columns of one row.
+    // This removes the broadcast weight join's (feature-row × lang)
+    // fanout, the (id, lang)-keyed aggregation and BOTH per-doc windows
+    // — scoring is one aggregation over the id-partitioned feature
+    // frame. A language with no matched bucket now scores its bias-only
+    // z (= the prior) instead of being omitted from the softmax — the
+    // two differ only under model/corpus drift (training writes a
+    // weight row for every (lang, bucket) it sees, so its own corpus
+    // always matches all languages or none).
+    val wRows = model.weights.select(col("lang").cast("string"),
+      col("bucket").cast("string"), col("w").cast("double")).collect()
+    val wMaps = model.langs.map { l =>
+      wRows.iterator.filter(_.getString(0) == l)
+        .map(r => r.getString(1) -> r.getDouble(2)).toMap
     }
     val normW = Window.partitionBy(col("id"))
-    val dots = featureBuckets(docs, textCol, idCol, model.hexChars)
+    val dotCols = model.langs.indices.map { i =>
+      sum(col("x") *
+        graft.plans.HashExpressions.weightOf(col("bucket"), wMaps(i)))
+        .as(s"_dot_$i")
+    }
+    val perDoc = featureBuckets(docs, textCol, idCol, model.hexChars)
       .withColumn("x", col("m") / sum(col("m")).over(normW))
-      .join(broadcast(model.weights), Seq("bucket"))
-      .groupBy(col("id"), col("lang"))
-      .agg(sum(col("x") * col("w")).as("dot"))
-      .select(col("id"), col("lang"), (col("dot") + biasCol).as("z"))
-    val p = exp(col("z") - max(col("z")).over(normW)) /
-      sum(exp(col("z") - max(col("z")).over(normW))).over(normW)
-    val rk = Window.partitionBy(col("id"))
-      .orderBy(col("confidence").desc, col("lang"))
-    val featured = dots.withColumn("confidence", p)
-      .withColumn("_rk", row_number().over(rk))
-      .filter(col("_rk") === 1)
-      .select(col("id"), col("lang"), col("confidence"))
+      .groupBy(col("id"))
+      .agg(dotCols.head, dotCols.tail: _*)
+    val zCols = model.langs.indices.map(i =>
+      col(s"_dot_$i") + lit(model.biases(model.langs(i))))
+    // softmax (max-subtracted, shift-invariant) across the L columns;
+    // the winner's confidence is exp(0)/Σ. Argmax tie-break = language
+    // ascending (the documented contract): the WHEN chain probes
+    // z == max in ascending-language order, first hit wins.
+    val mx = greatest(zCols: _*)
+    val sumExp = zCols.map(z => exp(z - mx)).reduce(_ + _)
+    val ascending = model.langs.indices.sortBy(model.langs)
+    val langChain = ascending.tail
+      .foldLeft(when(zCols(ascending.head) === mx,
+        lit(model.langs(ascending.head)))) { (acc, i) =>
+        acc.when(zCols(i) === mx, lit(model.langs(i)))
+      }
+    val featured = perDoc.select(col("id"), langChain.as("lang"),
+      (lit(1.0) / sumExp).as("confidence"))
     // bias-only prior for docs with NO scored features: one constant
     // (argmax_l bias_l, softmax at the biases), no per-doc grid
     val priorLang = model.langs.minBy(l => (-model.biases(l), l))

@@ -301,6 +301,19 @@ object HashExpressions {
   def sortedLongJaccard(a: Column, b: Column): Column =
     ExprColumn(SortedLongJaccard(ExprColumn.exprOf(a), ExprColumn.exprOf(b)))
 
+  /** Bucket → weight under a bounded driver-side model map; 0.0 on miss
+    * (one hash probe — see [[WeightLookup]]).
+    */
+  def weightOf(bucket: Column, weights: Map[String, Double]): Column =
+    ExprColumn(WeightLookup(ExprColumn.exprOf(bucket), weights))
+
+  private[plans] def weightLookupEval(
+      k: UTF8String,
+      m: java.util.HashMap[UTF8String, java.lang.Double]): Double = {
+    val v = m.get(k)
+    if (v == null) 0.0 else v.doubleValue()
+  }
+
   /** Inputs are cast to array<double> (exact for float arrays — the same
     * per-element widening the zip_with formulation performed) so the
     * fused loops read the right physical type for ANY numeric array.
@@ -552,6 +565,48 @@ object HashExpressions {
   * per token (measured 10× the tokenizer's own cost for 5 languages × 10
   * words).
   */
+/** Constant-time weight lookup for the GD trainers/scorers: bucket
+  * string → its weight under a model-sized driver map, 0.0 on miss (the
+  * left-join-with-coalesce contract as one expression). A literal-map
+  * `element_at` is a LINEAR key scan per row (Catalyst's GetMapValue) —
+  * at the classifier's 16^3-bucket space that is a 4096-probe loop per
+  * feature row per iteration; this is one hash probe.
+  */
+case class WeightLookup(child: Expression, weights: Map[String, Double])
+  extends UnaryExpression {
+
+  @transient private lazy val compiled
+      : java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      math.max(8, weights.size * 2))
+    weights.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Double.valueOf(v))
+    }
+    m
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"WeightLookup expects a string bucket, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.weightLookupEval(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clz = HashExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val mapRef = ctx.addReferenceObj("weightMap", compiled, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $clz.weightLookupEval($c, $mapRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WeightLookup =
+    copy(child = newChild)
+}
+
 case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
   extends UnaryExpression {
 

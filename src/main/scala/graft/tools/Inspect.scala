@@ -16,10 +16,20 @@ object Inspect {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val what = args.lift(1).getOrElse("explain:q01_pricing_summary")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // measurement-only override: test shuffle-partition sensitivity
+    // without touching the Bench/Verify contract sessions
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.adaptive.enabled", "true")
+      // measured round 20: canChangeCachedPlanOutputPartitioning=true
+      // (AQE inside cached plans) coalesces KB-scale cached frames to 1
+      // partition and SERIALIZES the CPU-bound consumers (q139's pair
+      // search went 8.1 -> 16.6 s); keep the default (off), knob stays
+      // for re-measurement
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -61,7 +71,87 @@ object Inspect {
         println(f"[inspect] $q median-of-5: ${times.sorted.apply(2)}%.2fs")
       case Array("show", q) =>
         graft.SparkEntry.queries(q)(spark, sfDir).show(100, truncate = false)
-      case Array("scans", q) =>
+      case Array("explainfiles", spec) =>
+        // batch plan capture: "explainfiles:<outDir>+<suffix>+<q1,q2,..>"
+        // writes <outDir>/<query>_<suffix>.txt with the FORMATTED plan of
+        // each named query — one JVM for the whole set (a per-query
+        // sbt runMain pays ~60 s of JVM/compile warmup each).
+        val Array(outDir, suffix, names) = spec.split("\\+", 3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+          val df = graft.SparkEntry.queries(q)(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/${q}_$suffix.txt"), plan)
+          println(s"[inspect] wrote $outDir/${q}_$suffix.txt")
+        }
+      case Array("timemulti", spec) =>
+        // batch warm timing: "timemulti:<reps>+<q1,q2,..>" — per query,
+        // <reps> noop-sink reps with clearCache between (the Bench
+        // discipline), printing each rep plus min/median. One JVM for
+        // the whole target set; queries run in the given order.
+        val Array(repsS, names) = spec.split("\\+", 2)
+        val reps = repsS.toInt
+        names.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+          val times = (1 to reps).map { i =>
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(q)(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val s = times.sorted
+          println(f"[inspect] $q reps=" +
+            times.map(t => f"$t%.2f").mkString("[", ",", "]") +
+            f" min=${s.head}%.2f med=${s(s.size / 2)}%.2f")
+        }
+      case Array("jobs", q) =>
+        // Per-JOB time attribution for one query (noop-sink action):
+        // registers a listener, prints every Spark job's wall ms, task
+        // count and description — the driver-scheduling-vs-compute
+        // breakdown the iterative gates need (their cost is N small
+        // actions, invisible to stage-level reasoning from outside).
+        val jobs = new java.util.concurrent.ConcurrentHashMap[
+          Int, (Long, String, Int)]()
+        val done = new java.util.concurrent.ConcurrentHashMap[
+          Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val desc = Option(js.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .getOrElse("")
+              jobs.put(js.jobId,
+                (js.time, desc, js.stageInfos.map(_.numTasks).sum))
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val (t0, desc, _) = jobs.getOrDefault(je.jobId, (je.time, "", 0))
+              done.put(je.jobId, (je.time - t0, desc))
+            }
+          })
+        // warm rep first (codegen/JIT), then the measured rep
+        graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.sharedState.cacheManager.clearCache()
+        jobs.clear(); done.clear()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        import scala.jdk.CollectionConverters._
+        val rows = done.asScala.toSeq.sortBy(_._1)
+        var acc = 0L
+        rows.foreach { case (id, (ms, desc)) =>
+          val nt = jobs.getOrDefault(id, (0L, "", 0))._3
+          acc += ms
+          println(f"[inspect-job] #$id%-4d ${ms}%6d ms  tasks=$nt%-4d ${desc.take(90)}")
+        }
+        println(f"[inspect-job] $q: ${rows.size} jobs, ${acc} ms in jobs, " +
+          f"wall $wall%.2f s (gap = driver/planning ${wall - acc / 1000.0}%.2f s)")
         // Runtime scan/reuse audit: AQE exchange reuse does NOT show in
         // the static plan, so execute first (collect — gate outputs are
         // small) and read the FINAL adaptive plan, splitting off the
