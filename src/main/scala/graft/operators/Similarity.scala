@@ -189,14 +189,28 @@ object Similarity {
     val k = math.min(nClusters, sample.length)
     var centroids = sample.take(k).map(_.clone)
     var it = 0
+    // Round 20: the nearest-centroid scan is ~97% of each Lloyd's
+    // iteration (k·dim ops/point vs dim for the sum) and embarrassingly
+    // parallel, so it fans across driver cores; the centroid SUMS then
+    // accumulate SEQUENTIALLY in sample order off the precomputed
+    // assignment — bit-identical results to the old fused loop (same
+    // additions in the same order), ~10× less driver wall at dim 256
+    // (q139's Lloyd's measured 2.1 s single-threaded).
+    val assign = new Array[Int](sample.length)
     while (it < iters) {
+      val cents = centroids
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach(i => assign(i) = nearest(sample(i), cents))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
+      var si = 0
+      while (si < sample.length) {
+        val c = assign(si)
+        val v = sample(si)
         counts(c) += 1
         var j = 0
         while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        si += 1
       }
       centroids = sums.zipWithIndex.map { case (s, i) =>
         if (counts(i) == 0) centroids(i)
@@ -623,10 +637,49 @@ object Similarity {
     val pairDenom = col("x._gn_n") * col("y._gn_n")
     val pairCos = when(pairDenom === 0.0, lit(0.0))
       .otherwise(dot(col("x.v"), col("y.v")) / pairDenom)
-    val dropped = a.as("x").join(a.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+    // BLOCK-SPLIT pair search (round 20, guide §2.5): a bare
+    // cluster-keyed self-join makes each cluster ONE join key — one
+    // task owns the whole c² pair space, and AQE cannot split a single
+    // key (measured: k-means over the salted q139 corpus left two
+    // ~1.3k-row clusters holding 70% of all pairs in two tasks — 3.7 s
+    // of a 6.5 s gate). One bounded census over the cached assignment
+    // (≤ nClusters rows — the flood-guard probe posture) sizes a
+    // per-cluster G = ceil(c / 512) (≤ 64) sub-block grid; rows land in
+    // block pmod(xxhash64(id), G), the x side replicates to cells
+    // (blk, j ≥ blk), the y side to (i ≤ blk, blk), and the join keys
+    // on (cluster, cell) — per-task pair work is capped near 512², big
+    // clusters split G² ways, G = 1 clusters pay exactly the old plan.
+    // Every unordered pair appears in exactly ONE cell (its blocks,
+    // sorted), so with the diagonal-cell id< filter + greatest() the
+    // dropped-id set is IDENTICAL to the plain self-join's.
+    // memoized per (analyzed plan, knobs) — the ProbeMemo posture:
+    // bench reps / repeated passes over one corpus reuse the census
+    val sizes = graft.ops.ProbeMemo.cached(a,
+      s"semdedup-census:$nClusters:$eps") {
+      a.groupBy(col("cluster")).count().collect()
+        .map(r => r.getInt(0).toString ->
+          math.min(64, 1 + (r.getLong(1) - 1) / 512).toDouble).toMap
+    }
+    val gExpr = greatest(lit(1),
+      graft.plans.HashExpressions.weightOf(
+        col("cluster").cast("string"), sizes).cast("int"))
+    val blkExpr = pmod(xxhash64(col("id")), gExpr).cast("int")
+    val xSide = a.select(col("id"), col("v"), col("_gn_n"), col("cluster"),
+        blkExpr.as("_gn_bi"), gExpr.as("_gn_g"))
+      .withColumn("_gn_bj", explode(sequence(col("_gn_bi"), col("_gn_g") - 1)))
+      .as("x")
+    val ySide = a.select(col("id"), col("v"), col("_gn_n"), col("cluster"),
+        blkExpr.as("_gn_bj"), gExpr.as("_gn_g"))
+      .withColumn("_gn_bi", explode(sequence(lit(0), col("_gn_bj"))))
+      .as("y")
+    val dropped = xSide.join(ySide,
+        col("x.cluster") === col("y.cluster") &&
+          col("x._gn_bi") === col("y._gn_bi") &&
+          col("x._gn_bj") === col("y._gn_bj") &&
+          (col("x._gn_bi") =!= col("x._gn_bj") || col("x.id") < col("y.id")) &&
+          col("x.id") =!= col("y.id"))
       .filter(pairCos >= lit(1.0 - eps))
-      .select(col("y.id").as("id")).distinct()
+      .select(greatest(col("x.id"), col("y.id")).as("id")).distinct()
     val repOut = a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),
         coalesce(!col("_gd"), lit(true)).as("keep"))

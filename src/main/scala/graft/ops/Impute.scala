@@ -46,17 +46,23 @@ object Impute {
         require(groupCols.nonEmpty, "at least one group column")
         // only the exact-median path buffers whole groups; Mean's state
         // is a fixed-size (sum, count) pair and needs no guard
+        // exact-median path: three passes over the input (guard probe,
+        // stats aggregation, reinstating join) — cache it, bounded by
+        // the maxExactRows guard (round 20; the Outliers treatment).
+        // Operator-owned: caller releases via Caches.release().
+        val d =
+          if (s == Median && !approx) graft.ops.Caches.owned(df) else df
         if (s == Median && !approx)
-          Cleanse.guardExactPercentile(df, maxExactRows, "Impute.byGroup")
+          Cleanse.guardExactPercentile(d, maxExactRows, "Impute.byGroup")
         val fillExpr = s match {
           case Median if approx => approx_percentile(v, lit(0.5), lit(accuracy))
           case Median => percentile(v, lit(0.5))
           case _ => avg(v)
         }
-        val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+        val stats = d.groupBy(groupCols.map(Cleanse.colRef): _*)
           .agg(fillExpr.as("_fill"))
         // null-safe stats join: null-group rows impute from their own group
-        Cleanse.joinGroupStats(df, stats, groupCols)
+        Cleanse.joinGroupStats(d, stats, groupCols)
           .withColumn(as, coalesce(v, col("_fill")))
           .drop("_fill")
     }

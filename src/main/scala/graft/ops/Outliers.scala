@@ -43,7 +43,16 @@ object Outliers {
       hiName: String,
       op: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
-    if (!approx) Cleanse.guardExactPercentile(df, maxExactRows, op)
+    // exact path: the input is consumed by THREE passes (guard probe,
+    // fence aggregation, reinstating join) — cache it (round 20, guide
+    // §5: reuse beats recompute exactly when recompute is several full
+    // scans). BOUNDED by construction: the guard refuses exact inputs
+    // past maxExactRows, so the cache never exceeds what a single
+    // percentile buffer was already licensed to hold. Operator-owned —
+    // caller releases via Caches.release(); the approx (100 TB) path
+    // is untouched.
+    val d = if (approx) df else graft.ops.Caches.owned(df)
+    if (!approx) Cleanse.guardExactPercentile(d, maxExactRows, op)
     val v = Cleanse.colRef(valueCol)
     // ONE array-percentile aggregate: two scalar percentile() calls
     // each buffer/sort the group independently — same answer, twice
@@ -52,7 +61,7 @@ object Outliers {
     val pcts =
       if (approx) approx_percentile(v, qs, lit(accuracy))
       else percentile(v, qs)
-    val bounds = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+    val bounds = d.groupBy(groupCols.map(Cleanse.colRef): _*)
       .agg(pcts.as("_q"))
       .select(
         groupCols.map(Cleanse.colRef) ++ {
@@ -61,7 +70,7 @@ object Outliers {
           Seq((q1 - lit(k) * (q3 - q1)).as(loName),
             (q3 + lit(k) * (q3 - q1)).as(hiName))
         }: _*)
-    Cleanse.joinGroupStats(df, bounds, groupCols)
+    Cleanse.joinGroupStats(d, bounds, groupCols)
   }
 
   def iqr(
@@ -146,14 +155,19 @@ object Outliers {
     Seq("med", "mad", "dev", "is_outlier").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before mad()"))
-    if (!approx) Cleanse.guardExactPercentile(df, maxExactRows, "Outliers.mad")
+    // exact path: FOUR passes over the input (guard probe, median
+    // aggregation, deviation-median aggregation, reinstating join) —
+    // cache it, bounded by the same maxExactRows guard (see
+    // withFences); the approx path is untouched
+    val d = if (approx) df else graft.ops.Caches.owned(df)
+    if (!approx) Cleanse.guardExactPercentile(d, maxExactRows, "Outliers.mad")
     val v = Cleanse.colRef(valueCol)
     val gs = groupCols.map(Cleanse.colRef)
     def med(c: org.apache.spark.sql.Column) =
       if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
       else percentile(c, lit(0.5))
-    val meds = df.groupBy(gs: _*).agg(med(v).as("med"))
-    val withDev = Cleanse.joinGroupStats(df, meds, groupCols)
+    val meds = d.groupBy(gs: _*).agg(med(v).as("med"))
+    val withDev = Cleanse.joinGroupStats(d, meds, groupCols)
       .withColumn("dev", abs(v - col("med")))
     val mads = withDev.groupBy(gs: _*).agg(med(col("dev")).as("mad"))
     Cleanse.joinGroupStats(withDev, mads, groupCols)

@@ -34,19 +34,24 @@ object Scale {
     (Seq(as, "_med", "_iqr")).foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it before robust()"))
-    if (!approx) Cleanse.guardExactPercentile(df, maxExactRows, "Scale.robust")
+    // exact path: three passes over the input (guard probe, stats
+    // aggregation, reinstating join) — cache it, bounded by the
+    // maxExactRows guard (round 20; the Outliers treatment).
+    // Operator-owned: caller releases via Caches.release().
+    val d = if (approx) df else graft.ops.Caches.owned(df)
+    if (!approx) Cleanse.guardExactPercentile(d, maxExactRows, "Scale.robust")
     val v = Cleanse.colRef(valueCol)
     val qs = array(lit(0.25), lit(0.5), lit(0.75))
     val pcts =
       if (approx) approx_percentile(v, qs, lit(accuracy))
       else percentile(v, qs)
-    val stats = df.groupBy(groupCols.map(Cleanse.colRef): _*)
+    val stats = d.groupBy(groupCols.map(Cleanse.colRef): _*)
       .agg(pcts.as("_q"))
       .select(groupCols.map(Cleanse.colRef) ++ Seq(
         element_at(col("_q"), 2).as("_med"),
         nullif(element_at(col("_q"), 3) - element_at(col("_q"), 1),
           lit(0.0)).as("_iqr")): _*)
-    df.join(broadcast(stats), groupCols, "left")
+    d.join(broadcast(stats), groupCols, "left")
       .withColumn(as, (v - col("_med")) / col("_iqr"))
       .drop("_med", "_iqr")
   }

@@ -2025,13 +2025,24 @@ object Extensions {
   private def curationSummaryFrom(messy: DataFrame): DataFrame = {
     val c4 = graft.operators.Corpus.c4Clean(messy, "text", "doc_id")
       .select(col("id"), col("text").as("clean"), col("kept").as("c4_kept"))
-    val pages = messy.select(col("doc_id").as("id"), col("source"))
-      .join(c4, Seq("id"))
+    // cached (round 20): `pages` fans into FOUR branches (quality
+    // chain, dedup firsts, dedup uniq, the final reinstating join) and
+    // `qk` into three — uncached, each branch re-derives the caller's
+    // whole upstream (for q162 that is the extractMainContent regex
+    // chain; for q150/q157 the WARC/WET parse), and the re-derivation
+    // lands DOWNSTREAM of AQE-coalesced exchanges, i.e. on one task
+    // (measured: q162 ran four 1.3–1.6 s single-task jobs). Caching
+    // materializes the heavy expressions once, map-side, at scan
+    // parallelism. Operator-owned — Verify/Bench release between gates.
+    val pages = graft.ops.Caches.owned(
+      messy.select(col("doc_id").as("id"), col("source"))
+        .join(c4, Seq("id")))
     val c4k = pages.filter(col("c4_kept"))
       .select(col("id"), col("source"), col("clean"))
     val gq = graft.operators.Corpus.gopherQuality(c4k, "clean", "id")
       .select(col("id"), col("n_words"), col("kept").as("g_kept"))
-    val qk = c4k.join(gq, Seq("id")).filter(col("g_kept"))
+    val qk = graft.ops.Caches.owned(
+      c4k.join(gq, Seq("id")).filter(col("g_kept")))
     val firsts = qk.groupBy(md5(col("clean")).as("h"))
       .agg(min(col("id")).as("kid"))
     val uniq = qk.select(col("id"), md5(col("clean")).as("h"))

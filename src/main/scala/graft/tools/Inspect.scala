@@ -152,6 +152,39 @@ object Inspect {
         }
         println(f"[inspect-job] $q: ${rows.size} jobs, ${acc} ms in jobs, " +
           f"wall $wall%.2f s (gap = driver/planning ${wall - acc / 1000.0}%.2f s)")
+      case Array("stages", q) =>
+        // Per-STAGE attribution (the jobs: mode one level down): stage
+        // wall ms, task count, stage name — finds the hot stage inside
+        // a fat job.
+        val done = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, Long, Int, String)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val ms = (for {
+                a <- si.completionTime; b <- si.submissionTime
+              } yield a - b).getOrElse(-1L)
+              done.add((si.stageId, ms, si.numTasks, si.name.take(120)))
+            }
+          })
+        graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        spark.sharedState.cacheManager.clearCache()
+        done.clear()
+        val t0s = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        val wallS = (System.nanoTime() - t0s) / 1e9
+        Thread.sleep(500)
+        import scala.jdk.CollectionConverters._
+        done.asScala.toSeq.sortBy(-_._2).take(25).foreach {
+          case (id, ms, nt, name) =>
+            println(f"[inspect-stage] #$id%-5d ${ms}%6d ms tasks=$nt%-4d $name")
+        }
+        println(f"[inspect-stage] $q wall $wallS%.2f s")
+      case Array("scans", q) =>
         // Runtime scan/reuse audit: AQE exchange reuse does NOT show in
         // the static plan, so execute first (collect — gate outputs are
         // small) and read the FINAL adaptive plan, splitting off the
