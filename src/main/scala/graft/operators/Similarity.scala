@@ -184,6 +184,23 @@ object Similarity {
       dim: Int,
       sampleSize: Int = 10000,
       iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
+    val (assigned, cents, _) =
+      ivfIndexWithStats(corpus, vecCol, nClusters, dim, sampleSize, iters)
+    (assigned, cents)
+  }
+
+  /** [[ivfIndex]] plus the FINAL iteration's per-centroid SAMPLE counts
+    * — a free driver-side skew estimate (the counts already exist in
+    * the Lloyd's loop) that lets [[semDeDup]] decide whether its pair
+    * search needs the block-split census at all.
+    */
+  private[operators] def ivfIndexWithStats(
+      corpus: DataFrame,
+      vecCol: String,
+      nClusters: Int,
+      dim: Int,
+      sampleSize: Int = 10000,
+      iters: Int = 10): (DataFrame, Array[Array[Double]], Array[Int]) = {
     val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val k = math.min(nClusters, sample.length)
@@ -197,6 +214,7 @@ object Similarity {
     // additions in the same order), ~10× less driver wall at dim 256
     // (q139's Lloyd's measured 2.1 s single-threaded).
     val assign = new Array[Int](sample.length)
+    var lastCounts = new Array[Int](math.max(k, 1))
     while (it < iters) {
       val cents = centroids
       java.util.stream.IntStream.range(0, sample.length).parallel()
@@ -216,11 +234,12 @@ object Similarity {
         if (counts(i) == 0) centroids(i)
         else s.map(_ / counts(i))
       }
+      lastCounts = counts
       it += 1
     }
     val cents = centroids
     val assigned = corpus.withColumn("ivf_cluster", nearestCentroidCol(col(vecCol), cents))
-    (assigned, cents)
+    (assigned, cents, lastCounts)
   }
 
   private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
@@ -617,11 +636,18 @@ object Similarity {
     // value; rank 1 is the min-id representative
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("id"))
-    val ranked = pts.filter(!zero)
-      .withColumn("_gn_rn", row_number().over(w))
+    // cached (round 20): the identity window is evaluated by THREE
+    // consumers (the ivfIndex sample collect, the assignment frame
+    // below, and the non-representative copyOut branch) — uncached,
+    // each re-shuffles and re-sorts the vector column (measured ~0.5 s
+    // per evaluation at sf0.1's 5.7k × 256-float rows). Operator-owned,
+    // released with the other frames via Caches.release().
+    val ranked = graft.ops.Caches.owned(pts.filter(!zero)
+      .withColumn("_gn_rn", row_number().over(w)))
     val reps = ranked.filter(col("_gn_rn") === 1).select(col("id"), col("v"))
       .unionByName(pts.filter(zero))
-    val (assigned, cents) = ivfIndex(reps, "v", nClusters, dim, sampleSize, iters)
+    val (assigned, cents, sampleCounts) =
+      ivfIndexWithStats(reps, "v", nClusters, dim, sampleSize, iters)
     // norms ride the rows into the self-join: cosine(x, y) inline would
     // recompute BOTH norms per PAIR — two thirds of the pair stage's
     // flops for values that are per-row constants (the
@@ -652,34 +678,57 @@ object Similarity {
     // Every unordered pair appears in exactly ONE cell (its blocks,
     // sorted), so with the diagonal-cell id< filter + greatest() the
     // dropped-id set is IDENTICAL to the plain self-join's.
-    // memoized per (analyzed plan, knobs) — the ProbeMemo posture:
-    // bench reps / repeated passes over one corpus reuse the census
-    val sizes = graft.ops.ProbeMemo.cached(a,
-      s"semdedup-census:$nClusters:$eps") {
-      a.groupBy(col("cluster")).count().collect()
-        .map(r => r.getInt(0).toString ->
-          math.min(64, 1 + (r.getLong(1) - 1) / 512).toDouble).toMap
-    }
+    // The census job is SKIPPED outright when the Lloyd's sample
+    // already shows balanced clusters (no cluster above 4× its fair
+    // share of the sample) — the free driver-side skew estimate from
+    // ivfIndexWithStats. Balance means no hot join key, so the split
+    // would buy nothing; the split is a perf heuristic either way
+    // (split and unsplit plans produce identical dropped-id sets), so
+    // a sample that underestimates a hot cluster costs time, never
+    // correctness. When the census does run it is memoized per
+    // (analyzed plan, knobs) — the ProbeMemo posture: bench reps /
+    // repeated passes over one corpus reuse it.
+    val sampleN = sampleCounts.sum
+    val balanced = sampleN > 0 && sampleCounts.length > 0 &&
+      sampleCounts.max.toDouble / sampleN <= 4.0 / sampleCounts.length
+    val sizes: Map[String, Double] =
+      if (balanced) Map.empty
+      else graft.ops.ProbeMemo.cached(a,
+        s"semdedup-census:$nClusters:$eps") {
+        a.groupBy(col("cluster")).count().collect()
+          .map(r => r.getInt(0).toString ->
+            math.min(64, 1 + (r.getLong(1) - 1) / 512).toDouble).toMap
+      }
     val gExpr = greatest(lit(1),
       graft.plans.HashExpressions.weightOf(
         col("cluster").cast("string"), sizes).cast("int"))
-    val blkExpr = pmod(xxhash64(col("id")), gExpr).cast("int")
-    val xSide = a.select(col("id"), col("v"), col("_gn_n"), col("cluster"),
-        blkExpr.as("_gn_bi"), gExpr.as("_gn_g"))
-      .withColumn("_gn_bj", explode(sequence(col("_gn_bi"), col("_gn_g") - 1)))
-      .as("x")
-    val ySide = a.select(col("id"), col("v"), col("_gn_n"), col("cluster"),
-        blkExpr.as("_gn_bj"), gExpr.as("_gn_g"))
-      .withColumn("_gn_bi", explode(sequence(lit(0), col("_gn_bj"))))
-      .as("y")
-    val dropped = xSide.join(ySide,
-        col("x.cluster") === col("y.cluster") &&
-          col("x._gn_bi") === col("y._gn_bi") &&
-          col("x._gn_bj") === col("y._gn_bj") &&
-          (col("x._gn_bi") =!= col("x._gn_bj") || col("x.id") < col("y.id")) &&
-          col("x.id") =!= col("y.id"))
-      .filter(pairCos >= lit(1.0 - eps))
-      .select(greatest(col("x.id"), col("y.id")).as("id")).distinct()
+    val dropped = if (sizes.isEmpty || sizes.values.max <= 1.0) {
+      // no hot cluster (or census skipped on a balanced sample):
+      // exactly the plain cluster-keyed self-join — zero split overhead
+      a.as("x").join(a.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+        .filter(pairCos >= lit(1.0 - eps))
+        .select(col("y.id").as("id")).distinct()
+    } else {
+      val blkExpr = pmod(xxhash64(col("id")), gExpr).cast("int")
+      val xSide = a.select(col("id"), col("v"), col("_gn_n"), col("cluster"),
+          blkExpr.as("_gn_bi"), gExpr.as("_gn_g"))
+        .withColumn("_gn_bj",
+          explode(sequence(col("_gn_bi"), col("_gn_g") - 1)))
+        .as("x")
+      val ySide = a.select(col("id"), col("v"), col("_gn_n"), col("cluster"),
+          blkExpr.as("_gn_bj"), gExpr.as("_gn_g"))
+        .withColumn("_gn_bi", explode(sequence(lit(0), col("_gn_bj"))))
+        .as("y")
+      xSide.join(ySide,
+          col("x.cluster") === col("y.cluster") &&
+            col("x._gn_bi") === col("y._gn_bi") &&
+            col("x._gn_bj") === col("y._gn_bj") &&
+            (col("x._gn_bi") =!= col("x._gn_bj") || col("x.id") < col("y.id")) &&
+            col("x.id") =!= col("y.id"))
+        .filter(pairCos >= lit(1.0 - eps))
+        .select(greatest(col("x.id"), col("y.id")).as("id")).distinct()
+    }
     val repOut = a.join(dropped.withColumn("_gd", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),
         coalesce(!col("_gd"), lit(true)).as("keep"))
