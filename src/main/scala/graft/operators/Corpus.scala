@@ -1475,33 +1475,50 @@ object Corpus {
     */
   private def tokensPinned(
       df: DataFrame, textCol: String, idCol: String,
-      minTokens: Int = 0, dropNullIds: Boolean = false): DataFrame = {
+      dropNullIds: Boolean = false): DataFrame = {
     var t = df.select(
       cr(idCol).as("id"), TextFunctions.tokens(cr(textCol)).as("_graft_toks"))
     if (dropNullIds) t = t.filter(col("id").isNotNull)
-    if (minTokens > 0) t = t.filter(size(col("_graft_toks")) >= minTokens)
     t.repartition(
       math.max(df.sparkSession.sparkContext.defaultParallelism,
         df.sparkSession.sessionState.conf.numShufflePartitions),
       col("id"))
   }
 
+  /** [[tokensPinned]] for the LM operators. The historical `>= 2`-token
+    * row FILTER is gone (round 21): a plan-level `.filter(size(toks) >=
+    * 2)` gets pushed below the pinned repartition where alias
+    * substitution RE-INLINES the tokenizer regex into the predicate —
+    * every branch's scan paid the tokenizer twice, serialized on the
+    * single-split source partition (the gramsOf scaladoc trap, observed
+    * live in q125's executed plan as a
+    * `Filter size(filter(split(lower(text)...)))>=2` directly over the
+    * scan). The floor survives as EXPRESSION branches instead:
+    * [[bigramsOf]] and [[ngramBackoffModel]]'s unigram explode guard
+    * with `when(size >= 2, ...)`, so sub-2-token docs contribute zero
+    * gram rows to every order — row-for-row the results the filter
+    * produced ([[gramsOf]] already floors at `size >= k`).
+    */
   private def tokFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    tokensPinned(df, textCol, idCol, minTokens = 2)
+    tokensPinned(df, textCol, idCol)
 
   /** Ordered consecutive-bigram rows `(id, w1, w2)` over a [[tokFrame]]
     * — unlike [[gramIndex]] these keep MULTIPLICITY and position
     * adjacency (an LM needs every occurrence, a Jaccard set needs
-    * distinct grams). The `>= 2`-token filter upstream means the
-    * sequence() bound is always >= 1.
+    * distinct grams). The `>= 2`-token floor is an EXPRESSION branch
+    * (the [[gramsOf]] posture — see the [[tokFrame]] scaladoc for why a
+    * row filter is a pushdown trap); it also keeps the sequence() bound
+    * >= 1 (Spark's sequence(1, 0) DESCENDS, it is not empty).
     */
   private def bigramsOf(toks: DataFrame): DataFrame =
     toks
       .select(col("id"), explode(
-        transform(sequence(lit(1), size(col("_graft_toks")) - 1), i =>
-          struct(
-            element_at(col("_graft_toks"), i).as("w1"),
-            element_at(col("_graft_toks"), i + 1).as("w2")))).as("bg"))
+        when(size(col("_graft_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_graft_toks")) - 1), i =>
+            struct(
+              element_at(col("_graft_toks"), i).as("w1"),
+              element_at(col("_graft_toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select(col("id"), col("bg.w1"), col("bg.w2"))
 
   /** A trained bigram LM as three DataFrames — never collected, joinable
@@ -1683,15 +1700,17 @@ object Corpus {
       n: Int): LmNModel = {
     require(n >= 2 && n <= 8, "backoff order must be in [2, 8]")
     val refToks = tokFrame(reference, textCol, idCol)
-    // The unigram explode wraps its input in a (vacuous under the
-    // tokFrame floor) CASE: a BARE attribute explode triggers
+    // The unigram explode wraps its input in a CASE carrying the
+    // LM-bigram `>= 2`-token floor (formerly tokFrame's row filter —
+    // see its scaladoc for the pushdown trap). The CASE also keeps the
+    // branch subtree unified: a BARE attribute explode triggers
     // InferFiltersFromGenerate, whose size>0/isnotnull predicates push
     // below the shared exchange and de-unify this branch's subtree from
     // the gram branches' (which explode computed expressions and get no
     // inference) — measured as a third corpus scan before this shape.
     val unigrams = refToks
       .select(col("id"), explode(
-        when(size(col("_graft_toks")) >= 1, col("_graft_toks"))
+        when(size(col("_graft_toks")) >= 2, col("_graft_toks"))
           .otherwise(array().cast("array<string>"))).as("g1"))
       .groupBy(col("g1")).agg(count(lit(1)).as("c"))
     val higher = (2 to n).map(k => gramsOf(refToks, k)
@@ -3627,12 +3646,18 @@ object Corpus {
     val nonNull = df.filter(cr(urlCol).isNotNull)
       .select(cr(idCol).as("id"),
         TextFunctions.canonicalizeUrl(cr(urlCol)).as("canonical_url"))
-    val first = nonNull.groupBy(col("canonical_url"))
-      .agg(min(col("id")).as("_keep_id"))
-    nonNull.as("c")
-      .join(first.as("f"), col("c.canonical_url") === col("f.canonical_url"))
-      .select(col("c.id").as("id"), col("c.canonical_url").as("canonical_url"),
-        (col("c.id") === col("f._keep_id")).as("keep"))
+    // min-id per key as an UNORDERED window over the canonical-url
+    // partitioning (round 21, guide §2.4): the previous groupBy +
+    // self-join consumed `nonNull` twice, re-running the
+    // canonicalization regex chain per consumer (q129's executed plan
+    // showed 3 parquet scans, 0 reused exchanges) and paying a second
+    // join exchange. One shuffle on canonical_url now serves both the
+    // min and the flag; keep/rows/columns are identical (same min-id
+    // rule). The window partitions by the dedup key — the same
+    // hot-key exposure the join on canonical_url had.
+    nonNull
+      .withColumn("keep", col("id") === min(col("id")).over(
+        Window.partitionBy(col("canonical_url"))))
       // "every input row is emitted": null-URL rows rejoin here with
       // their constant flag — a plain projection, no join, no hot key
       .unionByName(df.filter(cr(urlCol).isNull)

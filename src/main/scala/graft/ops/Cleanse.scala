@@ -43,6 +43,23 @@ object Cleanse {
     d.join(b, cond, "left").select(col("d.*") +: carried.toIndexedSeq: _*)
   }
 
+  /** Operator-owned cache for an exact-percentile input, re-laid to the
+    * session's full parallelism BEFORE caching (round 21): these inputs
+    * arrive at source-scan partitioning (lineitem's single parquet file
+    * scans as 3 splits at sf0.1), and the cached layout is what every
+    * percentile buffer-build and reinstating join then runs at — the
+    * partial-aggregation stage was measured serializing on 3 tasks. The
+    * repartition shuffle is BOUNDED by construction: every caller
+    * refuses exact inputs past `maxExactRows` (the guard below), so the
+    * 100 TB path (approx sketches) never reaches this cache and the
+    * shuffle never exceeds what one percentile buffer was already
+    * licensed to hold. Round-robin is exact-safe — percentiles sort,
+    * so partition assignment cannot move a result.
+    */
+  private[ops] def ownedWide(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.Caches.owned(
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism))
+
   /** Guard for the exact (full-buffer) grouped-percentile path: exact
     * `percentile` accumulates every group value in ONE aggregation
     * buffer, so a hot group at corpus scale is an executor OOM, not a

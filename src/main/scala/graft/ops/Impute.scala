@@ -51,7 +51,7 @@ object Impute {
         // the maxExactRows guard (round 20; the Outliers treatment).
         // Operator-owned: caller releases via Caches.release().
         val d =
-          if (s == Median && !approx) graft.ops.Caches.owned(df) else df
+          if (s == Median && !approx) Cleanse.ownedWide(df) else df
         if (s == Median && !approx)
           Cleanse.guardExactPercentile(d, maxExactRows, "Impute.byGroup")
         val fillExpr = s match {

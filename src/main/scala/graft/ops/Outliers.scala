@@ -51,7 +51,7 @@ object Outliers {
     // percentile buffer was already licensed to hold. Operator-owned —
     // caller releases via Caches.release(); the approx (100 TB) path
     // is untouched.
-    val d = if (approx) df else graft.ops.Caches.owned(df)
+    val d = if (approx) df else Cleanse.ownedWide(df)
     if (!approx) Cleanse.guardExactPercentile(d, maxExactRows, op)
     val v = Cleanse.colRef(valueCol)
     // ONE array-percentile aggregate: two scalar percentile() calls
@@ -159,7 +159,7 @@ object Outliers {
     // aggregation, deviation-median aggregation, reinstating join) —
     // cache it, bounded by the same maxExactRows guard (see
     // withFences); the approx path is untouched
-    val d = if (approx) df else graft.ops.Caches.owned(df)
+    val d = if (approx) df else Cleanse.ownedWide(df)
     if (!approx) Cleanse.guardExactPercentile(d, maxExactRows, "Outliers.mad")
     val v = Cleanse.colRef(valueCol)
     val gs = groupCols.map(Cleanse.colRef)
@@ -167,8 +167,20 @@ object Outliers {
       if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
       else percentile(c, lit(0.5))
     val meds = d.groupBy(gs: _*).agg(med(v).as("med"))
-    val withDev = Cleanse.joinGroupStats(d, meds, groupCols)
-      .withColumn("dev", abs(v - col("med")))
+    // withDev is consumed TWICE (the MAD aggregation and the reinstating
+    // join). Uncached, each consumer re-runs the median percentile
+    // aggregation and the fence join — exchange reuse does NOT dedupe
+    // the two broadcast builds (round 21, measured: q100's executed
+    // plan carried the med ObjectHashAggregate twice, 0 reused
+    // exchanges). Caching it makes med + dev materialize once; the
+    // cache is (rows × +2 cols) on the exact path only, licensed by the
+    // same maxExactRows guard as `d` (guide §5: recompute here is a
+    // full percentile aggregation, strictly worse than the memory).
+    val withDev =
+      if (approx) Cleanse.joinGroupStats(d, meds, groupCols)
+        .withColumn("dev", abs(v - col("med")))
+      else graft.ops.Caches.owned(Cleanse.joinGroupStats(d, meds, groupCols)
+        .withColumn("dev", abs(v - col("med"))))
     val mads = withDev.groupBy(gs: _*).agg(med(col("dev")).as("mad"))
     Cleanse.joinGroupStats(withDev, mads, groupCols)
       .withColumn("is_outlier",

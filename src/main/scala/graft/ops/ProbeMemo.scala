@@ -66,6 +66,22 @@ private[graft] object ProbeMemo {
       prior.find(e => e.knobs == knobs && e.plan.sameResult(plan)) match {
         case Some(e) =>
           hits.incrementAndGet()
+          // The probe job this hit skips was ALSO what materialized the
+          // caller's operator-owned cache. After a clearCache (bench
+          // reps clear between reps), the downstream pair plan's two
+          // concurrent self-join map stages would otherwise RACE-compute
+          // the cached frame — measured on q156 as two overlapped
+          // ~1.8 s full-decode jobs per rep (round 21). One count()
+          // materializes it exactly once; on an already-materialized
+          // cache this is a cheap in-memory scan. Only frames the
+          // CacheManager actually holds are touched — an uncached frame
+          // would pay a brand-new pass for nothing.
+          frame match {
+            case cd: org.apache.spark.sql.classic.Dataset[_] =>
+              if (frame.sparkSession.sharedState.cacheManager
+                  .lookupCachedData(cd).isDefined) frame.count()
+            case _ => () // non-classic Dataset impl: skip materialization
+          }
           return e.value.asInstanceOf[T]
         case None =>
       }

@@ -38,7 +38,7 @@ object Scale {
     // aggregation, reinstating join) — cache it, bounded by the
     // maxExactRows guard (round 20; the Outliers treatment).
     // Operator-owned: caller releases via Caches.release().
-    val d = if (approx) df else graft.ops.Caches.owned(df)
+    val d = if (approx) df else Cleanse.ownedWide(df)
     if (!approx) Cleanse.guardExactPercentile(d, maxExactRows, "Scale.robust")
     val v = Cleanse.colRef(valueCol)
     val qs = array(lit(0.25), lit(0.5), lit(0.75))

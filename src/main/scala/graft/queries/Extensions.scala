@@ -2084,8 +2084,18 @@ object Extensions {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val dir = GateTemp.fresh("q150_wet_gate")
-    val perSeg = math.max(1, math.ceil(pages.length / 4.0).toInt)
-    pages.grouped(perSeg).zipWithIndex.foreach { case (seg, i) =>
+    // 16 segments, written CONCURRENTLY (round 21, guide §2.6/§6): the
+    // fixture write is driver-side gzip of ~5k wrapped pages — at 4
+    // sequential segments it was ~0.5 s of single-threaded driver wall
+    // per rep, and 4 unsplittable .gz files capped the read stage at 4
+    // tasks. Records, per-record shapes and parse output are unchanged
+    // (file boundaries never reach the summary), so the oracle hash is
+    // identical; segment data is precomputed before the parallel loop
+    // so thread timing cannot reorder anything.
+    val perSeg = math.max(1, math.ceil(pages.length / 16.0).toInt)
+    val segs = pages.grouped(perSeg).zipWithIndex.toIndexedSeq
+    java.util.stream.IntStream.range(0, segs.size).parallel().forEach { si =>
+      val (seg, i) = segs(si)
       graft.ingest.WetFixture.writeWet(
         f"$dir/segment-$i%05d.warc.wet.gz",
         seg.map { case (id, src, text) =>
@@ -2128,8 +2138,13 @@ object Extensions {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val dir = GateTemp.fresh("q157_warc_gate")
-    val perSeg = math.max(1, math.ceil(pages.length / 4.0).toInt)
-    pages.grouped(perSeg).zipWithIndex.foreach { case (seg, i) =>
+    // 16 concurrent segments — the q150 treatment (see qS6WetIngest):
+    // parallel driver-side gzip, 16-task read stage, identical records
+    // per id so the q133-verbatim oracle hash cannot move.
+    val perSeg = math.max(1, math.ceil(pages.length / 16.0).toInt)
+    val segs = pages.grouped(perSeg).zipWithIndex.toIndexedSeq
+    java.util.stream.IntStream.range(0, segs.size).parallel().forEach { si =>
+      val (seg, i) = segs(si)
       graft.ingest.WetFixture.writeWarc(
         f"$dir/segment-$i%05d.warc.gz",
         seg.map { case (id, src, text) =>
@@ -2891,11 +2906,27 @@ object Extensions {
     // slice buys bench seconds, not signal (round-18 suite diet)
     val trainSlice = corpus.filter(col("doc_id") % 50 === 0)
     val wh = GateTemp.fresh("q163_ccnet_wh")
-    graft.operators.Corpus.saveLangIdModel(s, wh, "langid",
-      graft.operators.Corpus.trainLangId(
-        trainSlice, "text", "lang", "doc_id", iters = 4))
-    graft.operators.Corpus.saveLmNModel(s, wh, "reflm",
-      graft.operators.Corpus.ngramBackoffModel(trainSlice, "text", "doc_id", n = 3))
+    // the two publishes are independent Spark jobs writing DIFFERENT
+    // snapshot tables — run them from two driver threads (guide §2.6:
+    // overlap independent jobs) so the LM aggregation write backfills
+    // the langid publish's idle tail; outputs are byte-identical to
+    // the sequential form (distinct tables, no shared state beyond the
+    // thread-safe snapshot machinery)
+    val langIdModel = graft.operators.Corpus.trainLangId(
+      trainSlice, "text", "lang", "doc_id", iters = 4)
+    val saveErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def saveThread(f: => Unit): Thread =
+      new Thread(() => try f catch { case t: Throwable => saveErrs.add(t) })
+    val tSave1 = saveThread {
+      graft.operators.Corpus.saveLangIdModel(s, wh, "langid", langIdModel); ()
+    }
+    val tSave2 = saveThread {
+      graft.operators.Corpus.saveLmNModel(s, wh, "reflm",
+        graft.operators.Corpus.ngramBackoffModel(
+          trainSlice, "text", "doc_id", n = 3)); ()
+    }
+    tSave1.start(); tSave2.start(); tSave1.join(); tSave2.join()
+    if (!saveErrs.isEmpty) throw saveErrs.peek()
     // held-out slice kept at 30% (doc_id%10 in 1..3): the gate pins the
     // SEAM (loaded models driving the CCNet path), which a third of the
     // corpus exercises exactly as well as 90% did — at a third of the
