@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (round 21): local[N] hosts every executor's task memory
+  // plus the CacheManager in ONE heap — at 8g / 32 cores (250 MB/core)
+  // the bench ran visibly GC-bound (near-empty 32-task stages at
+  // 300-400 ms; q164 medians 4.3 -> 3.4 s and q163 6.8 -> 5.5 s from
+  // the heap bump alone, G1 measured better than ParallelGC). Still
+  // env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -805,29 +805,68 @@ object Corpus {
     // added the probe branch; cached, the upstream runs once and q148
     // came back BELOW its r13 wall). The simhashNearDups cache
     // convention: caller releases via Caches.release().
-    val withOrd = graft.ops.Caches.owned(withOrd0
+    val withOrdWide = graft.ops.Caches.owned(withOrd0
       .withColumn("_gnt_ord", col("_gnt_ordraw").cast("double")))
+    // The ranked-machinery subtrees as a builder over the cached frame:
+    // the hot probe below runs them once over the cache's inherited
+    // layout, then the main plan rebuilds them over the (possibly
+    // coalesced) final frame.
+    def rankedParts(w: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val base = w.filter(col("_gnt_ord").isNotNull)
+        .withColumn("_gnt_grp", cr(groupCol).cast("string"))
+        .withColumn("_gnt_tie", tie)
+      val span = base.groupBy(col("_gnt_grp"))
+        .agg(min(col("_gnt_ord")).as("_gnt_lo"), max(col("_gnt_ord")).as("_gnt_hi"),
+          count(lit(1)).as("_gnt_cnt"))
+      // clamp in DOUBLE space before the int cast: a NaN/±Inf order key
+      // (scores can degenerate) would otherwise throw under ANSI at the
+      // cast. Spark's NaN-is-greatest ordering makes least() resolve NaN
+      // to 255 — the same "sorts last" slot the window ntile gives it —
+      // and greatest() floors -Inf to bucket 0; ordering INSIDE the
+      // bucket is by the raw key either way.
+      val bucketed = base.join(span, Seq("_gnt_grp"))
+        .withColumn("_gnt_bkt",
+          when(col("_gnt_hi") === col("_gnt_lo"), lit(0))
+            .otherwise(least(lit(255.0), greatest(lit(0.0), floor(
+              (col("_gnt_ord") - col("_gnt_lo")) /
+                (col("_gnt_hi") - col("_gnt_lo")) * 256))).cast("int")))
+      val bktCounts = bucketed.groupBy(col("_gnt_grp"), col("_gnt_bkt"))
+        .agg(count(lit(1)).as("_gnt_bc"))
+      (base, bucketed, bktCounts)
+    }
+    // Hot probe + scale-adaptive cache layout in ONE action (round 21,
+    // guide §2.2 — partitioning derived from measured size): the probe
+    // aggregation that decided the hot path now also returns the ranked
+    // row count, which sizes a COALESCE of the cached frame at ~1000
+    // rows/partition (capped at defaultParallelism). The cache inherits
+    // the caller's exchange layout (65 partitions in q164's executed
+    // plan), so every downstream branch's map stage scheduled one
+    // near-empty task wave per cached partition — measured 29 jobs ×
+    // 65-98 tasks over a 6.5k-row frame. Coalesce (not repartition) is
+    // a narrow in-memory merge: no shuffle, no second cache; and AT the
+    // cap (any real corpus) the frame keeps its layout, so the 100 TB
+    // path pays nothing. Results are layout-independent — the tie
+    // column keeps the within-bucket window order total. The
+    // hotBucket = Int.MaxValue static opt-out keeps its zero-probe
+    // contract (and therefore the inherited layout).
+    val (noHot, withOrd) =
+      if (hotBucket == Int.MaxValue) (true, withOrdWide)
+      else {
+        val (_, _, bcWide) = rankedParts(withOrdWide)
+        val pr = bcWide.agg(
+          coalesce(sum(col("_gnt_bc")), lit(0L)).as("_n"),
+          coalesce(max(col("_gnt_bc")), lit(0L)).as("_mx")).head()
+        val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(1L,
+          math.min(defaultPar.toLong, (pr.getLong(0) + 999L) / 1000L)).toInt
+        val narrow =
+          if (parts >= defaultPar) withOrdWide else withOrdWide.coalesce(parts)
+        (pr.getLong(1) <= hotBucket, narrow)
+      }
     val nullOrd = withOrd.filter(col("_gnt_ord").isNull)
       .drop("_gnt_ordraw", "_gnt_ord")
       .withColumn("ntile", lit(null).cast("long"))
-    val base = withOrd.filter(col("_gnt_ord").isNotNull)
-      .withColumn("_gnt_grp", cr(groupCol).cast("string"))
-      .withColumn("_gnt_tie", tie)
-    val span = base.groupBy(col("_gnt_grp"))
-      .agg(min(col("_gnt_ord")).as("_gnt_lo"), max(col("_gnt_ord")).as("_gnt_hi"),
-        count(lit(1)).as("_gnt_cnt"))
-    // clamp in DOUBLE space before the int cast: a NaN/±Inf order key
-    // (scores can degenerate) would otherwise throw under ANSI at the
-    // cast. Spark's NaN-is-greatest ordering makes least() resolve NaN
-    // to 255 — the same "sorts last" slot the window ntile gives it —
-    // and greatest() floors -Inf to bucket 0; ordering INSIDE the
-    // bucket is by the raw key either way.
-    val bucketed = base.join(span, Seq("_gnt_grp"))
-      .withColumn("_gnt_bkt",
-        when(col("_gnt_hi") === col("_gnt_lo"), lit(0))
-          .otherwise(least(lit(255.0), greatest(lit(0.0), floor(
-            (col("_gnt_ord") - col("_gnt_lo")) /
-              (col("_gnt_hi") - col("_gnt_lo")) * 256))).cast("int")))
+    val (base, bucketed, bktCounts) = rankedParts(withOrd)
     // ---- hot-value tie sub-bucketing (the degenerate-value guard) ----
     // a monotone double image of the tie key, by STATIC type: numeric/
     // timestamp casts are order-preserving; strings map through their
@@ -846,20 +885,15 @@ object Corpus {
           .cast("double")
       case _ => lit(null).cast("double")
     }
-    val bktCounts = bucketed.groupBy(col("_gnt_grp"), col("_gnt_bkt"))
-      .agg(count(lit(1)).as("_gnt_bc"))
     val hotB = bktCounts.filter(col("_gnt_bc") > hotBucket)
       .select(col("_gnt_grp"), col("_gnt_bkt"))
-    // one bounded probe decides the path: the NORMAL (value-spread)
-    // case pays one small (group × 256) aggregation + this emptiness
-    // check and NONE of the guard machinery — the guard's extra
-    // full-data aggregations only run when a hot bucket actually
-    // exists (measured: unconditional guard wiring cost the normal
-    // shape two full shuffles for nothing). hotBucket = Int.MaxValue
-    // is the STATIC opt-out: no count can exceed it, so the probe
-    // action itself is skipped (the bktCounts plan is still reused as
-    // the rank bases below — lazily, no extra pass).
-    val noHot = hotBucket == Int.MaxValue || hotB.isEmpty
+    // `noHot` was decided by the one bounded probe above (the NORMAL
+    // value-spread case pays one small (group × 256) aggregation and
+    // NONE of the guard machinery — the guard's extra full-data
+    // aggregations only run when a hot bucket actually exists;
+    // measured: unconditional guard wiring cost the normal shape two
+    // full shuffles for nothing). The bktCounts plan is still reused
+    // as the rank bases below — lazily, no extra pass.
     val enriched = if (noHot) {
       bucketed.withColumn("_gnt_sec", lit(0)).withColumn("_gnt_sub", lit(0))
     } else {
