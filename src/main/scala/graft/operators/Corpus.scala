@@ -25,6 +25,33 @@ object Corpus {
 
   private val cr = graft.ops.Cleanse.colRef _
 
+  /** Run `body` with AQE disabled when `tiny` (round 21): the GD
+    * iteration actions over a diet-sized cached feature frame are
+    * sub-second queries whose remaining cost is AQE's own machinery —
+    * 3-5 stage-jobs plus a re-optimization pause per action (q163
+    * measured 73 jobs with a 2.3 s driver gap). When the trainer
+    * already re-laid the frame BELOW defaultParallelism (the measured-
+    * tiny case), its iteration shuffles are KB-sized and skew-free by
+    * construction, so static planning is strictly cheaper; any real
+    * corpus keeps featParts at the cap and trains with AQE exactly as
+    * before. Conf restored in finally; only the EAGER iteration
+    * actions execute inside, so the session's lazy gate plans are
+    * planned under the session default as always.
+    */
+  private def withStaticPlanning[T](
+      spark: org.apache.spark.sql.SparkSession, tiny: Boolean)(body: => T): T =
+    if (!tiny) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try body
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   /** Distinct word-`n`-gram rows `(id, gram)` for each document — the
     * inverted-index building block shared by [[exactNgramPairs]] and
     * [[contaminationCounts]].
@@ -2572,6 +2599,10 @@ object Corpus {
       }
     var bias = 0.0
     var weights = Map.empty[String, Double]
+    // AQE off across the iteration collects when the frame measured
+    // tiny (featParts below the cap) — see withStaticPlanning
+    withStaticPlanning(spark,
+      tiny = featParts < spark.sparkContext.defaultParallelism) {
     for (_ <- 1 to iters) {
       // Round-20 iteration shape (guide §2.4, the trainLangId treatment
       // applied to the binary case): the weight vector rides the plan
@@ -2616,6 +2647,7 @@ object Corpus {
         b -> (weights.getOrElse(b, 0.0) - lr * wGrads.getOrElse(b, 0.0))
       }.toMap
       bias -= lr * gBias
+    }
     }
     feats.unpersist()
     LinearModel(weights.toSeq.toDF("bucket", "w"), bias, hexChars)
@@ -2742,6 +2774,10 @@ object Corpus {
       }
     var biases = langs.map(_ -> 0.0).toMap
     var weights = Map.empty[(String, String), Double] // (lang, bucket) -> w
+    // AQE off across the iteration collects when the frame measured
+    // tiny (featParts below the cap) — see withStaticPlanning
+    withStaticPlanning(spark,
+      tiny = featParts < spark.sparkContext.defaultParallelism) {
     for (_ <- 1 to iters) {
       // Round-20 iteration shape (guide §2.4 — remove shuffles outright):
       // the per-language weight vectors ride the plan as codegen'd
@@ -2812,6 +2848,7 @@ object Corpus {
       biases = biases.map { case (l, b) =>
         l -> (b - lr * biasGrads.getOrElse(l, 0.0))
       }
+    }
     }
     f.unpersist()
     LangIdModel(
