@@ -2906,26 +2906,34 @@ object Extensions {
     // slice buys bench seconds, not signal (round-18 suite diet)
     val trainSlice = corpus.filter(col("doc_id") % 50 === 0)
     val wh = GateTemp.fresh("q163_ccnet_wh")
-    // the two publishes are independent Spark jobs writing DIFFERENT
-    // snapshot tables — run them from two driver threads (guide §2.6:
-    // overlap independent jobs) so the LM aggregation write backfills
-    // the langid publish's idle tail; outputs are byte-identical to
-    // the sequential form (distinct tables, no shared state beyond the
-    // thread-safe snapshot machinery)
-    val langIdModel = graft.operators.Corpus.trainLangId(
-      trainSlice, "text", "lang", "doc_id", iters = 4)
+    // the two model builds + publishes are independent Spark jobs
+    // writing DIFFERENT snapshot tables — overlap them (guide §2.6):
+    // the LM aggregation + publish runs on its own driver thread
+    // STARTED BEFORE GD training (round 21; it had started after), so
+    // its cluster-side count aggregations backfill the executors GD's
+    // driver-bound iteration collects leave idle. Outputs are
+    // byte-identical to the sequential form (distinct tables, no
+    // shared state beyond the thread-safe snapshot machinery; the LM
+    // thread's plans may compile while trainLangId's tiny-frame static
+    // planning toggles session AQE — AQE changes plan shape, never
+    // results).
     val saveErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     def saveThread(f: => Unit): Thread =
       new Thread(() => try f catch { case t: Throwable => saveErrs.add(t) })
-    val tSave1 = saveThread {
-      graft.operators.Corpus.saveLangIdModel(s, wh, "langid", langIdModel); ()
-    }
     val tSave2 = saveThread {
       graft.operators.Corpus.saveLmNModel(s, wh, "reflm",
         graft.operators.Corpus.ngramBackoffModel(
           trainSlice, "text", "doc_id", n = 3)); ()
     }
-    tSave1.start(); tSave2.start(); tSave1.join(); tSave2.join()
+    tSave2.start()
+    // join in finally: a training/publish failure on THIS thread must
+    // not leave the LM thread writing into a warehouse the next bench
+    // rep's GateTemp.fresh is about to wipe
+    try {
+      val langIdModel = graft.operators.Corpus.trainLangId(
+        trainSlice, "text", "lang", "doc_id", iters = 4)
+      graft.operators.Corpus.saveLangIdModel(s, wh, "langid", langIdModel)
+    } finally tSave2.join()
     if (!saveErrs.isEmpty) throw saveErrs.peek()
     // held-out slice kept at 30% (doc_id%10 in 1..3): the gate pins the
     // SEAM (loaded models driving the CCNet path), which a third of the

@@ -184,6 +184,29 @@ object Inspect {
             println(f"[inspect-stage] #$id%-5d ${ms}%6d ms tasks=$nt%-4d $name")
         }
         println(f"[inspect-stage] $q wall $wallS%.2f s")
+      case Array("scansmulti", names) =>
+        // batch runtime scan/reuse audit: one JVM for the whole set;
+        // per query, execute (collect) and report parquet-scan /
+        // reused-exchange counts plus every AQEShuffleRead line with
+        // the stage task-width pattern — the coalesced-hot-stage sweep.
+        names.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+          spark.sharedState.cacheManager.clearCache()
+          try {
+            val df = graft.SparkEntry.queries(q)(spark, sfDir)
+            df.collect()
+            val finalPlan = df.queryExecution.executedPlan.toString
+              .split("== Initial Plan ==").head
+            val nScan = "Scan parquet".r.findAllIn(finalPlan).length
+            val nReuse = "ReusedExchange".r.findAllIn(finalPlan).length
+            val nCoal = "AQEShuffleRead coalesced".r.findAllIn(finalPlan).length
+            println(s"[inspect] $q: scans=$nScan reused=$nReuse " +
+              s"aqeCoalesced=$nCoal")
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"/tmp/graft_plan_$q.txt"), finalPlan)
+          } catch {
+            case e: Throwable => println(s"[inspect] $q FAILED: ${e.getMessage}")
+          }
+        }
       case Array("scans", q) =>
         // Runtime scan/reuse audit: AQE exchange reuse does NOT show in
         // the static plan, so execute first (collect — gate outputs are
